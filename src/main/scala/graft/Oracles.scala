@@ -3,8 +3,9 @@ package graft
 /** DuckDB oracle SQL, one entry per SparkEntry.queries key.
   *
   * Parity rules (see graft.queries.Parity): money aggregates via
-  * DECIMAL(18,2) then CAST AS DOUBLE; counts BIGINT; explicit ORDER BY with
-  * a unique tiebreak; timestamps surfaced as epoch_us BIGINT.
+  * DECIMAL(18,2) then CAST AS DOUBLE; integer sums CAST AS BIGINT (DuckDB
+  * sums INTEGER into HUGEINT); explicit ORDER BY with a unique tiebreak;
+  * timestamps surfaced as epoch_us BIGINT.
   */
 object Oracles {
   val sql: Map[String, String] = Map(
@@ -19,5 +20,159 @@ object Oracles {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_cast_project" ->
+      """SELECT event_id,
+        |  CAST(event_id AS VARCHAR) AS event_id_str,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents,
+        |  UPPER(event_type) AS type_upper
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q03_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        |ORDER BY event_id""".stripMargin,
+
+    "q04_range_check" ->
+      """SELECT COUNT(*) AS row_count,
+        |  CAST(COALESCE(SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 5 OR l_quantity > 45) THEN 1 ELSE 0 END), 0) AS BIGINT) AS range_l_quantity
+        |FROM lineitem""".stripMargin,
+
+    "q05_notnull_check" ->
+      """SELECT COUNT(*) AS row_count,
+        |  CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS notnull_o_custkey,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS notnull_o_orderdate
+        |FROM orders""".stripMargin,
+
+    "q06_regex_check" ->
+      """SELECT COUNT(*) AS row_count,
+        |  CAST(COALESCE(SUM(CASE WHEN c_name IS NOT NULL AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$') THEN 1 ELSE 0 END), 0) AS BIGINT) AS regex_c_name
+        |FROM customer""".stripMargin,
+
+    "q07_unique_key" ->
+      """SELECT COUNT(*) AS row_count,
+        |  CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS unique_l_orderkey_l_linenumber
+        |FROM lineitem""".stripMargin,
+
+    "q08_dq_summary" ->
+      """SELECT COUNT(*) AS row_count,
+        |  CAST(COALESCE(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS notnull_l_orderkey,
+        |  CAST(COALESCE(SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END), 0) AS BIGINT) AS range_l_quantity,
+        |  CAST(COALESCE(SUM(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.08) THEN 1 ELSE 0 END), 0) AS BIGINT) AS range_l_discount,
+        |  CAST(COALESCE(SUM(CASE WHEN l_returnflag IS NOT NULL AND NOT regexp_matches(l_returnflag, '^[ARN]$') THEN 1 ELSE 0 END), 0) AS BIGINT) AS regex_l_returnflag,
+        |  CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS unique_l_orderkey_l_linenumber
+        |FROM lineitem""".stripMargin,
+
+    "q09_dedup_latest" ->
+      """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q10_scd2" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(ts) AS valid_from_us,
+        |  COALESCE(epoch_us(lead(ts) OVER w), 253402214400000000) AS valid_to_us,
+        |  (COALESCE(epoch_us(lead(ts) OVER w), 253402214400000000) = 253402214400000000) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    "q11_gold_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region_name,
+        |  COALESCE(n_name, 'ALL') AS nation_name,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |  COUNT(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+
+    "q12_ri_orphans" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS order_orphans,
+        |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS lineitem_orphans""".stripMargin,
+
+    "q13_enrich_join" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q14_semi_anti" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+        |  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin,
+
+    "q15_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q16_set_ops" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' UNION SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000.0)) AS n_union,
+        |  (SELECT COUNT(*) FROM (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' INTERSECT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000.0)) AS n_intersect,
+        |  (SELECT COUNT(*) FROM (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000.0)) AS n_except""".stripMargin,
+
+    "q17_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS rk,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q18_time_windows" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q19_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_seq,
+        |  MIN(epoch_us(ts)) AS session_start_us,
+        |  MAX(epoch_us(ts)) AS session_end_us,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q20_cdc_apply" ->
+      """SELECT user_id, event_id,
+        |  CASE WHEN event_type = 'signup' THEN 'c' WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q21_table_metrics" ->
+      """SELECT COUNT(*) AS row_count,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |  CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_totalprice,
+        |  epoch_us(MIN(o_orderdate)) AS min_orderdate_us,
+        |  epoch_us(MAX(o_orderdate)) AS max_orderdate_us,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |FROM orders""".stripMargin,
+
+    "q22_quarantine" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  concat_ws(',',
+        |    CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 2 OR l_quantity > 48) THEN 'range_l_quantity' END,
+        |    CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.08) THEN 'range_l_discount' END) AS dq_reasons
+        |FROM lineitem
+        |WHERE (l_quantity IS NOT NULL AND (l_quantity < 2 OR l_quantity > 48))
+        |   OR (l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.08))
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }

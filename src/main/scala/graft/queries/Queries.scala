@@ -9,6 +9,27 @@ object Queries {
   type Q = (SparkSession, String) => DataFrame
 
   val all: Map[String, Q] = Map(
-    "q01_agg_summary" -> (RefQueries.q01_agg_summary _),
+    "q01_agg_summary"   -> (RefQueries.q01_agg_summary _),
+    "q02_cast_project"  -> (TransformQueries.q02_cast_project _),
+    "q03_json_extract"  -> (TransformQueries.q03_json_extract _),
+    "q04_range_check"   -> (DqQueries.q04_range_check _),
+    "q05_notnull_check" -> (DqQueries.q05_notnull_check _),
+    "q06_regex_check"   -> (DqQueries.q06_regex_check _),
+    "q07_unique_key"    -> (DqQueries.q07_unique_key _),
+    "q08_dq_summary"    -> (DqQueries.q08_dq_summary _),
+    "q09_dedup_latest"  -> (TransformQueries.q09_dedup_latest _),
+    "q10_scd2"          -> (TransformQueries.q10_scd2 _),
+    "q11_gold_rollup"   -> (JoinQueries.q11_gold_rollup _),
+    "q12_ri_orphans"    -> (JoinQueries.q12_ri_orphans _),
+    "q13_enrich_join"   -> (JoinQueries.q13_enrich_join _),
+    "q14_semi_anti"     -> (JoinQueries.q14_semi_anti _),
+    "q15_topk"          -> (JoinQueries.q15_topk _),
+    "q16_set_ops"       -> (JoinQueries.q16_set_ops _),
+    "q17_window_running" -> (JoinQueries.q17_window_running _),
+    "q18_time_windows"  -> (TransformQueries.q18_time_windows _),
+    "q19_sessionize"    -> (TransformQueries.q19_sessionize _),
+    "q20_cdc_apply"     -> (TransformQueries.q20_cdc_apply _),
+    "q21_table_metrics" -> (DqQueries.q21_table_metrics _),
+    "q22_quarantine"    -> (DqQueries.q22_quarantine _),
   )
 }

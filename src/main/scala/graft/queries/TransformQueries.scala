@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.transform.{Dedup, Scd2, Sessionize}
+import Parity._
+
+/** Silver-layer transform queries: projection/cast, JSON parse, dedup,
+  * SCD2, CDC apply, sessionization, event-time windows
+  * (reference §2A #3-#4 and §2B silver capabilities).
+  */
+object TransformQueries {
+
+  /** Typed projection + casts (ref §2A #3 bytes→string cast, #5 projection).
+    * Money goes through exact decimal cents to stay engine-portable. */
+  def q02_cast_project(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      col("event_id").cast("string").as("event_id_str"),
+      (dec(col("value")) * lit(100)).cast("bigint").as("value_cents"),
+      upper(col("event_type")).as("type_upper"))
+      .orderBy(col("event_id"))
+
+  /** JSON payload parse against a known schema (ref §2A #4: from_json on the
+    * Kafka value; same parse path factored over a string column). */
+  def q03_json_extract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") > 50)
+      .orderBy(col("event_id"))
+
+  /** Latest-row-per-key dedup (§2B silver dedup). */
+  def q09_dedup_latest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.latestByKey(Tables.events(spark, dir), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsMicros(col("ts")).as("ts_us"))
+      .orderBy(col("user_id"))
+
+  /** SCD Type-2 history build (§2B): [valid_from, valid_to) + is_current. */
+  def q10_scd2(spark: SparkSession, dir: String): DataFrame =
+    Scd2.fromHistory(Tables.events(spark, dir), Seq("user_id"), "ts",
+        tiebreak = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("valid_from_us"),
+        col("valid_to_us"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+
+  /** CDC apply → current state (§2B): latest op per key, deletes drop out.
+    * Debezium-style op derived from event_type. */
+  def q20_cdc_apply(spark: SparkSession, dir: String): DataFrame = {
+    val withOp = Tables.events(spark, dir).withColumn("op",
+      when(col("event_type") === "signup", lit("c"))
+        .when(col("event_type") === "error", lit("d"))
+        .otherwise(lit("u")))
+    Scd2.cdcLatestState(withOp, Seq("user_id"), "ts", "op",
+        deleteOp = "d", tiebreak = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("op"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Gap-based sessionization (30-min inactivity gap). */
+  def q19_sessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(Tables.events(spark, dir), "user_id", "ts",
+        gapMicros = 1800000000L, tiebreak = "event_id")
+      .orderBy(col("user_id"), col("session_seq"))
+
+  /** Event-time tumbling window aggregate — the batch shape of the
+    * streaming windowed agg (same `window()` expression works under
+    * readStream + watermark; see graft.streaming). */
+  def q18_time_windows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("hour_start_us"), col("event_type"))
+}
