@@ -174,5 +174,121 @@ object Oracles {
         |WHERE (l_quantity IS NOT NULL AND (l_quantity < 2 OR l_quantity > 48))
         |   OR (l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.08))
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q23_dedup_exact" ->
+      """SELECT doc_id, n_chars, dup_count FROM (
+        |  SELECT min_by(doc_id, doc_id) AS doc_id, min_by(n_chars, doc_id) AS n_chars,
+        |         COUNT(*) AS dup_count
+        |  FROM documents GROUP BY md5(text)
+        |) ORDER BY doc_id""".stripMargin,
+
+    "q24_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+        |  (CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 10000 THEN 0.5 ELSE 0.0 END
+        |   + CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and'], t))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 0.01 AND 0.6 THEN 0.5 ELSE 0.0 END) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q25_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','and','of','to','in','is','it','that'], t))) AS BIGINT) AS hits_en,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['el','la','los','las','de','que','y','en'], t))) AS BIGINT) AS hits_es,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','des','et','que','qui','dans'], t))) AS BIGINT) AS hits_fr
+        |  FROM documents)
+        |SELECT doc_id, hits_en, hits_es, hits_fr,
+        |  CASE WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        |       WHEN hits_es >= hits_fr THEN 'es' ELSE 'fr' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q26_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  (length(text) + 3) // 4 AS bpe_est,
+        |  CAST(length(text) AS INTEGER) AS n_chars_seen
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q27_minhash_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') tk FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) >= 3
+        |      THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |      ELSE [] END) AS sg
+        |  FROM t
+        |), mh AS (
+        |  SELECT doc_id, sg,
+        |    [ (SELECT min(md5('s0|' || g)) FROM unnest(sg) u(g)),
+        |      (SELECT min(md5('s1|' || g)) FROM unnest(sg) u(g)),
+        |      (SELECT min(md5('s2|' || g)) FROM unnest(sg) u(g)),
+        |      (SELECT min(md5('s3|' || g)) FROM unnest(sg) u(g)),
+        |      (SELECT min(md5('s4|' || g)) FROM unnest(sg) u(g)),
+        |      (SELECT min(md5('s5|' || g)) FROM unnest(sg) u(g)) ] AS sig
+        |  FROM sh
+        |), bands AS (
+        |  SELECT doc_id, (i - 1) || '|' || sig[i] AS band
+        |  FROM mh, range(1, 7) r(i)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS jaccard
+        |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q29_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_distinct(CASE WHEN length(text) >= 3
+        |      THEN list_transform(range(1, length(text) - 1), i -> substring(text, CAST(i AS INTEGER), 3))
+        |      ELSE [] END) AS g3
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE) / CAST(len(list_distinct(a.g3 || b.g3)) AS DOUBLE) AS jaccard
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 2
+        |WHERE CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE) / CAST(len(list_distinct(a.g3 || b.g3)) AS DOUBLE) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q30_ann_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e
+        |), q AS (
+        |  SELECT * FROM n WHERE vec_id < 8
+        |), pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+        |  FROM q, n c WHERE c.vec_id <> q.vec_id
+        |), rk AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, rank, cosine FROM rk
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q32_embed_topk_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "q33_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 1857 + 64 AS width,
+        |  (ascii(substring(md5(text), 3, 1)) * 256 + ascii(substring(md5(text), 4, 1))) % 1017 + 64 AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

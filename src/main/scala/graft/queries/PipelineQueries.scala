@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.text.{LangId, TextOps}
+import graft.transform.Dedup
+import graft.similarity.{CosineKnn, LshAnn, MinHashLsh}
+import graft.functions.SimHash64
+import graft.multimodal.Multimodal
+
+/** Beyond-reference LLM-data-pipeline operators (BASELINE.json north star):
+  * dedup family, text analysis, similarity search, multimodal plumbing.
+  */
+object PipelineQueries {
+
+  /** Exact content dedup via md5 grouping — keeps min doc_id per hash.
+    * One shuffle on the 128-bit hash; map-side combinable. */
+  def q23_dedup_exact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.byContentHash(Tables.documents(spark, dir), md5(col("text")), "doc_id")
+      .select(col("doc_id"), col("n_chars"), col("dup_count"))
+      .orderBy(col("doc_id"))
+
+  /** Per-document text statistics + quality score, single scan. */
+  def q24_text_stats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      size(TextOps.distinctTokens(col("text"))).cast("long").as("n_distinct_tokens"),
+      TextOps.avgTokenLen(col("text")).as("avg_token_len"),
+      TextOps.qualityScore(col("text"), Seq("the", "a", "of", "and")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stopword-profile language ID with per-profile hit scores. */
+  def q25_lang_id(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+      (col("doc_id") +:
+        LangId.scores(col("text")) :+
+        LangId.predict(col("text")).as("pred_lang")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish estimate. */
+  def q26_token_count(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("ws_tokens"),
+      TextOps.bpeTokenEstimate(col("text")).as("bpe_est"),
+      length(col("text")).as("n_chars_seen"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash+LSH near-duplicate pairs, Jaccard-verified on 3-word shingles. */
+  def q27_minhash_dedup(spark: SparkSession, dir: String): DataFrame =
+    MinHashLsh.nearDuplicatePairs(Tables.documents(spark, dir),
+        "doc_id", "text", shingleN = 3, perms = 6, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash fingerprints via the custom Catalyst expression (no oracle —
+    * native expression; driver records rows-only). */
+  def q28_simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        SimHash64.simhash64(TextOps.tokens(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Character n-gram Jaccard similarity over banded candidates (same-lang,
+    * close length) — a band-join + verify shape. */
+  def q29_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
+    // dynamic-start substring needs the SQL form of transform()
+    val d = Tables.documents(spark, dir).selectExpr(
+      "doc_id", "lang", "n_chars",
+      "array_distinct(CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text)-2), i -> substring(text, i, 3)) ELSE array() END) AS g3")
+    val a = d.select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"), col("g3").as("ga"))
+    val b = d.select(col("doc_id").as("id_b"), col("lang"), col("n_chars").as("nc_b"), col("g3").as("gb"))
+    a.join(b, Seq("lang"))
+      .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 2)
+      .withColumn("jaccard",
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force cosine top-k ANN baseline (deterministic float64 fold). */
+  def q30_ann_cosine(spark: SparkSession, dir: String): DataFrame =
+    CosineKnn.topK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        queryPredicate = col("id") < 8, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** LSH-bucketed ANN — the scale path (no oracle: bucket membership
+    * depends on JVM-seeded hyperplanes; rows-only check). */
+  def q31_ann_lsh(spark: SparkSession, dir: String): DataFrame =
+    LshAnn.topKBucketed(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        queryPredicate = col("id") < 50, k = 3, nBits = 4)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Embedding near-dup: top-20 most-similar corpus pairs by cosine. */
+  def q32_embed_topk_pairs(spark: SparkSession, dir: String): DataFrame =
+    CosineKnn.topPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 20)
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+
+  /** Multimodal binary plumbing: payload bytes + deterministic fake decode
+    * (portable column part; mapPartitions stub covered by unit tests). */
+  def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val packed = Multimodal.packBinary(Tables.documents(spark, dir),
+      "doc_id", "text", "image/png", "source")
+    val (w, h) = Multimodal.fakeDimensions(col("payload"))
+    packed.select(
+      col("media_id"),
+      length(col("payload")).cast("long").as("byte_len"),
+      md5(col("payload")).as("content_md5"),
+      w.as("width"), h.as("height"))
+      .orderBy(col("media_id"))
+  }
+}

@@ -31,5 +31,16 @@ object Queries {
     "q20_cdc_apply"     -> (TransformQueries.q20_cdc_apply _),
     "q21_table_metrics" -> (DqQueries.q21_table_metrics _),
     "q22_quarantine"    -> (DqQueries.q22_quarantine _),
+    "q23_dedup_exact"   -> (PipelineQueries.q23_dedup_exact _),
+    "q24_text_stats"    -> (PipelineQueries.q24_text_stats _),
+    "q25_lang_id"       -> (PipelineQueries.q25_lang_id _),
+    "q26_token_count"   -> (PipelineQueries.q26_token_count _),
+    "q27_minhash_dedup" -> (PipelineQueries.q27_minhash_dedup _),
+    "q28_simhash"       -> (PipelineQueries.q28_simhash _),
+    "q29_ngram_jaccard" -> (PipelineQueries.q29_ngram_jaccard _),
+    "q30_ann_cosine"    -> (PipelineQueries.q30_ann_cosine _),
+    "q31_ann_lsh"       -> (PipelineQueries.q31_ann_lsh _),
+    "q32_embed_topk_pairs" -> (PipelineQueries.q32_embed_topk_pairs _),
+    "q33_multimodal"    -> (PipelineQueries.q33_multimodal _),
   )
 }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's private[sql] Column <-> Expression conversion, the
+  * supported seam for exposing custom Catalyst expressions through the
+  * public Column API in Spark 4 (Column is expression-free in sql-api).
+  * Lives under org.apache.spark.sql to satisfy the access qualifier; no
+  * Spark internals are modified.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
