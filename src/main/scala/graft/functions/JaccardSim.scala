@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+
+/** Jaccard similarity of two distinct-element array<string> columns, as a
+  * native Catalyst expression. Equal to
+  * `size(array_intersect(a,b)) / size(array_union(a,b))` for arrays that are
+  * already duplicate-free (both sides here come from distinct shingle/n-gram
+  * builders) — but one compiled pass with a single hash set instead of two
+  * interpreted set-builds per pair: |A∪B| = |A| + |B| - |A∩B|.
+  * Division is float64, matching the SQL form and DuckDB bit-for-bit.
+  */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"jaccard_sim needs (array<string>, array<string>), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val setA = new java.util.HashSet[Any](Math.max(4, nx * 2))
+    var i = 0
+    while (i < nx) {
+      if (!x.isNullAt(i)) setA.add(x.getUTF8String(i))
+      i += 1
+    }
+    var inter = 0
+    i = 0
+    while (i < ny) {
+      if (!y.isNullAt(i) && setA.contains(y.getUTF8String(i))) inter += 1
+      i += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) null
+    else java.lang.Double.valueOf(inter.toDouble / union.toDouble)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "jaccard_sim"
+}
+
+object JaccardSim {
+  import org.apache.spark.sql.graft.bridge
+
+  /** Column-API entry point: jaccardSim(arrA, arrB) for distinct arrays. */
+  def jaccardSim(a: Column, b: Column): Column =
+    bridge.column(JaccardSim(bridge.expression(a), bridge.expression(b)))
+}

@@ -67,19 +67,25 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   /** Character n-gram Jaccard similarity over banded candidates (same-lang,
-    * close length) — a band-join + verify shape. */
+    * close length) — a band-join + verify shape.
+    *
+    * The length tolerance `|nc_a - nc_b| <= 2` is folded into the equi-join
+    * key: the left side explodes into 5 (lang, length) band keys, so the
+    * join shuffles on (lang, n_chars) — thousands of small buckets — instead
+    * of on `lang` alone (a handful of giant buckets = quasi-cartesian that
+    * paid the O(|g3|) intersect on ~100x more pairs). Each qualifying pair
+    * matches exactly one band key, so no dedup is needed. */
   def q29_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
-    // dynamic-start substring needs the SQL form of transform()
-    val d = Tables.documents(spark, dir).selectExpr(
-      "doc_id", "lang", "n_chars",
-      "array_distinct(CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text)-2), i -> substring(text, i, 3)) ELSE array() END) AS g3")
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      graft.functions.CharNgrams.charNgrams(col("text"), 3).as("g3"))
     val a = d.select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"), col("g3").as("ga"))
+      .withColumn("nc_key", explode(array((-2 to 2).map(dlt => col("nc_a") + lit(dlt)): _*)))
     val b = d.select(col("doc_id").as("id_b"), col("lang"), col("n_chars").as("nc_b"), col("g3").as("gb"))
-    a.join(b, Seq("lang"))
-      .filter(col("id_a") < col("id_b") && abs(col("nc_a") - col("nc_b")) <= 2)
+    a.join(b, a("lang") === b("lang") && col("nc_key") === col("nc_b") &&
+        col("id_a") < col("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))).cast("double"))
+        graft.functions.JaccardSim.jaccardSim(col("ga"), col("gb")))
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))

@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object CosineKnn {
 
-  /** Deterministic float64 dot product of two array<double> columns. */
+  /** Deterministic float64 dot product of two array<double> columns.
+    * Compiled expression; see [[graft.functions.DotProduct]] for FP-order
+    * parity with the `aggregate(zip_with(...))` form and DuckDB. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dotProduct(a, b)
 
   def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
 

@@ -21,11 +21,12 @@ import graft.text.TextOps
   */
 object MinHashLsh {
 
-  /** k salted-md5 minhash values over a distinct-shingle array column. */
+  /** k salted-md5 minhash values over a distinct-shingle array column.
+    * Native one-pass expression; semantically equal to
+    * `array_min(transform(sg, g => md5(concat(lit("s<p>|"), g))))` per slot
+    * (see [[graft.functions.MinHashSig]] for why HOFs were 25x slower). */
   def signature(shingleSet: Column, perms: Int): Column =
-    array((0 until perms).map { p =>
-      array_min(transform(shingleSet, g => md5(concat(lit(s"s$p|"), g))))
-    }: _*)
+    graft.functions.MinHashSig.minhashSig(shingleSet, perms)
 
   /** doc_id, shingles, sig — shingle + signature stage. */
   def withSignatures(df: DataFrame, idCol: String, textCol: String,
@@ -56,8 +57,7 @@ object MinHashLsh {
     val sb = sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("shingle_set", "set_b")
     cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))).cast("double"))
+        graft.functions.JaccardSim.jaccardSim(col("set_a"), col("set_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

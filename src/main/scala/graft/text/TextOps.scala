@@ -24,15 +24,10 @@ object TextOps {
     floor((length(text) + lit(3)) / lit(4)).cast("long")
 
   /** Word n-gram shingles (distinct), the unit for MinHash/Jaccard dedup.
-    * Guarded for texts shorter than n tokens (Spark's `sequence` would
-    * otherwise count DOWN and fabricate indices). */
-  def shingles(text: Column, n: Int): Column = {
-    val tk = tokens(text)
-    val grams = transform(
-      sequence(lit(1), size(tk) - lit(n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(tk, i + lit(k))): _*))
-    array_distinct(when(size(tk) >= n, grams).otherwise(array()))
-  }
+    * Compiled expression; the HOF form (`transform` over `sequence`) is
+    * interpreted per element and was the MinHash bottleneck. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordNgrams.wordNgrams(tokens(text), n)
 
   /** How many tokens appear in `words` (with repeats — a frequency signal,
     * not set overlap). */
