@@ -1,0 +1,101 @@
+package graft.core
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+import graft.GraftSession
+import graft.config._
+import graft.io.{FileReader, JdbcReader, KafkaReader, SourceReader}
+import graft.lakehouse._
+import graft.schema.SchemaRegistry
+
+/** Config-driven pipeline entry point (reference `/root/reference/src/main/
+  * scala/com/lakehouse/ingestion/core/IngestionRunner.scala:24-119`).
+  * Differences: the DQ ruleset is actually built from config (the reference
+  * hardcodes `None`, `:118-119`), and streaming jobs don't block the job
+  * loop — all started queries are awaited together at the end
+  * (`awaitAnyTermination`; the reference parks inside the first streaming
+  * writer, SURVEY.md §3.2).
+  */
+object IngestionRunner {
+
+  def main(args: Array[String]): Unit = {
+    val configPath = parseArgs(args).getOrElse(
+      sys.error("usage: IngestionRunner --config <pipeline.json>"))
+    val cfg = ConfigLoader.loadFromFile(configPath)
+    val spark = GraftSession.local(appName = s"graft-${cfg.env}")
+    try runPipeline(spark, cfg)
+    finally spark.stop()
+  }
+
+  def parseArgs(args: Array[String]): Option[String] =
+    args.sliding(2, 1).collectFirst { case Array("--config", p) => p }
+
+  def runPipeline(spark: SparkSession, cfg: PipelineConfig): Seq[JobResult] = {
+    val registry = cfg.schemaRegistry.map(new SchemaRegistry(_))
+    val results = cfg.jobs.map { j => buildJob(j, registry).run(spark) }
+    // Streaming jobs: await after ALL jobs have started.
+    if (results.exists(_.streamingQuery.nonEmpty))
+      spark.streams.awaitAnyTermination()
+    results
+  }
+
+  def buildJob(j: JobConfig, registry: Option[SchemaRegistry]): IngestionJob = {
+    val schema = registry.filter(_ => j.validateSchema)
+      .map(_.getSchema(j.domain, j.dataset, j.schemaVersion))
+    val reader = buildReader(j, schema)
+    val writer = buildWriter(j.target.format)
+    val layer = MedallionLayer.fromString(j.layer)
+    val dqConfig = j.dq
+    IngestionJob(
+      domain = j.domain, dataset = j.dataset, layer = layer,
+      reader = reader, writer = writer,
+      target = LakehouseTable(j.target.identifier, layer, j.target.partitions),
+      expectedSchema = schema,
+      ruleSet = dqConfig.map(_.toRuleSet).filter(_.checks.nonEmpty),
+      quarantine = dqConfig.flatMap(_.quarantine)
+        .map(LakehouseTable(_, layer, Seq.empty)),
+      mode = parseMode(j.target.mode),
+      checkpoint = j.target.checkpoint,
+      triggerInterval = j.target.triggerInterval)
+  }
+
+  /** Reader factory by `source.type` (reference `:98-103` supports kafka
+    * only; file + jdbc were declared-but-unimplemented, SURVEY.md §2B). */
+  def buildReader(j: JobConfig,
+                  schema: Option[org.apache.spark.sql.types.StructType]): SourceReader = {
+    val s = j.source
+    def need(o: Option[String], what: String): String =
+      o.getOrElse(throw new IllegalArgumentException(
+        s"source type '${s.`type`}' needs $what"))
+    s.`type`.toLowerCase match {
+      case f @ ("parquet" | "csv" | "json" | "text") =>
+        FileReader(f, need(s.path, "path"), schema, s.options, s.streaming,
+          corruptColumn = if (f == "csv" || f == "json") Some("_corrupt_record") else None)
+      case "jdbc" =>
+        JdbcReader(need(s.url, "url"), need(s.table, "table"), s.options)
+      case "kafka" =>
+        KafkaReader(
+          need(s.bootstrapServers, "bootstrapServers"), need(s.topic, "topic"),
+          schema.getOrElse(throw new IllegalArgumentException(
+            "kafka source needs a registry schema for payload parsing")),
+          s.streaming, options = s.options)
+      case other => throw new IllegalArgumentException(s"unknown source type '$other'")
+    }
+  }
+
+  /** Writer factory by target format (reference `:105-116`). */
+  def buildWriter(format: String): SinkWriter = format.toLowerCase match {
+    case "parquet" | "s3-parquet"  => ParquetSink()
+    case "delta" | "deltalake"     => DeltaSink()
+    case "iceberg"                 => IcebergSink()
+    case other => throw new IllegalArgumentException(s"unknown lakehouse format '$other'")
+  }
+
+  def parseMode(mode: String): SaveMode = mode.toLowerCase match {
+    case "append"        => SaveMode.Append
+    case "overwrite"     => SaveMode.Overwrite
+    case "ignore"        => SaveMode.Ignore
+    case "errorifexists" => SaveMode.ErrorIfExists
+    case other => throw new IllegalArgumentException(s"unknown save mode '$other'")
+  }
+}

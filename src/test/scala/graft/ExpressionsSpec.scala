@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{functions => fn}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Each custom Catalyst expression must be semantically identical to the
+  * (slower) built-in composition it replaced — that equivalence is what
+  * keeps the DuckDB oracles valid. (Spark's `size`/`length` are qualified
+  * as `fn.*` because ScalaTest Matchers inherits members with those names.)
+  */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox",
+    "a b",
+    "",
+    "one one one one one",
+    "héllo wörld héllo wörld héllo",
+    "中文 文本 测试 中文 文本",
+  ).toDF("text")
+
+  test("WordNgrams matches the HOF composition") {
+    val tk = fn.split(col("text"), " ")
+    val hof = fn.array_distinct(
+      fn.when(fn.size(tk) >= 3,
+        fn.transform(fn.sequence(lit(1), fn.size(tk) - lit(2)),
+          i => fn.concat_ws(" ", fn.element_at(tk, i),
+            fn.element_at(tk, i + lit(1)), fn.element_at(tk, i + lit(2)))))
+        .otherwise(fn.array()))
+    val rows = texts.select(
+      functions.WordNgrams.wordNgrams(tk, 3).as("fast"), hof.as("ref")).collect()
+    rows.foreach(r => r.getSeq[String](0) shouldBe r.getSeq[String](1))
+  }
+
+  test("CharNgrams matches the HOF composition (incl. multibyte)") {
+    val rows = texts.selectExpr(
+      "array_distinct(CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text)-2), i -> substring(text, i, 3)) ELSE array() END) AS ref",
+      "text")
+      .select(functions.CharNgrams.charNgrams(col("text"), 3).as("fast"), col("ref"))
+      .collect()
+    rows.foreach(r => r.getSeq[String](0) shouldBe r.getSeq[String](1))
+  }
+
+  test("MinHashSig matches min(md5(salt|shingle)) per slot") {
+    val sg = functions.WordNgrams.wordNgrams(fn.split(col("text"), " "), 3)
+    val ref = fn.array((0 until 4).map { p =>
+      fn.array_min(fn.transform(sg, g => fn.md5(fn.concat(lit(s"s$p|"), g))))
+    }: _*)
+    val rows = texts.select(
+      functions.MinHashSig.minhashSig(sg, 4).as("fast"), ref.as("ref")).collect()
+    rows.foreach(r => r.getSeq[String](0) shouldBe r.getSeq[String](1))
+  }
+
+  test("DotProduct matches aggregate(zip_with(...)) exactly (FP order)") {
+    val vecs = Seq(
+      (Array(1.0, 2.0, 3.0), Array(0.5, -1.5, 2.0)),
+      (Array(0.1, 0.2), Array(0.3, 0.4)),
+    ).toDF("a", "b")
+    val ref = fn.aggregate(fn.zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = vecs.select(
+      functions.DotProduct.dotProduct(col("a"), col("b")).as("fast"), ref.as("ref")).collect()
+    rows.foreach { r =>
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    }
+  }
+
+  test("DotProduct is null on length mismatch") {
+    val df = Seq((Array(1.0, 2.0), Array(1.0))).toDF("a", "b")
+    df.select(functions.DotProduct.dotProduct(col("a"), col("b")))
+      .collect()(0).isNullAt(0) shouldBe true
+  }
+
+  test("JaccardSim matches intersect/union on distinct arrays") {
+    val pairs = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("a")),
+      (Seq("a"), Seq("b")),
+      (Seq.empty[String], Seq("x")),
+    ).toDF("a", "b")
+    val ref = fn.size(fn.array_intersect(col("a"), col("b"))).cast("double") /
+      fn.size(fn.array_union(col("a"), col("b"))).cast("double")
+    val rows = pairs.select(
+      functions.JaccardSim.jaccardSim(col("a"), col("b")).as("fast"), ref.as("ref")).collect()
+    rows.foreach(r => r.getDouble(0) shouldBe r.getDouble(1))
+  }
+
+  test("JaccardSim of two empty arrays is null (0/0)") {
+    Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+      .select(functions.JaccardSim.jaccardSim(col("a"), col("b")))
+      .collect()(0).isNullAt(0) shouldBe true
+  }
+
+  test("SimHash64: identical token sets collide, disjoint ones differ") {
+    val df = Seq(
+      ("x", Seq("spark", "scala", "engine")),
+      ("y", Seq("spark", "scala", "engine")),
+      ("z", Seq("entirely", "different", "words", "here")),
+    ).toDF("id", "toks")
+    val out = df.select(col("id"), functions.SimHash64.simhash64(col("toks")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out("x") shouldBe out("y")
+    out("x") should not be out("z")
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.types._
+
+import graft.core.MedallionLayer
+import graft.io._
+import graft.lakehouse._
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+  ))
+
+  test("FileReader reads csv with explicit schema, no inference") {
+    val dir = tmpDir("csv")
+    Files.writeString(Paths.get(dir, "data.csv"), "1,alpha\n2,beta\n")
+    val df = FileReader("csv", dir, Some(schema)).read(spark)
+    df.schema.fields.map(_.dataType).toSeq shouldBe Seq(LongType, StringType)
+    df.count() shouldBe 2
+  }
+
+  test("FileReader json surfaces corrupt records instead of dropping them") {
+    val dir = tmpDir("json")
+    Files.writeString(Paths.get(dir, "data.json"),
+      """{"id": 1, "name": "ok"}
+        |not json at all
+        |{"id": 2, "name": "fine"}""".stripMargin)
+    val df = FileReader("json", dir, Some(schema),
+      corruptColumn = Some("_corrupt_record")).read(spark)
+    val rows = df.collect()
+    rows.length shouldBe 3
+    rows.count(r => !r.isNullAt(r.fieldIndex("_corrupt_record"))) shouldBe 1
+  }
+
+  test("JdbcReader builds partitioned + watermarked reader options") {
+    val r = JdbcReader("jdbc:postgresql://db/x", "events",
+      partitionColumn = Some("id"), lowerBound = Some(0L), upperBound = Some(1000L),
+      numPartitions = 16, watermark = Some(("updated_at", "2026-01-01")))
+    r.dbtable should include("updated_at > '2026-01-01'")
+    val o = r.readerOptions
+    o("numPartitions") shouldBe "16"
+    o("partitionColumn") shouldBe "id"
+    o("url") shouldBe "jdbc:postgresql://db/x"
+  }
+
+  test("KafkaReader options differ between batch and streaming") {
+    val stream = KafkaReader("b:9092", "t", schema, streaming = true)
+    val batch = KafkaReader("b:9092", "t", schema, streaming = false)
+    stream.readerOptions should not contain key("endingOffsets")
+    batch.readerOptions("endingOffsets") shouldBe "latest"
+    batch.readerOptions("subscribe") shouldBe "t"
+  }
+
+  test("parseJsonPayload flattens valid payloads and keeps corrupt raw") {
+    val raw = Seq("""{"id": 7, "name": "x"}""", "garbage").toDF("value")
+    val out = KafkaReader.parseJsonPayload(raw, schema).collect()
+    out.length shouldBe 2
+    val good = out.find(!_.isNullAt(0)).get
+    good.getLong(0) shouldBe 7L
+    val bad = out.find(_.isNullAt(0)).get
+    bad.getString(bad.fieldIndex("_corrupt_record")) shouldBe "garbage"
+  }
+
+  test("ParquetSink writes partitioned data; partition pruning applies") {
+    val dir = tmpDir("sink") + "/t"
+    val df = Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2")).toDF("id", "v", "day")
+    ParquetSink().write(df,
+      LakehouseTable(dir, MedallionLayer.Bronze, Seq("day")), SaveMode.Overwrite)
+    Files.isDirectory(Paths.get(dir, "day=d1")) shouldBe true
+    val back = spark.read.parquet(dir).filter($"day" === "d2")
+    back.count() shouldBe 1
+    // pruning: the day filter must land in PartitionFilters, not a post-scan filter
+    val plan = back.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include regex """PartitionFilters: \[[^\]]*day[^\]]*= d2"""
+  }
+
+  test("SinkWriter routes catalog identifiers through saveAsTable") {
+    val table = LakehouseTable("graft_test_tbl", MedallionLayer.Silver)
+    table.isPath shouldBe false
+    ParquetSink().write(Seq((1L, "x")).toDF("id", "v"), table, SaveMode.Overwrite)
+    spark.catalog.tableExists("graft_test_tbl") shouldBe true
+    spark.table("graft_test_tbl").count() shouldBe 1
+    spark.sql("DROP TABLE graft_test_tbl")
+  }
+
+  test("format strings for delta/iceberg match the reference contract") {
+    DeltaSink().formatName shouldBe "delta"
+    IcebergSink().formatName shouldBe "iceberg"
+  }
+}

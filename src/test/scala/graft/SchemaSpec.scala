@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types._
+
+import graft.schema.{SchemaNotFoundException, SchemaRegistry, SchemaValidator}
+
+class SchemaSpec extends SparkSpec {
+
+  private def writeSchema(base: String, domain: String, dataset: String,
+                          v: Int, schema: StructType): Unit = {
+    val dir = Paths.get(base, domain, dataset)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(s"v$v.json"), schema.json)
+  }
+
+  private val v1 = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("amount", DecimalType(10, 2)),
+  ))
+  private val v2 = v1.add("currency", StringType)
+
+  test("registry resolves explicit and latest versions, numerically sorted") {
+    val base = tmpDir("registry")
+    writeSchema(base, "payments", "tx", 1, v1)
+    writeSchema(base, "payments", "tx", 2, v2)
+    writeSchema(base, "payments", "tx", 10, v2.add("extra", StringType))
+    val reg = new SchemaRegistry(base)
+    reg.listVersions("payments", "tx") shouldBe Seq(1, 2, 10)
+    reg.getSchema("payments", "tx", Some(1)) shouldBe v1
+    // latest must be v10 (numeric sort), not v2 (lexicographic)
+    reg.getSchema("payments", "tx").fieldNames should contain("extra")
+  }
+
+  test("registry throws with the expected path for missing schemas") {
+    val reg = new SchemaRegistry(tmpDir("empty"))
+    val e = intercept[SchemaNotFoundException](reg.getSchema("no", "such"))
+    e.getMessage should include("no/such")
+  }
+
+  test("registry caches resolved schemas") {
+    val base = tmpDir("cache")
+    writeSchema(base, "d", "s", 1, v1)
+    val reg = new SchemaRegistry(base)
+    val first = reg.getSchema("d", "s", Some(1))
+    // deleting the file doesn't evict the cache
+    Files.delete(Paths.get(base, "d", "s", "v1.json"))
+    reg.getSchema("d", "s", Some(1)) shouldBe first
+  }
+
+  test("validator: missing / extra / type mismatch / nullability") {
+    val actual = StructType(Seq(
+      StructField("id", StringType, nullable = true), // type mismatch + nullability
+      StructField("unexpected", StringType),
+    ))
+    val r = SchemaValidator.validateStruct(actual, v1)
+    r.isValid shouldBe false
+    r.missingColumns shouldBe Seq("amount")
+    r.extraColumns shouldBe Seq("unexpected")
+    r.typeMismatches.map(_.column) shouldBe Seq("id")
+    r.nullabilityDiffs.head should include("id")
+  }
+
+  test("validator: decimal precision lenient by default, strict on demand") {
+    val actual = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("amount", DecimalType(38, 10)),
+    ))
+    SchemaValidator.validateStruct(actual, v1).isValid shouldBe true
+    SchemaValidator.validateStruct(actual, v1, strictDecimal = true)
+      .typeMismatches.map(_.column) shouldBe Seq("amount")
+  }
+
+  test("validator: nested struct and array compatibility") {
+    val expected = StructType(Seq(
+      StructField("payload", StructType(Seq(StructField("a", IntegerType)))),
+      StructField("tags", ArrayType(StringType)),
+    ))
+    val compatible = StructType(Seq(
+      StructField("payload", StructType(Seq(StructField("a", IntegerType, nullable = false)))),
+      StructField("tags", ArrayType(StringType, containsNull = false)),
+    ))
+    SchemaValidator.validateStruct(compatible, expected).isValid shouldBe true
+    val wrong = StructType(Seq(
+      StructField("payload", StructType(Seq(StructField("a", StringType)))),
+      StructField("tags", ArrayType(StringType)),
+    ))
+    SchemaValidator.validateStruct(wrong, expected)
+      .typeMismatches.map(_.column) shouldBe Seq("payload")
+  }
+
+  test("validateOrThrow raises on invalid frames") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("id", "other")
+    a[SchemaValidator.SchemaValidationException] should be thrownBy
+      SchemaValidator.validateOrThrow(df, v1)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.transform._
+
+class TransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("Dedup.latestByKey and latestByKeyAgg agree") {
+    val df = Seq(
+      (1L, ts("2026-01-01 00:00:00"), "old"),
+      (1L, ts("2026-01-02 00:00:00"), "new"),
+      (2L, ts("2026-01-01 00:00:00"), "only"),
+    ).toDF("id", "updated", "v")
+    val win = Dedup.latestByKey(df, Seq("id"),
+      Seq($"updated".desc, $"v".desc)).orderBy("id")
+    val agg = Dedup.latestByKeyAgg(df, Seq("id"), "updated", "v").orderBy("id")
+    win.collect() shouldBe agg.collect()
+    win.select("v").as[String].collect().toSeq shouldBe Seq("new", "only")
+  }
+
+  test("Dedup.byContentHash keeps min-id representative with dup_count") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("id", "text")
+    val out = Dedup.byContentHash(df, md5($"text"), "id")
+      .select("id", "dup_count").as[(Long, Long)].collect().toSet
+    out shouldBe Set((1L, 2L), (2L, 1L))
+  }
+
+  test("Scd2.fromHistory builds contiguous validity windows") {
+    val df = Seq(
+      (1L, ts("2026-01-01 00:00:00"), "v1"),
+      (1L, ts("2026-02-01 00:00:00"), "v2"),
+    ).toDF("id", "updated", "v")
+    val hist = Scd2.fromHistory(df, Seq("id"), "updated")
+      .orderBy("valid_from_us")
+      .select("v", "valid_to_us", "is_current")
+      .as[(String, Long, Boolean)].collect()
+    hist(0)._1 shouldBe "v1"
+    hist(0)._3 shouldBe false
+    hist(0)._2 should be < Scd2.HighDateMicros
+    hist(1) shouldBe (("v2", Scd2.HighDateMicros, true))
+  }
+
+  test("Scd2.cdcLatestState applies c/u/d semantics") {
+    val cdc = Seq(
+      (1L, "c", ts("2026-01-01 00:00:00"), "a"),
+      (1L, "u", ts("2026-01-02 00:00:00"), "a2"),
+      (2L, "c", ts("2026-01-01 00:00:00"), "b"),
+      (2L, "d", ts("2026-01-03 00:00:00"), "b"),
+    ).toDF("id", "op", "ts", "v")
+    val state = Scd2.cdcLatestState(cdc, Seq("id"), "ts", "op")
+      .select("id", "v").as[(Long, String)].collect().toSet
+    state shouldBe Set((1L, "a2"))
+  }
+
+  test("Sessionize.byGap splits on gap and numbers sessions") {
+    val df = Seq(
+      ("u1", ts("2026-01-01 00:00:00"), 1L),
+      ("u1", ts("2026-01-01 00:10:00"), 2L), // same session (10 min gap)
+      ("u1", ts("2026-01-01 02:00:00"), 3L), // new session
+      ("u2", ts("2026-01-01 00:00:00"), 4L),
+    ).toDF("user", "ts", "seq")
+    val gap = 30L * 60 * 1000000 // 30 min in micros
+    val out = Sessionize.byGap(df, "user", "ts", gap, "seq")
+      .select("user", "seq", "session_seq").as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    out(("u1", 1L)) shouldBe 1L
+    out(("u1", 2L)) shouldBe 1L
+    out(("u1", 3L)) shouldBe 2L
+    out(("u2", 4L)) shouldBe 1L
+  }
+
+  test("RefIntegrity.orphans finds unmatched children via anti-join") {
+    val child = Seq((1L, 10L), (2L, 20L), (3L, 99L)).toDF("id", "parent_id")
+    val parent = Seq((10L, "a"), (20L, "b")).toDF("pid", "name")
+    RefIntegrity.orphans(child, parent, "parent_id", "pid")
+      .select("id").as[Long].collect().toSeq shouldBe Seq(3L)
+  }
+
+  test("Multimodal decode stub preserves partition-batched dataflow") {
+    import graft.multimodal.{DecodeStub, Multimodal}
+    val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
+    val packed = Multimodal.packBinary(docs, "doc_id", "text", "image/png", "text")
+      .as[Multimodal.MediaRecord]
+    val feats = DecodeStub.decodeImage(packed).collect()
+    feats.length shouldBe 2
+    feats.foreach { f =>
+      f.width should (be >= 64 and be < 1921)
+      f.height should (be >= 64 and be < 1081)
+      f.sha.length shouldBe 32
+    }
+  }
+}
