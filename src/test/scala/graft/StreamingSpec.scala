@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: OutputMode)(feed: => Unit): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try { feed; q.processAllAvailable() } finally q.stop()
+  }
+
+  test("tumbling window counts with watermark evict on late data") {
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val df = in.toDF().toDF("ts", "user")
+    val agg = StreamOps.tumblingCounts(df, "ts", "10 minutes", "1 hour", Seq("user"))
+    runToMemory(agg, "tumbling", OutputMode.Append()) {
+      in.addData((ts("2026-01-01 00:05:00"), "u1"), (ts("2026-01-01 00:20:00"), "u1"))
+      // advance watermark far past the first window so it finalizes
+      in.addData((ts("2026-01-01 03:00:00"), "u2"))
+    }
+    val out = spark.table("tumbling")
+      .select($"user", $"n_events", $"window.start".cast("string"))
+      .as[(String, Long, String)].collect().toSet
+    out should contain(("u1", 2L, "2026-01-01 00:00:00"))
+  }
+
+  test("dropDuplicatesWithinWatermark dedups within the horizon") {
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val df = in.toDF().toDF("ts", "id")
+    val dedup = StreamOps.dedupWithinWatermark(df, "ts", "1 hour", Seq("id"))
+    runToMemory(dedup, "dedup", OutputMode.Append()) {
+      in.addData((ts("2026-01-01 00:00:00"), "a"), (ts("2026-01-01 00:01:00"), "a"))
+      in.addData((ts("2026-01-01 00:02:00"), "b"), (ts("2026-01-01 00:03:00"), "a"))
+    }
+    val out = spark.table("dedup").select("id").as[String].collect()
+    out.count(_ == "a") shouldBe 1
+    out.count(_ == "b") shouldBe 1
+  }
+
+  test("session_window merges events within gap") {
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val df = in.toDF().toDF("ts", "user")
+    val sess = StreamOps.sessionCounts(df, "ts", "10 minutes", "30 minutes", Seq("user"))
+    runToMemory(sess, "sessions", OutputMode.Append()) {
+      in.addData((ts("2026-01-01 00:00:00"), "u1"), (ts("2026-01-01 00:10:00"), "u1"))
+      in.addData((ts("2026-01-01 05:00:00"), "u1")) // watermark push; first session closes
+    }
+    val out = spark.table("sessions").select("n_events").as[Long].collect()
+    out should contain(2L)
+  }
+
+  test("flatMapGroupsWithState sessionize closes sessions on gap") {
+    val in = MemoryStream[StreamOps.SessionEvent](spark)
+    val sess = StreamOps.sessionize(in.toDS(), gapMicros = 60L * 1000000)
+    runToMemory(sess.toDF(), "fmgs", OutputMode.Append()) {
+      in.addData(
+        StreamOps.SessionEvent("k", 0L),
+        StreamOps.SessionEvent("k", 30L * 1000000),       // same session
+        StreamOps.SessionEvent("k", 10L * 60 * 1000000),  // gap -> closes first
+        StreamOps.SessionEvent("k", 20L * 60 * 1000000))  // gap -> closes second
+    }
+    val out = spark.table("fmgs").as[StreamOps.SessionOut].collect()
+    out.map(s => (s.startMicros, s.endMicros, s.nEvents)).toSet should contain(
+      (0L, 30L * 1000000, 2L))
+  }
+
+  test("ProgressLog listener sees batch counts and observed metrics") {
+    val listener = new graft.streaming.ProgressLog
+    spark.streams.addListener(listener)
+    try {
+      val in = MemoryStream[Int](spark)
+      // streaming datasets need the named-observe form (Observation objects
+      // are batch-only); metrics surface per micro-batch via the listener
+      val df = in.toDF().observe("stream_obs", count(lit(1)).as("n"))
+      runToMemory(df, "observed", OutputMode.Append()) {
+        in.addData(1, 2, 3)
+      }
+      val withRows = listener.batches.filter(_.numInputRows > 0)
+      withRows.map(_.numInputRows).sum shouldBe 3
+      val metric = withRows.flatMap(_.observed.get("stream_obs")).headOption
+      metric.map(_.getLong(0)) shouldBe Some(3L)
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("foreachBatchSplit routes violations to quarantine") {
+    val in = MemoryStream[(Long, Double)](spark)
+    val clean = tmpDir("fbs") + "/clean"
+    val quar = tmpDir("fbs") + "/quar"
+    val cp = tmpDir("fbs") + "/cp"
+    val q = StreamOps.foreachBatchSplit(
+      in.toDF().toDF("id", "amount"), col("amount") < 0, clean, quar, cp)
+    try {
+      in.addData((1L, 5.0), (2L, -2.0), (3L, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(clean).count() shouldBe 2
+    spark.read.parquet(quar).select("id").as[Long].collect() shouldBe Array(2L)
+  }
+}
