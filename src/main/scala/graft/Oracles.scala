@@ -290,5 +290,30 @@ object Oracles {
         |  (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 1857 + 64 AS width,
         |  (ascii(substring(md5(text), 3, 1)) * 256 + ascii(substring(md5(text), 4, 1))) % 1017 + 64 AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q34_gold_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q35_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+        |), updates AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |)
+        |SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |UNION ALL SELECT * FROM updates
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q36_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -42,5 +42,8 @@ object Queries {
     "q31_ann_lsh"       -> (PipelineQueries.q31_ann_lsh _),
     "q32_embed_topk_pairs" -> (PipelineQueries.q32_embed_topk_pairs _),
     "q33_multimodal"    -> (PipelineQueries.q33_multimodal _),
+    "q34_gold_cube"     -> (TransformQueries.q34_gold_cube _),
+    "q35_merge_upsert"  -> (TransformQueries.q35_merge_upsert _),
+    "q36_salted_agg"    -> (TransformQueries.q36_salted_agg _),
   )
 }

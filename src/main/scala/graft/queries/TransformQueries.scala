@@ -77,4 +77,41 @@ object TransformQueries {
       .select(unix_micros(col("window.start")).as("hour_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("hour_start_us"), col("event_type"))
+
+  /** Multi-grain gold aggregate via CUBE (§2B gold rollups; q11 covers
+    * ROLLUP — CUBE adds the cross-grain cells). */
+  def q34_gold_cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Merge/upsert on plain parquet frames (§2B "Upserts (future)"):
+    * updates replace target rows by key, new keys are inserted. */
+  def q35_merge_upsert(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val target = orders.filter(col("o_orderkey") % 3 === 0)
+    val updates = orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    graft.transform.Merge.upsertByKey(target, updates, Seq("o_orderkey"),
+        orderCol = "o_orderkey", tiebreak = "o_custkey")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Skew-safe two-stage salted aggregation — must equal the direct
+    * groupBy (the oracle IS the direct form). */
+  def q36_salted_agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    graft.transform.Salt.saltedAgg(li, Seq("l_returnflag"), buckets = 8,
+        partialAggs = Seq(sum(dec(col("l_quantity"))).as("part_qty"),
+          count(lit(1)).as("part_n")),
+        merge = Seq(sum(col("part_qty")).cast("double").as("sum_qty"),
+          sum(col("part_n")).as("n_rows")))
+      .orderBy(col("l_returnflag"))
+  }
 }

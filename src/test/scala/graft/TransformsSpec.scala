@@ -81,6 +81,42 @@ class TransformsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq shouldBe Seq(3L)
   }
 
+  test("Merge.upsertByKey replaces matched keys and inserts new ones") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "price")
+    val updates = Seq((2L, "b2", 99.0), (3L, "c", 30.0)).toDF("id", "v", "price")
+    val out = Merge.upsertByKey(target, updates, Seq("id"), "id", "v")
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    out shouldBe Seq((1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0))
+  }
+
+  test("Merge.applyCdc deletes keys whose latest op is d") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val cdc = Seq((2L, "d", 5L, "x"), (3L, "c", 6L, "c3")).toDF("id", "op", "seq", "v")
+    val out = Merge.applyCdc(target, cdc.select($"id", $"v", $"op", $"seq"),
+        Seq("id"), "seq", "op", "op")
+      .orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    out shouldBe Seq((1L, "a"), (3L, "c3"))
+  }
+
+  test("Merge.mergeSql emits valid MERGE INTO text") {
+    val sql = Merge.mergeSql("t.orders", "s.updates", Seq("id"), Seq("price"))
+    sql should include("MERGE INTO t.orders")
+    sql should include("WHEN MATCHED THEN UPDATE SET t.price = s.price")
+    sql should include("WHEN NOT MATCHED THEN INSERT")
+  }
+
+  test("Salt.saltedAgg equals the direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 1000L).map(i => (s"k${i % 3}", i)).toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    val salted = Salt.saltedAgg(df, Seq("k"), 8,
+        Seq(sum($"v").as("ps"), count(lit(1)).as("pn")),
+        Seq(sum($"ps").as("s"), sum($"pn").as("n")))
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    salted shouldBe direct
+  }
+
   test("Multimodal decode stub preserves partition-batched dataflow") {
     import graft.multimodal.{DecodeStub, Multimodal}
     val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
