@@ -75,13 +75,20 @@ final case class CheckConfig(`type`: String,
     o.getOrElse(throw new IllegalArgumentException(
       s"check '${`type`}' needs $what"))
 
+  // Jackson + erasure can leave a boxed Integer inside Option[Double]
+  // (e.g. `"min": 0`); normalize through Number without unboxing.
+  private def asDouble(o: Option[Double]): Option[Double] =
+    o.asInstanceOf[Option[Number]].map(_.doubleValue)
+  private def asLong(o: Option[Long]): Option[Long] =
+    o.asInstanceOf[Option[Number]].map(_.longValue)
+
   def toCheck: DQCheck = `type`.toLowerCase match {
     case "not_null"       => NotNullCheck(req(column, "column"))
-    case "range"          => RangeCheck(req(column, "column"), min, max)
+    case "range"          => RangeCheck(req(column, "column"), asDouble(min), asDouble(max))
     case "regex"          => RegexCheck(req(column, "column"), req(pattern, "pattern"))
     case "allowed_values" => AllowedValuesCheck(req(column, "column"), allowed)
     case "unique_key"     => UniqueKeyCheck(if (columns.nonEmpty) columns else Seq(req(column, "column or columns")), exact)
-    case "row_count_min"  => RowCountCheck(req(minRows, "minRows"))
+    case "row_count_min"  => RowCountCheck(req(asLong(minRows), "minRows"))
     case "predicate"      => PredicateCheck(req(name, "name"), req(sql, "sql"))
     case other => throw new IllegalArgumentException(s"unknown check type '$other'")
   }

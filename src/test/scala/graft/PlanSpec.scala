@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Physical-plan shape assertions: the optimizations we rely on at 100 TB
+  * must actually appear in the executed plan, not just in comments.
+  * Runs on sf0.001 — plan shape is scale-independent here because the
+  * broadcasts are explicit and the pushdowns are static.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+  }
+
+  private def planString(df: DataFrame): String = executedPlan(df).toString
+
+  private def countShuffles(df: DataFrame): Int =
+    executedPlan(df).collect { case _: ShuffleExchangeExec => 1 }.sum
+
+  test("q13 star join broadcasts the dimension, never shuffles lineitem") {
+    val plan = planString(queries.JoinQueries.q13_enrich_join(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q11 rollup's dim chain is all broadcast joins") {
+    val plan = planString(queries.JoinQueries.q11_gold_rollup(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q15 top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = planString(queries.JoinQueries.q15_topk(spark, dir))
+    plan should include("TakeOrderedAndProject")
+  }
+
+  test("filters and column pruning reach the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val df = graft.tables.Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 100000.0)
+      .select("o_orderkey", "o_totalprice")
+    val plan = planString(df)
+    plan should include regex "PushedFilters: \\[.*GreaterThan\\(o_totalprice"
+    plan should include regex "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"
+  }
+
+  test("map-only pipeline (q02) has zero shuffles before its sort") {
+    // cast/project is narrow; the only exchange allowed is the final orderBy
+    val df = queries.TransformQueries.q02_cast_project(spark, dir)
+    countShuffles(df) should be <= 1
+  }
+
+  test("single-pass DQ is one aggregate job with no joins") {
+    import graft.dq._
+    val rs = DQRuleSet(Seq(NotNullCheck("o_custkey"),
+      RangeCheck("o_totalprice", Some(0.0), None),
+      RegexCheck("o_orderpriority", "^[0-9]-")))
+    val m = rs.metricsDF(graft.tables.Tables.orders(spark, dir))
+    val plan = planString(m)
+    plan should not include "Join"
+    // partial + final hash aggregate, at most one exchange between them
+    countShuffles(m) should be <= 1
+  }
+
+  test("whole-stage codegen covers the lineitem aggregation hot path") {
+    val plan = planString(queries.Queries.all("q01_agg_summary")(spark, dir))
+    // codegen'd stages render as "*(n) Operator" in the executed plan
+    plan should include regex """\*\(\d+\) HashAggregate"""
+  }
+
+  test("q29's band join is an equi-join (no nested-loop/cartesian)") {
+    val plan = planString(queries.PipelineQueries.q29_ngram_jaccard(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+}
