@@ -310,6 +310,48 @@ object Oracles {
         |UNION ALL SELECT * FROM updates
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q37_fingerprint" ->
+      """WITH codes AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(unicode(substring(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS cp
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, cp,
+        |    CASE WHEN len(cp) >= 8 THEN
+        |      list_transform(range(1, len(cp) - 6),
+        |        i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cp[i:i+7]),
+        |               (a, b) -> (a * 131 + b) % 2147483647))
+        |    ELSE [] END AS g
+        |  FROM codes
+        |)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), cp),
+        |    (a, b) -> (a * 131 + b) % 2147483647) AS doc_fp,
+        |  list_min(g) AS min_gram_fp,
+        |  CAST(len(list_distinct(g)) AS BIGINT) AS n_gram_fps
+        |FROM grams ORDER BY doc_id""".stripMargin,
+
+    "q39_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS prio_upper,
+        |  lower(o_orderstatus) AS status_lower,
+        |  substring(o_orderpriority, 1, 1) AS prio_code,
+        |  CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+        |  concat_ws('#', o_orderstatus, o_orderpriority) AS status_prio,
+        |  lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+        |  regexp_replace(o_orderpriority, '[0-9]-', '') AS prio_word,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  CAST(day(o_orderdate) AS INTEGER) AS o_day,
+        |  epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+        |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_92,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+        |  abs(o_custkey - 1000) AS key_dist,
+        |  o_orderkey % 7 AS key_mod7
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q36_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -104,10 +104,32 @@ object PipelineQueries {
         queryPredicate = col("id") < 50, k = 3, nBits = 4)
       .orderBy(col("query_id"), col("rank"))
 
+  /** IVF ANN — KMeans inverted lists, probed search (no oracle: cluster
+    * assignments are model-derived; rows-only check). */
+  def q38_ann_ivf(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.IvfAnn.topKProbed(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", queryPredicate = col("id") < 50, k = 3,
+        nLists = 16, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+
   /** Embedding near-dup: top-20 most-similar corpus pairs by cosine. */
   def q32_embed_topk_pairs(spark: SparkSession, dir: String): DataFrame =
     CosineKnn.topPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 20)
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+
+  /** Document fingerprinting via Karp-Rabin rolling hashes: whole-doc
+    * fingerprint + winnowing-style k-gram hash profile (min + distinct
+    * count). One compiled pass per doc; no shuffle. */
+  def q37_fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.RollingHash
+    val grams = RollingHash.rollingHashGrams(col("text"), 8)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      RollingHash.rollingHash(col("text")).as("doc_fp"),
+      array_min(grams).as("min_gram_fp"),
+      size(array_distinct(grams)).cast("long").as("n_gram_fps"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */

@@ -45,5 +45,8 @@ object Queries {
     "q34_gold_cube"     -> (TransformQueries.q34_gold_cube _),
     "q35_merge_upsert"  -> (TransformQueries.q35_merge_upsert _),
     "q36_salted_agg"    -> (TransformQueries.q36_salted_agg _),
+    "q37_fingerprint"   -> (PipelineQueries.q37_fingerprint _),
+    "q38_ann_ivf"       -> (PipelineQueries.q38_ann_ivf _),
+    "q39_scalar_funcs"  -> (TransformQueries.q39_scalar_funcs _),
   )
 }

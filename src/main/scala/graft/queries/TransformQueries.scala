@@ -103,6 +103,30 @@ object TransformQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Scalar function-library breadth (string/date/math), all picked for
+    * cross-engine determinism (§2C notes the reference uses no scalar
+    * functions beyond CAST/from_json/rlike). */
+  def q39_scalar_funcs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      upper(col("o_orderpriority")).as("prio_upper"),
+      lower(col("o_orderstatus")).as("status_lower"),
+      substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+      length(col("o_orderpriority")).as("prio_len"),
+      concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+      lpad(col("o_orderkey").cast("string"), 12, "0").as("key_padded"),
+      regexp_replace(col("o_orderpriority"), "[0-9]-", "").as("prio_word"),
+      year(col("o_orderdate")).as("o_year"),
+      month(col("o_orderdate")).as("o_month"),
+      dayofmonth(col("o_orderdate")).as("o_day"),
+      unix_micros(date_trunc("month", col("o_orderdate"))).as("month_start_us"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).as("days_since_92"),
+      floor(col("o_totalprice")).cast("bigint").as("price_floor"),
+      ceil(col("o_totalprice")).cast("bigint").as("price_ceil"),
+      abs(col("o_custkey") - lit(1000)).as("key_dist"),
+      pmod(col("o_orderkey"), lit(7)).as("key_mod7"))
+      .orderBy(col("o_orderkey"))
+
   /** Skew-safe two-stage salted aggregation — must equal the direct
     * groupBy (the oracle IS the direct form). */
   def q36_salted_agg(spark: SparkSession, dir: String): DataFrame = {

@@ -28,6 +28,12 @@ class ExamplesSpec extends SparkSpec {
   }
 
   test("the example pipeline runs end to end with quarantine") {
+    // quarantine appends by design; start from a clean slate
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File("/tmp/graft-example"))
     Files.createDirectories(Paths.get("/tmp/graft-example/in"))
     Files.writeString(Paths.get("/tmp/graft-example/in/data.json"),
       """{"transaction_id": 1, "amount": 10.5, "currency": "USD", "merchant": "a"}

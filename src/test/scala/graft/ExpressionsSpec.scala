@@ -94,6 +94,33 @@ class ExpressionsSpec extends SparkSpec {
       .collect()(0).isNullAt(0) shouldBe true
   }
 
+  test("RollingHash: equal texts collide, prefix fold matches a manual fold") {
+    def manual(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 131 + c) % 2147483647L)
+    val rows = texts.select(col("text"),
+      functions.RollingHash.rollingHash(col("text")).as("fp")).collect()
+    rows.foreach(r => r.getLong(1) shouldBe manual(r.getString(0)))
+  }
+
+  test("RollingHashGrams: each window hash equals RollingHash of that slice") {
+    val s = "abcdefghij"
+    val k = 4
+    val expected = (0 to s.length - k).map { i =>
+      s.substring(i, i + k).codePoints().toArray
+        .foldLeft(0L)((a, c) => (a * 131 + c) % 2147483647L)
+    }
+    val out = Seq(s).toDF("text")
+      .select(functions.RollingHash.rollingHashGrams(col("text"), k))
+      .collect()(0).getSeq[Long](0)
+    out shouldBe expected
+  }
+
+  test("RollingHashGrams is empty for short strings") {
+    Seq("ab").toDF("text")
+      .select(functions.RollingHash.rollingHashGrams(col("text"), 4))
+      .collect()(0).getSeq[Long](0) shouldBe Seq.empty
+  }
+
   test("SimHash64: identical token sets collide, disjoint ones differ") {
     val df = Seq(
       ("x", Seq("spark", "scala", "engine")),

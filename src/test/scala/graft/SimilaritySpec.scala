@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{CosineKnn, IvfAnn, LshAnn, MinHashLsh}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("MinHashLsh candidates superset the high-jaccard pairs it reports") {
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val pairs = MinHashLsh.nearDuplicatePairs(docs, "doc_id", "text",
+      shingleN = 3, perms = 6, threshold = 0.5).collect()
+    pairs.foreach { r =>
+      r.getDouble(2) should be >= 0.5
+      r.getLong(0) should be < r.getLong(1)
+    }
+  }
+
+  test("brute-force topK is self-consistent: rank 1 has max cosine") {
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val knn = CosineKnn.topK(emb, "vec_id", "embedding", col("id") < 5, k = 3)
+      .collect().groupBy(_.getLong(0))
+    knn.foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(2))
+      byRank.map(_.getDouble(3)).toSeq shouldBe
+        byRank.map(_.getDouble(3)).sortBy(-_).toSeq
+    }
+  }
+
+  test("IVF ANN achieves high recall@3 vs brute force on clustered data") {
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val exact = CosineKnn.topK(emb, "vec_id", "embedding", col("id") < 20, k = 3)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = IvfAnn.topKProbed(emb, "vec_id", "embedding", col("id") < 20,
+        k = 3, nLists = 8, nProbe = 3)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    (recalls.sum / recalls.size) should be >= 0.6
+  }
+
+  test("LSH buckets agree with brute force on the easiest neighbor") {
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val lsh = LshAnn.topKBucketed(emb, "vec_id", "embedding", col("id") < 10,
+      k = 1, nBits = 2)
+    // with 2 bits (4 buckets) nearly everything is probed; rank-1 must be
+    // a genuinely high-cosine neighbor
+    lsh.collect().foreach(r => r.getDouble(3) should be > 0.0)
+  }
+}
