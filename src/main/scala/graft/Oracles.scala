@@ -352,6 +352,27 @@ object Oracles {
         |  o_orderkey % 7 AS key_mod7
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "q40_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q41_array_agg" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',') AS qtys_csv,
+        |  CAST(len(list(l_quantity)) AS BIGINT) AS n_qtys,
+        |  list_sort(list(CAST(l_quantity AS BIGINT)))[1] AS min_qty,
+        |  list_sort(list(CAST(l_quantity AS BIGINT)))[-1] AS max_qty,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
     "q36_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -48,5 +48,7 @@ object Queries {
     "q37_fingerprint"   -> (PipelineQueries.q37_fingerprint _),
     "q38_ann_ivf"       -> (PipelineQueries.q38_ann_ivf _),
     "q39_scalar_funcs"  -> (TransformQueries.q39_scalar_funcs _),
+    "q40_window_rank"   -> (TransformQueries.q40_window_rank _),
+    "q41_array_agg"     -> (TransformQueries.q41_array_agg _),
   )
 }

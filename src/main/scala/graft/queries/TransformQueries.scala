@@ -127,6 +127,40 @@ object TransformQueries {
       pmod(col("o_orderkey"), lit(7)).as("key_mod7"))
       .orderBy(col("o_orderkey"))
 
+  /** Window-function breadth: ranking, navigation, and tiling in one pass
+    * over a single shuffle on the partition key. */
+  def q40_window_rank(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      row_number().over(w).as("rn"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+      lead(col("o_orderkey"), 1).over(w).as("next_key"),
+      ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Array aggregation: per-order sorted quantity vector + stats — the
+    * collect-to-array shape (sorted for determinism; surfaced as CSV so
+    * the hash comparator sees a scalar column). */
+  def q41_array_agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_sort(collect_list(col("l_quantity").cast("long"))).as("qtys"),
+        count(lit(1)).as("n_lines"))
+      .select(col("l_orderkey"),
+        array_join(col("qtys"), ",").as("qtys_csv"),
+        size(col("qtys")).cast("long").as("n_qtys"),
+        element_at(col("qtys"), 1).as("min_qty"),
+        element_at(col("qtys"), -1).as("max_qty"),
+        col("n_lines"))
+      .orderBy(col("l_orderkey"))
+
   /** Skew-safe two-stage salted aggregation — must equal the direct
     * groupBy (the oracle IS the direct form). */
   def q36_salted_agg(spark: SparkSession, dir: String): DataFrame = {

@@ -130,4 +130,17 @@ class TransformsSpec extends SparkSpec {
       f.sha.length shouldBe 32
     }
   }
+
+  test("Multimodal.sampleFrames slices strided fixed-size frames") {
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "abcdefghij")).toDF("media_id", "payload") // 10 bytes
+    val frames = Multimodal.sampleFrames(
+        df.withColumn("payload", encode($"payload", "UTF-8")), "payload",
+        frameBytes = 3, stride = 2)
+      .select($"frame_idx", decode($"frame", "UTF-8").as("frame"))
+      .as[(Int, String)].collect().toSeq
+    // frames of 3 bytes: idx 0 -> abc, idx 2 -> ghi (stride skips idx 1)
+    frames shouldBe Seq((0, "abc"), (2, "ghi"))
+  }
 }
