@@ -373,6 +373,20 @@ object Oracles {
         |  COUNT(*) AS n_lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
+    "q42_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 0.0) AS sum_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 0.0) AS sum_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 0.0) AS sum_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q43_heavy_hitters" ->
+      """SELECT event_type AS item, COUNT(*) AS n, CAST(0 AS BIGINT) AS max_error
+        |FROM events GROUP BY event_type ORDER BY n DESC, item""".stripMargin,
+
     "q36_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

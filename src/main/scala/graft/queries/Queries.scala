@@ -50,5 +50,7 @@ object Queries {
     "q39_scalar_funcs"  -> (TransformQueries.q39_scalar_funcs _),
     "q40_window_rank"   -> (TransformQueries.q40_window_rank _),
     "q41_array_agg"     -> (TransformQueries.q41_array_agg _),
+    "q42_pivot"         -> (TransformQueries.q42_pivot _),
+    "q43_heavy_hitters" -> (TransformQueries.q43_heavy_hitters _),
   )
 }

@@ -161,6 +161,35 @@ object TransformQueries {
         col("n_lines"))
       .orderBy(col("l_orderkey"))
 
+  /** Pivot (wide gold-mart shape): order counts + exact money sums per
+    * priority row, order-status columns. */
+  def q42_pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("sum_price"))
+      .select(col("o_orderpriority"),
+        coalesce(col("F_n"), lit(0L)).as("n_f"),
+        coalesce(col("F_sum_price"), lit(0.0)).as("sum_f"),
+        coalesce(col("O_n"), lit(0L)).as("n_o"),
+        coalesce(col("O_sum_price"), lit(0.0)).as("sum_o"),
+        coalesce(col("P_n"), lit(0L)).as("n_p"),
+        coalesce(col("P_sum_price"), lit(0.0)).as("sum_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Approximate heavy hitters via the SpaceSaving Aggregator (udaf surface).
+    * event_type cardinality < sketch capacity, so the sketch is provably
+    * exact here and the oracle is a plain top-k count. */
+  def q43_heavy_hitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HeavyHitters
+    Tables.events(spark, dir)
+      .agg(HeavyHitters.heavyHitters(col("event_type")).as("hh"))
+      .select(explode(col("hh")).as("hit"))
+      .select(col("hit.item").as("item"), col("hit.count").as("n"),
+        col("hit.maxError").as("max_error"))
+      .orderBy(col("n").desc, col("item"))
+  }
+
   /** Skew-safe two-stage salted aggregation — must equal the direct
     * groupBy (the oracle IS the direct form). */
   def q36_salted_agg(spark: SparkSession, dir: String): DataFrame = {

@@ -121,6 +121,27 @@ class ExpressionsSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0) shouldBe Seq.empty
   }
 
+  test("HeavyHitters sketch is exact under capacity and bounded over it") {
+    import graft.functions.HeavyHitters
+    // exact regime: distinct < capacity
+    val small = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(5)("c")
+    val smallDf = small.toDF("v")
+    val exact = smallDf.select(HeavyHitters.heavyHitters(col("v")))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    exact.take(3) shouldBe Seq(("a", 50L), ("b", 30L), ("c", 5L))
+    // over capacity: the true heavy hitter must survive with bounded error
+    val skewed = Seq.fill(500)("hot") ++
+      (1 to 300).map(i => s"cold$i")
+    val hh = skewed.toDF("v").repartition(4)
+      .select(HeavyHitters.heavyHitters(col("v")))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hot = hh.find(_._1 == "hot").get
+    hot._2 should be >= 500L      // overestimate only
+    (hot._2 - hot._3) should be <= 500L // count - maxError <= true count
+  }
+
   test("SimHash64: identical token sets collide, disjoint ones differ") {
     val df = Seq(
       ("x", Seq("spark", "scala", "engine")),
