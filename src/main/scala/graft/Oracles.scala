@@ -387,6 +387,18 @@ object Oracles {
       """SELECT event_type AS item, COUNT(*) AS n, CAST(0 AS BIGINT) AS max_error
         |FROM events GROUP BY event_type ORDER BY n DESC, item""".stripMargin,
 
+    "q44_normalized_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{Nd} ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text, dup_count FROM (
+        |  SELECT min_by(doc_id, doc_id) AS doc_id,
+        |         min_by(norm_text, doc_id) AS norm_text,
+        |         COUNT(*) AS dup_count
+        |  FROM n GROUP BY md5(norm_text)
+        |) ORDER BY doc_id""".stripMargin,
+
     "q36_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

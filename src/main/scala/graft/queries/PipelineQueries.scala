@@ -117,6 +117,18 @@ object PipelineQueries {
     CosineKnn.topPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 20)
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
 
+  /** Normalized exact dedup: casefold + strip punctuation + collapse
+    * whitespace before hashing, so formatting-only variants collide
+    * (the preprocessing step every dedup pipeline runs first). */
+  def q44_normalized_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Dedup.byContentHash(
+        d.withColumn("norm_text", TextOps.normalize(col("text"))),
+        md5(col("norm_text")), "doc_id")
+      .select(col("doc_id"), col("norm_text"), col("dup_count"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting via Karp-Rabin rolling hashes: whole-doc
     * fingerprint + winnowing-style k-gram hash profile (min + distinct
     * count). One compiled pass per doc; no shuffle. */

@@ -52,5 +52,6 @@ object Queries {
     "q41_array_agg"     -> (TransformQueries.q41_array_agg _),
     "q42_pivot"         -> (TransformQueries.q42_pivot _),
     "q43_heavy_hitters" -> (TransformQueries.q43_heavy_hitters _),
+    "q44_normalized_dedup" -> (PipelineQueries.q44_normalized_dedup _),
   )
 }

@@ -37,8 +37,11 @@ object IvfAnn {
     val trainSet =
       if (trainFraction >= 1.0) base
       else base.sample(withReplacement = false, trainFraction, seed)
+    // Few Lloyd iterations suffice: cells only need rough balance, not
+    // converged centroids — recall comes from nProbe, not cell quality.
     val model = new KMeans()
-      .setK(nLists).setSeed(seed).setFeaturesCol("fv").setPredictionCol("cell")
+      .setK(nLists).setSeed(seed).setMaxIter(8)
+      .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(trainSet)
 
     val assigned = model.transform(base).drop("fv")

@@ -14,6 +14,14 @@ object TextOps {
   /** Whitespace tokens (single-space convention of the corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Dedup-preprocessing normalization: casefold, strip punctuation,
+    * collapse whitespace. Run BEFORE hashing/shingling so near-dups that
+    * differ only in case/punctuation/spacing collide. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{Nd} ]", " "),
+      " +", " "))
+
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")

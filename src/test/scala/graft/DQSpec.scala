@@ -79,6 +79,16 @@ class DQSpec extends SparkSpec {
     math.abs(v) should be <= 50L // HLL error margin around 0 duplicates
   }
 
+  test("Observed metrics ride along a batch action at zero extra scans") {
+    import graft.metrics.{Observed, TableMetrics}
+    val (observed, obs) = Observed.withMetrics(df,
+      Seq(TableMetrics.RowCount(), TableMetrics.NullCount("amount", "amount_nulls")))
+    observed.write.mode("overwrite").parquet(tmpDir("obs") + "/out")
+    val row = obs.get
+    row("row_count") shouldBe 4L
+    row("amount_nulls") shouldBe 1L
+  }
+
   test("metadata-derived checks from StructField metadata") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
