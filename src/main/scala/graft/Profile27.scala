@@ -34,6 +34,7 @@ object Profile27 {
     time("q29 jaccardsim")(println("q29=" + jac.count()))
     time("q29 real")(println("q29=" + graft.queries.PipelineQueries.q29_ngram_jaccard(spark, dir).count()))
     time("q27 real")(println("q27=" + graft.queries.PipelineQueries.q27_minhash_dedup(spark, dir).count()))
+    time("q38 real")(graft.queries.PipelineQueries.q38_ann_ivf(spark, dir).count())
     spark.stop()
   }
 }
