@@ -399,6 +399,18 @@ object Oracles {
         |  FROM n GROUP BY md5(norm_text)
         |) ORDER BY doc_id""".stripMargin,
 
+    "q45_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+        |), clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |)
+        |SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us, c.click_id AS asof_click_id
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+
     "q36_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

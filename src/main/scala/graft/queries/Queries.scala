@@ -53,5 +53,6 @@ object Queries {
     "q42_pivot"         -> (TransformQueries.q42_pivot _),
     "q43_heavy_hitters" -> (TransformQueries.q43_heavy_hitters _),
     "q44_normalized_dedup" -> (PipelineQueries.q44_normalized_dedup _),
+    "q45_asof_join"     -> (TransformQueries.q45_asof_join _),
   )
 }

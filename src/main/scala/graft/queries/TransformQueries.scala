@@ -190,6 +190,24 @@ object TransformQueries {
       .orderBy(col("n").desc, col("item"))
   }
 
+  /** As-of join (§2C missing-join-type list): each purchase event picks up
+    * the user's newest click at-or-before it. Right side is pre-deduped to
+    * one row per (user, ts) so tie resolution is engine-portable. */
+  def q45_asof_join(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.transform.AsOfJoin.leftAsOf(purchases, clicks,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightTiebreak = "click_id")
+      .select(col("user_id"), col("event_id"),
+        tsMicros(col("ts")).as("ts_us"), col("asof_click_id"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Skew-safe two-stage salted aggregation — must equal the direct
     * groupBy (the oracle IS the direct form). */
   def q36_salted_agg(spark: SparkSession, dir: String): DataFrame = {

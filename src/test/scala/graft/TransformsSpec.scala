@@ -117,6 +117,28 @@ class TransformsSpec extends SparkSpec {
     salted shouldBe direct
   }
 
+  test("AsOfJoin.leftAsOf picks the newest right row at-or-before each left ts") {
+    val trades = Seq(
+      ("A", ts("2026-01-01 10:00:05"), 1L),
+      ("A", ts("2026-01-01 10:00:00"), 2L), // exactly at a quote ts -> takes it
+      ("A", ts("2026-01-01 09:00:00"), 3L), // before any quote -> null
+      ("B", ts("2026-01-01 12:00:00"), 4L),
+    ).toDF("sym", "ts", "trade_id")
+    val quotes = Seq(
+      ("A", ts("2026-01-01 10:00:00"), 100.0, 1L),
+      ("A", ts("2026-01-01 10:00:03"), 101.0, 2L),
+      ("B", ts("2026-01-01 11:00:00"), 50.0, 3L),
+    ).toDF("sym", "ts", "px", "qid")
+    val out = AsOfJoin.leftAsOf(trades, quotes, "sym", "ts", "ts", "qid")
+      .select("trade_id", "asof_px")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    out(1L) shouldBe Some(101.0) // newest quote <= 10:00:05
+    out(2L) shouldBe Some(100.0) // equal-ts quote counts
+    out(3L) shouldBe None        // no prior quote
+    out(4L) shouldBe Some(50.0)
+  }
+
   test("Multimodal decode stub preserves partition-batched dataflow") {
     import graft.multimodal.{DecodeStub, Multimodal}
     val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
