@@ -411,6 +411,23 @@ object Oracles {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.user_id, p.event_id""".stripMargin,
 
+    "q46_range_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 60000000
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin,
+
+    "q47_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
     "q36_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -54,5 +54,7 @@ object Queries {
     "q43_heavy_hitters" -> (TransformQueries.q43_heavy_hitters _),
     "q44_normalized_dedup" -> (PipelineQueries.q44_normalized_dedup _),
     "q45_asof_join"     -> (TransformQueries.q45_asof_join _),
+    "q46_range_join"    -> (TransformQueries.q46_range_join _),
+    "q47_grouping_sets" -> (TransformQueries.q47_grouping_sets _),
   )
 }

@@ -208,6 +208,28 @@ object TransformQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Range join (banded): same-user event pairs within a 60-second gap.
+    * The inequality becomes an equi-join on (user, time-bucket). */
+  def q46_range_join(spark: SparkSession, dir: String): DataFrame =
+    graft.transform.RangeJoin.pairsWithinGap(
+        Tables.events(spark, dir), "user_id", "ts", "event_id",
+        maxGapMicros = 60L * 1000000)
+      .orderBy(col("user_id"), col("id_a"), col("id_b"))
+
+  /** GROUPING SETS — the third multi-grain form next to rollup (q11) and
+    * cube (q34), via Catalyst's SQL surface. */
+  def q47_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
   /** Skew-safe two-stage salted aggregation — must equal the direct
     * groupBy (the oracle IS the direct form). */
   def q36_salted_agg(spark: SparkSession, dir: String): DataFrame = {

@@ -139,6 +139,29 @@ class TransformsSpec extends SparkSpec {
     out(4L) shouldBe Some(50.0)
   }
 
+  test("RangeJoin.pairsWithinGap finds exactly the close pairs, once each") {
+    val df = Seq(
+      ("u", ts("2026-01-01 00:00:00"), 1L),
+      ("u", ts("2026-01-01 00:00:30"), 2L),  // 30s from 1 -> pair
+      ("u", ts("2026-01-01 00:01:05"), 3L),  // 35s from 2, 65s from 1
+      ("v", ts("2026-01-01 00:00:10"), 4L),  // other key
+    ).toDF("k", "ts", "id")
+    val pairs = RangeJoin.pairsWithinGap(df, "k", "ts", "id", 60L * 1000000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L), (2L, 3L))
+  }
+
+  test("RangeJoin.pointInInterval lands points in their intervals") {
+    val points = Seq(("u", ts("2026-01-01 00:05:00"), 1L),
+      ("u", ts("2026-01-01 02:00:00"), 2L)).toDF("k", "pt", "pid")
+    val ivs = Seq(("u", ts("2026-01-01 00:00:00"), ts("2026-01-01 00:30:00"), 10L))
+      .toDF("k", "lo", "hi", "ivid")
+    val out = RangeJoin.pointInInterval(points, ivs, "k", "pt", "lo", "hi",
+        bucketMicros = 600L * 1000000)
+      .select("pid", "ivid").as[(Long, Long)].collect().toSeq
+    out shouldBe Seq((1L, 10L))
+  }
+
   test("Multimodal decode stub preserves partition-batched dataflow") {
     import graft.multimodal.{DecodeStub, Multimodal}
     val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
