@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.JaccardRewrite
+
+class RewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRule[A](f: => A): A = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ JaccardRewrite
+    try f finally spark.experimental.extraOptimizations = prev
+  }
+
+  // parquet-backed (a LocalRelation source would be constant-folded away
+  // before the plan can be inspected)
+  private lazy val df = {
+    val p = tmpDir("rw") + "/t"
+    Seq(("a b c d", "b c d e"), ("x y", "x y")).toDF("ta", "tb")
+      .write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+      .select(array_distinct(split(col("ta"), " ")).as("a"),
+        array_distinct(split(col("tb"), " ")).as("b"))
+  }
+
+  private val declarative =
+    org.apache.spark.sql.functions.size(array_intersect(col("a"), col("b"))).cast("double") /
+      org.apache.spark.sql.functions.size(array_union(col("a"), col("b"))).cast("double")
+
+  test("declarative jaccard idiom is rewritten to the compiled expression") {
+    withRule {
+      val q = df.select(declarative.as("j"))
+      q.queryExecution.optimizedPlan.toString should include("jaccard_sim")
+    }
+  }
+
+  test("rewrite preserves results exactly") {
+    val before = df.select(declarative.as("j")).collect().map(_.getDouble(0))
+    val after = withRule(df.select(declarative.as("j")).collect().map(_.getDouble(0)))
+    after shouldBe before
+  }
+
+  test("rewrite does NOT fire on possibly-duplicated inputs") {
+    withRule {
+      val p = tmpDir("rwdup") + "/t"
+      Seq((Seq("a", "a"), Seq("a"))).toDF("a", "b")
+        .write.mode("overwrite").parquet(p)
+      val raw = spark.read.parquet(p)
+      val q = raw.select(
+        (org.apache.spark.sql.functions.size(array_intersect(col("a"), col("b"))).cast("double") /
+          org.apache.spark.sql.functions.size(array_union(col("a"), col("b"))).cast("double")).as("j"))
+      q.queryExecution.optimizedPlan.toString should not include "jaccard_sim"
+      // built-in semantics on duplicated input: intersect/union dedup -> 1/1
+      q.collect()(0).getDouble(0) shouldBe 1.0
+    }
+  }
+
+  test("GraftExtensions injects the rule at session build time") {
+    // separate session so withExtensions applies cleanly
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("ext-test")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    // getOrCreate may return the shared session; only assert when it's new
+    if (s2 ne spark) {
+      import s2.implicits._
+      val d2 = Seq(("a b", "a c")).toDF("ta", "tb")
+        .select(array_distinct(split(col("ta"), " ")).as("a"),
+          array_distinct(split(col("tb"), " ")).as("b"))
+        .select((org.apache.spark.sql.functions.size(array_intersect(col("a"), col("b"))).cast("double") /
+          org.apache.spark.sql.functions.size(array_union(col("a"), col("b"))).cast("double")).as("j"))
+      d2.queryExecution.optimizedPlan.toString should include("jaccard_sim")
+    }
+  }
+}
