@@ -16,11 +16,14 @@ object GraftSession {
             appName: String = "graft"): SparkSession =
     tuned(SparkSession.builder().master(s"local[$cores]"), cores, appName)
 
-  /** Apply graft's standard conf to any builder (cluster or local). */
+  /** Apply graft's standard conf to any builder (cluster or local).
+    * Installs [[graft.plans.GraftExtensions]]: the jaccard rewrite rule and
+    * SQL registration of the graft expressions. */
   def tuned(builder: SparkSession.Builder, parallelism: Int,
             appName: String): SparkSession = {
     val spark = builder
       .appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", parallelism.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -82,12 +82,56 @@ object JaccardRewrite extends Rule[LogicalPlan] {
 
 /** Session-extension entry point:
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
-  * `builder.withExtensions(new GraftExtensions)`). The same rule can be
-  * attached to a live session via `spark.experimental.extraOptimizations`
-  * — equivalent injection, used by the test suite against the shared
-  * session. */
+  * `builder.withExtensions(new GraftExtensions)`; GraftSession applies it
+  * by default). Injects the optimizer rule above plus SQL registrations of
+  * the graft expressions, so `spark.sql("SELECT jaccard_sim(a, b) ...")`
+  * works anywhere the extension is installed. The same rule can also be
+  * attached to a live session via `spark.experimental.extraOptimizations`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def fn(name: String, usage: String)(builder: FunctionBuilder)
+      : (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft", null, name, usage, ""), builder)
+
+  private val functions = Seq(
+    fn("jaccard_sim", "jaccard_sim(a, b) - Jaccard similarity of distinct string arrays") {
+      args => JaccardSim(args(0), args(1))
+    },
+    fn("dot_product", "dot_product(a, b) - strict float64 dot product") {
+      args => graft.functions.DotProduct(args(0), args(1))
+    },
+    fn("simhash64", "simhash64(tokens) - 64-bit SimHash fingerprint") {
+      args => graft.functions.SimHash64(args(0))
+    },
+    fn("rolling_hash", "rolling_hash(s) - Karp-Rabin fingerprint mod 2^31-1") {
+      args => graft.functions.RollingHash(args(0))
+    },
+    fn("rolling_hash_grams", "rolling_hash_grams(s, k) - windowed k-gram rolling hashes") {
+      args => graft.functions.RollingHashGrams(args(0), intLit(args(1), "k"))
+    },
+    fn("word_ngrams", "word_ngrams(tokens, n) - distinct word n-gram shingles") {
+      args => graft.functions.WordNgrams(args(0), intLit(args(1), "n"))
+    },
+    fn("char_ngrams", "char_ngrams(s, n) - distinct character n-grams") {
+      args => graft.functions.CharNgrams(args(0), intLit(args(1), "n"))
+    },
+    fn("minhash_sig", "minhash_sig(shingles, k) - k salted-md5 minhash values") {
+      args => graft.functions.MinHashSig(args(0), intLit(args(1), "k"))
+    },
+  )
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => JaccardRewrite)
+    functions.foreach(ext.injectFunction)
   }
 }

@@ -56,6 +56,23 @@ class RewriteSpec extends SparkSpec {
     }
   }
 
+  test("graft expressions are SQL-callable via the extension registry") {
+    // shared test session is built by GraftSession -> extensions installed
+    val row = spark.sql(
+      """SELECT jaccard_sim(array('a','b'), array('b','c')) AS j,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  rolling_hash('abc') AS rh,
+        |  size(word_ngrams(array('x','y','z'), 2)) AS ng,
+        |  size(minhash_sig(array('s1','s2'), 4)) AS ms
+        |""".stripMargin).collect()(0)
+    row.getDouble(0) shouldBe (1.0 / 3.0)
+    row.getDouble(1) shouldBe 11.0
+    row.getLong(2) shouldBe "abc".codePoints().toArray
+      .foldLeft(0L)((a, c) => (a * 131 + c) % 2147483647L)
+    row.getInt(3) shouldBe 2
+    row.getInt(4) shouldBe 4
+  }
+
   test("GraftExtensions injects the rule at session build time") {
     // separate session so withExtensions applies cleanly
     val s2 = org.apache.spark.sql.SparkSession.builder()
