@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (the zip_with form yields null via null propagation in those cases).
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -31,9 +31,33 @@ case class DotProduct(left: Expression, right: Expression)
           s"dot_product needs (array<double>, array<double>), got $other")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** Real `doGenCode` (not CodegenFallback) so projections using this stay
+    * inside whole-stage codegen; the loop itself lives in the static
+    * helper — one call, no per-element virtual dispatch. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotResult")
+      s"""java.lang.Double $r = graft.functions.DotProduct.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_product"
+}
+
+object DotProduct {
+  import org.apache.spark.sql.graft.bridge
+
+  /** Strict sequential fold; null on length mismatch or null element.
+    * Public because generated code calls it. */
+  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
     val n = x.numElements()
     if (n != y.numElements()) return null
     var acc = 0.0
@@ -45,16 +69,6 @@ case class DotProduct(left: Expression, right: Expression)
     }
     java.lang.Double.valueOf(acc)
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): DotProduct =
-    copy(left = newLeft, right = newRight)
-
-  override def prettyName: String = "dot_product"
-}
-
-object DotProduct {
-  import org.apache.spark.sql.graft.bridge
 
   /** Column-API entry point: dotProduct(arrayDoubleCol, arrayDoubleCol). */
   def dotProduct(a: Column, b: Column): Column =

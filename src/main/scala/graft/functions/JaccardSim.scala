@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 
@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
   * Division is float64, matching the SQL form and DuckDB bit-for-bit.
   */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -30,9 +30,32 @@ case class JaccardSim(left: Expression, right: Expression)
           s"jaccard_sim needs (array<string>, array<string>), got $other")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** Real `doGenCode` so the surrounding projection stays in whole-stage
+    * codegen; the set-probe loop lives in the static helper. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("jacResult")
+      s"""java.lang.Double $r = graft.functions.JaccardSim.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "jaccard_sim"
+}
+
+object JaccardSim {
+  import org.apache.spark.sql.graft.bridge
+
+  /** |A∩B| / |A∪B| for duplicate-free arrays; null when both empty.
+    * Public because generated code calls it. */
+  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
     val nx = x.numElements()
     val ny = y.numElements()
     val setA = new java.util.HashSet[Any](Math.max(4, nx * 2))
@@ -51,16 +74,6 @@ case class JaccardSim(left: Expression, right: Expression)
     if (union == 0) null
     else java.lang.Double.valueOf(inter.toDouble / union.toDouble)
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): JaccardSim =
-    copy(left = newLeft, right = newRight)
-
-  override def prettyName: String = "jaccard_sim"
-}
-
-object JaccardSim {
-  import org.apache.spark.sql.graft.bridge
 
   /** Column-API entry point: jaccardSim(arrA, arrB) for distinct arrays. */
   def jaccardSim(a: Column, b: Column): Column =
