@@ -1,0 +1,72 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.dq._
+
+/** Property-style invariants over generated inputs (raw ScalaCheck Gen —
+  * the scalatest bridge isn't on the offline classpath). Fixed seeds keep
+  * failures reproducible. */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  test("registry version sort is numeric for any version set (v10 > v9)") {
+    import java.nio.file.{Files, Paths}
+    samples(Gen.nonEmptyListOf(Gen.choose(1, 500)), 20).foreach { vs =>
+      val base = tmpDir("prop")
+      val dir = Paths.get(base, "d", "s")
+      Files.createDirectories(dir)
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType)))
+      vs.distinct.foreach(v => Files.writeString(dir.resolve(s"v$v.json"), schema.json))
+      val reg = new graft.schema.SchemaRegistry(base)
+      reg.listVersions("d", "s") shouldBe vs.distinct.sorted
+      reg.latestVersion("d", "s") shouldBe Some(vs.max)
+    }
+  }
+
+  test("RangeCheck violations match the reference count for any data") {
+    import spark.implicits._
+    samples(Gen.nonEmptyListOf(Gen.option(Gen.choose(-100.0, 100.0))), 8)
+      .foreach { xs =>
+        val df = xs.toDF("x")
+        val summary = DQRuleSet(Seq(RangeCheck("x", Some(-10.0), Some(10.0)))).run(df)
+        val expected = xs.flatten.count(v => v < -10.0 || v > 10.0)
+        summary.results.head.violations shouldBe expected
+      }
+  }
+
+  test("rolling hash stays within [0, 2^31-1), is stable, and matches Spark") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val strs = samples(Gen.asciiPrintableStr, 40).distinct
+    def fold(t: String): Long = t.codePoints().toArray
+      .foldLeft(0L)((a, c) => (a * 131 + c) % 2147483647L)
+    strs.foreach { s =>
+      val h = fold(s)
+      h should be >= 0L
+      h should be < 2147483647L
+    }
+    val viaSpark = strs.toDF("s")
+      .select(col("s"), functions.RollingHash.rollingHash(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach(s => viaSpark(s) shouldBe fold(s))
+  }
+
+  test("Quarantine split partitions rows exactly for any violation pattern") {
+    import spark.implicits._
+    samples(Gen.nonEmptyListOf(Gen.choose(-50L, 50L)), 8).foreach { xs =>
+      val df = xs.toDF("v")
+      val checks = Seq(RangeCheck("v", Some(0.0), None))
+      val (clean, bad) = Quarantine.split(df, checks)
+      clean.count() + bad.count() shouldBe xs.length.toLong
+      val cleanVals = clean.as[Long].collect()
+      cleanVals.foreach(_ should be >= 0L)
+      bad.select("v").as[Long].collect().foreach(_ should be < 0L)
+    }
+  }
+}
