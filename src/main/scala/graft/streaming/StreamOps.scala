@@ -92,6 +92,49 @@ object StreamOps {
       }
   }
 
+  // ---- transformWithState (Spark 4 arbitrary-state v2) ----
+
+  final case class KeyedValue(key: String, value: Double)
+  final case class RunningStat(key: String, n: Long, total: Double, mean: Double)
+
+  /** Per-key running count/sum/mean via the `transformWithState` API — the
+    * successor to mapGroupsWithState with composite typed state, TTL, and
+    * timers. State here is one small record per key; at scale the state
+    * store shards by key like any keyed state. Requires the RocksDB state
+    * store provider (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`): the default HDFS-backed store
+    * doesn't support the multiple column families this API uses. */
+  class RunningStatProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, KeyedValue, RunningStat] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var stat: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      stat = getHandle.getValueState[(Long, Double)]("stat",
+        E.tuple(E.scalaLong, E.scalaDouble), TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedValue],
+                                 timerValues: TimerValues): Iterator[RunningStat] = {
+      var (n, total) = if (stat.exists()) stat.get() else (0L, 0.0)
+      rows.foreach { r => n += 1; total += r.value }
+      stat.update((n, total))
+      Iterator.single(RunningStat(key, n, total, total / n))
+    }
+  }
+
+  /** Stream of per-key running stats, updated each micro-batch. */
+  def runningStats(events: Dataset[KeyedValue])(
+      implicit outEnc: Encoder[RunningStat]): Dataset[RunningStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new RunningStatProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Split one input stream into clean/quarantine sinks inside a single
     * foreachBatch (one source read per micro-batch, exactly-once via
     * checkpoint + idempotent parquet append). */

@@ -92,6 +92,35 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("transformWithState running stats accumulate across micro-batches") {
+    // transformWithState needs multi-column-family state -> RocksDB provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[StreamOps.KeyedValue](spark)
+    val stats = StreamOps.runningStats(in.toDS())
+    val q = stats.toDF().writeStream.format("memory")
+      .queryName("tws").outputMode("update").start()
+    try {
+      in.addData(StreamOps.KeyedValue("a", 1.0), StreamOps.KeyedValue("a", 3.0))
+      q.processAllAvailable()
+      in.addData(StreamOps.KeyedValue("a", 5.0), StreamOps.KeyedValue("b", 10.0))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    val rows = spark.table("tws").as[StreamOps.RunningStat].collect()
+    // state persisted across batches: key a ends at n=3, total=9
+    val aFinal = rows.filter(_.key == "a").maxBy(_.n)
+    (aFinal.n, aFinal.total, aFinal.mean) shouldBe ((3L, 9.0, 3.0))
+    rows.filter(_.key == "b").map(s => (s.n, s.total)).toSet shouldBe Set((1L, 10.0))
+  }
+
   test("foreachBatchSplit routes violations to quarantine") {
     val in = MemoryStream[(Long, Double)](spark)
     val clean = tmpDir("fbs") + "/clean"
