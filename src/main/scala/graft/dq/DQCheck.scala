@@ -34,6 +34,10 @@ sealed trait DQCheck {
     case i: Int    => i.toLong
     case other     => other.toString.toLong
   }
+
+  /** Whether the violation count is acceptable (checks with tolerance
+    * thresholds override; default is zero-tolerance). */
+  def passes(violations: Long, rowCount: Long): Boolean = violations == 0L
 }
 
 /** Count of nulls in `column` must be 0 (or below `maxNullFraction`). */
@@ -44,6 +48,10 @@ final case class NotNullCheck(column: String, maxNullFraction: Double = 0.0)
   def aggExpr: Column =
     coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).cast("long").as(name)
   def rowPredicate: Option[Column] = Some(pred)
+  /** Tolerates up to `maxNullFraction` of rows being null. */
+  override def passes(violations: Long, rowCount: Long): Boolean =
+    if (rowCount <= 0L) violations == 0L
+    else violations.toDouble / rowCount.toDouble <= maxNullFraction
 }
 
 /** Non-null values of `column` must fall inside [min, max]. */

@@ -60,7 +60,7 @@ final case class DQRuleSet(checks: Seq[DQCheck],
     val results = checks.map { c =>
       val v = c.violations(row.getAs[Any](c.name), rowCount)
       val status =
-        if (v == 0) DQStatus.Pass
+        if (c.passes(v, rowCount)) DQStatus.Pass
         else if (warnOnly.contains(c.name)) DQStatus.Warning
         else DQStatus.Fail
       DQResult(c.name, v, rowCount, status)

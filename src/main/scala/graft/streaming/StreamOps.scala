@@ -135,6 +135,28 @@ object StreamOps {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** Idempotent foreachBatch write: data lands in a `batch_id=N` partition
+    * with per-partition overwrite, so a replayed micro-batch (checkpoint
+    * recovery) overwrites its own partition instead of duplicating rows —
+    * exactly-once on a plain parquet sink without a transaction log. */
+  def exactlyOnceParquet(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      .start()
+
   /** Split one input stream into clean/quarantine sinks inside a single
     * foreachBatch (one source read per micro-batch, exactly-once via
     * checkpoint + idempotent parquet append). */

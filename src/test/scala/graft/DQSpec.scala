@@ -42,6 +42,14 @@ class DQSpec extends SparkSpec {
     m.count() shouldBe 1
   }
 
+  test("NotNullCheck tolerates null fraction up to its threshold") {
+    // 1 null in 4 rows = 25%
+    DQRuleSet(Seq(NotNullCheck("amount", maxNullFraction = 0.30)))
+      .run(df).overall shouldBe DQStatus.Pass
+    DQRuleSet(Seq(NotNullCheck("amount", maxNullFraction = 0.20)))
+      .run(df).overall shouldBe DQStatus.Fail
+  }
+
   test("warnOnly demotes failures to warnings") {
     val rs = DQRuleSet(Seq(NotNullCheck("amount")), warnOnly = Set("notnull_amount"))
     rs.run(df).overall shouldBe DQStatus.Warning

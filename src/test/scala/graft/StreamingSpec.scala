@@ -121,6 +121,22 @@ class StreamingSpec extends SparkSpec {
     rows.filter(_.key == "b").map(s => (s.n, s.total)).toSet shouldBe Set((1L, 10.0))
   }
 
+  test("exactlyOnceParquet lands each micro-batch in its own partition") {
+    val in = MemoryStream[(Long, String)](spark)
+    val out = tmpDir("eop") + "/t"
+    val cp = tmpDir("eop") + "/cp"
+    val q = StreamOps.exactlyOnceParquet(in.toDF().toDF("id", "v"), out, cp)
+    try {
+      in.addData((1L, "a"))
+      q.processAllAvailable()
+      in.addData((2L, "b"), (3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(out)
+    back.count() shouldBe 3
+    back.select("batch_id").distinct().as[Long].collect().sorted shouldBe Array(0L, 1L)
+  }
+
   test("foreachBatchSplit routes violations to quarantine") {
     val in = MemoryStream[(Long, Double)](spark)
     val clean = tmpDir("fbs") + "/clean"
