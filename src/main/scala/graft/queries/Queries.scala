@@ -56,5 +56,6 @@ object Queries {
     "q45_asof_join"     -> (TransformQueries.q45_asof_join _),
     "q46_range_join"    -> (TransformQueries.q46_range_join _),
     "q47_grouping_sets" -> (TransformQueries.q47_grouping_sets _),
+    "q48_schema_evolution" -> (TransformQueries.q48_schema_evolution _),
   )
 }

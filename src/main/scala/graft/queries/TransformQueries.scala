@@ -230,6 +230,25 @@ object TransformQueries {
         |ORDER BY status, priority""".stripMargin)
   }
 
+  /** Schema evolution: v1-shaped data (no priority column, int-typed key)
+    * conformed to the v2 target and unioned with native-v2 rows — the
+    * mixed-version bronze read. */
+  def q48_schema_evolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderpriority", StringType)))
+    val orders = Tables.orders(spark, dir)
+    // "v1 files": written before o_orderpriority existed, narrower key type
+    val v1 = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").cast("int").as("o_orderkey"), col("o_totalprice"))
+    val v2 = orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    graft.schema.SchemaEvolution.unionEvolved(Seq(v1, v2), target)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Skew-safe two-stage salted aggregation — must equal the direct
     * groupBy (the oracle IS the direct form). */
   def q36_salted_agg(spark: SparkSession, dir: String): DataFrame = {

@@ -90,6 +90,30 @@ class SchemaSpec extends SparkSpec {
       .typeMismatches.map(_.column) shouldBe Seq("payload")
   }
 
+  test("SchemaEvolution.conform: null-fill, cast, drop, and hard errors") {
+    import spark.implicits._
+    import graft.schema.SchemaEvolution
+    val target = StructType(Seq(
+      StructField("id", LongType),
+      StructField("amount", DoubleType),
+      StructField("note", StringType)))
+    val v1 = Seq((1, 5.0, "x")).toDF("id", "amount", "legacy") // int id, extra col
+    val out = SchemaEvolution.conform(v1, target)
+    out.schema.fieldNames shouldBe Array("id", "amount", "note")
+    out.schema("id").dataType shouldBe LongType
+    val r = out.collect()(0)
+    r.getLong(0) shouldBe 1L
+    r.isNullAt(2) shouldBe true
+    an[SchemaEvolution.EvolutionException] should be thrownBy
+      SchemaEvolution.conform(v1, target, failOnExtra = true)
+    val notNullTarget = StructType(Seq(StructField("must", LongType, nullable = false)))
+    an[SchemaEvolution.EvolutionException] should be thrownBy
+      SchemaEvolution.conform(v1, notNullTarget)
+    val clash = StructType(Seq(StructField("amount", ArrayType(LongType))))
+    an[SchemaEvolution.EvolutionException] should be thrownBy
+      SchemaEvolution.conform(v1, clash)
+  }
+
   test("validateOrThrow raises on invalid frames") {
     import spark.implicits._
     val df = Seq((1, "x")).toDF("id", "other")
