@@ -1,0 +1,13 @@
+package graft
+
+/** Replicates the driver's smoke check: SparkEntry.entry at sf0.001 must
+  * return rows. */
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(4, "entry-smoke")
+    val n = SparkEntry.entry(spark).count()
+    println(s"[smoke] entry rows=$n")
+    assert(n > 0, "entry returned no rows")
+    spark.stop()
+  }
+}
