@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.{Failure, Success, Try}
+
 object Bench {
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -11,25 +24,40 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT/codegen/session init + parquet footers, so the
-    // first measured query isn't charged for cold-start.
-    try {
-      Seq("lineitem", "orders", "documents", "embeddings", "events")
-        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    } catch { case _: Throwable => () }
+    // first measured query isn't charged for cold-start. Goes through the
+    // Tables loaders (not raw spark.read) because events.parquet needs the
+    // TIMESTAMP(NANOS) legacy conf those loaders set; a warmup failure is a
+    // harness bug and must be visible, not swallowed.
+    Seq("lineitem", "orders", "documents", "embeddings").foreach(t =>
+      tables.Tables.load(spark, sfDir, t).count())
+    tables.Tables.events(spark, sfDir).count()
     // best-of-2: the first execution pays one-off plan compilation + JIT
-    // (constant at any data scale); the min approximates steady-state cost
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    // (constant at any data scale); the min approximates steady-state cost.
+    // A query that throws is recorded as an error entry — never as a time.
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          Try(fn(spark, sfDir).count()) match {
+            case Success(_)  => Right((System.nanoTime() - t0) / 1e9)
+            case Failure(ex) => Left(s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}")
+          }
+        }
+        val ok = runs.collect { case Right(t) => t }
+        name -> (if (ok.nonEmpty) Right(ok.min)
+                 else Left(runs.collectFirst { case Left(e) => e }.getOrElse("unknown")))
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(t)) => s"\"$k\":$t"
+      case (k, Left(e))  => s"\"$k\":{\"error\":\"${jsonEscape(e)}\"}"
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, Left(e)) => k -> e }
+    val total = results.collect { case (_, Right(t)) => t }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      errors.foreach { case (k, e) => System.err.println(s"[bench] FAILED $k: $e") }
+      sys.exit(1)
+    }
   }
 }
