@@ -211,7 +211,7 @@ object Oracles {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q27_minhash_dedup" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') tk FROM documents
         |), sh AS (
         |  SELECT doc_id,
@@ -219,21 +219,26 @@ object Oracles {
         |      THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
         |      ELSE [] END) AS sg
         |  FROM t
+        |), hs AS (
+        |  SELECT doc_id, sg,
+        |    list_transform(sg, g -> CAST(md5_number_upper(g) AS HUGEINT) % 2305843009213693951) AS h1,
+        |    list_transform(sg, g -> CAST(md5_number_lower(g) AS HUGEINT) % 2305843009213693951) AS h2
+        |  FROM sh
         |), mh AS (
         |  SELECT doc_id, sg,
-        |    [ (SELECT min(md5('s0|' || g)) FROM unnest(sg) u(g)),
-        |      (SELECT min(md5('s1|' || g)) FROM unnest(sg) u(g)),
-        |      (SELECT min(md5('s2|' || g)) FROM unnest(sg) u(g)),
-        |      (SELECT min(md5('s3|' || g)) FROM unnest(sg) u(g)),
-        |      (SELECT min(md5('s4|' || g)) FROM unnest(sg) u(g)),
-        |      (SELECT min(md5('s5|' || g)) FROM unnest(sg) u(g)) ] AS sig
-        |  FROM sh
+        |    [ ${(0 until 64).map(p => s"(SELECT CAST(min((z.l1 + $p*z.l2) % 2305843009213693951) AS BIGINT) FROM (SELECT unnest(list_zip(h1, h2), recursive := true)) z(l1, l2))").mkString(",\n      ")} ] AS sig
+        |  FROM hs
         |), bands AS (
-        |  SELECT doc_id, (i - 1) || '|' || sig[i] AS band
-        |  FROM mh, range(1, 7) r(i)
+        |  SELECT doc_id, unnest([
+        |    ${(0 until 16).map(bi => s"'$bi|' || ${(0 until 4).map(ri => s"sig[${bi * 4 + ri + 1}]").mkString(" || '|' || ")}").mkString(",\n    ")}
+        |  ]) AS band
+        |  FROM mh
+        |), capped AS (
+        |  SELECT doc_id, band FROM bands
+        |  QUALIFY count(*) OVER (PARTITION BY band) <= 100
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id
         |)
         |SELECT id_a, id_b,
         |  CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS jaccard
@@ -250,7 +255,7 @@ object Oracles {
         |  FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE) / CAST(len(list_distinct(a.g3 || b.g3)) AS DOUBLE) AS jaccard
-        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 2
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 8
         |WHERE CAST(len(list_intersect(a.g3, b.g3)) AS DOUBLE) / CAST(len(list_distinct(a.g3 || b.g3)) AS DOUBLE) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
@@ -272,15 +277,43 @@ object Oracles {
         |SELECT query_id, neighbor_id, rank, cosine FROM rk
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "q31_ann_lsh" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm,
+        |    ${graft.similarity.LshAnn.sqlBitString("v", graft.similarity.LshAnn.hyperplanes(64, 8))} AS bkt
+        |  FROM e
+        |), q AS (
+        |  SELECT * FROM n WHERE vec_id < 50
+        |), pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+        |  FROM q JOIN n c ON c.bkt = q.bkt AND c.vec_id <> q.vec_id
+        |), rk AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, rank, cosine FROM rk
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
     "q32_embed_topk_pairs" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
         |), n AS (
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e
+        |), banded AS (
+        |  SELECT vec_id, unnest([
+        |    ${graft.similarity.LshAnn.sqlBandKeys("v", nTables = 8, nBits = 6, dim = 64, seed = 42L).mkString(",\n    ")}
+        |  ]) AS bkey
+        |  FROM n
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
         |)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
-        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |SELECT id_a, id_b,
+        |  list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cosine
+        |FROM cand JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
         |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin,
 
     "q33_multimodal" ->

@@ -46,12 +46,16 @@ object JoinQueries {
       .orderBy(col("region_name"), col("nation_name"))
   }
 
-  /** Referential-integrity orphan counts via left-anti joins (§2B). */
+  /** Referential-integrity orphan counts via left-anti joins (§2B).
+    * customer is a dimension → broadcast its keyset; orders is a fact →
+    * shuffle anti-join (AQE still auto-broadcasts it when genuinely small,
+    * without the executor-memory bomb a forced broadcast is at scale). */
   def q12_ri_orphans(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
     val customer = Tables.customer(spark, dir)
     val lineitem = Tables.lineitem(spark, dir)
-    RefIntegrity.orphanCount(orders, customer, "o_custkey", "c_custkey", "order_orphans")
+    RefIntegrity.orphanCount(orders, customer, "o_custkey", "c_custkey", "order_orphans",
+        broadcastParent = true)
       .crossJoin(
         RefIntegrity.orphanCount(lineitem, orders, "l_orderkey", "o_orderkey", "lineitem_orphans"))
   }

@@ -52,10 +52,13 @@ object PipelineQueries {
       length(col("text")).as("n_chars_seen"))
       .orderBy(col("doc_id"))
 
-  /** MinHash+LSH near-duplicate pairs, Jaccard-verified on 3-word shingles. */
+  /** MinHash+LSH near-duplicate pairs, Jaccard-verified on 3-word shingles.
+    * 16 bands x 4 rows (64 perms): S-curve inflection ~0.5 = the verify
+    * threshold; maxBucket caps degenerate boilerplate buckets. */
   def q27_minhash_dedup(spark: SparkSession, dir: String): DataFrame =
     MinHashLsh.nearDuplicatePairs(Tables.documents(spark, dir),
-        "doc_id", "text", shingleN = 3, perms = 6, threshold = 0.5)
+        "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 4,
+        threshold = 0.5, maxBucket = Some(100))
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash fingerprints via the custom Catalyst expression (no oracle —
@@ -67,23 +70,29 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   /** Character n-gram Jaccard similarity over banded candidates (same-lang,
-    * close length) — a band-join + verify shape.
+    * length within +-8) — a band-join + verify shape.
     *
-    * The length tolerance `|nc_a - nc_b| <= 2` is folded into the equi-join
-    * key: the left side explodes into 5 (lang, length) band keys, so the
-    * join shuffles on (lang, n_chars) — thousands of small buckets — instead
-    * of on `lang` alone (a handful of giant buckets = quasi-cartesian that
-    * paid the O(|g3|) intersect on ~100x more pairs). Each qualifying pair
-    * matches exactly one band key, so no dedup is needed. */
+    * The length tolerance is folded into the equi-join key: the candidate
+    * stage joins ONLY (id, lang, n_chars) triples — the left side explodes
+    * into 17 (lang, length) keys of a few bytes each, so the shuffle stays
+    * tiny and the n-gram arrays never fan out. Each qualifying pair matches
+    * exactly one key (dlt = nc_a - nc_b), so no dedup is needed; the n-gram
+    * sets are joined back by id only for surviving candidates, and the
+    * O(|g3|) intersect runs once per candidate pair. */
   def q29_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(
-      col("doc_id"), col("lang"), col("n_chars"),
-      graft.functions.CharNgrams.charNgrams(col("text"), 3).as("g3"))
-    val a = d.select(col("doc_id").as("id_a"), col("lang"), col("n_chars").as("nc_a"), col("g3").as("ga"))
-      .withColumn("nc_key", explode(array((-2 to 2).map(dlt => col("nc_a") + lit(dlt)): _*)))
-    val b = d.select(col("doc_id").as("id_b"), col("lang"), col("n_chars").as("nc_b"), col("g3").as("gb"))
-    a.join(b, a("lang") === b("lang") && col("nc_key") === col("nc_b") &&
+    val docs = Tables.documents(spark, dir)
+    val slim = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val a = slim.select(col("doc_id").as("id_a"), col("lang").as("lang_a"), col("n_chars").as("nc_a"))
+      .withColumn("nc_key", explode(array((-8 to 8).map(dlt => col("nc_a") + lit(dlt)): _*)))
+    val b = slim.select(col("doc_id").as("id_b"), col("lang").as("lang_b"), col("n_chars").as("nc_b"))
+    val cand = a.join(b, col("lang_a") === col("lang_b") && col("nc_key") === col("nc_b") &&
         col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val grams = docs.select(col("doc_id"),
+      graft.functions.CharNgrams.charNgrams(col("text"), 3).as("g3"))
+    val ga = grams.select(col("doc_id").as("id_a"), col("g3").as("ga"))
+    val gb = grams.select(col("doc_id").as("id_b"), col("g3").as("gb"))
+    cand.join(ga, "id_a").join(gb, "id_b")
       .withColumn("jaccard",
         graft.functions.JaccardSim.jaccardSim(col("ga"), col("gb")))
       .filter(col("jaccard") >= 0.8)
@@ -97,11 +106,12 @@ object PipelineQueries {
         queryPredicate = col("id") < 8, k = 5)
       .orderBy(col("query_id"), col("rank"))
 
-  /** LSH-bucketed ANN — the scale path (no oracle: bucket membership
-    * depends on JVM-seeded hyperplanes; rows-only check). */
+  /** LSH-bucketed ANN — the scale path. Fully oracle-verified: the bucket
+    * bit-string is recomputed in DuckDB from the same inlined hyperplane
+    * literals (see [[graft.similarity.LshAnn.sqlBitString]]). */
   def q31_ann_lsh(spark: SparkSession, dir: String): DataFrame =
     LshAnn.topKBucketed(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        queryPredicate = col("id") < 50, k = 3, nBits = 4)
+        queryPredicate = col("id") < 50, k = 3, nBits = 8)
       .orderBy(col("query_id"), col("rank"))
 
   /** IVF ANN — KMeans inverted lists, probed search (no oracle: cluster
@@ -112,9 +122,12 @@ object PipelineQueries {
         nLists = 16, nProbe = 2)
       .orderBy(col("query_id"), col("rank"))
 
-  /** Embedding near-dup: top-20 most-similar corpus pairs by cosine. */
+  /** Embedding near-dup: top-20 most-similar pairs among LSH candidates
+    * (8 tables x 6 bits — >98% recall on cosine>=0.9 pairs, no all-pairs
+    * join; the DuckDB oracle replicates the bucketing bit-for-bit). */
   def q32_embed_topk_pairs(spark: SparkSession, dir: String): DataFrame =
-    CosineKnn.topPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 20)
+    LshAnn.topPairsBucketed(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        topN = 20, nTables = 8, nBits = 6)
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
 
   /** Normalized exact dedup: casefold + strip punctuation + collapse

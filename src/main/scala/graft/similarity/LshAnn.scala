@@ -15,27 +15,41 @@ import org.apache.spark.sql.functions._
   * bucket id, and per-bucket candidate lists are small and independent
   * (embarrassingly parallel across 1000 executors).
   *
+  * Bucket keys are bit-strings ('0'/'1' per hyperplane sign), which keeps
+  * the hash portable: [[sqlBitString]] emits the same computation as DuckDB
+  * SQL from the same plane constants, so LSH results are oracle-verifiable
+  * end to end (the planes are inlined as float64 literals; `Double.toString`
+  * round-trips exactly through both parsers).
+  *
   * Bucketing loses recall vs [[CosineKnn]] brute force (the trade the
-  * operator exists to make); multi-probe = lower nBits or several hash
-  * tables unioned.
+  * operator exists to make); [[topPairsBucketed]] compensates with multiple
+  * independent hash tables — a pair is a candidate if it collides in ANY
+  * table, so recall for cosine>=0.9 pairs stays >98% at 8 tables x 6 bits
+  * while the per-table bucket join stays small.
   */
 object LshAnn {
 
-  /** Deterministic hyperplanes: dim x nBits coefficients in [-1,1). */
+  /** Deterministic hyperplanes: nBits x dim coefficients in [-1,1). */
   def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new Random(seed)
     Array.fill(nBits)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
   }
 
-  /** Bucket key column: sign bits packed into a long. */
-  def bucket(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit): _*)
-      val d = CosineKnn.dot(vec, planeCol)
-      when(d >= 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Bucket key: one '0'/'1' char per hyperplane sign. The plane arrays are
+    * literal columns, so Catalyst constant-folds them once per plan. */
+  def bitString(vec: Column, planes: Array[Array[Double]]): Column =
+    concat(planes.map { p =>
+      when(CosineKnn.dot(vec, array(p.map(lit): _*)) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }: _*)
+
+  /** DuckDB spelling of [[bitString]] over the same plane constants —
+    * used by the oracle generator so both engines bucket identically. */
+  def sqlBitString(vecSql: String, planes: Array[Array[Double]]): String =
+    planes.map { p =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vecSql, $arr) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString("(", " || ", ")")
 
   /** Per-query top-k within the query's LSH bucket.
     * Output: query_id, neighbor_id, rank, cosine. */
@@ -46,7 +60,7 @@ object LshAnn {
     val base = vectors
       .select(col(idCol).as("id"), CosineKnn.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(CosineKnn.dot(col("v"), col("v"))))
-      .withColumn("bkt", bucket(col("v"), planes))
+      .withColumn("bkt", bitString(col("v"), planes))
     val queries = broadcast(base.filter(queryPredicate)
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bkt").as("qbkt")))
@@ -59,5 +73,54 @@ object LshAnn {
     pairs.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Band keys for multi-table LSH: `nTables` independent keys per vector,
+    * each "<table>|<bits>". A pair is a candidate if any key collides. */
+  def bandKeys(vec: Column, nTables: Int, nBits: Int, dim: Int,
+               seed: Long): Seq[Column] = {
+    val planes = hyperplanes(dim, nTables * nBits, seed)
+    (0 until nTables).map { t =>
+      concat(lit(s"$t|"), bitString(vec, planes.slice(t * nBits, (t + 1) * nBits)))
+    }
+  }
+
+  /** DuckDB spelling of [[bandKeys]] (same table/bit layout and planes). */
+  def sqlBandKeys(vecSql: String, nTables: Int, nBits: Int, dim: Int,
+                  seed: Long): Seq[String] = {
+    val planes = hyperplanes(dim, nTables * nBits, seed)
+    (0 until nTables).map { t =>
+      s"'$t|' || ${sqlBitString(vecSql, planes.slice(t * nBits, (t + 1) * nBits))}"
+    }
+  }
+
+  /** Most-similar corpus pairs (id_a < id_b), top-N by cosine, restricted
+    * to pairs colliding in at least one of `nTables` LSH tables.
+    *
+    * Scale shape: explode to nTables band keys per vector (ids only — the
+    * vectors are NOT carried through the explode), shuffle-join on band key,
+    * distinct the candidate ids, then join the vectors back for the exact
+    * cosine and TakeOrdered the global top-N. Per-bucket pair counts are
+    * O((n/2^nBits)^2) per table — raise nBits with corpus size to hold
+    * bucket cardinality; no all-pairs comparison anywhere. */
+  def topPairsBucketed(vectors: DataFrame, idCol: String, vecCol: String,
+                       topN: Int, nTables: Int = 8, nBits: Int = 6,
+                       dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), CosineKnn.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(CosineKnn.dot(col("v"), col("v"))))
+    val keys = bandKeys(col("v"), nTables, nBits, dim, seed)
+    val banded = base.select(col("id"), explode(array(keys: _*)).as("bkey"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val va = base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("nrm_a"))
+    val vb = base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nrm_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", CosineKnn.dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(topN)
   }
 }

@@ -6,25 +6,29 @@ import graft.text.TextOps
 
 /** MinHash + LSH near-duplicate detection over word-shingle sets.
   *
-  * Permutation hashes are salted md5 (engine-portable, so the whole pipeline
-  * is oracle-verifiable); `min(md5(salt|shingle))` is a valid minwise hash
-  * per salt. Banding: each signature slot is its own band (b bands of r=1),
-  * so a pair collides if ANY slot matches — P(candidate) = 1-(1-j)^b, which
-  * at j>=0.9, b=6 misses ~1e-6 of true pairs.
+  * Permutations are md5-derived (one digest per shingle, k slots by
+  * Kirsch-Mitzenmacher arithmetic — see [[graft.functions.MinHashSig]]),
+  * engine-portable so the whole pipeline is oracle-verifiable.
+  * Banding: `bands` bands of `rowsPerBand` signature slots each —
+  * a pair is a candidate iff ALL r slots of some band match, so
+  * P(candidate) = 1-(1-j^r)^b: the classic S-curve with inflection near
+  * (1/b)^(1/r). At b=16, r=4 that's ~0.5 — j=0.3 pairs are <13% candidates
+  * (vs ~88% with r=1) while j>=0.8 pairs are >99.9% caught.
   *
   * Scale design (100 TB): the candidate join is a shuffle on band value —
-  * cardinality O(docs x bands), each bucket small for realistic vocabularies.
-  * The verify step re-joins shingle sets only for candidate pairs (tiny
-  * relative to the corpus). Skewed buckets (boilerplate shingles) can be
-  * capped by filtering bucket size upstream; `ml.feature.MinHashLSH` offers
-  * the same via approxSimilarityJoin but isn't hash-portable for our oracle.
+  * cardinality O(docs x bands), each bucket small because r concatenated
+  * minhashes only collide for genuinely similar shingle sets. The verify
+  * step re-joins shingle sets only for candidate pairs (tiny relative to
+  * the corpus). `maxBucket` drops degenerate buckets (boilerplate/empty
+  * templates that defeat hashing) before the pair join — the skew guard for
+  * adversarial corpora; `ml.feature.MinHashLSH` offers a similar shape via
+  * approxSimilarityJoin but isn't hash-portable for our oracle.
   */
 object MinHashLsh {
 
-  /** k salted-md5 minhash values over a distinct-shingle array column.
-    * Native one-pass expression; semantically equal to
-    * `array_min(transform(sg, g => md5(concat(lit("s<p>|"), g))))` per slot
-    * (see [[graft.functions.MinHashSig]] for why HOFs were 25x slower). */
+  /** k minhash slots (int64) over a distinct-shingle array column — one
+    * md5 per shingle, slots derived arithmetically; see
+    * [[graft.functions.MinHashSig]] for the construction + DuckDB parity. */
   def signature(shingleSet: Column, perms: Int): Column =
     graft.functions.MinHashSig.minhashSig(shingleSet, perms)
 
@@ -35,24 +39,44 @@ object MinHashLsh {
       TextOps.shingles(col(textCol), shingleN).as("shingle_set"))
       .withColumn("sig", signature(col("shingle_set"), perms))
 
-  /** Candidate pairs (idA < idB) sharing at least one signature band. */
-  def candidatePairs(sigs: DataFrame, idCol: String, perms: Int): DataFrame = {
-    val bands = sigs.select(col(idCol), posexplode(col("sig")).as(Seq("band_idx", "band_val")))
-      .select(col(idCol), concat_ws("|", col("band_idx"), col("band_val")).as("band"))
-    val a = bands.as("a")
-    val b = bands.as("b")
+  /** Candidate pairs (idA < idB) sharing at least one complete band of
+    * `rowsPerBand` consecutive signature slots. Band keys come from the
+    * one-pass [[graft.functions.MinHashBands]] expression over
+    * `shingle_set` — NOT from indexing a separate `sig` column, which lets
+    * CollapseProject re-inline the whole signature per slot reference.
+    * Buckets larger than `maxBucket` are dropped before the pair join
+    * (skew guard: a bucket of size s contributes s^2/2 pairs, so one
+    * boilerplate bucket can dominate the whole job; dropping it loses only
+    * pairs a degenerate key matched). */
+  def candidatePairs(shingled: DataFrame, idCol: String, bands: Int,
+                     rowsPerBand: Int,
+                     maxBucket: Option[Int] = None): DataFrame = {
+    val exploded = shingled.select(col(idCol),
+      explode(graft.functions.MinHashBands.minhashBands(
+        col("shingle_set"), bands, rowsPerBand)).as("band"))
+    val capped = maxBucket match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
+        exploded.withColumn("bsz", count(lit(1)).over(w))
+          .filter(col("bsz") <= cap).drop("bsz")
+      case None => exploded
+    }
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
   }
 
-  /** Full pipeline: near-dup pairs with exact shingle-Jaccard >= threshold. */
+  /** Full pipeline: near-dup pairs with exact shingle-Jaccard >= threshold.
+    * Signature length is bands x rowsPerBand. */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
-                         shingleN: Int = 3, perms: Int = 6,
-                         threshold: Double = 0.5): DataFrame = {
-    val sigs = withSignatures(df, idCol, textCol, shingleN, perms)
-    val cands = candidatePairs(sigs, idCol, perms)
-    val sets = sigs.select(col(idCol), col("shingle_set"))
+                         shingleN: Int = 3, bands: Int = 16,
+                         rowsPerBand: Int = 4, threshold: Double = 0.5,
+                         maxBucket: Option[Int] = None): DataFrame = {
+    val sets = df.select(col(idCol),
+      TextOps.shingles(col(textCol), shingleN).as("shingle_set"))
+    val cands = candidatePairs(sets, idCol, bands, rowsPerBand, maxBucket)
     val sa = sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("shingle_set", "set_a")
     val sb = sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("shingle_set", "set_b")
     cands.join(sa, "id_a").join(sb, "id_b")

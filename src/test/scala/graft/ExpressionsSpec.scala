@@ -43,14 +43,28 @@ class ExpressionsSpec extends SparkSpec {
     rows.foreach(r => r.getSeq[String](0) shouldBe r.getSeq[String](1))
   }
 
-  test("MinHashSig matches min(md5(salt|shingle)) per slot") {
+  test("MinHashSig matches the BigInt reference (Kirsch-Mitzenmacher slots)") {
     val sg = functions.WordNgrams.wordNgrams(fn.split(col("text"), " "), 3)
-    val ref = fn.array((0 until 4).map { p =>
-      fn.array_min(fn.transform(sg, g => fn.md5(fn.concat(lit(s"s$p|"), g))))
-    }: _*)
     val rows = texts.select(
-      functions.MinHashSig.minhashSig(sg, 4).as("fast"), ref.as("ref")).collect()
-    rows.foreach(r => r.getSeq[String](0) shouldBe r.getSeq[String](1))
+      functions.MinHashSig.minhashSig(sg, 8).as("fast"), sg.as("sg")).collect()
+    rows.foreach { r =>
+      val expect = functions.MinHashSig.reference(r.getSeq[String](1), 8)
+      r.getSeq[java.lang.Long](0).map(Option(_).map(_.longValue)) shouldBe expect
+    }
+  }
+
+  test("MinHashBands renders '<band>|' + slots joined by '|', once per band") {
+    val sg = functions.WordNgrams.wordNgrams(fn.split(col("text"), " "), 3)
+    val rows = texts.select(
+      functions.MinHashBands.minhashBands(sg, 4, 2).as("bands"), sg.as("sg")).collect()
+    rows.foreach { r =>
+      val slots = functions.MinHashSig.reference(r.getSeq[String](1), 8)
+      val expect = (0 until 4).map { bi =>
+        if (slots(bi * 2).isEmpty) null
+        else s"$bi|${slots(bi * 2).get}|${slots(bi * 2 + 1).get}"
+      }
+      r.getSeq[String](0) shouldBe expect
+    }
   }
 
   test("DotProduct matches aggregate(zip_with(...)) exactly (FP order)") {

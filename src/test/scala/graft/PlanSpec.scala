@@ -83,4 +83,24 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("q32 top-pairs goes through LSH buckets (no all-pairs join)") {
+    val plan = planString(queries.PipelineQueries.q32_embed_topk_pairs(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q12's fact-parent anti-join carries no forced broadcast hint") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = transform.RefIntegrity.orphans(
+      graft.tables.Tables.lineitem(spark, dir),
+      graft.tables.Tables.orders(spark, dir),
+      "l_orderkey", "o_orderkey")
+    // AQE may still auto-broadcast a genuinely small parent — the defect was
+    // the unconditional broadcast() hint, which ignores size thresholds.
+    val hints = df.queryExecution.optimizedPlan.collect {
+      case j: Join => j.hint
+    }
+    all(hints.map(h => (h.leftHint, h.rightHint))) shouldBe (None, None)
+  }
 }

@@ -12,11 +12,38 @@ class SimilaritySpec extends SparkSpec {
   test("MinHashLsh candidates superset the high-jaccard pairs it reports") {
     val docs = graft.tables.Tables.documents(spark, dir)
     val pairs = MinHashLsh.nearDuplicatePairs(docs, "doc_id", "text",
-      shingleN = 3, perms = 6, threshold = 0.5).collect()
+      shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.5).collect()
     pairs.foreach { r =>
       r.getDouble(2) should be >= 0.5
       r.getLong(0) should be < r.getLong(1)
     }
+  }
+
+  test("r>=2 banding bounds the candidate set far below all-pairs") {
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val n = docs.count()
+    val sets = docs.select(col("doc_id"),
+      graft.text.TextOps.shingles(col("text"), 3).as("shingle_set"))
+    val nCand = MinHashLsh.candidatePairs(sets, "doc_id",
+      bands = 16, rowsPerBand = 4, maxBucket = Some(100)).count()
+    val allPairs = n * (n - 1) / 2
+    // r=4 rows per band: dissimilar pairs need 4 simultaneous minhash
+    // collisions to become candidates — the set must stay a tiny fraction
+    // of all-pairs (r=1 banding admitted most of them).
+    nCand should be < allPairs / 20
+  }
+
+  test("maxBucket drops oversized band buckets from the candidate join") {
+    import spark.implicits._
+    // 30 docs sharing one text → every band bucket has size 30
+    val clones = (1L to 30L).map(i => (i, "the same boilerplate text repeated here"))
+      .toDF("doc_id", "text")
+    val sets = clones.select(col("doc_id"),
+      graft.text.TextOps.shingles(col("text"), 3).as("shingle_set"))
+    MinHashLsh.candidatePairs(sets, "doc_id", bands = 4, rowsPerBand = 2,
+      maxBucket = Some(10)).count() shouldBe 0L
+    MinHashLsh.candidatePairs(sets, "doc_id", bands = 4, rowsPerBand = 2,
+      maxBucket = None).count() shouldBe 30L * 29 / 2
   }
 
   test("brute-force topK is self-consistent: rank 1 has max cosine") {

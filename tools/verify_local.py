@@ -60,8 +60,13 @@ for name in run_dirs:
         continue
     got = canon(pd.concat([pd.read_parquet(p) for p in sorted(files)], ignore_index=True))
     if name not in oracles:
-        status = "rows-only" if len(got) >= 0 else "??"
-        print(f"OK*  {name}: no oracle ({len(got)} rows, {status})")
+        # rows-only check must have teeth: an empty no-oracle output
+        # verifies nothing and counts as a failure.
+        if len(got) > 0:
+            print(f"OK*  {name}: no oracle ({len(got)} rows, rows-only)")
+        else:
+            print(f"FAIL {name}: no oracle and 0 rows (vacuous)")
+            fail += 1
         continue
     try:
         exp = canon(con.sql(oracles[name]).df())
