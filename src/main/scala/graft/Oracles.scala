@@ -474,5 +474,12 @@ object Oracles {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The IVF search itself isn't SQL-expressible (trained centroids), but
+    // its quality gate is: recall_ok must come out true, so an IVF recall
+    // regression breaks the hash even though the oracle is constant.
+    "q49_ivf_recall" ->
+      """SELECT CAST(150 AS BIGINT) AS n_exact,
+        |  CAST(1 AS BOOLEAN) AS recall_ok""".stripMargin,
   )
 }

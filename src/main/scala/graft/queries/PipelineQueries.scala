@@ -115,12 +115,34 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
 
   /** IVF ANN — KMeans inverted lists, probed search (no oracle: cluster
-    * assignments are model-derived; rows-only check). */
+    * assignments are model-derived; rows-only check — but see
+    * [[q49_ivf_recall]], which gates this exact configuration's recall
+    * against the brute-force truth). */
   def q38_ann_ivf(spark: SparkSession, dir: String): DataFrame =
     graft.similarity.IvfAnn.topKProbed(Tables.embeddings(spark, dir),
         "vec_id", "embedding", queryPredicate = col("id") < 50, k = 3,
-        nLists = 16, nProbe = 2)
+        nLists = 16, nProbe = 4)
       .orderBy(col("query_id"), col("rank"))
+
+  /** Driver-checkable quality gate for the IVF path: recall@3 of q38's
+    * exact configuration vs the [[q30_ann_cosine]]-style brute-force truth,
+    * emitted as a one-row boolean (measured ~0.70 across SFs; the oracle
+    * pins recall_ok=true at a 0.6 bound, so a recall regression
+    * hash-mismatches instead of hiding behind a rows-only check). */
+  def q49_ivf_recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = CosineKnn.topK(emb, "vec_id", "embedding", col("id") < 50, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = graft.similarity.IvfAnn.topKProbed(emb, "vec_id", "embedding",
+        col("id") < 50, k = 3, nLists = 16, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val tot = exact.agg(count(lit(1)).cast("long").as("n_exact"))
+    hit.crossJoin(tot).select(
+      col("n_exact"),
+      (col("n_hit") / col("n_exact") >= 0.6).as("recall_ok"))
+  }
 
   /** Embedding near-dup: top-20 most-similar pairs among LSH candidates
     * (8 tables x 6 bits — >98% recall on cosine>=0.9 pairs, no all-pairs

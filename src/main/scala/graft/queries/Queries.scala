@@ -57,5 +57,6 @@ object Queries {
     "q46_range_join"    -> (TransformQueries.q46_range_join _),
     "q47_grouping_sets" -> (TransformQueries.q47_grouping_sets _),
     "q48_schema_evolution" -> (TransformQueries.q48_schema_evolution _),
+    "q49_ivf_recall"    -> (PipelineQueries.q49_ivf_recall _),
   )
 }
