@@ -10,10 +10,10 @@ import graft.schema.SchemaRegistry
 
 /** Pipeline configuration: env + ordered jobs (reference
   * `/root/reference/src/main/scala/com/lakehouse/ingestion/config/
-  * ConfigModels.scala:41-57`). Format is JSON rather than HOCON — the
-  * deployment surface is identical (a file per pipeline) and JSON parses
-  * with the Jackson already on Spark's classpath (offline build, no
-  * typesafe-config jar).
+  * ConfigModels.scala:41-57`). Two on-disk formats, one model: JSON (parses
+  * with the Jackson already on Spark's classpath) and the reference's HOCON
+  * `.conf` shape via [[Hocon]] + [[HoconConfigLoader]] (reference
+  * `config/ConfigLoader.scala:35`).
   */
 final case class PipelineConfig(env: String,
                                 schemaRegistry: Option[String] = None,
@@ -23,7 +23,14 @@ final case class JobConfig(domain: String, dataset: String, layer: String,
                            source: SourceConfig, target: TargetConfig,
                            schemaVersion: Option[Int] = None,
                            validateSchema: Boolean = true,
-                           dq: Option[DQConfig] = None)
+                           // registry ref override when it differs from
+                           // domain/dataset (reference `schema.registry_*`)
+                           schemaDomain: Option[String] = None,
+                           schemaDataset: Option[String] = None,
+                           dq: Option[DQConfig] = None) {
+  def registryDomain: String = schemaDomain.getOrElse(domain)
+  def registryDataset: String = schemaDataset.getOrElse(dataset)
+}
 
 final case class SourceConfig(`type`: String,
                               path: Option[String] = None,
@@ -32,17 +39,29 @@ final case class SourceConfig(`type`: String,
                               url: Option[String] = None,
                               table: Option[String] = None,
                               streaming: Boolean = false,
+                              // JDBC partitioned/incremental read controls
+                              // (reference docs/07-developer-guide.md:665-671)
+                              partitionColumn: Option[String] = None,
+                              lowerBound: Option[Long] = None,
+                              upperBound: Option[Long] = None,
+                              numPartitions: Option[Int] = None,
+                              watermarkColumn: Option[String] = None,
+                              watermarkValue: Option[String] = None,
                               options: Map[String, String] = Map.empty)
 
 final case class TargetConfig(format: String, identifier: String,
                               partitions: Seq[String] = Seq.empty,
                               mode: String = "append",
                               checkpoint: Option[String] = None,
-                              triggerInterval: String = "30 seconds")
+                              triggerInterval: String = "30 seconds",
+                              catalog: Option[String] = None)
 
 final case class DQConfig(policy: String = "log_only",
                           quarantine: Option[String] = None,
                           warnOnly: Seq[String] = Seq.empty,
+                          // derive checks from registry-schema field
+                          // metadata (allowed_values/min_value/max_value)
+                          metadataChecks: Boolean = false,
                           checks: Seq[CheckConfig] = Seq.empty) {
 
   def toRuleSet: DQRuleSet = DQRuleSet(
@@ -112,12 +131,21 @@ object ConfigLoader {
   def parse(json: String): PipelineConfig =
     mapper.readValue(json, classOf[PipelineConfig])
 
-  def loadFromFile(path: String, validateSchemas: Boolean = true): PipelineConfig = {
-    val cfg = parse(Files.readString(Paths.get(path)))
+  /** Load a pipeline config — `.conf` parses as HOCON (the reference's
+    * format), anything else as JSON. `schemaBasePath` mirrors the
+    * reference loader's default registry location for configs that don't
+    * name one (`config/ConfigLoader.scala:33`). */
+  def loadFromFile(path: String, validateSchemas: Boolean = true,
+                   schemaBasePath: String = "schemas"): PipelineConfig = {
+    val text = Files.readString(Paths.get(path))
+    val cfg =
+      if (path.endsWith(".conf"))
+        HoconConfigLoader.toPipelineConfig(Hocon.parse(text), Some(schemaBasePath))
+      else parse(text)
     if (validateSchemas) cfg.schemaRegistry.foreach { base =>
       val registry = new SchemaRegistry(base)
       cfg.jobs.filter(_.validateSchema).foreach { j =>
-        try registry.getSchema(j.domain, j.dataset, j.schemaVersion)
+        try registry.getSchema(j.registryDomain, j.registryDataset, j.schemaVersion)
         catch {
           case e: graft.schema.SchemaNotFoundException =>
             throw ConfigValidationException(
@@ -127,4 +155,127 @@ object ConfigLoader {
     }
     cfg
   }
+}
+
+/** Maps a parsed [[Hocon]] tree to [[PipelineConfig]]. Accepts BOTH this
+  * engine's field names (`target.format`/`identifier`, `dq.policy`, ...)
+  * and the reference's `.conf` shape (`target.lakehouse_format`/`table`,
+  * `schema.registry_domain`, `data_quality.on_fail`, source options with
+  * dotted keys — `config/ConfigLoader.scala:104-166`), so every shipped
+  * reference config loads unchanged.
+  */
+object HoconConfigLoader {
+  import Hocon.Obj
+
+  private def fail(msg: String): Nothing =
+    throw ConfigLoader.ConfigValidationException(msg)
+
+  private def str(o: Obj, k: String): Option[String] =
+    o.get(k).filter(_ != null).map(Hocon.render)
+  private def obj(o: Obj, k: String): Option[Obj] =
+    o.get(k).collect { case m: Obj => m }
+  private def arr(o: Obj, k: String): Seq[Any] =
+    o.get(k).collect { case l: List[_] => l }.getOrElse(Nil)
+  private def bool(o: Obj, k: String): Option[Boolean] =
+    o.get(k).map {
+      case b: Boolean => b
+      case s => Hocon.render(s).toBoolean
+    }
+  private def num(o: Obj, k: String): Option[Number] =
+    o.get(k).collect {
+      case n: Number => n
+      case s: String => java.lang.Double.parseDouble(s): java.lang.Double
+    }
+
+  /** Leaf values of a (possibly nested) object as dotted-path strings —
+    * how the reference reads `source.options` (`entrySet`, `:110-115`). */
+  private def flatten(o: Obj, prefix: String = ""): Map[String, String] =
+    o.iterator.flatMap { case (k, v) =>
+      val key = if (prefix.isEmpty) k else s"$prefix.$k"
+      v match {
+        case child: Obj => flatten(child, key)
+        case leaf       => Map(key -> Hocon.render(leaf))
+      }
+    }.toMap
+
+  def toPipelineConfig(root: Obj, defaultRegistry: Option[String] = None): PipelineConfig =
+    PipelineConfig(
+      env = str(root, "env").getOrElse("dev"),
+      schemaRegistry = str(root, "schemaRegistry")
+        .orElse(str(root, "schema_registry")).orElse(defaultRegistry),
+      jobs = arr(root, "jobs").collect { case j: Obj => toJob(j) })
+
+  private def toJob(j: Obj): JobConfig = {
+    val source = obj(j, "source").getOrElse(fail("job needs a source block"))
+    val target = obj(j, "target").getOrElse(fail("job needs a target block"))
+    val schemaBlock = obj(j, "schema")
+    val opts = obj(source, "options").map(flatten(_)).getOrElse(Map.empty)
+    val sc = SourceConfig(
+      `type` = str(source, "type").getOrElse(fail("source needs a type")),
+      path = str(source, "path").orElse(opts.get("path")),
+      topic = str(source, "topic").orElse(opts.get("subscribe")),
+      bootstrapServers = str(source, "bootstrapServers")
+        .orElse(opts.get("bootstrap.servers")).orElse(opts.get("kafka.bootstrap.servers")),
+      url = str(source, "url").orElse(opts.get("url")),
+      table = str(source, "table").orElse(opts.get("dbtable")),
+      streaming = bool(source, "streaming")
+        .orElse(opts.get("streaming").map(_.toBoolean)).getOrElse(false),
+      partitionColumn = str(source, "partitionColumn").orElse(opts.get("partitionColumn")),
+      lowerBound = num(source, "lowerBound").map(_.longValue)
+        .orElse(opts.get("lowerBound").map(_.toLong)),
+      upperBound = num(source, "upperBound").map(_.longValue)
+        .orElse(opts.get("upperBound").map(_.toLong)),
+      numPartitions = num(source, "numPartitions").map(_.intValue)
+        .orElse(opts.get("numPartitions").map(_.toInt)),
+      watermarkColumn = str(source, "watermarkColumn").orElse(opts.get("watermarkColumn")),
+      watermarkValue = str(source, "watermarkValue").orElse(opts.get("watermarkValue")),
+      options = opts)
+    val tc = TargetConfig(
+      format = str(target, "format").orElse(str(target, "lakehouse_format"))
+        .getOrElse(fail("target needs format/lakehouse_format")),
+      identifier = str(target, "identifier").orElse(str(target, "table"))
+        .getOrElse(fail("target needs identifier/table")),
+      partitions = arr(target, "partitions").map(Hocon.render),
+      mode = str(target, "mode").getOrElse("append"),
+      checkpoint = str(target, "checkpoint"),
+      triggerInterval = str(target, "triggerInterval").getOrElse("30 seconds"),
+      catalog = str(target, "catalog"))
+    JobConfig(
+      domain = str(j, "domain").getOrElse(fail("job needs a domain")),
+      dataset = str(j, "dataset").getOrElse(fail("job needs a dataset")),
+      layer = str(j, "layer").orElse(str(target, "layer")).getOrElse("bronze"),
+      source = sc, target = tc,
+      schemaVersion = num(j, "schemaVersion").map(_.intValue)
+        .orElse(schemaBlock.flatMap(str(_, "version")).map(parseVersion)),
+      validateSchema = bool(j, "validateSchema").getOrElse(true),
+      schemaDomain = schemaBlock.flatMap(str(_, "registry_domain")),
+      schemaDataset = schemaBlock.flatMap(str(_, "registry_dataset")),
+      dq = obj(j, "dq").orElse(obj(j, "data_quality")).map(toDq))
+  }
+
+  /** "v1" / "1" -> 1 (reference versions are "v<N>" strings). */
+  private def parseVersion(v: String): Int =
+    v.stripPrefix("v").toInt
+
+  private def toDq(d: Obj): DQConfig = DQConfig(
+    policy = str(d, "policy").orElse(str(d, "on_fail"))
+      .map(_.toLowerCase).getOrElse("log_only"),
+    quarantine = str(d, "quarantine"),
+    warnOnly = arr(d, "warnOnly").map(Hocon.render),
+    metadataChecks = bool(d, "metadataChecks")
+      .orElse(bool(d, "metadata_checks")).getOrElse(false),
+    checks = arr(d, "checks").collect { case c: Obj => toCheck(c) })
+
+  private def toCheck(c: Obj): CheckConfig = CheckConfig(
+    `type` = str(c, "type").getOrElse(fail("check needs a type")),
+    column = str(c, "column"),
+    columns = arr(c, "columns").map(Hocon.render),
+    min = num(c, "min").map(_.doubleValue),
+    max = num(c, "max").map(_.doubleValue),
+    pattern = str(c, "pattern"),
+    allowed = arr(c, "allowed").map(Hocon.render),
+    minRows = num(c, "minRows").map(_.longValue),
+    name = str(c, "name"),
+    sql = str(c, "sql"),
+    exact = bool(c, "exact").getOrElse(true))
 }

@@ -41,17 +41,29 @@ object IngestionRunner {
 
   def buildJob(j: JobConfig, registry: Option[SchemaRegistry]): IngestionJob = {
     val schema = registry.filter(_ => j.validateSchema)
-      .map(_.getSchema(j.domain, j.dataset, j.schemaVersion))
+      .map(_.getSchema(j.registryDomain, j.registryDataset, j.schemaVersion))
     val reader = buildReader(j, schema)
     val writer = buildWriter(j.target.format)
     val layer = MedallionLayer.fromString(j.layer)
     val dqConfig = j.dq
+    // dq.metadataChecks folds the registry schema's field metadata
+    // (allowed_values / min_value / max_value / pattern / nullability) into
+    // the configured rule set — the enforcement the reference documents in
+    // its schema JSON but never applies (SURVEY.md §1.2).
+    val ruleSet = dqConfig.map { dc =>
+      val derived =
+        if (dc.metadataChecks)
+          schema.map(graft.dq.MetadataChecks.fromSchema).getOrElse(Seq.empty)
+        else Seq.empty
+      val base = dc.toRuleSet
+      base.copy(checks = base.checks ++ derived)
+    }.filter(_.checks.nonEmpty)
     IngestionJob(
       domain = j.domain, dataset = j.dataset, layer = layer,
       reader = reader, writer = writer,
       target = LakehouseTable(j.target.identifier, layer, j.target.partitions),
       expectedSchema = schema,
-      ruleSet = dqConfig.map(_.toRuleSet).filter(_.checks.nonEmpty),
+      ruleSet = ruleSet,
       quarantine = dqConfig.flatMap(_.quarantine)
         .map(LakehouseTable(_, layer, Seq.empty)),
       mode = parseMode(j.target.mode),
@@ -72,7 +84,16 @@ object IngestionRunner {
         FileReader(f, need(s.path, "path"), schema, s.options, s.streaming,
           corruptColumn = if (f == "csv" || f == "json") Some("_corrupt_record") else None)
       case "jdbc" =>
-        JdbcReader(need(s.url, "url"), need(s.table, "table"), s.options)
+        // Partitioned/incremental read controls reach the reader from
+        // config (round-1 gap: only url/table/options were passed, making
+        // the documented partitioned read unreachable).
+        JdbcReader(need(s.url, "url"), need(s.table, "table"), s.options,
+          partitionColumn = s.partitionColumn,
+          lowerBound = s.lowerBound, upperBound = s.upperBound,
+          numPartitions = s.numPartitions.getOrElse(8),
+          watermark = for {
+            c <- s.watermarkColumn; v <- s.watermarkValue
+          } yield (c, v))
       case "kafka" =>
         KafkaReader(
           need(s.bootstrapServers, "bootstrapServers"), need(s.topic, "topic"),

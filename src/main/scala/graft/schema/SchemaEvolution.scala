@@ -33,13 +33,7 @@ object SchemaEvolution {
     val cols = target.fields.map { tf =>
       present.get(tf.name) match {
         case Some(af) if af.dataType == tf.dataType => col(tf.name)
-        case Some(af)
-            if SchemaValidator.typesCompatible(tf.dataType, af.dataType,
-              strictDecimal = false) ||
-              // safe widenings only (int->long, float->double, ...): lossy
-              // narrowing must fail, not silently truncate
-              org.apache.spark.sql.catalyst.expressions.Cast
-                .canUpCast(af.dataType, tf.dataType) =>
+        case Some(af) if evolvableCast(af.dataType, tf.dataType) =>
           col(tf.name).cast(tf.dataType)
         case Some(af) =>
           throw EvolutionException(
@@ -54,6 +48,25 @@ object SchemaEvolution {
       }
     }
     df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Safe widenings only (int->long, float->double, decimal(10,2)->
+    * decimal(18,4), ...): lossy narrowing must FAIL, not silently truncate.
+    * Decimal pairs go through `Cast.canUpCast` alone — the blanket
+    * decimal-decimal leniency of `typesCompatible(strictDecimal = false)`
+    * is a validation-reporting rule, and using it here let
+    * decimal(18,4) data cast down to a decimal(8,0) target (scale silently
+    * rounds, overflow nulls at runtime). */
+  private def evolvableCast(from: org.apache.spark.sql.types.DataType,
+                            to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.DecimalType
+    (from, to) match {
+      case (_: DecimalType, _: DecimalType) =>
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to)
+      case _ =>
+        SchemaValidator.typesCompatible(to, from, strictDecimal = true) ||
+          org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to)
+    }
   }
 
   /** Conform every frame to the registry's latest schema and union them —

@@ -69,4 +69,72 @@ class ConfigSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       graft.core.IngestionRunner.parseMode("sideways")
   }
+
+  test("Hocon parses nesting, dotted keys, types, comments, merge") {
+    val tree = Hocon.parse(
+      """# top comment
+        |a = 1
+        |b { x = true }        // inline comment
+        |b { y = "quoted str" }
+        |c.d.e = 2.5
+        |arr = [1, 2,
+        |  3]
+        |objs = [{n = "one"}, {n = "two"}]
+        |unquoted = hello world
+        |numstr = "123"
+        |""".stripMargin)
+    tree("a") shouldBe 1L
+    val b = tree("b").asInstanceOf[Hocon.Obj]
+    b("x") shouldBe true
+    b("y") shouldBe "quoted str" // objects merged, scalars kept
+    tree("c").asInstanceOf[Hocon.Obj]("d").asInstanceOf[Hocon.Obj]("e") shouldBe 2.5
+    tree("arr") shouldBe List(1L, 2L, 3L)
+    tree("objs").asInstanceOf[List[Hocon.Obj]].map(_("n")) shouldBe List("one", "two")
+    tree("unquoted") shouldBe "hello world"
+    tree("numstr") shouldBe "123" // quoted numbers stay strings
+  }
+
+  test("Hocon substitutions resolve from config, then environment") {
+    val tree = Hocon.parse(
+      """env = prod
+        |path = "/data/"${env}"/in"
+        |fromEnv = ${GRAFT_TEST_SUB}
+        |absent = ${?NOT_SET_ANYWHERE}
+        |""".stripMargin,
+      env = Map("GRAFT_TEST_SUB" -> "injected"))
+    tree("path") shouldBe "/data/prod/in"
+    tree("fromEnv") shouldBe "injected"
+    assert(tree("absent") == null)
+    a[Hocon.HoconParseException] should be thrownBy
+      Hocon.parse("x = ${MISSING_REQUIRED}", env = Map.empty)
+  }
+
+  test("JDBC partition/watermark options travel config -> reader") {
+    val cfgText =
+      """jobs = [{
+        |  domain = "d", dataset = "t", layer = "bronze"
+        |  validateSchema = false
+        |  source = {
+        |    type = "jdbc"
+        |    url = "jdbc:postgresql://db/x"
+        |    table = "events"
+        |    partitionColumn = "id"
+        |    lowerBound = 0
+        |    upperBound = 1000000
+        |    numPartitions = 16
+        |    watermarkColumn = "updated_at"
+        |    watermarkValue = "2026-01-01 00:00:00"
+        |  }
+        |  target = {format = "parquet", identifier = "/out"}
+        |}]""".stripMargin
+    val cfg = HoconConfigLoader.toPipelineConfig(Hocon.parse(cfgText))
+    val reader = graft.core.IngestionRunner.buildReader(cfg.jobs.head, None)
+      .asInstanceOf[graft.io.JdbcReader]
+    val opts = reader.readerOptions
+    opts("partitionColumn") shouldBe "id"
+    opts("lowerBound") shouldBe "0"
+    opts("upperBound") shouldBe "1000000"
+    opts("numPartitions") shouldBe "16"
+    opts("dbtable") should include("updated_at > '2026-01-01 00:00:00'")
+  }
 }

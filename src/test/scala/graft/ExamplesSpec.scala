@@ -18,6 +18,41 @@ class ExamplesSpec extends SparkSpec {
     cfg.jobs.head.dq.get.checks.length shouldBe 4
   }
 
+  test("examples/pipeline.conf (HOCON) builds the same config as the JSON") {
+    val j = ConfigLoader.loadFromFile("examples/pipeline.json")
+    val h = ConfigLoader.loadFromFile("examples/pipeline.conf")
+    h.env shouldBe j.env
+    h.schemaRegistry shouldBe j.schemaRegistry
+    val (jj, hj) = (j.jobs.head, h.jobs.head)
+    hj.copy(dq = None) shouldBe jj.copy(dq = None)
+    hj.dq.get.policy shouldBe jj.dq.get.policy
+    hj.dq.get.quarantine shouldBe jj.dq.get.quarantine
+    // compare compiled checks (Jackson can box JSON ints inside
+    // Option[Double]; toCheck normalizes both sides)
+    hj.dq.get.checks.map(_.toCheck) shouldBe jj.dq.get.checks.map(_.toCheck)
+  }
+
+  test("the reference's HOCON shape loads unchanged (user-events-batch)") {
+    val cfg = ConfigLoader.loadFromFile("examples/user-events-batch.conf",
+      schemaBasePath = "examples/schemas")
+    cfg.env shouldBe "staging"
+    val job = cfg.jobs.head
+    job.domain shouldBe "user_events"
+    job.layer shouldBe "bronze" // from target.layer
+    job.source.`type` shouldBe "kafka"
+    job.source.bootstrapServers shouldBe Some("kafka:9092") // dotted option key
+    job.source.topic shouldBe Some("user_events.clicks")    // from subscribe
+    job.source.streaming shouldBe false                     // options.streaming
+    job.source.options("startingOffsets") shouldBe "earliest"
+    job.target.format shouldBe "parquet"                    // lakehouse_format
+    job.target.identifier shouldBe "user_events.clicks_bronze" // table
+    job.target.catalog shouldBe Some("hive")
+    job.target.partitions shouldBe Seq("event_date")
+    job.schemaVersion shouldBe Some(1)                      // "v1"
+    job.registryDomain shouldBe "user_events"
+    job.dq.get.policy shouldBe "quarantine"                 // on_fail
+  }
+
   test("registry schema resolves and yields metadata-derived checks") {
     val schema = new SchemaRegistry("examples/schemas")
       .getSchema("payments", "transactions")
@@ -27,12 +62,38 @@ class ExamplesSpec extends SparkSpec {
       "notnull_transaction_id", "notnull_amount", "range_amount", "allowed_currency")
   }
 
+  private def rmrf(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles.foreach(rmrf)
+    p.delete(); ()
+  }
+
+  test("metadataChecks derives quarantine enforcement from field metadata") {
+    import graft.config._
+    rmrf(new java.io.File("/tmp/graft-meta"))
+    Files.createDirectories(Paths.get("/tmp/graft-meta/in"))
+    // row 2 violates min_value 0.0 on amount, row 3 allowed_values on
+    // currency — both constraints live ONLY in the registry schema's
+    // field metadata (examples/schemas/payments/transactions/v1.json),
+    // not in the job config.
+    Files.writeString(Paths.get("/tmp/graft-meta/in/data.json"),
+      """{"transaction_id": 1, "amount": 10.5, "currency": "USD", "merchant": "a"}
+        |{"transaction_id": 2, "amount": -4.0, "currency": "USD", "merchant": "b"}
+        |{"transaction_id": 3, "amount": 7.0, "currency": "ZZZ", "merchant": "c"}""".stripMargin)
+    val job = JobConfig(
+      domain = "payments", dataset = "transactions", layer = "bronze",
+      source = SourceConfig("json", path = Some("/tmp/graft-meta/in")),
+      target = TargetConfig("parquet", "/tmp/graft-meta/bronze", mode = "overwrite"),
+      dq = Some(DQConfig(policy = "quarantine",
+        quarantine = Some("/tmp/graft-meta/quarantine"), metadataChecks = true)))
+    val registry = new SchemaRegistry("examples/schemas")
+    IngestionRunner.buildJob(job, Some(registry)).run(spark)
+    spark.read.parquet("/tmp/graft-meta/bronze")
+      .select("transaction_id").as[Long].collect() shouldBe Array(1L)
+    spark.read.parquet("/tmp/graft-meta/quarantine").count() shouldBe 2
+  }
+
   test("the example pipeline runs end to end with quarantine") {
     // quarantine appends by design; start from a clean slate
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles.foreach(rmrf)
-      p.delete(); ()
-    }
     rmrf(new java.io.File("/tmp/graft-example"))
     Files.createDirectories(Paths.get("/tmp/graft-example/in"))
     Files.writeString(Paths.get("/tmp/graft-example/in/data.json"),

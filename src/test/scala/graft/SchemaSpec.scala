@@ -39,6 +39,26 @@ class SchemaSpec extends SparkSpec {
     e.getMessage should include("no/such")
   }
 
+  test("classpath registry lists via generated manifest, beyond v10") {
+    val base = Paths.get(tmpDir("cpreg"))
+    // v11 exists so the reference's v1..v10 probe would miss the latest
+    for (v <- Seq(1, 9, 10, 11))
+      writeSchema(base.toString, "pay", "tx", v,
+        v1.add(s"since_v$v", StringType))
+    val lines = SchemaRegistry.writeManifest(base)
+    lines should contain("pay/tx/v11.json")
+    // the manifest + schema tree as classpath resources
+    val loader = new java.net.URLClassLoader(
+      Array(base.getParent.toUri.toURL), null)
+    val reg = SchemaRegistry.classpath(base.getFileName.toString, loader)
+    reg.listVersions("pay", "tx") shouldBe Seq(1, 9, 10, 11)
+    reg.latestVersion("pay", "tx") shouldBe Some(11)
+    reg.getSchema("pay", "tx").fieldNames should contain("since_v11")
+    reg.getSchema("pay", "tx", Some(9)).fieldNames should contain("since_v9")
+    val e = intercept[SchemaNotFoundException](reg.getSchema("pay", "tx", Some(12)))
+    e.getMessage should include("classpath:")
+  }
+
   test("registry caches resolved schemas") {
     val base = tmpDir("cache")
     writeSchema(base, "d", "s", 1, v1)
@@ -112,6 +132,26 @@ class SchemaSpec extends SparkSpec {
     val clash = StructType(Seq(StructField("amount", ArrayType(LongType))))
     an[SchemaEvolution.EvolutionException] should be thrownBy
       SchemaEvolution.conform(v1, clash)
+  }
+
+  test("conform widens decimals but refuses lossy narrowing") {
+    import graft.schema.SchemaEvolution
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("12345678901234.5678").toDF("amount")
+      .select(col("amount").cast(DecimalType(18, 4)).as("amount"))
+    val widened = SchemaEvolution.conform(df,
+      StructType(Seq(StructField("amount", DecimalType(24, 6)))))
+    widened.schema.head.dataType shouldBe DecimalType(24, 6)
+    widened.as[BigDecimal].collect().head shouldBe BigDecimal("12345678901234.567800")
+    // decimal(18,4) -> decimal(8,0): scale rounds silently, precision
+    // overflows to null at runtime — must fail at conform time instead
+    an[SchemaEvolution.EvolutionException] should be thrownBy
+      SchemaEvolution.conform(df,
+        StructType(Seq(StructField("amount", DecimalType(8, 0)))))
+    an[SchemaEvolution.EvolutionException] should be thrownBy
+      SchemaEvolution.conform(df,
+        StructType(Seq(StructField("amount", DecimalType(18, 2)))))
   }
 
   test("validateOrThrow raises on invalid frames") {
