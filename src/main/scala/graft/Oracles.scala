@@ -481,5 +481,58 @@ object Oracles {
     "q49_ivf_recall" ->
       """SELECT CAST(150 AS BIGINT) AS n_exact,
         |  CAST(1 AS BOOLEAN) AS recall_ok""".stripMargin,
+
+    "q50_pii_redact" ->
+      """WITH l AS (
+        |  SELECT event_id,
+        |    event_type || ' user=' || user_id || ' ip=10.0.' ||
+        |    (user_id % 256) || '.' || (event_id % 256) AS line
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(len(regexp_extract_all(line, 'user=[0-9]+')) AS BIGINT) AS n_ids,
+        |  CAST(len(regexp_extract_all(line, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  regexp_replace(
+        |    regexp_replace(line, 'user=[0-9]+', 'user=[ID]', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g') AS redacted
+        |FROM l ORDER BY event_id""".stripMargin,
+
+    "q51_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), c AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_distinct,
+        |  CAST(MAX(c) AS BIGINT) AS top_tok_n,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q52_embed_centroids" ->
+      """WITH e AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) v FROM embeddings
+        |), n AS (
+        |  SELECT label, v, sqrt(list_dot_product(v, v)) nrm FROM e
+        |), x AS (
+        |  SELECT label, nrm, unnest(v) AS comp, generate_subscripts(v, 1) AS pos FROM n
+        |)
+        |SELECT label, CAST(pos AS INTEGER) AS pos,
+        |  CAST(SUM(CAST(comp / nrm AS DECIMAL(27,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid,
+        |  COUNT(*) AS n_vectors
+        |FROM x WHERE pos <= 8 GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "q53_vocab_profile" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), c AS (
+        |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY lang, tok
+        |), r AS (
+        |  SELECT lang, tok, n,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT lang, tok, n, rank FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
   )
 }

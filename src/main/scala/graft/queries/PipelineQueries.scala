@@ -178,6 +178,83 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PII-style redaction over log lines derived from event fields (the
+    * corpus itself carries no PII, so the lines are built from real ids —
+    * integer renders are engine-portable). The scrub is a codegen'd
+    * regexp_replace chain + match-count audit columns; at scale it's one
+    * narrow map over the scan. */
+  def q50_pii_redact(spark: SparkSession, dir: String): DataFrame = {
+    val idPat = "user=[0-9]+"
+    val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        concat(col("event_type"), lit(" user="), col("user_id"),
+          lit(" ip=10.0."), pmod(col("user_id"), lit(256)),
+          lit("."), pmod(col("event_id"), lit(256))).as("line"))
+      .select(
+        col("event_id"),
+        TextOps.matchCount(col("line"), idPat).as("n_ids"),
+        TextOps.matchCount(col("line"), ipPat).as("n_ips"),
+        TextOps.redact(col("line"),
+          Seq(idPat -> "user=[ID]", ipPat -> "[IP]")).as("redacted"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Repetition / boilerplate profile: token totals, distinct counts, and
+    * the modal token's share — the count-based quality signals dedup
+    * pipelines threshold on. Two-stage aggregation (partial map-side
+    * combine on (doc, token), then per-doc rollup); all-integer counts with
+    * one final division keep it engine-portable. */
+  def q51_repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).cast("long").as("top_tok_n"))
+      .withColumn("rep_ratio",
+        col("top_tok_n").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+
+  /** Per-label centroids of L2-normalized embeddings (first 8 components):
+    * the building block for cluster summaries / cosine-centroid assignment.
+    * Component sums go through DECIMAL(27,12) so the aggregation is
+    * order-independent (bit-identical on any partitioning — a float sum
+    * would drift with shuffle order); the mean divides as float64. */
+  def q52_embed_centroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"), CosineKnn.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(CosineKnn.dot(col("v"), col("v"))))
+      .select(col("label"), col("nrm"), posexplode(col("v")).as(Seq("pos", "comp")))
+      .filter(col("pos") < 8)
+    e.groupBy(col("label"), col("pos"))
+      .agg(sum((col("comp") / col("nrm")).cast("decimal(27,12)")).as("s"),
+        count(lit(1)).as("n_vectors"))
+      .select(col("label"), (col("pos") + 1).cast("int").as("pos"),
+        (col("s").cast("double") / col("n_vectors").cast("double")).as("centroid"),
+        col("n_vectors"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  /** Per-language vocabulary profile: top-5 tokens by frequency with
+    * stable tie-break — corpus statistics at scale (combinable counts
+    * shuffled on (lang, token), then a tiny per-lang top-k window). */
+  def q53_vocab_profile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).cast("long").as("n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("tok").asc)
+    counts.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("tok"), col("n"), col("rank"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {

@@ -58,5 +58,9 @@ object Queries {
     "q47_grouping_sets" -> (TransformQueries.q47_grouping_sets _),
     "q48_schema_evolution" -> (TransformQueries.q48_schema_evolution _),
     "q49_ivf_recall"    -> (PipelineQueries.q49_ivf_recall _),
+    "q50_pii_redact"    -> (PipelineQueries.q50_pii_redact _),
+    "q51_repetition"    -> (PipelineQueries.q51_repetition _),
+    "q52_embed_centroids" -> (PipelineQueries.q52_embed_centroids _),
+    "q53_vocab_profile" -> (PipelineQueries.q53_vocab_profile _),
   )
 }

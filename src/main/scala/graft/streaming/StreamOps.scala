@@ -157,6 +157,28 @@ object StreamOps {
       }
       .start()
 
+  /** Watermarked stream-stream inner join within a time bound: each left
+    * row matches right rows with the same key whose event time lies in
+    * [left.ts - tolerance, left.ts] (click-to-impression attribution
+    * shape). Both sides carry watermarks + the range predicate, so Spark
+    * bounds the join state and evicts it as watermarks advance — without
+    * them, stream-stream join state grows forever, the #1 production
+    * footgun. At scale the join shuffles both streams on the key only.
+    *
+    * Expects `ts` columns pre-named distinctly (leftTs/rightTs). */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       watermarkDelay: String, tolerance: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $tolerance") &&
+        r(rightTs) <= l(leftTs),
+      "inner")
+      .drop(r(key))
+  }
+
   /** Split one input stream into clean/quarantine sinks inside a single
     * foreachBatch (one source read per micro-batch, exactly-once via
     * checkpoint + idempotent parquet append). */

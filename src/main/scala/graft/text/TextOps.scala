@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Sequential regex redaction: each (pattern, replacement) applies in
+    * order (PII scrubbing — emails, phone numbers, ids, IPs). Pure
+    * `regexp_replace` chain: per-row narrow, codegen'd, and portable (use
+    * RE2-compatible patterns — no lookbehind — and the same rewrite runs
+    * on any engine). */
+  def redact(text: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(text) { case (c, (pattern, repl)) =>
+      regexp_replace(c, pattern, repl)
+    }
+
+  /** Count of matches of `pattern` (redaction audit metric). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Whitespace tokens (single-space convention of the corpus). */
   def tokens(text: Column): Column = split(text, " ")
 

@@ -47,6 +47,30 @@ class StreamingSpec extends SparkSpec {
     out.count(_ == "b") shouldBe 1
   }
 
+  test("stream-stream interval join attributes clicks to impressions") {
+    val imps = MemoryStream[(Timestamp, String)](spark)
+    val clicks = MemoryStream[(Timestamp, String)](spark)
+    val joined = StreamOps.streamStreamJoin(
+      clicks.toDF().toDF("click_ts", "ad"),
+      imps.toDF().toDF("imp_ts", "ad"),
+      key = "ad", leftTs = "click_ts", rightTs = "imp_ts",
+      watermarkDelay = "10 minutes", tolerance = "15 minutes")
+    runToMemory(joined, "attributed", OutputMode.Append()) {
+      imps.addData((ts("2026-01-01 00:00:00"), "ad1"),
+        (ts("2026-01-01 00:00:00"), "ad2"))
+      clicks.addData(
+        (ts("2026-01-01 00:05:00"), "ad1"),  // within 15 min -> attributed
+        (ts("2026-01-01 00:40:00"), "ad2"))  // 40 min later -> not attributed
+      // push both watermarks so state finalizes
+      imps.addData((ts("2026-01-01 03:00:00"), "late"))
+      clicks.addData((ts("2026-01-01 03:00:00"), "late2"))
+    }
+    val out = spark.table("attributed")
+      .select($"ad", $"click_ts".cast("string"))
+      .as[(String, String)].collect().toSet
+    out shouldBe Set(("ad1", "2026-01-01 00:05:00"))
+  }
+
   test("session_window merges events within gap") {
     val in = MemoryStream[(Timestamp, String)](spark)
     val df = in.toDF().toDF("ts", "user")
