@@ -211,40 +211,37 @@ object Oracles {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q27_minhash_dedup" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') tk FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(tk) >= 3
-        |      THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-        |      ELSE [] END) AS sg
-        |  FROM t
-        |), hs AS (
-        |  SELECT doc_id, sg,
-        |    list_transform(sg, g -> CAST(md5_number_upper(g) AS HUGEINT) % 2305843009213693951) AS h1,
-        |    list_transform(sg, g -> CAST(md5_number_lower(g) AS HUGEINT) % 2305843009213693951) AS h2
-        |  FROM sh
-        |), mh AS (
-        |  SELECT doc_id, sg,
-        |    [ ${(0 until 64).map(p => s"(SELECT CAST(min((z.l1 + $p*z.l2) % 2305843009213693951) AS BIGINT) FROM (SELECT unnest(list_zip(h1, h2), recursive := true)) z(l1, l2))").mkString(",\n      ")} ] AS sig
-        |  FROM hs
-        |), bands AS (
-        |  SELECT doc_id, unnest([
-        |    ${(0 until 16).map(bi => s"'$bi|' || ${(0 until 4).map(ri => s"sig[${bi * 4 + ri + 1}]").mkString(" || '|' || ")}").mkString(",\n    ")}
-        |  ]) AS band
-        |  FROM mh
-        |), capped AS (
-        |  SELECT doc_id, band FROM bands
-        |  QUALIFY count(*) OVER (PARTITION BY band) <= 100
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id
-        |)
+      s"""WITH ${Oracles.minhashPairCtes}
         |SELECT id_a, id_b,
         |  CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS jaccard
         |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
         |WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q54_dup_clusters" ->
+      s"""WITH RECURSIVE ${Oracles.minhashPairCtes},
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.node = e.b
+        |), comp AS (
+        |  SELECT node, min(r) AS comp FROM reach GROUP BY node
+        |), allc AS (
+        |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        |)
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |  doc_id = cluster_id AS keep
+        |FROM allc ORDER BY doc_id""".stripMargin,
+
+
 
     "q29_ngram_jaccard" ->
       """WITH d AS (
@@ -535,4 +532,40 @@ object Oracles {
         |SELECT lang, tok, n, rank FROM r WHERE rank <= 5
         |ORDER BY lang, rank""".stripMargin,
   )
+
+  /** Shared CTE chain producing minhash-LSH candidate pairs (`cand`) and
+    * shingle sets (`sh`) over `documents` — the q27 pipeline, reused by
+    * q54's connected-components oracle. Rendered WITHOUT the leading
+    * "WITH " so callers can choose WITH vs WITH RECURSIVE. */
+  private def minhashPairCtes: String =
+    s"""t AS (
+      |  SELECT doc_id, string_split(text, ' ') tk FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(tk) >= 3
+      |      THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+      |      ELSE [] END) AS sg
+      |  FROM t
+      |), hs AS (
+      |  SELECT doc_id, sg,
+      |    list_transform(sg, g -> CAST(md5_number_upper(g) AS HUGEINT) % 2305843009213693951) AS h1,
+      |    list_transform(sg, g -> CAST(md5_number_lower(g) AS HUGEINT) % 2305843009213693951) AS h2
+      |  FROM sh
+      |), mh AS (
+      |  SELECT doc_id, sg,
+      |    [ ${(0 until 64).map(p => s"(SELECT CAST(min((z.l1 + $p*z.l2) % 2305843009213693951) AS BIGINT) FROM (SELECT unnest(list_zip(h1, h2), recursive := true)) z(l1, l2))").mkString(",\n      ")} ] AS sig
+      |  FROM hs
+      |), bands AS (
+      |  SELECT doc_id, unnest([
+      |    ${(0 until 16).map(bi => s"'$bi|' || ${(0 until 4).map(ri => s"sig[${bi * 4 + ri + 1}]").mkString(" || '|' || ")}").mkString(",\n    ")}
+      |  ]) AS band
+      |  FROM mh
+      |), capped AS (
+      |  SELECT doc_id, band FROM bands
+      |  QUALIFY count(*) OVER (PARTITION BY band) <= 100
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id
+      |)""".stripMargin
 }
+

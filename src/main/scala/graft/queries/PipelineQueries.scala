@@ -88,13 +88,16 @@ object PipelineQueries {
     val cand = a.join(b, col("lang_a") === col("lang_b") && col("nc_key") === col("nc_b") &&
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+    // grams sorted once per doc so the per-pair intersect is an
+    // allocation-free merge walk (jaccard count is order-independent, so
+    // the oracle is unaffected)
     val grams = docs.select(col("doc_id"),
-      graft.functions.CharNgrams.charNgrams(col("text"), 3).as("g3"))
+      array_sort(graft.functions.CharNgrams.charNgrams(col("text"), 3)).as("g3"))
     val ga = grams.select(col("doc_id").as("id_a"), col("g3").as("ga"))
     val gb = grams.select(col("doc_id").as("id_b"), col("g3").as("gb"))
     cand.join(ga, "id_a").join(gb, "id_b")
       .withColumn("jaccard",
-        graft.functions.JaccardSim.jaccardSim(col("ga"), col("gb")))
+        graft.functions.JaccardSim.jaccardSimSorted(col("ga"), col("gb")))
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -253,6 +256,26 @@ object PipelineQueries {
       .filter(col("rank") <= 5)
       .select(col("lang"), col("tok"), col("n"), col("rank"))
       .orderBy(col("lang"), col("rank"))
+  }
+
+  /** Duplicate CLUSTERS from the q27 near-dup pairs via distributed
+    * connected components (min-label propagation, one shuffle join per
+    * round): pairwise dedup under-deletes (a~b, b~c keeps a AND c); the
+    * cluster view keeps exactly one representative per component. Output:
+    * every doc with its cluster id, cluster size, and keep flag. */
+  def q54_dup_clusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val pairs = MinHashLsh.nearDuplicatePairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+    val clusters = Dedup.duplicateClusters(pairs, docs.select(col("doc_id")), "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+    clusters
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("bigint"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode

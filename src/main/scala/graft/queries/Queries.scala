@@ -62,5 +62,6 @@ object Queries {
     "q51_repetition"    -> (PipelineQueries.q51_repetition _),
     "q52_embed_centroids" -> (PipelineQueries.q52_embed_centroids _),
     "q53_vocab_profile" -> (PipelineQueries.q53_vocab_profile _),
+    "q54_dup_clusters"  -> (PipelineQueries.q54_dup_clusters _),
   )
 }

@@ -49,4 +49,59 @@ object Dedup {
       .agg(min_by(payload, col(idCol)).as("__row"), count(lit(1)).as("dup_count"))
       .select(col("__row.*"), col("dup_count"))
   }
+
+  /** Connected components over a near-duplicate pair list: every node gets
+    * `cluster_id` = the minimum id reachable through pair edges, so one
+    * representative per duplicate CLUSTER survives (pairwise dedup alone
+    * under-deletes: a~b, b~c keeps both a and c unless clustered).
+    *
+    * Min-label propagation: each iteration ships every node's current
+    * label across its edges and keeps the minimum — one shuffle join per
+    * iteration, converging in graph-diameter rounds (near-dup clusters are
+    * shallow; `maxIters` bounds the loop and convergence is verified with
+    * a cheap count, not a collect). Edges are materialized once up front
+    * so the (possibly expensive) pair pipeline doesn't re-execute every
+    * iteration. For graphs with whale components see the large-star/
+    * small-star variant (Kiveris et al.) — same join primitive, fewer
+    * rounds.
+    *
+    * Input: `pairs(id_a, id_b)`; `nodes(idCol)` enumerates all ids so
+    * singletons cluster as themselves. Output: (idCol, cluster_id).
+    */
+  def duplicateClusters(pairs: DataFrame, nodes: DataFrame, idCol: String,
+                        maxIters: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .as[(Long, Long)].persist()
+    try {
+      var labels = nodes.select(col(idCol).cast("long").as("node"))
+        .withColumn("comp", col("node")).as[(Long, Long)].persist()
+      var iter = 0
+      var converged = false
+      while (iter < maxIters && !converged) {
+        val viaEdges = edges.toDF("node", "dst")
+          .join(labels.toDF("dst", "comp"), "dst")
+          .select(col("node"), col("comp"))
+        val next = labels.toDF("node", "comp").union(viaEdges)
+          .groupBy("node").agg(min("comp").as("comp"))
+          .as[(Long, Long)].persist()
+        // converged when no label decreased (labels only ever go down)
+        val changed = next.toDF("node", "comp2")
+          .join(labels.toDF("node", "comp"), "node")
+          .filter(col("comp2") < col("comp")).limit(1).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"duplicateClusters did not converge in $maxIters iterations")
+      labels.toDF("node", "comp")
+        .select(col("node").as(idCol), col("comp").as("cluster_id"))
+    } finally { edges.unpersist(); () }
+  }
 }

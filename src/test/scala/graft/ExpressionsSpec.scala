@@ -67,6 +67,22 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("JaccardSim sorted merge-walk equals the hash-set path") {
+    val grams = functions.CharNgrams.charNgrams(col("text"), 3)
+    val df = texts.select(grams.as("g"))
+    val arrs = df.collect().map(_.getSeq[String](0))
+    for (x <- arrs; y <- arrs) {
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      def ad(s: Seq[String]) = new GenericArrayData(s.map(UTF8String.fromString).toArray)
+      def adSorted(s: Seq[String]) =
+        ad(s.sortWith((a, b) => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0))
+      val unsorted = functions.JaccardSim.compute(ad(x), ad(y))
+      val sorted = functions.JaccardSim.computeSorted(adSorted(x), adSorted(y))
+      sorted shouldBe unsorted
+    }
+  }
+
   test("DotProduct matches aggregate(zip_with(...)) exactly (FP order)") {
     val vecs = Seq(
       (Array(1.0, 2.0, 3.0), Array(0.5, -1.5, 2.0)),

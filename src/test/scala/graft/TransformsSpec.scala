@@ -74,6 +74,29 @@ class TransformsSpec extends SparkSpec {
     out(("u2", 4L)) shouldBe 1L
   }
 
+  test("duplicateClusters: transitive chains collapse, singletons stay") {
+    import spark.implicits._
+    // 1-2, 2-3, 3-4 form one component even though 1~4 was never a pair;
+    // 10-11 a second; 20 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val out = Dedup.duplicateClusters(pairs, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+  }
+
+  test("duplicateClusters fails loudly when maxIters is too small") {
+    import spark.implicits._
+    // a path graph of length 6 needs more than 1 round to converge
+    val pairs = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val nodes = (1L to 7L).toDF("doc_id")
+    an[IllegalStateException] should be thrownBy
+      Dedup.duplicateClusters(pairs, nodes, "doc_id", maxIters = 1)
+  }
+
   test("RefIntegrity.orphans finds unmatched children via anti-join") {
     val child = Seq((1L, 10L), (2L, 20L), (3L, 99L)).toDF("id", "parent_id")
     val parent = Seq((10L, "a"), (20L, "b")).toDF("pid", "name")
