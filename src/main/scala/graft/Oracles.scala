@@ -520,6 +520,14 @@ object Oracles {
         |  COUNT(*) AS n_vectors
         |FROM x WHERE pos <= 8 GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
+    "q55_quantiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  quantile_cont(value, 0.99) AS p99,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q53_vocab_profile" ->
       """WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents

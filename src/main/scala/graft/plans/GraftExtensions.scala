@@ -125,8 +125,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("char_ngrams", "char_ngrams(s, n) - distinct character n-grams") {
       args => graft.functions.CharNgrams(args(0), intLit(args(1), "n"))
     },
-    fn("minhash_sig", "minhash_sig(shingles, k) - k salted-md5 minhash values") {
+    fn("minhash_sig", "minhash_sig(shingles, k) - k md5-derived minhash slots (Kirsch-Mitzenmacher)") {
       args => graft.functions.MinHashSig(args(0), intLit(args(1), "k"))
+    },
+    fn("minhash_bands", "minhash_bands(shingles, b, r) - LSH band keys over a b x r minhash signature") {
+      args => graft.functions.MinHashBands(args(0), intLit(args(1), "b"), intLit(args(2), "r"))
     },
   )
 

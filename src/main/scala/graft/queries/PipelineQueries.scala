@@ -278,6 +278,20 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact per-group percentiles (linear interpolation — matches DuckDB's
+    * quantile_cont bit-for-bit). Exact percentile sorts within each group;
+    * at 100 TB prefer `approx_percentile` (t-digest-style sketch, one pass,
+    * mergeable) when a bounded rank error is acceptable — this query is the
+    * exactness baseline the sketch is judged against. */
+  def q55_quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {

@@ -63,5 +63,6 @@ object Queries {
     "q52_embed_centroids" -> (PipelineQueries.q52_embed_centroids _),
     "q53_vocab_profile" -> (PipelineQueries.q53_vocab_profile _),
     "q54_dup_clusters"  -> (PipelineQueries.q54_dup_clusters _),
+    "q55_quantiles"     -> (PipelineQueries.q55_quantiles _),
   )
 }

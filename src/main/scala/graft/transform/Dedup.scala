@@ -77,7 +77,10 @@ object Dedup {
       .distinct()
       .as[(Long, Long)].persist()
     try {
-      var labels = nodes.select(col(idCol).cast("long").as("node"))
+      // the label loop runs ONLY on nodes that touch an edge — the dup
+      // subgraph is tiny relative to the corpus, so iterations never
+      // shuffle the full node set; singletons join back at the end
+      var labels = edges.toDF("node", "dst").select(col("node")).distinct()
         .withColumn("comp", col("node")).as[(Long, Long)].persist()
       var iter = 0
       var converged = false
@@ -100,8 +103,9 @@ object Dedup {
       if (!converged)
         throw new IllegalStateException(
           s"duplicateClusters did not converge in $maxIters iterations")
-      labels.toDF("node", "comp")
-        .select(col("node").as(idCol), col("comp").as("cluster_id"))
+      nodes.select(col(idCol).cast("long").as(idCol))
+        .join(labels.toDF(idCol, "cluster_id"), Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
     } finally { edges.unpersist(); () }
   }
 }
