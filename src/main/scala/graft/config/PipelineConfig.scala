@@ -17,6 +17,9 @@ import graft.schema.SchemaRegistry
   */
 final case class PipelineConfig(env: String,
                                 schemaRegistry: Option[String] = None,
+                                // durable high-water-mark file for
+                                // incremental sources (io.WatermarkStore)
+                                watermarkStore: Option[String] = None,
                                 jobs: Seq[JobConfig] = Seq.empty)
 
 final case class JobConfig(domain: String, dataset: String, layer: String,
@@ -203,6 +206,8 @@ object HoconConfigLoader {
       env = str(root, "env").getOrElse("dev"),
       schemaRegistry = str(root, "schemaRegistry")
         .orElse(str(root, "schema_registry")).orElse(defaultRegistry),
+      watermarkStore = str(root, "watermarkStore")
+        .orElse(str(root, "watermark_store")),
       jobs = arr(root, "jobs").collect { case j: Obj => toJob(j) })
 
   private def toJob(j: Obj): JobConfig = {

@@ -32,17 +32,19 @@ object IngestionRunner {
 
   def runPipeline(spark: SparkSession, cfg: PipelineConfig): Seq[JobResult] = {
     val registry = cfg.schemaRegistry.map(new SchemaRegistry(_))
-    val results = cfg.jobs.map { j => buildJob(j, registry).run(spark) }
+    val store = cfg.watermarkStore.map(new graft.io.WatermarkStore(_))
+    val results = cfg.jobs.map { j => buildJob(j, registry, store).run(spark) }
     // Streaming jobs: await after ALL jobs have started.
     if (results.exists(_.streamingQuery.nonEmpty))
       spark.streams.awaitAnyTermination()
     results
   }
 
-  def buildJob(j: JobConfig, registry: Option[SchemaRegistry]): IngestionJob = {
+  def buildJob(j: JobConfig, registry: Option[SchemaRegistry],
+               watermarks: Option[graft.io.WatermarkStore] = None): IngestionJob = {
     val schema = registry.filter(_ => j.validateSchema)
       .map(_.getSchema(j.registryDomain, j.registryDataset, j.schemaVersion))
-    val reader = buildReader(j, schema)
+    val reader = buildReader(j, schema, watermarks)
     val writer = buildWriter(j.target.format)
     val layer = MedallionLayer.fromString(j.layer)
     val dqConfig = j.dq
@@ -74,7 +76,8 @@ object IngestionRunner {
   /** Reader factory by `source.type` (reference `:98-103` supports kafka
     * only; file + jdbc were declared-but-unimplemented, SURVEY.md §2B). */
   def buildReader(j: JobConfig,
-                  schema: Option[org.apache.spark.sql.types.StructType]): SourceReader = {
+                  schema: Option[org.apache.spark.sql.types.StructType],
+                  watermarks: Option[graft.io.WatermarkStore] = None): SourceReader = {
     val s = j.source
     def need(o: Option[String], what: String): String =
       o.getOrElse(throw new IllegalArgumentException(
@@ -91,8 +94,12 @@ object IngestionRunner {
           partitionColumn = s.partitionColumn,
           lowerBound = s.lowerBound, upperBound = s.upperBound,
           numPartitions = s.numPartitions.getOrElse(8),
+          // explicit config value wins; otherwise the durable store's
+          // last mark for this job (incremental-run path)
           watermark = for {
-            c <- s.watermarkColumn; v <- s.watermarkValue
+            c <- s.watermarkColumn
+            v <- s.watermarkValue.orElse(
+              watermarks.flatMap(_.get(s"${j.domain}.${j.dataset}")))
           } yield (c, v))
       case "kafka" =>
         KafkaReader(

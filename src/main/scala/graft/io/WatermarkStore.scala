@@ -1,0 +1,57 @@
+package graft.io
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Durable high-water marks for incremental ingestion: the reference
+  * documents watermark-driven JDBC loads (`docs/07-developer-guide.md:
+  * 665-671`) but leaves "where does the last value live between runs" to
+  * the operator. This is the minimal durable answer: one JSON file of
+  * `key -> last value` with atomic replace (write-temp + ATOMIC_MOVE), so
+  * a crashed run never truncates the store.
+  *
+  * Usage: `get(key)` feeds `JdbcReader.watermark`; after a successful
+  * write, `advance(df, col, key)` records the batch's max. Scale note:
+  * computing the max is one agg over the already-materialized batch; the
+  * store itself is driver-side metadata (bytes, not data).
+  */
+final class WatermarkStore(path: String) {
+
+  private val file = Paths.get(path)
+
+  private def readAll(): Map[String, String] =
+    if (!Files.isRegularFile(file)) Map.empty
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readValue(Files.readString(file),
+        classOf[java.util.Map[String, String]]).asScala.toMap
+    }
+
+  def get(key: String): Option[String] = readAll().get(key)
+
+  def put(key: String, value: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val next = readAll() + (key -> value)
+    Option(file.getParent).foreach(Files.createDirectories(_))
+    val tmp = file.resolveSibling(file.getFileName.toString + ".tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(next.asJava))
+    Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Record the batch's max watermark value (stringified — the same form
+    * `JdbcReader.dbtable` embeds in the pushdown predicate). No-op on an
+    * empty batch so a zero-row run never regresses the mark. */
+  def advance(df: DataFrame, column: String, key: String): Option[String] = {
+    val row = df.agg(F.max(F.col(column)).cast("string")).collect()(0)
+    if (row.isNullAt(0)) None
+    else {
+      val v = row.getString(0)
+      put(key, v)
+      Some(v)
+    }
+  }
+}

@@ -1,0 +1,51 @@
+package graft.lakehouse
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for parquet table paths — the operational chore
+  * behind every streaming/micro-batch sink (each trigger lands a file per
+  * partition; a month later the table is millions of tiny files and every
+  * scan pays the open/footer cost). Delta/Iceberg ship this as OPTIMIZE /
+  * rewrite_data_files; plain parquet tables get the same effect here.
+  *
+  * Strategy: size the output from the ACTUAL byte size (ceil(bytes /
+  * targetFileBytes) files), rewrite to a sibling temp dir, then swap via
+  * two renames — the table is never half-compacted in place, and the
+  * pre-swap state survives any crash. The rewrite is one repartition
+  * shuffle; at cluster scale run it per partition directory instead of
+  * whole-table (same primitive, bounded working set).
+  */
+object Compaction {
+
+  final case class CompactionResult(filesBefore: Int, filesAfter: Int,
+                                    bytes: Long)
+
+  def parquetFileCount(spark: SparkSession, dir: String): Int = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): CompactionResult = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val before = parquetFileCount(spark, dir)
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(dir + "__compact_tmp")
+    val old = new Path(dir + "__compact_old")
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(p, old))
+      throw new IllegalStateException(s"compaction: could not move $p aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back
+      throw new IllegalStateException(s"compaction: could not publish $tmp")
+    }
+    fs.delete(old, true)
+    CompactionResult(before, parquetFileCount(spark, dir), bytes)
+  }
+}

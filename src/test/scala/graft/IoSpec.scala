@@ -94,4 +94,42 @@ class IoSpec extends SparkSpec {
     DeltaSink().formatName shouldBe "delta"
     IcebergSink().formatName shouldBe "iceberg"
   }
+
+  test("WatermarkStore persists marks atomically and feeds the JDBC reader") {
+    import graft.config._
+    val storePath = tmpDir("wm") + "/marks.json"
+    val store = new graft.io.WatermarkStore(storePath)
+    store.get("pay.tx") shouldBe None
+    // advancing from a batch records its max; empty batches don't regress
+    val batch = Seq((1L, "2026-01-01 00:00:00"), (2L, "2026-02-03 04:05:06"))
+      .toDF("id", "updated_at")
+    store.advance(batch, "updated_at", "pay.tx") shouldBe Some("2026-02-03 04:05:06")
+    store.advance(batch.limit(0), "updated_at", "pay.tx") shouldBe None
+    new graft.io.WatermarkStore(storePath).get("pay.tx") shouldBe
+      Some("2026-02-03 04:05:06")
+    // an incremental job with no explicit watermarkValue picks up the mark
+    val job = JobConfig("pay", "tx", "bronze",
+      source = SourceConfig("jdbc", url = Some("jdbc:postgresql://db/x"),
+        table = Some("tx"), watermarkColumn = Some("updated_at")),
+      target = TargetConfig("parquet", "/out"), validateSchema = false)
+    val reader = graft.core.IngestionRunner
+      .buildReader(job, None, Some(store))
+      .asInstanceOf[graft.io.JdbcReader]
+    reader.dbtable should include("updated_at > '2026-02-03 04:05:06'")
+  }
+
+  test("Compaction rewrites many small files into sized outputs, atomically") {
+    import graft.lakehouse.Compaction
+    val dir = tmpDir("compact") + "/t"
+    val df = spark.range(10000).toDF("id")
+    df.repartition(40).write.parquet(dir)
+    Compaction.parquetFileCount(spark, dir) shouldBe 40
+    val r = Compaction.compact(spark, dir, targetFileBytes = 1L * 1024 * 1024)
+    r.filesBefore shouldBe 40
+    r.filesAfter should be < 5
+    spark.read.parquet(dir).count() shouldBe 10000
+    // temp/old dirs are gone after the swap
+    new java.io.File(dir + "__compact_tmp").exists() shouldBe false
+    new java.io.File(dir + "__compact_old").exists() shouldBe false
+  }
 }
