@@ -520,6 +520,17 @@ object Oracles {
         |  COUNT(*) AS n_vectors
         |FROM x WHERE pos <= 8 GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
+    "q56_split_sample" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CAST((CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(COALESCE(SUM(CASE WHEN bucket < 100 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sampled
+        |FROM b GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
     "q55_quantiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,

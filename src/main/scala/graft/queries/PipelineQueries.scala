@@ -292,6 +292,24 @@ object PipelineQueries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Deterministic train/val/test split + stratified sample audit: bucket
+    * assignment is a pure function of doc_id (md5-derived, engine-portable
+    * — NOT rand(seed), which reshuffles whenever partitioning changes), so
+    * a re-ingested document lands in the same split forever. Output: per
+    * (lang, split) doc counts plus how many survive a 100-permille
+    * stratified sample. */
+  def q56_split_sample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    Tables.documents(spark, dir)
+      .withColumn("split", StableHash.split(col("doc_id"),
+        Seq(800 -> "train", 900 -> "val"), "test"))
+      .withColumn("sampled", StableHash.samplePredicate(col("doc_id"), 100))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).cast("long").as("n_sampled"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {

@@ -64,5 +64,6 @@ object Queries {
     "q53_vocab_profile" -> (PipelineQueries.q53_vocab_profile _),
     "q54_dup_clusters"  -> (PipelineQueries.q54_dup_clusters _),
     "q55_quantiles"     -> (PipelineQueries.q55_quantiles _),
+    "q56_split_sample"  -> (PipelineQueries.q56_split_sample _),
   )
 }

@@ -83,6 +83,22 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("StableHash buckets are in range, stable, and roughly uniform") {
+    import graft.functions.StableHash
+    val ids = spark.range(0, 2000).toDF("id")
+    val b = ids.select(StableHash.bucket(col("id"), 10).as("b"))
+      .groupBy("b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    b.keySet.forall(k => k >= 0 && k < 10) shouldBe true
+    // each of 10 buckets gets 2000/10 = 200 +- wide margin
+    b.values.foreach(_ shouldBe 200L +- 80L)
+    // stability: recomputing under a different partitioning is identical
+    val again = ids.repartition(7).select(col("id"),
+      StableHash.bucket(col("id"), 10).as("b2"))
+    val one = ids.select(col("id"), StableHash.bucket(col("id"), 10).as("b1"))
+    one.join(again, "id").filter(col("b1") =!= col("b2")).count() shouldBe 0L
+  }
+
   test("DotProduct matches aggregate(zip_with(...)) exactly (FP order)") {
     val vecs = Seq(
       (Array(1.0, 2.0, 3.0), Array(0.5, -1.5, 2.0)),
