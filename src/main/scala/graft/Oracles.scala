@@ -531,6 +531,36 @@ object Oracles {
         |  CAST(COALESCE(SUM(CASE WHEN bucket < 100 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sampled
         |FROM b GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
+    "q57_rolling_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s, value
+        |  FROM events)
+        |SELECT user_id, event_id, ts_s,
+        |  COUNT(*) OVER w AS n_trailing_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_s, event_id""".stripMargin,
+
+    "q58_decontamination" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |), splits AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000 < 800 THEN 'train'
+        |         WHEN (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT ssa.split AS split_a, ssb.split AS split_b, COUNT(*) AS n_pairs,
+        |  ssa.split <> ssb.split AS leaky
+        |FROM pairs
+        |JOIN splits ssa ON ssa.doc_id = id_a
+        |JOIN splits ssb ON ssb.doc_id = id_b
+        |GROUP BY ssa.split, ssb.split ORDER BY split_a, split_b""".stripMargin,
+
     "q55_quantiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,

@@ -310,6 +310,47 @@ object PipelineQueries {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Trailing-hour rolling aggregates per user: a RANGE window frame over
+    * event time (epoch seconds), not ROWS — the frame is defined by the
+    * clock, so bursts widen it and gaps empty it. One shuffle on user_id;
+    * the frame scan is per-partition. Money math in DECIMAL for parity. */
+  def q57_rolling_window(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(spark, dir)
+      .withColumn("ts_s", unix_timestamp(col("ts")))
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum(Parity.dec(col("value"))).over(w).cast("double").as("sum_trailing_1h"))
+      .orderBy(col("user_id"), col("ts_s"), col("event_id"))
+  }
+
+  /** Split decontamination audit: near-duplicate pairs (q27 machinery) that
+    * STRADDLE the q56 train/val/test split are evaluation leakage — a test
+    * document with a train-set near-duplicate inflates benchmarks. Counts
+    * pairs by (split_a, split_b); the off-diagonal cells are the
+    * contamination to fix (drop the eval-side member or re-split by
+    * cluster, q54). */
+  def q58_decontamination(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val docs = Tables.documents(spark, dir)
+    val pairs = MinHashLsh.nearDuplicatePairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+    val splits = docs.select(col("doc_id"),
+      StableHash.split(col("doc_id"), Seq(800 -> "train", 900 -> "val"), "test").as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaky", col("split_a") =!= col("split_b"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {
