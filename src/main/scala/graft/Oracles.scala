@@ -561,6 +561,38 @@ object Oracles {
         |JOIN splits ssb ON ssb.doc_id = id_b
         |GROUP BY ssa.split, ssb.split ORDER BY split_a, split_b""".stripMargin,
 
+    "q59_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang, CAST((cum - n_tok) // 4096 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "q60_filter_funnel" ->
+      """WITH rep AS (
+        |  SELECT doc_id,
+        |    CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
+        |  FROM (
+        |    SELECT doc_id, tok, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |    GROUP BY doc_id, tok)
+        |  GROUP BY doc_id
+        |), flags AS (
+        |  SELECT d.n_chars >= 150 AND d.n_chars <= 1000 AS pass_len,
+        |    r.rep_ratio < 0.2 AS pass_rep,
+        |    d.doc_id = MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) AS is_rep
+        |  FROM documents d JOIN rep r ON r.doc_id = d.doc_id)
+        |SELECT COUNT(*) AS n_total,
+        |  CAST(COALESCE(SUM(CASE WHEN pass_len THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_len,
+        |  CAST(COALESCE(SUM(CASE WHEN pass_len AND pass_rep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_len_rep,
+        |  CAST(COALESCE(SUM(CASE WHEN pass_len AND pass_rep AND is_rep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_final
+        |FROM flags""".stripMargin,
+
     "q55_quantiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,

@@ -351,6 +351,56 @@ object PipelineQueries {
       .orderBy(col("split_a"), col("split_b"))
   }
 
+  /** Sequence-packing layout: concatenate docs per language (doc_id order)
+    * and assign each doc to the 4096-token context window its first token
+    * lands in — the batch-packing shape training loaders use. The running
+    * total is one window cumsum per lang; bins then aggregate with
+    * combinable counts. Emits per-(lang, bin) doc and token counts. */
+  def q59_sequence_packing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tok")).cast("double") / 4096.0).cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("sum_tokens"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  /** Quality-filter funnel: how many documents survive each successive
+    * pipeline stage — length band, repetition cap (modal-token share),
+    * exact-dedup representative. One report row; every stage is a
+    * combinable aggregate, so the funnel costs two shuffles (repetition
+    * profile + dedup window) regardless of corpus size. */
+  def q60_filter_funnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val rep = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).cast("double").as("top_n"), sum(col("c")).cast("double").as("n_tok"))
+      .select(col("doc_id"), (col("top_n") / col("n_tok")).as("rep_ratio"))
+    val keepW = Window.partitionBy(md5(col("text")))
+    val flagged = docs
+      .withColumn("is_rep", col("doc_id") === min(col("doc_id")).over(keepW))
+      .join(rep, "doc_id")
+      .select(
+        (col("n_chars") >= 150 && col("n_chars") <= 1000).as("pass_len"),
+        (col("rep_ratio") < 0.2).as("pass_rep"),
+        col("is_rep"))
+    flagged.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("pass_len"), 1L).otherwise(0L)).cast("long").as("n_len"),
+      sum(when(col("pass_len") && col("pass_rep"), 1L).otherwise(0L)).cast("long").as("n_len_rep"),
+      sum(when(col("pass_len") && col("pass_rep") && col("is_rep"), 1L).otherwise(0L))
+        .cast("long").as("n_final"))
+  }
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {

@@ -90,6 +90,25 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q51's two-stage token aggregation keeps partial (map-side) combine") {
+    val df = queries.PipelineQueries.q51_repetition(spark, dir)
+    // explode -> agg(doc,tok) -> agg(doc) -> orderBy: three exchanges max,
+    // with partial HashAggregates before each
+    countShuffles(df) should be <= 3
+    planString(df) should include("HashAggregate")
+  }
+
+  test("q57's RANGE window shuffles once on user_id before the sort") {
+    val df = queries.PipelineQueries.q57_rolling_window(spark, dir)
+    countShuffles(df) should be <= 2
+    planString(df) should include("Window")
+  }
+
+  test("q56 split audit is map-side combinable (agg + final sort only)") {
+    val df = queries.PipelineQueries.q56_split_sample(spark, dir)
+    countShuffles(df) should be <= 2
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
