@@ -32,6 +32,23 @@ class ExamplesSpec extends SparkSpec {
     hj.dq.get.checks.map(_.toCheck) shouldBe jj.dq.get.checks.map(_.toCheck)
   }
 
+  test("every shipped .conf example loads with eager schema validation") {
+    val confs = new java.io.File("examples").listFiles()
+      .filter(_.getName.endsWith(".conf")).map(_.getPath).sorted
+    confs.length shouldBe 5
+    val byName = confs.map { p =>
+      p -> ConfigLoader.loadFromFile(p, schemaBasePath = "examples/schemas")
+    }.toMap
+    byName("examples/multi-job-pipeline.conf").jobs.length shouldBe 2
+    // version omitted on the first multi-job schema ref -> latest resolves
+    byName("examples/multi-job-pipeline.conf").jobs.head.schemaVersion shouldBe None
+    byName("examples/payments-kafka-to-iceberg.conf").jobs.head.target.format shouldBe "iceberg"
+    byName("examples/cdc-postgres-to-delta.conf").jobs.head.target.identifier should
+      startWith("s3a://lakehouse/")
+    byName("examples/cdc-postgres-to-delta.conf").jobs.head.source
+      .options("maxOffsetsPerTrigger") shouldBe "10000"
+  }
+
   test("the reference's HOCON shape loads unchanged (user-events-batch)") {
     val cfg = ConfigLoader.loadFromFile("examples/user-events-batch.conf",
       schemaBasePath = "examples/schemas")
