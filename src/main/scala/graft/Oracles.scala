@@ -593,6 +593,13 @@ object Oracles {
         |  CAST(COALESCE(SUM(CASE WHEN pass_len AND pass_rep AND is_rep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_final
         |FROM flags""".stripMargin,
 
+    // Sketch answers aren't SQL-reproducible (HLL++/quantile-sketch
+    // internals), but their error bounds are: the booleans must come out
+    // true, so sketch accuracy is as hash-gated as exact answers.
+    "q61_sketch_gates" ->
+      """SELECT CAST(1 AS BOOLEAN) AS hll_ok,
+        |  CAST(1 AS BOOLEAN) AS pctl_ok""".stripMargin,
+
     "q55_quantiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,

@@ -401,6 +401,23 @@ object PipelineQueries {
         .cast("long").as("n_final"))
   }
 
+  /** Sketch-accuracy gates: the mergeable one-pass approximations
+    * (HyperLogLog++ distinct counts, approx_percentile quantile sketch)
+    * are THE 100 TB path for q07/q55-class questions — this query computes
+    * both sketch and exact answers and emits oracle-pinned booleans
+    * bounding the error, so a sketch regression hash-mismatches just like
+    * a wrong exact answer would. */
+  def q61_sketch_gates(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(
+      count_distinct(col("user_id")).as("exact_u"),
+      approx_count_distinct(col("user_id"), 0.02).as("approx_u"),
+      expr("percentile(value, 0.5)").as("p50"),
+      expr("approx_percentile(value, 0.5, 10000)").as("p50a"))
+    .select(
+      (abs(col("approx_u") - col("exact_u")).cast("double") /
+        col("exact_u").cast("double") <= 0.05).as("hll_ok"),
+      (abs(col("p50") - col("p50a")) <= 1.0).as("pctl_ok"))
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {
