@@ -600,6 +600,14 @@ object Oracles {
       """SELECT CAST(1 AS BOOLEAN) AS hll_ok,
         |  CAST(1 AS BOOLEAN) AS pctl_ok""".stripMargin,
 
+    "q62_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
     "q55_quantiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,

@@ -135,6 +135,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => JaccardRewrite)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     functions.foreach(ext.injectFunction)
   }
 }

@@ -418,6 +418,20 @@ object PipelineQueries {
         col("exact_u").cast("double") <= 0.05).as("hll_ok"),
       (abs(col("p50") - col("p50a")) <= 1.0).as("pctl_ok"))
 
+  /** Per-key top-k through the custom [[graft.plans.TopKPerKeyNode]]
+    * operator (logical node + planner strategy + heap exec): top-3 orders
+    * per customer without sorting any key group — O(n log k) per
+    * partition, #keys x k rows of state, vs the window form's full
+    * per-partition sort. The oracle computes the window form; identical
+    * output proves the operator. */
+  def q62_topk_per_key(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+        Tables.orders(spark, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        keys = Seq(col("o_custkey")),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {
