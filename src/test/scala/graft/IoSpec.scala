@@ -118,6 +118,41 @@ class IoSpec extends SparkSpec {
     reader.dbtable should include("updated_at > '2026-02-03 04:05:06'")
   }
 
+  test("ZOrder.interleave produces the Morton curve on known values") {
+    import graft.lakehouse.ZOrder
+    import org.apache.spark.sql.functions.col
+    // (x=0b11, y=0b01) -> bits interleaved x0,y0,x1,y1 = 1,1,1,0 -> 0b0111
+    val df = Seq((3L, 1L)).toDF("x", "y")
+      .select(ZOrder.interleave(Seq(col("x"), col("y")), bits = 2).as("z"))
+    df.as[Long].collect() shouldBe Array(7L)
+  }
+
+  test("z-ordering clusters BOTH columns per partition; a sort only one") {
+    import graft.lakehouse.ZOrder
+    import org.apache.spark.sql.functions.{col, spark_partition_id, max => fmax, min => fmin, avg}
+    // two independent uniform columns
+    val df = spark.range(20000).toDF("id")
+      .withColumn("a", (col("id") * 7919L) % 10000L)
+      .withColumn("b", (col("id") * 104729L) % 10000L)
+    def avgSpan(d: org.apache.spark.sql.DataFrame, c: String): Double =
+      d.withColumn("pid", spark_partition_id())
+        .groupBy("pid").agg((fmax(col(c)) - fmin(col(c))).as("span"))
+        .agg(avg("span")).as[Double].collect()(0)
+    val z = ZOrder.zorderBy(df, Seq("a", "b"), nFiles = 16).cache()
+    z.count()
+    val (spanA, spanB) = (avgSpan(z, "a"), avgSpan(z, "b"))
+    val sorted = df.repartitionByRange(16, col("a")).cache()
+    sorted.count()
+    val (sortA, sortB) = (avgSpan(sorted, "a"), avgSpan(sorted, "b"))
+    // single-column sort: a tightly clustered, b spans ~everything
+    sortA should be < 1500.0
+    sortB should be > 8000.0
+    // z-order: BOTH columns clustered well below the full 10000 range
+    spanA should be < 5000.0
+    spanB should be < 5000.0
+    z.unpersist(); sorted.unpersist()
+  }
+
   test("Compaction rewrites many small files into sized outputs, atomically") {
     import graft.lakehouse.Compaction
     val dir = tmpDir("compact") + "/t"
