@@ -83,6 +83,18 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("SearchSortedDouble: below-first, on-boundary, between, above-last") {
+    import graft.functions.SearchSortedDouble.searchSorted
+    val bounds = Array(10.0, 20.0, 30.0)
+    val df = Seq(5.0, 10.0, 15.0, 30.0, 99.0).toDF("v")
+      .select(searchSorted(col("v"), bounds).as("b"))
+    // bucket = #boundaries <= v: 5->0, 10->1 (inclusive), 15->1, 30->3, 99->3
+    df.as[Int].collect() shouldBe Array(0, 1, 1, 3, 3)
+    // integer input type works too (numeric, cast inside eval)
+    Seq(25L).toDF("v").select(searchSorted(col("v"), bounds).as("b"))
+      .as[Int].collect() shouldBe Array(2)
+  }
+
   test("StableHash buckets are in range, stable, and roughly uniform") {
     import graft.functions.StableHash
     val ids = spark.range(0, 2000).toDF("id")
