@@ -203,6 +203,35 @@ object Oracles {
         |       WHEN hits_es >= hits_fr THEN 'es' ELSE 'fr' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    "q63_lang_confusion" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','and','of','to','in','is','it','that'], t))) AS BIGINT) AS hits_en,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['el','la','los','las','de','que','y','en'], t))) AS BIGINT) AS hits_es,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','des','et','que','qui','dans'], t))) AS BIGINT) AS hits_fr
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        |       WHEN hits_es >= hits_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+        |  COUNT(*) AS n_docs
+        |FROM s GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+    "q64_dataset_card" ->
+      """WITH b AS (
+        |  SELECT lang, text, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000 AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+        |  CAST(COALESCE(SUM(CASE WHEN bucket < 800 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_train,
+        |  CAST(COALESCE(SUM(CASE WHEN bucket >= 800 AND bucket < 900 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_val,
+        |  CAST(COALESCE(SUM(CASE WHEN bucket >= 900 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_test
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q26_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

@@ -432,6 +432,37 @@ object PipelineQueries {
         order = Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
 
+  /** Language-ID confusion matrix: predicted vs labeled language counts —
+    * the eval view that tells you WHERE the classifier fails (which pairs
+    * confuse), not just how often. One combinable groupBy. */
+  def q63_lang_confusion(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), LangId.predict(col("text")).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  /** Per-language dataset card: the datasheet row a training run records —
+    * doc/token volume, average length, exact-dup overhead, and split
+    * sizes. Every column is a combinable aggregate over one scan (the
+    * md5-distinct is the only extra shuffle), so the card costs the same
+    * at any corpus size. */
+  def q64_dataset_card(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val b = StableHash.bucket(col("doc_id"), 1000)
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text"))).cast("long").as("sum_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("avg_chars"),
+        (count(lit(1)) - count_distinct(md5(col("text")))).cast("long").as("n_dup_docs"),
+        sum(when(b < 800, 1L).otherwise(0L)).cast("long").as("n_train"),
+        sum(when(b >= 800 && b < 900, 1L).otherwise(0L)).cast("long").as("n_val"),
+        sum(when(b >= 900, 1L).otherwise(0L)).cast("long").as("n_test"))
+      .orderBy(col("lang"))
+  }
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {
