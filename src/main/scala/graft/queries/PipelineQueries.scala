@@ -231,8 +231,9 @@ object PipelineQueries {
     val e = Tables.embeddings(spark, dir)
       .select(col("label"), CosineKnn.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(CosineKnn.dot(col("v"), col("v"))))
-      .select(col("label"), col("nrm"), posexplode(col("v")).as(Seq("pos", "comp")))
-      .filter(col("pos") < 8)
+      // slice BEFORE exploding: the generator emits 8 rows/vector, not 64
+      .select(col("label"), col("nrm"),
+        posexplode(slice(col("v"), 1, 8)).as(Seq("pos", "comp")))
     e.groupBy(col("label"), col("pos"))
       .agg(sum((col("comp") / col("nrm")).cast("decimal(27,12)")).as("s"),
         count(lit(1)).as("n_vectors"))
@@ -243,18 +244,27 @@ object PipelineQueries {
   }
 
   /** Per-language vocabulary profile: top-5 tokens by frequency with
-    * stable tie-break — corpus statistics at scale (combinable counts
-    * shuffled on (lang, token), then a tiny per-lang top-k window). */
+    * stable tie-break — corpus statistics at scale. Combinable counts
+    * shuffle on (lang, token); the per-lang top-k then goes through the
+    * custom [[graft.plans.TopKPerKeyNode]] heap operator, NOT a
+    * `row_number` window — a window partitioned by lang would funnel each
+    * language's entire vocabulary (millions of rows at corpus scale)
+    * through one task's sort, while the heap keeps 5 rows per key per
+    * partition. Ranks are recovered from the bounded (≤5/lang) survivors
+    * with a sorted-array posexplode, so no Window appears anywhere. */
   def q53_vocab_profile(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = Tables.documents(spark, dir)
       .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("lang"), col("tok")).agg(count(lit(1)).cast("long").as("n"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("n").desc, col("tok").asc)
-    counts.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= 5)
-      .select(col("lang"), col("tok"), col("n"), col("rank"))
+    val top = graft.plans.TopKPerKey.topKPerKey(counts, Seq(col("lang")),
+      Seq(col("n").desc, col("tok").asc), k = 5)
+    // (-n, tok) sorted ascending == (n desc, tok asc); input is ≤5 rows/lang
+    top.groupBy(col("lang"))
+      .agg(sort_array(collect_list(struct((-col("n")).as("negn"), col("tok")))).as("arr"))
+      .select(col("lang"), posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("lang"), col("s.tok").as("tok"),
+        (-col("s.negn")).cast("long").as("n"),
+        (col("pos") + 1).cast("bigint").as("rank"))
       .orderBy(col("lang"), col("rank"))
   }
 
@@ -354,16 +364,17 @@ object PipelineQueries {
   /** Sequence-packing layout: concatenate docs per language (doc_id order)
     * and assign each doc to the 4096-token context window its first token
     * lands in — the batch-packing shape training loaders use. The running
-    * total is one window cumsum per lang; bins then aggregate with
-    * combinable counts. Emits per-(lang, bin) doc and token counts. */
+    * total is [[graft.transform.PrefixSum]]'s two-pass distributed prefix
+    * sum (range-partition on (lang, doc_id) → tiny per-partition totals →
+    * broadcast offsets → within-partition cumsum), NOT a window partitioned
+    * by lang — that window would push each language's ENTIRE corpus through
+    * one task at 100 TB. Bins then aggregate with combinable counts. */
   def q59_sequence_packing(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    Tables.documents(spark, dir)
+    val toks = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tok"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
+    graft.transform.PrefixSum
+      .groupedRunningSum(toks, Seq("lang"), "doc_id", "n_tok", "cum")
       .withColumn("bin",
         floor((col("cum") - col("n_tok")).cast("double") / 4096.0).cast("long"))
       .groupBy(col("lang"), col("bin"))
@@ -374,10 +385,11 @@ object PipelineQueries {
   /** Quality-filter funnel: how many documents survive each successive
     * pipeline stage — length band, repetition cap (modal-token share),
     * exact-dedup representative. One report row; every stage is a
-    * combinable aggregate, so the funnel costs two shuffles (repetition
-    * profile + dedup window) regardless of corpus size. */
+    * combinable aggregate. The dedup-representative flag is an ID-ONLY
+    * aggregate — (md5(text), min(doc_id)) — joined back on doc_id, never a
+    * window over md5(text): the window spelling would shuffle the full
+    * text payload on the hash, where this shuffles O(ids) bytes. */
   def q60_filter_funnel(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val rep = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
@@ -385,14 +397,18 @@ object PipelineQueries {
       .groupBy(col("doc_id"))
       .agg(max(col("c")).cast("double").as("top_n"), sum(col("c")).cast("double").as("n_tok"))
       .select(col("doc_id"), (col("top_n") / col("n_tok")).as("rep_ratio"))
-    val keepW = Window.partitionBy(md5(col("text")))
-    val flagged = docs
-      .withColumn("is_rep", col("doc_id") === min(col("doc_id")).over(keepW))
+    // representative ids per content hash: the wide shuffle carries only
+    // (128-bit hash, id) — text is pruned before the exchange
+    val repIds = docs.select(md5(col("text")).as("__h"), col("doc_id"))
+      .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("__is_rep"))
+    val flagged = docs.select(col("doc_id"), col("n_chars"))
       .join(rep, "doc_id")
+      .join(repIds, Seq("doc_id"), "left")
       .select(
         (col("n_chars") >= 150 && col("n_chars") <= 1000).as("pass_len"),
         (col("rep_ratio") < 0.2).as("pass_rep"),
-        col("is_rep"))
+        coalesce(col("__is_rep"), lit(false)).as("is_rep"))
     flagged.agg(
       count(lit(1)).as("n_total"),
       sum(when(col("pass_len"), 1L).otherwise(0L)).cast("long").as("n_len"),

@@ -58,12 +58,21 @@ object Dedup {
     * Min-label propagation: each iteration ships every node's current
     * label across its edges and keeps the minimum — one shuffle join per
     * iteration, converging in graph-diameter rounds (near-dup clusters are
-    * shallow; `maxIters` bounds the loop and convergence is verified with
-    * a cheap count, not a collect). Edges are materialized once up front
-    * so the (possibly expensive) pair pipeline doesn't re-execute every
+    * shallow; `maxIters` bounds the loop). Labels only ever DECREASE, so
+    * `sum(comp)` strictly decreases iff any label changed — convergence is
+    * one tiny aggregate per round on the already-persisted labels, not an
+    * extra next⋈previous join. Edges are materialized once up front so the
+    * (possibly expensive) pair pipeline doesn't re-execute every
     * iteration. For graphs with whale components see the large-star/
     * small-star variant (Kiveris et al.) — same join primitive, fewer
     * rounds.
+    *
+    * Resource hygiene: the final labels are `localCheckpoint`ed (eager) so
+    * every loop cache — including the last round's — is released before
+    * returning; checkpoint blocks are context-cleaned once the result is
+    * unreferenced, so repeated calls leave no CacheManager residue. (On a
+    * real cluster prefer a reliable `checkpoint` dir: localCheckpoint
+    * blocks die with their executor.)
     *
     * Input: `pairs(id_a, id_b)`; `nodes(idCol)` enumerates all ids so
     * singletons cluster as themselves. Output: (idCol, cluster_id).
@@ -76,12 +85,17 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .as[(Long, Long)].persist()
+    // the label loop runs ONLY on nodes that touch an edge — the dup
+    // subgraph is tiny relative to the corpus, so iterations never
+    // shuffle the full node set; singletons join back at the end
+    var labels = edges.toDF("node", "dst").select(col("node")).distinct()
+      .withColumn("comp", col("node")).as[(Long, Long)].persist()
+    def labelSum(ds: org.apache.spark.sql.Dataset[(Long, Long)]): java.math.BigDecimal =
+      Option(ds.toDF("node", "comp")
+          .agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     try {
-      // the label loop runs ONLY on nodes that touch an edge — the dup
-      // subgraph is tiny relative to the corpus, so iterations never
-      // shuffle the full node set; singletons join back at the end
-      var labels = edges.toDF("node", "dst").select(col("node")).distinct()
-        .withColumn("comp", col("node")).as[(Long, Long)].persist()
+      var prevSum = labelSum(labels)
       var iter = 0
       var converged = false
       while (iter < maxIters && !converged) {
@@ -91,21 +105,22 @@ object Dedup {
         val next = labels.toDF("node", "comp").union(viaEdges)
           .groupBy("node").agg(min("comp").as("comp"))
           .as[(Long, Long)].persist()
-        // converged when no label decreased (labels only ever go down)
-        val changed = next.toDF("node", "comp2")
-          .join(labels.toDF("node", "comp"), "node")
-          .filter(col("comp2") < col("comp")).limit(1).count()
+        val nextSum = labelSum(next)
         labels.unpersist()
         labels = next
-        converged = changed == 0
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
         iter += 1
       }
       if (!converged)
         throw new IllegalStateException(
           s"duplicateClusters did not converge in $maxIters iterations")
+      // eager localCheckpoint materializes the loop result and truncates
+      // lineage, so the finally-block unpersist can't trigger a recompute
+      val finalLabels = labels.toDF(idCol, "cluster_id").localCheckpoint(true)
       nodes.select(col(idCol).cast("long").as(idCol))
-        .join(labels.toDF(idCol, "cluster_id"), Seq(idCol), "left")
+        .join(finalLabels, Seq(idCol), "left")
         .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
-    } finally { edges.unpersist(); () }
+    } finally { edges.unpersist(); labels.unpersist(); () }
   }
 }

@@ -109,6 +109,28 @@ class PlanSpec extends SparkSpec {
     countShuffles(df) should be <= 2
   }
 
+  test("q59 packing range-partitions on (lang, doc_id), no per-lang window") {
+    val df = queries.PipelineQueries.q59_sequence_packing(spark, dir)
+    val plan = planString(df)
+    // two-pass prefix sum: the wide exchange is RANGE on (lang, doc_id)...
+    plan should include regex "rangepartitioning\\(lang.+doc_id"
+    // ...and every Window partitions on (partition-id, lang), never lang
+    // alone — no single task ever owns a whole language
+    plan should include("__psum_pid")
+    plan should not include regex("Window .*partitionBy.*\\[lang#")
+  }
+
+  test("q53 vocab top-k plans the heap TopKPerKeyExec, not a window sort") {
+    val plan = planString(queries.PipelineQueries.q53_vocab_profile(spark, dir))
+    plan should include("TopKPerKey")
+    plan should not include "Window"
+  }
+
+  test("q60 funnel's dedup flag is an id-only aggregate (no text window)") {
+    val plan = planString(queries.PipelineQueries.q60_filter_funnel(spark, dir))
+    plan should not include "Window"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(

@@ -87,6 +87,39 @@ class TransformsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L)
   }
 
+  test("duplicateClusters releases every persist it takes (no cache residue)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.bridge
+    spark.catalog.clearCache()
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val nodes = (1L to 12L).toDF("doc_id")
+    // two consecutive calls: the r2 leak kept the final labels cached per
+    // call forever ("Asked to cache already cached data" WARN on reuse)
+    Dedup.duplicateClusters(pairs, nodes, "doc_id").collect()
+    Dedup.duplicateClusters(pairs, nodes, "doc_id").collect()
+    bridge.cacheIsEmpty(spark) shouldBe true
+  }
+
+  test("PrefixSum.groupedRunningSum matches the window cumsum (multi-partition)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // enough rows to span many range partitions; skewed group sizes
+    val df = (1L to 5000L).map { i =>
+      (if (i % 7 == 0) "b" else "a", i, (i % 13) + 1)
+    }.toDF("g", "ord", "v").repartition(16)
+    def keyed(rows: Array[(String, Long, Long)]) =
+      rows.map { case (g, o, c) => (g, o) -> c }.toMap
+    val got = keyed(PrefixSum.groupedRunningSum(df, Seq("g"), "ord", "v", "cum")
+      .select("g", "ord", "cum").as[(String, Long, Long)].collect())
+    val w = Window.partitionBy(col("g")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = keyed(df.withColumn("cum", sum(col("v")).over(w))
+      .select("g", "ord", "cum").as[(String, Long, Long)].collect())
+    got.size shouldBe 5000
+    got shouldBe want
+  }
+
   test("duplicateClusters fails loudly when maxIters is too small") {
     import spark.implicits._
     // a path graph of length 6 needs more than 1 round to converge
