@@ -40,7 +40,7 @@ object Hocon {
   def parse(text: String, env: Map[String, String] = sys.env): Obj = {
     val p = new Parser(text)
     val root = p.parseRoot()
-    resolveObj(root, root, env, depth = 0)
+    resolveObj(root, root, env, resolving = Set.empty)
     root
   }
 
@@ -63,30 +63,34 @@ object Hocon {
     Some(cur)
   }
 
-  private def resolveObj(o: Obj, root: Obj, env: Map[String, String], depth: Int): Unit =
+  private def resolveObj(o: Obj, root: Obj, env: Map[String, String], resolving: Set[String]): Unit =
     o.keys.toSeq.foreach { k =>
       o(k) match {
-        case child: Obj   => resolveObj(child, root, env, depth)
-        case l: List[_]   => o(k) = l.map(resolveAny(_, root, env, depth))
-        case p: Pending   => o(k) = resolvePending(p, root, env, depth)
+        case child: Obj   => resolveObj(child, root, env, resolving)
+        case l: List[_]   => o(k) = l.map(resolveAny(_, root, env, resolving))
+        case p: Pending   => o(k) = resolvePending(p, root, env, resolving)
         case _            => ()
       }
     }
 
-  private def resolveAny(v: Any, root: Obj, env: Map[String, String], depth: Int): Any =
+  private def resolveAny(v: Any, root: Obj, env: Map[String, String], resolving: Set[String]): Any =
     v match {
-      case child: Obj => resolveObj(child, root, env, depth); child
-      case l: List[_] => l.map(resolveAny(_, root, env, depth))
-      case p: Pending => resolvePending(p, root, env, depth)
+      case child: Obj => resolveObj(child, root, env, resolving); child
+      case l: List[_] => l.map(resolveAny(_, root, env, resolving))
+      case p: Pending => resolvePending(p, root, env, resolving)
       case other      => other
     }
 
-  private def resolvePending(p: Pending, root: Obj, env: Map[String, String], depth: Int): Any = {
-    if (depth > 16) throw HoconParseException("substitution cycle")
+  private def resolvePending(p: Pending, root: Obj, env: Map[String, String], resolving: Set[String]): Any = {
+    // genuine-cycle detection: fail only when a substitution path re-enters
+    // its own resolution (a legitimate chain of any depth resolves fine)
     val vals: List[Option[Any]] = p.toks.map {
       case Str(s, _) => Some(s)
       case Subst(path, opt) =>
-        lookup(root, path).map(resolveAny(_, root, env, depth + 1))
+        if (resolving.contains(path))
+          throw HoconParseException(
+            s"substitution cycle through $${$path}")
+        lookup(root, path).map(resolveAny(_, root, env, resolving + path))
           .orElse(env.get(path))
           .orElse(if (opt) None
                   else throw HoconParseException(s"unresolved substitution $${$path}"))

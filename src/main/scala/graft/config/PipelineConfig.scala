@@ -30,7 +30,10 @@ final case class JobConfig(domain: String, dataset: String, layer: String,
                            // domain/dataset (reference `schema.registry_*`)
                            schemaDomain: Option[String] = None,
                            schemaDataset: Option[String] = None,
-                           dq: Option[DQConfig] = None) {
+                           dq: Option[DQConfig] = None,
+                           // mask registry-flagged pii:true columns on
+                           // write: "hash" | "null" | "redact"
+                           maskPii: Option[String] = None) {
   def registryDomain: String = schemaDomain.getOrElse(domain)
   def registryDataset: String = schemaDataset.getOrElse(dataset)
 }
@@ -255,7 +258,8 @@ object HoconConfigLoader {
       validateSchema = bool(j, "validateSchema").getOrElse(true),
       schemaDomain = schemaBlock.flatMap(str(_, "registry_domain")),
       schemaDataset = schemaBlock.flatMap(str(_, "registry_dataset")),
-      dq = obj(j, "dq").orElse(obj(j, "data_quality")).map(toDq))
+      dq = obj(j, "dq").orElse(obj(j, "data_quality")).map(toDq),
+      maskPii = str(j, "maskPii").orElse(str(j, "mask_pii")))
   }
 
   /** "v1" / "1" -> 1 (reference versions are "v<N>" strings). */
@@ -266,7 +270,10 @@ object HoconConfigLoader {
     policy = str(d, "policy").orElse(str(d, "on_fail"))
       .map(_.toLowerCase).getOrElse("log_only"),
     quarantine = str(d, "quarantine"),
-    warnOnly = arr(d, "warnOnly").map(Hocon.render),
+    warnOnly = (arr(d, "warnOnly") match {
+      case Nil => arr(d, "warn_only") // reference snake_case spelling
+      case xs  => xs
+    }).map(Hocon.render),
     metadataChecks = bool(d, "metadataChecks")
       .orElse(bool(d, "metadata_checks")).getOrElse(false),
     checks = arr(d, "checks").collect { case c: Obj => toCheck(c) })

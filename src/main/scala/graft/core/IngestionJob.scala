@@ -20,6 +20,13 @@ import graft.schema.SchemaValidator
   *  3. Streaming jobs run validation + DQ per micro-batch via `foreachBatch`
   *     (the reference skips both on streams, `IngestionJob.scala:73,87`) and
   *     return the [[StreamingQuery]] instead of blocking.
+  *  4. Registry `pii: true` fields are masked before ANY sink — including
+  *     quarantine — when `piiMask` is set ([[graft.dq.PiiMask]]; the
+  *     reference declares the flag but never consumes it).
+  *  5. After a successful batch write the source high-water mark advances
+  *     (`watermarkAdvance`), so the next incremental run reads only new
+  *     rows — without this the stored mark never moves and every run
+  *     re-appends the full table.
   */
 final case class IngestionJob(domain: String, dataset: String,
                               layer: MedallionLayer,
@@ -30,7 +37,10 @@ final case class IngestionJob(domain: String, dataset: String,
                               quarantine: Option[LakehouseTable] = None,
                               mode: SaveMode = SaveMode.Append,
                               checkpoint: Option[String] = None,
-                              triggerInterval: String = "30 seconds") {
+                              triggerInterval: String = "30 seconds",
+                              piiMask: Option[graft.dq.PiiMask.Strategy] = None,
+                              // (store, watermark column, store key)
+                              watermarkAdvance: Option[(graft.io.WatermarkStore, String, String)] = None) {
 
   def run(spark: SparkSession): JobResult = {
     val df = reader.read(spark)
@@ -41,24 +51,40 @@ final case class IngestionJob(domain: String, dataset: String,
   /** Batch path; also the body of each streaming micro-batch. */
   private[core] def runBatch(df: DataFrame): DQSummary = {
     expectedSchema.foreach(SchemaValidator.validateOrThrow(df, _))
-    ruleSet match {
-      case None =>
-        writer.write(df, target, mode)
-        DQSummary(Seq.empty, -1L)
-      case Some(rs) =>
-        val needsSplit = rs.policy == graft.dq.DQPolicy.QuarantineRows
-        val input = if (needsSplit) df.persist() else df
-        try {
-          val (clean, bad, summary) = rs.enforce(input)
-          writer.write(clean, target, mode)
+    // mask registry-flagged pii columns before anything is persisted to a
+    // sink; quarantined rows go through the same mask below
+    def masked(d: DataFrame): DataFrame = (piiMask, expectedSchema) match {
+      case (Some(s), Some(schema)) => graft.dq.PiiMask.mask(d, schema, s)
+      case _                       => d
+    }
+    // persist when the batch is consumed more than once (quarantine split
+    // writes two branches; watermark advance adds a max() aggregate)
+    val multiUse =
+      ruleSet.exists(_.policy == graft.dq.DQPolicy.QuarantineRows) ||
+        watermarkAdvance.nonEmpty
+    val input = if (multiUse) df.persist() else df
+    try {
+      val summary = ruleSet match {
+        case None =>
+          writer.write(masked(input), target, mode)
+          DQSummary(Seq.empty, -1L)
+        case Some(rs) =>
+          val (clean, bad, s) = rs.enforce(input)
+          writer.write(masked(clean), target, mode)
           (bad, quarantine) match {
-            case (Some(b), Some(q)) => writer.write(b, q, SaveMode.Append)
+            case (Some(b), Some(q)) => writer.write(masked(b), q, SaveMode.Append)
             case _                  => ()
           }
-          summary
-        } finally {
-          if (needsSplit) input.unpersist()
-        }
+          s
+      }
+      // the mark reflects what was READ (pre-split): quarantined rows are
+      // already stored, so the next incremental run must not re-read them
+      watermarkAdvance.foreach { case (store, column, key) =>
+        store.advance(input, column, key)
+      }
+      summary
+    } finally {
+      if (multiUse) { input.unpersist(); () }
     }
   }
 

@@ -70,7 +70,14 @@ object IngestionRunner {
         .map(LakehouseTable(_, layer, Seq.empty)),
       mode = parseMode(j.target.mode),
       checkpoint = j.target.checkpoint,
-      triggerInterval = j.target.triggerInterval)
+      triggerInterval = j.target.triggerInterval,
+      piiMask = j.maskPii.map(graft.dq.PiiMask.Strategy.fromString),
+      // close the incremental loop: a successful write advances the stored
+      // mark, so the next run's reader (above) starts past this batch
+      watermarkAdvance = for {
+        store <- watermarks
+        column <- j.source.watermarkColumn
+      } yield (store, column, s"${j.domain}.${j.dataset}"))
   }
 
   /** Reader factory by `source.type` (reference `:98-103` supports kafka

@@ -17,6 +17,13 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   * write, `advance(df, col, key)` records the batch's max. Scale note:
   * computing the max is one agg over the already-materialized batch; the
   * store itself is driver-side metadata (bytes, not data).
+  *
+  * Concurrency contract: SINGLE WRITER per store file. `put` is a
+  * read-modify-write of the whole map — the rename makes each replacement
+  * atomic, but two drivers updating one file can interleave read/move and
+  * drop each other's keys. Pipelines in one driver are safe (`put` is
+  * synchronized below); separate drivers need separate store files (e.g.
+  * one per pipeline) or an external lock.
   */
 final class WatermarkStore(path: String) {
 
@@ -32,7 +39,7 @@ final class WatermarkStore(path: String) {
 
   def get(key: String): Option[String] = readAll().get(key)
 
-  def put(key: String, value: String): Unit = {
+  def put(key: String, value: String): Unit = synchronized {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val next = readAll() + (key -> value)
     Option(file.getParent).foreach(Files.createDirectories(_))

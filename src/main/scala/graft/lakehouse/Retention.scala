@@ -1,0 +1,91 @@
+package graft.lakehouse
+
+import java.sql.Date
+import java.time.LocalDate
+
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** `retention_days` enforcement: the reference's schema registry declares a
+  * per-field retention period (`/root/reference/schemas/README.md:132`,
+  * `"retention_days": 2555`) but ships no operation that applies it. This
+  * is that operation — an age-based filter over an event-time column, as
+  *
+  *  1. a predicate ([[currentRows]]) for read-side enforcement — a plain
+  *     comparison against a literal cutoff, so when the table is
+  *     partitioned by the time column it becomes a PARTITION filter and
+  *     expired partitions are never opened (asserted in IoSpec); and
+  *  2. a table maintenance rewrite ([[enforce]]) next to [[Compaction]] —
+  *     same atomic sibling-rewrite + two-rename swap, so a crash never
+  *     leaves the table half-expired. At cluster scale run it per
+  *     partition directory: expired partitions DELETE wholesale without
+  *     reading a row; only the boundary partition rewrites.
+  *
+  * The cutoff comes from the schema metadata ([[retentionDays]]) or an
+  * explicit override; `asOf` is injectable so runs are reproducible (and
+  * testable) rather than wall-clock-dependent.
+  */
+object Retention {
+
+  final case class RetentionResult(rowsBefore: Long, rowsAfter: Long,
+                                   cutoff: Date)
+
+  /** The declared `retention_days` for `column` in the registry schema's
+    * field metadata, if any. */
+  def retentionDays(schema: StructType, column: String): Option[Long] =
+    schema.fields.find(_.name.equalsIgnoreCase(column)).flatMap { f =>
+      if (!f.metadata.contains("retention_days")) None
+      else Try(f.metadata.getLong("retention_days")).toOption
+        .orElse(Try(f.metadata.getDouble("retention_days").toLong).toOption)
+    }
+
+  def cutoffFor(asOf: LocalDate, days: Long): Date =
+    Date.valueOf(asOf.minusDays(days))
+
+  /** Rows still inside the retention window: `timeCol >= asOf - days`.
+    * A literal-vs-column comparison — pushes to the scan, prunes
+    * partitions when `timeCol` is the partition column. */
+  def currentRows(df: DataFrame, timeCol: String, days: Long,
+                  asOf: LocalDate = LocalDate.now()): DataFrame =
+    df.filter(col(timeCol) >= lit(cutoffFor(asOf, days)))
+
+  /** Metadata-driven spelling: cutoff from the schema's `retention_days`
+    * on `timeCol`. No declared retention -> no-op (the table keeps all). */
+  def currentRowsBySchema(df: DataFrame, schema: StructType, timeCol: String,
+                          asOf: LocalDate = LocalDate.now()): DataFrame =
+    retentionDays(schema, timeCol)
+      .map(d => currentRows(df, timeCol, d, asOf)).getOrElse(df)
+
+  /** In-place enforcement for a parquet table path: rewrite surviving rows
+    * to a sibling dir, swap via two renames (see [[Compaction]] for the
+    * crash-safety argument). Preserves the table's partition layout when
+    * `partitionCols` is passed. */
+  def enforce(spark: SparkSession, dir: String, timeCol: String, days: Long,
+              asOf: LocalDate = LocalDate.now(),
+              partitionCols: Seq[String] = Seq.empty): RetentionResult = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val table = spark.read.parquet(dir)
+    val before = table.count()
+    val kept = currentRows(table, timeCol, days, asOf)
+    val tmp = new Path(dir + "__retention_tmp")
+    val old = new Path(dir + "__retention_old")
+    val writer = kept.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(p, old))
+      throw new IllegalStateException(s"retention: could not move $p aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back
+      throw new IllegalStateException(s"retention: could not publish $tmp")
+    }
+    fs.delete(old, true)
+    RetentionResult(before, spark.read.parquet(dir).count(),
+      cutoffFor(asOf, days))
+  }
+}

@@ -36,6 +36,11 @@ object ZOrder {
     * column c lands at position i*nCols + c. Codegen'd bitwise math. */
   def interleave(buckets: Seq[Column], bits: Int): Column = {
     val nCols = buckets.length
+    // Java shifts are mod 64: a position >= 64 would silently wrap and
+    // corrupt the key (wrong clustering, no error) — refuse instead
+    require(bits * nCols <= 63,
+      s"z-order key needs bits*columns <= 63 (got $bits*$nCols); " +
+        "reduce bits as column count grows")
     val terms = for {
       (b, c) <- buckets.zipWithIndex
       i <- 0 until bits
@@ -48,12 +53,15 @@ object ZOrder {
     * approx-quantile boundaries (one sketch pass per call). */
   def zkey(df: DataFrame, cols: Seq[String], bits: Int = 8,
            relativeError: Double = 0.001): Column = {
-    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    // auto-shrink per-column bits so the interleaved key fits in 63 bits
+    // (8 columns at the default 8 bits would otherwise overflow)
+    val fitted = math.max(1, math.min(bits, 63 / math.max(1, cols.length)))
+    val probs = (1 until (1 << fitted)).map(_.toDouble / (1 << fitted)).toArray
     val buckets = cols.map { name =>
       val bounds = df.stat.approxQuantile(name, probs, relativeError)
       SearchSortedDouble.searchSorted(col(name).cast("double"), bounds)
     }
-    interleave(buckets, bits)
+    interleave(buckets, fitted)
   }
 
   /** Rewrite `df` into `nFiles` z-ordered partitions: range-partition on

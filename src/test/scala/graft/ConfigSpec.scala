@@ -137,4 +137,46 @@ class ConfigSpec extends SparkSpec {
     opts("numPartitions") shouldBe "16"
     opts("dbtable") should include("updated_at > '2026-01-01 00:00:00'")
   }
+
+  test("warn_only and mask_pii accept the reference snake_case spelling") {
+    val cfg = HoconConfigLoader.toPipelineConfig(Hocon.parse(
+      """jobs = [{
+        |  domain = "d", dataset = "t", layer = "bronze"
+        |  validateSchema = false
+        |  mask_pii = "hash"
+        |  source = {type = "parquet", path = "/in"}
+        |  target = {format = "parquet", identifier = "/out"}
+        |  data_quality = {
+        |    on_fail = "LOG_ONLY"
+        |    warn_only = ["range_amount"]
+        |    checks = [{type = "range", column = "amount", min = 0}]
+        |  }
+        |}]""".stripMargin))
+    cfg.jobs.head.dq.get.warnOnly shouldBe Seq("range_amount")
+    cfg.jobs.head.maskPii shouldBe Some("hash")
+    // camelCase spelling still wins when both present
+    val cc = HoconConfigLoader.toPipelineConfig(Hocon.parse(
+      """jobs = [{
+        |  domain = "d", dataset = "t", layer = "bronze"
+        |  validateSchema = false
+        |  maskPii = "redact"
+        |  source = {type = "parquet", path = "/in"}
+        |  target = {format = "parquet", identifier = "/out"}
+        |  dq = {warnOnly = ["a"], checks = [{type = "not_null", column = "x"}]}
+        |}]""".stripMargin))
+    cc.jobs.head.dq.get.warnOnly shouldBe Seq("a")
+    cc.jobs.head.maskPii shouldBe Some("redact")
+  }
+
+  test("Hocon: deep substitution chains resolve; genuine cycles fail") {
+    // a 30-deep legitimate chain (the old fixed depth cap of 16 would
+    // misreport this as a cycle)
+    val chain = (1 to 30).map(i => s"k$i = $${k${i + 1}}").mkString("\n")
+    val tree = Hocon.parse(s"$chain\nk31 = leaf\n")
+    tree("k1") shouldBe "leaf"
+    // a real cycle is named in the error
+    val e = the[Hocon.HoconParseException] thrownBy
+      Hocon.parse("a = ${b}\nb = ${a}\n")
+    e.getMessage should include("cycle")
+  }
 }

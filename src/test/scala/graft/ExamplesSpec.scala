@@ -109,6 +109,31 @@ class ExamplesSpec extends SparkSpec {
     spark.read.parquet("/tmp/graft-meta/quarantine").count() shouldBe 2
   }
 
+  test("registry pii flags drive masking on write (e2e: masked in the sink)") {
+    import graft.config._
+    rmrf(new java.io.File("/tmp/graft-pii"))
+    Files.createDirectories(Paths.get("/tmp/graft-pii/in"))
+    Files.writeString(Paths.get("/tmp/graft-pii/in/data.json"),
+      """{"customer_id": 1, "email": "alice@example.com", "full_name": "Alice A", "signup_date": "2026-01-01", "country": "DE"}
+        |{"customer_id": 2, "email": null, "full_name": "Bob B", "signup_date": "2026-02-01", "country": "US"}""".stripMargin)
+    // pii: true lives ONLY in the registry schema
+    // (examples/schemas/payments/customers/v1.json) — the job just opts in
+    val job = JobConfig(
+      domain = "payments", dataset = "customers", layer = "bronze",
+      source = SourceConfig("json", path = Some("/tmp/graft-pii/in")),
+      target = TargetConfig("parquet", "/tmp/graft-pii/bronze", mode = "overwrite"),
+      maskPii = Some("hash"))
+    IngestionRunner.buildJob(job, Some(new SchemaRegistry("examples/schemas"))).run(spark)
+    val out = spark.read.parquet("/tmp/graft-pii/bronze")
+    val rows = out.orderBy("customer_id")
+      .select("customer_id", "email", "full_name", "country").collect()
+    rows(0).getString(1) should fullyMatch regex "[0-9a-f]{64}" // sha2-256
+    rows(0).getString(2) should fullyMatch regex "[0-9a-f]{64}"
+    rows(0).getString(3) shouldBe "DE"   // pii: false passes through
+    rows(1).isNullAt(1) shouldBe true    // null preserved, not minted
+    out.schema("email").dataType.typeName shouldBe "string" // type contract holds
+  }
+
   test("the example pipeline runs end to end with quarantine") {
     // quarantine appends by design; start from a clean slate
     rmrf(new java.io.File("/tmp/graft-example"))

@@ -76,6 +76,69 @@ class IngestionSpec extends SparkSpec {
     spark.read.parquet(out).count() shouldBe 4
   }
 
+  test("watermark advances after a successful batch write (incremental loop)") {
+    val src = tmpDir("wm") + "/src"
+    val out = tmpDir("wm") + "/out"
+    writeSource(src)
+    val store = new graft.io.WatermarkStore(tmpDir("wmstore") + "/marks.json")
+    val job = IngestionJob("d", "s", MedallionLayer.Bronze,
+      FileReader("parquet", src), ParquetSink(),
+      LakehouseTable(out, MedallionLayer.Bronze),
+      watermarkAdvance = Some((store, "id", "d.s")))
+    job.run(spark)
+    // the mark is the batch max, so the next incremental read starts past it
+    store.get("d.s") shouldBe Some("4")
+  }
+
+  test("runPipeline threads the watermark store through config (advance wired)") {
+    val src = tmpDir("wmloop") + "/src"
+    val out = tmpDir("wmloop") + "/out"
+    val marks = tmpDir("wmloop") + "/marks.json"
+    writeSource(src)
+    val cfgJson =
+      s"""{"env": "test", "watermarkStore": "$marks", "jobs": [{
+         |  "domain": "payments", "dataset": "tx", "layer": "bronze",
+         |  "validateSchema": false,
+         |  "source": {"type": "parquet", "path": "$src", "watermarkColumn": "id"},
+         |  "target": {"format": "parquet", "identifier": "$out", "mode": "overwrite"}
+         |}]}""".stripMargin
+    val f = Paths.get(tmpDir("wmloopcfg"), "p.json")
+    Files.writeString(f, cfgJson)
+    IngestionRunner.runPipeline(spark, ConfigLoader.loadFromFile(f.toString))
+    new graft.io.WatermarkStore(marks).get("payments.tx") shouldBe Some("4")
+  }
+
+  test("piiMask hashes flagged strings, nulls non-strings, keeps the rest") {
+    import org.apache.spark.sql.types._
+    import graft.dq.PiiMask
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("email", StringType, nullable = true,
+        metadata = new MetadataBuilder().putBoolean("pii", true).build()),
+      StructField("age", IntegerType, nullable = true,
+        metadata = new MetadataBuilder().putBoolean("pii", true).build()),
+      StructField("country", StringType, nullable = true,
+        metadata = new MetadataBuilder().putBoolean("pii", false).build())))
+    val df = Seq((1L, "a@example.com", 30, "DE"), (2L, null.asInstanceOf[String], 41, "US"))
+      .toDF("id", "email", "age", "country")
+    val out = PiiMask.mask(df, schema).orderBy("id").collect()
+    out(0).getString(1) should fullyMatch regex "[0-9a-f]{64}" // sha2-256, type kept
+    out(0).getString(1) should not be "a@example.com"
+    out(0).isNullAt(2) shouldBe true   // non-string pii can't hash: nulled
+    out(0).getString(3) shouldBe "DE"  // pii:false untouched
+    out(1).isNullAt(1) shouldBe true   // null stays null (no minted hash)
+    // deterministic: same input -> same digest (joinability survives)
+    PiiMask.mask(df, schema).orderBy("id").collect()(0).getString(1) shouldBe
+      out(0).getString(1)
+    // redact strategy scrubs embedded pii instead of replacing the value
+    val red = PiiMask.mask(df, schema,
+      PiiMask.Strategy.RedactText(PiiMask.Strategy.defaultRules))
+      .orderBy("id").collect()
+    red(0).getString(1) shouldBe "<EMAIL>"
+    an[IllegalArgumentException] should be thrownBy
+      PiiMask.Strategy.fromString("rot13")
+  }
+
   test("streaming job: file source, per-micro-batch DQ, non-blocking") {
     val src = tmpDir("stream") + "/in"
     val out = tmpDir("stream") + "/out"

@@ -167,4 +167,62 @@ class IoSpec extends SparkSpec {
     new java.io.File(dir + "__compact_tmp").exists() shouldBe false
     new java.io.File(dir + "__compact_old").exists() shouldBe false
   }
+
+  test("FileReader passes 'avro' through to the datasource resolver (contract)") {
+    // no spark-avro module ships in this sandbox, so the read must fail AT
+    // THE RESOLVER with an avro-specific error — proving the format string
+    // reaches Spark unmodified (with the jar present the same reader works)
+    val e = intercept[Exception] {
+      FileReader("avro", tmpDir("avro")).read(spark).collect()
+    }
+    e.getMessage.toLowerCase should include("avro")
+  }
+
+  test("Retention: metadata cutoff drops expired rows; predicate prunes partitions") {
+    import java.time.LocalDate
+    import graft.lakehouse.Retention
+    val schema = new graft.schema.SchemaRegistry("examples/schemas")
+      .getSchema("payments", "customers")
+    Retention.retentionDays(schema, "signup_date") shouldBe Some(90L)
+    Retention.retentionDays(schema, "email") shouldBe None
+
+    val dir = tmpDir("retention") + "/t"
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2026-01-01")),  // expired (224d old)
+      (2L, java.sql.Date.valueOf("2026-06-01")),  // 72d old: kept
+      (3L, java.sql.Date.valueOf("2026-08-01"))   // fresh: kept
+    ).toDF("customer_id", "signup_date")
+    df.write.partitionBy("signup_date").parquet(dir)
+    val asOf = LocalDate.of(2026, 8, 12)
+
+    val table = spark.read.parquet(dir)
+    val kept = Retention.currentRowsBySchema(table, schema, "signup_date", asOf)
+    kept.select("customer_id").as[Long].collect().sorted shouldBe Array(2L, 3L)
+    // the cutoff is a literal on the PARTITION column -> partition pruning
+    kept.collect()
+    kept.queryExecution.executedPlan.toString should
+      include regex "PartitionFilters: \\[.*signup_date"
+
+    // in-place enforcement: rewrite + atomic swap
+    val r = Retention.enforce(spark, dir, "signup_date", days = 90, asOf = asOf,
+      partitionCols = Seq("signup_date"))
+    r.rowsBefore shouldBe 3
+    r.rowsAfter shouldBe 2
+    spark.read.parquet(dir).select("customer_id").as[Long].collect().sorted shouldBe
+      Array(2L, 3L)
+    new java.io.File(dir + "__retention_tmp").exists() shouldBe false
+    new java.io.File(dir + "__retention_old").exists() shouldBe false
+  }
+
+  test("ZOrder refuses (and zkey auto-fits) keys wider than 63 bits") {
+    import org.apache.spark.sql.functions.col
+    // 8 cols x 8 bits = 64 would wrap shifts mod 64 -> corrupt keys
+    an[IllegalArgumentException] should be thrownBy
+      ZOrder.interleave((1 to 8).map(i => col(s"c$i")), bits = 8)
+    // zkey shrinks per-column bits instead of failing
+    val df = spark.range(100).selectExpr(
+      (1 to 8).map(i => s"cast(id * $i as double) as c$i"): _*)
+    noException should be thrownBy
+      ZOrder.zkey(df, (1 to 8).map(i => s"c$i"), bits = 8)
+  }
 }

@@ -160,4 +160,74 @@ class SchemaSpec extends SparkSpec {
     a[SchemaValidator.SchemaValidationException] should be thrownBy
       SchemaValidator.validateOrThrow(df, v1)
   }
+
+  test("SchemaCompat: the governance matrix (add/drop/retype/nullability)") {
+    import graft.schema.SchemaCompat
+    val base = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("amount", IntegerType, nullable = true),
+      StructField("note", StringType, nullable = true)))
+    def retype(name: String, t: DataType) =
+      StructType(base.fields.map(f => if (f.name == name) f.copy(dataType = t) else f))
+    def renull(name: String, n: Boolean) =
+      StructType(base.fields.map(f => if (f.name == name) f.copy(nullable = n) else f))
+
+    // additive nullable column: same-version OK
+    val addOk = SchemaCompat.check(base, base.add(StructField("extra", StringType, nullable = true)))
+    addOk.ok shouldBe true
+    addOk.additions should have size 1
+    // additive REQUIRED column: breaking
+    SchemaCompat.check(base,
+      base.add(StructField("extra", StringType, nullable = false))).ok shouldBe false
+    // dropped column: breaking
+    val dropped = StructType(base.fields.filterNot(_.name == "note"))
+    SchemaCompat.check(base, dropped).ok shouldBe false
+    // lossless widening int -> long: allowed but flagged
+    val widened = SchemaCompat.check(base, retype("amount", LongType))
+    widened.ok shouldBe true
+    widened.widenings should have size 1
+    // narrowing long -> int: breaking
+    SchemaCompat.check(base, retype("id", IntegerType)).ok shouldBe false
+    // incompatible retype string -> long: breaking
+    SchemaCompat.check(base, retype("note", LongType)).ok shouldBe false
+    // relax NOT NULL -> nullable: OK, reported
+    val relaxed = SchemaCompat.check(base, renull("id", true))
+    relaxed.ok shouldBe true
+    relaxed.relaxedNullability should have size 1
+    // tighten nullable -> NOT NULL: breaking
+    SchemaCompat.check(base, renull("note", false)).ok shouldBe false
+    // metadata-only change: OK
+    SchemaCompat.check(base, StructType(base.fields.map(f =>
+      f.copy(metadata = new MetadataBuilder().putString("description", "x").build())))
+    ).ok shouldBe true
+    // identical: OK with nothing to report
+    val same = SchemaCompat.check(base, base)
+    (same.additions ++ same.widenings ++ same.relaxedNullability ++ same.breaking) shouldBe empty
+    // publish gate throws on breaking changes
+    an[IllegalArgumentException] should be thrownBy
+      SchemaCompat.validateOrThrow(base, dropped)
+  }
+
+  test("SchemaCompat recurses into nested structs") {
+    import graft.schema.SchemaCompat
+    val inner = StructType(Seq(
+      StructField("street", StringType, nullable = true),
+      StructField("zip", IntegerType, nullable = true)))
+    val outer = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("address", inner, nullable = true)))
+    // nested widening flags, nested drop breaks — with dotted paths
+    val widenedInner = StructType(Seq(
+      StructField("street", StringType, nullable = true),
+      StructField("zip", LongType, nullable = true)))
+    val w = SchemaCompat.check(outer, StructType(Seq(
+      outer.fields(0), StructField("address", widenedInner, nullable = true))))
+    w.ok shouldBe true
+    w.widenings.head should include("address.zip")
+    val droppedInner = StructType(Seq(StructField("street", StringType, nullable = true)))
+    val d = SchemaCompat.check(outer, StructType(Seq(
+      outer.fields(0), StructField("address", droppedInner, nullable = true))))
+    d.ok shouldBe false
+    d.breaking.head should include("address.zip")
+  }
 }
