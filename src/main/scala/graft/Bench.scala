@@ -31,29 +31,41 @@ object Bench {
     Seq("lineitem", "orders", "documents", "embeddings").foreach(t =>
       tables.Tables.load(spark, sfDir, t).count())
     tables.Tables.events(spark, sfDir).count()
-    // best-of-2: the first execution pays one-off plan compilation + JIT
-    // (constant at any data scale); the min approximates steady-state cost.
+    // best-of-2 normally: the first execution pays one-off plan compilation
+    // + JIT (constant at any data scale); the min approximates steady-state
+    // cost. When the two runs disagree >3x, one slot was machine noise
+    // (another tenant on the box) — take a third run so a single noisy slot
+    // can't dominate the reported number. Per-query run spread (max/min) is
+    // recorded so a noisy session is visible in the output itself.
     // A query that throws is recorded as an error entry — never as a time.
-    val results: Seq[(String, Either[String, Double])] =
+    val results: Seq[(String, Either[String, (Double, Double)])] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
-        val runs = (1 to 2).map { _ =>
+        def once(): Either[String, Double] = {
           val t0 = System.nanoTime()
           Try(fn(spark, sfDir).count()) match {
             case Success(_)  => Right((System.nanoTime() - t0) / 1e9)
             case Failure(ex) => Left(s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}")
           }
         }
+        val two = Seq(once(), once())
+        val noisy = two.collect { case Right(t) => t } match {
+          case ts if ts.size == 2 => ts.max / ts.min > 3.0
+          case _                  => false
+        }
+        val runs = if (noisy) two :+ once() else two
         val ok = runs.collect { case Right(t) => t }
-        name -> (if (ok.nonEmpty) Right(ok.min)
+        name -> (if (ok.nonEmpty) Right((ok.min, ok.max / ok.min))
                  else Left(runs.collectFirst { case Left(e) => e }.getOrElse("unknown")))
       }
     val qs = results.map {
-      case (k, Right(t)) => s"\"$k\":$t"
-      case (k, Left(e))  => s"\"$k\":{\"error\":\"${jsonEscape(e)}\"}"
+      case (k, Right((t, _))) => s"\"$k\":$t"
+      case (k, Left(e))       => s"\"$k\":{\"error\":\"${jsonEscape(e)}\"}"
     }.mkString("{", ",", "}")
+    val spreads = results.collect { case (k, Right((_, s))) =>
+      s"\"$k\":${math.round(s * 100) / 100.0}" }.mkString("{", ",", "}")
     val errors = results.collect { case (k, Left(e)) => k -> e }
-    val total = results.collect { case (_, Right(t)) => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    val total = results.collect { case (_, Right((t, _))) => t }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"run_spread":$spreads,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (k, e) => System.err.println(s"[bench] FAILED $k: $e") }
