@@ -656,6 +656,17 @@ object Oracles {
         |  FROM c)
         |SELECT lang, tok, n, rank FROM r WHERE rank <= 5
         |ORDER BY lang, rank""".stripMargin,
+
+    "q65_pii_mask" ->
+      """SELECT doc_id, sha256(text) AS text, sha256(source) AS source, lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q66_retention" ->
+      """SELECT event_type, COUNT(*) AS n_kept,
+        |  epoch_us(MIN(ts)) AS min_kept_ts_us
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-18 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** Shared CTE chain producing minhash-LSH candidate pairs (`cand`) and

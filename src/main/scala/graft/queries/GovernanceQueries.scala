@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, Metadata, StringType, StructField, StructType}
+
+import graft.dq.PiiMask
+import graft.lakehouse.Retention
+import graft.tables.Tables
+
+/** Governance operators as driver-gated queries: the reference DECLARES
+  * `pii` and `retention_days` in its schema registry
+  * (`/root/reference/schemas/README.md:127,132`) but never consumes either;
+  * here both run as data operations with DuckDB oracles.
+  */
+object GovernanceQueries {
+
+  private def pii(desc: String) = Metadata.fromJson(
+    s"""{"description": "$desc", "pii": true}""")
+
+  /** Registry-style schema for the documents table with `text` and
+    * `source` flagged pii — the metadata [[PiiMask]] consumes. */
+  private val docsPiiSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true, pii("document body")),
+    StructField("source", StringType, nullable = true, pii("origin url-ish")),
+    StructField("lang", StringType, nullable = true)))
+
+  /** Metadata-driven PII hash-masking: flagged string columns become
+    * sha2-256 digests (deterministic — joins/dedup still work on the
+    * masked value), unflagged columns pass through. Per-row narrow,
+    * codegen'd; zero shuffles before the output sort. */
+  def q65_pii_mask(spark: SparkSession, dir: String): DataFrame =
+    PiiMask.mask(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"),
+        col("source"), col("lang")),
+      docsPiiSchema, PiiMask.Strategy.Hash)
+      .orderBy(col("doc_id"))
+
+  /** `retention_days` enforcement as a query: the read-side filter at a
+    * pinned as-of date (reproducible), aggregated per event type. The
+    * cutoff is a literal comparison, so on a time-partitioned table it
+    * prunes partitions — expired data is never read. */
+  def q66_retention(spark: SparkSession, dir: String): DataFrame =
+    Retention.currentRows(Tables.events(spark, dir), "ts", days = 14,
+        asOf = java.time.LocalDate.of(2024, 2, 1))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        unix_micros(min(col("ts"))).as("min_kept_ts_us"))
+      .orderBy(col("event_type"))
+}
