@@ -8,7 +8,12 @@ package graft
   * timestamps surfaced as epoch_us BIGINT.
   */
 object Oracles {
-  val sql: Map[String, String] = Map(
+  /** q67 (large-star/small-star CC) must reproduce q54's cluster view
+    * exactly, so it shares q54's recursive-CTE oracle verbatim. */
+  val sql: Map[String, String] =
+    base + ("q67_dup_clusters_bigstar" -> base("q54_dup_clusters"))
+
+  private lazy val base: Map[String, String] = Map(
     "q01_agg_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -288,6 +288,27 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q54's cluster view computed by the ALTERNATE algorithm: large-star/
+    * small-star contraction ([[graft.transform.Dedup.duplicateClustersBigStar]])
+    * instead of min-label propagation — O(log² n) rounds regardless of
+    * component diameter, the whale-component scale path. Identical output
+    * contract, gated by the same recursive-CTE oracle. */
+  def q67_dup_clusters_bigstar(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val pairs = MinHashLsh.nearDuplicatePairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+    val clusters =
+      Dedup.duplicateClustersBigStar(pairs, docs.select(col("doc_id")), "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+    clusters
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("bigint"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact per-group percentiles (linear interpolation — matches DuckDB's
     * quantile_cont bit-for-bit). Exact percentile sorts within each group;
     * at 100 TB prefer `approx_percentile` (t-digest-style sketch, one pass,

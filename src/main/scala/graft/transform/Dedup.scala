@@ -67,12 +67,14 @@ object Dedup {
     * small-star variant (Kiveris et al.) — same join primitive, fewer
     * rounds.
     *
-    * Resource hygiene: the final labels are `localCheckpoint`ed (eager) so
-    * every loop cache — including the last round's — is released before
-    * returning; checkpoint blocks are context-cleaned once the result is
-    * unreferenced, so repeated calls leave no CacheManager residue. (On a
-    * real cluster prefer a reliable `checkpoint` dir: localCheckpoint
-    * blocks die with their executor.)
+    * Resource hygiene + lineage: each round's labels are eagerly
+    * `localCheckpoint`ed — this BOTH truncates the logical plan (the union
+    * references labels twice, so bare lazy chaining would double the plan
+    * every round: exponential analyzer/explain cost long before the data
+    * is big) AND keeps the loop out of the CacheManager entirely; blocks
+    * are context-cleaned once unreferenced, so repeated calls leave no
+    * cache residue. (On a real cluster prefer a reliable `checkpoint` dir:
+    * localCheckpoint blocks die with their executor.)
     *
     * Input: `pairs(id_a, id_b)`; `nodes(idCol)` enumerates all ids so
     * singletons cluster as themselves. Output: (idCol, cluster_id).
@@ -89,7 +91,7 @@ object Dedup {
     // subgraph is tiny relative to the corpus, so iterations never
     // shuffle the full node set; singletons join back at the end
     var labels = edges.toDF("node", "dst").select(col("node")).distinct()
-      .withColumn("comp", col("node")).as[(Long, Long)].persist()
+      .withColumn("comp", col("node")).as[(Long, Long)].localCheckpoint(true)
     def labelSum(ds: org.apache.spark.sql.Dataset[(Long, Long)]): java.math.BigDecimal =
       Option(ds.toDF("node", "comp")
           .agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0))
@@ -104,9 +106,8 @@ object Dedup {
           .select(col("node"), col("comp"))
         val next = labels.toDF("node", "comp").union(viaEdges)
           .groupBy("node").agg(min("comp").as("comp"))
-          .as[(Long, Long)].persist()
+          .as[(Long, Long)].localCheckpoint(true)
         val nextSum = labelSum(next)
-        labels.unpersist()
         labels = next
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
@@ -115,12 +116,90 @@ object Dedup {
       if (!converged)
         throw new IllegalStateException(
           s"duplicateClusters did not converge in $maxIters iterations")
-      // eager localCheckpoint materializes the loop result and truncates
-      // lineage, so the finally-block unpersist can't trigger a recompute
-      val finalLabels = labels.toDF(idCol, "cluster_id").localCheckpoint(true)
       nodes.select(col(idCol).cast("long").as(idCol))
-        .join(finalLabels, Seq(idCol), "left")
+        .join(labels.toDF(idCol, "cluster_id"), Seq(idCol), "left")
         .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
-    } finally { edges.unpersist(); labels.unpersist(); () }
+    } finally { edges.unpersist(); () }
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the whale-component scale path [[duplicateClusters]]'s
+    * Scaladoc points at.
+    *
+    * Min-label propagation needs component-DIAMETER rounds and, on a hub-
+    * and-spoke "whale", re-ships every member's label through the hub each
+    * round. Star contraction instead converges in O(log² n) rounds on ANY
+    * topology:
+    *
+    *  - large-star: every node links its LARGER neighbors to the minimum
+    *    of its neighborhood (including itself);
+    *  - small-star: every node links its smaller-or-equal neighbors (and
+    *    itself) to that minimum.
+    *
+    * Each round is a groupBy(min) + an equi-join on node id — the same
+    * shuffle primitive as label propagation, map-side combinable, no
+    * per-component serialization. Terminal state: the edge set is a union
+    * of stars centered on each component's minimum id.
+    *
+    * Same contract as [[duplicateClusters]]: `pairs(id_a, id_b)`,
+    * `nodes(idCol)` enumerates all ids (singletons cluster as themselves),
+    * output (idCol, cluster_id); every persist released on return.
+    */
+  def duplicateClustersBigStar(pairs: DataFrame, nodes: DataFrame,
+                               idCol: String, maxIters: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    // (v, m) for every neighbor v of u with v > u, m = min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    // orient edges big→small; (v, m) for the smaller neighbors plus (u, m)
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    // eager localCheckpoint per round: truncates lineage (largeStar
+    // references its input twice — bare chaining doubles the plan per
+    // round) and stays out of the CacheManager; see duplicateClusters.
+    var edges = pairs.select(col("id_a").cast("long").as("u"),
+        col("id_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // set-equality probe on the (small, materialized) edge lists
+      converged =
+        next.except(edges).limit(1).count() == 0 &&
+          edges.except(next).limit(1).count() == 0
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClustersBigStar did not converge in $maxIters iterations")
+    // stars: (u, m) edges point at component minima; centers self-label.
+    // groupBy-min is defensive — at convergence each u has one target.
+    val labels = edges.select(col("u").as(idCol), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as(idCol), col("v").as("cluster_id")))
+      .groupBy(idCol).agg(min(col("cluster_id")).as("cluster_id"))
+    nodes.select(col(idCol).cast("long").as(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
 }

@@ -120,6 +120,41 @@ class TransformsSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("duplicateClustersBigStar matches label propagation on varied graphs") {
+    import spark.implicits._
+    def run(pairs: Seq[(Long, Long)], nodes: Seq[Long], labelIters: Int = 10): Unit = {
+      val p = pairs.toDF("id_a", "id_b")
+      val n = nodes.toDF("doc_id")
+      val a = Dedup.duplicateClusters(p, n, "doc_id", maxIters = labelIters)
+        .as[(Long, Long)].collect().toMap
+      val b = Dedup.duplicateClustersBigStar(p, n, "doc_id")
+        .as[(Long, Long)].collect().toMap
+      b shouldBe a
+    }
+    // chains + a second component + singletons
+    run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)), 1L to 12L)
+    // whale: hub-and-spoke star, the topology label propagation funnels
+    run((2L to 60L).map(i => (1L, i)), 1L to 65L)
+    // seeded random graph (multi-edges, both orientations, self-ish noise)
+    val rnd = new scala.util.Random(42)
+    run(Seq.fill(150)((rnd.nextInt(100).toLong + 1, rnd.nextInt(100).toLong + 1))
+      .filter(e => e._1 != e._2), 1L to 100L)
+    // a long path: diameter rounds for label-prop, O(log^2) for star ops
+    run((1L to 24L).sliding(2).map(s => (s(0), s(1))).toSeq, 1L to 24L,
+      labelIters = 30)
+  }
+
+  test("duplicateClustersBigStar: empty pairs, no cache residue") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.bridge
+    spark.catalog.clearCache()
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Dedup.duplicateClustersBigStar(none, (1L to 5L).toDF("doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    out shouldBe (1L to 5L).map(i => i -> i).toMap
+    bridge.cacheIsEmpty(spark) shouldBe true
+  }
+
   test("duplicateClusters fails loudly when maxIters is too small") {
     import spark.implicits._
     // a path graph of length 6 needs more than 1 round to converge
