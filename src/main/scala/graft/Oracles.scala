@@ -672,6 +672,48 @@ object Oracles {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-18 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q68_sampling_mix" ->
+      """WITH pl AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang
+        |), t AS (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |    SUM(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS z
+        |  FROM pl)
+        |SELECT lang, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS p,
+        |  round(pow(CAST(n_tokens AS DOUBLE), 0.3) / z, 6) AS w_alpha
+        |FROM pl CROSS JOIN t ORDER BY lang""".stripMargin,
+
+    "q69_source_profile" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q70_ngram_decontam" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000 < 800 THEN 'train'
+        |         WHEN (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, split,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 4),
+        |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS gram
+        |  FROM s WHERE split IN ('train', 'test')
+        |), te AS (SELECT DISTINCT gram FROM g WHERE split = 'test')
+        |SELECT
+        |  (SELECT COUNT(*) FROM s WHERE split = 'train') AS n_train,
+        |  (SELECT COUNT(*) FROM s WHERE split = 'test') AS n_test,
+        |  (SELECT COUNT(DISTINCT tr.doc_id) FROM g tr JOIN te USING (gram)
+        |   WHERE tr.split = 'train') AS n_contaminated_train""".stripMargin,
   )
 
   /** Shared CTE chain producing minhash-LSH candidate pairs (`cand`) and

@@ -500,6 +500,65 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Multilingual sampling mix: per-language token mass p_l and the
+    * temperature-resampled weight w_l ∝ p_l^α (α = 0.3, the standard
+    * upweight-the-tail mix for multilingual training). Two tiny aggregates
+    * + a one-row cross join; weights rounded to 6 decimals on BOTH engines
+    * so libm pow's last-ulp differences can't break the hash. */
+  def q68_sampling_mix(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text"))).cast("long").as("n_tokens"))
+    val totals = perLang.agg(
+      sum(col("n_tokens")).cast("long").as("total_tokens"),
+      sum(pow(col("n_tokens").cast("double"), lit(0.3))).as("z"))
+    perLang.crossJoin(totals)
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens").cast("double"), 6).as("p"),
+        round(pow(col("n_tokens").cast("double"), lit(0.3)) / col("z"), 6).as("w_alpha"))
+      .orderBy(col("lang"))
+  }
+
+  /** Per-source (domain) corpus profile — the CCNet-style view that drives
+    * source-level keep/drop decisions: volume, language spread, length,
+    * exact-dup overhead. One combinable-aggregate scan. */
+  def q69_source_profile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(TextOps.tokenCount(col("text"))).cast("long").as("sum_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("avg_chars"),
+        (count(lit(1)) - count_distinct(md5(col("text")))).cast("long").as("n_dup_docs"))
+      .orderBy(col("source"))
+
+  /** N-gram decontamination (the GPT-3-style 13-gram check, n scaled to
+    * this corpus): a TRAIN document is contaminated if it shares ANY
+    * distinct 5-gram with any TEST document. Grams exist only as md5
+    * hashes past the scan, so the shuffle carries (hash, id) — never gram
+    * text; the test side is corpus-fraction-small, so AQE broadcasts it.
+    * Output: one audit row. */
+  def q70_ngram_decontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val docs = Tables.documents(spark, dir)
+      .withColumn("split", StableHash.split(col("doc_id"),
+        Seq(800 -> "train", 900 -> "val"), "test"))
+    def grams(d: DataFrame) = d
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 5)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    val trainGrams = grams(docs.filter(col("split") === "train"))
+    val testGrams = grams(docs.filter(col("split") === "test"))
+      .select(col("gh")).distinct()
+    val contaminated = trainGrams.join(testGrams, "gh")
+      .select(col("doc_id")).distinct()
+    val counts = docs.groupBy()
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).cast("long").as("n_test"))
+    counts.crossJoin(
+      contaminated.agg(count(lit(1)).cast("long").as("n_contaminated_train")))
+  }
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {
