@@ -714,6 +714,20 @@ object Oracles {
         |  (SELECT COUNT(*) FROM s WHERE split = 'test') AS n_test,
         |  (SELECT COUNT(DISTINCT tr.doc_id) FROM g tr JOIN te USING (gram)
         |   WHERE tr.split = 'train') AS n_contaminated_train""".stripMargin,
+
+    "q71_unigram_lm" ->
+      """WITH dt AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), c AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c FROM dt GROUP BY doc_id, tok
+        |), f AS (
+        |  SELECT tok, CAST(SUM(c) AS BIGINT) AS tf FROM c GROUP BY tok
+        |), t AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n_total FROM f)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |  round(CAST(SUM(CAST(CAST(c AS DOUBLE) * (-ln(CAST(tf AS DOUBLE) / n_total)) AS DECIMAL(27,12))) AS DOUBLE)
+        |        / CAST(SUM(c) AS DOUBLE), 6) AS avg_nll
+        |FROM c JOIN f USING (tok) CROSS JOIN t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared CTE chain producing minhash-LSH candidate pairs (`cand`) and

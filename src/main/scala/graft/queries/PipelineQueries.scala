@@ -559,6 +559,29 @@ object PipelineQueries {
       contaminated.agg(count(lit(1)).cast("long").as("n_contaminated_train")))
   }
 
+  /** Unigram-LM quality score (the CCNet-style perplexity proxy): corpus
+    * unigram frequencies -> per-document mean negative log-likelihood;
+    * low-NLL docs read like the corpus, high-NLL docs are noise. Two
+    * combinable aggregates + one join on token; the per-doc sum goes
+    * through DECIMAL(27,12) so it is order-independent (float sums drift
+    * with partitioning), and the final score rounds to 6 decimals on both
+    * engines so libm log's last-ulp wiggle can't break the hash. */
+  def q71_unigram_lm(spark: SparkSession, dir: String): DataFrame = {
+    val docTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val freq = docTok.groupBy(col("tok")).agg(sum(col("c")).as("tf"))
+    val total = freq.agg(sum(col("tf")).cast("double").as("n_total"))
+    docTok.join(freq, "tok").crossJoin(total)
+      .withColumn("nll", -log(col("tf").cast("double") / col("n_total")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tok"),
+        sum((col("c").cast("double") * col("nll")).cast("decimal(27,12)")).as("s"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("s").cast("double") / col("n_tok").cast("double"), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {

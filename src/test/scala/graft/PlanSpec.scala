@@ -131,6 +131,22 @@ class PlanSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("q70 decontamination's gram join is an equi-join on the md5 hash") {
+    val plan = planString(queries.PipelineQueries.q70_ngram_decontam(spark, dir))
+    plan should not include "CartesianProduct"
+    // the train x test gram join keys on the hash column (grams never
+    // travel as text); the only nested-loop joins in the plan are the
+    // final one-row x one-row report combines
+    plan should include regex "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[gh"
+  }
+
+  test("q71 unigram-LM keeps partial aggregation on both stages") {
+    val df = queries.PipelineQueries.q71_unigram_lm(spark, dir)
+    planString(df) should include("HashAggregate")
+    // (doc,tok) agg -> tok freq agg -> join -> doc agg -> sort
+    countShuffles(df) should be <= 5
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
