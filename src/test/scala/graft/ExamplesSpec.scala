@@ -35,10 +35,15 @@ class ExamplesSpec extends SparkSpec {
   test("every shipped .conf example loads with eager schema validation") {
     val confs = new java.io.File("examples").listFiles()
       .filter(_.getName.endsWith(".conf")).map(_.getPath).sorted
-    confs.length shouldBe 5
+    confs.length shouldBe 6
     val byName = confs.map { p =>
       p -> ConfigLoader.loadFromFile(p, schemaBasePath = "examples/schemas")
     }.toMap
+    val governed = byName("examples/governed-pipeline.conf")
+    governed.watermarkStore shouldBe Some("/tmp/graft-governed/marks.json")
+    governed.jobs.head.maskPii shouldBe Some("hash")
+    governed.jobs.head.dq.get.metadataChecks shouldBe true
+    governed.jobs.head.source.watermarkColumn shouldBe Some("customer_id")
     byName("examples/multi-job-pipeline.conf").jobs.length shouldBe 2
     // version omitted on the first multi-job schema ref -> latest resolves
     byName("examples/multi-job-pipeline.conf").jobs.head.schemaVersion shouldBe None
