@@ -118,6 +118,9 @@ class PlanSpec extends SparkSpec {
     // alone — no single task ever owns a whole language
     plan should include("__psum_pid")
     plan should not include regex("Window .*partitionBy.*\\[lang#")
+    // the range shuffle materializes ONCE: both passes read the same
+    // exchange, which also makes spark_partition_id consistent between them
+    plan should include("ReusedExchange")
   }
 
   test("q53 vocab top-k plans the heap TopKPerKeyExec, not a window sort") {
