@@ -728,6 +728,22 @@ object Oracles {
         |        / CAST(SUM(c) AS DOUBLE), 6) AS avg_nll
         |FROM c JOIN f USING (tok) CROSS JOIN t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q72_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, max(abs(x)) / 127.0 AS scale FROM e GROUP BY vec_id
+        |), err AS (
+        |  SELECT label, e.vec_id,
+        |    x - least(greatest(round(x / scale, 0), -127.0), 127.0) * scale AS err
+        |  FROM e JOIN s ON s.vec_id = e.vec_id)
+        |SELECT label, COUNT(DISTINCT vec_id) AS n_vectors,
+        |  round(CAST(SUM(CAST(err * err AS DECIMAL(27,18))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 12) AS mse,
+        |  max(abs(err)) AS max_err
+        |FROM err GROUP BY label ORDER BY label""".stripMargin,
   )
 
   /** Shared CTE chain producing minhash-LSH candidate pairs (`cand`) and

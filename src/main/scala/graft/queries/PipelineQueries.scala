@@ -582,6 +582,33 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Int8 symmetric quantization audit — the 4x storage cut every
+    * 100 TB-scale vector store takes, with its error bounds measured
+    * rather than assumed: per-vector scale = max|x|/127, dequantization
+    * error aggregated per label. Per-element math is identical IEEE
+    * doubles on both engines; the error sum goes through DECIMAL (order-
+    * independent) and the mse rounds to 12 decimals because double→decimal
+    * conversion semantics differ between engines at the last digit
+    * (shortest-repr vs binary value). max_err is exact un-rounded. */
+  def q72_embed_quantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"),
+        posexplode(CosineKnn.toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .drop("pos")
+    val scales = e.groupBy(col("vec_id"))
+      .agg((max(abs(col("x"))) / 127.0).as("scale"))
+    val err = e.join(scales, "vec_id")
+      .withColumn("qi",
+        least(greatest(round(col("x") / col("scale")), lit(-127.0)), lit(127.0)))
+      .withColumn("err", col("x") - col("qi") * col("scale"))
+    err.groupBy(col("label"))
+      .agg(count_distinct(col("vec_id")).as("n_vectors"),
+        round(sum((col("err") * col("err")).cast("decimal(27,18)")).cast("double") /
+          count(lit(1)).cast("double"), 12).as("mse"),
+        max(abs(col("err"))).as("max_err"))
+      .orderBy(col("label"))
+  }
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {
