@@ -17,9 +17,10 @@ import graft.text.TextOps
   * sink — rejected rows are stored too).
   *
   * Strategies (all type-preserving, so the sink schema contract holds):
-  *  - Hash: strings -> sha2-256 (deterministic, so the masked value still
-  *    joins/groups/deduplicates); non-strings can't hold a digest, so they
-  *    null out.
+  *  - Hash: strings -> sha2-256; integral keys -> xxhash64 (long) or its
+  *    31-bit fold (int). Deterministic, so a masked id still
+  *    joins/groups/deduplicates. Other types (dates, floats, binaries)
+  *    can't hold a digest and null out.
   *  - Nullify: every pii column -> NULL of its own type.
   *  - RedactText: strings -> regex scrub (for free-text columns where the
   *    VALUE is legitimate but may EMBED emails/phones/ids); non-strings
@@ -73,12 +74,20 @@ object PiiMask {
 
   private def maskColumn(c: Column, isString: Boolean,
                          f: org.apache.spark.sql.types.StructField,
-                         strategy: Strategy): Column = strategy match {
-    case Strategy.Hash if isString =>
-      // preserve NULL (a hash of null would mint a value, breaking
-      // not-null DQ semantics downstream)
-      when(c.isNull, lit(null).cast(StringType)).otherwise(sha2(c, 256))
-    case Strategy.RedactText(rules) if isString => TextOps.redact(c, rules)
-    case _ => lit(null).cast(f.dataType)
+                         strategy: Strategy): Column = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    strategy match {
+      case Strategy.Hash if isString =>
+        // preserve NULL (a hash of null would mint a value, breaking
+        // not-null DQ semantics downstream)
+        when(c.isNull, lit(null).cast(StringType)).otherwise(sha2(c, 256))
+      case Strategy.Hash if f.dataType == LongType =>
+        when(c.isNull, lit(null).cast(LongType)).otherwise(xxhash64(c))
+      case Strategy.Hash if f.dataType == IntegerType =>
+        when(c.isNull, lit(null).cast(IntegerType))
+          .otherwise(pmod(xxhash64(c), lit(Int.MaxValue.toLong)).cast(IntegerType))
+      case Strategy.RedactText(rules) if isString => TextOps.redact(c, rules)
+      case _ => lit(null).cast(f.dataType)
+    }
   }
 }

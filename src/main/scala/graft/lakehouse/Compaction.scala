@@ -48,4 +48,23 @@ object Compaction {
     fs.delete(old, true)
     CompactionResult(before, parquetFileCount(spark, dir), bytes)
   }
+
+  /** Per-partition-directory compaction for a `partitionBy` table layout —
+    * the cluster-scale spelling: each `col=value` directory compacts (and
+    * swaps) independently, so the working set is one partition, a crash
+    * affects at most the partition mid-swap, and partitions can compact on
+    * different cadences. `minFiles` skips directories already compact. */
+  def compactPartitioned(spark: SparkSession, dir: String,
+                         targetFileBytes: Long = 128L * 1024 * 1024,
+                         minFiles: Int = 2): Map[String, CompactionResult] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .flatMap { s =>
+        val part = s.getPath.getName
+        if (parquetFileCount(spark, s.getPath.toString) < minFiles) None
+        else Some(part -> compact(spark, s.getPath.toString, targetFileBytes))
+      }.toMap
+  }
 }

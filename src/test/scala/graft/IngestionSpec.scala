@@ -124,7 +124,8 @@ class IngestionSpec extends SparkSpec {
     val out = PiiMask.mask(df, schema).orderBy("id").collect()
     out(0).getString(1) should fullyMatch regex "[0-9a-f]{64}" // sha2-256, type kept
     out(0).getString(1) should not be "a@example.com"
-    out(0).isNullAt(2) shouldBe true   // non-string pii can't hash: nulled
+    out(0).getInt(2) should not be 30  // integral pii: xxhash64 fold, type kept
+    out(0).getInt(2) should be >= 0    // ...and still joinable (deterministic)
     out(0).getString(3) shouldBe "DE"  // pii:false untouched
     out(1).isNullAt(1) shouldBe true   // null stays null (no minted hash)
     // deterministic: same input -> same digest (joinability survives)

@@ -168,6 +168,24 @@ class IoSpec extends SparkSpec {
     new java.io.File(dir + "__compact_old").exists() shouldBe false
   }
 
+  test("compactPartitioned compacts each partition dir independently") {
+    import graft.lakehouse.Compaction
+    val dir = tmpDir("pcompact") + "/t"
+    Seq.tabulate(2000)(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "part")
+      .repartition(10).write.partitionBy("part").parquet(dir)
+    val results = Compaction.compactPartitioned(spark, dir,
+      targetFileBytes = 10L * 1024 * 1024)
+    results.keySet shouldBe Set("part=a", "part=b")
+    all(results.values.map(_.filesAfter)) shouldBe 1
+    // data intact, partition layout preserved
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 2000
+    back.where("part = 'a'").count() shouldBe 1000
+    // second run is a no-op (already compact)
+    Compaction.compactPartitioned(spark, dir) shouldBe empty
+  }
+
   test("FileReader passes 'avro' through to the datasource resolver (contract)") {
     // no spark-avro module ships in this sandbox, so the read must fail AT
     // THE RESOLVER with an avro-specific error — proving the format string
