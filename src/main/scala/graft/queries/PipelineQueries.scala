@@ -585,27 +585,40 @@ object PipelineQueries {
   /** Int8 symmetric quantization audit — the 4x storage cut every
     * 100 TB-scale vector store takes, with its error bounds measured
     * rather than assumed: per-vector scale = max|x|/127, dequantization
-    * error aggregated per label. Per-element math is identical IEEE
-    * doubles on both engines; the error sum goes through DECIMAL (order-
-    * independent) and the mse rounds to 12 decimals because double→decimal
-    * conversion semantics differ between engines at the last digit
-    * (shortest-repr vs binary value). max_err is exact un-rounded. */
+    * error aggregated per label. The scale and the per-vector error
+    * partials are ARRAY FOLDS on the row — no explode, no per-vector
+    * shuffle, no self-join: the only exchange carries one partial row per
+    * vector into the per-label combine. Per-element math is identical IEEE
+    * doubles on both engines; error sums fold through DECIMAL (exact,
+    * associative, so the row-fold + shuffle-combine order can't matter)
+    * and the mse rounds to 12 decimals because double→decimal conversion
+    * differs between engines at the last digit (shortest-repr vs binary
+    * value). max_err is exact un-rounded. */
   def q72_embed_quantize(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    import org.apache.spark.sql.Column
+    def err(x: Column, scale: Column): Column =
+      x - least(greatest(round(x / scale), lit(-127.0)), lit(127.0)) * scale
+    val partials = Tables.embeddings(spark, dir)
       .select(col("label"), col("vec_id"),
-        posexplode(CosineKnn.toDouble(col("embedding"))).as(Seq("pos", "x")))
-      .drop("pos")
-    val scales = e.groupBy(col("vec_id"))
-      .agg((max(abs(col("x"))) / 127.0).as("scale"))
-    val err = e.join(scales, "vec_id")
-      .withColumn("qi",
-        least(greatest(round(col("x") / col("scale")), lit(-127.0)), lit(127.0)))
-      .withColumn("err", col("x") - col("qi") * col("scale"))
-    err.groupBy(col("label"))
-      .agg(count_distinct(col("vec_id")).as("n_vectors"),
-        round(sum((col("err") * col("err")).cast("decimal(27,18)")).cast("double") /
-          count(lit(1)).cast("double"), 12).as("mse"),
-        max(abs(col("err"))).as("max_err"))
+        CosineKnn.toDouble(col("embedding")).as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0)
+      .select(col("label"), size(col("v")).cast("long").as("n_elems"),
+        // acc stays (30,18): the per-step add is (31,18) — exact, same
+        // scale — and the shrink cast back is a pure range check (sums
+        // here are < 1), so every fold step is exact decimal math
+        aggregate(col("v"), lit(java.math.BigDecimal.ZERO).cast("decimal(30,18)"),
+          (acc, x) => (acc +
+            (err(x, col("scale")) * err(x, col("scale"))).cast("decimal(20,18)"))
+            .cast("decimal(30,18)"))
+          .as("s_vec"),
+        aggregate(col("v"), lit(0.0),
+          (acc, x) => greatest(acc, abs(err(x, col("scale"))))).as("max_vec"))
+    partials.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("s_vec")).cast("double") /
+          sum(col("n_elems")).cast("double"), 12).as("mse"),
+        max(col("max_vec")).as("max_err"))
       .orderBy(col("label"))
   }
 
