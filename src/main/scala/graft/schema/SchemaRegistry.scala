@@ -26,6 +26,14 @@ final class FileSchemaStore(basePath: String) extends SchemaStore {
     if (Files.isRegularFile(p)) Some(Files.readString(p)) else None
   }
 
+  /** Write support for `SchemaRegistry.publish` (filesystem stores only). */
+  private[schema] def write(rel: String, content: String): Unit = {
+    val p = resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+    ()
+  }
+
   override def listDataset(domain: String, dataset: String): Seq[String] = {
     val dir = resolve(s"$domain/$dataset")
     if (!Files.isDirectory(dir)) Seq.empty
@@ -122,6 +130,33 @@ final class SchemaRegistry(store: SchemaStore) {
             s"${store.describe(rel)} is not a struct schema: ${other.simpleString}")
       }
     })
+  }
+
+  /** Publish `schema` as the next version, GATED by [[SchemaCompat]] — the
+    * check the reference's governance doc specifies but stubs out
+    * (`/root/reference/docs/08-schema-governance.md:274-281,391-402`).
+    * Backward-compatible changes (additive nullable, relaxed nullability,
+    * lossless widenings) publish freely; breaking changes (drops, renames,
+    * narrowings, tightened nullability) throw unless `allowBreaking=true`
+    * — the explicit "this is a new major contract" override. Returns the
+    * published version number. Requires a filesystem store. */
+  def publish(domain: String, dataset: String, schema: StructType,
+              allowBreaking: Boolean = false): Int = {
+    val base = store match {
+      case f: FileSchemaStore => f
+      case other => throw new UnsupportedOperationException(
+        s"publish needs a writable filesystem store, got ${other.getClass.getSimpleName}")
+    }
+    latestVersion(domain, dataset).foreach { v =>
+      val report = SchemaCompat.check(getSchema(domain, dataset, Some(v)), schema)
+      if (!report.ok && !allowBreaking)
+        throw new IllegalArgumentException(
+          s"schema publish for $domain/$dataset rejected — ${report.describe} " +
+            "(pass allowBreaking=true to publish as a breaking major version)")
+    }
+    val next = latestVersion(domain, dataset).getOrElse(0) + 1
+    base.write(s"$domain/$dataset/v$next.json", schema.json)
+    next
   }
 }
 

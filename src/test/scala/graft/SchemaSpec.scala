@@ -208,6 +208,27 @@ class SchemaSpec extends SparkSpec {
       SchemaCompat.validateOrThrow(base, dropped)
   }
 
+  test("publish gates on SchemaCompat: additive ok, breaking needs the override") {
+    val base = tmpDir("publish")
+    val reg = new SchemaRegistry(base)
+    // first publish: no previous version, anything goes
+    reg.publish("d", "t", v1) shouldBe 1
+    reg.getSchema("d", "t") shouldBe v1
+    // additive nullable column: compatible, publishes v2
+    reg.publish("d", "t", v2) shouldBe 2
+    reg.latestVersion("d", "t") shouldBe Some(2)
+    // dropping a column: rejected without the override...
+    val dropped = StructType(v2.fields.filterNot(_.name == "currency"))
+    an[IllegalArgumentException] should be thrownBy reg.publish("d", "t", dropped)
+    reg.latestVersion("d", "t") shouldBe Some(2) // nothing written
+    // ...and publishes as an explicit breaking major version with it
+    reg.publish("d", "t", dropped, allowBreaking = true) shouldBe 3
+    reg.getSchema("d", "t").fieldNames should not contain "currency"
+    // classpath stores are read-only
+    an[UnsupportedOperationException] should be thrownBy
+      SchemaRegistry.classpath("nonexistent").publish("d", "t", v1)
+  }
+
   test("SchemaCompat recurses into nested structs") {
     import graft.schema.SchemaCompat
     val inner = StructType(Seq(
