@@ -33,7 +33,10 @@ final case class JobConfig(domain: String, dataset: String, layer: String,
                            dq: Option[DQConfig] = None,
                            // mask registry-flagged pii:true columns on
                            // write: "hash" | "null" | "redact"
-                           maskPii: Option[String] = None) {
+                           maskPii: Option[String] = None,
+                           // enforce the registry's retention_days for
+                           // this time column on every write
+                           retentionColumn: Option[String] = None) {
   def registryDomain: String = schemaDomain.getOrElse(domain)
   def registryDataset: String = schemaDataset.getOrElse(dataset)
 }
@@ -259,7 +262,8 @@ object HoconConfigLoader {
       schemaDomain = schemaBlock.flatMap(str(_, "registry_domain")),
       schemaDataset = schemaBlock.flatMap(str(_, "registry_dataset")),
       dq = obj(j, "dq").orElse(obj(j, "data_quality")).map(toDq),
-      maskPii = str(j, "maskPii").orElse(str(j, "mask_pii")))
+      maskPii = str(j, "maskPii").orElse(str(j, "mask_pii")),
+      retentionColumn = str(j, "retentionColumn").orElse(str(j, "retention_column")))
   }
 
   /** "v1" / "1" -> 1 (reference versions are "v<N>" strings). */

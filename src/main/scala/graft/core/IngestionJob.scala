@@ -27,6 +27,9 @@ import graft.schema.SchemaValidator
   *     (`watermarkAdvance`), so the next incremental run reads only new
   *     rows — without this the stored mark never moves and every run
   *     re-appends the full table.
+  *  6. Registry `retention_days` is enforced on write when `retention`
+  *     names a governing time column: expired rows are filtered before DQ
+  *     (a literal cutoff — prunable, zero extra scans).
   */
 final case class IngestionJob(domain: String, dataset: String,
                               layer: MedallionLayer,
@@ -40,7 +43,10 @@ final case class IngestionJob(domain: String, dataset: String,
                               triggerInterval: String = "30 seconds",
                               piiMask: Option[graft.dq.PiiMask.Strategy] = None,
                               // (store, watermark column, store key)
-                              watermarkAdvance: Option[(graft.io.WatermarkStore, String, String)] = None) {
+                              watermarkAdvance: Option[(graft.io.WatermarkStore, String, String)] = None,
+                              // (time column, retention_days) — rows older
+                              // than the cutoff are dropped before DQ/write
+                              retention: Option[(String, Long)] = None) {
 
   def run(spark: SparkSession): JobResult = {
     val df = reader.read(spark)
@@ -49,8 +55,14 @@ final case class IngestionJob(domain: String, dataset: String,
   }
 
   /** Batch path; also the body of each streaming micro-batch. */
-  private[core] def runBatch(df: DataFrame): DQSummary = {
-    expectedSchema.foreach(SchemaValidator.validateOrThrow(df, _))
+  private[core] def runBatch(raw: DataFrame): DQSummary = {
+    expectedSchema.foreach(SchemaValidator.validateOrThrow(raw, _))
+    // registry retention_days: expired rows never reach DQ or a sink
+    val df = retention match {
+      case Some((column, days)) =>
+        graft.lakehouse.Retention.currentRows(raw, column, days)
+      case None => raw
+    }
     // mask registry-flagged pii columns before anything is persisted to a
     // sink; quarantined rows go through the same mask below
     def masked(d: DataFrame): DataFrame = (piiMask, expectedSchema) match {

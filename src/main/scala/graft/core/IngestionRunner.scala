@@ -77,7 +77,14 @@ object IngestionRunner {
       watermarkAdvance = for {
         store <- watermarks
         column <- j.source.watermarkColumn
-      } yield (store, column, s"${j.domain}.${j.dataset}"))
+      } yield (store, column, s"${j.domain}.${j.dataset}"),
+      // retention_days comes from the registry schema's field metadata —
+      // config names only WHICH time column governs the table
+      retention = for {
+        column <- j.retentionColumn
+        s <- schema
+        days <- graft.lakehouse.Retention.retentionDays(s, column)
+      } yield (column, days))
   }
 
   /** Reader factory by `source.type` (reference `:98-103` supports kafka

@@ -42,6 +42,7 @@ class ExamplesSpec extends SparkSpec {
     val governed = byName("examples/governed-pipeline.conf")
     governed.watermarkStore shouldBe Some("/tmp/graft-governed/marks.json")
     governed.jobs.head.maskPii shouldBe Some("hash")
+    governed.jobs.head.retentionColumn shouldBe Some("signup_date")
     governed.jobs.head.dq.get.metadataChecks shouldBe true
     governed.jobs.head.source.watermarkColumn shouldBe Some("customer_id")
     byName("examples/multi-job-pipeline.conf").jobs.length shouldBe 2
@@ -137,6 +138,25 @@ class ExamplesSpec extends SparkSpec {
     rows(0).getString(3) shouldBe "DE"   // pii: false passes through
     rows(1).isNullAt(1) shouldBe true    // null preserved, not minted
     out.schema("email").dataType.typeName shouldBe "string" // type contract holds
+  }
+
+  test("registry retention_days drives on-write filtering (e2e)") {
+    import graft.config._
+    rmrf(new java.io.File("/tmp/graft-retention"))
+    Files.createDirectories(Paths.get("/tmp/graft-retention/in"))
+    // signup_date carries retention_days: 90 in the registry schema; the
+    // job only names WHICH column governs the table
+    Files.writeString(Paths.get("/tmp/graft-retention/in/data.json"),
+      """{"customer_id": 1, "email": "a@x.com", "full_name": "A", "signup_date": "2020-01-01", "country": "DE"}
+        |{"customer_id": 2, "email": "b@x.com", "full_name": "B", "signup_date": "2026-08-01", "country": "US"}""".stripMargin)
+    val job = JobConfig(
+      domain = "payments", dataset = "customers", layer = "bronze",
+      source = SourceConfig("json", path = Some("/tmp/graft-retention/in")),
+      target = TargetConfig("parquet", "/tmp/graft-retention/bronze", mode = "overwrite"),
+      retentionColumn = Some("signup_date"))
+    IngestionRunner.buildJob(job, Some(new SchemaRegistry("examples/schemas"))).run(spark)
+    spark.read.parquet("/tmp/graft-retention/bronze")
+      .select("customer_id").as[Long].collect() shouldBe Array(2L)
   }
 
   test("the example pipeline runs end to end with quarantine") {
