@@ -729,6 +729,16 @@ object Oracles {
         |FROM c JOIN f USING (tok) CROSS JOIN t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q73_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+        |)
+        |SELECT lang, COUNT(*) AS n_groups,
+        |  CAST(MIN(n) AS BIGINT) AS min_group_size,
+        |  CAST(COALESCE(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_below_k,
+        |  MIN(n) >= 5 AS k_anonymous
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q72_embed_quantize" ->
       """WITH e AS (
         |  SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS x

@@ -37,6 +37,23 @@ object GovernanceQueries {
       docsPiiSchema, PiiMask.Strategy.Hash)
       .orderBy(col("doc_id"))
 
+  /** K-anonymity audit over quasi-identifiers: any (lang, source)
+    * combination identifying fewer than k=5 documents is a re-identification
+    * risk — the privacy counterpart to [[PiiMask]]'s direct-identifier
+    * masking. Two-level combinable aggregate (group sizes, then the
+    * per-lang minimum and violating-group count); at 100 TB both levels
+    * shuffle O(groups), not O(rows). */
+  def q73_k_anonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("n")).cast("long").as("min_group_size"),
+        sum(when(col("n") < 5, 1L).otherwise(0L)).cast("long").as("n_below_k"),
+        (min(col("n")) >= 5).as("k_anonymous"))
+      .orderBy(col("lang"))
+
   /** `retention_days` enforcement as a query: the read-side filter at a
     * pinned as-of date (reproducible), aggregated per event type. The
     * cutoff is a literal comparison, so on a time-partitioned table it

@@ -39,6 +39,8 @@ object PrefixSum {
     * is preserved; `cumCol` is appended. */
   def groupedRunningSum(df: DataFrame, groupCols: Seq[String], orderCol: String,
                         valueCol: String, cumCol: String): DataFrame = {
+    require(!df.columns.exists(_.startsWith("__psum")),
+      "groupedRunningSum reserves the __psum* column namespace")
     val gcols = groupCols.map(col)
     val ranged = df
       .repartitionByRange((gcols :+ col(orderCol)): _*)
