@@ -168,6 +168,34 @@ class IngestionSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming job masks pii per micro-batch (foreachBatch path)") {
+    import org.apache.spark.sql.types._
+    val in = tmpDir("spii") + "/in"
+    val out = tmpDir("spii") + "/out"
+    val cp = tmpDir("spii") + "/cp"
+    Files.createDirectories(Paths.get(in))
+    Seq((1L, "alice@x.com"), (2L, "bob@y.org")).toDF("id", "email")
+      .write.mode(SaveMode.Overwrite).parquet(in)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("email", StringType, nullable = true,
+        metadata = new MetadataBuilder().putBoolean("pii", true).build())))
+    val job = IngestionJob("d", "s", MedallionLayer.Bronze,
+      FileReader("parquet", in, schema = Some(schema), streaming = true),
+      ParquetSink(),
+      LakehouseTable(out, MedallionLayer.Bronze),
+      expectedSchema = Some(schema),
+      checkpoint = Some(cp),
+      triggerInterval = "1 seconds",
+      piiMask = Some(graft.dq.PiiMask.Strategy.Hash))
+    val q = job.run(spark).streamingQuery.get
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(out).orderBy("id").collect()
+    rows should have length 2
+    all(rows.map(_.getString(1))) should fullyMatch regex "[0-9a-f]{64}"
+  }
+
   test("catalog adapters: spark-backed works, noop does nothing") {
     val cat = new SparkCatalogAdapter(spark)
     cat.tableExists("definitely_not_here") shouldBe false
