@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,8 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * re-slices via substring per element. n-grams are produced over Unicode
   * code points (UTF8String.substringSQL semantics), matching the SQL form.
   */
-case class CharNgrams(child: Expression, n: Int) extends UnaryExpression
-    with CodegenFallback {
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -29,8 +28,25 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression
           s"char_ngrams needs string, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  override def nullSafeEval(input: Any): Any =
+    CharNgrams.compute(input.asInstanceOf[UTF8String], n)
+
+  /** Real codegen (one static call, stage stays whole-stage compiled). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharNgrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_ngrams"
+}
+
+object CharNgrams {
+  import org.apache.spark.sql.graft.bridge
+
+  /** The whole-string kernel — shared by interpreted eval and codegen. */
+  def compute(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
     // One pass to find code-point byte boundaries; substringSQL would rescan
     // from offset 0 per n-gram (quadratic in doc length).
@@ -58,15 +74,6 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
-    copy(child = newChild)
-
-  override def prettyName: String = "char_ngrams"
-}
-
-object CharNgrams {
-  import org.apache.spark.sql.graft.bridge
 
   /** Column-API entry point: charNgrams(stringColumn, n). */
   def charNgrams(s: Column, n: Int): Column =

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,8 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale: per-row, no shuffle, constant memory (k longs).
   */
-case class MinHashSig(child: Expression, perms: Int) extends UnaryExpression
-    with CodegenFallback {
+case class MinHashSig(child: Expression, perms: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
@@ -42,13 +41,32 @@ case class MinHashSig(child: Expression, perms: Int) extends UnaryExpression
           s"minhash_sig needs array<string>, got $other")
     }
 
-  @transient private lazy val localMd =
-    new ThreadLocal[MessageDigest] {
-      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-    }
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], perms)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Real codegen (one static call, stage stays whole-stage compiled). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.compute($c, $perms);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  import org.apache.spark.sql.graft.bridge
+
+  /** Mersenne modulus 2^61 - 1. */
+  val M: Long = (1L << 61) - 1
+
+  private val localMd = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** The whole-set kernel — shared by interpreted eval and codegen. */
+  def compute(arr: ArrayData, perms: Int): ArrayData = {
     val mins = new Array[Long](perms)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var seen = false
@@ -60,14 +78,14 @@ case class MinHashSig(child: Expression, perms: Int) extends UnaryExpression
         md.reset()
         md.update(arr.getUTF8String(i).getBytes)
         val d = md.digest()
-        val h1m = MinHashSig.modM(MinHashSig.leLong(d, 0))
-        val h2m = MinHashSig.modM(MinHashSig.leLong(d, 8))
+        val h1m = modM(leLong(d, 0))
+        val h2m = modM(leLong(d, 8))
         var p = 0
         var v = h1m // slot_0; then add h2m (mod M) per step: h1m + p*h2m
         while (p < perms) {
           if (v < mins(p)) mins(p) = v
           v += h2m
-          if (v >= MinHashSig.M || v < 0) v -= MinHashSig.M
+          if (v >= M || v < 0) v -= M
           p += 1
         }
       }
@@ -81,18 +99,6 @@ case class MinHashSig(child: Expression, perms: Int) extends UnaryExpression
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
-    copy(child = newChild)
-
-  override def prettyName: String = "minhash_sig"
-}
-
-object MinHashSig {
-  import org.apache.spark.sql.graft.bridge
-
-  /** Mersenne modulus 2^61 - 1. */
-  val M: Long = (1L << 61) - 1
 
   /** Little-endian unsigned-64 read of bytes [off, off+8) — the layout of
     * DuckDB's md5_number_upper (off=0) / md5_number_lower (off=8). */
@@ -136,7 +142,7 @@ object MinHashSig {
   * shingle set is null, matching `||` null propagation in the oracle.
   */
 case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
 
@@ -150,10 +156,26 @@ case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
           s"minhash_bands needs array<string>, got $other")
     }
 
-  @transient private lazy val sig = MinHashSig(child, bands * rowsPerBand)
+  override def nullSafeEval(input: Any): Any =
+    MinHashBands.compute(input.asInstanceOf[ArrayData], bands, rowsPerBand)
 
-  override def nullSafeEval(input: Any): Any = {
-    val slots = sig.nullSafeEval(input).asInstanceOf[GenericArrayData]
+  /** Real codegen (one static call, stage stays whole-stage compiled). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashBands.compute($c, $bands, $rowsPerBand);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_bands"
+}
+
+object MinHashBands {
+  import org.apache.spark.sql.graft.bridge
+
+  /** The whole-set kernel — shared by interpreted eval and codegen. */
+  def compute(arr: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val slots = MinHashSig.compute(arr, bands * rowsPerBand)
     val out = new Array[Any](bands)
     var bi = 0
     while (bi < bands) {
@@ -173,15 +195,6 @@ case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
-    copy(child = newChild)
-
-  override def prettyName: String = "minhash_bands"
-}
-
-object MinHashBands {
-  import org.apache.spark.sql.graft.bridge
 
   /** Column-API entry point: minhash_bands(shingleSetColumn, b, r). */
   def minhashBands(shingleSet: Column, bands: Int, rowsPerBand: Int): Column =

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -17,8 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * 64-bit signed long (max ~2^39), which keeps the DuckDB oracle expressible
   * in plain BIGINT `list_reduce` arithmetic — cross-engine bit parity.
   */
-case class RollingHash(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -32,17 +31,12 @@ case class RollingHash(child: Expression) extends UnaryExpression
           s"rolling_hash needs string, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    var acc = 0L
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      acc = (acc * 131L + cp) % RollingHash.Mod
-      i += Character.charCount(cp)
-    }
-    java.lang.Long.valueOf(acc)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(RollingHash.compute(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingHash.compute($c);")
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
@@ -57,8 +51,7 @@ case class RollingHash(child: Expression) extends UnaryExpression
   * incrementally in one pass (classic Karp-Rabin roll: subtract the
   * outgoing code point's `131^(k-1)` term, shift, add the incoming one).
   */
-case class RollingHashGrams(child: Expression, k: Int) extends UnaryExpression
-    with CodegenFallback {
+case class RollingHashGrams(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -72,8 +65,24 @@ case class RollingHashGrams(child: Expression, k: Int) extends UnaryExpression
           s"rolling_hash_grams needs string, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    RollingHashGrams.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingHashGrams.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashGrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_hash_grams"
+}
+
+object RollingHashGrams {
+
+  /** The whole-string kernel — shared by interpreted eval and codegen. */
+  def compute(str: UTF8String, k: Int): ArrayData = {
+    val s = str.toString
     val cps = s.codePoints().toArray
     if (cps.length < k) return new GenericArrayData(Array.empty[Any])
     val mod = RollingHash.Mod
@@ -95,11 +104,6 @@ case class RollingHashGrams(child: Expression, k: Int) extends UnaryExpression
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): RollingHashGrams =
-    copy(child = newChild)
-
-  override def prettyName: String = "rolling_hash_grams"
 }
 
 object RollingHash {
@@ -108,6 +112,19 @@ object RollingHash {
   /** Mersenne prime 2^31 - 1: intermediates stay < 2^39 (BIGINT-safe in any
     * engine, so oracles can replicate the fold). */
   val Mod: Long = 2147483647L
+
+  /** The whole-string kernel — shared by interpreted eval and codegen. */
+  def compute(str: UTF8String): Long = {
+    val s = str.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 131L + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
 
   def rollingHash(s: Column): Column =
     bridge.column(RollingHash(bridge.expression(s)))

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType, NumericType}
 
 /** Upper-bound binary search of a value against a SORTED literal boundary
@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType, NumericType}
   * quantile splits ([[graft.lakehouse.ZOrder]]).
   */
 case class SearchSortedDouble(child: Expression, boundaries: Array[Double])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
 
@@ -32,13 +32,16 @@ case class SearchSortedDouble(child: Expression, boundaries: Array[Double])
       case d: Double => d
       case n: Number => n.doubleValue()
     }
-    var lo = 0
-    var hi = boundaries.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (boundaries(mid) <= v) lo = mid + 1 else hi = mid
-    }
-    lo
+    SearchSortedDouble.compute(v, boundaries)
+  }
+
+  /** Real codegen: the boundary array rides along as a referenced object;
+    * numeric child values widen to double implicitly in the generated
+    * Java. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bounds = ctx.addReferenceObj("searchSortedBounds", boundaries, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SearchSortedDouble.compute((double) $c, $bounds);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SearchSortedDouble =
@@ -49,6 +52,17 @@ case class SearchSortedDouble(child: Expression, boundaries: Array[Double])
 
 object SearchSortedDouble {
   import org.apache.spark.sql.graft.bridge
+
+  /** Upper-bound binary search — shared by interpreted eval and codegen. */
+  def compute(v: Double, boundaries: Array[Double]): Int = {
+    var lo = 0
+    var hi = boundaries.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (boundaries(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 
   def searchSorted(value: Column, boundaries: Array[Double]): Column =
     bridge.column(SearchSortedDouble(bridge.expression(value), boundaries))

@@ -3,25 +3,21 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash over an array of token strings, as a native Catalyst
-  * expression (no Scala UDF — evaluates directly on InternalRow, serializes
-  * into codegen'd plans via CodegenFallback).
+  * expression with real codegen (evaluates via one static call from the
+  * generated code — the stage stays whole-stage compiled).
   *
   * Classic construction: each token hashes to 64 bits (first 8 bytes of its
   * md5); bit positions vote +1/-1; the sign vector is the fingerprint.
   * Near-duplicate docs differ in a few bits — pair search is then
   * `bit_count(a ^ b) <= k` with built-in expressions.
   */
-case class SimHash64(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -35,14 +31,36 @@ case class SimHash64(child: Expression) extends UnaryExpression
           s"simhash64 needs array<string>, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  import org.apache.spark.sql.graft.bridge
+
+  private val localMd = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** The whole-array kernel — shared by interpreted eval and codegen.
+    * (Also reuses a thread-local digest; the old form allocated a fresh
+    * MessageDigest per row.) */
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
-    val md = MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val tok = arr.getUTF8String(i).asInstanceOf[UTF8String].getBytes
+        val tok = arr.getUTF8String(i).getBytes
         md.reset()
         val d = md.digest(tok)
         var h = 0L
@@ -62,17 +80,8 @@ case class SimHash64(child: Expression) extends UnaryExpression
       if (votes(bit) > 0) out |= (1L << bit)
       bit += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-
-  override def prettyName: String = "simhash64"
-}
-
-object SimHash64 {
-  import org.apache.spark.sql.graft.bridge
 
   /** Column-API entry point: simhash64(tokensArrayColumn). */
   def simhash64(tokens: Column): Column =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,8 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted per element and dominated MinHash runtime. Short inputs
   * (< n tokens) yield an empty array, matching the guarded HOF form.
   */
-case class WordNgrams(child: Expression, n: Int) extends UnaryExpression
-    with CodegenFallback {
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -29,8 +28,26 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression
           s"word_ngrams needs array<string>, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    WordNgrams.compute(input.asInstanceOf[ArrayData], n)
+
+  /** Real codegen (one static call, stage stays whole-stage compiled). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNgrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngrams"
+}
+
+object WordNgrams {
+  import org.apache.spark.sql.graft.bridge
+
+  /** The whole-array kernel — called from both interpreted eval and the
+    * generated code (static forwarder on the companion class). */
+  def compute(arr: ArrayData, n: Int): ArrayData = {
     val len = arr.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val toks = new Array[UTF8String](len)
@@ -59,15 +76,6 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
-    copy(child = newChild)
-
-  override def prettyName: String = "word_ngrams"
-}
-
-object WordNgrams {
-  import org.apache.spark.sql.graft.bridge
 
   /** Column-API entry point: wordNgrams(tokensArrayColumn, n). */
   def wordNgrams(tokens: Column, n: Int): Column =

@@ -211,4 +211,32 @@ class ExpressionsSpec extends SparkSpec {
     out("x") shouldBe out("y")
     out("x") should not be out("z")
   }
+
+  test("all graft expressions compile under FORCED codegen (no fallback)") {
+    import graft.functions._
+    import graft.text.TextOps
+    // CODEGEN_ONLY turns a broken doGenCode into a hard failure instead of
+    // a silent interpreted fallback
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = texts.limit(1).select(
+        TextOps.shingles(col("text"), 3).as("sh"),
+        CharNgrams.charNgrams(col("text"), 3).as("cg"),
+        MinHashSig.minhashSig(TextOps.shingles(col("text"), 3), 8).as("sig"),
+        MinHashBands.minhashBands(TextOps.shingles(col("text"), 3), 4, 2).as("bands"),
+        SimHash64.simhash64(TextOps.tokens(col("text"))).as("sh64"),
+        RollingHash.rollingHash(col("text")).as("rh"),
+        RollingHash.rollingHashGrams(col("text"), 4).as("rhg"),
+        SearchSortedDouble.searchSorted(fn.length(col("text")), Array(1.0, 5.0, 100.0)).as("bucket"),
+        DotProduct.dotProduct(fn.array(lit(1.0), lit(2.0)), fn.array(lit(3.0), lit(4.0))).as("dp"))
+        .collect()
+      out.length shouldBe 1
+      out(0).getAs[Double]("dp") shouldBe 11.0
+      out(0).getAs[Int]("bucket") shouldBe 2 // 43 chars: past 1.0 and 5.0
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
