@@ -739,6 +739,37 @@ object Oracles {
         |  MIN(n) >= 5 AS k_anonymous
         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q74_winnow_dedup" ->
+      """WITH codes AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(unicode(substring(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS cp
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(cp) >= 8 THEN
+        |      list_transform(range(1, len(cp) - 6),
+        |        i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cp[i:i+7]),
+        |               (a, b) -> (a * 131 + b) % 2147483647))
+        |    ELSE [] END AS g
+        |  FROM codes
+        |), winnowed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(g) = 0 THEN []
+        |         WHEN len(g) < 4 THEN [list_min(g)]
+        |         ELSE list_distinct(list_transform(range(1, len(g) - 2),
+        |                i -> list_min(g[i:i+3]))) END AS fps
+        |  FROM grams
+        |), e AS (
+        |  SELECT doc_id, unnest(fps) AS fp FROM winnowed
+        |), freq AS (SELECT fp, COUNT(*) AS c FROM e GROUP BY fp),
+        |kept AS (SELECT e.doc_id, e.fp FROM e JOIN freq USING (fp) WHERE freq.c <= 50)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING COUNT(*) >= 40
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q72_embed_quantize" ->
       """WITH e AS (
         |  SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS x

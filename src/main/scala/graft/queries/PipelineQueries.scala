@@ -622,6 +622,33 @@ object PipelineQueries {
       .orderBy(col("label"))
   }
 
+  /** Winnowing (MOSS) near-duplicate pairs — the fifth dedup modality
+    * (vs MinHash q27, SimHash q28, n-gram Jaccard q29, embedding q32):
+    * per-doc fingerprint sets are the distinct minima of sliding windows
+    * over Karp-Rabin 8-gram hashes ([[graft.functions.Winnow]], compiled),
+    * position-robust and ~2/(w+1) the gram count. Pairs sharing >= 40
+    * capped fingerprints are near-dups. Scale shape: fingerprints shuffle
+    * as (hash, id); a frequency cap drops boilerplate fingerprints before
+    * the self-join (a fingerprint in s docs is s^2/2 candidate pairs —
+    * the only quadratic risk), mirroring q27's maxBucket. */
+  def q74_winnow_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{RollingHash, Winnow}
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(Winnow.winnow(RollingHash.rollingHashGrams(col("text"), 8), 4)).as("fp"))
+    val kept = fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") <= 50).select(col("fp")),
+      "fp")
+    kept.select(col("fp"), col("doc_id").as("id_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("id_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 40)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {

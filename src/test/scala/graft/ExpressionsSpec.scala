@@ -228,6 +228,7 @@ class ExpressionsSpec extends SparkSpec {
         SimHash64.simhash64(TextOps.tokens(col("text"))).as("sh64"),
         RollingHash.rollingHash(col("text")).as("rh"),
         RollingHash.rollingHashGrams(col("text"), 4).as("rhg"),
+        Winnow.winnow(RollingHash.rollingHashGrams(col("text"), 4), 3).as("wn"),
         SearchSortedDouble.searchSorted(fn.length(col("text")), Array(1.0, 5.0, 100.0)).as("bucket"),
         DotProduct.dotProduct(fn.array(lit(1.0), lit(2.0)), fn.array(lit(3.0), lit(4.0))).as("dp"))
         .collect()
@@ -238,5 +239,23 @@ class ExpressionsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.codegen.fallback")
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
+  }
+
+  test("Winnow selects distinct sliding-window minima (boundary conventions)") {
+    import graft.functions.Winnow
+    import org.apache.spark.sql.functions.{array, lit}
+    def winnowOf(xs: Seq[Long], w: Int): Seq[Long] = {
+      val df = Seq(1).toDF("one").select(
+        Winnow.winnow(array(xs.map(lit): _*), w).as("wn"))
+      df.collect()(0).getSeq[Long](0)
+    }
+    // windows of 3 over [5,3,8,1,9,2]: mins 3,1,1,1 -> distinct [3,1]
+    winnowOf(Seq(5L, 3L, 8L, 1L, 9L, 2L), 3) shouldBe Seq(3L, 1L)
+    // shorter than the window: single overall min
+    winnowOf(Seq(7L, 4L), 3) shouldBe Seq(4L)
+    // guarantee: any run of w consecutive grams shares a fingerprint
+    val xs = Seq.tabulate(50)(i => ((i * 2654435761L) % 1000))
+    val fps = winnowOf(xs, 4).toSet
+    xs.sliding(4).foreach(wnd => fps.intersect(wnd.toSet) should not be empty)
   }
 }
