@@ -159,6 +159,41 @@ class ExamplesSpec extends SparkSpec {
       .select("customer_id").as[Long].collect() shouldBe Array(2L)
   }
 
+  test("full governance pipeline: retention + mask + metadata DQ + watermark interact") {
+    import graft.config._
+    rmrf(new java.io.File("/tmp/graft-governed"))
+    Files.createDirectories(Paths.get("/tmp/graft-governed/in"))
+    // row 1: expired by retention (never reaches DQ or any sink)
+    // row 2: clean and current -> masked into the target
+    // row 3: current but violates the registry's NOT NULL on customer_id
+    //        -> masked into quarantine
+    Files.writeString(Paths.get("/tmp/graft-governed/in/data.json"),
+      """{"customer_id": 1, "email": "old@x.com", "full_name": "Old", "signup_date": "2020-01-01", "country": "DE"}
+        |{"customer_id": 2, "email": "new@x.com", "full_name": "New", "signup_date": "2026-08-01", "country": "US"}
+        |{"customer_id": null, "email": "bad@x.com", "full_name": "Bad", "signup_date": "2026-08-02", "country": "FR"}""".stripMargin)
+    val job = JobConfig(
+      domain = "payments", dataset = "customers", layer = "silver",
+      source = SourceConfig("json", path = Some("/tmp/graft-governed/in"),
+        watermarkColumn = Some("customer_id")),
+      target = TargetConfig("parquet", "/tmp/graft-governed/silver", mode = "overwrite"),
+      dq = Some(DQConfig(policy = "quarantine",
+        quarantine = Some("/tmp/graft-governed/quarantine"), metadataChecks = true)),
+      maskPii = Some("hash"),
+      retentionColumn = Some("signup_date"))
+    val store = new graft.io.WatermarkStore("/tmp/graft-governed/marks.json")
+    IngestionRunner.buildJob(job, Some(new SchemaRegistry("examples/schemas")),
+      Some(store)).run(spark)
+    val clean = spark.read.parquet("/tmp/graft-governed/silver").collect()
+    clean.map(_.getAs[Long]("customer_id")) shouldBe Array(2L)
+    clean(0).getAs[String]("email") should fullyMatch regex "[0-9a-f]{64}"
+    // quarantined rows are masked too — rejected data still lands in storage
+    val quar = spark.read.parquet("/tmp/graft-governed/quarantine").collect()
+    quar should have length 1
+    quar(0).getAs[String]("email") should fullyMatch regex "[0-9a-f]{64}"
+    // watermark reflects what was read post-retention (max id = 2)
+    store.get("payments.customers") shouldBe Some("2")
+  }
+
   test("the example pipeline runs end to end with quarantine") {
     // quarantine appends by design; start from a clean slate
     rmrf(new java.io.File("/tmp/graft-example"))

@@ -120,6 +120,20 @@ class TransformsSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("PrefixSum is partition-count independent (3 vs 17 shuffle partitions)") {
+    import spark.implicits._
+    val df = (1L to 999L).map(i => (s"g${i % 3}", i, i % 7)).toDF("g", "ord", "v")
+    def run(parts: String): Map[(String, Long), Long] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try PrefixSum.groupedRunningSum(df, Seq("g"), "ord", "v", "cum")
+        .select("g", "ord", "cum").as[(String, Long, Long)].collect()
+        .map { case (g, o, c) => (g, o) -> c }.toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    run("3") shouldBe run("17")
+  }
+
   test("duplicateClustersBigStar matches label propagation on varied graphs") {
     import spark.implicits._
     def run(pairs: Seq[(Long, Long)], nodes: Seq[Long], labelIters: Int = 10): Unit = {
