@@ -33,6 +33,11 @@ object PiiMask {
   sealed trait Strategy
   object Strategy {
     case object Hash extends Strategy
+    /** Hash with a secret salt prepended — use for LOW-ENTROPY identifiers
+      * (emails, phone numbers), where an unsalted digest falls to a
+      * dictionary attack; the salt keeps determinism (joins still work)
+      * while binding the mapping to the key holder. */
+    final case class KeyedHash(salt: String) extends Strategy
     case object Nullify extends Strategy
     final case class RedactText(rules: Seq[(String, String)]) extends Strategy
 
@@ -43,14 +48,18 @@ object PiiMask {
       "\\+?[0-9][0-9()\\- ]{7,}[0-9]" -> "<PHONE>",
       "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>")
 
-    /** Config spelling -> strategy ("hash" | "null" | "redact"). */
-    def fromString(s: String): Strategy = s.toLowerCase match {
-      case "hash"             => Hash
-      case "null" | "nullify" => Nullify
-      case "redact"           => RedactText(defaultRules)
-      case other => throw new IllegalArgumentException(
-        s"unknown pii mask strategy '$other' (hash|null|redact)")
-    }
+    /** Config spelling -> strategy ("hash" | "hash:<salt>" | "null" |
+      * "redact"). */
+    def fromString(s: String): Strategy =
+      if (s.toLowerCase.startsWith("hash:") && s.length > 5)
+        KeyedHash(s.substring(5)) // salt keeps its original case
+      else s.toLowerCase match {
+        case "hash"             => Hash
+        case "null" | "nullify" => Nullify
+        case "redact"           => RedactText(defaultRules)
+        case other => throw new IllegalArgumentException(
+          s"unknown pii mask strategy '$other' (hash|hash:<salt>|null|redact)")
+      }
   }
 
   /** Field names flagged `pii: true` in the schema's field metadata. */
@@ -81,13 +90,22 @@ object PiiMask {
         // preserve NULL (a hash of null would mint a value, breaking
         // not-null DQ semantics downstream)
         when(c.isNull, lit(null).cast(StringType)).otherwise(sha2(c, 256))
-      case Strategy.Hash if f.dataType == LongType =>
-        when(c.isNull, lit(null).cast(LongType)).otherwise(xxhash64(c))
-      case Strategy.Hash if f.dataType == IntegerType =>
+      case Strategy.KeyedHash(salt) if isString =>
+        when(c.isNull, lit(null).cast(StringType))
+          .otherwise(sha2(concat(lit(salt), c), 256))
+      case Strategy.Hash | Strategy.KeyedHash(_) if f.dataType == LongType =>
+        when(c.isNull, lit(null).cast(LongType)).otherwise(xxhash64(saltedLong(c, strategy)))
+      case Strategy.Hash | Strategy.KeyedHash(_) if f.dataType == IntegerType =>
         when(c.isNull, lit(null).cast(IntegerType))
-          .otherwise(pmod(xxhash64(c), lit(Int.MaxValue.toLong)).cast(IntegerType))
+          .otherwise(pmod(xxhash64(saltedLong(c, strategy)), lit(Int.MaxValue.toLong))
+            .cast(IntegerType))
       case Strategy.RedactText(rules) if isString => TextOps.redact(c, rules)
       case _ => lit(null).cast(f.dataType)
     }
+  }
+
+  private def saltedLong(c: Column, strategy: Strategy): Column = strategy match {
+    case Strategy.KeyedHash(salt) => concat(lit(salt), c.cast(StringType))
+    case _                        => c
   }
 }

@@ -138,6 +138,16 @@ class IngestionSpec extends SparkSpec {
     red(0).getString(1) shouldBe "<EMAIL>"
     an[IllegalArgumentException] should be thrownBy
       PiiMask.Strategy.fromString("rot13")
+    // keyed hash: deterministic, but NOT equal to the unsalted digest —
+    // the salt defeats dictionary attacks on low-entropy values
+    PiiMask.Strategy.fromString("hash:S3cret") shouldBe
+      PiiMask.Strategy.KeyedHash("S3cret")
+    val keyed = PiiMask.mask(df, schema, PiiMask.Strategy.KeyedHash("S3cret"))
+      .orderBy("id").collect()
+    keyed(0).getString(1) should fullyMatch regex "[0-9a-f]{64}"
+    keyed(0).getString(1) should not be out(0).getString(1)
+    keyed(0).getInt(2) should not be out(0).getInt(2)
+    keyed(1).isNullAt(1) shouldBe true
   }
 
   test("streaming job: file source, per-micro-batch DQ, non-blocking") {
