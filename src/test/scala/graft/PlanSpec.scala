@@ -150,6 +150,26 @@ class PlanSpec extends SparkSpec {
     countShuffles(df) should be <= 5
   }
 
+  test("q65 pii masking adds zero shuffles (narrow per-row transform)") {
+    val df = queries.GovernanceQueries.q65_pii_mask(spark, dir)
+    // the only exchange allowed is the final orderBy's range partition
+    countShuffles(df) should be <= 1
+  }
+
+  test("q72 quantization audit folds on the row: one combine exchange") {
+    val df = queries.PipelineQueries.q72_embed_quantize(spark, dir)
+    // per-label combine + final sort; NO per-element explode shuffle,
+    // no vec_id self-join
+    countShuffles(df) should be <= 2
+    planString(df) should not include "Join"
+  }
+
+  test("q74 winnow self-join reuses the fingerprint subplan (no recompute)") {
+    val plan = planString(queries.PipelineQueries.q74_winnow_dedup(spark, dir))
+    plan should include("ReusedExchange")
+    plan should not include "CartesianProduct"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
