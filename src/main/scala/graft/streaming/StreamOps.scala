@@ -49,6 +49,56 @@ object StreamOps {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  // ---- streaming near-dup detection at ingest (MinHash LSH state) ----
+
+  final case class BandHit(band: String, docId: Long)
+  final case class BandOwner(firstId: Long)
+  final case class Collision(docId: Long, dupOf: Long, band: String)
+
+  /** A streaming document's LSH band keys, one row per band — the
+    * stream-side prep for [[nearDupCollisions]]. Same banding constants as
+    * the batch pipeline (q27), so stream and batch agree on what counts as
+    * a candidate near-dup. */
+  def bandHits(df: DataFrame, idCol: String, textCol: String,
+               shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): Dataset[BandHit] = {
+    import df.sparkSession.implicits._
+    import graft.functions.MinHashBands
+    import graft.text.TextOps
+    df.select(
+        explode(MinHashBands.minhashBands(
+          TextOps.shingles(col(textCol), shingleN), bands, rowsPerBand)).as("band"),
+        col(idCol).cast("long").as("docId"))
+      .as[BandHit]
+  }
+
+  /** Near-duplicate detection AT INGEST: per-band state remembers the first
+    * document that claimed each LSH band key; any later document hitting a
+    * known band emits a (docId, dupOf, band) collision — the streaming
+    * spelling of q27's batch candidate join. Distinct collision docIds are
+    * the drop set (verify with exact Jaccard downstream exactly as the
+    * batch path does). State is one long per OBSERVED band key, sharded by
+    * the state store like any keyed state; in production add a watermark +
+    * state TTL so quiet bands age out instead of accumulating forever. */
+  def nearDupCollisions(hits: Dataset[BandHit]): Dataset[Collision] = {
+    import hits.sparkSession.implicits._
+    hits.groupByKey(_.band)
+      .flatMapGroupsWithState[BandOwner, Collision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (band, it, state: GroupState[BandOwner]) =>
+          // deterministic: the smallest id in the first batch owns the band
+          val ids = it.map(_.docId).toSeq.distinct.sorted
+          state.getOption match {
+            case Some(owner) =>
+              ids.filterNot(_ == owner.firstId)
+                .map(Collision(_, owner.firstId, band)).iterator
+            case None =>
+              val first = ids.head
+              state.update(BandOwner(first))
+              ids.tail.map(Collision(_, first, band)).iterator
+          }
+      }
+  }
+
   // ---- custom state: gap sessionization via flatMapGroupsWithState ----
 
   final case class SessionEvent(key: String, tsMicros: Long)

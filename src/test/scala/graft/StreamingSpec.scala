@@ -175,4 +175,22 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(clean).count() shouldBe 2
     spark.read.parquet(quar).select("id").as[Long].collect() shouldBe Array(2L)
   }
+
+  test("streaming near-dup: band collisions flag later near-identical docs") {
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away " * 3
+    val nearDup = base.replace("lazy", "sleepy")
+    val unrelated = "completely different content with no shared shingles at all " * 3
+    val in = MemoryStream[(Long, String)](spark)
+    val hits = StreamOps.bandHits(in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val collisions = StreamOps.nearDupCollisions(hits)
+    runToMemory(collisions.toDF(), "neardup", OutputMode.Append()) {
+      in.addData((1L, base))                       // batch 1: claims its bands
+      in.addData((2L, nearDup), (3L, unrelated))   // batch 2: 2 collides, 3 doesn't
+    }
+    val out = spark.table("neardup").select($"docId", $"dupOf").distinct()
+      .as[(Long, Long)].collect().toSet
+    out should contain ((2L, 1L))   // near-dup flagged against the original
+    out.map(_._1) should not contain 3L  // unrelated doc never collides
+    out.map(_._1) should not contain 1L  // the original is never its own dup
+  }
 }
