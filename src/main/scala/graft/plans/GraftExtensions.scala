@@ -131,6 +131,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("minhash_bands", "minhash_bands(shingles, b, r) - LSH band keys over a b x r minhash signature") {
       args => graft.functions.MinHashBands(args(0), intLit(args(1), "b"), intLit(args(2), "r"))
     },
+    fn("winnow", "winnow(gram_hashes, w) - distinct sliding-window minima (MOSS fingerprints)") {
+      args => graft.functions.Winnow(args(0), intLit(args(1), "w"))
+    },
   )
 
   override def apply(ext: SparkSessionExtensions): Unit = {

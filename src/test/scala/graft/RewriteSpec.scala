@@ -63,7 +63,8 @@ class RewriteSpec extends SparkSpec {
         |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
         |  rolling_hash('abc') AS rh,
         |  size(word_ngrams(array('x','y','z'), 2)) AS ng,
-        |  size(minhash_sig(array('s1','s2'), 4)) AS ms
+        |  size(minhash_sig(array('s1','s2'), 4)) AS ms,
+        |  winnow(array(5L, 3L, 8L, 1L), 2) AS wn
         |""".stripMargin).collect()(0)
     row.getDouble(0) shouldBe (1.0 / 3.0)
     row.getDouble(1) shouldBe 11.0
@@ -71,6 +72,7 @@ class RewriteSpec extends SparkSpec {
       .foldLeft(0L)((a, c) => (a * 131 + c) % 2147483647L)
     row.getInt(3) shouldBe 2
     row.getInt(4) shouldBe 4
+    row.getSeq[Long](5) shouldBe Seq(3L, 1L)
   }
 
   test("GraftExtensions injects the rule at session build time") {
