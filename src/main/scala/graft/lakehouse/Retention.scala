@@ -88,4 +88,28 @@ object Retention {
     RetentionResult(before, spark.read.parquet(dir).count(),
       cutoffFor(asOf, days))
   }
+
+  /** The cluster-scale spelling for a table PARTITIONED BY its governing
+    * time column: expired `col=value` partition directories delete
+    * WHOLESALE — no row is ever read or rewritten; the boundary partition
+    * (if any) is exactly on the cutoff and is kept. Returns the partition
+    * names that were removed. Unparseable partition values are kept
+    * (never delete what can't be proven expired). */
+  def enforcePartitioned(spark: SparkSession, dir: String, partitionCol: String,
+                         days: Long,
+                         asOf: LocalDate = LocalDate.now()): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = asOf.minusDays(days)
+    val prefix = s"$partitionCol="
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap { s =>
+        val name = s.getPath.getName
+        val value = name.stripPrefix(prefix)
+        val expired = Try(LocalDate.parse(value)).toOption.exists(_.isBefore(cutoff))
+        if (expired && fs.delete(s.getPath, true)) Some(name) else None
+      }
+  }
 }

@@ -232,6 +232,25 @@ class IoSpec extends SparkSpec {
     new java.io.File(dir + "__retention_old").exists() shouldBe false
   }
 
+  test("Retention.enforcePartitioned deletes expired partitions wholesale") {
+    import java.time.LocalDate
+    import graft.lakehouse.Retention
+    val dir = tmpDir("pretention") + "/t"
+    Seq(
+      (1L, java.sql.Date.valueOf("2026-01-01")),
+      (2L, java.sql.Date.valueOf("2026-06-01")),
+      (3L, java.sql.Date.valueOf("2026-08-01"))
+    ).toDF("id", "day").write.partitionBy("day").parquet(dir)
+    val removed = Retention.enforcePartitioned(spark, dir, "day", days = 90,
+      asOf = LocalDate.of(2026, 8, 12))
+    removed shouldBe Seq("day=2026-01-01")
+    spark.read.parquet(dir).select("id").as[Long].collect().sorted shouldBe
+      Array(2L, 3L)
+    // idempotent: nothing left to remove
+    Retention.enforcePartitioned(spark, dir, "day", days = 90,
+      asOf = LocalDate.of(2026, 8, 12)) shouldBe empty
+  }
+
   test("ZOrder refuses (and zkey auto-fits) keys wider than 63 bits") {
     import org.apache.spark.sql.functions.col
     // 8 cols x 8 bits = 64 would wrap shifts mod 64 -> corrupt keys
