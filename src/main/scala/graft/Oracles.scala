@@ -739,6 +739,32 @@ object Oracles {
         |  MIN(n) >= 5 AS k_anonymous
         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q75_mixture_sample" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), pl AS (
+        |  SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_tokens FROM d GROUP BY lang
+        |), t AS (
+        |  SELECT CAST(SUM(lang_tokens) AS DOUBLE) AS n_total,
+        |    SUM(pow(CAST(lang_tokens AS DOUBLE), 0.3)) AS z
+        |  FROM pl
+        |), r AS (
+        |  SELECT lang,
+        |    least(1000, CAST(round(500.0
+        |      * (pow(CAST(lang_tokens AS DOUBLE), 0.3) / z)
+        |      / (CAST(lang_tokens AS DOUBLE) / n_total)) AS BIGINT)) AS rate_permille
+        |  FROM pl CROSS JOIN t
+        |), s AS (
+        |  SELECT d.lang, d.n_tok, r.rate_permille
+        |  FROM d JOIN r USING (lang)
+        |  WHERE (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000 < rate_permille)
+        |SELECT lang, COUNT(*) AS n_docs_sampled,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens_sampled,
+        |  CAST(MAX(rate_permille) AS BIGINT) AS rate_permille
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q74_winnow_dedup" ->
       """WITH codes AS (
         |  SELECT doc_id,

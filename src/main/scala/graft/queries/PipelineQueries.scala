@@ -649,6 +649,36 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Materialize the q68 training mix: per-language keep-rates derived
+    * from the temperature weights (rate_l ∝ w_l / p_l, β=0.5 budget,
+    * capped at 1), applied as a DETERMINISTIC StableHash threshold — the
+    * sampler that actually builds the mixture, reproducible across reruns,
+    * partitionings, and engines (rand() is none of those). Rates are a
+    * 5-row broadcast; the scan-side predicate is per-row narrow. */
+  def q75_mixture_sample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), TextOps.tokenCount(col("text")).as("n_tok"))
+    val perLang = docs.groupBy(col("lang"))
+      .agg(sum(col("n_tok")).cast("long").as("lang_tokens"))
+    val totals = perLang.agg(
+      sum(col("lang_tokens")).cast("double").as("n_total"),
+      sum(pow(col("lang_tokens").cast("double"), lit(0.3))).as("z"))
+    val rates = perLang.crossJoin(totals).select(col("lang"),
+      least(lit(1000L),
+        round(lit(500.0) *
+          (pow(col("lang_tokens").cast("double"), lit(0.3)) / col("z")) /
+          (col("lang_tokens").cast("double") / col("n_total"))).cast("long"))
+        .as("rate_permille"))
+    docs.join(broadcast(rates), "lang")
+      .filter(StableHash.bucket(col("doc_id"), 1000) < col("rate_permille"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_sampled"),
+        sum(col("n_tok")).cast("long").as("n_tokens_sampled"),
+        max(col("rate_permille")).as("rate_permille"))
+      .orderBy(col("lang"))
+  }
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {
