@@ -49,25 +49,30 @@ object Winnow {
 
   /** The whole-array kernel — shared by interpreted eval and codegen.
     * O(n·w) worst case but windows are tiny (w ~ 4-8); first-occurrence
-    * order, distinct. */
+    * order, distinct. Null elements are skipped (the type check admits
+    * nullable arrays; a window of only nulls contributes nothing). */
   def compute(arr: ArrayData, w: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    if (n < w) {
+    def windowMin(from: Int, until: Int): Unit = {
       var mn = Long.MaxValue
-      var i = 0
-      while (i < n) { val v = arr.getLong(i); if (v < mn) mn = v; i += 1 }
-      seen.add(mn)
-    } else {
-      var i = 0
-      while (i <= n - w) {
-        var mn = Long.MaxValue
-        var j = i
-        while (j < i + w) { val v = arr.getLong(j); if (v < mn) mn = v; j += 1 }
-        seen.add(mn)
-        i += 1
+      var any = false
+      var j = from
+      while (j < until) {
+        if (!arr.isNullAt(j)) {
+          val v = arr.getLong(j)
+          if (v < mn) mn = v
+          any = true
+        }
+        j += 1
       }
+      if (any) { seen.add(mn); () }
+    }
+    if (n < w) windowMin(0, n)
+    else {
+      var i = 0
+      while (i <= n - w) { windowMin(i, i + w); i += 1 }
     }
     val out = new Array[Any](seen.size())
     val it = seen.iterator()
