@@ -739,6 +739,27 @@ object Oracles {
         |  MIN(n) >= 5 AS k_anonymous
         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q76_collocations" ->
+      """WITH tk AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |), uni AS (
+        |  SELECT unnest(t) AS w FROM tk
+        |), uc AS (
+        |  SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+        |), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM uc),
+        |bg AS (
+        |  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+        |  FROM tk WHERE len(t) >= 2
+        |), bc AS (
+        |  SELECT z[1] AS w1, z[2] AS w2, COUNT(*) AS c_ab
+        |  FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 5
+        |)
+        |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+        |  round(ln(CAST(c_ab AS DOUBLE) * n_total
+        |    / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))), 6) AS pmi
+        |FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2 CROSS JOIN tot
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
     "q75_mixture_sample" ->
       """WITH d AS (
         |  SELECT lang, doc_id,

@@ -679,6 +679,37 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** PMI collocations: the top bigrams by pointwise mutual information
+    * (min support 5) — the classic corpus-statistics pass behind phrase
+    * mining / tokenizer-merge candidates. Adjacent pairs come from a
+    * zip of the token array with its own tail (NO token cross product
+    * exists anywhere); bigram and unigram counts are combinable; the
+    * final top-k is a TakeOrdered, not a global sort. ln rounds to 6
+    * decimals on both engines (libm parity). */
+  def q76_collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(TextOps.tokens(col("text")).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).cast("double").as("n_total"))
+    val bigrams = toks.filter(size(col("tk")) >= 2)
+      .select(explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    bigrams
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log(col("c_ab").cast("double") * col("n_total") /
+          (col("c_a").cast("double") * col("c_b").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {
