@@ -268,24 +268,32 @@ object PipelineQueries {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Cluster view shared by q54/q67: sizes via a map-side-combinable
+    * groupBy joined back on cluster_id — NOT a window over cluster_id,
+    * which would funnel a whale component's every member through one
+    * window task's buffer. The join key is the CC output, already
+    * well-distributed; the size side is one row per cluster. */
+  private def clusterView(clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("bigint").as("cluster_size"))
+    clusters.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicate CLUSTERS from the q27 near-dup pairs via distributed
     * connected components (min-label propagation, one shuffle join per
     * round): pairwise dedup under-deletes (a~b, b~c keeps a AND c); the
     * cluster view keeps exactly one representative per component. Output:
     * every doc with its cluster id, cluster size, and keep flag. */
   def q54_dup_clusters(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val pairs = MinHashLsh.nearDuplicatePairs(docs, "doc_id", "text",
         shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
         maxBucket = Some(100))
       .select(col("id_a"), col("id_b"))
-    val clusters = Dedup.duplicateClusters(pairs, docs.select(col("doc_id")), "doc_id")
-    val w = Window.partitionBy(col("cluster_id"))
-    clusters
-      .withColumn("cluster_size", count(lit(1)).over(w).cast("bigint"))
-      .withColumn("keep", col("doc_id") === col("cluster_id"))
-      .orderBy(col("doc_id"))
+    clusterView(Dedup.duplicateClusters(pairs, docs.select(col("doc_id")), "doc_id"))
   }
 
   /** q54's cluster view computed by the ALTERNATE algorithm: large-star/
@@ -294,19 +302,13 @@ object PipelineQueries {
     * component diameter, the whale-component scale path. Identical output
     * contract, gated by the same recursive-CTE oracle. */
   def q67_dup_clusters_bigstar(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val pairs = MinHashLsh.nearDuplicatePairs(docs, "doc_id", "text",
         shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
         maxBucket = Some(100))
       .select(col("id_a"), col("id_b"))
-    val clusters =
-      Dedup.duplicateClustersBigStar(pairs, docs.select(col("doc_id")), "doc_id")
-    val w = Window.partitionBy(col("cluster_id"))
-    clusters
-      .withColumn("cluster_size", count(lit(1)).over(w).cast("bigint"))
-      .withColumn("keep", col("doc_id") === col("cluster_id"))
-      .orderBy(col("doc_id"))
+    clusterView(
+      Dedup.duplicateClustersBigStar(pairs, docs.select(col("doc_id")), "doc_id"))
   }
 
   /** Exact per-group percentiles (linear interpolation — matches DuckDB's

@@ -173,20 +173,32 @@ object Dedup {
         .filter(col("u") =!= col("v")).distinct()
     }
 
+    // Order-independent edge-SET signature: (count, sum of the pair's
+    // 64-bit mix). Both rounds' edge lists are distinct() sets, so equal
+    // signatures mean equal sets (up to a vanishing hash-collision
+    // probability). ONE tiny aggregate job per round replaces the two
+    // `except` anti-joins (each a full shuffle) the probe used before —
+    // the same trick as duplicateClusters' sum(comp) delta.
+    def edgeSig(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+          sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).first()
+      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+
     // eager localCheckpoint per round: truncates lineage (largeStar
     // references its input twice — bare chaining doubles the plan per
     // round) and stays out of the CacheManager; see duplicateClusters.
     var edges = pairs.select(col("id_a").cast("long").as("u"),
         col("id_b").cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var prevSig = edgeSig(edges)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // set-equality probe on the (small, materialized) edge lists
-      converged =
-        next.except(edges).limit(1).count() == 0 &&
-          edges.except(next).limit(1).count() == 0
+      val nextSig = edgeSig(next)
+      converged = nextSig == prevSig
+      prevSig = nextSig
       edges = next
       iter += 1
     }

@@ -27,4 +27,22 @@ object bridge {
   def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager.isEmpty
+
+  /** Count Spark jobs launched while `body` runs — lets tests pin the
+    * per-round job budget of iterative algorithms (a convergence probe
+    * that silently grows from one aggregate to two shuffling anti-joins
+    * per round is a real 100 TB regression the result hash can't see). */
+  def countJobs(spark: org.apache.spark.sql.SparkSession)(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    try { body; sc.listenerBus.waitUntilEmpty() }
+    finally sc.removeSparkListener(listener)
+    n.get()
+  }
 }

@@ -129,6 +129,18 @@ class PlanSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("q54/q67 cluster sizes are a groupBy+join, never a window over cluster_id") {
+    // a window over cluster_id funnels a whale component's every member
+    // through ONE task's buffer; groupBy+join is map-side combinable and
+    // the join key (the CC output) is already well-distributed
+    for (q <- Seq(queries.PipelineQueries.q54_dup_clusters _,
+                  queries.PipelineQueries.q67_dup_clusters_bigstar _)) {
+      val plan = planString(q(spark, dir))
+      plan should not include "Window"
+      plan should include("HashAggregate")
+    }
+  }
+
   test("q60 funnel's dedup flag is an id-only aggregate (no text window)") {
     val plan = planString(queries.PipelineQueries.q60_filter_funnel(spark, dir))
     plan should not include "Window"

@@ -169,6 +169,26 @@ class TransformsSpec extends SparkSpec {
     bridge.cacheIsEmpty(spark) shouldBe true
   }
 
+  test("duplicateClustersBigStar convergence probe is one aggregate per round") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.bridge
+    // path graph: known topology, a handful of star rounds. The probe used
+    // to run TWO shuffling `except` anti-joins per round; the edge-set
+    // signature is one tiny aggregate. Pin the total job budget so the
+    // probe can't silently regress (jobs per round: 1 localCheckpoint +
+    // 1 signature aggregate, plus the final label join).
+    val pairs = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val nodes = (1L to 14L).toDF("doc_id")
+    val jobs = bridge.countJobs(spark) {
+      Dedup.duplicateClustersBigStar(pairs, nodes, "doc_id").collect()
+    }
+    // AQE submits one job per query stage, so a star round (distinct +
+    // groupBy + join, checkpointed) is ~10 jobs; measured 52 total on this
+    // graph. The old except-probe shape adds two anti-joins (~6 more
+    // jobs) per round — ~80+ total — and blows this bound.
+    jobs should be <= 60
+  }
+
   test("duplicateClusters fails loudly when maxIters is too small") {
     import spark.implicits._
     // a path graph of length 6 needs more than 1 round to converge
