@@ -18,9 +18,15 @@ import scala.collection.mutable
   *     back to environment variables; `${?path}` is optional (resolves to
   *     empty/removed when undefined); string concatenation around
   *     substitutions ("prefix"${x}"suffix")
+  *   - `include "file.conf"` (via [[parseFile]]): splices the included
+  *     file's object at the directive's position (deep-merge, later keys
+  *     win) — relative paths resolve against the INCLUDING file's
+  *     directory, include cycles and missing files fail with a pointed
+  *     error. Substitutions resolve against the fully merged root, same
+  *     as Typesafe Config's top-level resolve.
   *
-  * Out of scope (not used by the reference configs): includes, multiline
-  * strings, value concatenation of objects/arrays, `+=`.
+  * Out of scope (not used by the reference configs): multiline strings,
+  * value concatenation of objects/arrays, `+=`.
   *
   * Parse result: `LinkedHashMap[String, Any]` trees with `String`,
   * `Long`, `Double`, `Boolean`, `null`, `List[Any]` leaves.
@@ -37,8 +43,22 @@ object Hocon {
 
   type Obj = mutable.LinkedHashMap[String, Any]
 
-  def parse(text: String, env: Map[String, String] = sys.env): Obj = {
-    val p = new Parser(text)
+  def parse(text: String, env: Map[String, String] = sys.env): Obj =
+    parseText(text, env, baseDir = None, stack = Set.empty)
+
+  /** Parse a `.conf` FILE — the entry point that enables `include`
+    * directives (relative includes need to know the including file's
+    * directory; bare-text parses have none and reject includes). */
+  def parseFile(path: String, env: Map[String, String] = sys.env): Obj = {
+    val p = java.nio.file.Paths.get(path).normalize.toAbsolutePath
+    parseText(java.nio.file.Files.readString(p), env,
+      baseDir = Option(p.getParent), stack = Set(p))
+  }
+
+  private def parseText(text: String, env: Map[String, String],
+                        baseDir: Option[java.nio.file.Path],
+                        stack: Set[java.nio.file.Path]): Obj = {
+    val p = new Parser(text, baseDir, stack)
     val root = p.parseRoot()
     resolveObj(root, root, env, resolving = Set.empty)
     root
@@ -53,14 +73,18 @@ object Hocon {
 
   // ---- substitution resolution ------------------------------------------
 
-  private def lookup(root: Obj, path: String): Option[Any] = {
+  /** Locate the OWNING object + key for a dotted path, so resolution can
+    * write the resolved value back (memoize) instead of only returning it. */
+  private def lookupSlot(root: Obj, path: String): Option[(Obj, String)] = {
     val parts = path.split('.')
     var cur: Any = root
-    for (part <- parts) cur = cur match {
-      case o: Obj if o.contains(part) => o(part)
+    var owner: Obj = root
+    var key: String = null
+    for (part <- parts) cur match {
+      case o: Obj if o.contains(part) => owner = o; key = part; cur = o(part)
       case _ => return None
     }
-    Some(cur)
+    if (key == null) None else Some((owner, key))
   }
 
   private def resolveObj(o: Obj, root: Obj, env: Map[String, String], resolving: Set[String]): Unit =
@@ -90,7 +114,14 @@ object Hocon {
         if (resolving.contains(path))
           throw HoconParseException(
             s"substitution cycle through $${$path}")
-        lookup(root, path).map(resolveAny(_, root, env, resolving + path))
+        // MEMOIZE: write the resolved value back into its owning object,
+        // so each key resolves at most once — without this, a doubling
+        // chain (a1=${a0}${a0}, a2=${a1}${a1}, ...) re-resolves 2^n times
+        lookupSlot(root, path).map { case (owner, key) =>
+          val resolved = resolveAny(owner(key), root, env, resolving + path)
+          owner(key) = resolved
+          resolved
+        }
           .orElse(env.get(path))
           .orElse(if (opt) None
                   else throw HoconParseException(s"unresolved substitution $${$path}"))
@@ -104,7 +135,9 @@ object Hocon {
 
   // ---- parser ------------------------------------------------------------
 
-  private final class Parser(text: String) {
+  private final class Parser(text: String,
+                             baseDir: Option[java.nio.file.Path],
+                             includeStack: Set[java.nio.file.Path]) {
     private var pos = 0
     private def eof = pos >= text.length
     private def ch = text.charAt(pos)
@@ -162,11 +195,17 @@ object Hocon {
         else {
           val key = parseKey()
           skipInline()
-          val value: Any =
-            if (!eof && ch == '{') parseObject()
-            else if (!eof && (ch == '=' || ch == ':')) { pos += 1; skipInline(); parseValue() }
-            else err(s"expected '=', ':' or '{' after key '${key.mkString(".")}'")
-          putPath(o, key, value)
+          if (key == List("include") && !eof && ch == '"') {
+            // `include "file.conf"`: splice the included file's root here
+            // (deep-merge — keys after the directive override included ones)
+            deepMerge(o, loadInclude(parseQuoted()))
+          } else {
+            val value: Any =
+              if (!eof && ch == '{') parseObject()
+              else if (!eof && (ch == '=' || ch == ':')) { pos += 1; skipInline(); parseValue() }
+              else err(s"expected '=', ':' or '{' after key '${key.mkString(".")}'")
+            putPath(o, key, value)
+          }
         }
       }
       o
@@ -196,6 +235,25 @@ object Hocon {
         }
         putPath(child, rest, value)
       case Nil => err("empty key path")
+    }
+
+    /** Read + parse an included file: relative paths resolve against the
+      * INCLUDING file's directory; missing files and cycles fail loudly
+      * (Typesafe silently ignores missing optional includes — a split
+      * env-override conf that silently half-loads is worse than an error). */
+    private def loadInclude(name: String): Obj = {
+      val p0 = java.nio.file.Paths.get(name)
+      val resolved = if (p0.isAbsolute) p0 else baseDir match {
+        case Some(b) => b.resolve(name)
+        case None => err(s"""include "$name": no base directory — load the config through parseFile/loadFromFile to use includes""")
+      }
+      val canon = resolved.normalize.toAbsolutePath
+      if (includeStack.contains(canon))
+        err(s"""include cycle through $canon""")
+      if (!java.nio.file.Files.isRegularFile(canon))
+        err(s"""include "$name": file not found at $canon""")
+      new Parser(java.nio.file.Files.readString(canon),
+        Option(canon.getParent), includeStack + canon).parseRoot()
     }
 
     private def deepMerge(into: Obj, from: Obj): Unit =

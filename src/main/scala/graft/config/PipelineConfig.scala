@@ -146,11 +146,12 @@ object ConfigLoader {
     * name one (`config/ConfigLoader.scala:33`). */
   def loadFromFile(path: String, validateSchemas: Boolean = true,
                    schemaBasePath: String = "schemas"): PipelineConfig = {
-    val text = Files.readString(Paths.get(path))
     val cfg =
       if (path.endsWith(".conf"))
-        HoconConfigLoader.toPipelineConfig(Hocon.parse(text), Some(schemaBasePath))
-      else parse(text)
+        // parseFile (not parse-the-text): relative `include` directives
+        // resolve against the config file's own directory
+        HoconConfigLoader.toPipelineConfig(Hocon.parseFile(path), Some(schemaBasePath))
+      else parse(Files.readString(Paths.get(path)))
     if (validateSchemas) cfg.schemaRegistry.foreach { base =>
       val registry = new SchemaRegistry(base)
       cfg.jobs.filter(_.validateSchema).foreach { j =>

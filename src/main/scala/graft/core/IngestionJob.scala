@@ -76,6 +76,12 @@ final case class IngestionJob(domain: String, dataset: String,
         watermarkAdvance.nonEmpty
     val input = if (multiUse) df.persist() else df
     try {
+      // what the watermark may advance over: everything READ when every
+      // split row lands in SOME sink; only the CLEAN rows when quarantine
+      // splitting is active but no quarantine table is configured — in
+      // that configuration bad rows are stored nowhere, and moving the
+      // mark past them would skip them forever.
+      var markSource = input
       val summary = ruleSet match {
         case None =>
           writer.write(masked(input), target, mode)
@@ -85,14 +91,13 @@ final case class IngestionJob(domain: String, dataset: String,
           writer.write(masked(clean), target, mode)
           (bad, quarantine) match {
             case (Some(b), Some(q)) => writer.write(masked(b), q, SaveMode.Append)
+            case (Some(_), None)    => markSource = clean
             case _                  => ()
           }
           s
       }
-      // the mark reflects what was READ (pre-split): quarantined rows are
-      // already stored, so the next incremental run must not re-read them
       watermarkAdvance.foreach { case (store, column, key) =>
-        store.advance(input, column, key)
+        store.advance(markSource, column, key)
       }
       summary
     } finally {

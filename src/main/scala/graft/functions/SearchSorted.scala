@@ -30,18 +30,24 @@ case class SearchSortedDouble(child: Expression, boundaries: Array[Double])
   override def nullSafeEval(input: Any): Any = {
     val v = input match {
       case d: Double => d
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
       case n: Number => n.doubleValue()
     }
     SearchSortedDouble.compute(v, boundaries)
   }
 
-  /** Real codegen: the boundary array rides along as a referenced object;
-    * numeric child values widen to double implicitly in the generated
-    * Java. */
+  /** Real codegen: the boundary array rides along as a referenced object.
+    * Primitive numeric children widen to double with a Java cast; Decimal
+    * children (whose Java type is Spark's Decimal, not a primitive) go
+    * through toDouble(). */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bounds = ctx.addReferenceObj("searchSortedBounds", boundaries, "double[]")
+    val toDouble: String => String = child.dataType match {
+      case _: org.apache.spark.sql.types.DecimalType => c => s"$c.toDouble()"
+      case _                                         => c => s"(double) $c"
+    }
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SearchSortedDouble.compute((double) $c, $bounds);")
+      s"${ev.value} = graft.functions.SearchSortedDouble.compute(${toDouble(c)}, $bounds);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SearchSortedDouble =

@@ -50,11 +50,27 @@ final class WatermarkStore(path: String) {
   }
 
   /** Record the batch's max watermark value (stringified — the same form
-    * `JdbcReader.dbtable` embeds in the pushdown predicate). No-op on an
-    * empty batch so a zero-row run never regresses the mark. */
+    * `JdbcReader.dbtable` embeds in the pushdown predicate).
+    *
+    * MONOTONIC: the mark only moves forward. A zero-row batch is a no-op,
+    * and a batch whose max is BELOW the stored mark (a backfill, or a
+    * full re-read through a source with no watermark pushdown) leaves the
+    * mark untouched — regressing it would re-ingest everything between
+    * the batch max and the old mark on the next incremental run. The
+    * comparison happens in the COLUMN's type (the stored string is cast
+    * back), so `"9" < "10"` string traps can't bite timestamps/numerics. */
   def advance(df: DataFrame, column: String, key: String): Option[String] = {
-    val row = df.agg(F.max(F.col(column)).cast("string")).collect()(0)
-    if (row.isNullAt(0)) None
+    val stored = get(key)
+    val maxCol = F.max(F.col(column))
+    val agg = stored match {
+      case Some(s) =>
+        df.agg(maxCol.cast("string"),
+          (maxCol > F.lit(s).cast(df.schema(column).dataType)).as("__adv"))
+      case None => df.agg(maxCol.cast("string"), F.lit(true).as("__adv"))
+    }
+    val row = agg.collect()(0)
+    if (row.isNullAt(0)) None // empty batch: never regress
+    else if (!row.isNullAt(1) && !row.getBoolean(1)) None // max <= stored
     else {
       val v = row.getString(0)
       put(key, v)

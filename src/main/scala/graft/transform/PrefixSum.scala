@@ -61,8 +61,18 @@ object PrefixSum {
       .partitionBy((col("__psum_pid") +: gcols): _*)
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // NULL-SAFE join back on the group keys: a plain equi-join would drop
+    // every row whose group key is NULL, whereas the windows above (and
+    // the single-pass Window this replaces) treat NULL as its own group.
+    val offR = groupCols.foldLeft(
+        offsets.withColumnRenamed("__psum_pid", "__psum_pid_r")) {
+      (d, c) => d.withColumnRenamed(c, s"__psum_g_$c")
+    }
+    val cond = groupCols
+      .map(c => col(c) <=> col(s"__psum_g_$c"))
+      .foldLeft(col("__psum_pid") === col("__psum_pid_r"))(_ && _)
     ranged
-      .join(broadcast(offsets), "__psum_pid" +: groupCols)
+      .join(broadcast(offR), cond)
       .withColumn(cumCol, sum(col(valueCol)).over(wIn) + col("__psum_off"))
       .select((df.columns.map(col) :+ col(cumCol)): _*)
   }

@@ -179,4 +179,57 @@ class ConfigSpec extends SparkSpec {
       Hocon.parse("a = ${b}\nb = ${a}\n")
     e.getMessage should include("cycle")
   }
+
+  test("Hocon: doubling substitution chains resolve in linear time (memoized)") {
+    // a1=${a0}${a0}, a2=${a1}${a1}, ...: without write-back memoization
+    // each level re-resolves its predecessor twice — 2^n resolutions.
+    // 18 levels memoized is instant; unmemoized it's ~260k re-parses.
+    val n = 18
+    val chain = (1 to n)
+      .map(i => s"a$i = $${a${i - 1}}$${a${i - 1}}").mkString("\n")
+    val start = System.nanoTime()
+    val tree = Hocon.parse(s"a0 = x\n$chain\n")
+    val secs = (System.nanoTime() - start) / 1e9
+    tree(s"a$n").asInstanceOf[String].length shouldBe (1 << n)
+    secs should be < 10.0
+  }
+
+  test("Hocon: include splices relative to the including file, later keys win") {
+    val dir = Paths.get(tmpDir("hoconinc"))
+    Files.createDirectories(dir.resolve("sub"))
+    // nested include: base.conf includes sub/env.conf which includes defaults.conf
+    Files.writeString(dir.resolve("sub/defaults.conf"),
+      "app { retries = 3\n  tag = \"default\" }\n")
+    Files.writeString(dir.resolve("sub/env.conf"),
+      "include \"defaults.conf\"\napp.tag = \"prod\"\nenv = prod\n")
+    Files.writeString(dir.resolve("base.conf"),
+      "include \"sub/env.conf\"\napp.retries = 5\nname = ${env}-pipeline\n")
+    val tree = Hocon.parseFile(dir.resolve("base.conf").toString)
+    val app = tree("app").asInstanceOf[Hocon.Obj]
+    app("retries") shouldBe 5L   // key after the include overrides
+    app("tag") shouldBe "prod"   // env.conf's override of defaults.conf
+    tree("name") shouldBe "prod-pipeline" // substitution sees merged root
+    // a split conf loads identically to its hand-merged form
+    val merged = Hocon.parse(
+      "app { retries = 5\n tag = \"prod\" }\nenv = prod\nname = prod-pipeline\n")
+    tree shouldBe merged
+  }
+
+  test("Hocon: include cycles and missing files fail with pointed errors") {
+    val dir = Paths.get(tmpDir("hoconbad"))
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("a.conf"), "include \"b.conf\"\nx = 1\n")
+    Files.writeString(dir.resolve("b.conf"), "include \"a.conf\"\ny = 2\n")
+    val cyc = the[Hocon.HoconParseException] thrownBy
+      Hocon.parseFile(dir.resolve("a.conf").toString)
+    cyc.getMessage should include("include cycle")
+    Files.writeString(dir.resolve("c.conf"), "include \"nope.conf\"\n")
+    val miss = the[Hocon.HoconParseException] thrownBy
+      Hocon.parseFile(dir.resolve("c.conf").toString)
+    miss.getMessage should include("not found")
+    // bare-text parses can't resolve relative includes: pointed error, not a guess
+    val noBase = the[Hocon.HoconParseException] thrownBy
+      Hocon.parse("include \"x.conf\"\n")
+    noBase.getMessage should include("no base directory")
+  }
 }

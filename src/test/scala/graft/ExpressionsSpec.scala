@@ -93,6 +93,12 @@ class ExpressionsSpec extends SparkSpec {
     // integer input type works too (numeric, cast inside eval)
     Seq(25L).toDF("v").select(searchSorted(col("v"), bounds).as("b"))
       .as[Int].collect() shouldBe Array(2)
+    // DECIMAL input: the child's Java type is Spark's Decimal (not a
+    // primitive) — both the interpreted path and codegen must route
+    // through toDouble rather than a Java cast
+    Seq("5.00", "10.00", "25.50", "99.99").toDF("s")
+      .select(searchSorted(col("s").cast("decimal(10,2)"), bounds).as("b"))
+      .as[Int].collect() shouldBe Array(0, 1, 2, 3)
   }
 
   test("StableHash buckets are in range, stable, and roughly uniform") {

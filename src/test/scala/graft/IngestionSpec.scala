@@ -90,6 +90,25 @@ class IngestionSpec extends SparkSpec {
     store.get("d.s") shouldBe Some("4")
   }
 
+  test("quarantine split with NO quarantine sink advances the mark from clean rows only") {
+    val src = tmpDir("wmq") + "/src"
+    val out = tmpDir("wmq") + "/out"
+    writeSource(src) // clean ids 1,3; bad ids 2,4
+    val store = new graft.io.WatermarkStore(tmpDir("wmqstore") + "/marks.json")
+    val job = IngestionJob("d", "s", MedallionLayer.Bronze,
+      FileReader("parquet", src), ParquetSink(),
+      LakehouseTable(out, MedallionLayer.Bronze),
+      ruleSet = Some(DQRuleSet(
+        Seq(RangeCheck("amount", Some(0.0), None),
+          AllowedValuesCheck("currency", Seq("USD", "EUR"))),
+        DQPolicy.QuarantineRows)),
+      quarantine = None, // bad rows are stored NOWHERE in this config...
+      watermarkAdvance = Some((store, "id", "d.s")))
+    job.run(spark)
+    // ...so the mark must not move past them: clean max (3), not read max (4)
+    store.get("d.s") shouldBe Some("3")
+  }
+
   test("runPipeline threads the watermark store through config (advance wired)") {
     val src = tmpDir("wmloop") + "/src"
     val out = tmpDir("wmloop") + "/out"

@@ -105,6 +105,17 @@ class IoSpec extends SparkSpec {
       .toDF("id", "updated_at")
     store.advance(batch, "updated_at", "pay.tx") shouldBe Some("2026-02-03 04:05:06")
     store.advance(batch.limit(0), "updated_at", "pay.tx") shouldBe None
+    // MONOTONIC: a backfill batch whose max is below the stored mark must
+    // not regress it (re-running old data would otherwise cause duplicate
+    // re-ingestion on the next incremental run)
+    val backfill = Seq((0L, "2025-12-31 23:59:59")).toDF("id", "updated_at")
+    store.advance(backfill, "updated_at", "pay.tx") shouldBe None
+    store.get("pay.tx") shouldBe Some("2026-02-03 04:05:06")
+    // ...and the comparison is typed, not lexicographic: numeric 9 < 10
+    store.advance(Seq((9L, "x")).toDF("num", "s"), "num", "n") shouldBe Some("9")
+    store.advance(Seq((10L, "x")).toDF("num", "s"), "num", "n") shouldBe Some("10")
+    store.advance(Seq((9L, "x")).toDF("num", "s"), "num", "n") shouldBe None
+    store.get("n") shouldBe Some("10")
     new graft.io.WatermarkStore(storePath).get("pay.tx") shouldBe
       Some("2026-02-03 04:05:06")
     // an incremental job with no explicit watermarkValue picks up the mark

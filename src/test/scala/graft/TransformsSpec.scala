@@ -120,6 +120,28 @@ class TransformsSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("PrefixSum keeps NULL group keys (null-safe join back to offsets)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // rows with a NULL group key must come out with their own running sum,
+    // exactly like Window.partitionBy treats NULL as its own partition —
+    // a plain equi-join back to the offsets frame silently drops them
+    val df = (1L to 400L).map { i =>
+      (if (i % 3 == 0) null else s"g${i % 2}", i, i % 5 + 1)
+    }.toDF("g", "ord", "v").repartition(8)
+    val got = PrefixSum.groupedRunningSum(df, Seq("g"), "ord", "v", "cum")
+      .select("g", "ord", "cum").as[(Option[String], Long, Long)].collect()
+      .map { case (g, o, c) => (g, o) -> c }.toMap
+    val w = Window.partitionBy(col("g")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+      .select("g", "ord", "cum").as[(Option[String], Long, Long)].collect()
+      .map { case (g, o, c) => (g, o) -> c }.toMap
+    got.size shouldBe 400
+    got shouldBe want
+  }
+
   test("PrefixSum is partition-count independent (3 vs 17 shuffle partitions)") {
     import spark.implicits._
     val df = (1L to 999L).map(i => (s"g${i % 3}", i, i % 7)).toDF("g", "ord", "v")
