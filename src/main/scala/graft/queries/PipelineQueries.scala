@@ -552,7 +552,17 @@ object PipelineQueries {
     val trainGrams = grams(docs.filter(col("split") === "train"))
     val testGrams = grams(docs.filter(col("split") === "test"))
       .select(col("gh")).distinct()
-    val contaminated = trainGrams.join(testGrams, "gh")
+    // Bloom semi-join pre-prune: at 100 TB the train-gram shuffle is the
+    // dominant cost, and almost no train gram appears in the test set —
+    // a filter built over the (small) test side drops non-candidate train
+    // grams BEFORE the exchange. Sized from an exact count of the small
+    // side; false positives just pass through to the exact join below.
+    import graft.functions.BloomMightContainLong
+    val bloom = BloomMightContainLong.buildOverHashes(
+      testGrams, col("gh"), expectedItems = testGrams.count())
+    val prunedTrain = trainGrams
+      .filter(BloomMightContainLong.mightContain(xxhash64(col("gh")), bloom))
+    val contaminated = prunedTrain.join(testGrams, "gh")
       .select(col("doc_id")).distinct()
     val counts = docs.groupBy()
       .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).cast("long").as("n_train"),
@@ -574,7 +584,16 @@ object PipelineQueries {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
     val freq = docTok.groupBy(col("tok")).agg(sum(col("c")).as("tf"))
     val total = freq.agg(sum(col("tf")).cast("double").as("n_total"))
-    docTok.join(freq, "tok").crossJoin(total)
+    // The token join is Zipf-skewed: stopwords put ~n_docs rows on one
+    // key's partition. Split deliberately instead of inheriting AQE's
+    // rescue: the top-frequency HEAD (tiny, deterministically ordered)
+    // broadcast-joins — skewed keys never shuffle on tok — and only the
+    // long tail (bounded rows per key) takes the shuffle join.
+    val head = broadcast(freq.orderBy(desc("tf"), col("tok")).limit(1024))
+    val withHead = docTok.join(head, Seq("tok"), "left")
+    val joined = withHead.filter(col("tf").isNotNull)
+      .unionByName(withHead.filter(col("tf").isNull).drop("tf").join(freq, "tok"))
+    joined.crossJoin(total)
       .withColumn("nll", -log(col("tf").cast("double") / col("n_total")))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_tok"),

@@ -101,6 +101,20 @@ class ExpressionsSpec extends SparkSpec {
       .as[Int].collect() shouldBe Array(0, 1, 2, 3)
   }
 
+  test("BloomMightContainLong: no false negatives, few false positives") {
+    import graft.functions.BloomMightContainLong
+    val keys = (1L to 2000L).map(i => s"key_$i").toDF("k")
+    val bloom = BloomMightContainLong.buildOverHashes(keys, col("k"), 2000L)
+    // every inserted key passes (bloom filters have NO false negatives)
+    keys.filter(BloomMightContainLong.mightContain(fn.xxhash64(col("k")), bloom))
+      .count() shouldBe 2000L
+    // absent keys mostly fail: 1% fpp target, allow generous slack
+    val absent = (1L to 2000L).map(i => s"other_$i").toDF("k")
+      .filter(BloomMightContainLong.mightContain(fn.xxhash64(col("k")), bloom))
+      .count()
+    absent should be < 100L
+  }
+
   test("StableHash buckets are in range, stable, and roughly uniform") {
     import graft.functions.StableHash
     val ids = spark.range(0, 2000).toDF("id")

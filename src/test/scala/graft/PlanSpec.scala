@@ -153,13 +153,25 @@ class PlanSpec extends SparkSpec {
     // travel as text); the only nested-loop joins in the plan are the
     // final one-row x one-row report combines
     plan should include regex "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[gh"
+    // the bloom semi-join pre-prune sits on the TRAIN side, so non-
+    // candidate grams die in the scan stage, BEFORE the join exchange —
+    // at 100 TB the train-gram shuffle is the dominant cost
+    plan should include("bloom_might_contain_long")
   }
 
   test("q71 unigram-LM keeps partial aggregation on both stages") {
     val df = queries.PipelineQueries.q71_unigram_lm(spark, dir)
     planString(df) should include("HashAggregate")
-    // (doc,tok) agg -> tok freq agg -> join -> doc agg -> sort
-    countShuffles(df) should be <= 5
+    // (doc,tok) agg -> head bcast join -> tail join -> doc agg -> sort
+    countShuffles(df) should be <= 6
+  }
+
+  test("q71's stopword skew takes the broadcast head, not the tok shuffle") {
+    val plan = planString(queries.PipelineQueries.q71_unigram_lm(spark, dir))
+    // the Zipf head (top-frequency tokens) joins via broadcast — the
+    // skewed keys never land on a single tok partition; only the
+    // bounded-rows-per-key tail shuffle-joins on tok
+    plan should include("BroadcastHashJoin")
   }
 
   test("q65 pii masking adds zero shuffles (narrow per-row transform)") {
