@@ -68,10 +68,18 @@ object Retention {
               partitionCols: Seq[String] = Seq.empty): RetentionResult = {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     val table = spark.read.parquet(dir)
-    val before = table.count()
+    // before-count from the existing files' parquet FOOTERS — metadata
+    // bytes only, no Spark job, no data read
+    val before = footerRowCount(fs, p, conf)
+    // after-count observed DURING the rewrite: the metrics node sits
+    // ABOVE the retention filter, so the cutoff predicate still pushes
+    // to the scan and the count costs nothing extra
+    val obs = org.apache.spark.sql.Observation()
     val kept = currentRows(table, timeCol, days, asOf)
+      .observe(obs, count(lit(1)).as("n_kept"))
     val tmp = new Path(dir + "__retention_tmp")
     val old = new Path(dir + "__retention_old")
     val writer = kept.write.mode("overwrite")
@@ -85,8 +93,27 @@ object Retention {
       throw new IllegalStateException(s"retention: could not publish $tmp")
     }
     fs.delete(old, true)
-    RetentionResult(before, spark.read.parquet(dir).count(),
+    RetentionResult(before, obs.get("n_kept").asInstanceOf[Long],
       cutoffFor(asOf, days))
+  }
+
+  /** Total row count of every `.parquet` file under `dir` (recursive),
+    * summed from file footers — metadata-only, no executor involved. A
+    * driver-side loop is fine for a maintenance op; table formats with a
+    * manifest (Delta/Iceberg) answer this from their log instead. */
+  private def footerRowCount(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: org.apache.hadoop.fs.Path,
+                             conf: org.apache.hadoop.conf.Configuration): Long = {
+    val it = fs.listFiles(dir, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(conf, f.getPath)
+        try n += r.getRecordCount finally r.close()
+      }
+    }
+    n
   }
 
   /** The cluster-scale spelling for a table PARTITIONED BY its governing

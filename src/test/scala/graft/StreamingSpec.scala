@@ -161,6 +161,39 @@ class StreamingSpec extends SparkSpec {
     back.select("batch_id").distinct().as[Long].collect().sorted shouldBe Array(0L, 1L)
   }
 
+  test("exactlyOnceParquet: restart from checkpoint replays a crashed batch without dup/loss") {
+    val in = MemoryStream[(Long, String)](spark)
+    val out = tmpDir("eopr") + "/t"
+    val cp = tmpDir("eopr") + "/cp"
+    val df = in.toDF().toDF("id", "v")
+    val q1 = StreamOps.exactlyOnceParquet(df, out, cp)
+    try {
+      in.addData((1L, "a")); q1.processAllAvailable()
+      in.addData((2L, "b")); q1.processAllAvailable()
+    } finally q1.stop()
+    // simulate a crash BETWEEN the sink write and the checkpoint commit:
+    // batch 1's data is already in the table, but its commit marker is
+    // gone — the restarted query must re-run batch 1, and the per-
+    // partition dynamic overwrite must land it on top of itself
+    val commits = new java.io.File(cp + "/commits")
+    val last = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    last.delete() shouldBe true
+    // ...and its Hadoop LocalFS .crc sidecar, or the replayed commit's
+    // atomic re-create trips the concurrent-writer guard
+    new java.io.File(commits, s".${last.getName}.crc").delete()
+    val q2 = StreamOps.exactlyOnceParquet(df, out, cp)
+    try {
+      q2.processAllAvailable() // replays batch 1 from the retained source
+      in.addData((3L, "c"))
+      q2.processAllAvailable() // then continues with batch 2
+    } finally q2.stop()
+    val back = spark.read.parquet(out)
+    back.select("id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L)
+    back.select("batch_id").distinct().as[Long].collect().sorted shouldBe
+      Array(0L, 1L, 2L)
+  }
+
   test("foreachBatchSplit routes violations to quarantine") {
     val in = MemoryStream[(Long, Double)](spark)
     val clean = tmpDir("fbs") + "/clean"
