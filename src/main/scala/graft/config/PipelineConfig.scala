@@ -20,7 +20,40 @@ final case class PipelineConfig(env: String,
                                 // durable high-water-mark file for
                                 // incremental sources (io.WatermarkStore)
                                 watermarkStore: Option[String] = None,
+                                // plugin catalogs to register on the
+                                // session before any job runs
+                                catalogs: Seq[CatalogConfig] = Seq.empty,
                                 jobs: Seq[JobConfig] = Seq.empty)
+
+/** Plugin-catalog registration. The reference wires its Iceberg Hive
+  * catalog through spark-submit conf only (`helm/values.yaml:43-46`:
+  * `spark.sql.catalog.iceberg = org.apache.iceberg.spark.SparkCatalog`
+  * plus `.type/.uri/.warehouse` option pairs) — so pointing a job at a
+  * different catalog means hand-editing deploy values. This makes the
+  * same pairs part of PIPELINE config: `name` is the catalog name,
+  * `type` is a shorthand (`iceberg`/`delta`) or a fully-qualified
+  * `CatalogPlugin` class, `options` become
+  * `spark.sql.catalog.<name>.<key>` conf. Catalog plugins resolve
+  * LAZILY through the session's CatalogManager, so registering conf at
+  * runtime (before first use) is exactly as good as submit-time conf. */
+final case class CatalogConfig(name: String, `type`: String,
+                               options: Map[String, String] = Map.empty) {
+
+  /** The reference's two deployed catalog plugins get shorthands; any
+    * other value is taken as the plugin class itself. */
+  def pluginClass: String = `type`.toLowerCase match {
+    case "iceberg" => "org.apache.iceberg.spark.SparkCatalog"
+    case "delta"   => "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+    case _         => `type`
+  }
+
+  def sessionConf: Map[String, String] =
+    Map(s"spark.sql.catalog.$name" -> pluginClass) ++
+      options.map { case (k, v) => s"spark.sql.catalog.$name.$k" -> v }
+
+  def applyTo(spark: org.apache.spark.sql.SparkSession): Unit =
+    sessionConf.foreach { case (k, v) => spark.conf.set(k, v) }
+}
 
 final case class JobConfig(domain: String, dataset: String, layer: String,
                            source: SourceConfig, target: TargetConfig,
@@ -215,7 +248,15 @@ object HoconConfigLoader {
         .orElse(str(root, "schema_registry")).orElse(defaultRegistry),
       watermarkStore = str(root, "watermarkStore")
         .orElse(str(root, "watermark_store")),
+      catalogs = obj(root, "catalog").map(toCatalog).toSeq ++
+        arr(root, "catalogs").collect { case c: Obj => toCatalog(c) },
       jobs = arr(root, "jobs").collect { case j: Obj => toJob(j) })
+
+  private def toCatalog(c: Obj): CatalogConfig = CatalogConfig(
+    name = str(c, "name").getOrElse(fail("catalog needs a name")),
+    `type` = str(c, "type").orElse(str(c, "impl"))
+      .getOrElse(fail("catalog needs a type (iceberg/delta or a plugin class)")),
+    options = obj(c, "options").map(flatten(_)).getOrElse(Map.empty))
 
   private def toJob(j: Obj): JobConfig = {
     val source = obj(j, "source").getOrElse(fail("job needs a source block"))

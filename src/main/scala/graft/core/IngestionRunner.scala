@@ -31,6 +31,10 @@ object IngestionRunner {
     args.sliding(2, 1).collectFirst { case Array("--config", p) => p }
 
   def runPipeline(spark: SparkSession, cfg: PipelineConfig): Seq[JobResult] = {
+    // register plugin catalogs FIRST: spark.sql.catalog.<name>.* conf
+    // must be on the session before any job references the catalog
+    // (plugins instantiate lazily through the CatalogManager)
+    cfg.catalogs.foreach(_.applyTo(spark))
     val registry = cfg.schemaRegistry.map(new SchemaRegistry(_))
     val store = cfg.watermarkStore.map(new graft.io.WatermarkStore(_))
     val results = cfg.jobs.map { j => buildJob(j, registry, store).run(spark) }

@@ -180,6 +180,40 @@ class ConfigSpec extends SparkSpec {
     e.getMessage should include("cycle")
   }
 
+  test("catalog config threads spark.sql.catalog.<name>.* pairs into the session") {
+    // the reference's helm-values pattern (spark.sql.catalog.iceberg = plugin
+    // class + .type/.uri/.warehouse pairs) expressed as pipeline config
+    val conf =
+      """env = prod
+        |catalog {
+        |  name = lakecat
+        |  type = iceberg
+        |  options {
+        |    type = hive
+        |    uri = "thrift://metastore:9083"
+        |    warehouse = "/tmp/wh"
+        |  }
+        |}
+        |jobs = []
+        |""".stripMargin
+    val cfg = HoconConfigLoader.toPipelineConfig(Hocon.parse(conf))
+    cfg.catalogs.map(_.name) shouldBe Seq("lakecat")
+    cfg.catalogs.head.sessionConf shouldBe Map(
+      "spark.sql.catalog.lakecat" -> "org.apache.iceberg.spark.SparkCatalog",
+      "spark.sql.catalog.lakecat.type" -> "hive",
+      "spark.sql.catalog.lakecat.uri" -> "thrift://metastore:9083",
+      "spark.sql.catalog.lakecat.warehouse" -> "/tmp/wh")
+    // a fully-qualified class passes through; JSON spells it the same way
+    CatalogConfig("c2", "com.example.MyCatalog").pluginClass shouldBe
+      "com.example.MyCatalog"
+    val json = """{"env":"t","catalogs":[{"name":"j1","type":"delta",
+      "options":{"k":"v"}}],"jobs":[]}""".replace("\n", "")
+    val jcfg = ConfigLoader.parse(json)
+    jcfg.catalogs.head.sessionConf("spark.sql.catalog.j1") shouldBe
+      "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+    jcfg.catalogs.head.sessionConf("spark.sql.catalog.j1.k") shouldBe "v"
+  }
+
   test("Hocon: doubling substitution chains resolve in linear time (memoized)") {
     // a1=${a0}${a0}, a2=${a1}${a1}, ...: without write-back memoization
     // each level re-resolves its predecessor twice — 2^n resolutions.

@@ -35,7 +35,7 @@ class ExamplesSpec extends SparkSpec {
   test("every shipped .conf example loads with eager schema validation") {
     val confs = new java.io.File("examples").listFiles()
       .filter(_.getName.endsWith(".conf")).map(_.getPath).sorted
-    confs.length shouldBe 6
+    confs.length shouldBe 7
     val byName = confs.map { p =>
       p -> ConfigLoader.loadFromFile(p, schemaBasePath = "examples/schemas")
     }.toMap
@@ -53,6 +53,16 @@ class ExamplesSpec extends SparkSpec {
       startWith("s3a://lakehouse/")
     byName("examples/cdc-postgres-to-delta.conf").jobs.head.source
       .options("maxOffsetsPerTrigger") shouldBe "10000"
+    // the split-config example: include pulls the env overlay, and the
+    // catalog block becomes spark.sql.catalog.* session conf
+    val cat = byName("examples/iceberg-catalog-pipeline.conf")
+    cat.env shouldBe "prod"
+    cat.catalogs.map(_.name) shouldBe Seq("iceberg")
+    cat.catalogs.head.sessionConf("spark.sql.catalog.iceberg") shouldBe
+      "org.apache.iceberg.spark.SparkCatalog"
+    cat.catalogs.head.sessionConf("spark.sql.catalog.iceberg.warehouse") shouldBe
+      "s3a://warehouse/lake"
+    cat.jobs.head.target.catalog shouldBe Some("iceberg")
   }
 
   test("the reference's HOCON shape loads unchanged (user-events-batch)") {

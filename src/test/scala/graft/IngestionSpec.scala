@@ -235,6 +235,38 @@ class IngestionSpec extends SparkSpec {
     NoopCatalogAdapter.tableExists("anything") shouldBe false
   }
 
+  test("runPipeline registers plugin catalogs; qualified DDL resolves via catalogManager") {
+    val src = tmpDir("catreg") + "/src"
+    val out = tmpDir("catreg") + "/out"
+    writeSource(src)
+    val cfgJson =
+      s"""{"env": "test",
+         |  "catalogs": [{"name": "extcat", "type": "iceberg",
+         |    "options": {"type": "hive", "uri": "thrift://ms:9083"}}],
+         |  "jobs": [{
+         |  "domain": "d", "dataset": "s", "layer": "bronze",
+         |  "validateSchema": false,
+         |  "source": {"type": "parquet", "path": "$src"},
+         |  "target": {"format": "parquet", "identifier": "$out", "mode": "overwrite"}
+         |}]}""".stripMargin
+    val f = Paths.get(tmpDir("catregcfg"), "p.json")
+    Files.writeString(f, cfgJson)
+    IngestionRunner.runPipeline(spark, ConfigLoader.loadFromFile(f.toString))
+    // the catalog conf pairs are on the session (plugins instantiate only
+    // on first reference, so an unreachable metastore costs nothing here)
+    spark.conf.get("spark.sql.catalog.extcat") shouldBe
+      "org.apache.iceberg.spark.SparkCatalog"
+    spark.conf.get("spark.sql.catalog.extcat.uri") shouldBe "thrift://ms:9083"
+    spark.read.parquet(out).count() shouldBe 4
+    // ...and the adapter's catalog-QUALIFIED identifiers route through the
+    // session's catalog manager (here against the built-in catalog)
+    val cat = new SparkCatalogAdapter(spark)
+    val schema = Seq((1L, "x")).toDF("id", "v").schema
+    cat.createTableIfNotExists("spark_catalog.default.cat_e2e", schema, Seq.empty)
+    cat.tableExists("spark_catalog.default.cat_e2e") shouldBe true
+    spark.sql("DROP TABLE spark_catalog.default.cat_e2e")
+  }
+
   test("checkpoint path derivation matches the reference layout") {
     IngestionJob("d", "s", MedallionLayer.Gold,
       FileReader("parquet", "/x"), ParquetSink(),
