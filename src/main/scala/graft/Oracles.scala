@@ -760,6 +760,54 @@ object Oracles {
         |FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2 CROSS JOIN tot
         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
 
+    "q77_semantic_decontam" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    CAST((CAST(md5_number_upper(CAST(vec_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000 AS BIGINT) AS bucket
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS nrm,
+        |    b.bucket
+        |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+        |), tr AS (SELECT * FROM n WHERE bucket < 900),
+        |te AS (SELECT * FROM n WHERE bucket >= 900),
+        |mx AS (
+        |  SELECT tr.vec_id, tr.label,
+        |    max(list_dot_product(tr.v, te.v) / (tr.nrm * te.nrm)) AS max_cos
+        |  FROM tr, te GROUP BY tr.vec_id, tr.label)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_train,
+        |  CAST(SUM(CASE WHEN max_cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  round(max(max_cos), 6) AS top_cos
+        |FROM mx GROUP BY label ORDER BY label""".stripMargin,
+
+    "q78_length_buckets" ->
+      """WITH c AS (
+        |  SELECT quantile_cont(n_chars, 0.25) AS c1, quantile_cont(n_chars, 0.5) AS c2,
+        |    quantile_cont(n_chars, 0.75) AS c3
+        |  FROM documents
+        |), b AS (
+        |  SELECT source, n_chars,
+        |    CAST((CASE WHEN n_chars >= c1 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN n_chars >= c2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN n_chars >= c3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM documents, c)
+        |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+
+    "q79_blocklist_filter" ->
+      """WITH s AS (
+        |  SELECT source, len(string_split(text, ' ')) AS n_tok,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('slow', 'big', 'the'))) AS n_blocked
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  round(CAST(SUM(n_blocked) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE), 6) AS blocked_ratio
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+
     "q75_mixture_sample" ->
       """WITH d AS (
         |  SELECT lang, doc_id,

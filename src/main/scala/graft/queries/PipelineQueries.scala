@@ -731,6 +731,86 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** SEMANTIC decontamination: the embedding-space counterpart of q70's
+    * n-gram overlap — a train example is contaminated when its nearest
+    * TEST vector by cosine exceeds a threshold (paraphrases and
+    * translations that share no 5-gram still collide here). Split is the
+    * same engine-independent [[graft.functions.StableHash]] as q56/q70.
+    * Scale shape: the TEST side is small by construction (that's what a
+    * held-out set is), so it BROADCASTS and the per-train max-cosine is a
+    * map-side fold over the broadcast rows — partial max collapses the
+    * |train|x|test| pairs to one row per train vector before the only
+    * exchange (the per-label combine). Exact, so fully oracle-checked;
+    * at larger test sets swap the inner loop for the q31 LSH bucketing. */
+  def q77_semantic_decontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{DotProduct, StableHash}
+    val n = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        CosineKnn.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(DotProduct.dotProduct(col("v"), col("v"))))
+      .withColumn("split",
+        StableHash.split(col("vec_id"), Seq(900 -> "train"), "test"))
+    val train = n.filter(col("split") === "train")
+    val test = n.filter(col("split") === "test")
+      .select(col("v").as("tv"), col("nrm").as("tnrm"))
+    train.crossJoin(broadcast(test))
+      .withColumn("cos",
+        DotProduct.dotProduct(col("v"), col("tv")) / (col("nrm") * col("tnrm")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("cos")).as("max_cos"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_train"),
+        sum(when(col("max_cos") >= 0.35, 1L).otherwise(0L)).cast("long")
+          .as("n_contaminated"),
+        round(max(col("max_cos")), 6).as("top_cos"))
+      .orderBy(col("label"))
+  }
+
+  /** Corpus-quantile length profile through [[graft.functions
+    * .SearchSortedDouble]]: exact quartile cuts (one tiny 4-value collect —
+    * bounded driver state, like the IVF sample) compiled into a per-row
+    * O(log n) binary search, then a combinable count per (source, bucket).
+    * The pattern scales to thousands of cuts (per-domain length bands,
+    * token-budget tiers) with the same two jobs: quantile pass + bucket
+    * pass; no join, no window, the bucket column never shuffles text. */
+  def q78_length_buckets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SearchSortedDouble
+    val docs = Tables.documents(spark, dir)
+    val cuts = docs
+      .agg(expr("percentile(n_chars, array(0.25, 0.5, 0.75))").as("c"))
+      .first().getSeq[Double](0).toArray
+    docs
+      .withColumn("bucket",
+        SearchSortedDouble.searchSorted(col("n_chars"), cuts).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("n_chars")).cast("long").as("min_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  /** Blocklist filtering (the C4/Dolma "bad words" gate): per source,
+    * how many documents contain a blocked token, and the blocked-token
+    * share of all tokens. Per-row compiled array math against a literal
+    * blocklist (at real scale the list is thousands of terms — still a
+    * broadcast-free per-row filter via array_intersect on a sorted
+    * list); the only exchange is the per-source combine. */
+  def q79_blocklist_filter(spark: SparkSession, dir: String): DataFrame = {
+    val blocklist = array(lit("slow"), lit("big"), lit("the"))
+    Tables.documents(spark, dir)
+      .select(col("source"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("source"), size(col("tk")).cast("long").as("n_tok"),
+        size(filter(col("tk"), t => array_contains(blocklist, t)))
+          .cast("long").as("n_blocked"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("n_blocked") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_flagged"),
+        round(sum(col("n_blocked")).cast("double") /
+          sum(col("n_tok")).cast("double"), 6).as("blocked_ratio"))
+      .orderBy(col("source"))
+  }
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {

@@ -174,6 +174,28 @@ class PlanSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  test("q77 semantic decontam broadcasts the test side; partial max before the exchange") {
+    val df = queries.PipelineQueries.q77_semantic_decontam(spark, dir)
+    val plan = planString(df)
+    // the held-out set broadcasts (that's what makes it a held-out set);
+    // no shuffle ever carries the |train| x |test| pair fan-out — partial
+    // aggregation collapses it to one row per train vector first
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "SortMergeJoin"
+    countShuffles(df) should be <= 3
+  }
+
+  test("q78/q79 profile queries are join-free combinable aggregations") {
+    for (q <- Seq(queries.PipelineQueries.q78_length_buckets _,
+                  queries.PipelineQueries.q79_blocklist_filter _)) {
+      val df = q(spark, dir)
+      val plan = planString(df)
+      plan should not include "Join"
+      plan should not include "Window"
+      countShuffles(df) should be <= 2 // agg combine + final sort
+    }
+  }
+
   test("q65 pii masking adds zero shuffles (narrow per-row transform)") {
     val df = queries.GovernanceQueries.q65_pii_mask(spark, dir)
     // the only exchange allowed is the final orderBy's range partition
