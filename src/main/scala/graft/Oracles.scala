@@ -797,6 +797,17 @@ object Oracles {
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
 
+    "q80_incremental_dedup" ->
+      s"""WITH ${Oracles.minhashPairCtes}
+        |SELECT
+        |  CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS corpus_id,
+        |  CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS batch_id,
+        |  CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS jaccard
+        |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+        |  AND CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |ORDER BY corpus_id, batch_id""".stripMargin,
+
     "q79_blocklist_filter" ->
       """WITH s AS (
         |  SELECT source, len(string_split(text, ' ')) AS n_tok,

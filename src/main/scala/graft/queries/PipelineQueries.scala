@@ -811,6 +811,24 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** INCREMENTAL near-dup: a new batch (doc_id % 10 == 0 stands in for
+    * "today's crawl") deduped against the already-indexed corpus via
+    * [[graft.similarity.MinHashLsh.nearDuplicatesAgainstIndex]] — the
+    * corpus is fingerprinted once and only its two small index tables
+    * join the batch; per-batch cost is O(batch), not O(corpus). Bucket
+    * cap spans both sides, so the oracle's all-docs cap semantics hold
+    * exactly. Streaming twin: `StreamOps.nearDupCollisions`. */
+  def q80_incremental_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBatch = col("doc_id") % 10 === 0
+    val corpusFps = MinHashLsh.fingerprints(docs.filter(!isBatch), "doc_id", "text")
+    val corpusBands = MinHashLsh.bandIndex(corpusFps, "doc_id")
+    MinHashLsh.nearDuplicatesAgainstIndex(corpusFps, corpusBands,
+        docs.filter(isBatch), "doc_id", "text",
+        threshold = 0.5, maxBucket = Some(100))
+      .orderBy(col("corpus_id"), col("batch_id"))
+  }
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {

@@ -54,19 +54,29 @@ object MinHashLsh {
     val exploded = shingled.select(col(idCol),
       explode(graft.functions.MinHashBands.minhashBands(
         col("shingle_set"), bands, rowsPerBand)).as("band"))
-    val capped = maxBucket match {
-      case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
-        exploded.withColumn("bsz", count(lit(1)).over(w))
-          .filter(col("bsz") <= cap).drop("bsz")
-      case None => exploded
-    }
+    val capped = capBuckets(exploded, maxBucket)
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
   }
+
+  /** Drop rows in band buckets larger than `cap` — via a combinable
+    * `groupBy(band).count` joined back, never a window over band: a
+    * degenerate (boilerplate) bucket is exactly the case the cap exists
+    * for, and a window would buffer that whole bucket in ONE task before
+    * the cap could drop it. The surviving-bucket side is one row per band. */
+  private def capBuckets(exploded: DataFrame, maxBucket: Option[Int]): DataFrame =
+    maxBucket match {
+      case Some(cap) =>
+        val ok = exploded.groupBy(col("band"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= cap)
+          .drop("__bsz")
+        exploded.join(ok, "band")
+      case None => exploded
+    }
 
   /** Full pipeline: near-dup pairs with exact shingle-Jaccard >= threshold.
     * Signature length is bands x rowsPerBand. */
@@ -84,5 +94,62 @@ object MinHashLsh {
         graft.functions.JaccardSim.jaccardSim(col("set_a"), col("set_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---- incremental dedup against a stored index ---------------------------
+  //
+  // The production shape for continuous ingestion: fingerprint the corpus
+  // ONCE (two small tables you persist — shingle sets and exploded band
+  // keys), then each incoming batch computes only ITS OWN signatures and
+  // equi-joins the band index. Per batch the cost is O(batch), not
+  // O(corpus + batch); the corpus is never re-read, re-shingled, or
+  // re-hashed. Streaming twin: streaming/StreamOps.nearDupCollisions
+  // (same banding constants, FlatMapGroupsWithState band state).
+
+  /** The verify-side index: one row per document, its distinct shingle
+    * set. Persist next to the band index. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3): DataFrame =
+    df.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("shingle_set"))
+
+  /** The candidate-side index: (id, band) exploded band keys. */
+  def bandIndex(fps: DataFrame, idCol: String,
+                bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    fps.select(col(idCol),
+      explode(graft.functions.MinHashBands.minhashBands(
+        col("shingle_set"), bands, rowsPerBand)).as("band"))
+
+  /** Near-duplicates of `batch` against a prebuilt corpus index:
+    * `(corpus_id, batch_id, jaccard)` for exact shingle-Jaccard >=
+    * `threshold`. The bucket cap applies to the COMBINED (index + batch)
+    * bucket — a boilerplate band is degenerate regardless of which side
+    * it comes from. Band constants must match the ones the index was
+    * built with. */
+  def nearDuplicatesAgainstIndex(corpusFps: DataFrame, corpusBands: DataFrame,
+                                 batch: DataFrame, idCol: String, textCol: String,
+                                 shingleN: Int = 3, bands: Int = 16,
+                                 rowsPerBand: Int = 4, threshold: Double = 0.5,
+                                 maxBucket: Option[Int] = None): DataFrame = {
+    val batchFps = fingerprints(batch, idCol, textCol, shingleN)
+    val batchBands = bandIndex(batchFps, idCol, bands, rowsPerBand)
+    val combined = corpusBands.select(col(idCol), col("band"))
+      .withColumn("__side", lit("c"))
+      .unionByName(batchBands.withColumn("__side", lit("b")))
+    val capped = capBuckets(combined, maxBucket)
+    val ci = capped.filter(col("__side") === "c")
+      .select(col(idCol).as("corpus_id"), col("band"))
+    val bi = capped.filter(col("__side") === "b")
+      .select(col(idCol).as("batch_id"), col("band"))
+    val cands = ci.join(bi, "band")
+      .select(col("corpus_id"), col("batch_id")).distinct()
+    val sa = corpusFps.select(col(idCol).as("corpus_id"),
+      col("shingle_set").as("set_a"))
+    val sb = batchFps.select(col(idCol).as("batch_id"),
+      col("shingle_set").as("set_b"))
+    cands.join(sa, "corpus_id").join(sb, "batch_id")
+      .withColumn("jaccard",
+        graft.functions.JaccardSim.jaccardSim(col("set_a"), col("set_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("batch_id"), col("jaccard"))
   }
 }

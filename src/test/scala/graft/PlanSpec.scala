@@ -129,6 +129,20 @@ class PlanSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("q27's bucket cap is a groupBy+join — no window buffers a degenerate band") {
+    // a boilerplate bucket is exactly what maxBucket drops; a window over
+    // band would buffer that whole bucket in one task before dropping it
+    val plan = planString(queries.PipelineQueries.q27_minhash_dedup(spark, dir))
+    plan should not include "Window"
+  }
+
+  test("q80 incremental dedup joins the batch to the index on band keys only") {
+    val plan = planString(queries.PipelineQueries.q80_incremental_dedup(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+    plan should include regex "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[band"
+  }
+
   test("q54/q67 cluster sizes are a groupBy+join, never a window over cluster_id") {
     // a window over cluster_id funnels a whale component's every member
     // through ONE task's buffer; groupBy+join is map-side combinable and

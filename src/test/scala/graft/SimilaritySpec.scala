@@ -46,6 +46,26 @@ class SimilaritySpec extends SparkSpec {
       maxBucket = None).count() shouldBe 30L * 29 / 2
   }
 
+  test("index path equals the batch-vs-corpus slice of the full pipeline") {
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val isBatch = col("doc_id") % 10 === 0
+    val corpusFps = MinHashLsh.fingerprints(docs.filter(!isBatch), "doc_id", "text")
+    val corpusBands = MinHashLsh.bandIndex(corpusFps, "doc_id")
+    val incremental = MinHashLsh.nearDuplicatesAgainstIndex(
+        corpusFps, corpusBands, docs.filter(isBatch), "doc_id", "text",
+        threshold = 0.5, maxBucket = Some(100))
+      .select("corpus_id", "batch_id").as[(Long, Long)].collect().toSet
+    // ground truth: the full all-docs pipeline, restricted to pairs that
+    // cross the corpus/batch boundary (same band constants + bucket cap)
+    val full = MinHashLsh.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.5, maxBucket = Some(100))
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b) => if (a % 10 == 0) (b, a) else (a, b) }.toSet
+    incremental shouldBe full
+    incremental should not be empty
+  }
+
   test("brute-force topK is self-consistent: rank 1 has max cosine") {
     val emb = graft.tables.Tables.embeddings(spark, dir)
     val knn = CosineKnn.topK(emb, "vec_id", "embedding", col("id") < 5, k = 3)
