@@ -89,9 +89,14 @@ object Dedup {
       .as[(Long, Long)].persist()
     // the label loop runs ONLY on nodes that touch an edge — the dup
     // subgraph is tiny relative to the corpus, so iterations never
-    // shuffle the full node set; singletons join back at the end
-    var labels = edges.toDF("node", "dst").select(col("node")).distinct()
-      .withColumn("comp", col("node")).as[(Long, Long)].localCheckpoint(true)
+    // shuffle the full node set; singletons join back at the end.
+    // Init = min(node, min neighbor): identical to what round 1 would
+    // compute from identity labels, but as ONE aggregate over the
+    // symmetric edge list — no join, no extra checkpoint round. LSH dup
+    // clusters are near-cliques, so most converge one loop round later.
+    var labels = edges.toDF("node", "dst").groupBy(col("node"))
+      .agg(least(col("node"), min(col("dst"))).as("comp"))
+      .as[(Long, Long)].localCheckpoint(true)
     def labelSum(ds: org.apache.spark.sql.Dataset[(Long, Long)]): java.math.BigDecimal =
       Option(ds.toDF("node", "comp")
           .agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0))
