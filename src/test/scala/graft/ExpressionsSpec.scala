@@ -250,11 +250,17 @@ class ExpressionsSpec extends SparkSpec {
         RollingHash.rollingHashGrams(col("text"), 4).as("rhg"),
         Winnow.winnow(RollingHash.rollingHashGrams(col("text"), 4), 3).as("wn"),
         SearchSortedDouble.searchSorted(fn.length(col("text")), Array(1.0, 5.0, 100.0)).as("bucket"),
+        SearchSortedDouble.searchSorted(
+          fn.length(col("text")).cast("decimal(10,2)"), Array(1.0, 5.0, 100.0)).as("dbucket"),
+        BloomMightContainLong.mightContain(fn.xxhash64(col("text")),
+          BloomMightContainLong.buildOverHashes(texts, col("text"), 10L)).as("bloom"),
         DotProduct.dotProduct(fn.array(lit(1.0), lit(2.0)), fn.array(lit(3.0), lit(4.0))).as("dp"))
         .collect()
       out.length shouldBe 1
       out(0).getAs[Double]("dp") shouldBe 11.0
       out(0).getAs[Int]("bucket") shouldBe 2 // 43 chars: past 1.0 and 5.0
+      out(0).getAs[Int]("dbucket") shouldBe 2 // decimal path, same bucket
+      out(0).getAs[Boolean]("bloom") shouldBe true // inserted key: no false negative
     } finally {
       spark.conf.unset("spark.sql.codegen.fallback")
       spark.conf.unset("spark.sql.codegen.factoryMode")
