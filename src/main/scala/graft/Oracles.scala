@@ -797,6 +797,18 @@ object Oracles {
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
 
+    "q81_group_sample" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id,
+        |    CAST((CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000000 AS BIGINT) AS draw
+        |  FROM documents
+        |), rk AS (
+        |  SELECT lang, doc_id, draw,
+        |    row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rn
+        |  FROM b)
+        |SELECT lang, doc_id, draw FROM rk WHERE rn <= 5
+        |ORDER BY lang, draw, doc_id""".stripMargin,
+
     "q80_incremental_dedup" ->
       s"""WITH ${Oracles.minhashPairCtes}
         |SELECT

@@ -64,10 +64,21 @@ object IngestionRunner {
       val base = dc.toRuleSet
       base.copy(checks = base.checks ++ derived)
     }.filter(_.checks.nonEmpty)
+    // target.catalog qualifies a bare table identifier (the reference's
+    // Iceberg writer parses "catalog.namespace.table" from the identifier
+    // itself — helm deployments pre-qualify; config-level catalog does the
+    // qualification here instead). Paths and already-qualified identifiers
+    // pass through untouched.
+    val targetId = j.target.catalog match {
+      case Some(cat) if !j.target.identifier.contains("/") &&
+          !j.target.identifier.startsWith(s"$cat.") =>
+        s"$cat.${j.target.identifier}"
+      case _ => j.target.identifier
+    }
     IngestionJob(
       domain = j.domain, dataset = j.dataset, layer = layer,
       reader = reader, writer = writer,
-      target = LakehouseTable(j.target.identifier, layer, j.target.partitions),
+      target = LakehouseTable(targetId, layer, j.target.partitions),
       expectedSchema = schema,
       ruleSet = ruleSet,
       quarantine = dqConfig.flatMap(_.quarantine)

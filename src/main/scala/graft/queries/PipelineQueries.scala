@@ -829,6 +829,26 @@ object PipelineQueries {
       .orderBy(col("corpus_id"), col("batch_id"))
   }
 
+  /** Deterministic k-per-group sample — "give me exactly 5 documents per
+    * language, the same 5 on every engine/run/partitioning": order by the
+    * md5-derived [[graft.functions.StableHash]] bucket of doc_id (a
+    * reproducible uniform draw, NOT Spark-internal rand) and keep the k
+    * smallest per group THROUGH THE HEAP [[graft.plans.TopKPerKey]]
+    * operator — no per-language window sort ever materializes; state is
+    * #langs x k rows. Complements q56/q75 (rate-based sampling): this is
+    * the exact-count spelling. */
+  def q81_group_sample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        StableHash.bucket(col("doc_id"), 1000000).as("draw"))
+    graft.plans.TopKPerKey.topKPerKey(docs,
+        keys = Seq(col("lang")),
+        order = Seq(col("draw").asc, col("doc_id").asc), k = 5)
+      .select(col("lang"), col("doc_id"), col("draw").cast("long").as("draw"))
+      .orderBy(col("lang"), col("draw"), col("doc_id"))
+  }
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {

@@ -180,6 +180,23 @@ class ConfigSpec extends SparkSpec {
     e.getMessage should include("cycle")
   }
 
+  test("target.catalog qualifies bare table identifiers in built jobs") {
+    import graft.core.IngestionRunner
+    val j = JobConfig("d", "s", "bronze",
+      source = SourceConfig("parquet", path = Some("/x")),
+      target = TargetConfig("iceberg", "payments.tx_bronze", catalog = Some("hive")),
+      validateSchema = false)
+    IngestionRunner.buildJob(j, None).target.identifier shouldBe
+      "hive.payments.tx_bronze"
+    // already-qualified identifiers and paths pass through untouched
+    IngestionRunner.buildJob(
+      j.copy(target = j.target.copy(identifier = "hive.db.t")), None)
+      .target.identifier shouldBe "hive.db.t"
+    IngestionRunner.buildJob(
+      j.copy(target = j.target.copy(identifier = "/data/out")), None)
+      .target.identifier shouldBe "/data/out"
+  }
+
   test("catalog config threads spark.sql.catalog.<name>.* pairs into the session") {
     // the reference's helm-values pattern (spark.sql.catalog.iceberg = plugin
     // class + .type/.uri/.warehouse pairs) expressed as pipeline config

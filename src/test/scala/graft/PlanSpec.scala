@@ -143,6 +143,12 @@ class PlanSpec extends SparkSpec {
     plan should include regex "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[band"
   }
 
+  test("q81 k-per-group sample plans the heap TopKPerKeyExec, not a window") {
+    val plan = planString(queries.PipelineQueries.q81_group_sample(spark, dir))
+    plan should include("TopKPerKey")
+    plan should not include "Window"
+  }
+
   test("q54/q67 cluster sizes are a groupBy+join, never a window over cluster_id") {
     // a window over cluster_id funnels a whale component's every member
     // through ONE task's buffer; groupBy+join is map-side combinable and
