@@ -66,6 +66,28 @@ class SimilaritySpec extends SparkSpec {
     incremental should not be empty
   }
 
+  test("index path edges: empty batch, batch with no near-dups, cap spans sides") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally unrelated content lives here now")).toDF("doc_id", "text")
+    val cfps = MinHashLsh.fingerprints(corpus, "doc_id", "text")
+    val cbands = MinHashLsh.bandIndex(cfps, "doc_id")
+    // empty batch -> no pairs, no failure
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    MinHashLsh.nearDuplicatesAgainstIndex(cfps, cbands, empty, "doc_id", "text")
+      .count() shouldBe 0L
+    // a batch duplicating corpus doc 1 finds exactly docs 1 and 2
+    val batch = Seq((10L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    MinHashLsh.nearDuplicatesAgainstIndex(cfps, cbands, batch, "doc_id", "text")
+      .select("corpus_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+    // combined-side cap: 2 corpus + 1 batch copies of one text = bucket of
+    // 3 on every band; cap 2 drops them all -> no candidates
+    MinHashLsh.nearDuplicatesAgainstIndex(cfps, cbands, batch, "doc_id", "text",
+      maxBucket = Some(2)).count() shouldBe 0L
+  }
+
   test("brute-force topK is self-consistent: rank 1 has max cosine") {
     val emb = graft.tables.Tables.embeddings(spark, dir)
     val knn = CosineKnn.topK(emb, "vec_id", "embedding", col("id") < 5, k = 3)
