@@ -266,6 +266,18 @@ class ConfigSpec extends SparkSpec {
     tree shouldBe merged
   }
 
+  test("Hocon: include inside a nested object splices into that object") {
+    val dir = Paths.get(tmpDir("hoconnest"))
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("opts.conf"), "retries = 9\ntag = \"inc\"\n")
+    Files.writeString(dir.resolve("nest.conf"),
+      "app {\n  include \"opts.conf\"\n  tag = \"outer\"\n}\n")
+    val tree = Hocon.parseFile(dir.resolve("nest.conf").toString)
+    val app = tree("app").asInstanceOf[Hocon.Obj]
+    app("retries") shouldBe 9L
+    app("tag") shouldBe "outer" // later key in the including block wins
+  }
+
   test("Hocon: include cycles and missing files fail with pointed errors") {
     val dir = Paths.get(tmpDir("hoconbad"))
     Files.createDirectories(dir)
