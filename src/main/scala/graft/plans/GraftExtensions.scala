@@ -134,6 +134,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("winnow", "winnow(gram_hashes, w) - distinct sliding-window minima (MOSS fingerprints)") {
       args => graft.functions.Winnow(args(0), intLit(args(1), "w"))
     },
+    fn("search_sorted", "search_sorted(v, array(...)) - upper-bound index into sorted literal boundaries") {
+      args =>
+        val bounds = args(1) match {
+          case e if e.foldable && e.dataType.isInstanceOf[ArrayType] =>
+            val et = e.dataType.asInstanceOf[ArrayType].elementType
+            val a = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            et match {
+              case DoubleType => a.toDoubleArray()
+              case _: org.apache.spark.sql.types.NumericType =>
+                Array.tabulate(a.numElements())(i =>
+                  a.get(i, et).asInstanceOf[Number].doubleValue())
+              case other => throw new IllegalArgumentException(
+                s"search_sorted boundaries must be numeric, got $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"search_sorted boundaries must be a foldable array literal, got $other")
+        }
+        graft.functions.SearchSortedDouble(args(0), bounds)
+    },
+    fn("stable_bucket", "stable_bucket(key, n) - deterministic engine-portable bucket in [0, n)") {
+      args =>
+        Pmod(ElementAt(
+            graft.functions.MinHashSig(
+              CreateArray(Seq(Cast(args(0), StringType))), 1),
+            Literal(1)),
+          Cast(args(1), org.apache.spark.sql.types.LongType))
+    },
   )
 
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -64,7 +64,9 @@ class RewriteSpec extends SparkSpec {
         |  rolling_hash('abc') AS rh,
         |  size(word_ngrams(array('x','y','z'), 2)) AS ng,
         |  size(minhash_sig(array('s1','s2'), 4)) AS ms,
-        |  winnow(array(5L, 3L, 8L, 1L), 2) AS wn
+        |  winnow(array(5L, 3L, 8L, 1L), 2) AS wn,
+        |  search_sorted(15.0d, array(10.0d, 20.0d, 30.0d)) AS ss,
+        |  stable_bucket(42, 1000) AS sb
         |""".stripMargin).collect()(0)
     row.getDouble(0) shouldBe (1.0 / 3.0)
     row.getDouble(1) shouldBe 11.0
@@ -73,6 +75,12 @@ class RewriteSpec extends SparkSpec {
     row.getInt(3) shouldBe 2
     row.getInt(4) shouldBe 4
     row.getSeq[Long](5) shouldBe Seq(3L, 1L)
+    row.getInt(6) shouldBe 1
+    // stable_bucket must agree with the Column API (same md5-derived hash)
+    val viaColumn = spark.range(1).select(
+      graft.functions.StableHash.bucket(org.apache.spark.sql.functions.lit(42), 1000))
+      .collect()(0).getLong(0)
+    row.getLong(7) shouldBe viaColumn
   }
 
   test("GraftExtensions injects the rule at session build time") {
