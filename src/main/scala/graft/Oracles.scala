@@ -797,6 +797,40 @@ object Oracles {
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
 
+    "q82_semantic_clusters" ->
+      s"""WITH RECURSIVE ev AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM ev
+        |), banded AS (
+        |  SELECT vec_id, unnest([
+        |    ${graft.similarity.LshAnn.sqlBandKeys("v", nTables = 8, nBits = 6, dim = 64, seed = 42L).mkString(",\n    ")}
+        |  ]) AS bkey
+        |  FROM n
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+        |), pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+        |  WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.35
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.node = e.b
+        |), comp AS (
+        |  SELECT node, min(r) AS comp FROM reach GROUP BY node
+        |), allc AS (
+        |  SELECT em.vec_id, COALESCE(c.comp, em.vec_id) AS cluster_id
+        |  FROM embeddings em LEFT JOIN comp c ON c.node = em.vec_id
+        |)
+        |SELECT vec_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |  vec_id = cluster_id AS keep
+        |FROM allc ORDER BY vec_id""".stripMargin,
+
     "q81_group_sample" ->
       """WITH b AS (
         |  SELECT lang, doc_id,

@@ -849,6 +849,27 @@ object PipelineQueries {
       .orderBy(col("lang"), col("draw"), col("doc_id"))
   }
 
+  /** SEMANTIC cluster dedup (SemDeDup, Abbas et al. 2023): high-cosine
+    * embedding pairs from the LSH buckets (never all-pairs) become edges,
+    * connected components group transitively-similar vectors (a~b~c with
+    * no direct a~c — exactly what pairwise semantic dedup misses), one
+    * representative kept per cluster. CC runs the whale-safe large-star/
+    * small-star contraction; cluster sizes are the groupBy+join (never a
+    * window over cluster_id). The embedding-space sibling of q54. */
+  def q82_semantic_clusters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = LshAnn.pairsAbove(emb, "vec_id", "embedding", threshold = 0.35)
+      .select(col("id_a"), col("id_b"))
+    val clusters =
+      Dedup.duplicateClustersBigStar(pairs, emb.select(col("vec_id")), "vec_id")
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("bigint").as("cluster_size"))
+    clusters.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode
     * (portable column part; mapPartitions stub covered by unit tests). */
   def q33_multimodal(spark: SparkSession, dir: String): DataFrame = {

@@ -105,7 +105,25 @@ object LshAnn {
     * bucket cardinality; no all-pairs comparison anywhere. */
   def topPairsBucketed(vectors: DataFrame, idCol: String, vecCol: String,
                        topN: Int, nTables: Int = 8, nBits: Int = 6,
-                       dim: Int = 64, seed: Long = 42L): DataFrame = {
+                       dim: Int = 64, seed: Long = 42L): DataFrame =
+    bucketedPairsCosine(vectors, idCol, vecCol, nTables, nBits, dim, seed)
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+
+  /** All bucketed candidate pairs at cosine >= `threshold` — the edge
+    * list SemDeDup-style semantic cluster dedup feeds into connected
+    * components. Same recall profile as [[topPairsBucketed]] (a pair must
+    * share one of nTables band keys); raise nTables for recall, nBits for
+    * bucket cardinality. */
+  def pairsAbove(vectors: DataFrame, idCol: String, vecCol: String,
+                 threshold: Double, nTables: Int = 8, nBits: Int = 6,
+                 dim: Int = 64, seed: Long = 42L): DataFrame =
+    bucketedPairsCosine(vectors, idCol, vecCol, nTables, nBits, dim, seed)
+      .filter(col("cosine") >= threshold)
+
+  private def bucketedPairsCosine(vectors: DataFrame, idCol: String,
+                                  vecCol: String, nTables: Int, nBits: Int,
+                                  dim: Int, seed: Long): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), CosineKnn.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(CosineKnn.dot(col("v"), col("v"))))
     val keys = bandKeys(col("v"), nTables, nBits, dim, seed)
@@ -120,7 +138,5 @@ object LshAnn {
     cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine", CosineKnn.dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
       .select(col("id_a"), col("id_b"), col("cosine"))
-      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
-      .limit(topN)
   }
 }

@@ -143,6 +143,12 @@ class PlanSpec extends SparkSpec {
     plan should include regex "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[band"
   }
 
+  test("q82 semantic clusters: bucketed candidates, no all-pairs, no size window") {
+    val plan = planString(queries.PipelineQueries.q82_semantic_clusters(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+  }
+
   test("q81 k-per-group sample plans the heap TopKPerKeyExec, not a window") {
     val plan = planString(queries.PipelineQueries.q81_group_sample(spark, dir))
     plan should include("TopKPerKey")
