@@ -807,9 +807,12 @@ object Oracles {
         |    ${graft.similarity.LshAnn.sqlBandKeys("v", nTables = 8, nBits = 6, dim = 64, seed = 42L).mkString(",\n    ")}
         |  ]) AS bkey
         |  FROM n
+        |), capped AS (
+        |  SELECT vec_id, bkey FROM banded
+        |  QUALIFY count(*) OVER (PARTITION BY bkey) <= 200
         |), cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+        |  FROM capped a JOIN capped b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
         |), pairs AS (
         |  SELECT id_a, id_b
         |  FROM cand JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b

@@ -37,7 +37,9 @@ object IngestionRunner {
     cfg.catalogs.foreach(_.applyTo(spark))
     val registry = cfg.schemaRegistry.map(new SchemaRegistry(_))
     val store = cfg.watermarkStore.map(new graft.io.WatermarkStore(_))
-    val results = cfg.jobs.map { j => buildJob(j, registry, store).run(spark) }
+    val knownCatalogs = cfg.catalogs.map(_.name).toSet + "spark_catalog"
+    val results =
+      cfg.jobs.map { j => buildJob(j, registry, store, knownCatalogs).run(spark) }
     // Streaming jobs: await after ALL jobs have started.
     if (results.exists(_.streamingQuery.nonEmpty))
       spark.streams.awaitAnyTermination()
@@ -45,7 +47,8 @@ object IngestionRunner {
   }
 
   def buildJob(j: JobConfig, registry: Option[SchemaRegistry],
-               watermarks: Option[graft.io.WatermarkStore] = None): IngestionJob = {
+               watermarks: Option[graft.io.WatermarkStore] = None,
+               knownCatalogs: Set[String] = Set("spark_catalog")): IngestionJob = {
     val schema = registry.filter(_ => j.validateSchema)
       .map(_.getSchema(j.registryDomain, j.registryDataset, j.schemaVersion))
     val reader = buildReader(j, schema, watermarks)
@@ -67,11 +70,13 @@ object IngestionRunner {
     // target.catalog qualifies a bare table identifier (the reference's
     // Iceberg writer parses "catalog.namespace.table" from the identifier
     // itself — helm deployments pre-qualify; config-level catalog does the
-    // qualification here instead). Paths and already-qualified identifiers
-    // pass through untouched.
+    // qualification here instead). Paths pass through untouched, and so
+    // does an identifier already qualified with ANY registered catalog —
+    // re-prefixing "spark_catalog.db.t" with target.catalog="iceberg" would
+    // manufacture a 4-part name that only fails later at write time.
     val targetId = j.target.catalog match {
       case Some(cat) if !j.target.identifier.contains("/") &&
-          !j.target.identifier.startsWith(s"$cat.") =>
+          !(knownCatalogs + cat).contains(j.target.identifier.split('.').head) =>
         s"$cat.${j.target.identifier}"
       case _ => j.target.identifier
     }

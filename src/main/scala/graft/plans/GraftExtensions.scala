@@ -141,10 +141,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             val et = e.dataType.asInstanceOf[ArrayType].elementType
             val a = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
             et match {
-              case DoubleType => a.toDoubleArray()
               case _: org.apache.spark.sql.types.NumericType =>
-                Array.tabulate(a.numElements())(i =>
-                  a.get(i, et).asInstanceOf[Number].doubleValue())
+                // One conversion path for every numeric element type: plain
+                // SQL decimal literals (array(0.25, 0.5)) arrive as
+                // ArrayType(DecimalType) whose elements are Spark Decimal —
+                // NOT a java.lang.Number — and nulls would otherwise NPE.
+                Array.tabulate(a.numElements()) { i =>
+                  if (a.isNullAt(i)) throw new IllegalArgumentException(
+                    "search_sorted boundaries must not contain NULL")
+                  a.get(i, et) match {
+                    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+                    case n: Number                             => n.doubleValue()
+                    case other => throw new IllegalArgumentException(
+                      s"search_sorted boundary element $other is not numeric")
+                  }
+                }
               case other => throw new IllegalArgumentException(
                 s"search_sorted boundaries must be numeric, got $other")
             }

@@ -850,7 +850,10 @@ object PipelineQueries {
   }
 
   /** SEMANTIC cluster dedup (SemDeDup, Abbas et al. 2023): high-cosine
-    * embedding pairs from the LSH buckets (never all-pairs) become edges,
+    * embedding pairs from the LSH buckets (never all-pairs, and buckets
+    * above `maxBucket` are dropped before the pair join — dup-heavy corpora
+    * are exactly where near-identical embeddings pile into one degenerate
+    * bucket) become edges,
     * connected components group transitively-similar vectors (a~b~c with
     * no direct a~c — exactly what pairwise semantic dedup misses), one
     * representative kept per cluster. CC runs the whale-safe large-star/
@@ -858,7 +861,8 @@ object PipelineQueries {
     * window over cluster_id). The embedding-space sibling of q54. */
   def q82_semantic_clusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val pairs = LshAnn.pairsAbove(emb, "vec_id", "embedding", threshold = 0.35)
+    val pairs = LshAnn.pairsAbove(emb, "vec_id", "embedding", threshold = 0.35,
+        maxBucket = Some(200))
       .select(col("id_a"), col("id_b"))
     val clusters =
       Dedup.duplicateClustersBigStar(pairs, emb.select(col("vec_id")), "vec_id")

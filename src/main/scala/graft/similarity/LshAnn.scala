@@ -105,8 +105,10 @@ object LshAnn {
     * bucket cardinality; no all-pairs comparison anywhere. */
   def topPairsBucketed(vectors: DataFrame, idCol: String, vecCol: String,
                        topN: Int, nTables: Int = 8, nBits: Int = 6,
-                       dim: Int = 64, seed: Long = 42L): DataFrame =
-    bucketedPairsCosine(vectors, idCol, vecCol, nTables, nBits, dim, seed)
+                       dim: Int = 64, seed: Long = 42L,
+                       maxBucket: Option[Int] = None): DataFrame =
+    bucketedPairsCosine(vectors, idCol, vecCol, nTables, nBits, dim, seed,
+        maxBucket)
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(topN)
 
@@ -114,20 +116,42 @@ object LshAnn {
     * list SemDeDup-style semantic cluster dedup feeds into connected
     * components. Same recall profile as [[topPairsBucketed]] (a pair must
     * share one of nTables band keys); raise nTables for recall, nBits for
-    * bucket cardinality. */
+    * bucket cardinality. `maxBucket` is the skew guard: SemDeDup's target
+    * corpora are exactly the dup-heavy ones where near-identical embeddings
+    * pile into one band bucket, and a bucket of s vectors is s^2/2 candidate
+    * pairs — cap it like [[MinHashLsh.candidatePairs]] does. */
   def pairsAbove(vectors: DataFrame, idCol: String, vecCol: String,
                  threshold: Double, nTables: Int = 8, nBits: Int = 6,
-                 dim: Int = 64, seed: Long = 42L): DataFrame =
-    bucketedPairsCosine(vectors, idCol, vecCol, nTables, nBits, dim, seed)
+                 dim: Int = 64, seed: Long = 42L,
+                 maxBucket: Option[Int] = None): DataFrame =
+    bucketedPairsCosine(vectors, idCol, vecCol, nTables, nBits, dim, seed,
+        maxBucket)
       .filter(col("cosine") >= threshold)
+
+  /** Drop band keys whose bucket exceeds `cap` — via a combinable
+    * `groupBy(bkey).count` joined back, never a window over bkey (a window
+    * would buffer the whole degenerate bucket in ONE task before the cap
+    * could drop it; same reasoning as `MinHashLsh.capBuckets`). */
+  private def capBuckets(banded: DataFrame, maxBucket: Option[Int]): DataFrame =
+    maxBucket match {
+      case Some(cap) =>
+        val ok = banded.groupBy(col("bkey"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= cap)
+          .drop("__bsz")
+        banded.join(ok, "bkey")
+      case None => banded
+    }
 
   private def bucketedPairsCosine(vectors: DataFrame, idCol: String,
                                   vecCol: String, nTables: Int, nBits: Int,
-                                  dim: Int, seed: Long): DataFrame = {
+                                  dim: Int, seed: Long,
+                                  maxBucket: Option[Int] = None): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), CosineKnn.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(CosineKnn.dot(col("v"), col("v"))))
     val keys = bandKeys(col("v"), nTables, nBits, dim, seed)
-    val banded = base.select(col("id"), explode(array(keys: _*)).as("bkey"))
+    val banded = capBuckets(
+      base.select(col("id"), explode(array(keys: _*)).as("bkey")), maxBucket)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))

@@ -195,6 +195,15 @@ class ConfigSpec extends SparkSpec {
     IngestionRunner.buildJob(
       j.copy(target = j.target.copy(identifier = "/data/out")), None)
       .target.identifier shouldBe "/data/out"
+    // an identifier explicitly qualified with a DIFFERENT registered catalog
+    // is honored — never re-prefixed into a 4-part name
+    IngestionRunner.buildJob(
+      j.copy(target = j.target.copy(identifier = "spark_catalog.db.t")), None)
+      .target.identifier shouldBe "spark_catalog.db.t"
+    IngestionRunner.buildJob(
+      j.copy(target = j.target.copy(identifier = "othercat.db.t")), None,
+      knownCatalogs = Set("spark_catalog", "othercat"))
+      .target.identifier shouldBe "othercat.db.t"
   }
 
   test("catalog config threads spark.sql.catalog.<name>.* pairs into the session") {

@@ -83,6 +83,22 @@ class RewriteSpec extends SparkSpec {
     row.getLong(7) shouldBe viaColumn
   }
 
+  test("search_sorted accepts plain SQL decimal and integer literal bounds") {
+    // array(0.25, 0.5, 0.75) is ArrayType(DecimalType) — elements are Spark
+    // Decimal (not java.lang.Number), the natural spelling a SQL user writes
+    val row = spark.sql(
+      """SELECT search_sorted(0.6d, array(0.25, 0.5, 0.75)) AS dec_ss,
+        |  search_sorted(15.0d, array(10, 20, 30)) AS int_ss
+        |""".stripMargin).collect()(0)
+    row.getInt(0) shouldBe 2
+    row.getInt(1) shouldBe 1
+    // NULL boundary elements fail with a pointed error, not an NPE
+    val err = intercept[Exception] {
+      spark.sql("SELECT search_sorted(1.0d, array(1.0d, NULL))").collect()
+    }
+    err.getMessage should include("must not contain NULL")
+  }
+
   test("GraftExtensions injects the rule at session build time") {
     // separate session so withExtensions applies cleanly
     val s2 = org.apache.spark.sql.SparkSession.builder()

@@ -88,6 +88,27 @@ class SimilaritySpec extends SparkSpec {
       maxBucket = Some(2)).count() shouldBe 0L
   }
 
+  test("LshAnn maxBucket drops a degenerate embedding bucket before the pair join") {
+    import spark.implicits._
+    // 20 near-identical embeddings (the SemDeDup worst case: a dup-heavy
+    // corpus piles into ONE band bucket per table → s^2/2 candidate pairs)
+    val vec = Array.tabulate(64)(i => 0.3f + i * 0.01f)
+    val clones = (1L to 20L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    LshAnn.pairsAbove(clones, "vec_id", "embedding", threshold = 0.9,
+      maxBucket = Some(10)).count() shouldBe 0L
+    LshAnn.pairsAbove(clones, "vec_id", "embedding", threshold = 0.9,
+      maxBucket = None).count() shouldBe 20L * 19 / 2
+    // a non-degenerate corpus is untouched by a cap above its bucket sizes
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val uncapped = LshAnn.pairsAbove(emb, "vec_id", "embedding", threshold = 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = LshAnn.pairsAbove(emb, "vec_id", "embedding", threshold = 0.35,
+        maxBucket = Some(200))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    capped shouldBe uncapped
+    capped should not be empty
+  }
+
   test("brute-force topK is self-consistent: rank 1 has max cosine") {
     val emb = graft.tables.Tables.embeddings(spark, dir)
     val knn = CosineKnn.topK(emb, "vec_id", "embedding", col("id") < 5, k = 3)
