@@ -781,6 +781,103 @@ object Oracles {
         |  round(max(max_cos), 6) AS top_cos
         |FROM mx GROUP BY label ORDER BY label""".stripMargin,
 
+    "q85_index_lifecycle" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |c1 AS (
+        |  SELECT doc_id, band FROM bands WHERE doc_id % 10 <> 5
+        |  QUALIFY count(*) OVER (PARTITION BY band) <= 100
+        |), cand1 AS (
+        |  SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS batch_id
+        |  FROM c1 a JOIN c1 b ON a.band = b.band
+        |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |), m1 AS (
+        |  SELECT corpus_id, batch_id,
+        |    CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS jaccard
+        |  FROM cand1 JOIN sh sa ON sa.doc_id = corpus_id JOIN sh sb ON sb.doc_id = batch_id
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |), cand2 AS (
+        |  SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS batch_id
+        |  FROM capped a JOIN capped b ON a.band = b.band
+        |  WHERE a.doc_id % 10 <> 5 AND b.doc_id % 10 = 5
+        |), m2 AS (
+        |  SELECT corpus_id, batch_id,
+        |    CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS jaccard
+        |  FROM cand2 JOIN sh sa ON sa.doc_id = corpus_id JOIN sh sb ON sb.doc_id = batch_id
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |)
+        |SELECT corpus_id, batch_id, jaccard, CAST(1 AS BIGINT) AS batch FROM m1
+        |UNION ALL
+        |SELECT corpus_id, batch_id, jaccard, CAST(2 AS BIGINT) AS batch FROM m2
+        |ORDER BY batch, corpus_id, batch_id""".stripMargin,
+
+    "q84_simhash_quality" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |ndp AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |), tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |), hb AS (
+        |  SELECT doc_id, md5_number_upper(t) AS L FROM tok
+        |), sx AS (
+        |  SELECT doc_id,
+        |    ${(0 until 64).map(b => s"(CASE WHEN SUM(CASE WHEN (L >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(${BigInt(1) << b} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)").mkString("\n    + ")} AS sh
+        |  FROM hb GROUP BY doc_id
+        |), nds AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup,
+        |    SUM(bit_count(xor(xa.sh, xb.sh))) AS ham_nd
+        |  FROM ndp JOIN sx xa ON xa.doc_id = id_a JOIN sx xb ON xb.doc_id = id_b
+        |), bgs AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_background,
+        |    SUM(bit_count(xor(xa.sh, xb.sh))) AS ham_bg
+        |  FROM sx xa JOIN sx xb ON xb.doc_id = xa.doc_id + 37)
+        |SELECT nds.n_neardup, bgs.n_background,
+        |  round(CAST(nds.ham_nd AS DOUBLE) / CAST(nds.n_neardup AS DOUBLE), 6) AS mean_ham_neardup,
+        |  round(CAST(bgs.ham_bg AS DOUBLE) / CAST(bgs.n_background AS DOUBLE), 6) AS mean_ham_background,
+        |  round(CAST(nds.ham_nd AS DOUBLE) / CAST(nds.n_neardup AS DOUBLE), 6) + 8.0
+        |    <= round(CAST(bgs.ham_bg AS DOUBLE) / CAST(bgs.n_background AS DOUBLE), 6) AS simhash_ok
+        |FROM nds, bgs""".stripMargin,
+
+    "q83_decontam_lsh" ->
+      s"""WITH b AS (
+        |  SELECT vec_id,
+        |    CAST((CAST(md5_number_upper(CAST(vec_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000 AS BIGINT) AS bucket
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS nrm,
+        |    b.bucket
+        |  FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+        |), tr AS (SELECT * FROM n WHERE bucket < 900),
+        |te AS (SELECT * FROM n WHERE bucket >= 900),
+        |allb AS (
+        |  SELECT vec_id, 'l' AS side, unnest([
+        |    ${graft.similarity.LshAnn.sqlBandKeys("v", nTables = 8, nBits = 6, dim = 64, seed = 42L).mkString(",\n    ")}
+        |  ]) AS bkey FROM tr
+        |  UNION ALL
+        |  SELECT vec_id, 'r' AS side, unnest([
+        |    ${graft.similarity.LshAnn.sqlBandKeys("v", nTables = 8, nBits = 6, dim = 64, seed = 42L).mkString(",\n    ")}
+        |  ]) AS bkey FROM te
+        |), capped AS (
+        |  SELECT vec_id, side, bkey FROM allb
+        |  QUALIFY count(*) OVER (PARTITION BY bkey) <= 200
+        |), cand AS (
+        |  SELECT DISTINCT l.vec_id AS train_id, r.vec_id AS test_id
+        |  FROM capped l JOIN capped r ON l.bkey = r.bkey
+        |  WHERE l.side = 'l' AND r.side = 'r'
+        |), mx AS (
+        |  SELECT c.train_id,
+        |    max(list_dot_product(tr.v, te.v) / (tr.nrm * te.nrm)) AS max_cos
+        |  FROM cand c JOIN tr ON tr.vec_id = c.train_id
+        |    JOIN te ON te.vec_id = c.test_id
+        |  GROUP BY c.train_id)
+        |SELECT tr.label, CAST(COUNT(*) AS BIGINT) AS n_train,
+        |  CAST(SUM(CASE WHEN mx.max_cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  round(max(mx.max_cos), 6) AS top_cos
+        |FROM tr LEFT JOIN mx ON mx.train_id = tr.vec_id
+        |GROUP BY tr.label ORDER BY label""".stripMargin,
+
     "q78_length_buckets" ->
       """WITH c AS (
         |  SELECT quantile_cont(n_chars, 0.25) AS c1, quantile_cont(n_chars, 0.5) AS c2,

@@ -766,6 +766,39 @@ object PipelineQueries {
       .orderBy(col("label"))
   }
 
+  /** Semantic decontamination, LSH-BUCKETED: q77's scale path for when the
+    * held-out set outgrows a broadcast. Identical output contract to q77
+    * (per-label train size, contaminated count, top cosine) but the inner
+    * loop is [[graft.similarity.LshAnn.maxCosineBucketed]] — band keys on
+    * both sides (ids only through the explode), an equi-join per band key
+    * with the combined-side bucket cap, exact cosine on candidates only.
+    * Approximate where q77 is exact (a train/test pair must collide in one
+    * of 8 tables — >98% recall at cosine>=0.9); the trade that removes both
+    * the broadcast and the |train| x |test| loop. A train vector whose
+    * bands never meet a test vector counts uncontaminated. */
+  def q83_decontam_lsh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val n = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("split",
+        StableHash.split(col("vec_id"), Seq(900 -> "train"), "test"))
+    val train = n.filter(col("split") === "train")
+    val test = n.filter(col("split") === "test")
+    val mx = LshAnn.maxCosineBucketed(
+        train.select(col("vec_id"), col("embedding")),
+        test.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", maxBucket = Some(200))
+      .withColumnRenamed("id", "vec_id")
+    train.select(col("vec_id"), col("label"))
+      .join(mx, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_train"),
+        sum(when(col("max_cos") >= 0.35, 1L).otherwise(0L)).cast("long")
+          .as("n_contaminated"),
+        round(max(col("max_cos")), 6).as("top_cos"))
+      .orderBy(col("label"))
+  }
+
   /** Corpus-quantile length profile through [[graft.functions
     * .SearchSortedDouble]]: exact quartile cuts (one tiny 4-value collect —
     * bounded driver state, like the IVF sample) compiled into a per-row
@@ -872,6 +905,74 @@ object PipelineQueries {
       .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
         (col("vec_id") === col("cluster_id")).as("keep"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Quality gate for q28's SimHash (the q49-for-q38 pattern): Hamming
+    * distance between fingerprints must track shingle Jaccard — near-dup
+    * pairs (the q27 MinHash set) average far fewer differing bits than
+    * deterministic background pairs (`doc_id`, `doc_id + 37`). Emitted as
+    * exact pair counts + mean Hamming distances + an oracle-pinned boolean,
+    * so a SimHash regression hash-mismatches instead of hiding behind q28's
+    * rows-only check. Oracle parity: Hamming is invariant under any fixed
+    * bit permutation, and Spark's big-endian md5-u64 fingerprint is one
+    * fixed bit-permutation of DuckDB's little-endian `md5_number_upper`
+    * construction — so the oracle recomputes SimHash bit votes straight
+    * from `md5_number_upper` and the distances match exactly. */
+  def q84_simhash_quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sx = docs.select(col("doc_id"),
+      SimHash64.simhash64(TextOps.tokens(col("text"))).as("sh"))
+    def ham(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      bit_count(a.bitwiseXOR(b))
+    val nd = MinHashLsh.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.5, maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+      .join(sx.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sx.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .agg(count(lit(1)).cast("long").as("n_neardup"),
+        sum(ham(col("sh_a"), col("sh_b"))).as("ham_nd"))
+    val bg = sx.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .join(sx.select((col("doc_id") - 37).as("id_a"), col("sh").as("sh_b")), "id_a")
+      .agg(count(lit(1)).cast("long").as("n_background"),
+        sum(ham(col("sh_a"), col("sh_b"))).as("ham_bg"))
+    nd.crossJoin(bg).select(
+        col("n_neardup"), col("n_background"),
+        round(col("ham_nd").cast("double") / col("n_neardup").cast("double"), 6)
+          .as("mean_ham_neardup"),
+        round(col("ham_bg").cast("double") / col("n_background").cast("double"), 6)
+          .as("mean_ham_background"))
+      .withColumn("simhash_ok",
+        col("mean_ham_neardup") + 8.0 <= col("mean_ham_background"))
+  }
+
+  /** Stored-index dedup LIFECYCLE (q80's missing half): the corpus is
+    * fingerprinted once into a persistent [[graft.similarity.DedupIndex]]
+    * (two parquet tables + manifest), then two successive "crawl batches"
+    * round-trip it — load → dedup batch 1 → APPEND batch 1 → load → dedup
+    * batch 2 (which must now also see batch-1 docs as corpus). The indexed
+    * corpus is never re-read or re-shingled; each batch costs O(batch).
+    * The bucket cap spans the combined (index + batch) sides per stage,
+    * and the oracle replicates both per-stage cap scopes exactly. */
+  def q85_index_lifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val m10 = col("doc_id") % 10
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dedup-index").toString
+    graft.similarity.DedupIndex.build(
+      docs.filter(m10 =!= 0 && m10 =!= 5), "doc_id", "text", path)
+    // materialize batch-1 matches BEFORE the append mutates the index dirs
+    // (a lazy scan could re-list files and see batch-1 docs as corpus)
+    val m1 = graft.similarity.DedupIndex.dedupBatch(spark, path,
+      docs.filter(m10 === 0), "doc_id", "text",
+      threshold = 0.5, maxBucket = Some(100)).localCheckpoint(true)
+    graft.similarity.DedupIndex.append(
+      docs.filter(m10 === 0), "doc_id", "text", path)
+    val m2 = graft.similarity.DedupIndex.dedupBatch(spark, path,
+      docs.filter(m10 === 5), "doc_id", "text",
+      threshold = 0.5, maxBucket = Some(100))
+    m1.withColumn("batch", lit(1L))
+      .unionByName(m2.withColumn("batch", lit(2L)))
+      .orderBy(col("batch"), col("corpus_id"), col("batch_id"))
   }
 
   /** Multimodal binary plumbing: payload bytes + deterministic fake decode

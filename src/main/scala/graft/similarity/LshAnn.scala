@@ -128,6 +128,47 @@ object LshAnn {
         maxBucket)
       .filter(col("cosine") >= threshold)
 
+  /** Per-`left`-vector max cosine against any `right` vector colliding in
+    * one of `nTables` LSH tables — the bucketed inner loop of semantic
+    * decontamination when the held-out side outgrows a broadcast
+    * (q77's documented ceiling). Returns `(id, max_cos)` for left ids with
+    * at least one candidate; left ids whose bands never collide are absent
+    * (the caller left-joins and treats them as uncontaminated).
+    *
+    * Scale shape: band keys explode ids only (vectors are NOT carried),
+    * the only data-sized exchanges are hash partitions on band key, and
+    * `maxBucket` caps the COMBINED (left + right) bucket — a degenerate
+    * band is quadratic regardless of which side fills it. Approximate
+    * where the broadcast loop is exact: a pair must collide in >=1 of
+    * nTables tables (>98% recall for cosine>=0.9 at 8 tables x 6 bits).
+    * Assumes left/right id spaces are disjoint (a decontamination split). */
+  def maxCosineBucketed(left: DataFrame, right: DataFrame, idCol: String,
+                        vecCol: String, nTables: Int = 8, nBits: Int = 6,
+                        dim: Int = 64, seed: Long = 42L,
+                        maxBucket: Option[Int] = None): DataFrame = {
+    def norm(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), CosineKnn.toDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", sqrt(CosineKnn.dot(col("v"), col("v"))))
+    val l = norm(left)
+    val r = norm(right)
+    val keys = bandKeys(col("v"), nTables, nBits, dim, seed)
+    def banded(df: DataFrame, side: String): DataFrame =
+      df.select(col("id"), explode(array(keys: _*)).as("bkey"))
+        .withColumn("__side", lit(side))
+    val capped = capBuckets(
+      banded(l, "l").unionByName(banded(r, "r")), maxBucket)
+    val cand = capped.filter(col("__side") === "l").select(col("id"), col("bkey"))
+      .join(capped.filter(col("__side") === "r")
+        .select(col("id").as("rid"), col("bkey")), "bkey")
+      .select(col("id"), col("rid")).distinct()
+    cand.join(l, "id")
+      .join(r.select(col("id").as("rid"), col("v").as("rv"),
+        col("nrm").as("rnrm")), "rid")
+      .groupBy(col("id"))
+      .agg(max(CosineKnn.dot(col("v"), col("rv")) / (col("nrm") * col("rnrm")))
+        .as("max_cos"))
+  }
+
   /** Drop band keys whose bucket exceeds `cap` — via a combinable
     * `groupBy(bkey).count` joined back, never a window over bkey (a window
     * would buffer the whole degenerate bucket in ONE task before the cap

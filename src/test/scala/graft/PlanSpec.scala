@@ -211,6 +211,19 @@ class PlanSpec extends SparkSpec {
     countShuffles(df) should be <= 3
   }
 
+  test("q83 bucketed decontam: no broadcast of the test side, no pair fan-out join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = queries.PipelineQueries.q83_decontam_lsh(spark, dir)
+    val plan = planString(df)
+    // q77's scale path: every join is an equi-join on band key or id —
+    // never the |train| x |test| nested loop, and no forced broadcast hint
+    // anywhere (AQE may still auto-broadcast a genuinely small side)
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    val hints = df.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+    all(hints.map(h => (h.leftHint, h.rightHint))) shouldBe (None, None)
+  }
+
   test("q78/q79 profile queries are join-free combinable aggregations") {
     for (q <- Seq(queries.PipelineQueries.q78_length_buckets _,
                   queries.PipelineQueries.q79_blocklist_filter _)) {

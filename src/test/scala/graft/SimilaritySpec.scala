@@ -109,6 +109,29 @@ class SimilaritySpec extends SparkSpec {
     capped should not be empty
   }
 
+  test("DedupIndex round-trips disk: build -> dedup -> append -> dedup sees the appended batch") {
+    import spark.implicits._
+    import graft.similarity.DedupIndex
+    val path = java.nio.file.Files.createTempDirectory("dedup-index-spec").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    DedupIndex.build(corpus, "doc_id", "text", path)
+    DedupIndex.manifest(spark, path) shouldBe DedupIndex.Manifest(3, 16, 4)
+    // batch 1 duplicates corpus doc 1
+    val b1 = Seq((10L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    DedupIndex.dedupBatch(spark, path, b1, "doc_id", "text")
+      .select("corpus_id", "batch_id").as[(Long, Long)].collect() shouldBe Array((1L, 10L))
+    DedupIndex.append(b1, "doc_id", "text", path)
+    // batch 2 duplicates BATCH 1's doc — only findable if the append landed
+    val b2 = Seq((20L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    DedupIndex.dedupBatch(spark, path, b2, "doc_id", "text")
+      .select("corpus_id", "batch_id").as[(Long, Long)].collect()
+      .sorted shouldBe Array((1L, 20L), (10L, 20L))
+    // index tables grew by exactly the batch: 3 fingerprint rows total
+    DedupIndex.load(spark, path)._1.count() shouldBe 3L
+  }
+
   test("brute-force topK is self-consistent: rank 1 has max cosine") {
     val emb = graft.tables.Tables.embeddings(spark, dir)
     val knn = CosineKnn.topK(emb, "vec_id", "embedding", col("id") < 5, k = 3)
