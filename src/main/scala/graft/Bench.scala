@@ -31,6 +31,24 @@ object Bench {
     Seq("lineitem", "orders", "documents", "embeddings").foreach(t =>
       tables.Tables.load(spark, sfDir, t).count())
     tables.Tables.events(spark, sfDir).count()
+    // ...and one composite untimed pipeline: scan → regex normalize → md5 →
+    // hash aggregate → join → window → sort. Counts alone leave the common
+    // operator kernels un-JITed, so whichever query ran FIRST was charged
+    // seconds of Janino/C2 compilation (r4 recorded q44 at 9.2s first
+    // sample vs 0.21s steady — a 44x artifact spread, not a plan cost).
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val docs = tables.Tables.documents(spark, sfDir).limit(2000)
+      val norm = docs.select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "[^\\p{L}\\p{Nd} ]", " ")).as("h"))
+      norm.groupBy(col("h"))
+        .agg(count(lit(1)).as("c"), min(col("doc_id")).as("doc_id"))
+        .join(docs, "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("c")).orderBy(col("doc_id"))))
+        .orderBy(col("doc_id")).count()
+    }
     // best-of-2 normally: the first execution pays one-off plan compilation
     // + JIT (constant at any data scale); the min approximates steady-state
     // cost. When the two runs disagree >3x, one slot was machine noise

@@ -17,7 +17,14 @@ object PipelineQueries {
   /** Exact content dedup via md5 grouping — keeps min doc_id per hash.
     * One shuffle on the 128-bit hash; map-side combinable. */
   def q23_dedup_exact(spark: SparkSession, dir: String): DataFrame =
-    Dedup.byContentHash(Tables.documents(spark, dir), md5(col("text")), "doc_id")
+    // project to the output columns BEFORE the agg: the min_by payload
+    // struct is what ships through the shuffle (and what the generated
+    // aggregate copies per update) — don't carry text/lang/source for a
+    // 3-column result
+    Dedup.byContentHash(
+        Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"),
+          md5(col("text")).as("__content_md5")),
+        col("__content_md5"), "doc_id")
       .select(col("doc_id"), col("n_chars"), col("dup_count"))
       .orderBy(col("doc_id"))
 
@@ -160,8 +167,13 @@ object PipelineQueries {
     * (the preprocessing step every dedup pipeline runs first). */
   def q44_normalized_dedup(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
+    // project BEFORE the agg: only (doc_id, norm_text) ride the shuffle —
+    // not the raw text and metadata columns — and the min_by payload
+    // struct stays 2 fields, which also keeps the generated aggregate
+    // small (the q44 cold-start was Janino-compiling a payload struct of
+    // every document column, inlining the normalize chain twice)
     Dedup.byContentHash(
-        d.withColumn("norm_text", TextOps.normalize(col("text"))),
+        d.select(col("doc_id"), TextOps.normalize(col("text")).as("norm_text")),
         md5(col("norm_text")), "doc_id")
       .select(col("doc_id"), col("norm_text"), col("dup_count"))
       .orderBy(col("doc_id"))
