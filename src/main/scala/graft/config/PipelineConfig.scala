@@ -23,7 +23,24 @@ final case class PipelineConfig(env: String,
                                 // plugin catalogs to register on the
                                 // session before any job runs
                                 catalogs: Seq[CatalogConfig] = Seq.empty,
-                                jobs: Seq[JobConfig] = Seq.empty)
+                                jobs: Seq[JobConfig] = Seq.empty,
+                                // table-layout maintenance run after the
+                                // batch jobs (compaction / z-order rewrite)
+                                maintenance: Seq[MaintenanceConfig] = Seq.empty)
+
+/** One maintenance task over a parquet table path — the OPTIMIZE /
+  * rewrite_data_files chore as pipeline config instead of an ad-hoc
+  * notebook job. `type` = "compact" (small-file rewrite, optionally per
+  * partition directory) or "zorder" (Morton-order rewrite on `columns`
+  * so min/max stats prune scans filtered on any of them). */
+final case class MaintenanceConfig(`type`: String, path: String,
+                                   columns: Seq[String] = Seq.empty,
+                                   targetFileMb: Int = 128,
+                                   partitioned: Boolean = false,
+                                   minFiles: Int = 2,
+                                   bits: Int = 8) {
+  def targetFileBytes: Long = targetFileMb.toLong * 1024 * 1024
+}
 
 /** Plugin-catalog registration. The reference wires its Iceberg Hive
   * catalog through spark-submit conf only (`helm/values.yaml:43-46`:
@@ -250,7 +267,9 @@ object HoconConfigLoader {
         .orElse(str(root, "watermark_store")),
       catalogs = obj(root, "catalog").map(toCatalog).toSeq ++
         arr(root, "catalogs").collect { case c: Obj => toCatalog(c) },
-      jobs = arr(root, "jobs").collect { case j: Obj => toJob(j) })
+      jobs = arr(root, "jobs").collect { case j: Obj => toJob(j) },
+      maintenance = arr(root, "maintenance").collect {
+        case m: Obj => toMaintenance(m) })
 
   private def toCatalog(c: Obj): CatalogConfig = CatalogConfig(
     name = str(c, "name").getOrElse(fail("catalog needs a name")),
@@ -311,6 +330,17 @@ object HoconConfigLoader {
   /** "v1" / "1" -> 1 (reference versions are "v<N>" strings). */
   private def parseVersion(v: String): Int =
     v.stripPrefix("v").toInt
+
+  private def toMaintenance(m: Obj): MaintenanceConfig = MaintenanceConfig(
+    `type` = str(m, "type").getOrElse(fail("maintenance task needs a type (compact/zorder)")),
+    path = str(m, "path").getOrElse(fail("maintenance task needs a path")),
+    columns = arr(m, "columns").map(Hocon.render),
+    targetFileMb = num(m, "targetFileMb").orElse(num(m, "target_file_mb"))
+      .map(_.intValue).getOrElse(128),
+    partitioned = bool(m, "partitioned").getOrElse(false),
+    minFiles = num(m, "minFiles").orElse(num(m, "min_files"))
+      .map(_.intValue).getOrElse(2),
+    bits = num(m, "bits").map(_.intValue).getOrElse(8))
 
   private def toDq(d: Obj): DQConfig = DQConfig(
     policy = str(d, "policy").orElse(str(d, "on_fail"))

