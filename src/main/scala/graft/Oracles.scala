@@ -1037,6 +1037,81 @@ object Oracles {
         |    / CAST(COUNT(*) AS DOUBLE), 12) AS mse,
         |  max(abs(err)) AS max_err
         |FROM err GROUP BY label ORDER BY label""".stripMargin,
+
+    "q86_tfidf_terms" ->
+      """WITH stc AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), c AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM stc GROUP BY source, tok
+        |), d AS (
+        |  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM c GROUP BY tok
+        |), n AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS ns FROM documents),
+        |sc AS (
+        |  SELECT source, tok, tf,
+        |    round(CAST(tf AS DOUBLE) * ln(ns / df), 6) AS score
+        |  FROM c JOIN d USING (tok) CROSS JOIN n
+        |), rk AS (
+        |  SELECT source, tok, tf, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, tok) AS rn
+        |  FROM sc)
+        |SELECT source, tok, tf, score, CAST(rn AS BIGINT) AS rank
+        |FROM rk WHERE rn <= 5 ORDER BY source, rank""".stripMargin,
+
+    "q87_doc_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |  COUNT(*) AS n_distinct,
+        |  round(ln(CAST(SUM(c) AS DOUBLE))
+        |    - CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(27,12))) AS DOUBLE)
+        |      / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q92_gopher_rules" ->
+      """WITH rep AS (
+        |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_n FROM (
+        |    SELECT doc_id, tok, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |    GROUP BY doc_id, tok) GROUP BY doc_id
+        |), base AS (
+        |  SELECT d.lang,
+        |    CAST(length(d.text) AS BIGINT) AS len,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(string_split(d.text, ' '),
+        |      x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop,
+        |    rep.top_n
+        |  FROM documents d JOIN rep USING (doc_id)
+        |), r AS (
+        |  SELECT lang,
+        |    n_tok BETWEEN 25 AND 90 AS p_len,
+        |    (len - n_tok + 1) * 10 >= n_tok * 43 AND
+        |      (len - n_tok + 1) * 10 <= n_tok * 47 AS p_wordlen,
+        |    n_stop * 100 >= n_tok * 3 AS p_stop,
+        |    top_n * 8 < n_tok AS p_rep
+        |  FROM base)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len,
+        |  CAST(SUM(CASE WHEN p_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wordlen,
+        |  CAST(SUM(CASE WHEN p_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stop,
+        |  CAST(SUM(CASE WHEN p_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_rep,
+        |  CAST(SUM(CASE WHEN p_len AND p_wordlen AND p_stop AND p_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q93_bpe_merges" ->
+      """WITH uni AS (
+        |  SELECT w, COUNT(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w
+        |), pairs AS (
+        |  SELECT unnest(list_distinct(list_transform(
+        |    range(1, length(w)), i -> substring(w, CAST(i AS INTEGER), 2)))) AS pair,
+        |    c
+        |  FROM uni WHERE length(w) >= 2)
+        |SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
   )
 
   /** Shared CTE chain producing minhash-LSH candidate pairs (`cand`) and

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.text.TextOps
+
+/** Corpus-statistics and data-selection operators (round-5 wave): the
+  * term-weighting / quality-rule / tokenizer-mining passes a training-data
+  * pipeline runs between dedup and sampling. All combinable aggregates —
+  * no windows over unbounded groups, no driver-side loops.
+  */
+object CorpusQueries {
+
+  /** Per-source top-5 terms by TF-IDF (tf x ln(N_sources/df)) — the
+    * source-characterization pass behind corpus exploration UIs and
+    * per-domain keyword extraction. Scale shape: (source, token) counts
+    * are combinable; document frequency is a second combinable agg over
+    * the FIRST agg's (already per-source-distinct) output; N_sources is a
+    * one-row cross join; and the per-source top-5 goes through the heap
+    * [[graft.plans.TopKPerKey]] operator, never a window sort over each
+    * source's full vocabulary. Scores round to 6 decimals on both engines
+    * (libm ln parity) and the heap ORDERS BY the rounded score, so a
+    * last-ulp ln difference cannot reorder the cut. */
+  def q86_tfidf_terms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stc = docs
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfc = stc.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val ns = docs.agg(count_distinct(col("source")).cast("double").as("ns"))
+    val scored = stc.join(dfc, "tok").crossJoin(ns)
+      .select(col("source"), col("tok"), col("tf"),
+        round(col("tf").cast("double") * log(col("ns") / col("df")), 6).as("score"))
+    val top = graft.plans.TopKPerKey.topKPerKey(scored,
+      keys = Seq(col("source")),
+      order = Seq(col("score").desc, col("tok").asc), k = 5)
+    // rank recovery from the bounded (<=5/source) survivors — the q53
+    // sorted-posexplode spelling; (-score, tok) asc == (score desc, tok asc)
+    top.groupBy(col("source"))
+      .agg(sort_array(collect_list(
+        struct((-col("score")).as("negs"), col("tok"), col("tf")))).as("arr"))
+      .select(col("source"), posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("source"), col("s.tok").as("tok"), col("s.tf").as("tf"),
+        (-col("s.negs")).as("score"),
+        (col("pos") + 1).cast("bigint").as("rank"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** Per-document token Shannon entropy — the information-density signal
+    * that separates natural text (high) from boilerplate/spam (low), used
+    * alongside q51's repetition ratio. Identity H = ln(n) - (1/n)*sum(c*ln c)
+    * needs only the (doc, token) count aggregate; the c*ln(c) terms fold
+    * through DECIMAL(27,12) so the per-doc sum is order-independent on any
+    * partitioning, and the final entropy rounds to 6 decimals (libm ln
+    * parity on both engines). */
+  def q87_doc_entropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        sum((col("c").cast("double") * log(col("c").cast("double")))
+          .cast("decimal(27,12)")).as("s"))
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+        round(log(col("n_tok").cast("double")) -
+          col("s").cast("double") / col("n_tok").cast("double"), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+
+  /** Gopher-style quality-rule bundle (Rae et al. 2021 §A1.1, thresholds
+    * fit to this corpus): per-language counts of documents passing each
+    * rule and all rules — token-count band, mean-word-length band, minimum
+    * stopword density, repetition cap. Every rule is INTEGER-ONLY
+    * arithmetic (ratios are cross-multiplied, never divided), so the
+    * booleans are bit-portable across engines with no rounding discipline
+    * needed. The only non-per-row input is the modal-token count (the q60
+    * two-stage (doc, token) aggregate); everything else folds in one scan. */
+  def q92_gopher_rules(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rep = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).cast("long").as("top_n"))
+    val base = docs.select(col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("len"),
+      TextOps.tokenCount(col("text")).as("n_tok"),
+      TextOps.vocabHits(col("text"), Seq("the", "a", "of", "and")).as("n_stop"))
+    // single-space corpus: total token chars = len - (n_tok - 1); the
+    // mean-word-length band [4.3, 4.7] cross-multiplies to stay integral
+    base.join(rep, "doc_id")
+      .select(col("lang"),
+        col("n_tok").between(25, 90).as("p_len"),
+        ((col("len") - col("n_tok") + 1) * 10 >= col("n_tok") * 43 &&
+          (col("len") - col("n_tok") + 1) * 10 <= col("n_tok") * 47).as("p_wordlen"),
+        (col("n_stop") * 100 >= col("n_tok") * 3).as("p_stop"),
+        (col("top_n") * 8 < col("n_tok")).as("p_rep"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("p_len"), 1L).otherwise(0L)).cast("long").as("n_pass_len"),
+        sum(when(col("p_wordlen"), 1L).otherwise(0L)).cast("long").as("n_pass_wordlen"),
+        sum(when(col("p_stop"), 1L).otherwise(0L)).cast("long").as("n_pass_stop"),
+        sum(when(col("p_rep"), 1L).otherwise(0L)).cast("long").as("n_pass_rep"),
+        sum(when(col("p_len") && col("p_wordlen") && col("p_stop") && col("p_rep"),
+          1L).otherwise(0L)).cast("long").as("n_pass_all"))
+      .orderBy(col("lang"))
+  }
+
+  /** BPE merge-candidate mining — the first iteration of byte-pair-encoding
+    * tokenizer training at corpus scale: adjacent character-pair frequencies
+    * over the VOCABULARY (distinct tokens weighted by corpus count), top-20
+    * merge candidates. The vocabulary aggregate collapses the corpus before
+    * any character work happens (pair explosion runs over distinct tokens,
+    * not every token occurrence), pairs come from the compiled
+    * [[graft.functions.CharNgrams]] expression (distinct per token, matching
+    * BPE's type-count formulation), counts are combinable, and the top-20 is
+    * a TakeOrdered — never a global sort. */
+  def q93_bpe_merges(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .filter(length(col("w")) >= 2)
+      .select(col("c"),
+        explode(graft.functions.CharNgrams.charNgrams(col("w"), 2)).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("c")).cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+}
