@@ -1099,6 +1099,60 @@ object Oracles {
         |  CAST(SUM(CASE WHEN p_len AND p_wordlen AND p_stop AND p_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q88_containment_dedup" ->
+      s"""WITH ${Oracles.minhashPairCtes}
+        |SELECT id_a, id_b,
+        |  CAST(len(sa.sg) AS BIGINT) AS n_a,
+        |  CAST(len(sb.sg) AS BIGINT) AS n_b,
+        |  CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+        |    / CAST(least(len(sa.sg), len(sb.sg)) AS DOUBLE) AS containment,
+        |  CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+        |    / CAST(len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) AS jaccard
+        |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+        |    / CAST(least(len(sa.sg), len(sb.sg)) AS DOUBLE) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q91_substring_dup" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 7),
+        |      i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))) AS gram
+        |  FROM documents
+        |), f AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+        |FROM g JOIN f USING (gram) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q94_chunk_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      generate_series(1, CAST(ceil(len(t) / 32.0) AS BIGINT)),
+        |      i -> t[(i-1)*32+1:(i-1)*32+32])) AS ctk
+        |  FROM tk
+        |), c AS (
+        |  SELECT doc_id, array_to_string(ctk, ' ') AS chunk,
+        |    CAST(len(ctk) AS BIGINT) AS ctok
+        |  FROM ch
+        |), pd AS (
+        |  SELECT doc_id, chunk, COUNT(*) AS n_inst, MAX(ctok) AS ctok
+        |  FROM c GROUP BY doc_id, chunk
+        |), own AS (
+        |  SELECT chunk, MIN(doc_id) AS owner FROM c GROUP BY chunk
+        |)
+        |SELECT pd.doc_id, CAST(SUM(n_inst) AS BIGINT) AS n_chunks,
+        |  COUNT(*) AS n_distinct_chunks,
+        |  CAST(SUM(CASE WHEN owner = pd.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks,
+        |  CAST(SUM(CASE WHEN owner = pd.doc_id THEN ctok ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM pd JOIN own USING (chunk)
+        |GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin,
+
     "q93_bpe_merges" ->
       """WITH uni AS (
         |  SELECT w, COUNT(*) AS c

@@ -108,6 +108,75 @@ object CorpusQueries {
       .orderBy(col("lang"))
   }
 
+  /** Containment near-dup pairs — the SIXTH dedup-metric modality (after
+    * MinHash-Jaccard q27, SimHash q28, n-gram Jaccard q29, embedding cosine
+    * q32, winnowing q74): candidates from the q27 LSH banding, verified on
+    * `|A∩B| / min(|A|,|B|)`, the asymmetric overlap that catches a document
+    * CONTAINED in a larger one where Jaccard scores it near zero (quotes,
+    * template hosts, page-in-site). Exact integer-ratio output — see
+    * [[graft.similarity.MinHashLsh.containmentPairs]] for the scale shape
+    * (banded candidates, never all-pairs; cap on degenerate buckets). */
+  def q88_containment_dedup(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.MinHashLsh.containmentPairs(
+        Tables.documents(spark, dir), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.7,
+        maxBucket = Some(100))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact substring-duplication rate (the doc-level view of Lee et al.
+    * 2022's "Deduplicating Training Data Makes Language Models Better"
+    * exact-substring pass, at 8-token gram granularity): per document, the
+    * fraction of its distinct 8-grams that occur in at least one OTHER
+    * document — memorization-risk mass, the signal substring dedup
+    * thresholds on. Grams travel as md5 hashes (the shuffle carries
+    * (hash, id), never gram text); gram document-frequency is one
+    * combinable aggregate joined back by hash. Docs shorter than 8 tokens
+    * have no grams and drop out on both engines identically. */
+  def q91_substring_dup(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 8)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    val freq = grams.groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+    grams.join(freq, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup_grams"))
+      .withColumn("dup_frac",
+        col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Paragraph-level dedup at fixed 32-token chunk granularity (the CCNet
+    * paragraph-hash pass, chunked because this corpus has no line
+    * structure): every chunk hash is OWNED by the smallest doc_id that
+    * contains it; a document keeps only the chunks it owns, so repeated
+    * boilerplate survives exactly once corpus-wide while unique content is
+    * untouched. Output per doc: chunk instances, distinct chunks, kept
+    * chunks, and surviving token mass. Chunks leave the scan as md5 hashes
+    * — every shuffle carries (hash, id, small ints); ownership is a
+    * combinable min aggregate joined back on the hash. */
+  def q94_chunk_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), floor((size(col("tk")) - 1) / lit(32)).cast("int")),
+        i => slice(col("tk"), i * 32 + 1, lit(32)))).as("ctk"))
+      .select(col("doc_id"), md5(array_join(col("ctk"), " ")).as("ch"),
+        size(col("ctk")).cast("long").as("ctok"))
+    val perDoc = chunks.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("n_inst"), max(col("ctok")).as("ctok"))
+    val owner = chunks.groupBy(col("ch")).agg(min(col("doc_id")).as("owner"))
+    perDoc.join(owner, "ch")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_inst")).cast("long").as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .cast("long").as("n_kept_chunks"),
+        sum(when(col("owner") === col("doc_id"), col("ctok")).otherwise(0L))
+          .cast("long").as("kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BPE merge-candidate mining — the first iteration of byte-pair-encoding
     * tokenizer training at corpus scale: adjacent character-pair frequencies
     * over the VOCABULARY (distinct tokens weighted by corpus count), top-20
