@@ -1153,6 +1153,52 @@ object Oracles {
         |FROM pd JOIN own USING (chunk)
         |GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin,
 
+    "q89_kmeans_clusters" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), n0 AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        |), vh AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM n0
+        |), c0 AS (
+        |  SELECT vec_id AS j, v AS c FROM vh
+        |  QUALIFY row_number() OVER (ORDER BY vec_id) <= 4
+        |), ${Oracles.kmeansIter(1, "c0")},
+        |${Oracles.kmeansIter(2, "c1")},
+        |af AS (
+        |  SELECT vh.vec_id, c2.j, list_dot_product(vh.v, c2.c) AS cos,
+        |    c2.c[1] AS c1v
+        |  FROM vh CROSS JOIN c2
+        |  QUALIFY row_number() OVER (PARTITION BY vh.vec_id ORDER BY cos DESC, j) = 1
+        |)
+        |SELECT j AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  round(CAST(SUM(CAST(cos AS DECIMAL(27,12))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_cos,
+        |  round(MAX(c1v), 6) AS centroid_c1
+        |FROM af GROUP BY j ORDER BY cluster""".stripMargin,
+
+    "q90_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST((CAST(md5_number_upper(t) AS HUGEINT) % 2305843009213693951) % 256 AS BIGINT) AS b
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        |), c AS (
+        |  SELECT b, COUNT(*) AS c_r,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+        |  FROM tok GROUP BY b
+        |), t AS (
+        |  SELECT CAST(SUM(c_r) AS DOUBLE) AS R, CAST(SUM(c_t) AS DOUBLE) AS T FROM c
+        |), l AS (
+        |  SELECT b,
+        |    ln(CAST(c_t + 1 AS DOUBLE) / (T + 256.0))
+        |      - ln(CAST(c_r + 1 AS DOUBLE) / (R + 256.0)) AS llr
+        |  FROM c CROSS JOIN t)
+        |SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  round(CAST(SUM(CAST(llr AS DECIMAL(27,12))) AS DOUBLE), 6) AS weight,
+        |  round(CAST(SUM(CAST(llr AS DECIMAL(27,12))) AS DOUBLE), 6) > 0 AS selected
+        |FROM tok JOIN l USING (b)
+        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+
     "q93_bpe_merges" ->
       """WITH uni AS (
         |  SELECT w, COUNT(*) AS c
@@ -1167,6 +1213,28 @@ object Oracles {
         |FROM pairs GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
   )
+
+  /** One Lloyd round of the q89 spherical k-means as CTEs `a$i`/`s$i`/
+    * `m$i`/`c$i` reading centroids from `prevC`: cosine argmax assignment
+    * (ties to smallest centroid id), DECIMAL(27,12) component sums, list
+    * rebuild in position order, L2 re-normalization — stage-for-stage the
+    * arithmetic of [[graft.similarity.KMeansCosine.fit]]. */
+  private def kmeansIter(i: Int, prevC: String): String =
+    s"""a$i AS (
+      |  SELECT vh.vec_id, vh.v, $prevC.j, list_dot_product(vh.v, $prevC.c) AS cos
+      |  FROM vh CROSS JOIN $prevC
+      |  QUALIFY row_number() OVER (PARTITION BY vh.vec_id ORDER BY cos DESC, j) = 1
+      |), s$i AS (
+      |  SELECT j, pos, SUM(CAST(x AS DECIMAL(27,12))) AS s, COUNT(*) AS n
+      |  FROM (SELECT j, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a$i)
+      |  GROUP BY j, pos
+      |), m$i AS (
+      |  SELECT j, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS m
+      |  FROM s$i GROUP BY j
+      |), c$i AS (
+      |  SELECT j, list_transform(m, x -> x / sqrt(list_dot_product(m, m))) AS c
+      |  FROM m$i
+      |)""".stripMargin
 
   /** Shared CTE chain producing minhash-LSH candidate pairs (`cand`) and
     * shingle sets (`sh`) over `documents` — the q27 pipeline, reused by

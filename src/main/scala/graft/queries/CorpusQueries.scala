@@ -177,6 +177,66 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Distributed spherical k-means over the embedding corpus
+    * ([[graft.similarity.KMeansCosine]]: first-k-ids init, 2 Lloyd rounds,
+    * cosine assignment) — per-cluster size, mean within-cluster cosine,
+    * and a centroid fingerprint. The DuckDB oracle replays BOTH Lloyd
+    * iterations stage by stage (assignment QUALIFY, DECIMAL component
+    * sums, list rebuild, re-normalization), so every arithmetic step of
+    * the distributed implementation is pinned, not just the final shape. */
+  def q89_kmeans_clusters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.KMeansCosine
+    val emb = Tables.embeddings(spark, dir)
+    val vh = KMeansCosine.normalized(emb, "vec_id", "embedding")
+    val cent = KMeansCosine.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    KMeansCosine.assign(vh, "vec_id", cent)
+      .join(broadcast(cent.select(col("j").as("cluster"),
+        element_at(col("c"), 1).as("c1"))), "cluster")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        round(sum(col("cos").cast("decimal(27,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_cos"),
+        round(max(col("c1")), 6).as("centroid_c1"))
+      .orderBy(col("cluster"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed-unigram features are under a TARGET
+    * distribution (here the `lang = 'en'` slice) than under the raw
+    * corpus — sum over tokens of the add-1-smoothed bucket log-likelihood
+    * ratio. Tokens collapse to 256 md5-derived buckets at the scan
+    * ([[graft.functions.StableHash]] — engine-portable, so the oracle
+    * re-derives identical features); both distributions come from ONE
+    * combinable (bucket, count, target-count) aggregate; the 256-row
+    * ratio table broadcasts back. Per-doc sums fold through
+    * DECIMAL(27,12) and round to 6 (libm ln parity). */
+  def q90_dsir_weights(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val nB = 256
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        StableHash.bucket(col("tok"), nB).as("b"))
+    val counts = tok.groupBy(col("b")).agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+    val totals = counts.agg(sum(col("c_r")).cast("double").as("R"),
+      sum(col("c_t")).cast("double").as("T"))
+    val llr = broadcast(counts.crossJoin(totals).select(col("b"),
+      (log((col("c_t") + 1).cast("double") / (col("T") + lit(nB.toDouble))) -
+        log((col("c_r") + 1).cast("double") / (col("R") + lit(nB.toDouble))))
+        .as("llr")))
+    tok.join(llr, "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_tok"),
+        round(sum(col("llr").cast("decimal(27,12)")).cast("double"), 6)
+          .as("weight"))
+      .withColumn("selected", col("weight") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** BPE merge-candidate mining — the first iteration of byte-pair-encoding
     * tokenizer training at corpus scale: adjacent character-pair frequencies
     * over the VOCABULARY (distinct tokens weighted by corpus count), top-20
