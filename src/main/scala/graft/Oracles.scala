@@ -992,34 +992,40 @@ object Oracles {
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q74_winnow_dedup" ->
-      """WITH codes AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, length(text) + 1),
-        |      i -> CAST(unicode(substring(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS cp
-        |  FROM documents
-        |), grams AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(cp) >= 8 THEN
-        |      list_transform(range(1, len(cp) - 6),
-        |        i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cp[i:i+7]),
-        |               (a, b) -> (a * 131 + b) % 2147483647))
-        |    ELSE [] END AS g
-        |  FROM codes
-        |), winnowed AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(g) = 0 THEN []
-        |         WHEN len(g) < 4 THEN [list_min(g)]
-        |         ELSE list_distinct(list_transform(range(1, len(g) - 2),
-        |                i -> list_min(g[i:i+3]))) END AS fps
-        |  FROM grams
-        |), e AS (
-        |  SELECT doc_id, unnest(fps) AS fp FROM winnowed
-        |), freq AS (SELECT fp, COUNT(*) AS c FROM e GROUP BY fp),
-        |kept AS (SELECT e.doc_id, e.fp FROM e JOIN freq USING (fp) WHERE freq.c <= 50)
+      s"""WITH ${Oracles.winnowKeptCtes}
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id
         |HAVING COUNT(*) >= 40
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q88_containment_dedup" ->
+      s"""WITH ${Oracles.winnowKeptCtes},
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING COUNT(*) >= 10
+        |), tt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |), sh3 AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) >= 3
+        |      THEN list_transform(range(1, len(tk) - 1),
+        |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |      ELSE [] END) AS sg
+        |  FROM tt)
+        |SELECT id_a, id_b, n_shared,
+        |  CAST(len(sa.sg) AS BIGINT) AS n_a,
+        |  CAST(len(sb.sg) AS BIGINT) AS n_b,
+        |  CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+        |    / CAST(least(len(sa.sg), len(sb.sg)) AS DOUBLE) AS containment,
+        |  CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+        |    / CAST(len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) AS jaccard
+        |FROM cand JOIN sh3 sa ON sa.doc_id = id_a JOIN sh3 sb ON sb.doc_id = id_b
+        |WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+        |    / CAST(least(len(sa.sg), len(sb.sg)) AS DOUBLE) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q72_embed_quantize" ->
@@ -1098,20 +1104,6 @@ object Oracles {
         |  CAST(SUM(CASE WHEN p_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_rep,
         |  CAST(SUM(CASE WHEN p_len AND p_wordlen AND p_stop AND p_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "q88_containment_dedup" ->
-      s"""WITH ${Oracles.minhashPairCtes}
-        |SELECT id_a, id_b,
-        |  CAST(len(sa.sg) AS BIGINT) AS n_a,
-        |  CAST(len(sb.sg) AS BIGINT) AS n_b,
-        |  CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
-        |    / CAST(least(len(sa.sg), len(sb.sg)) AS DOUBLE) AS containment,
-        |  CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
-        |    / CAST(len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) AS jaccard
-        |FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
-        |WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
-        |    / CAST(least(len(sa.sg), len(sb.sg)) AS DOUBLE) >= 0.7
-        |ORDER BY id_a, id_b""".stripMargin,
 
     "q91_substring_dup" ->
       """WITH g AS (
@@ -1213,6 +1205,36 @@ object Oracles {
         |FROM pairs GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
   )
+
+  /** Winnowing fingerprint CTE chain over `documents` — Karp-Rabin char
+    * 8-gram hashes, window-4 sliding minima, distinct, frequency-capped at
+    * 50 — ending in `kept(doc_id, fp)`. The q74 pipeline's candidate side,
+    * shared with q88's containment verify. */
+  private def winnowKeptCtes: String =
+    """codes AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> CAST(unicode(substring(text, CAST(i AS INTEGER), 1)) AS BIGINT)) AS cp
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(cp) >= 8 THEN
+      |      list_transform(range(1, len(cp) - 6),
+      |        i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cp[i:i+7]),
+      |               (a, b) -> (a * 131 + b) % 2147483647))
+      |    ELSE [] END AS g
+      |  FROM codes
+      |), winnowed AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(g) = 0 THEN []
+      |         WHEN len(g) < 4 THEN [list_min(g)]
+      |         ELSE list_distinct(list_transform(range(1, len(g) - 2),
+      |                i -> list_min(g[i:i+3]))) END AS fps
+      |  FROM grams
+      |), e AS (
+      |  SELECT doc_id, unnest(fps) AS fp FROM winnowed
+      |), freq AS (SELECT fp, COUNT(*) AS c FROM e GROUP BY fp),
+      |kept AS (SELECT e.doc_id, e.fp FROM e JOIN freq USING (fp) WHERE freq.c <= 50)""".stripMargin
 
   /** One Lloyd round of the q89 spherical k-means as CTEs `a$i`/`s$i`/
     * `m$i`/`c$i` reading centroids from `prevC`: cosine argmax assignment

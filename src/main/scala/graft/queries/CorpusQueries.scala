@@ -110,17 +110,19 @@ object CorpusQueries {
 
   /** Containment near-dup pairs — the SIXTH dedup-metric modality (after
     * MinHash-Jaccard q27, SimHash q28, n-gram Jaccard q29, embedding cosine
-    * q32, winnowing q74): candidates from the q27 LSH banding, verified on
-    * `|A∩B| / min(|A|,|B|)`, the asymmetric overlap that catches a document
-    * CONTAINED in a larger one where Jaccard scores it near zero (quotes,
-    * template hosts, page-in-site). Exact integer-ratio output — see
-    * [[graft.similarity.MinHashLsh.containmentPairs]] for the scale shape
-    * (banded candidates, never all-pairs; cap on degenerate buckets). */
+    * q32, winnowing q74): candidates from SHARED WINNOWING FINGERPRINTS
+    * (position-local, so a doc embedded in a larger host still collides —
+    * jaccard-tuned LSH bands would miss exactly those), verified on
+    * `|A∩B| / min(|A|,|B|)`, the asymmetric overlap that scores a perfect
+    * subset 1.0 where Jaccard scores it near zero (quotes, template hosts,
+    * page-in-site). See [[graft.similarity.Containment.containmentPairs]]
+    * for the scale shape (fingerprint frequency cap before the self-join,
+    * shingle sets shipped only for candidates). */
   def q88_containment_dedup(spark: SparkSession, dir: String): DataFrame =
-    graft.similarity.MinHashLsh.containmentPairs(
+    graft.similarity.Containment.containmentPairs(
         Tables.documents(spark, dir), "doc_id", "text",
-        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.7,
-        maxBucket = Some(100))
+        shingleN = 3, gramLen = 8, winnowWindow = 4, fpFreqCap = 50,
+        minShared = 10, threshold = 0.7)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Exact substring-duplication rate (the doc-level view of Lee et al.

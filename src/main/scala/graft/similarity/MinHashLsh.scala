@@ -96,38 +96,6 @@ object MinHashLsh {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Containment near-dup pairs: same LSH candidate machinery as
-    * [[nearDuplicatePairs]], but verified on CONTAINMENT
-    * `|A∩B| / min(|A|,|B|)` instead of Jaccard — the asymmetric metric that
-    * catches a document quoted or embedded inside a larger one (Jaccard
-    * punishes the size gap: a perfect subset at 10% of the host's length
-    * scores J≈0.1 but containment 1.0). Used for quote/boilerplate-host
-    * detection and URL-level dedup in CC-style pipelines. Emits both
-    * metrics plus set sizes; all ratios are exact integer divisions, so
-    * the output is engine-portable with no rounding discipline. */
-  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       shingleN: Int = 3, bands: Int = 16,
-                       rowsPerBand: Int = 4, threshold: Double = 0.7,
-                       maxBucket: Option[Int] = None): DataFrame = {
-    val sets = df.select(col(idCol),
-      TextOps.shingles(col(textCol), shingleN).as("shingle_set"))
-    val cands = candidatePairs(sets, idCol, bands, rowsPerBand, maxBucket)
-    val sa = sets.select(col(idCol).as("id_a"), col("shingle_set").as("set_a"))
-    val sb = sets.select(col(idCol).as("id_b"), col("shingle_set").as("set_b"))
-    cands.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("n_common",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
-      .withColumn("n_a", size(col("set_a")).cast("long"))
-      .withColumn("n_b", size(col("set_b")).cast("long"))
-      .withColumn("containment", col("n_common").cast("double") /
-        least(col("n_a"), col("n_b")).cast("double"))
-      .withColumn("jaccard", col("n_common").cast("double") /
-        (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
-        col("containment"), col("jaccard"))
-  }
-
   // ---- incremental dedup against a stored index ---------------------------
   //
   // The production shape for continuous ingestion: fingerprint the corpus

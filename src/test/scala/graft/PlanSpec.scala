@@ -149,6 +149,33 @@ class PlanSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("q86 tf-idf top terms plan the heap TopKPerKeyExec, not a window") {
+    val plan = planString(queries.CorpusQueries.q86_tfidf_terms(spark, dir))
+    plan should include("TopKPerKey")
+    plan should not include "Window"
+  }
+
+  test("q89 k-means broadcasts centroids; no cartesian on data rows") {
+    val plan = planString(queries.CorpusQueries.q89_kmeans_clusters(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+  }
+
+  test("q90 DSIR joins the 256-row ratio table by broadcast") {
+    val plan = planString(queries.CorpusQueries.q90_dsir_weights(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q91/q94 gram and chunk dedup never window and never cross-join") {
+    for (q <- Seq(queries.CorpusQueries.q91_substring_dup _,
+                  queries.CorpusQueries.q94_chunk_dedup _)) {
+      val plan = planString(q(spark, dir))
+      plan should not include "Window"
+      plan should not include "CartesianProduct"
+    }
+  }
+
   test("q81 k-per-group sample plans the heap TopKPerKeyExec, not a window") {
     val plan = planString(queries.PipelineQueries.q81_group_sample(spark, dir))
     plan should include("TopKPerKey")

@@ -132,6 +132,38 @@ class SimilaritySpec extends SparkSpec {
     DedupIndex.load(spark, path)._1.count() shouldBe 3L
   }
 
+  test("containment catches a subset pair that jaccard-LSH dedup misses") {
+    val words = (0 until 120).map(i => s"w${i * 7 % 113}q${i}z")
+    val host = words.mkString(" ")                 // 120 tokens
+    val quoted = words.slice(30, 80).mkString(" ") // contiguous 50-token span
+    val other = (0 until 100).map(i => s"u${i}k").mkString(" ")
+    val docs = Seq((10L, quoted), (20L, host), (30L, other)).toDF("id", "text")
+
+    val pairs = graft.similarity.Containment
+      .containmentPairs(docs, "id", "text")
+      .select(col("id_a"), col("id_b"), col("containment"), col("jaccard"))
+      .as[(Long, Long, Double, Double)].collect()
+    pairs.map(p => (p._1, p._2)).toSet shouldBe Set((10L, 20L))
+    val (_, _, cont, jac) = pairs.head
+    cont shouldBe 1.0 // every shingle of the quoted span is in the host
+    jac should be < 0.5 // ...but jaccard scores the pair below dedup cut
+
+    // the jaccard-verified q27 pipeline reports nothing here — the metric
+    // (not just the candidate path) is what misses subset pairs
+    MinHashLsh.nearDuplicatePairs(docs, "id", "text", threshold = 0.5)
+      .count() shouldBe 0L
+  }
+
+  test("containment fpFreqCap drops boilerplate fingerprints before the self-join") {
+    // 60 copies of one template: every fingerprint appears in 60 docs,
+    // far over a cap of 50, so no candidate pairs survive — the guard
+    // that keeps a degenerate template from exploding quadratically
+    val tmpl = (0 until 80).map(i => s"t${i}v").mkString(" ")
+    val docs = (0L until 60L).map(i => (i, tmpl)).toDF("id", "text")
+    graft.similarity.Containment.containmentPairs(docs, "id", "text")
+      .count() shouldBe 0L
+  }
+
   test("brute-force topK is self-consistent: rank 1 has max cosine") {
     val emb = graft.tables.Tables.embeddings(spark, dir)
     val knn = CosineKnn.topK(emb, "vec_id", "embedding", col("id") < 5, k = 3)
