@@ -1191,6 +1191,56 @@ object Oracles {
         |FROM tok JOIN l USING (b)
         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
 
+    "q95_train_materialize" ->
+      """WITH s AS (
+        |  SELECT doc_id, text, lang,
+        |    CASE WHEN (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000 < 800 THEN 'train'
+        |         WHEN (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), tr AS (SELECT * FROM s WHERE split = 'train'),
+        |rep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM tr GROUP BY md5(text)
+        |), topn AS (
+        |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_n FROM (
+        |    SELECT doc_id, tok, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM tr)
+        |    GROUP BY doc_id, tok) GROUP BY doc_id
+        |), g AS (
+        |  SELECT doc_id, split,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 4),
+        |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS gram
+        |  FROM s WHERE split IN ('train', 'test')
+        |), te AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+        |dirty AS (
+        |  SELECT DISTINCT trg.doc_id FROM g trg JOIN te USING (gram)
+        |  WHERE trg.split = 'train'
+        |), b AS (
+        |  SELECT tr.lang,
+        |    CAST(len(string_split(tr.text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(length(tr.text) AS BIGINT) AS len,
+        |    CAST(len(list_filter(string_split(tr.text, ' '),
+        |      x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop,
+        |    topn.top_n,
+        |    tr.doc_id IN (SELECT doc_id FROM rep) AS is_rep,
+        |    tr.doc_id NOT IN (SELECT doc_id FROM dirty) AS clean
+        |  FROM tr JOIN topn USING (doc_id)
+        |), r AS (
+        |  SELECT lang, n_tok, is_rep, clean,
+        |    (n_tok BETWEEN 25 AND 90
+        |      AND (len - n_tok + 1) * 10 >= n_tok * 43
+        |      AND (len - n_tok + 1) * 10 <= n_tok * 47
+        |      AND n_stop * 100 >= n_tok * 3
+        |      AND top_n * 8 < n_tok) AS quality
+        |  FROM b)
+        |SELECT lang, COUNT(*) AS n_train,
+        |  CAST(SUM(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+        |  CAST(SUM(CASE WHEN is_rep AND quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(SUM(CASE WHEN is_rep AND quality AND clean THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+        |  CAST(SUM(CASE WHEN is_rep AND quality AND clean THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_final
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q93_bpe_merges" ->
       """WITH uni AS (
         |  SELECT w, COUNT(*) AS c

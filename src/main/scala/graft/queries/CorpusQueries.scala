@@ -239,6 +239,73 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** CAPSTONE: materialize the training corpus — the full selection
+    * funnel a pipeline runs before tokenization, composed from the gated
+    * operators: deterministic split (q56) → exact-dedup representative
+    * (q23/q60's id-only aggregate) → Gopher quality rules (q92) →
+    * test-set 5-gram decontamination (q70, bloom-pre-pruned). Per
+    * language: train volume, survivors after each successive gate, and
+    * the final token mass. Every stage is a combinable aggregate or an
+    * id-only join — text never rides a shuffle; integer-only output. */
+  def q95_train_materialize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val docs = Tables.documents(spark, dir)
+      .withColumn("split", StableHash.split(col("doc_id"),
+        Seq(800 -> "train", 900 -> "val"), "test"))
+    val train = docs.filter(col("split") === "train")
+    // dedup representative within train: min doc_id per content hash,
+    // (hash, id) shuffle only
+    val rep = train.select(md5(col("text")).as("__h"), col("doc_id"))
+      .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("__rep"))
+    // modal-token count for the repetition rule (q92's two-stage agg)
+    val topn = train
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).cast("long").as("top_n"))
+    // contaminated: train docs sharing any distinct 5-gram with the test
+    // split (q70 shape: grams as md5, bloom pre-prune before the join)
+    def grams(d: DataFrame) = d
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 5)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    val testGrams = grams(docs.filter(col("split") === "test"))
+      .select(col("gh")).distinct()
+    import graft.functions.BloomMightContainLong
+    val bloom = BloomMightContainLong.buildOverHashes(
+      testGrams, col("gh"), expectedItems = testGrams.count())
+    val contaminated = grams(train)
+      .filter(BloomMightContainLong.mightContain(xxhash64(col("gh")), bloom))
+      .join(testGrams, "gh")
+      .select(col("doc_id")).distinct()
+      .select(col("doc_id"), lit(true).as("__dirty"))
+    train
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("len"),
+        TextOps.tokenCount(col("text")).as("n_tok"),
+        TextOps.vocabHits(col("text"), Seq("the", "a", "of", "and")).as("n_stop"))
+      .join(rep, Seq("doc_id"), "left")
+      .join(topn, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("lang"), col("n_tok"),
+        coalesce(col("__rep"), lit(false)).as("is_rep"),
+        (col("n_tok").between(25, 90) &&
+          (col("len") - col("n_tok") + 1) * 10 >= col("n_tok") * 43 &&
+          (col("len") - col("n_tok") + 1) * 10 <= col("n_tok") * 47 &&
+          col("n_stop") * 100 >= col("n_tok") * 3 &&
+          col("top_n") * 8 < col("n_tok")).as("quality"),
+        (!coalesce(col("__dirty"), lit(false))).as("clean"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("is_rep"), 1L).otherwise(0L)).cast("long").as("n_dedup"),
+        sum(when(col("is_rep") && col("quality"), 1L).otherwise(0L))
+          .cast("long").as("n_quality"),
+        sum(when(col("is_rep") && col("quality") && col("clean"), 1L).otherwise(0L))
+          .cast("long").as("n_final"),
+        sum(when(col("is_rep") && col("quality") && col("clean"), col("n_tok"))
+          .otherwise(0L)).cast("long").as("tokens_final"))
+      .orderBy(col("lang"))
+  }
+
   /** BPE merge-candidate mining — the first iteration of byte-pair-encoding
     * tokenizer training at corpus scale: adjacent character-pair frequencies
     * over the VOCABULARY (distinct tokens weighted by corpus count), top-20

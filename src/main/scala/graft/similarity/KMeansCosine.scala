@@ -53,7 +53,13 @@ object KMeansCosine {
     * any engine). */
   def fit(df: DataFrame, idCol: String, vecCol: String,
           k: Int, iters: Int): DataFrame = {
-    val vh = normalized(df, idCol, vecCol)
+    // cache the normalized view across Lloyd rounds: every iteration reads
+    // it twice (assignment + update join), so an uncached vh re-scans and
+    // re-normalizes the corpus 2x per round — at 100 TB this persist (or a
+    // pre-materialized normalized table) is the difference between one
+    // corpus read and 2*iters of them. Safe to release after the loop:
+    // each round's centroids are localCheckpoint-materialized.
+    val vh = normalized(df, idCol, vecCol).persist()
     var cent = vh.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("j"), col("v").as("c"))
     var i = 0
@@ -73,6 +79,7 @@ object KMeansCosine {
         .localCheckpoint(true)
       i += 1
     }
+    vh.unpersist(blocking = false)
     cent
   }
 }
