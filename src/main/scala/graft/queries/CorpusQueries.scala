@@ -80,17 +80,17 @@ object CorpusQueries {
     * two-stage (doc, token) aggregate); everything else folds in one scan. */
   def q92_gopher_rules(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val rep = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).cast("long").as("top_n"))
-    val base = docs.select(col("doc_id"), col("lang"),
-      length(col("text")).cast("long").as("len"),
-      TextOps.tokenCount(col("text")).as("n_tok"),
-      TextOps.vocabHits(col("text"), Seq("the", "a", "of", "and")).as("n_stop"))
-    // single-space corpus: total token chars = len - (n_tok - 1); the
-    // mean-word-length band [4.3, 4.7] cross-multiplies to stay integral
-    base.join(rep, "doc_id")
+    // every rule input is PER-ROW COMPILED — the modal-token count comes
+    // from the ModalCount kernel, so the whole rule evaluation is one
+    // narrow map over the scan and the only exchange is the per-lang
+    // combine. Single-space corpus: total token chars = len - (n_tok - 1);
+    // the mean-word-length band [4.3, 4.7] cross-multiplies to stay integral
+    docs.select(col("lang"),
+        length(col("text")).cast("long").as("len"),
+        TextOps.tokenCount(col("text")).as("n_tok"),
+        TextOps.vocabHits(col("text"), Seq("the", "a", "of", "and")).as("n_stop"),
+        graft.functions.ModalCount.modalCount(TextOps.tokens(col("text")))
+          .as("top_n"))
       .select(col("lang"),
         col("n_tok").between(25, 90).as("p_len"),
         ((col("len") - col("n_tok") + 1) * 10 >= col("n_tok") * 43 &&
@@ -258,11 +258,7 @@ object CorpusQueries {
     val rep = train.select(md5(col("text")).as("__h"), col("doc_id"))
       .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("__rep"))
-    // modal-token count for the repetition rule (q92's two-stage agg)
-    val topn = train
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).cast("long").as("top_n"))
+    // modal-token count for the repetition rule: per-row ModalCount kernel
     // contaminated: train docs sharing any distinct 5-gram with the test
     // split (q70 shape: grams as md5, bloom pre-prune before the join)
     def grams(d: DataFrame) = d
@@ -282,9 +278,10 @@ object CorpusQueries {
       .select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("len"),
         TextOps.tokenCount(col("text")).as("n_tok"),
-        TextOps.vocabHits(col("text"), Seq("the", "a", "of", "and")).as("n_stop"))
+        TextOps.vocabHits(col("text"), Seq("the", "a", "of", "and")).as("n_stop"),
+        graft.functions.ModalCount.modalCount(TextOps.tokens(col("text")))
+          .as("top_n"))
       .join(rep, Seq("doc_id"), "left")
-      .join(topn, "doc_id")
       .join(contaminated, Seq("doc_id"), "left")
       .select(col("lang"), col("n_tok"),
         coalesce(col("__rep"), lit(false)).as("is_rep"),

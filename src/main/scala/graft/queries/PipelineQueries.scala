@@ -217,17 +217,20 @@ object PipelineQueries {
 
   /** Repetition / boilerplate profile: token totals, distinct counts, and
     * the modal token's share — the count-based quality signals dedup
-    * pipelines threshold on. Two-stage aggregation (partial map-side
-    * combine on (doc, token), then per-doc rollup); all-integer counts with
-    * one final division keep it engine-portable. */
+    * pipelines threshold on. ALL PER-ROW COMPILED: the modal count comes
+    * from the [[graft.functions.ModalCount]] kernel inside the scan's
+    * codegen stage, so the old two-shuffle spelling (explode →
+    * groupBy(doc, token) → per-doc rollup, shipping every token occurrence
+    * through an exchange) collapses to a narrow map; the only exchange
+    * left is the presentation sort. All-integer counts with final
+    * divisions keep it engine-portable. */
   def q51_repetition(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast("long").as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).cast("long").as("top_tok_n"))
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        size(TextOps.distinctTokens(col("text"))).cast("long").as("n_distinct"),
+        graft.functions.ModalCount.modalCount(TextOps.tokens(col("text")))
+          .as("top_tok_n"))
       .withColumn("rep_ratio",
         col("top_tok_n").cast("double") / col("n_tokens").cast("double"))
       .withColumn("distinct_ratio",
@@ -426,19 +429,16 @@ object PipelineQueries {
     * text payload on the hash, where this shuffles O(ids) bytes. */
   def q60_filter_funnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val rep = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).cast("double").as("top_n"), sum(col("c")).cast("double").as("n_tok"))
-      .select(col("doc_id"), (col("top_n") / col("n_tok")).as("rep_ratio"))
     // representative ids per content hash: the wide shuffle carries only
-    // (128-bit hash, id) — text is pruned before the exchange
+    // (128-bit hash, id) — text is pruned before the exchange; the
+    // repetition ratio is the per-row ModalCount kernel (no token shuffle)
     val repIds = docs.select(md5(col("text")).as("__h"), col("doc_id"))
       .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("__is_rep"))
-    val flagged = docs.select(col("doc_id"), col("n_chars"))
-      .join(rep, "doc_id")
+    val flagged = docs.select(col("doc_id"), col("n_chars"),
+        (graft.functions.ModalCount.modalCount(TextOps.tokens(col("text")))
+          .cast("double") /
+          TextOps.tokenCount(col("text")).cast("double")).as("rep_ratio"))
       .join(repIds, Seq("doc_id"), "left")
       .select(
         (col("n_chars") >= 150 && col("n_chars") <= 1000).as("pass_len"),

@@ -232,6 +232,34 @@ class ExpressionsSpec extends SparkSpec {
     out("x") should not be out("z")
   }
 
+  test("ModalCount matches the explode/groupBy composition on real docs") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fast = docs.select(col("doc_id"),
+      functions.ModalCount.modalCount(fn.split(col("text"), " ")).as("m"))
+    val slow = docs
+      .select(col("doc_id"), fn.explode(fn.split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(fn.count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(fn.max(col("c")).as("m"))
+    fast.join(slow.withColumnRenamed("m", "m_ref"), "doc_id")
+      .filter(col("m") =!= col("m_ref")).count() shouldBe 0L
+  }
+
+  test("ModalCount semantics: empty array, null elements, null array") {
+    val rows = Seq(
+      (1L, Seq("a", "b", "a", "a")),
+      (2L, Seq.empty[String]),
+      (3L, Seq(null, "x", null)),
+      (4L, null)
+    ).toDF("id", "arr")
+      .select(col("id"), functions.ModalCount.modalCount(col("arr")).as("m"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    rows(1L) shouldBe 3L
+    rows(2L) shouldBe 0L
+    rows(3L) shouldBe 1L // nulls ignored, "x" counted once
+    rows(4L) shouldBe -1L // null in, null out
+  }
+
   test("all graft expressions compile under FORCED codegen (no fallback)") {
     import graft.functions._
     import graft.text.TextOps
@@ -254,7 +282,8 @@ class ExpressionsSpec extends SparkSpec {
           fn.length(col("text")).cast("decimal(10,2)"), Array(1.0, 5.0, 100.0)).as("dbucket"),
         BloomMightContainLong.mightContain(fn.xxhash64(col("text")),
           BloomMightContainLong.buildOverHashes(texts, col("text"), 10L)).as("bloom"),
-        DotProduct.dotProduct(fn.array(lit(1.0), lit(2.0)), fn.array(lit(3.0), lit(4.0))).as("dp"))
+        DotProduct.dotProduct(fn.array(lit(1.0), lit(2.0)), fn.array(lit(3.0), lit(4.0))).as("dp"),
+        ModalCount.modalCount(TextOps.tokens(col("text"))).as("modal"))
         .collect()
       out.length shouldBe 1
       out(0).getAs[Double]("dp") shouldBe 11.0

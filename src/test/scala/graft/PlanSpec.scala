@@ -90,12 +90,12 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
-  test("q51's two-stage token aggregation keeps partial (map-side) combine") {
+  test("q51 repetition profile is one narrow map — the only exchange is the sort") {
+    // the ModalCount kernel replaced the explode -> agg(doc,tok) -> agg(doc)
+    // spelling (which shuffled every token occurrence) with per-row codegen
     val df = queries.PipelineQueries.q51_repetition(spark, dir)
-    // explode -> agg(doc,tok) -> agg(doc) -> orderBy: three exchanges max,
-    // with partial HashAggregates before each
-    countShuffles(df) should be <= 3
-    planString(df) should include("HashAggregate")
+    countShuffles(df) should be <= 1
+    planString(df) should not include "HashAggregate"
   }
 
   test("q57's RANGE window shuffles once on user_id before the sort") {
@@ -147,6 +147,16 @@ class PlanSpec extends SparkSpec {
     val plan = planString(queries.PipelineQueries.q82_semantic_clusters(spark, dir))
     plan should not include "CartesianProduct"
     plan should not include "Window"
+  }
+
+  test("q51/q92 repetition rules are per-row kernels — no token shuffle, no join") {
+    // the ModalCount kernel keeps the modal-token count inside the scan's
+    // codegen stage; the old spelling shuffled every token occurrence
+    val q51 = queries.PipelineQueries.q51_repetition(spark, dir)
+    planString(q51) should not include "HashAggregate"
+    val q92 = queries.CorpusQueries.q92_gopher_rules(spark, dir)
+    planString(q92) should not include "Join"
+    countShuffles(q92) should be <= 1
   }
 
   test("q86 tf-idf top terms plan the heap TopKPerKeyExec, not a window") {
