@@ -51,20 +51,20 @@ object CorpusQueries {
 
   /** Per-document token Shannon entropy — the information-density signal
     * that separates natural text (high) from boilerplate/spam (low), used
-    * alongside q51's repetition ratio. Identity H = ln(n) - (1/n)*sum(c*ln c)
-    * needs only the (doc, token) count aggregate; the c*ln(c) terms fold
-    * through DECIMAL(27,12) so the per-doc sum is order-independent on any
-    * partitioning, and the final entropy rounds to 6 decimals (libm ln
-    * parity on both engines). */
+    * alongside q51's repetition ratio. Identity H = ln(n) - (1/n)*sum(c*ln c);
+    * the numerator is the PER-ROW [[graft.functions.EntropyTermSum]] kernel
+    * (terms quantized exactly as Spark's double→DECIMAL(27,12) cast, summed
+    * in exact decimal arithmetic — order-independent, so it equals the old
+    * explode → groupBy aggregate bit-for-bit), making the whole query a
+    * narrow compiled map: no token ever rides a shuffle. Final entropy
+    * rounds to 6 decimals (libm ln parity on both engines). */
   def q87_doc_entropy(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast("long").as("n_tok"),
-        count(lit(1)).as("n_distinct"),
-        sum((col("c").cast("double") * log(col("c").cast("double")))
-          .cast("decimal(27,12)")).as("s"))
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tok"),
+        size(TextOps.distinctTokens(col("text"))).cast("long").as("n_distinct"),
+        graft.functions.EntropyTermSum.entropyTermSum(TextOps.tokens(col("text")))
+          .as("s"))
       .select(col("doc_id"), col("n_tok"), col("n_distinct"),
         round(log(col("n_tok").cast("double")) -
           col("s").cast("double") / col("n_tok").cast("double"), 6).as("entropy"))

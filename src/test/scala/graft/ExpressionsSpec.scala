@@ -260,6 +260,20 @@ class ExpressionsSpec extends SparkSpec {
     rows(4L) shouldBe -1L // null in, null out
   }
 
+  test("EntropyTermSum matches the explode/DECIMAL-aggregate composition bit-for-bit") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fast = docs.select(col("doc_id"),
+      functions.EntropyTermSum.entropyTermSum(fn.split(col("text"), " ")).as("s"))
+    val slow = docs
+      .select(col("doc_id"), fn.explode(fn.split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(fn.count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(fn.sum((col("c").cast("double") * fn.log(col("c").cast("double")))
+        .cast("decimal(27,12)")).as("s_ref"))
+    fast.join(slow, "doc_id")
+      .filter(col("s") =!= col("s_ref")).count() shouldBe 0L
+  }
+
   test("all graft expressions compile under FORCED codegen (no fallback)") {
     import graft.functions._
     import graft.text.TextOps
@@ -283,7 +297,8 @@ class ExpressionsSpec extends SparkSpec {
         BloomMightContainLong.mightContain(fn.xxhash64(col("text")),
           BloomMightContainLong.buildOverHashes(texts, col("text"), 10L)).as("bloom"),
         DotProduct.dotProduct(fn.array(lit(1.0), lit(2.0)), fn.array(lit(3.0), lit(4.0))).as("dp"),
-        ModalCount.modalCount(TextOps.tokens(col("text"))).as("modal"))
+        ModalCount.modalCount(TextOps.tokens(col("text"))).as("modal"),
+        EntropyTermSum.entropyTermSum(TextOps.tokens(col("text"))).as("ets"))
         .collect()
       out.length shouldBe 1
       out(0).getAs[Double]("dp") shouldBe 11.0

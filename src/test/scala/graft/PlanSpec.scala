@@ -159,6 +159,12 @@ class PlanSpec extends SparkSpec {
     countShuffles(q92) should be <= 1
   }
 
+  test("q87 entropy is a narrow map via the EntropyTermSum kernel") {
+    val df = queries.CorpusQueries.q87_doc_entropy(spark, dir)
+    countShuffles(df) should be <= 1
+    planString(df) should not include "HashAggregate"
+  }
+
   test("q86 tf-idf top terms plan the heap TopKPerKeyExec, not a window") {
     val plan = planString(queries.CorpusQueries.q86_tfidf_terms(spark, dir))
     plan should include("TopKPerKey")
