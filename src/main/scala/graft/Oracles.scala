@@ -1241,6 +1241,70 @@ object Oracles {
         |  CAST(SUM(CASE WHEN is_rep AND quality AND clean THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_final
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q96_corpus_drift" ->
+      """WITH tok AS (
+        |  SELECT lang, doc_id % 2 = 0 AS in_a,
+        |    CAST((CAST(md5_number_upper(t) AS HUGEINT) % 2305843009213693951) % 256 AS BIGINT) AS b
+        |  FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |), c AS (
+        |  SELECT lang, b,
+        |    SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS c_a,
+        |    SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS c_b
+        |  FROM tok GROUP BY lang, b
+        |), t AS (
+        |  SELECT lang, CAST(SUM(c_a) AS DOUBLE) AS ta, CAST(SUM(c_b) AS DOUBLE) AS tb
+        |  FROM c GROUP BY lang
+        |), terms AS (
+        |  SELECT c.lang, c_a, c_b,
+        |    ((CAST(c_a + 1 AS DOUBLE) / (ta + 256.0)) *
+        |      ln((CAST(c_a + 1 AS DOUBLE) / (ta + 256.0))
+        |        / (CAST(c_b + 1 AS DOUBLE) / (tb + 256.0)))) AS term
+        |  FROM c JOIN t USING (lang))
+        |SELECT lang, CAST(SUM(c_a) AS BIGINT) AS tokens_a,
+        |  CAST(SUM(c_b) AS BIGINT) AS tokens_b,
+        |  round(CAST(SUM(CAST(term AS DECIMAL(27,12))) AS DOUBLE), 6) AS kl_ab
+        |FROM terms GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q97_source_overlap" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |nd AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |), cells AS (
+        |  SELECT least(da.source, db.source) AS source_lo,
+        |    greatest(da.source, db.source) AS source_hi
+        |  FROM nd JOIN documents da ON da.doc_id = id_a
+        |    JOIN documents db ON db.doc_id = id_b)
+        |SELECT source_lo, source_hi, COUNT(*) AS n_pairs
+        |FROM cells GROUP BY source_lo, source_hi
+        |ORDER BY source_lo, source_hi""".stripMargin,
+
+    "q98_embed_outliers" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), n0 AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        |), vh AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM n0
+        |), c0 AS (
+        |  SELECT vec_id AS j, v AS c FROM vh
+        |  QUALIFY row_number() OVER (ORDER BY vec_id) <= 4
+        |), ${Oracles.kmeansIter(1, "c0")},
+        |${Oracles.kmeansIter(2, "c1")},
+        |af AS (
+        |  SELECT vh.vec_id, c2.j AS cluster, list_dot_product(vh.v, c2.c) AS cos
+        |  FROM vh CROSS JOIN c2
+        |  QUALIFY row_number() OVER (PARTITION BY vh.vec_id ORDER BY cos DESC, j) = 1
+        |), p AS (
+        |  SELECT cluster, quantile_cont(cos, 0.1) AS p10 FROM af GROUP BY cluster
+        |)
+        |SELECT af.cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  CAST(SUM(CASE WHEN af.cos < p.p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(MAX(p.p10), 6) AS p10_cos
+        |FROM af JOIN p USING (cluster)
+        |GROUP BY af.cluster ORDER BY af.cluster""".stripMargin,
+
     "q93_bpe_merges" ->
       """WITH uni AS (
         |  SELECT w, COUNT(*) AS c

@@ -303,6 +303,88 @@ object CorpusQueries {
       .orderBy(col("lang"))
   }
 
+  /** Corpus drift report — the dataset-monitoring pass between two crawl
+    * snapshots (stand-ins: even/odd doc_id): per language, volume in each
+    * snapshot and the add-1-smoothed KL divergence of the hashed-unigram
+    * distribution (the q90 feature space) from snapshot A to B. A bucket
+    * unseen in both snapshots contributes exactly 0, so the groupBy's
+    * natural support is complete. One combinable (lang, bucket) aggregate
+    * with conditional counts, per-lang totals broadcast back, DECIMAL term
+    * sums, 6-decimal round (libm ln parity). */
+  def q96_corpus_drift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val nB = 256
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang"), (col("doc_id") % 2 === 0).as("in_a"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("lang"), col("in_a"), StableHash.bucket(col("tok"), nB).as("b"))
+    val counts = tok.groupBy(col("lang"), col("b")).agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("c_b"))
+    val totals = counts.groupBy(col("lang")).agg(
+      sum(col("c_a")).cast("double").as("ta"),
+      sum(col("c_b")).cast("double").as("tb"))
+    val terms = counts.join(broadcast(totals), "lang")
+      .select(col("lang"), col("c_a"), col("c_b"),
+        (((col("c_a") + 1).cast("double") / (col("ta") + lit(nB.toDouble))) *
+          log(((col("c_a") + 1).cast("double") / (col("ta") + lit(nB.toDouble))) /
+            ((col("c_b") + 1).cast("double") / (col("tb") + lit(nB.toDouble)))))
+          .as("term"))
+    terms.groupBy(col("lang"))
+      .agg(sum(col("c_a")).cast("long").as("tokens_a"),
+        sum(col("c_b")).cast("long").as("tokens_b"),
+        round(sum(col("term").cast("decimal(27,12)")).cast("double"), 6)
+          .as("kl_ab"))
+      .orderBy(col("lang"))
+  }
+
+  /** Source-overlap provenance matrix — WHICH sources copy from each
+    * other: the q27 near-dup pairs mapped to their (source, source) cell,
+    * pair order canonicalized lexicographically. The cross-source cells
+    * are syndication/mirroring; the diagonal is within-source
+    * duplication. Pair list is near-dup-sized (tiny vs corpus); two
+    * id-only joins + one combinable count. */
+  def q97_source_overlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.similarity.MinHashLsh.nearDuplicatePairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
+  /** Embedding outlier report — the data-map cleaning pass: vectors far
+    * from their semantic region are mislabels/noise candidates. Assign
+    * every vector to its q89 k-means cluster, take the exact per-cluster
+    * 10th percentile of assignment cosine (bounded: one interpolated value
+    * per cluster; `approx_percentile` is the sketch path at 100 TB), and
+    * count vectors strictly below it. The oracle replays the full k-means
+    * plus the percentile, so the whole chain stays pinned. */
+  def q98_embed_outliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.KMeansCosine
+    val emb = Tables.embeddings(spark, dir)
+    val cent = KMeansCosine.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val asg = KMeansCosine.assign(
+      KMeansCosine.normalized(emb, "vec_id", "embedding"), "vec_id", cent)
+    val p10 = asg.groupBy(col("cluster"))
+      .agg(expr("percentile(cos, 0.1)").as("p10"))
+    asg.join(broadcast(p10), "cluster")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        sum(when(col("cos") < col("p10"), 1L).otherwise(0L)).cast("long")
+          .as("n_outliers"),
+        round(max(col("p10")), 6).as("p10_cos"))
+      .orderBy(col("cluster"))
+  }
+
   /** BPE merge-candidate mining — the first iteration of byte-pair-encoding
     * tokenizer training at corpus scale: adjacent character-pair frequencies
     * over the VOCABULARY (distinct tokens weighted by corpus count), top-20
