@@ -40,6 +40,43 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("ModalCount equals the naive max-multiplicity on any token array") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val arrGen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "e f", "", "ü"))
+    val arrays = samples(arrGen, 60)
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "arr")
+      .select(col("id"), graft.functions.ModalCount.modalCount(col("arr")).as("m"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    arrays.zipWithIndex.foreach { case (a, i) =>
+      val expected =
+        if (a.isEmpty) 0L else a.groupBy(identity).values.map(_.size).max.toLong
+      got(i.toLong) shouldBe expected
+    }
+  }
+
+  test("EntropyTermSum equals the quantized reference sum on any token array") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val arrGen = Gen.nonEmptyListOf(Gen.oneOf("x", "y", "z", "w1", "w2"))
+    val arrays = samples(arrGen, 60)
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "arr")
+      .select(col("id"),
+        graft.functions.EntropyTermSum.entropyTermSum(col("arr")).as("s"))
+    val got = df.collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).stripTrailingZeros).toMap
+    arrays.zipWithIndex.foreach { case (a, i) =>
+      val expected = a.groupBy(identity).values.map(_.size)
+        .filter(_ > 1)
+        .foldLeft(JBD.ZERO) { (acc, c) =>
+          acc.add(JBD.valueOf(c.toDouble * Math.log(c.toDouble))
+            .setScale(12, RoundingMode.HALF_UP))
+        }
+      got(i.toLong) shouldBe expected.stripTrailingZeros
+    }
+  }
+
   test("rolling hash stays within [0, 2^31-1), is stable, and matches Spark") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
