@@ -1305,6 +1305,56 @@ object Oracles {
         |FROM af JOIN p USING (cluster)
         |GROUP BY af.cluster ORDER BY af.cluster""".stripMargin,
 
+    "q99_cluster_split" ->
+      s"""WITH RECURSIVE ${Oracles.minhashPairCtes},
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.node = e.b
+        |), comp AS (
+        |  SELECT node, min(r) AS comp FROM reach GROUP BY node
+        |), allc AS (
+        |  SELECT d.doc_id, d.lang, COALESCE(c.comp, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        |), sp AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN (CAST(md5_number_upper(CAST(cluster_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000 < 800 THEN 'train'
+        |         WHEN (CAST(md5_number_upper(CAST(cluster_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM allc
+        |), leak AS (
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaky
+        |  FROM pairs JOIN sp a ON a.doc_id = pairs.id_a
+        |    JOIN sp b ON b.doc_id = pairs.id_b)
+        |SELECT lang, split, COUNT(*) AS n_docs, leak.n_leaky
+        |FROM sp, leak GROUP BY lang, split, leak.n_leaky
+        |ORDER BY lang, split""".stripMargin,
+
+    "q100_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        |), q AS (
+        |  SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+        |  FROM n WHERE vec_id < 20
+        |), p AS (
+        |  SELECT q.query_id, n.vec_id AS neighbor_id,
+        |    list_dot_product(q.qv, n.v) / (q.qn * n.nrm) AS cos
+        |  FROM q JOIN n ON n.label <> q.qlabel
+        |), rk AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        |  FROM p)
+        |SELECT query_id, neighbor_id, cos FROM rk WHERE rn <= 3
+        |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
     "q93_bpe_merges" ->
       """WITH uni AS (
         |  SELECT w, COUNT(*) AS c

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.text.TextOps
+import graft.similarity.CosineKnn
 
 /** Corpus-statistics and data-selection operators (round-5 wave): the
   * term-weighting / quality-rule / tokenizer-mining passes a training-data
@@ -383,6 +384,59 @@ object CorpusQueries {
           .as("n_outliers"),
         round(max(col("p10")), 6).as("p10_cos"))
       .orderBy(col("cluster"))
+  }
+
+  /** Cluster-aware train/val/test split — the FIX for the leakage q58
+    * audits: split on the near-dup CLUSTER id instead of the document id,
+    * so a whole duplicate family lands in one split and no near-dup pair
+    * can straddle the boundary. Emits per-(lang, split) counts plus the
+    * pair-leakage count, which is zero BY CONSTRUCTION (the oracle pins
+    * it). Same CC machinery as q54; the split is the engine-portable
+    * StableHash of the cluster representative. */
+  def q99_cluster_split(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.similarity.MinHashLsh.nearDuplicatePairs(docs, "doc_id",
+        "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+    val assigned = graft.transform.Dedup
+      .duplicateClusters(pairs, docs.select(col("doc_id")), "doc_id")
+      .withColumn("split", StableHash.split(col("cluster_id"),
+        Seq(800 -> "train", 900 -> "val"), "test"))
+    val leaky = pairs
+      .join(assigned.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(assigned.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .agg(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).cast("long")
+        .as("n_leaky"))
+    assigned.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(leaky)
+      .orderBy(col("lang"), col("split"))
+  }
+
+  /** Hard-negative mining for contrastive embedding training: for each
+    * query vector, the top-3 most-cosine-similar vectors with a DIFFERENT
+    * label — near the decision boundary, the negatives that actually teach.
+    * Query batch broadcasts (small by construction), corpus streams once,
+    * and the per-query top-3 runs through the heap
+    * [[graft.plans.TopKPerKey]] operator (state #queries x 3), not a
+    * window sort over every candidate row. */
+  def q100_hard_negatives(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("label"),
+        CosineKnn.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(CosineKnn.dot(col("v"), col("v"))))
+    val queries = broadcast(base.filter(col("id") < 20)
+      .select(col("id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn")))
+    val pairs = queries.join(base, col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (CosineKnn.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+    graft.plans.TopKPerKey.topKPerKey(pairs, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id").asc), k = 3)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
   }
 
   /** BPE merge-candidate mining — the first iteration of byte-pair-encoding
