@@ -165,6 +165,12 @@ class PlanSpec extends SparkSpec {
     planString(df) should not include "HashAggregate"
   }
 
+  test("q100 hard negatives run through the heap TopKPerKeyExec, not a window") {
+    val plan = planString(queries.CorpusQueries.q100_hard_negatives(spark, dir))
+    plan should include("TopKPerKey")
+    plan should not include "Window"
+  }
+
   test("q86 tf-idf top terms plan the heap TopKPerKeyExec, not a window") {
     val plan = planString(queries.CorpusQueries.q86_tfidf_terms(spark, dir))
     plan should include("TopKPerKey")
