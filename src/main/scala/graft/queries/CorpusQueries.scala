@@ -396,10 +396,14 @@ object CorpusQueries {
   def q99_cluster_split(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.StableHash
     val docs = Tables.documents(spark, dir)
+    // the pair list feeds BOTH the CC and the leakage audit — materialize
+    // it once (near-dup-sized, tiny vs corpus) so the minhash pipeline
+    // doesn't run twice
     val pairs = graft.similarity.MinHashLsh.nearDuplicatePairs(docs, "doc_id",
         "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
         maxBucket = Some(100))
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
     val assigned = graft.transform.Dedup
       .duplicateClusters(pairs, docs.select(col("doc_id")), "doc_id")
       .withColumn("split", StableHash.split(col("cluster_id"),
