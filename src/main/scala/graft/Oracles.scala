@@ -1355,6 +1355,19 @@ object Oracles {
         |SELECT query_id, neighbor_id, cos FROM rk WHERE rn <= 3
         |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
 
+    "q101_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST((CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000000 + 1 AS DOUBLE)
+        |      / 1000001.0 AS u
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, lang, n_tok, -ln(u) / CAST(n_tok AS DOUBLE) AS key
+        |  FROM d)
+        |SELECT doc_id, lang, n_tok, round(key, 9) AS draw_key
+        |FROM k ORDER BY key, doc_id LIMIT 100""".stripMargin,
+
     "q93_bpe_merges" ->
       """WITH uni AS (
         |  SELECT w, COUNT(*) AS c

@@ -443,6 +443,28 @@ object CorpusQueries {
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
   }
 
+  /** Weighted sampling WITHOUT replacement, exactly k, deterministic —
+    * Efraimidis-Spirakis exponential keys: draw u from the engine-portable
+    * [[graft.functions.StableHash]] uniform (never `rand()`), key =
+    * -ln(u)/w with w = token mass, keep the k smallest keys GLOBALLY via
+    * TakeOrdered (never a full sort). The token-budget subsampler: heavy
+    * documents are proportionally more likely, every engine/rerun/
+    * partitioning draws the same sample. One narrow map + one top-k. */
+  def q101_weighted_sample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val m = 1000000
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).as("n_tok"),
+        ((StableHash.bucket(col("doc_id"), m) + 1).cast("double") /
+          lit((m + 1).toDouble)).as("u"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        (-log(col("u")) / col("n_tok").cast("double")).as("key"))
+    docs.orderBy(col("key"), col("doc_id")).limit(100)
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        round(col("key"), 9).as("draw_key"))
+  }
+
   /** BPE merge-candidate mining — the first iteration of byte-pair-encoding
     * tokenizer training at corpus scale: adjacent character-pair frequencies
     * over the VOCABULARY (distinct tokens weighted by corpus count), top-20

@@ -165,6 +165,11 @@ class PlanSpec extends SparkSpec {
     planString(df) should not include "HashAggregate"
   }
 
+  test("q101 weighted sample plans TakeOrderedAndProject, not a global sort") {
+    val plan = planString(queries.CorpusQueries.q101_weighted_sample(spark, dir))
+    plan should include("TakeOrderedAndProject")
+  }
+
   test("q100 hard negatives run through the heap TopKPerKeyExec, not a window") {
     val plan = planString(queries.CorpusQueries.q100_hard_negatives(spark, dir))
     plan should include("TopKPerKey")
