@@ -172,6 +172,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             Literal(1)),
           Cast(args(1), org.apache.spark.sql.types.LongType))
     },
+    fn("modal_count", "modal_count(arr) - occurrence count of the most frequent element") {
+      args => graft.functions.ModalCount(args(0))
+    },
+    fn("entropy_term_sum", "entropy_term_sum(arr) - sum of c*ln(c) over element counts as DECIMAL(27,12)") {
+      args => graft.functions.EntropyTermSum(args(0))
+    },
   )
 
   override def apply(ext: SparkSessionExtensions): Unit = {

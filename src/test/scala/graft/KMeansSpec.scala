@@ -45,6 +45,19 @@ class KMeansSpec extends SparkSpec {
     for (k <- a.keySet) a(k) shouldBe b(k) // exact element equality
   }
 
+  test("fit's job budget is bounded — one materialization per Lloyd round") {
+    import org.apache.spark.sql.graft.bridge
+    // per round: one localCheckpoint of the k-row centroid table (a
+    // handful of AQE stage jobs through assign + update); plus the init
+    // limit and the persist of vh. A regression that re-derives vh per
+    // stage (the pre-persist shape) or adds per-round actions blows this.
+    val df = grouped()
+    val jobs = bridge.countJobs(spark) {
+      KMeansCosine.fit(df, "id", "vec", k = 2, iters = 3).collect()
+    }
+    jobs should be <= 30 // measured ~14 on this data; 2x headroom
+  }
+
   test("a cluster that loses every member drops out deterministically") {
     // all vectors identical: both seed centroids coincide, the cosine tie
     // breaks to the smaller centroid id, cluster 1 starves and vanishes

@@ -66,7 +66,9 @@ class RewriteSpec extends SparkSpec {
         |  size(minhash_sig(array('s1','s2'), 4)) AS ms,
         |  winnow(array(5L, 3L, 8L, 1L), 2) AS wn,
         |  search_sorted(15.0d, array(10.0d, 20.0d, 30.0d)) AS ss,
-        |  stable_bucket(42, 1000) AS sb
+        |  stable_bucket(42, 1000) AS sb,
+        |  modal_count(array('a','b','a','a')) AS mc,
+        |  CAST(entropy_term_sum(array('a','a','b')) AS DOUBLE) AS ets
         |""".stripMargin).collect()(0)
     row.getDouble(0) shouldBe (1.0 / 3.0)
     row.getDouble(1) shouldBe 11.0
@@ -81,6 +83,8 @@ class RewriteSpec extends SparkSpec {
       graft.functions.StableHash.bucket(org.apache.spark.sql.functions.lit(42), 1000))
       .collect()(0).getLong(0)
     row.getLong(7) shouldBe viaColumn
+    row.getLong(8) shouldBe 3L
+    row.getDouble(9) shouldBe (2.0 * math.log(2.0) +- 1e-9)
   }
 
   test("search_sorted accepts plain SQL decimal and integer literal bounds") {
