@@ -207,6 +207,65 @@ object StreamOps {
       }
       .start()
 
+  /** One micro-batch of continuous dedup-index maintenance (the body of
+    * [[dedupIndexSink]], callable directly so replay semantics are unit-
+    * testable): dedup `batch` against the persistent
+    * [[graft.similarity.DedupIndex]] at `indexPath`, write the match
+    * records EXACTLY-ONCE into a `batch_id` partition of `matchesPath`
+    * (dynamic per-partition overwrite — a replayed batch overwrites its
+    * own output), then append the batch to the index IDEMPOTENTLY: only
+    * ids not already present are appended (an anti-join against the
+    * index's column-pruned id column), so checkpoint-recovery replays
+    * cannot double-index a document and later batches cannot produce
+    * duplicate match rows. */
+  def dedupIndexBatch(batch: DataFrame, batchId: Long, idCol: String,
+                      textCol: String, indexPath: String, matchesPath: String,
+                      threshold: Double = 0.5,
+                      maxBucket: Option[Int] = None): Unit = {
+    import graft.similarity.DedupIndex
+    val spark = batch.sparkSession
+    // corpus_id =!= batch_id: on replay the batch's own docs are already
+    // indexed (appended by the first attempt), and a doc must not match
+    // itself — with the guard, a replayed batch reproduces its original
+    // match set exactly
+    val matches = DedupIndex.dedupBatch(spark, indexPath, batch, idCol,
+        textCol, threshold, maxBucket)
+      .filter(col("corpus_id") =!= col("batch_id"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      // partition column named micro_batch_id: the match schema already
+      // has a batch_id column (the matched document's id)
+      matches.withColumn("micro_batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("micro_batch_id").parquet(matchesPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val indexedIds = spark.read.parquet(s"$indexPath/fingerprints")
+      .select(col(idCol)) // column-pruned: reads only the id column
+    val fresh = batch.join(indexedIds, Seq(idCol), "left_anti")
+    DedupIndex.append(fresh, idCol, textCol, indexPath)
+  }
+
+  /** Continuous ingestion dedup: every micro-batch is near-dup-checked
+    * against the persistent index and then becomes part of it — the
+    * streaming twin of the q85 lifecycle (per-batch cost O(batch), the
+    * indexed corpus never re-read or re-shingled). Match output is
+    * exactly-once; index appends are idempotent (see
+    * [[dedupIndexBatch]]). */
+  def dedupIndexSink(docs: DataFrame, idCol: String, textCol: String,
+                     indexPath: String, matchesPath: String, checkpoint: String,
+                     threshold: Double = 0.5, maxBucket: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupIndexBatch(batch, batchId, idCol, textCol, indexPath,
+          matchesPath, threshold, maxBucket)
+      }
+      .start()
+
   /** Watermarked stream-stream inner join within a time bound: each left
     * row matches right rows with the same key whose event time lies in
     * [left.ts - tolerance, left.ts] (click-to-impression attribution

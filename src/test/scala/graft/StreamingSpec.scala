@@ -145,6 +145,48 @@ class StreamingSpec extends SparkSpec {
     rows.filter(_.key == "b").map(s => (s.n, s.total)).toSet shouldBe Set((1L, 10.0))
   }
 
+  test("dedupIndexBatch: exactly-once matches, idempotent index append on replay") {
+    val root = tmpDir("dix")
+    val (index, matches) = (root + "/index", root + "/matches")
+    val base = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("id", "text")
+    graft.similarity.DedupIndex.build(base, "id", "text", index)
+    val b = Seq((10L, "alpha beta gamma delta epsilon zeta eta")).toDF("id", "text")
+    StreamOps.dedupIndexBatch(b, 0L, "id", "text", index, matches)
+    def matchPairs() = spark.read.parquet(matches)
+      .select("corpus_id", "batch_id").as[(Long, Long)].collect().toSet
+    matchPairs() shouldBe Set((1L, 10L))
+    // replay the SAME batch (checkpoint-recovery shape): doc 10 is already
+    // indexed — output must be overwritten to the identical match set (no
+    // self-match) and the index must not gain a duplicate fingerprint
+    StreamOps.dedupIndexBatch(b, 0L, "id", "text", index, matches)
+    matchPairs() shouldBe Set((1L, 10L))
+    spark.read.parquet(index + "/fingerprints")
+      .filter(col("id") === 10L).count() shouldBe 1L
+  }
+
+  test("dedupIndexSink: each micro-batch joins the index for the next") {
+    val root = tmpDir("dixs")
+    val (index, matches, cp) = (root + "/index", root + "/matches", root + "/cp")
+    graft.similarity.DedupIndex.build(
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text"),
+      "id", "text", index)
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.dedupIndexSink(in.toDF().toDF("id", "text"),
+      "id", "text", index, matches, cp)
+    try {
+      in.addData((20L, "alpha beta gamma delta epsilon zeta eta"))
+      q.processAllAvailable()
+      // batch 2's doc matches BOTH the base corpus and the batch-1 doc —
+      // proof that batch 1 became part of the index
+      in.addData((30L, "alpha beta gamma delta epsilon zeta theta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.read.parquet(matches)
+      .select("corpus_id", "batch_id").as[(Long, Long)].collect().toSet
+    pairs should contain allOf ((1L, 20L), (1L, 30L), (20L, 30L))
+  }
+
   test("exactlyOnceParquet lands each micro-batch in its own partition") {
     val in = MemoryStream[(Long, String)](spark)
     val out = tmpDir("eop") + "/t"
