@@ -1368,6 +1368,22 @@ object Oracles {
         |SELECT doc_id, lang, n_tok, round(key, 9) AS draw_key
         |FROM k ORDER BY key, doc_id LIMIT 100""".stripMargin,
 
+    "q102_minhash_estimate" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |nd AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS jaccard,
+        |    CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64.0 AS est
+        |  FROM cand JOIN mh sa ON sa.doc_id = id_a JOIN mh sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(SUM(CAST(abs(est - jaccard) AS DECIMAL(27,12))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_abs_err,
+        |  round(CAST(SUM(CAST(abs(est - jaccard) AS DECIMAL(27,12))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) <= 0.12 AS est_ok
+        |FROM nd""".stripMargin,
+
     "q93_bpe_merges" ->
       """WITH uni AS (
         |  SELECT w, COUNT(*) AS c

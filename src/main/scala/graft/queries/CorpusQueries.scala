@@ -465,6 +465,36 @@ object CorpusQueries {
         round(col("key"), 9).as("draw_key"))
   }
 
+  /** MinHash sketch-accuracy gate (the q84/q49 pattern applied to the
+    * dedup sketch itself): on the q27 near-dup pairs, the signature
+    * estimate of Jaccard (fraction of agreeing slots out of 64) must
+    * track the exact shingle Jaccard — mean absolute error pinned by the
+    * oracle. Completes the sketch-evidence set: HLL + approx-percentile
+    * (q61), IVF recall (q49), SimHash (q84), and now the MinHash
+    * signature. Every arithmetic step is exact (slot-agreement counts,
+    * integer-ratio jaccard, DECIMAL error sums), so the gate
+    * hash-matches rather than eyeballs. */
+  def q102_minhash_estimate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.MinHashLsh
+    val docs = Tables.documents(spark, dir)
+    val sigs = docs.select(col("doc_id"),
+      MinHashLsh.signature(TextOps.shingles(col("text"), 3), 64).as("sig"))
+    val pairs = MinHashLsh.nearDuplicatePairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("jaccard"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) =>
+          when(a === b, lit(1)).otherwise(lit(0))), x => x === 1))
+          .cast("double") / 64.0).as("est"))
+    pairs.agg(
+        count(lit(1)).cast("long").as("n_pairs"),
+        round(sum(abs(col("est") - col("jaccard")).cast("decimal(27,12)"))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("mean_abs_err"))
+      .withColumn("est_ok", col("mean_abs_err") <= 0.12)
+  }
+
   /** BPE merge-candidate mining — the first iteration of byte-pair-encoding
     * tokenizer training at corpus scale: adjacent character-pair frequencies
     * over the VOCABULARY (distinct tokens weighted by corpus count), top-20
