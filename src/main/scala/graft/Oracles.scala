@@ -1397,7 +1397,135 @@ object Oracles {
         |SELECT pair, CAST(SUM(c) AS BIGINT) AS n
         |FROM pairs GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "q103_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST((CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 8 AS BIGINT) AS shard
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, shard, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d
+        |), s AS (
+        |  SELECT lang, shard, COUNT(*) AS nd, SUM(n_tok) AS t,
+        |    SUM(CASE WHEN floor(CAST(cum - n_tok AS DOUBLE) / 512.0)
+        |          <> floor(CAST(cum - 1 AS DOUBLE) / 512.0) THEN 1 ELSE 0 END) AS str,
+        |    CAST(floor(CAST(SUM(n_tok) + 511 AS DOUBLE) / 512.0) AS BIGINT) AS nseq
+        |  FROM c GROUP BY lang, shard)
+        |SELECT lang, CAST(SUM(nd) AS BIGINT) AS n_docs,
+        |  CAST(SUM(t) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(nseq) AS BIGINT) AS n_sequences,
+        |  CAST(SUM(str) AS BIGINT) AS n_straddle_docs,
+        |  CAST(SUM(nseq) * 512 - SUM(t) AS BIGINT) AS padding_tokens,
+        |  round(CAST(SUM(t) AS DOUBLE) / (CAST(SUM(nseq) AS DOUBLE) * 512.0), 6) AS fill_pct
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q104_covariance" ->
+      """WITH e AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), s2 AS (
+        |  SELECT ri.i AS i, rj.j AS j,
+        |    SUM(CAST(v[CAST(ri.i + 1 AS INTEGER)] * v[CAST(rj.j + 1 AS INTEGER)] AS DECIMAL(27,12))) AS s2
+        |  FROM e, range(0, 64) ri(i), range(0, 64) rj(j)
+        |  WHERE rj.j >= ri.i GROUP BY 1, 2
+        |), s1 AS (
+        |  SELECT ri.i AS i, SUM(CAST(v[CAST(ri.i + 1 AS INTEGER)] AS DECIMAL(27,12))) AS s1
+        |  FROM e, range(0, 64) ri(i) GROUP BY 1
+        |), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e)
+        |SELECT s2.i, s2.j,
+        |  round(CAST(s2.s2 AS DOUBLE) / n.n
+        |    - (CAST(a.s1 AS DOUBLE) / n.n) * (CAST(b.s1 AS DOUBLE) / n.n), 6) AS cov
+        |FROM s2 CROSS JOIN n
+        |  JOIN s1 a ON a.i = s2.i JOIN s1 b ON b.i = s2.j
+        |ORDER BY s2.i, s2.j""".stripMargin,
+
+    "q105_jl_distortion" -> Oracles.jlDistortionSql,
+
+    "q106_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST((CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000000 AS BIGINT) AS ord
+        |  FROM documents
+        |), q AS (
+        |  SELECT lang, source, COUNT(*) AS n_stratum,
+        |    CAST(ceil(CAST(COUNT(*) AS DOUBLE) / 10.0) AS BIGINT) AS quota
+        |  FROM d GROUP BY lang, source
+        |), r AS (
+        |  SELECT doc_id, lang, source, n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY ord, doc_id) AS rn
+        |  FROM d)
+        |SELECT lang, source, CAST(MAX(n_stratum) AS BIGINT) AS n_stratum,
+        |  CAST(MAX(quota) AS BIGINT) AS quota,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tok_sampled
+        |FROM r JOIN q USING (lang, source)
+        |WHERE rn <= quota
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    "q107_curriculum" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) AS t
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT SUM(t) AS tt, CAST(COUNT(*) AS DOUBLE) AS s FROM per
+        |), raw AS (
+        |  SELECT r.epoch AS epoch, source,
+        |    pow(t / tt, 1.0 - CAST(r.epoch AS DOUBLE) / 4.0)
+        |      * pow(1.0 / s, CAST(r.epoch AS DOUBLE) / 4.0) AS raw
+        |  FROM per CROSS JOIN tot CROSS JOIN range(0, 5) r(epoch)
+        |), z AS (
+        |  SELECT epoch, CAST(SUM(CAST(raw AS DECIMAL(27,12))) AS DOUBLE) AS z
+        |  FROM raw GROUP BY epoch)
+        |SELECT raw.epoch, source, round(raw / z, 6) AS weight
+        |FROM raw JOIN z USING (epoch)
+        |ORDER BY epoch, source""".stripMargin,
   )
+
+  /** q105's oracle replays the JL projection with the SAME inlined plane
+    * constants the Spark side constant-folds (LshAnn.hyperplanes seed 7),
+    * and spells every double operation in the identical evaluation order:
+    * dot products via list_dot_product (the proven-parity spelling from
+    * q30/q31/q100), the projected squared distance as the same
+    * left-associated 16-term sum the Spark fold produces. */
+  private def jlDistortionSql: String = {
+    val planes = graft.similarity.LshAnn.hyperplanes(64, 16, seed = 7L)
+    val proj = planes.map { p =>
+      s"list_dot_product(v, [${p.mkString(", ")}])"
+    }.mkString("[", ",\n      ", "]")
+    val dp2 = (1 to 16).map(i => s"(pa[$i] - pb[$i]) * (pa[$i] - pb[$i])")
+      .mkString(" + ")
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE vec_id < 40
+      |), p AS (
+      |  SELECT vec_id, v, $proj AS pr FROM e
+      |), pairs AS (
+      |  SELECT
+      |    list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v)
+      |      - 2.0 * list_dot_product(a.v, b.v) AS d2,
+      |    a.pr AS pa, b.pr AS pb
+      |  FROM p a JOIN p b ON a.vec_id < b.vec_id
+      |), r AS (
+      |  SELECT sqrt(($dp2) / 16.0) / sqrt(d2) AS ratio
+      |  FROM pairs WHERE d2 > 0
+      |), agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    round(CAST(SUM(CAST(ratio AS DECIMAL(27,12))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_ratio,
+      |    round(MIN(ratio), 6) AS min_ratio,
+      |    round(MAX(ratio), 6) AS max_ratio
+      |  FROM r)
+      |SELECT n_pairs, mean_ratio, min_ratio, max_ratio,
+      |  (mean_ratio BETWEEN 0.8 AND 1.2) AND min_ratio > 0.4
+      |    AND max_ratio < 1.8 AS jl_ok
+      |FROM agg""".stripMargin
+  }
 
   /** Winnowing fingerprint CTE chain over `documents` — Karp-Rabin char
     * 8-gram hashes, window-4 sliding minima, distinct, frequency-capped at

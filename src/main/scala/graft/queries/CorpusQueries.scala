@@ -514,4 +514,163 @@ object CorpusQueries {
       .groupBy(col("pair")).agg(sum(col("c")).cast("long").as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
+
+  /** Sequence-packing audit — the concat-and-chunk packing GPT-style
+    * pretraining applies (documents concatenated in a deterministic shard
+    * order, the stream cut every `budget` tokens): per language, how many
+    * training sequences the corpus yields, the padding paid on each
+    * shard's final partial sequence, and how many documents a chunk
+    * boundary cuts in half (the cross-document-attention contamination
+    * the packing papers measure). Scale shape: the running token total is
+    * a window over (lang, shard) with shard = [[graft.functions.StableHash]]
+    * of doc_id — at 100 TB the shard count scales with the corpus so every
+    * window partition stays executor-sized; real pipelines pack within
+    * output shards anyway, and the per-shard stats fold through one
+    * combinable aggregate. Integer token arithmetic end-to-end; the only
+    * division is the final fill ratio. */
+  def q103_seq_pack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.StableHash
+    val budget = 512L
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).as("n_tok"),
+        StableHash.bucket(col("doc_id"), 8).as("shard"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = docs
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("lang"), col("shard"), col("n_tok"),
+        (floor((col("cum") - col("n_tok")).cast("double") / budget.toDouble) =!=
+          floor((col("cum") - 1).cast("double") / budget.toDouble)).as("straddles"))
+    val perShard = packed.groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("t"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("str"))
+      .withColumn("nseq",
+        floor((col("t") + (budget - 1)).cast("double") / budget.toDouble).cast("long"))
+    perShard.groupBy(col("lang")).agg(
+        sum(col("nd")).cast("long").as("n_docs"),
+        sum(col("t")).cast("long").as("total_tokens"),
+        sum(col("nseq")).cast("long").as("n_sequences"),
+        sum(col("str")).cast("long").as("n_straddle_docs"),
+        (sum(col("nseq")) * budget - sum(col("t"))).cast("long").as("padding_tokens"))
+      .withColumn("fill_pct", round(col("total_tokens").cast("double") /
+        (col("n_sequences").cast("double") * budget.toDouble), 6))
+      .orderBy(col("lang"))
+  }
+
+  /** Distributed covariance of the embedding space — the moment pass under
+    * PCA / whitening / drift-on-embeddings. All corpus work is ONE scan
+    * folding into d·(d+1)/2 + d combinable DECIMAL sums (see
+    * [[graft.similarity.Pca.covariance]] for the shuffle bound); the d³
+    * eigen step happens on the driver over this query's 2 080-row output
+    * and is gated separately in SimilaritySpec (power-iteration residual),
+    * since an eigensolver is not SQL-expressible. */
+  def q104_covariance(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.Pca.covariance(
+        Tables.embeddings(spark, dir), "embedding")
+      .orderBy(col("i"), col("j"))
+
+  /** Johnson–Lindenstrauss projection-quality gate: project the 64-dim
+    * embeddings onto 16 fixed random directions (the same inlined-constant
+    * hyperplane family the LSH operators use, so Catalyst constant-folds
+    * the matrix once per plan) and pin how well scaled projected Euclidean
+    * distances track the originals over all query pairs — the evidence
+    * that downstream ANN / clustering may run in the cheap space. The
+    * corpus side never joins: projections are a narrow per-row map; only
+    * the (bounded) query set pairs up, small side broadcast. Completes the
+    * sketch-accuracy set (HLL q61, IVF q49, SimHash q84, MinHash q102)
+    * for the one remaining sketch family, random projection. */
+  def q105_jl_distortion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.LshAnn
+    val k = 16
+    val planes = LshAnn.hyperplanes(64, k, seed = 7L)
+    val base = Tables.embeddings(spark, dir).filter(col("vec_id") < 40)
+      .select(col("vec_id"), CosineKnn.toDouble(col("embedding")).as("v"))
+      .withColumn("p", array(planes.map(pl =>
+        CosineKnn.dot(col("v"), array(pl.map(lit): _*))): _*))
+    val a = broadcast(base.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("p").as("pa")))
+    val b = base.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("p").as("pb"))
+    val ratios = a.join(b, col("id_a") < col("id_b"))
+      .select(
+        (CosineKnn.dot(col("va"), col("va")) + CosineKnn.dot(col("vb"), col("vb"))
+          - lit(2.0) * CosineKnn.dot(col("va"), col("vb"))).as("d2"),
+        aggregate(zip_with(col("pa"), col("pb"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _).as("dp2"))
+      .filter(col("d2") > 0)
+      .select((sqrt(col("dp2") / k.toDouble) / sqrt(col("d2"))).as("ratio"))
+    ratios.agg(
+        count(lit(1)).cast("long").as("n_pairs"),
+        round(sum(col("ratio").cast("decimal(27,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_ratio"),
+        round(min(col("ratio")), 6).as("min_ratio"),
+        round(max(col("ratio")), 6).as("max_ratio"))
+      .withColumn("jl_ok",
+        col("mean_ratio").between(0.8, 1.2) && col("min_ratio") > 0.4 &&
+          col("max_ratio") < 1.8)
+  }
+
+  /** Exact stratified quota sampling — the eval-set builder: every
+    * (lang, source) stratum contributes EXACTLY ceil(n/10) documents,
+    * chosen by the engine-portable [[graft.functions.StableHash]] order so
+    * the sample is a pure function of the keys (reruns, repartitions, and
+    * other engines draw the identical rows — `rand()` never appears).
+    * Contrast with q75 (expected-rate mixture) and q101 (global weighted):
+    * this is the guaranteed-count-per-cell variant quota evaluation sets
+    * need. The rank window runs per stratum (bounded groups), quotas come
+    * from one combinable count aggregate broadcast back, and the output
+    * pins n_sampled = quota per cell as the exactness evidence. */
+  def q106_stratified_sample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.StableHash
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tok"),
+        StableHash.bucket(col("doc_id"), 1000000).as("ord"))
+    val quotas = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_stratum"))
+      .select(col("lang"), col("source"), col("n_stratum"),
+        ceil(col("n_stratum").cast("double") / 10.0).cast("long").as("quota"))
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("ord"), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas), Seq("lang", "source"))
+      .filter(col("rn") <= col("quota"))
+      .groupBy(col("lang"), col("source"))
+      .agg(max(col("n_stratum")).cast("long").as("n_stratum"),
+        max(col("quota")).cast("long").as("quota"),
+        count(lit(1)).cast("long").as("n_sampled"),
+        sum(col("n_tok")).cast("long").as("tok_sampled"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Curriculum mixture annealing — the epoch-indexed source-weight
+    * schedule behind multi-phase pretraining: epoch 0 samples sources at
+    * their natural token share, the final epoch uniformly, intermediate
+    * epochs at the geometric interpolation p^(1−α)·u^α (α = t/T), each
+    * epoch renormalized. Extends the static q75 mixture with the time
+    * axis. Corpus cost is ONE per-source token aggregate; the schedule
+    * math runs over |sources|×|epochs| rows (broadcast-sized at any
+    * corpus scale). */
+  def q107_curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), TextOps.tokenCount(col("text")).as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).cast("double").as("t"))
+    val tot = per.agg(sum(col("t")).as("tt"),
+      count(lit(1)).cast("double").as("s"))
+    val epochs = spark.range(0, 5).select(col("id").as("epoch"),
+      (col("id").cast("double") / 4.0).as("alpha"))
+    val raw = per.crossJoin(broadcast(tot)).crossJoin(broadcast(epochs))
+      .select(col("epoch"), col("source"),
+        (pow(col("t") / col("tt"), lit(1.0) - col("alpha")) *
+          pow(lit(1.0) / col("s"), col("alpha"))).as("raw"))
+    val z = raw.groupBy(col("epoch"))
+      .agg(sum(col("raw").cast("decimal(27,12)")).cast("double").as("z"))
+    raw.join(broadcast(z), "epoch")
+      .select(col("epoch"), col("source"),
+        round(col("raw") / col("z"), 6).as("weight"))
+      .orderBy(col("epoch"), col("source"))
+  }
 }

@@ -309,6 +309,50 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("q103 packing windows partition by (lang, shard) — never one global sort") {
+    val plan = planString(queries.CorpusQueries.q103_seq_pack(spark, dir))
+    // the running-total window must be keyed (hashpartitioning), not a
+    // SinglePartition collapse — the shard key is what bounds it at scale
+    plan should include ("hashpartitioning")
+    plan should not include "SinglePartition, ENSURE_REQUIREMENTS"
+  }
+
+  test("q104 covariance shuffles moments, not rows (partial agg before exchange)") {
+    val df = queries.CorpusQueries.q104_covariance(spark, dir)
+    val plan = planString(df)
+    // within-row pair generate pipelines into a partial HashAggregate:
+    // each map task emits <= d*(d+1)/2 moment rows, so the exchange is
+    // constant-size regardless of corpus rows
+    plan should include ("HashAggregate")
+    plan should not include "CartesianProduct"
+    // moment tables join back broadcast — never a shuffled join of sums
+    plan should include ("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q105 JL gate broadcasts the bounded query side only") {
+    val plan = planString(queries.CorpusQueries.q105_jl_distortion(spark, dir))
+    plan should include ("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q106 stratified quota: per-stratum windows plus one broadcast of quotas") {
+    val plan = planString(queries.CorpusQueries.q106_stratified_sample(spark, dir))
+    plan should include ("hashpartitioning")
+    plan should include ("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q107 curriculum touches the corpus in exactly one aggregate pass") {
+    val df = queries.CorpusQueries.q107_curriculum(spark, dir)
+    val plan = planString(df)
+    // one scan of documents; all schedule math runs on broadcast-sized sides
+    plan.sliding("FileScan parquet".length)
+      .count(_ == "FileScan parquet") shouldBe 1
+    plan should not include "SortMergeJoin"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(

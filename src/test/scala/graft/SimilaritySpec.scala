@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.similarity.{CosineKnn, IvfAnn, LshAnn, MinHashLsh}
+import graft.similarity.{CosineKnn, IvfAnn, LshAnn, MinHashLsh, Pca}
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -197,5 +197,30 @@ class SimilaritySpec extends SparkSpec {
     // with 2 bits (4 buckets) nearly everything is probed; rank-1 must be
     // a genuinely high-cosine neighbor
     lsh.collect().foreach(r => r.getDouble(3) should be > 0.0)
+  }
+
+  test("Pca.topEigen converges on the distributed covariance (residual ~ 0)") {
+    val cov = Pca.covariance(graft.tables.Tables.embeddings(spark, dir),
+        "embedding")
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    val m = Pca.toDense(cov, 64)
+    val (lambda, v) = Pca.topEigen(m)
+    lambda should be > 0.0
+    // unit eigenvector, Mv = lambda v to within power-iteration tolerance
+    math.sqrt(v.map(x => x * x).sum) shouldBe 1.0 +- 1e-9
+    Pca.residual(m, lambda, v) should be < 1e-8
+    // leading component explains a sane share of total variance
+    val trace = (0 until 64).map(i => m(i)(i)).sum
+    lambda / trace should (be > 0.0 and be <= 1.0)
+  }
+
+  test("Pca.topEigen matches a dense two-dim hand case") {
+    // cov [[2,1],[1,2]] -> eigenvalues 3 and 1, leading vector (1,1)/sqrt2
+    val m = Array(Array(2.0, 1.0), Array(1.0, 2.0))
+    val (lambda, v) = Pca.topEigen(m)
+    lambda shouldBe 3.0 +- 1e-9
+    math.abs(v(0)) shouldBe (1.0 / math.sqrt(2.0)) +- 1e-9
+    math.abs(v(1)) shouldBe (1.0 / math.sqrt(2.0)) +- 1e-9
   }
 }
