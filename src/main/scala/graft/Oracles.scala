@@ -1485,6 +1485,82 @@ object Oracles {
         |SELECT raw.epoch, source, round(raw / z, 6) AS weight
         |FROM raw JOIN z USING (epoch)
         |ORDER BY epoch, source""".stripMargin,
+
+    "q108_cms_estimate" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |), db AS (
+        |  SELECT tok, r.d AS d,
+        |    CAST((CAST(md5_number_upper(CAST(r.d AS VARCHAR) || ':' || tok) AS HUGEINT) % 2305843009213693951) % 256 AS BIGINT) AS b
+        |  FROM toks CROSS JOIN range(0, 4) r(d)
+        |), cms AS (
+        |  SELECT d, b, COUNT(*) AS cnt FROM db GROUP BY d, b
+        |), top AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact FROM toks GROUP BY tok
+        |  ORDER BY exact DESC, tok LIMIT 20
+        |), est AS (
+        |  SELECT t.tok, t.exact, MIN(c.cnt) AS est
+        |  FROM top t CROSS JOIN range(0, 4) r(d)
+        |  JOIN cms c ON c.d = r.d AND c.b =
+        |    CAST((CAST(md5_number_upper(CAST(r.d AS VARCHAR) || ':' || t.tok) AS HUGEINT) % 2305843009213693951) % 256 AS BIGINT)
+        |  GROUP BY t.tok, t.exact)
+        |SELECT tok, exact, CAST(est AS BIGINT) AS est,
+        |  CAST(est - exact AS BIGINT) AS overestimate,
+        |  est >= exact AS cms_ok
+        |FROM est ORDER BY exact DESC, tok""".stripMargin,
+
+    "q109_quality_prop" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |nd AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN mh sa ON sa.doc_id = id_a JOIN mh sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |), ed AS (
+        |  SELECT id_a AS u, id_b AS v FROM nd
+        |  UNION ALL SELECT id_b AS u, id_a AS v FROM nd
+        |), sc0 AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS s
+        |  FROM t
+        |), n1 AS (
+        |  SELECT u, CAST(SUM(CAST(b.s AS DECIMAL(27,12))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS av
+        |  FROM ed JOIN sc0 b ON b.doc_id = v GROUP BY u
+        |), sc1 AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN n1.u IS NULL THEN a.s ELSE 0.5 * a.s + 0.5 * n1.av END AS s
+        |  FROM sc0 a LEFT JOIN n1 ON n1.u = a.doc_id
+        |), n2 AS (
+        |  SELECT u, CAST(SUM(CAST(b.s AS DECIMAL(27,12))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS av
+        |  FROM ed JOIN sc1 b ON b.doc_id = v GROUP BY u
+        |), sc2 AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN n2.u IS NULL THEN a.s ELSE 0.5 * a.s + 0.5 * n2.av END AS s
+        |  FROM sc1 a LEFT JOIN n2 ON n2.u = a.doc_id)
+        |SELECT sc0.doc_id, round(sc0.s, 6) AS quality0, round(sc2.s, 6) AS quality2
+        |FROM sc0 JOIN sc2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q110_vocab_growth" ->
+      """WITH nmax AS (
+        |  SELECT CAST(MAX(doc_id) + 1 AS DOUBLE) AS nd FROM documents
+        |), toks AS (
+        |  SELECT CAST(floor(CAST(doc_id AS DOUBLE) * 10.0 / nd) AS BIGINT) AS decile,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents CROSS JOIN nmax
+        |), pd AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY decile
+        |), fs AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_new_types FROM (
+        |    SELECT tok, MIN(decile) AS decile FROM toks GROUP BY tok)
+        |  GROUP BY decile)
+        |SELECT pd.decile, pd.n_tokens,
+        |  CAST(COALESCE(fs.n_new_types, 0) AS BIGINT) AS n_new_types,
+        |  CAST(SUM(COALESCE(fs.n_new_types, 0))
+        |    OVER (ORDER BY pd.decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+        |FROM pd LEFT JOIN fs USING (decile)
+        |ORDER BY pd.decile""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

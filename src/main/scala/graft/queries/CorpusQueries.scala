@@ -673,4 +673,100 @@ object CorpusQueries {
         round(col("raw") / col("z"), 6).as("weight"))
       .orderBy(col("epoch"), col("source"))
   }
+
+  /** Count-min-sketch accuracy gate — the streaming-style frequency sketch
+    * (Cormode & Muthukrishnan) rebuilt as a Spark aggregate and pinned
+    * against exact counts: depth 4 × width 256 counters from the
+    * engine-portable [[graft.functions.StableHash]] family, estimate =
+    * min over rows, checked on the exact top-20 tokens. The CMS build's
+    * aggregation state is 1 024 counters regardless of vocabulary size —
+    * the whole point of the sketch at 100 TB, where the exact vocabulary
+    * aggregate (run here only to source the gate's ground truth) is the
+    * thing you're avoiding. Output pins est ≥ exact (the CMS one-sided
+    * guarantee) per token. Extends the sketch-evidence set (q49 IVF,
+    * q61 HLL, q84 SimHash, q102 MinHash, q105 JL) with the counting
+    * sketch. */
+  def q108_cms_estimate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMinSketch
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val cms = CountMinSketch.counters(toks, "tok")
+    val top = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("exact"))
+      .orderBy(col("exact").desc, col("tok")).limit(20)
+    top.join(CountMinSketch.estimate(top.select(col("tok")), "tok", cms), "tok")
+      .select(col("tok"), col("exact"), col("est"),
+        (col("est") - col("exact")).cast("long").as("overestimate"),
+        (col("est") >= col("exact")).as("cms_ok"))
+      .orderBy(col("exact").desc, col("tok"))
+  }
+
+  /** Quality-score propagation over the near-duplicate graph — the
+    * semi-supervised smoothing pass (label propagation on scores): each
+    * round, a document's score moves halfway toward its neighbors' mean;
+    * documents with no near-dups keep their own score. Catches the
+    * quality-laundering failure where one scrubbed copy of a template
+    * scores high while its dozens of near-identical siblings score low —
+    * after two rounds the family agrees. Seed score is the distinct-token
+    * ratio (per-row map); edges are the q27 LSH pairs (bucketed,
+    * skew-capped — never all-pairs); each round is one neighbor aggregate
+    * (DECIMAL sums, order-independent) plus a broadcast-scale left join.
+    * The oracle replays both rounds as CTEs over the shared MinHash
+    * pair chain. */
+  def q109_quality_prop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val s0 = docs.select(col("doc_id"),
+      (size(array_distinct(TextOps.tokens(col("text")))).cast("double") /
+        size(TextOps.tokens(col("text"))).cast("double")).as("s"))
+    val pairs = graft.similarity.MinHashLsh.nearDuplicatePairs(docs, "doc_id",
+        "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    def propagate(s: DataFrame): DataFrame = {
+      val nb = edges
+        .join(s.select(col("doc_id").as("v"), col("s").as("sv")), "v")
+        .groupBy(col("u"))
+        .agg((sum(col("sv").cast("decimal(27,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("av"))
+      s.join(nb.select(col("u").as("doc_id"), col("av")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("av").isNull, col("s"))
+            .otherwise(lit(0.5) * col("s") + lit(0.5) * col("av")).as("s"))
+    }
+    val s2 = propagate(propagate(s0))
+    s0.select(col("doc_id"), round(col("s"), 6).as("quality0"))
+      .join(s2.select(col("doc_id"), round(col("s"), 6).as("quality2")), "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Vocabulary-growth (Heaps' law) curve — new type count per corpus
+    * decile, the tokenizer-coverage / crawl-saturation monitor: a
+    * flattening curve says more data stops buying vocabulary. Corpus
+    * position comes from doc_id deciles; the only vocabulary-sized work
+    * is ONE (token → min decile) combinable aggregate (tokens never
+    * shuffle as text twice); the cumulative sum runs over the 10-row
+    * aggregate output, where a single-partition window is exactly
+    * right. */
+  def q110_vocab_growth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nmax = docs.agg((max(col("doc_id")) + 1).cast("double").as("nd"))
+    val toks = docs.crossJoin(broadcast(nmax))
+      .select(floor(col("doc_id").cast("double") * 10.0 / col("nd"))
+          .cast("long").as("decile"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+    val perDecile = toks.groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"))
+    val firstSeen = toks.groupBy(col("tok")).agg(min(col("decile")).as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).cast("long").as("n_new_types"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDecile.join(firstSeen, Seq("decile"), "left")
+      .select(col("decile"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w).cast("long"))
+      .orderBy(col("decile"))
+  }
 }

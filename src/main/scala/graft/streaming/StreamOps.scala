@@ -266,6 +266,46 @@ object StreamOps {
       }
       .start()
 
+  /** Per-micro-batch count-min-sketch maintenance — the streaming twin of
+    * q108: each batch's token counters land as one `micro_batch_id`
+    * partition of the sketch table (depth × width rows per batch, so even
+    * years of batches stay tiny; compaction is a groupBy rewrite). Replay
+    * idempotency comes free from dynamic partition overwrite: a re-run
+    * batch REPLACES its own partition rather than double-counting — the
+    * CMS merge property (counter-wise addition over disjoint slices)
+    * makes the partitioned layout exactly equivalent to one sketch. */
+  def cmsBatch(batch: DataFrame, batchId: Long, tokenCol: String,
+               cmsPath: String, depth: Int = 4, width: Int = 256): Unit = {
+    val spark = batch.sparkSession
+    val counters =
+      graft.functions.CountMinSketch.counters(batch, tokenCol, depth, width)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try counters.withColumn("micro_batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("micro_batch_id").parquet(cmsPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Continuous CMS over a token stream via [[cmsBatch]]. */
+  def cmsSink(tokens: DataFrame, tokenCol: String, cmsPath: String,
+              checkpoint: String, depth: Int = 4, width: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    tokens.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cmsBatch(batch, batchId, tokenCol, cmsPath, depth, width)
+      }
+      .start()
+
+  /** The live sketch: counter-wise sum over all batch partitions. */
+  def cmsRead(spark: org.apache.spark.sql.SparkSession, cmsPath: String): DataFrame =
+    spark.read.parquet(cmsPath)
+      .groupBy(col("d"), col("b"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+
   /** Watermarked stream-stream inner join within a time bound: each left
     * row matches right rows with the same key whose event time lies in
     * [left.ts - tolerance, left.ts] (click-to-impression attribution

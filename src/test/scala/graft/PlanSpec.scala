@@ -353,6 +353,31 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("q108 CMS build keeps partial aggregation: 1024-counter state, broadcast probe") {
+    val plan = planString(queries.CorpusQueries.q108_cms_estimate(spark, dir))
+    // sketch counters join back to the top-20 probe side by broadcast;
+    // the ground-truth top-20 is a TakeOrdered, not a global sort
+    plan should include ("BroadcastHashJoin")
+    plan should include ("TakeOrderedAndProject")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q109 propagation rounds aggregate neighbors — no window over the graph") {
+    val plan = planString(queries.CorpusQueries.q109_quality_prop(spark, dir))
+    plan should not include "CartesianProduct"
+    // per-round neighbor means are hash aggregates; the only windows
+    // belong to the (checkpointed) LSH bucket-cap subplan, outside this plan
+    plan should not include "Window"
+  }
+
+  test("q110 vocab growth shuffles (token, min-decile) once; window sees 10 rows") {
+    val df = queries.CorpusQueries.q110_vocab_growth(spark, dir)
+    val plan = planString(df)
+    // one corpus scan feeding both aggregates; no join before aggregation
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(

@@ -187,6 +187,34 @@ class StreamingSpec extends SparkSpec {
     pairs should contain allOf ((1L, 20L), (1L, 30L), (20L, 30L))
   }
 
+  test("cmsSink: batch counters merge counter-wise; replay never double-counts") {
+    val root = tmpDir("cms")
+    val (path, cp) = (root + "/cms", root + "/cp")
+    val in = MemoryStream[String](spark)
+    val q = StreamOps.cmsSink(in.toDF().toDF("tok"), "tok", path, cp,
+      depth = 4, width = 16)
+    try {
+      in.addData("a", "a", "b")
+      q.processAllAvailable()
+      in.addData("a", "c")
+      q.processAllAvailable()
+    } finally q.stop()
+    def est(tok: String): Long =
+      graft.functions.CountMinSketch.estimate(
+          Seq(tok).toDF("tok"), "tok", StreamOps.cmsRead(spark, path),
+          depth = 4, width = 16)
+        .as[(String, Long)].collect().head._2
+    // one-sided guarantee over the merged sketch: est >= true count
+    est("a") should be >= 3L
+    est("b") should be >= 1L
+    // total counter mass = depth x total tokens (exactly, no overlap loss)
+    StreamOps.cmsRead(spark, path).agg(sum("cnt")).as[Long].collect().head shouldBe 4L * 5L
+    // replay batch 0 (same data, same id): partition overwritten, not added
+    StreamOps.cmsBatch(Seq("a", "a", "b").toDF("tok"), 0L, "tok", path,
+      depth = 4, width = 16)
+    StreamOps.cmsRead(spark, path).agg(sum("cnt")).as[Long].collect().head shouldBe 4L * 5L
+  }
+
   test("exactlyOnceParquet lands each micro-batch in its own partition") {
     val in = MemoryStream[(Long, String)](spark)
     val out = tmpDir("eop") + "/t"
