@@ -107,6 +107,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CMS estimate is one-sided (est >= exact) on any token multiset") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val toksGen = Gen.nonEmptyListOf(Gen.oneOf(
+      "a", "b", "c", "dd", "e", "f", "gg", "h", "ü", "long-token"))
+    samples(toksGen, 6).foreach { toks =>
+      val df = toks.toDF("tok")
+      val cms = graft.functions.CountMinSketch.counters(df, "tok",
+        depth = 3, width = 8) // tiny width forces collisions: the bound
+                              // must hold anyway
+      val est = graft.functions.CountMinSketch.estimate(
+          df.distinct(), "tok", cms, depth = 3, width = 8)
+        .as[(String, Long)].collect().toMap
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.foreach { case (t, c) => est(t) should be >= c }
+    }
+  }
+
+  test("Pca.covariance equals the naive driver computation on any vectors") {
+    import spark.implicits._
+    val dim = 4
+    val vecGen = Gen.listOfN(dim, Gen.choose(-5.0f, 5.0f))
+    samples(Gen.nonEmptyListOf(vecGen), 4).foreach { vs =>
+      val df = vs.map(v => Tuple1(v.toArray)).toDF("embedding")
+      val got = graft.similarity.Pca.covariance(df, "embedding")
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2))
+        .toMap
+      val n = vs.size.toDouble
+      val xs = vs.map(_.map(_.toDouble))
+      for (i <- 0 until dim; j <- i until dim) {
+        val eij = xs.map(v => v(i) * v(j)).sum / n
+        val ei = xs.map(_(i)).sum / n
+        val ej = xs.map(_(j)).sum / n
+        got((i, j)) shouldBe (eij - ei * ej) +- 1e-4 // 6-dp round + decimal
+                                                     // quantization slack
+      }
+    }
+  }
+
   test("driver contract: every query has an oracle, except the documented two") {
     // rows-only by nature: q28 (simhash bit votes have no SQL spelling),
     // q38 (trained IVF cells; quality-gated by q49's oracle-pinned recall).
