@@ -1511,14 +1511,14 @@ object Oracles {
 
     "q109_quality_prop" ->
       s"""WITH ${Oracles.minhashPairCtes},
-        |nd AS (
+        |nd AS MATERIALIZED (
         |  SELECT id_a, id_b FROM cand
         |  JOIN mh sa ON sa.doc_id = id_a JOIN mh sb ON sb.doc_id = id_b
         |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
-        |), ed AS (
+        |), ed AS MATERIALIZED (
         |  SELECT id_a AS u, id_b AS v FROM nd
         |  UNION ALL SELECT id_b AS u, id_a AS v FROM nd
-        |), sc0 AS (
+        |), sc0 AS MATERIALIZED (
         |  SELECT doc_id,
         |    CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS s
         |  FROM t
@@ -1526,7 +1526,7 @@ object Oracles {
         |  SELECT u, CAST(SUM(CAST(b.s AS DECIMAL(27,12))) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS av
         |  FROM ed JOIN sc0 b ON b.doc_id = v GROUP BY u
-        |), sc1 AS (
+        |), sc1 AS MATERIALIZED (
         |  SELECT a.doc_id,
         |    CASE WHEN n1.u IS NULL THEN a.s ELSE 0.5 * a.s + 0.5 * n1.av END AS s
         |  FROM sc0 a LEFT JOIN n1 ON n1.u = a.doc_id
@@ -1561,6 +1561,105 @@ object Oracles {
         |    OVER (ORDER BY pd.decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
         |FROM pd LEFT JOIN fs USING (decile)
         |ORDER BY pd.decile""".stripMargin,
+
+    "q111_source_rank" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |nd AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN mh sa ON sa.doc_id = id_a JOIN mh sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |), sp AS MATERIALIZED (
+        |  SELECT da.source AS sa, db.source AS sb FROM nd
+        |  JOIN documents da ON da.doc_id = id_a
+        |  JOIN documents db ON db.doc_id = id_b
+        |  WHERE da.source <> db.source
+        |), ed AS MATERIALIZED (
+        |  SELECT u, v, CAST(COUNT(*) AS DOUBLE) AS w FROM (
+        |    SELECT sa AS u, sb AS v FROM sp
+        |    UNION ALL SELECT sb AS u, sa AS v FROM sp) GROUP BY u, v
+        |), nodes AS MATERIALIZED (SELECT DISTINCT source AS node FROM documents),
+        |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |ow AS MATERIALIZED (SELECT u, SUM(w) AS ow FROM ed GROUP BY u),
+        |r0 AS (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+        |c1 AS (
+        |  SELECT v, CAST(SUM(CAST(r * w / ow AS DECIMAL(27,12))) AS DOUBLE) AS contrib
+        |  FROM r0 JOIN ow ON ow.u = r0.node JOIN ed ON ed.u = r0.node GROUP BY v
+        |), d1 AS (
+        |  SELECT CAST(COALESCE(SUM(CAST(r AS DECIMAL(27,12))), 0) AS DOUBLE) AS dang
+        |  FROM r0 LEFT JOIN ow ON ow.u = r0.node WHERE ow.u IS NULL
+        |), r1 AS (
+        |  SELECT node, 0.15 / n + 0.85 * (COALESCE(contrib, 0.0) + dang / n) AS r
+        |  FROM nodes CROSS JOIN nn CROSS JOIN d1 LEFT JOIN c1 ON c1.v = node
+        |), c2 AS (
+        |  SELECT v, CAST(SUM(CAST(r * w / ow AS DECIMAL(27,12))) AS DOUBLE) AS contrib
+        |  FROM r1 JOIN ow ON ow.u = r1.node JOIN ed ON ed.u = r1.node GROUP BY v
+        |), d2 AS (
+        |  SELECT CAST(COALESCE(SUM(CAST(r AS DECIMAL(27,12))), 0) AS DOUBLE) AS dang
+        |  FROM r1 LEFT JOIN ow ON ow.u = r1.node WHERE ow.u IS NULL
+        |), r2 AS (
+        |  SELECT node, 0.15 / n + 0.85 * (COALESCE(contrib, 0.0) + dang / n) AS r
+        |  FROM nodes CROSS JOIN nn CROSS JOIN d2 LEFT JOIN c2 ON c2.v = node
+        |), c3 AS (
+        |  SELECT v, CAST(SUM(CAST(r * w / ow AS DECIMAL(27,12))) AS DOUBLE) AS contrib
+        |  FROM r2 JOIN ow ON ow.u = r2.node JOIN ed ON ed.u = r2.node GROUP BY v
+        |), d3 AS (
+        |  SELECT CAST(COALESCE(SUM(CAST(r AS DECIMAL(27,12))), 0) AS DOUBLE) AS dang
+        |  FROM r2 LEFT JOIN ow ON ow.u = r2.node WHERE ow.u IS NULL
+        |), r3 AS (
+        |  SELECT node, 0.15 / n + 0.85 * (COALESCE(contrib, 0.0) + dang / n) AS r
+        |  FROM nodes CROSS JOIN nn CROSS JOIN d3 LEFT JOIN c3 ON c3.v = node)
+        |SELECT node AS source, round(r, 6) AS pagerank
+        |FROM r3 ORDER BY source""".stripMargin,
+
+    "q112_contam_spans" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000 < 800 THEN 'train'
+        |         WHEN (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    string_split(text, ' ') AS tk
+        |  FROM documents
+        |), pg AS (
+        |  SELECT doc_id, split, n_tok, unnest(l, recursive := true)
+        |  FROM (SELECT doc_id, split, CAST(len(tk) AS BIGINT) AS n_tok,
+        |          list_transform(range(0, greatest(len(tk) - 7, 0)),
+        |            i -> struct_pack(pos := i, gram := array_to_string(tk[i+1:i+8], ' '))) AS l
+        |        FROM s WHERE split IN ('train', 'test'))
+        |), te AS (SELECT DISTINCT gram FROM pg WHERE split = 'test'),
+        |cov AS (
+        |  SELECT doc_id, n_tok, pos, unnest(range(pos, pos + 8)) AS cp
+        |  FROM pg JOIN te USING (gram) WHERE split = 'train')
+        |SELECT doc_id, CAST(MAX(n_tok) AS BIGINT) AS n_tok,
+        |  CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_matched_grams,
+        |  CAST(MIN(pos) AS BIGINT) AS first_pos,
+        |  CAST(COUNT(DISTINCT cp) AS BIGINT) AS covered_tokens,
+        |  round(CAST(COUNT(DISTINCT cp) AS DOUBLE) / CAST(MAX(n_tok) AS DOUBLE), 6) AS coverage
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q113_embed_drift" ->
+      """WITH ex AS (
+        |  SELECT label, vec_id % 2 AS half, ri.i AS i,
+        |    CAST(embedding[CAST(ri.i + 1 AS INTEGER)] AS DOUBLE) AS x
+        |  FROM embeddings, range(0, 64) ri(i)
+        |), m AS (
+        |  SELECT label, half, i,
+        |    CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m,
+        |    COUNT(*) AS nv
+        |  FROM ex GROUP BY 1, 2, 3
+        |), j AS (
+        |  SELECT a.label AS label, a.m AS ma, b.m AS mb, a.nv AS na, b.nv AS nb
+        |  FROM m a JOIN m b ON a.label = b.label AND a.i = b.i
+        |  WHERE a.half = 0 AND b.half = 1
+        |), g AS (
+        |  SELECT label, CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(ma * mb AS DECIMAL(27,12))) AS DOUBLE) AS dot,
+        |    CAST(SUM(CAST(ma * ma AS DECIMAL(27,12))) AS DOUBLE) AS aa,
+        |    CAST(SUM(CAST(mb * mb AS DECIMAL(27,12))) AS DOUBLE) AS bb
+        |  FROM j GROUP BY label)
+        |SELECT CAST(label AS BIGINT) AS label, n_a, n_b,
+        |  round(dot / (sqrt(aa) * sqrt(bb)), 6) AS centroid_cos,
+        |  round(dot / (sqrt(aa) * sqrt(bb)), 6) < 0.98 AS drifted
+        |FROM g ORDER BY label""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

@@ -769,4 +769,129 @@ object CorpusQueries {
       .withColumn("cum_types", sum(col("n_new_types")).over(w).cast("long"))
       .orderBy(col("decile"))
   }
+
+  /** Source-authority PageRank over the syndication graph — which source is
+    * the ORIGIN of content the others republish (the canonical-source
+    * picker behind q97's overlap matrix): nodes are sources, edge weights
+    * are cross-source near-dup pair counts, three damped power-iteration
+    * rounds with proper dangling-mass teleport. The corpus-sized work is
+    * exactly the (bucketed, skew-capped) pair generation — everything
+    * after the first aggregate is #sources-sized, so the iteration is
+    * broadcast-scale at any corpus size. Neighbor-contribution sums fold
+    * through DECIMAL (order-independent); the oracle replays all three
+    * rounds as CTEs. */
+  def q111_source_rank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = graft.similarity.MinHashLsh.nearDuplicatePairs(docs, "doc_id",
+        "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+    val sp = pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb"))
+    val edges = sp.select(col("sa").as("u"), col("sb").as("v"))
+      .union(sp.select(col("sb").as("u"), col("sa").as("v")))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).cast("double").as("w"))
+      .localCheckpoint(true) // pair pipeline runs once, rounds reuse it
+    val nodes = docs.select(col("source").as("node")).distinct()
+    val nN = nodes.agg(count(lit(1)).cast("double").as("n"))
+    val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("ow"))
+    var r = nodes.crossJoin(broadcast(nN))
+      .select(col("node"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to 3) {
+      val withOw = r.join(outW.select(col("u").as("node"), col("ow")),
+        Seq("node"), "left")
+      val contrib = withOw.filter(col("ow").isNotNull)
+        .join(edges, col("node") === col("u"))
+        .select(col("v"), (col("r") * col("w") / col("ow")).as("c"))
+        .groupBy(col("v"))
+        .agg(sum(col("c").cast("decimal(27,12)")).cast("double").as("contrib"))
+      val dang = withOw.filter(col("ow").isNull)
+        .agg(coalesce(sum(col("r").cast("decimal(27,12)")),
+          lit(0).cast("decimal(27,12)")).cast("double").as("dang"))
+      r = nodes.crossJoin(broadcast(nN)).crossJoin(broadcast(dang))
+        .join(contrib.select(col("v").as("node"), col("contrib")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (lit(0.15) / col("n") + lit(0.85) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dang") / col("n")))
+            .as("r"))
+    }
+    r.select(col("node").as("source"), round(col("r"), 6).as("pagerank"))
+      .orderBy(col("source"))
+  }
+
+  /** Contamination-span localization — q70 says WHICH train documents leak
+    * benchmark 8-grams; this says WHERE, enabling surgical span redaction
+    * instead of dropping whole documents (the high-value variant when the
+    * contaminated doc is otherwise good). Per contaminated train doc:
+    * matched gram positions, first position, and the exact token coverage
+    * of the union of 8-token spans (distinct covered positions — overlap
+    * counted once). Scale shape: grams travel as md5, positions as ints;
+    * the 8× position explode happens AFTER the test-set join, so it only
+    * touches matched grams (rare by construction). */
+  def q112_contam_spans(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val n = 8
+    val withTk = Tables.documents(spark, dir)
+      .withColumn("split", StableHash.split(col("doc_id"),
+        Seq(800 -> "train", 900 -> "val"), "test"))
+      .select(col("doc_id"), col("split"), TextOps.tokens(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+    def posGrams(d: DataFrame) = d
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), col("n_tok"),
+        posexplode(transform(sequence(lit(0), size(col("tk")) - n),
+          i => md5(array_join(slice(col("tk"), i + 1, lit(n)), " "))))
+          .as(Seq("pos", "gh")))
+    val train = posGrams(withTk.filter(col("split") === "train"))
+    val testG = posGrams(withTk.filter(col("split") === "test"))
+      .select(col("gh")).distinct()
+    train.join(testG, "gh")
+      .select(col("doc_id"), col("n_tok"), col("pos"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("cp"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tok")).as("n_tok"),
+        count_distinct(col("pos")).cast("long").as("n_matched_grams"),
+        min(col("pos")).cast("long").as("first_pos"),
+        count_distinct(col("cp")).cast("long").as("covered_tokens"))
+      .withColumn("coverage", round(col("covered_tokens").cast("double") /
+        col("n_tok").cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding centroid drift — q96's crawl-to-crawl monitor moved into
+    * embedding space: per label, the cosine between the mean vectors of
+    * the two corpus halves (interleaved by vec_id parity, so both halves
+    * sample the same distribution and cos ≈ 1 unless something drifted).
+    * One posexplode aggregate produces per-(label, half, dim) DECIMAL
+    * means — #labels × 2 × d rows however many vectors exist; the cosine
+    * folds over d rows per label. */
+  def q113_embed_drift(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(CosineKnn.toDouble(col("embedding"))).as(Seq("i", "x")))
+    val means = ex.groupBy(col("label"), col("half"), col("i"))
+      .agg((sum(col("x").cast("decimal(27,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("m"),
+        count(lit(1)).cast("long").as("nv"))
+    val a = means.filter(col("half") === 0)
+      .select(col("label"), col("i"), col("m").as("ma"), col("nv").as("na"))
+    val b = means.filter(col("half") === 1)
+      .select(col("label"), col("i"), col("m").as("mb"), col("nv").as("nb"))
+    a.join(b, Seq("label", "i"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum((col("ma") * col("mb")).cast("decimal(27,12)")).as("dot"),
+        sum((col("ma") * col("ma")).cast("decimal(27,12)")).as("aa"),
+        sum((col("mb") * col("mb")).cast("decimal(27,12)")).as("bb"))
+      .select(col("label").cast("long").as("label"), col("n_a"), col("n_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("aa").cast("double")) * sqrt(col("bb").cast("double"))), 6)
+          .as("centroid_cos"))
+      .withColumn("drifted", col("centroid_cos") < 0.98)
+      .orderBy(col("label"))
+  }
 }

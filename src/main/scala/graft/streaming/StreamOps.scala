@@ -306,6 +306,65 @@ object StreamOps {
       .groupBy(col("d"), col("b"))
       .agg(sum(col("cnt")).cast("long").as("cnt"))
 
+  /** Hashed-unigram histogram over a token column — the q90/q96 256-bucket
+    * feature space as a reusable artifact; aggregation state is `buckets`
+    * rows regardless of vocabulary. Build once over a reference corpus and
+    * persist as the drift baseline. */
+  def unigramHistogram(rows: DataFrame, tokenCol: String,
+                       buckets: Int = 256): DataFrame =
+    rows.select(graft.functions.StableHash.bucket(col(tokenCol), buckets).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-micro-batch corpus-drift monitor — q96's add-1-smoothed KL
+    * arithmetic scored against a FIXED persisted baseline histogram: each
+    * batch appends one (n_tokens, kl) row in its own `micro_batch_id`
+    * partition (dynamic overwrite → replay rewrites, never duplicates).
+    * The alert threshold belongs to the consumer; the monitor records the
+    * score. Batch cost: one `buckets`-row aggregate + a 2×`buckets`-row
+    * join — independent of batch size beyond the histogram scan. */
+  def driftBatch(batch: DataFrame, batchId: Long, tokenCol: String,
+                 baselinePath: String, metricsPath: String,
+                 buckets: Int = 256): Unit = {
+    val spark = batch.sparkSession
+    val base = spark.read.parquet(baselinePath)
+      .select(col("b"), col("cnt").as("c_base"))
+    val hist = unigramHistogram(batch, tokenCol, buckets)
+      .select(col("b"), col("cnt").as("c_new"))
+    val joined = hist.join(base, Seq("b"), "full_outer")
+      .select(coalesce(col("c_new"), lit(0L)).as("c_new"),
+        coalesce(col("c_base"), lit(0L)).as("c_base"))
+    val totals = joined.agg(sum(col("c_new")).cast("double").as("tn"),
+      sum(col("c_base")).cast("double").as("tbase"))
+    val nB = lit(buckets.toDouble)
+    val metrics = joined.crossJoin(totals)
+      .select(col("tn"),
+        ((((col("c_new") + 1).cast("double")) / (col("tn") + nB)) *
+          log((((col("c_new") + 1).cast("double")) / (col("tn") + nB)) /
+            (((col("c_base") + 1).cast("double")) / (col("tbase") + nB))))
+          .as("term"))
+      .agg(max(col("tn")).cast("long").as("n_tokens"),
+        round(sum(col("term").cast("decimal(27,12)")).cast("double"), 6).as("kl"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try metrics.withColumn("micro_batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("micro_batch_id").parquet(metricsPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Continuous drift monitoring over a token stream via [[driftBatch]]. */
+  def driftSink(tokens: DataFrame, tokenCol: String, baselinePath: String,
+                metricsPath: String, checkpoint: String, buckets: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    tokens.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        driftBatch(batch, batchId, tokenCol, baselinePath, metricsPath, buckets)
+      }
+      .start()
+
   /** Watermarked stream-stream inner join within a time bound: each left
     * row matches right rows with the same key whose event time lies in
     * [left.ts - tolerance, left.ts] (click-to-impression attribution

@@ -378,6 +378,28 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("q111 pagerank conserves probability mass and stays off cartesians") {
+    val df = queries.CorpusQueries.q111_source_rank(spark, dir)
+    planString(df) should not include "CartesianProduct"
+    // damped PageRank with dangling teleport is a probability distribution
+    val mass = df.agg(org.apache.spark.sql.functions.sum("pagerank"))
+      .collect()(0).getDouble(0)
+    mass shouldBe 1.0 +- 1e-3
+  }
+
+  test("q112 contamination spans: position explode only after the test-gram join") {
+    val plan = planString(queries.CorpusQueries.q112_contam_spans(spark, dir))
+    plan should not include "CartesianProduct"
+    // grams meet the test set on an md5 equi-join — a keyed exchange
+    plan should include ("hashpartitioning")
+  }
+
+  test("q113 embedding drift: per-dim means computed once, no cartesian") {
+    val plan = planString(queries.CorpusQueries.q113_embed_drift(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(

@@ -215,6 +215,35 @@ class StreamingSpec extends SparkSpec {
     StreamOps.cmsRead(spark, path).agg(sum("cnt")).as[Long].collect().head shouldBe 4L * 5L
   }
 
+  test("driftSink: in-distribution batch scores near zero, skewed batch higher; replay idempotent") {
+    val root = tmpDir("drift")
+    val (basep, metrics, cp) = (root + "/base", root + "/metrics", root + "/cp")
+    val baseToks = (1 to 50).flatMap(i => Seq("a", "b", "c", "d", "e"))
+    StreamOps.unigramHistogram(baseToks.toDF("tok"), "tok", buckets = 16)
+      .write.parquet(basep)
+    val in = MemoryStream[String](spark)
+    val q = StreamOps.driftSink(in.toDF().toDF("tok"), "tok", basep, metrics,
+      cp, buckets = 16)
+    try {
+      in.addData(Seq("a", "b", "c", "d", "e"): _*) // same distribution
+      q.processAllAvailable()
+      in.addData(Seq.fill(20)("zzz-novel"): _*)    // mass on an unseen bucket
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(metrics)
+      .select("micro_batch_id", "n_tokens", "kl")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    rows.map(_._1) shouldBe Array(0L, 1L)
+    val (inDist, skewed) = (rows(0)._3, rows(1)._3)
+    skewed should be > inDist
+    skewed should be > 0.5
+    inDist should be < 0.1
+    // replay batch 0: its partition is rewritten, not duplicated
+    StreamOps.driftBatch(Seq("a", "b", "c", "d", "e").toDF("tok"), 0L, "tok",
+      basep, metrics, buckets = 16)
+    spark.read.parquet(metrics).count() shouldBe 2L
+  }
+
   test("exactlyOnceParquet lands each micro-batch in its own partition") {
     val in = MemoryStream[(Long, String)](spark)
     val out = tmpDir("eop") + "/t"
