@@ -1660,6 +1660,73 @@ object Oracles {
         |  round(dot / (sqrt(aa) * sqrt(bb)), 6) AS centroid_cos,
         |  round(dot / (sqrt(aa) * sqrt(bb)), 6) < 0.98 AS drifted
         |FROM g ORDER BY label""".stripMargin,
+
+    "q114_media_pipeline" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, source,
+        |    CAST(strlen(text) AS BIGINT) AS blen,
+        |    (ascii(substring(md5(text), 1, 1)) * 256 + ascii(substring(md5(text), 2, 1))) % 1857 + 64 AS w,
+        |    (ascii(substring(md5(text), 3, 1)) * 256 + ascii(substring(md5(text), 4, 1))) % 1017 + 64 AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT media_id, source, w, h,
+        |    CASE WHEN w >= h THEN 224
+        |         ELSE greatest(CAST(floor(CAST(w * 224 * 2 + h AS DOUBLE) / CAST(h * 2 AS DOUBLE)) AS INTEGER), 1) END AS out_w,
+        |    CASE WHEN w >= h THEN greatest(CAST(floor(CAST(h * 224 * 2 + w AS DOUBLE) / CAST(w * 2 AS DOUBLE)) AS INTEGER), 1)
+        |         ELSE 224 END AS out_h,
+        |    CAST(floor(CAST(greatest(CAST(floor(CAST(blen AS DOUBLE) / 64.0) AS BIGINT) - 1, 0) AS DOUBLE) / 4.0) AS BIGINT) + 1 AS n_frames
+        |  FROM m)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_media,
+        |  CAST(SUM(n_frames) AS BIGINT) AS n_frames_sampled,
+        |  CAST(SUM(out_w) AS BIGINT) AS sum_out_w,
+        |  CAST(SUM(out_h) AS BIGINT) AS sum_out_h,
+        |  CAST(MIN(w) AS BIGINT) AS min_w,
+        |  CAST(MAX(h) AS BIGINT) AS max_h
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q115_budget_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS q
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, n_tok, q,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tok_kept,
+        |  round(MIN(q), 6) AS min_quality_kept
+        |FROM c WHERE cum - n_tok < 2000
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q116_bigram_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), pos AS MATERIALIZED (
+        |  SELECT doc_id, unnest(l, recursive := true)
+        |  FROM (SELECT doc_id,
+        |          list_transform(range(1, len(tk)),
+        |            i -> struct_pack(w1 := tk[i], w2 := tk[i+1])) AS l
+        |        FROM tk)
+        |), cb AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cb FROM pos GROUP BY w1, w2
+        |), cu AS (
+        |  SELECT w1, CAST(COUNT(*) AS DOUBLE) AS cu FROM pos GROUP BY w1
+        |), uni AS MATERIALIZED (
+        |  SELECT unnest(string_split(text, ' ')) AS w2 FROM documents
+        |), c2 AS (
+        |  SELECT w2, CAST(COUNT(*) AS DOUBLE) AS c2 FROM uni GROUP BY w2
+        |), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM uni)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(CAST(-ln(0.7 * (cb / cu) + 0.3 * (c2 / nn)) AS DECIMAL(27,12))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_nll
+        |FROM pos JOIN cb USING (w1, w2) JOIN cu USING (w1) JOIN c2 USING (w2)
+        |  CROSS JOIN nn
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

@@ -55,11 +55,50 @@ object Multimodal {
       .withColumn("frame",
         expr(s"substring($payloadCol, frame_idx * $frameBytes + 1, $frameBytes)"))
   }
+
+  /** Aspect-preserving resize arithmetic — the longer side becomes
+    * `target`, the shorter scales by the same ratio (round-half-up via
+    * cross-multiplied integers, so every engine agrees exactly; a real
+    * deployment feeds these dims to the codec in [[DecodeStub]]).
+    * Returns (out_w, out_h). */
+  def resizeDims(w: Column, h: Column, target: Int): (Column, Column) = {
+    val t = lit(target)
+    val outW = when(w >= h, t).otherwise(
+      greatest(floor((w * t * 2 + h).cast("double") / (h * 2).cast("double"))
+        .cast("int"), lit(1)))
+    val outH = when(w >= h,
+      greatest(floor((h * t * 2 + w).cast("double") / (w * 2).cast("double"))
+        .cast("int"), lit(1))).otherwise(t)
+    (outW, outH)
+  }
 }
 
 object DecodeStub {
   import Multimodal._
   import org.apache.spark.sql.{Dataset, SparkSession}
+
+  final case class MediaFeatures(media_id: Long, features: Array[Float])
+
+  /** STUB — deterministic fake feature extraction (the embed-the-image
+    * batch shape): fixed-length float vector per payload, partition-
+    * batched so a real model session initializes once per partition
+    * (exactly the mapInPandas contract). A real deployment swaps the
+    * digest for an ONNX/JNI forward pass behind the same signature. */
+  def extractFeatures(records: Dataset[MediaRecord], dim: Int = 8)
+      : Dataset[MediaFeatures] = {
+    val spark: SparkSession = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      // per-partition model init would happen here (amortized batch cost)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        md.reset()
+        val d = md.digest(r.payload)
+        val f = Array.tabulate(dim)(i => ((d(i % 16) & 0xff) - 128) / 128.0f)
+        MediaFeatures(r.media_id, f)
+      }
+    }
+  }
 
   /** STUB — deterministic fake image decode. A real deployment replaces the
     * body (e.g. TwelveMonkeys/ImageIO) behind the identical signature; the

@@ -862,6 +862,76 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Budget-constrained quality selection — the data-mixing primitive
+    * "take each source's best documents until its token budget is spent":
+    * docs rank by quality (distinct-token ratio, exact rational — ties
+    * broken by doc_id so every engine draws the same prefix) inside their
+    * source, and a doc is kept while the budget wasn't exhausted BEFORE it
+    * (greedy prefix fill — at least one doc per source always survives).
+    * Rank + running-token windows are per-source (bounded strata, the
+    * q106 shape); everything else is one combinable aggregate. */
+  def q115_budget_select(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2000L
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tok"),
+        (size(array_distinct(TextOps.tokens(col("text")))).cast("double") /
+          size(TextOps.tokens(col("text"))).cast("double")).as("q"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum(col("n_tok")).over(w))
+      .filter(col("cum") - col("n_tok") < budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        sum(col("n_tok")).cast("long").as("tok_kept"),
+        round(min(col("q")), 6).as("min_quality_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Interpolated bigram-LM scoring — the perplexity-filter upgrade from
+    * q71's unigram proxy: per doc, the average negative log of
+    * p(w₂|w₁) = 0.7·c(w₁w₂)/c(w₁·) + 0.3·c(w₂)/N (Jelinek–Mercer
+    * interpolation, so unseen bigrams back off instead of zeroing).
+    * Corpus-sized work: one bigram-count aggregate, one prefix-count
+    * aggregate, one unigram aggregate — then position rows join the count
+    * tables on their keys (vocabulary-sized sides shuffle as (hash,
+    * count), never broadcast). NLL terms fold through DECIMAL; ln rounds
+    * to 6 (libm parity). */
+  def q116_bigram_lm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val pos = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cBig = pos.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("double").as("cb"))
+    val cPre = pos.groupBy(col("w1"))
+      .agg(count(lit(1)).cast("double").as("cu"))
+    val uni = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("w2"))
+    val cUni = uni.groupBy(col("w2"))
+      .agg(count(lit(1)).cast("double").as("c2"))
+    val nTot = uni.agg(count(lit(1)).cast("double").as("nn"))
+    pos.join(cBig, Seq("w1", "w2"))
+      .join(cPre, Seq("w1"))
+      .join(cUni, Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"),
+        (-log(lit(0.7) * (col("cb") / col("cu")) +
+          lit(0.3) * (col("c2") / col("nn")))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(sum(col("nll").cast("decimal(27,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding centroid drift — q96's crawl-to-crawl monitor moved into
     * embedding space: per label, the cosine between the mean vectors of
     * the two corpus halves (interleaved by vec_id parity, so both halves

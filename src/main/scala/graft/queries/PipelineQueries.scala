@@ -1000,4 +1000,38 @@ object PipelineQueries {
       w.as("width"), h.as("height"))
       .orderBy(col("media_id"))
   }
+
+  /** End-to-end media-prep pipeline over binary payloads — decode dims →
+    * aspect-preserving resize (224 on the long side) → strided frame
+    * sampling (64-byte frames, every 4th), rolled up per source: q33's
+    * schema exercised as the full video-prep chain. Every step here is
+    * engine-portable arithmetic over payload hash/length, so the WHOLE
+    * chain is oracle-pinned; the partition-batched
+    * [[graft.multimodal.DecodeStub]] decode/feature stubs carry the same
+    * dataflow when a real codec replaces the arithmetic. Frames explode
+    * only into a per-media count (codegen pipelines generate→aggregate —
+    * frame bytes never shuffle). */
+  def q114_media_pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val packed = Multimodal.packBinary(Tables.documents(spark, dir),
+      "doc_id", "text", "video/mp4", "source")
+    val (w, h) = Multimodal.fakeDimensions(col("payload"))
+    val dims = packed.select(col("media_id"), col("source"), col("payload"),
+      w.as("w"), h.as("h"))
+    val (ow, oh) = Multimodal.resizeDims(col("w"), col("h"), 224)
+    val resized = dims.select(col("media_id"), col("source"), col("payload"),
+      col("w"), col("h"), ow.as("out_w"), oh.as("out_h"))
+    val frames = Multimodal.sampleFrames(resized, "payload",
+      frameBytes = 64, stride = 4)
+    val perMedia = frames.groupBy(col("media_id"), col("source"),
+        col("w"), col("h"), col("out_w"), col("out_h"))
+      .agg(count(lit(1)).cast("long").as("n_frames"))
+    perMedia.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_media"),
+        sum(col("n_frames")).cast("long").as("n_frames_sampled"),
+        sum(col("out_w")).cast("long").as("sum_out_w"),
+        sum(col("out_h")).cast("long").as("sum_out_h"),
+        min(col("w")).cast("long").as("min_w"),
+        max(col("h")).cast("long").as("max_h"))
+      .orderBy(col("source"))
+  }
 }

@@ -400,6 +400,21 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("q115 budget selection: per-source windows only, no global sort") {
+    val plan = planString(queries.CorpusQueries.q115_budget_select(spark, dir))
+    plan should include ("hashpartitioning")
+    plan should not include "SinglePartition, ENSURE_REQUIREMENTS"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q116 bigram LM: count tables join by key, never broadcast or cartesian") {
+    val plan = planString(queries.CorpusQueries.q116_bigram_lm(spark, dir))
+    plan should not include "CartesianProduct"
+    // the only nested-loop is the one-row total; vocabulary-sized count
+    // tables must meet the position rows on keyed exchanges
+    plan should include ("hashpartitioning")
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(

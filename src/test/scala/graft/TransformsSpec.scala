@@ -323,6 +323,41 @@ class TransformsSpec extends SparkSpec {
     }
   }
 
+  test("Multimodal.resizeDims pins the long side and preserves aspect within rounding") {
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.functions._
+    val df = Seq((1920, 1080), (480, 640), (64, 64), (10000, 3)).toDF("w", "h")
+    val (ow, oh) = Multimodal.resizeDims(col("w"), col("h"), 224)
+    val out = df.select(col("w"), col("h"), ow.as("ow"), oh.as("oh"))
+      .as[(Int, Int, Int, Int)].collect().toSeq
+    out.foreach { case (w, h, rw, rh) =>
+      math.max(rw, rh) shouldBe 224
+      rw should be >= 1
+      rh should be >= 1
+      // aspect preserved to within the half-pixel round (unless the short
+      // side rounds below a pixel, where the 1-px clamp wins)
+      val scale = 224.0 / math.max(w, h)
+      val ideal = math.min(w, h) * scale
+      if (ideal < 1.0) math.min(rw, rh) shouldBe 1
+      else math.abs(math.min(rw, rh) - ideal) should be <= 0.5001
+    }
+  }
+
+  test("Multimodal.extractFeatures: fixed-dim, deterministic, partition-batched") {
+    import graft.multimodal.{DecodeStub, Multimodal}
+    val docs = Seq((1L, "hello"), (2L, "world"), (3L, "hello")).toDF("doc_id", "text")
+    val packed = Multimodal.packBinary(docs, "doc_id", "text", "image/png", "text")
+      .as[Multimodal.MediaRecord]
+    val a = DecodeStub.extractFeatures(packed, dim = 8).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    a.values.foreach(_.length shouldBe 8)
+    // deterministic: same payload -> identical vector, on any partitioning
+    a(1L) shouldBe a(3L)
+    val b = DecodeStub.extractFeatures(packed.repartition(7), dim = 8)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    b shouldBe a
+  }
+
   test("Multimodal.sampleFrames slices strided fixed-size frames") {
     import graft.multimodal.Multimodal
     import org.apache.spark.sql.functions._
