@@ -1727,6 +1727,40 @@ object Oracles {
         |FROM pos JOIN cb USING (w1, w2) JOIN cu USING (w1) JOIN c2 USING (w2)
         |  CROSS JOIN nn
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q117_rag_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), w AS MATERIALIZED (
+        |  SELECT doc_id, n_tok, unnest(l, recursive := true)
+        |  FROM (SELECT doc_id, n_tok,
+        |          list_transform(range(0, CAST(floor(CAST(n_tok - 1 AS DOUBLE) / 32.0) AS BIGINT) + 1),
+        |            i -> struct_pack(
+        |              h := md5(array_to_string(tk[i*32+1 : i*32+64], ' ')),
+        |              wl := CAST(len(tk[i*32+1 : i*32+64]) AS BIGINT))) AS l
+        |        FROM d)
+        |), b AS (
+        |  SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+        |)
+        |SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  round(CAST(SUM(wl) AS DOUBLE) / CAST(MAX(n_tok) AS DOUBLE), 6) AS expansion_ratio,
+        |  CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate_windows
+        |FROM w LEFT JOIN b ON b.h = w.h
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+
+    "q118_neg_sampling" ->
+      """WITH c AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok
+        |), z AS (
+        |  SELECT CAST(SUM(CAST(pow(CAST(c AS DOUBLE), 0.75) AS DECIMAL(27,12))) AS DOUBLE) AS z
+        |  FROM c)
+        |SELECT tok, c, round(pow(CAST(c AS DOUBLE), 0.75) / z, 6) AS neg_prob
+        |FROM c CROSS JOIN z
+        |ORDER BY c DESC, tok LIMIT 20""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

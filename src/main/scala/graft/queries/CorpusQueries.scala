@@ -932,6 +932,71 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** RAG chunking audit — overlapping 64-token windows at stride 32 (the
+    * retrieval-index preparation q94's disjoint chunks don't cover):
+    * per-doc window count, the index-expansion ratio overlap costs
+    * (window-token mass / doc tokens, ≈2× at stride = size/2), and how
+    * many windows are corpus-wide boilerplate (same window hash in >1
+    * doc — the chunks that poison retrieval). Windows leave the scan as
+    * (md5, token-length) structs — chunk text never shuffles; boilerplate
+    * is one combinable (hash → distinct-doc) aggregate joined back by
+    * hash. */
+  def q117_rag_chunks(spark: SparkSession, dir: String): DataFrame = {
+    val (win, stride) = (64, 32)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+    val wins = docs.select(col("doc_id"), col("n_tok"),
+        explode(transform(
+          sequence(lit(0), floor((size(col("tk")) - 1).cast("double") / stride)
+            .cast("int"), lit(1)),
+          i => struct(
+            md5(array_join(slice(col("tk"), i * stride + 1, lit(win)), " "))
+              .as("h"),
+            size(slice(col("tk"), i * stride + 1, lit(win))).cast("long")
+              .as("wl")))).as("w"))
+      .select(col("doc_id"), col("n_tok"), col("w.h").as("h"),
+        col("w.wl").as("wl"))
+    val boiler = wins.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"), lit(true).as("is_boiler"))
+    wins.join(boiler, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tok")).as("n_tok"),
+        count(lit(1)).cast("long").as("n_windows"),
+        sum(col("wl")).cast("long").as("window_tokens"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).cast("long")
+          .as("n_boilerplate_windows"))
+      .select(col("doc_id"), col("n_windows"),
+        round(col("window_tokens").cast("double") / col("n_tok").cast("double"),
+          6).as("expansion_ratio"),
+        col("n_boilerplate_windows"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Negative-sampling distribution (word2vec/NCE): the unigram^0.75
+    * table — smoothing that lifts rare words enough to make useful
+    * negatives. Normalizer Z folds over the vocabulary as a DECIMAL sum
+    * of per-token pow terms (order-independent); output is the top-20
+    * tokens' smoothed probabilities via TakeOrdered. One vocabulary
+    * aggregate, one one-row cross join — nothing else touches the
+    * corpus. */
+  def q118_neg_sampling(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("c"))
+    val z = counts.agg(
+      sum(pow(col("c").cast("double"), lit(0.75)).cast("decimal(27,12)"))
+        .cast("double").as("z"))
+    counts.crossJoin(broadcast(z))
+      .select(col("tok"), col("c"),
+        round(pow(col("c").cast("double"), lit(0.75)) / col("z"), 6)
+          .as("neg_prob"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(20)
+  }
+
   /** Embedding centroid drift — q96's crawl-to-crawl monitor moved into
     * embedding space: per label, the cosine between the mean vectors of
     * the two corpus halves (interleaved by vec_id parity, so both halves

@@ -415,6 +415,18 @@ class PlanSpec extends SparkSpec {
     plan should include ("hashpartitioning")
   }
 
+  test("q117 RAG windows shuffle (hash, length) structs — chunk text stays put") {
+    val plan = planString(queries.CorpusQueries.q117_rag_chunks(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should include ("hashpartitioning")
+  }
+
+  test("q118 negative-sampling table: one vocab aggregate + TakeOrdered") {
+    val plan = planString(queries.CorpusQueries.q118_neg_sampling(spark, dir))
+    plan should include ("TakeOrderedAndProject")
+    plan should not include "SortMergeJoin"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
