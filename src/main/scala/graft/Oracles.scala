@@ -1761,6 +1761,50 @@ object Oracles {
         |SELECT tok, c, round(pow(CAST(c AS DOUBLE), 0.75) / z, 6) AS neg_prob
         |FROM c CROSS JOIN z
         |ORDER BY c DESC, tok LIMIT 20""".stripMargin,
+
+    "q119_robust_stats" ->
+      """WITH d AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+        |  FROM documents
+        |), p AS (
+        |  SELECT source, quantile_cont(n_tok, 0.1) AS p10,
+        |    quantile_cont(n_tok, 0.9) AS p90,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM d GROUP BY source)
+        |SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+        |  round(MAX(p10), 6) AS p10, round(MAX(p90), 6) AS p90,
+        |  round(CAST(SUM(CAST(greatest(least(n_tok, p90), p10) AS DECIMAL(27,12))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS winsorized_mean,
+        |  CAST(SUM(CASE WHEN n_tok < p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(SUM(CASE WHEN n_tok > p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+        |FROM d JOIN p USING (source)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q120_lang_source_chi2" ->
+      """WITH doc AS (SELECT lang, source FROM documents),
+        |cell AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
+        |  FROM doc GROUP BY lang, source
+        |), rt AS (SELECT lang, SUM(o) AS rt FROM cell GROUP BY lang),
+        |ct AS (SELECT source, SUM(o) AS ct FROM cell GROUP BY source),
+        |dims AS (
+        |  SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS ns,
+        |    CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM doc
+        |), grid AS (
+        |  SELECT rt.rt AS rt, ct.ct AS ct, COALESCE(cell.o, 0.0) AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cell ON cell.lang = rt.lang AND cell.source = ct.source
+        |), chi AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    CAST(SUM(CAST(((o - rt * ct / n) * (o - rt * ct / n)) / (rt * ct / n) AS DECIMAL(27,12))) AS DOUBLE) AS chi2raw
+        |  FROM grid CROSS JOIN dims)
+        |SELECT n_cells, round(chi2raw, 6) AS chi2,
+        |  CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof,
+        |  CAST(n AS BIGINT) AS n_docs,
+        |  round(sqrt(chi2raw / (n * CAST(least(nl - 1, ns - 1) AS DOUBLE))), 6) AS cramers_v
+        |FROM chi CROSS JOIN dims""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

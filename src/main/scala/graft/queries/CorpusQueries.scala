@@ -997,6 +997,73 @@ object CorpusQueries {
       .limit(20)
   }
 
+  /** Winsorized robust statistics per source — the audit-table row that
+    * survives outliers: token counts clipped at the source's own exact
+    * p10/p90 (Spark's interpolated `percentile` ↔ DuckDB `quantile_cont`,
+    * the q55-proven parity), then the robust mean plus clip counts.
+    * Percentiles run per source (bounded groups — the q55 documented
+    * trade; `approx_percentile` is the 100 TB swap, error-gated by q61)
+    * and broadcast back; clipping is a per-row map; the mean folds
+    * through DECIMAL. */
+  def q119_robust_stats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"),
+        TextOps.tokenCount(col("text")).cast("double").as("n_tok"))
+    val pct = docs.groupBy(col("source"))
+      .agg(expr("percentile(n_tok, 0.1)").as("p10"),
+        expr("percentile(n_tok, 0.9)").as("p90"),
+        count(lit(1)).cast("long").as("n_docs"))
+    docs.join(broadcast(pct), "source")
+      .select(col("source"), col("n_docs"), col("p10"), col("p90"),
+        greatest(least(col("n_tok"), col("p90")), col("p10")).as("w"),
+        (col("n_tok") < col("p10")).as("lo"),
+        (col("n_tok") > col("p90")).as("hi"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).cast("long").as("n_docs"),
+        round(max(col("p10")), 6).as("p10"),
+        round(max(col("p90")), 6).as("p90"),
+        round(sum(col("w").cast("decimal(27,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("winsorized_mean"),
+        sum(when(col("lo"), 1L).otherwise(0L)).cast("long").as("n_clipped_low"),
+        sum(when(col("hi"), 1L).otherwise(0L)).cast("long").as("n_clipped_high"))
+      .orderBy(col("source"))
+  }
+
+  /** Chi-square independence test lang ⊥ source — the statistical audit
+    * behind "is my language mix uniform across providers": observed vs
+    * expected over the FULL L×S grid (absent cells contribute their
+    * expectation — dropping them understates the statistic), χ², degrees
+    * of freedom, and Cramér's V effect size. Corpus-sized work is ONE
+    * (lang, source) count aggregate; the grid, marginals, and test
+    * statistic are all broadcast-scale. Terms fold through DECIMAL. */
+  def q120_lang_source_chi2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("lang"), col("source"))
+    val cell = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val rowT = cell.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val colT = cell.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+    val dims = docs.agg(count_distinct(col("lang")).cast("long").as("nl"),
+      count_distinct(col("source")).cast("long").as("ns"),
+      count(lit(1)).cast("double").as("n"))
+    val grid = rowT.crossJoin(colT)
+      .join(cell, Seq("lang", "source"), "left")
+      .select(col("rt"), col("ct"), coalesce(col("o"), lit(0.0)).as("o"))
+    val chi = grid.crossJoin(broadcast(dims))
+      .select((((col("o") - col("rt") * col("ct") / col("n")) *
+        (col("o") - col("rt") * col("ct") / col("n"))) /
+        (col("rt") * col("ct") / col("n"))).as("term"))
+      .agg(count(lit(1)).cast("long").as("n_cells"),
+        sum(col("term").cast("decimal(27,12)")).cast("double").as("chi2raw"))
+    chi.crossJoin(broadcast(dims))
+      .select(col("n_cells"),
+        round(col("chi2raw"), 6).as("chi2"),
+        ((col("nl") - 1) * (col("ns") - 1)).cast("long").as("dof"),
+        col("n").cast("long").as("n_docs"),
+        round(sqrt(col("chi2raw") /
+          (col("n") * least(col("nl") - 1, col("ns") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
   /** Embedding centroid drift — q96's crawl-to-crawl monitor moved into
     * embedding space: per label, the cosine between the mean vectors of
     * the two corpus halves (interleaved by vec_id parity, so both halves

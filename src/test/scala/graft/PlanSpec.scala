@@ -427,6 +427,20 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("q119 winsorized stats: percentiles broadcast back, no cartesian on docs") {
+    val plan = planString(queries.CorpusQueries.q119_robust_stats(spark, dir))
+    plan should include ("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q120 chi-square: one corpus aggregate, grid math is broadcast-scale") {
+    val plan = planString(queries.CorpusQueries.q120_lang_source_chi2(spark, dir))
+    plan should not include "SortMergeJoin"
+    // the only nested-loops are the marginal/dims one-row or L x S sides
+    plan should not include "CartesianProduct"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
