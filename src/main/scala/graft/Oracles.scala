@@ -1805,6 +1805,144 @@ object Oracles {
         |  CAST(n AS BIGINT) AS n_docs,
         |  round(sqrt(chi2raw / (n * CAST(least(nl - 1, ns - 1) AS DOUBLE))), 6) AS cramers_v
         |FROM chi CROSS JOIN dims""".stripMargin,
+
+    "q121_quality_classifier" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    list_aggregate(list_transform(string_split(text, ' '),
+        |      t -> (CAST(md5_number_upper(t) AS HUGEINT) % 2305843009213693951) % 4096 % 2001 - 1000),
+        |      'sum') AS w_sum
+        |  FROM documents
+        |), s AS (
+        |  SELECT source,
+        |    round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+        |      exp(-(CAST(w_sum AS DOUBLE) / (CAST(n_tok AS DOUBLE) * 1000.0)))), 9) AS score
+        |  FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  round(CAST(SUM(CAST(score AS DECIMAL(27,12))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_score,
+        |  CAST(SUM(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+
+    "q122_bootstrap_se" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), point AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    round(CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens
+        |  FROM d
+        |), draw AS (
+        |  SELECT n_tok, r,
+        |    CAST((CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)) AS HUGEINT)
+        |      % 2305843009213693951) % 1000000 + 1 AS DOUBLE) / 1000001.0 AS u
+        |  FROM d CROSS JOIN range(16) t(r)
+        |), kd AS (
+        |  SELECT n_tok, r,
+        |    CAST(CASE WHEN u < 0.36787944117144233 THEN 0
+        |      WHEN u < 0.7357588823428847 THEN 1
+        |      WHEN u < 0.9196986029286058 THEN 2
+        |      WHEN u < 0.9810118431238462 THEN 3
+        |      WHEN u < 0.9963401531726563 THEN 4
+        |      WHEN u < 0.9994058151824183 THEN 5 ELSE 6 END AS BIGINT) AS k
+        |  FROM draw
+        |), rep AS (
+        |  SELECT round(CAST(SUM(k * n_tok) AS DOUBLE) / CAST(SUM(k) AS DOUBLE), 9) AS mr
+        |  FROM kd GROUP BY r
+        |), center AS (
+        |  SELECT CAST(SUM(CAST(mr AS DECIMAL(27,12))) AS DOUBLE) / 16.0 AS mbar FROM rep
+        |), se AS (
+        |  SELECT MAX(mbar) AS mbar,
+        |    sqrt(CAST(SUM(CAST((mr - mbar) * (mr - mbar) AS DECIMAL(27,12))) AS DOUBLE) / 15.0) AS se
+        |  FROM rep CROSS JOIN center)
+        |SELECT n_docs, mean_tokens, round(mbar, 6) AS boot_mean,
+        |  round(se, 6) AS boot_se, CAST(16 AS BIGINT) AS n_replicas
+        |FROM point CROSS JOIN se""".stripMargin,
+
+    "q123_langid_kappa" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','and','of','to','in','is','it','that'], t))) AS BIGINT) AS hits_en,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['el','la','los','las','de','que','y','en'], t))) AS BIGINT) AS hits_es,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','des','et','que','qui','dans'], t))) AS BIGINT) AS hits_fr
+        |  FROM documents
+        |), p AS (
+        |  SELECT lang,
+        |    CASE WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        |         WHEN hits_es >= hits_fr THEN 'es' ELSE 'fr' END AS pred
+        |  FROM s
+        |), cell AS (
+        |  SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS o FROM p GROUP BY lang, pred
+        |), nn AS (SELECT SUM(o) AS n FROM cell),
+        |dg AS (SELECT COALESCE(SUM(o), 0) AS diag FROM cell WHERE lang = pred),
+        |rt AS (SELECT lang, SUM(o) AS rt FROM cell GROUP BY lang),
+        |ct AS (SELECT pred, SUM(o) AS ct FROM cell GROUP BY pred),
+        |pn AS (
+        |  SELECT COALESCE(SUM(CAST(rt.rt AS DECIMAL(19,0)) * CAST(ct.ct AS DECIMAL(19,0))),
+        |    CAST(0 AS DECIMAL(38,0))) AS pe_num
+        |  FROM rt JOIN ct ON rt.lang = ct.pred)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |  round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+        |  round(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+        |  round((CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa
+        |FROM dg CROSS JOIN pn CROSS JOIN nn""".stripMargin,
+
+    "q124_temporal_leakage" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |), c AS (SELECT quantile_cont(CAST(ms AS DOUBLE), 0.8) AS cut FROM e),
+        |u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN CAST(ms AS DOUBLE) <= cut THEN 1 ELSE 0 END) AS n_train,
+        |    SUM(CASE WHEN CAST(ms AS DOUBLE) > cut THEN 1 ELSE 0 END) AS n_eval
+        |  FROM e CROSS JOIN c GROUP BY user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN n_train > 0 AND n_eval > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+        |  round(CAST(SUM(CASE WHEN n_train > 0 AND n_eval > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS straddle_rate,
+        |  CAST(SUM(n_eval) AS BIGINT) AS n_eval_events,
+        |  round(CAST(SUM(CASE WHEN n_train > 0 THEN n_eval ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(n_eval) AS DOUBLE), 6) AS eval_leak_share
+        |FROM u""".stripMargin,
+
+    "q125_lsh_planner" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |nd AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS jaccard
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |), cfg AS (
+        |  SELECT * FROM (VALUES (CAST(32 AS BIGINT), CAST(2 AS BIGINT)),
+        |    (CAST(16 AS BIGINT), CAST(4 AS BIGINT)),
+        |    (CAST(8 AS BIGINT), CAST(8 AS BIGINT))) t(bands, rows_per_band)
+        |), det AS (
+        |  SELECT bands, rows_per_band,
+        |    round(1.0 - pow(1.0 - pow(jaccard, CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)), 9) AS detect
+        |  FROM nd CROSS JOIN cfg)
+        |SELECT bands, rows_per_band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(SUM(CAST(detect AS DECIMAL(27,12))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_detect,
+        |  CAST(SUM(CASE WHEN detect >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM det GROUP BY bands, rows_per_band ORDER BY bands DESC""".stripMargin,
+
+    "q126_skew_profile" ->
+      """WITH kc AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(MAX(c) AS BIGINT) AS max_count,
+        |  round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS max_share,
+        |  round((ln(CAST(SUM(c) AS DOUBLE))
+        |    - CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(27,12))) AS DOUBLE)
+        |      / CAST(SUM(c) AS DOUBLE))
+        |    / ln(CAST(COUNT(*) AS DOUBLE)), 6) AS entropy_norm,
+        |  CAST(ceil(CAST(MAX(c) AS DOUBLE) * 32.0 / CAST(SUM(c) AS DOUBLE)) AS BIGINT) AS salt_factor
+        |FROM kc""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

@@ -1096,4 +1096,220 @@ object CorpusQueries {
       .withColumn("drifted", col("centroid_cos") < 0.98)
       .orderBy(col("label"))
   }
+
+  /** Hashed-feature linear quality classifier inference — the fastText
+    * deployment shape: token → feature-hash bucket → weight lookup →
+    * mean-pooled logit → sigmoid, scored per document and summarized per
+    * source. The weight "table" is a pure function of the bucket
+    * (deterministic pseudo-weights standing in for trained parameters, so
+    * both engines replay it; in production it is a broadcast array
+    * lookup — same plan shape). Scale shape: scoring is a per-row fold
+    * over the token array (builtin higher-order functions, zero shuffle,
+    * integer logit sums so pooling is order-independent and exact); the
+    * only shuffle is the #sources-row summary aggregate. Per-doc scores
+    * round to 9 decimals before the DECIMAL mean fold (q101's libm-parity
+    * discipline). */
+  def q121_quality_classifier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val buckets = 4096
+    val scored = Tables.documents(spark, dir)
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"), size(col("toks")).cast("long").as("n_tok"),
+        aggregate(
+          transform(col("toks"),
+            t => StableHash.bucket(t, buckets) % 2001 - 1000),
+          lit(0L), (acc, w) => acc + w).as("w_sum"))
+      .select(col("source"),
+        round(lit(1.0) / (lit(1.0) +
+          exp((col("w_sum").cast("double") /
+            (col("n_tok").cast("double") * lit(1000.0))) * -1)), 9)
+          .as("score"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        round(sum(col("score").cast("decimal(27,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_score"),
+        sum(when(col("score") > 0.5, 1L).otherwise(0L)).cast("long")
+          .as("n_keep"))
+      .orderBy(col("source"))
+  }
+
+  /** Poisson-bootstrap standard error of the corpus mean token count —
+    * the distributed bootstrap (Poisson(1) replica weights per row, the
+    * Chamandy/Google formulation) that prices the uncertainty of any
+    * corpus statistic without resampling rows. Replica draws are a pure
+    * function of (doc_id, replica) via the engine-portable md5 hash, so
+    * both engines replay identical replicas. Scale shape: one pass
+    * computes per-doc token counts, a 16-way explode ships only
+    * (replica, k, k·n_tok) integers — map-side combined to 16 partial
+    * rows per partition — and all replica math downstream is 16-row
+    * arithmetic on exact integer sums. */
+  def q122_bootstrap_se(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val nReps = 16
+    val m = 1000000
+    // Cumulative Poisson(1) CDF for k = 0..5; draws beyond cap at 6.
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tok"))
+    val point = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+      round(sum(col("n_tok")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("mean_tokens"))
+    val u = (StableHash.bucket(concat_ws(":", col("doc_id"), col("r")), m) +
+      1).cast("double") / lit((m + 1).toDouble)
+    val k = cdf.zipWithIndex.foldRight(lit(6): org.apache.spark.sql.Column) {
+      case ((c, i), rest) => when(col("u") < c, i).otherwise(rest)
+    }
+    val reps = docs
+      .select(col("doc_id"), col("n_tok"),
+        explode(array((0 until nReps).map(lit): _*)).as("r"))
+      .select(col("n_tok"), col("r"), u.as("u"))
+      .select(col("n_tok"), col("r"), k.cast("long").as("k"))
+      .groupBy(col("r"))
+      .agg(sum(col("k")).as("n_draws"),
+        sum(col("k") * col("n_tok")).as("tok_mass"))
+      .select(round(col("tok_mass").cast("double") /
+        col("n_draws").cast("double"), 9).as("mr"))
+    val center = reps.agg(
+      (sum(col("mr").cast("decimal(27,12)")).cast("double") /
+        lit(nReps.toDouble)).as("mbar"))
+    val se = reps.crossJoin(broadcast(center))
+      .select(((col("mr") - col("mbar")) * (col("mr") - col("mbar")))
+        .cast("decimal(27,12)").as("dev2"), col("mbar"))
+      .agg(max(col("mbar")).as("mbar"),
+        sqrt(sum(col("dev2")).cast("double") / lit((nReps - 1).toDouble))
+          .as("se"))
+    point.crossJoin(broadcast(se))
+      .select(col("n_docs"), col("mean_tokens"),
+        round(col("mbar"), 6).as("boot_mean"),
+        round(col("se"), 6).as("boot_se"),
+        lit(nReps.toLong).as("n_replicas"))
+  }
+
+  /** Cohen's kappa between the n-gram language-ID prediction and the
+    * stored label — chance-corrected agreement, the single-number answer
+    * to "is the classifier better than the label prior" that q63's raw
+    * confusion matrix doesn't give. Corpus-sized work is ONE (label,
+    * pred) count aggregate; the diagonal, marginals, and kappa are
+    * #langs-row arithmetic on exact integer counts (po and pe are ratios
+    * of exact integers, so both engines derive identical doubles). */
+  def q123_langid_kappa(spark: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.documents(spark, dir)
+      .select(col("lang"), graft.text.LangId.predict(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("o"))
+    val n = cell.agg(sum(col("o")).as("n"))
+    val diag = cell.filter(col("lang") === col("pred"))
+      .agg(coalesce(sum(col("o")), lit(0L)).as("diag"))
+    val rt = cell.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val ct = cell.groupBy(col("pred")).agg(sum(col("o")).as("ct"))
+    // rt*ct and n*n through DECIMAL/double — long*long overflows at
+    // web-corpus doc counts (n ~ 1e12 => n^2 ~ 1e24).
+    val peNum = rt.join(broadcast(ct), rt("lang") === ct("pred"))
+      .agg(coalesce(sum(col("rt").cast("decimal(19,0)") *
+        col("ct").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)"))
+        .as("pe_num"))
+    val pe = col("pe_num").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    val po = col("diag").cast("double") / col("n").cast("double")
+    diag.crossJoin(broadcast(peNum)).crossJoin(broadcast(n))
+      .select(col("n").cast("long").as("n_docs"),
+        round(po, 6).as("po"),
+        round(pe, 6).as("pe"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  /** Temporal split leakage audit — the eval-contamination check for
+    * time-split training data: cut events at the 80th time percentile
+    * (train before, eval after) and measure how many users straddle the
+    * boundary and what share of eval events they own. User-level leakage
+    * is what actually contaminates per-user models; a clean time split
+    * says nothing about it. Scale shape: the cutoff is a one-row
+    * aggregate broadcast back; per-user straddle counts are ONE
+    * map-side-combinable aggregate; the summary is a second tiny agg.
+    * All counts are exact integers, so both engines derive identical
+    * rates. */
+  def q124_temporal_leakage(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+    val cut = ev.agg(expr("percentile(ms, 0.8)").as("cut"))
+    val usr = ev.crossJoin(broadcast(cut))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ms") <= col("cut"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("ms") > col("cut"), 1L).otherwise(0L)).as("n_eval"))
+    usr.agg(count(lit(1)).cast("long").as("n_users"),
+        sum(when(col("n_train") > 0 && col("n_eval") > 0, 1L).otherwise(0L))
+          .cast("long").as("n_straddle"),
+        sum(col("n_eval")).cast("long").as("n_eval_events"),
+        sum(when(col("n_train") > 0, col("n_eval")).otherwise(0L))
+          .cast("long").as("n_eval_leaky"))
+      .select(col("n_users"), col("n_straddle"),
+        round(col("n_straddle").cast("double") /
+          col("n_users").cast("double"), 6).as("straddle_rate"),
+        col("n_eval_events"),
+        round(col("n_eval_leaky").cast("double") /
+          col("n_eval_events").cast("double"), 6).as("eval_leak_share"))
+  }
+
+  /** LSH banding planner — pick (bands, rowsPerBand) from data, not
+    * folklore: over the observed near-dup pair population (the widest
+    * q27 candidate set, exact Jaccard ≥ 0.5), replay the S-curve
+    * detection probability 1−(1−s^r)^b for three 64-perm splits and
+    * report expected recall per configuration. This is the design query
+    * you run BEFORE committing a banding to a 100 TB dedup pass. Scale
+    * shape: pair generation is the capped-bucket q27 path; the config
+    * cross join multiplies #pairs by 3 carrying one double; per-config
+    * means fold through DECIMAL on 9-decimal-rounded probabilities
+    * (libm pow parity, the q118 discipline). */
+  def q125_lsh_planner(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.MinHashLsh
+    val docs = Tables.documents(spark, dir)
+    val pairs = MinHashLsh.nearDuplicatePairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+      maxBucket = Some(100))
+    val cfg = {
+      import spark.implicits._
+      Seq((32, 2), (16, 4), (8, 8)).toDF("bands", "rows_per_band")
+    }
+    pairs.crossJoin(broadcast(cfg))
+      .select(col("bands"), col("rows_per_band"),
+        round(lit(1.0) - pow(lit(1.0) - pow(col("jaccard"),
+          col("rows_per_band").cast("double")), col("bands").cast("double")), 9)
+          .as("detect"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        round(sum(col("detect").cast("decimal(27,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_detect"),
+        sum(when(col("detect") >= 0.9, 1L).otherwise(0L)).cast("long")
+          .as("n_high"))
+      .select(col("bands").cast("long").as("bands"),
+        col("rows_per_band").cast("long").as("rows_per_band"),
+        col("n_pairs"), col("mean_detect"), col("n_high"))
+      .orderBy(col("bands").desc)
+  }
+
+  /** Shuffle-key skew profiler — the diagnostic you run before a large
+    * groupBy/join: per-key count distribution over events.user_id,
+    * normalized entropy (1 = uniform), the hottest key's share, and the
+    * salt factor that would level the hottest key against the average
+    * partition load at 32 shuffle partitions. One key-count aggregate
+    * (map-side combinable) + a one-row summary; the entropy folds
+    * c·ln(c) through DECIMAL (q87's parity discipline). */
+  def q126_skew_profile(spark: SparkSession, dir: String): DataFrame = {
+    val kc = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    kc.agg(count(lit(1)).cast("long").as("n_keys"),
+        sum(col("c")).cast("long").as("n_rows"),
+        max(col("c")).cast("long").as("max_count"),
+        sum((col("c").cast("double") * log(col("c").cast("double")))
+          .cast("decimal(27,12)")).as("slnc"))
+      .select(col("n_keys"), col("n_rows"), col("max_count"),
+        round(col("max_count").cast("double") /
+          col("n_rows").cast("double"), 6).as("max_share"),
+        round((log(col("n_rows").cast("double")) -
+          col("slnc").cast("double") / col("n_rows").cast("double")) /
+          log(col("n_keys").cast("double")), 6).as("entropy_norm"),
+        ceil(col("max_count").cast("double") * lit(32.0) /
+          col("n_rows").cast("double")).cast("long").as("salt_factor"))
+  }
 }

@@ -441,6 +441,42 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("q121 classifier inference: per-row fold, no joins at all") {
+    val plan = planString(queries.CorpusQueries.q121_quality_classifier(spark, dir))
+    plan should not include "Join"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q122 bootstrap: replica shuffle only, no cartesian on docs") {
+    val plan = planString(queries.CorpusQueries.q122_bootstrap_se(spark, dir))
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q123 kappa: one corpus aggregate, marginal joins broadcast") {
+    val plan = planString(queries.CorpusQueries.q123_langid_kappa(spark, dir))
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q124 leakage audit: cutoff broadcast back, one user aggregate") {
+    val plan = planString(queries.CorpusQueries.q124_temporal_leakage(spark, dir))
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q125 LSH planner: config side broadcast, pairs never cartesian") {
+    val plan = planString(queries.CorpusQueries.q125_lsh_planner(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should include ("BroadcastNestedLoopJoin")
+  }
+
+  test("q126 skew profile: one key-count aggregate, nothing else") {
+    val plan = planString(queries.CorpusQueries.q126_skew_profile(spark, dir))
+    plan should not include "Join"
+    plan should not include "Window"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
