@@ -1943,6 +1943,66 @@ object Oracles {
         |    / ln(CAST(COUNT(*) AS DOUBLE)), 6) AS entropy_norm,
         |  CAST(ceil(CAST(MAX(c) AS DOUBLE) * 32.0 / CAST(SUM(c) AS DOUBLE)) AS BIGINT) AS salt_factor
         |FROM kc""".stripMargin,
+
+    "q127_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, value FROM events
+        |), m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY event_type
+        |), dev AS (
+        |  SELECT e.event_type, value, med, abs(value - med) AS adev
+        |  FROM e JOIN m ON e.event_type = m.event_type
+        |), md AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+        |), z AS (
+        |  SELECT dev.event_type, med, mad,
+        |    CASE WHEN mad > 0.0 THEN abs(0.6745 * (value - med) / mad) ELSE 0.0 END AS z
+        |  FROM dev JOIN md ON dev.event_type = md.event_type)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  round(MAX(med), 6) AS median_value, round(MAX(mad), 6) AS mad,
+        |  CAST(SUM(CASE WHEN z > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(CAST(SUM(CASE WHEN z > 3.5 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q128_tail_index" ->
+      """WITH top AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents ORDER BY n_tok DESC, doc_id LIMIT 100
+        |), xk AS (SELECT CAST(MIN(n_tok) AS DOUBLE) AS xk FROM top),
+        |lr AS (
+        |  SELECT round(ln(CAST(n_tok AS DOUBLE)) - ln(xk), 9) AS lr, xk
+        |  FROM top CROSS JOIN xk)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |  CAST(MAX(xk) AS BIGINT) AS x_min,
+        |  round(99.0 / CAST(SUM(CAST(lr AS DECIMAL(27,12))) AS DOUBLE), 6) AS alpha_hat
+        |FROM lr""".stripMargin,
+
+    "q129_score_calibration" ->
+      """WITH d AS (
+        |  SELECT
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the','and','of','to','in','is','it','that'], t))) AS BIGINT) AS sw_hits,
+        |    list_aggregate(list_transform(string_split(text, ' '),
+        |      t -> (CAST(md5_number_upper(t) AS HUGEINT) % 2305843009213693951) % 4096 % 2001 - 1000),
+        |      'sum') AS w_sum
+        |  FROM documents
+        |), s AS (
+        |  SELECT n_tok, sw_hits,
+        |    round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+        |      exp(-(CAST(w_sum AS DOUBLE) / (CAST(n_tok AS DOUBLE) * 1000.0)))), 9) AS score
+        |  FROM d
+        |), b AS (
+        |  SELECT n_tok,
+        |    round(CAST(sw_hits AS DOUBLE) / CAST(n_tok AS DOUBLE), 9) AS sw_ratio,
+        |    least(CAST(floor(score * 10) AS BIGINT), 9) AS bin
+        |  FROM s)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  round(CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tok,
+        |  round(CAST(SUM(CAST(sw_ratio AS DECIMAL(27,12))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_sw_ratio
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

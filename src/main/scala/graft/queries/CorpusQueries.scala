@@ -1312,4 +1312,102 @@ object CorpusQueries {
         ceil(col("max_count").cast("double") * lit(32.0) /
           col("n_rows").cast("double")).cast("long").as("salt_factor"))
   }
+
+  /** MAD-based robust outlier detection — the Iglewicz–Hoaglin modified
+    * z-score (0.6745·(x−median)/MAD, flag |z| > 3.5) over event values
+    * per event type: the metric-anomaly gate that survives the heavy
+    * tails a mean/stddev z-score drowns in. Scale shape: two exact
+    * grouped percentiles (bounded groups — the q55 documented trade,
+    * `approx_percentile` is the 100 TB swap) broadcast back; everything
+    * else is a per-row map + one combinable aggregate. */
+  def q127_mad_outliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("value"), col("med"),
+        abs(col("value") - col("med")).as("adev"))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("med"), col("mad"),
+        when(col("mad") > 0.0,
+          abs(lit(0.6745) * (col("value") - col("med")) / col("mad")))
+          .otherwise(lit(0.0)).as("z"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        round(max(col("med")), 6).as("median_value"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(col("z") > 3.5, 1L).otherwise(0L)).cast("long")
+          .as("n_outliers"))
+      .select(col("event_type"), col("n_events"), col("median_value"),
+        col("mad"), col("n_outliers"),
+        round(col("n_outliers").cast("double") /
+          col("n_events").cast("double"), 6).as("outlier_rate"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Hill estimator of the document-length tail index — "how heavy is the
+    * long-document tail" as a number: over the top-k order statistics
+    * x₁ ≥ … ≥ x_k (k = 100, ties broken by doc_id so the set is
+    * deterministic), α̂ = (k−1) / Σ ln(xᵢ/x_k). Pretraining corpora with
+    * α < 2 have infinite-variance length distributions — packing and
+    * batching need to know. Scale shape: the top-k is a TakeOrdered
+    * (never a global sort); the estimator is k-row math with ln terms
+    * rounded to 9 decimals before the DECIMAL fold. */
+  def q128_tail_index(spark: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val top = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tok"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+      .limit(k)
+    val xk = top.agg(min(col("n_tok")).cast("double").as("xk"))
+    top.crossJoin(broadcast(xk))
+      .select(round(log(col("n_tok").cast("double")) - log(col("xk")), 9)
+        .as("lr"), col("xk"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        max(col("xk")).as("xk"),
+        sum(col("lr").cast("decimal(27,12)")).cast("double").as("slr"))
+      .select(col("k"), col("xk").cast("long").as("x_min"),
+        round(lit((k - 1).toDouble) / col("slr"), 6).as("alpha_hat"))
+  }
+
+  /** Quality-score calibration — does the q121 classifier score agree
+    * with an INDEPENDENT quality signal it never saw? Bin documents by
+    * score decile (fixed cut floor(score·10), NOT ntile — rank-based
+    * bins are partition-order-unstable) and measure each bin's mean
+    * stopword ratio and mean length. A flat curve means the score is
+    * noise; a sloped one calibrates it. Scale shape: scoring and the
+    * stopword ratio are the same zero-shuffle per-row fold; the per-bin
+    * summary is one ≤10-group aggregate with DECIMAL means. */
+  def q129_score_calibration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val buckets = 4096
+    val stop = Seq("the", "and", "of", "to", "in", "is", "it", "that")
+    val scored = Tables.documents(spark, dir)
+      .select(col("text"), TextOps.tokens(col("text")).as("toks"))
+      .select(size(col("toks")).cast("long").as("n_tok"),
+        TextOps.vocabHits(col("text"), stop).as("sw_hits"),
+        aggregate(
+          transform(col("toks"),
+            t => StableHash.bucket(t, buckets) % 2001 - 1000),
+          lit(0L), (acc, w) => acc + w).as("w_sum"))
+      .select(col("n_tok"), col("sw_hits"),
+        round(lit(1.0) / (lit(1.0) +
+          exp((col("w_sum").cast("double") /
+            (col("n_tok").cast("double") * lit(1000.0))) * -1)), 9)
+          .as("score"))
+      .select(col("n_tok"),
+        round(col("sw_hits").cast("double") / col("n_tok").cast("double"), 9)
+          .as("sw_ratio"),
+        least(floor(col("score") * 10).cast("long"), lit(9L)).as("bin"))
+    scored.groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        round(sum(col("n_tok")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_tok"),
+        round(sum(col("sw_ratio").cast("decimal(27,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_sw_ratio"))
+      .orderBy(col("bin"))
+  }
 }

@@ -477,6 +477,25 @@ class PlanSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("q127 MAD outliers: percentiles broadcast back, no SMJ on events") {
+    val plan = planString(queries.CorpusQueries.q127_mad_outliers(spark, dir))
+    plan should include ("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q128 tail index: top-k is a TakeOrdered, never a global sort") {
+    val plan = planString(queries.CorpusQueries.q128_tail_index(spark, dir))
+    plan should include ("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q129 calibration: zero-shuffle scoring, one bin aggregate") {
+    val plan = planString(queries.CorpusQueries.q129_score_calibration(spark, dir))
+    plan should not include "Join"
+    plan should not include "Window"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
