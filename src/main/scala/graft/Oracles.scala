@@ -2003,6 +2003,65 @@ object Oracles {
         |  round(CAST(SUM(CAST(sw_ratio AS DECIMAL(27,12))) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_sw_ratio
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q130_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(floor(value / pow(10.0, floor(log10(value)))) AS BIGINT) AS digit
+        |  FROM events WHERE value > 0.0
+        |), t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d)
+        |SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  round(CAST(COUNT(*) AS DOUBLE) / MAX(n), 6) AS obs_p,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p,
+        |  round(abs(CAST(COUNT(*) AS DOUBLE) / MAX(n)
+        |    - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6) AS abs_dev
+        |FROM d CROSS JOIN t GROUP BY digit ORDER BY digit""".stripMargin,
+
+    "q131_event_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+        |), vt AS (
+        |  SELECT user_id, MIN(ms) AS vt FROM e WHERE event_type = 'view' GROUP BY user_id
+        |), ct AS (
+        |  SELECT e.user_id, MIN(ms) AS ct
+        |  FROM e JOIN vt ON e.user_id = vt.user_id
+        |  WHERE event_type = 'click' AND ms > vt AND ms <= vt + 86400000 GROUP BY e.user_id
+        |), pt AS (
+        |  SELECT e.user_id, MIN(ms) AS pt
+        |  FROM e JOIN ct ON e.user_id = ct.user_id
+        |  WHERE event_type = 'purchase' AND ms > ct AND ms <= ct + 86400000 GROUP BY e.user_id
+        |), s AS (
+        |  SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM e) AS n_users,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM vt) AS n_view,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_click_after,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pt) AS n_purchase_after)
+        |SELECT n_users, n_view, n_click_after, n_purchase_after,
+        |  round(CAST(n_click_after AS DOUBLE) / CAST(n_view AS DOUBLE), 6) AS view_to_click,
+        |  round(CAST(n_purchase_after AS DOUBLE) / CAST(n_click_after AS DOUBLE), 6) AS click_to_purchase
+        |FROM s""".stripMargin,
+
+    "q132_interarrival" ->
+      """WITH g AS (
+        |  SELECT ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap
+        |  FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events)
+        |), gg AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |    SUM(CAST(gap AS DECIMAL(19,0))) AS s1,
+        |    SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS s2,
+        |    quantile_cont(gap, 0.5) AS p50,
+        |    quantile_cont(gap, 0.9) AS p90
+        |  FROM gg)
+        |SELECT n_gaps,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1000.0, 6) AS mean_gap_s,
+        |  round(p50 / 1000.0, 6) AS p50_gap_s,
+        |  round(p90 / 1000.0, 6) AS p90_gap_s,
+        |  round((sqrt(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |      - pow(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE), 2))
+        |    - CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |    / (sqrt(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |      - pow(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE), 2))
+        |    + CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6) AS burstiness
+        |FROM a""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

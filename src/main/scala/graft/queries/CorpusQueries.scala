@@ -1410,4 +1410,95 @@ object CorpusQueries {
           count(lit(1)).cast("double"), 6).as("mean_sw_ratio"))
       .orderBy(col("bin"))
   }
+
+  /** Benford first-significant-digit audit — the forensic data-quality
+    * gate for numeric feeds: synthetic, truncated, or hand-entered
+    * metrics drift off Benford's log₁₀(1+1/d) curve long before summary
+    * stats notice. First digit via floor(x/10^floor(log₁₀ x)) — substring
+    * tricks break on 0 < x < 1. One combinable 9-group aggregate; the
+    * expected curve and deviations are constant-time math. */
+  def q130_benford(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value") > 0.0)
+      .select(floor(col("value") /
+        pow(lit(10.0), floor(log10(col("value"))))).cast("long").as("digit"))
+    val tot = ev.agg(count(lit(1)).cast("double").as("n"))
+    ev.groupBy(col("digit"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_events"),
+        round(col("n_events").cast("double") / col("n"), 6).as("obs_p"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("benford_p"),
+        round(abs(col("n_events").cast("double") / col("n") -
+          log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))), 6)
+          .as("abs_dev"))
+      .orderBy(col("digit"))
+  }
+
+  /** Event funnel conversion — the ordered, windowed view→click→purchase
+    * funnel: each step's first occurrence must FOLLOW the previous step's
+    * within 24 h (unordered "did both ever" counts overstate conversion
+    * to ~100%). Scale shape: three per-user conditional-min aggregates,
+    * each keyed on user_id so the shuffle partitioning is reused across
+    * the two self-joins; timestamps compare as exact epoch-millis longs. */
+  def q131_event_funnel(spark: SparkSession, dir: String): DataFrame = {
+    val windowMs = 86400000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val vt = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("vt"))
+    val ct = ev.filter(col("event_type") === "click").join(vt, "user_id")
+      .filter(col("ms") > col("vt") && col("ms") <= col("vt") + windowMs)
+      .groupBy(col("user_id")).agg(min(col("ms")).as("ct"))
+    val pt = ev.filter(col("event_type") === "purchase").join(ct, "user_id")
+      .filter(col("ms") > col("ct") && col("ms") <= col("ct") + windowMs)
+      .groupBy(col("user_id")).agg(min(col("ms")).as("pt"))
+    val users = ev.select(col("user_id")).distinct()
+    users.agg(count(lit(1)).cast("long").as("n_users"))
+      .crossJoin(broadcast(vt.agg(count(lit(1)).cast("long").as("n_view"))))
+      .crossJoin(broadcast(ct.agg(count(lit(1)).cast("long").as("n_click_after"))))
+      .crossJoin(broadcast(pt.agg(count(lit(1)).cast("long").as("n_purchase_after"))))
+      .select(col("n_users"), col("n_view"), col("n_click_after"),
+        col("n_purchase_after"),
+        round(col("n_click_after").cast("double") /
+          col("n_view").cast("double"), 6).as("view_to_click"),
+        round(col("n_purchase_after").cast("double") /
+          col("n_click_after").cast("double"), 6).as("click_to_purchase"))
+  }
+
+  /** Inter-arrival time profile — the traffic-shape numbers that size
+    * streaming watermarks and session windows: per-user consecutive-event
+    * gaps (lag window over a high-cardinality user partition — the one
+    * window shape that scales), then gap percentiles and the burstiness
+    * coefficient B = (σ−μ)/(σ+μ) (B→−1 periodic, 0 Poisson, →1 bursty).
+    * σ and μ derive from exact integer millisecond sums folded through
+    * DECIMAL, so both engines agree bit-for-bit. */
+  def q132_interarrival(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      .select(col("user_id"),
+        (col("ms") - lag(col("ms"), 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+    gaps.agg(count(lit(1)).cast("long").as("n_gaps"),
+        sum(col("gap").cast("decimal(19,0)")).as("s1"),
+        sum(col("gap").cast("decimal(19,0)") * col("gap").cast("decimal(19,0)"))
+          .as("s2"),
+        expr("percentile(gap, 0.5)").as("p50"),
+        expr("percentile(gap, 0.9)").as("p90"))
+      .select(col("n_gaps"),
+        round(col("s1").cast("double") / col("n_gaps").cast("double") /
+          lit(1000.0), 6).as("mean_gap_s"),
+        round(col("p50") / 1000.0, 6).as("p50_gap_s"),
+        round(col("p90") / 1000.0, 6).as("p90_gap_s"),
+        round((sqrt(col("s2").cast("double") / col("n_gaps").cast("double") -
+          pow(col("s1").cast("double") / col("n_gaps").cast("double"), 2)) -
+          col("s1").cast("double") / col("n_gaps").cast("double")) /
+          (sqrt(col("s2").cast("double") / col("n_gaps").cast("double") -
+            pow(col("s1").cast("double") / col("n_gaps").cast("double"), 2)) +
+            col("s1").cast("double") / col("n_gaps").cast("double")), 6)
+          .as("burstiness"))
+  }
 }

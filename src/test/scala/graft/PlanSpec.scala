@@ -496,6 +496,25 @@ class PlanSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("q130 Benford: one 9-group aggregate, total broadcast back") {
+    val plan = planString(queries.CorpusQueries.q130_benford(spark, dir))
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q131 funnel: user_id-keyed joins, no cartesian") {
+    val plan = planString(queries.CorpusQueries.q131_event_funnel(spark, dir))
+    plan should not include "CartesianProduct"
+  }
+
+  test("q132 interarrival: lag window partitioned by user, never global") {
+    val plan = planString(queries.CorpusQueries.q132_interarrival(spark, dir))
+    plan should include ("Window")
+    plan should not include "CartesianProduct"
+    // partitioned lag — not the single-partition global window shape
+    plan should not include "No Partition Defined"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
