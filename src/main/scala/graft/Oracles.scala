@@ -2062,6 +2062,69 @@ object Oracles {
         |      - pow(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE), 2))
         |    + CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6) AS burstiness
         |FROM a""".stripMargin,
+
+    "q133_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |), t0 AS (SELECT MIN(ms) AS t0 FROM e),
+        |uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor((ms - t0) / 86400000.0) AS BIGINT) AS d
+        |  FROM e CROSS JOIN t0
+        |), cohort AS (
+        |  SELECT user_id, MIN(d) AS cohort_day FROM uw GROUP BY user_id
+        |), sizes AS (
+        |  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        |  FROM cohort GROUP BY cohort_day
+        |), act AS (
+        |  SELECT cohort_day, d AS day, CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM uw JOIN cohort ON uw.user_id = cohort.user_id
+        |  GROUP BY cohort_day, d)
+        |SELECT act.cohort_day, day, n_cohort, n_active,
+        |  round(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6) AS retention
+        |FROM act JOIN sizes ON act.cohort_day = sizes.cohort_day
+        |ORDER BY act.cohort_day, day""".stripMargin,
+
+    "q134_embed_isotropy" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), n0 AS (
+        |  SELECT round(sqrt(list_dot_product(v, v)), 9) AS nrm FROM e
+        |), ns AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    round(CAST(SUM(CAST(nrm AS DECIMAL(27,12))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_norm
+        |  FROM n0
+        |), ex AS (
+        |  SELECT ri.i AS i, CAST(v[CAST(ri.i + 1 AS INTEGER)] AS DOUBLE) AS x
+        |  FROM e, range(0, 64) ri(i)
+        |), ds AS (
+        |  SELECT i, SUM(CAST(x AS DECIMAL(27,12))) AS s FROM ex GROUP BY i
+        |), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+        |cn AS (
+        |  SELECT sqrt(CAST(SUM(CAST((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+        |    AS DECIMAL(27,12))) AS DOUBLE)) AS cnorm
+        |  FROM ds CROSS JOIN nn)
+        |SELECT n_vecs, CAST(64 AS BIGINT) AS dim, mean_norm,
+        |  round(cnorm, 6) AS centroid_norm,
+        |  round(cnorm / mean_norm, 6) AS isotropy_ratio
+        |FROM ns CROSS JOIN cn""".stripMargin,
+
+    "q135_markov_transitions" ->
+      """WITH tr AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events)
+        |), tt AS (SELECT prev_type, next_type FROM tr WHERE prev_type IS NOT NULL),
+        |c AS (
+        |  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tt GROUP BY prev_type, next_type
+        |), t AS (
+        |  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY prev_type)
+        |SELECT c.prev_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
+        |FROM c JOIN t ON c.prev_type = t.prev_type
+        |ORDER BY c.prev_type, next_type""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

@@ -1501,4 +1501,89 @@ object CorpusQueries {
             col("s1").cast("double") / col("n_gaps").cast("double")), 6)
           .as("burstiness"))
   }
+
+  /** Daily retention cohorts — the (cohort day × active day) matrix
+    * behind every growth dashboard: users bucketed by first-event day
+    * (anchored at the corpus min timestamp — a one-row broadcast, not a
+    * hardcoded date), then per-cohort daily active counts and retention
+    * rates. Scale shape: the (user, day) presence set and the cohort
+    * assignment are both user-keyed aggregates sharing one partitioning;
+    * cohort sizes are a broadcast-sized side. All counts exact. */
+  def q133_retention_cohorts(spark: SparkSession, dir: String): DataFrame = {
+    val dayMs = 86400000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+    val t0 = ev.agg(min(col("ms")).as("t0"))
+    val uw = ev.crossJoin(broadcast(t0))
+      .select(col("user_id"),
+        floor((col("ms") - col("t0")) / lit(dayMs.toDouble)).cast("long")
+          .as("d"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).cast("long").as("n_cohort"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), col("d"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("d").as("day"), col("n_cohort"),
+        col("n_active"),
+        round(col("n_active").cast("double") /
+          col("n_cohort").cast("double"), 6).as("retention"))
+      .orderBy(col("cohort_day"), col("day"))
+  }
+
+  /** Embedding isotropy health check — the pre-ANN gate for a vector
+    * corpus: mean vector norm, the centroid's norm, and their ratio
+    * (→0 isotropic/healthy, →1 all vectors point one way — cosine
+    * contrast collapses and every ANN structure degrades). Scale shape:
+    * norms are the compiled [[graft.functions.DotProduct]] per-row fold;
+    * per-dim centroid sums are one posexplode aggregate producing d rows
+    * (q113's shape); everything downstream is d-row math. */
+  def q134_embed_isotropy(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), CosineKnn.toDouble(col("embedding")).as("v"))
+    val nstats = ex
+      .select(round(sqrt(CosineKnn.dot(col("v"), col("v"))), 9).as("nrm"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        round(sum(col("nrm").cast("decimal(27,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_norm"))
+    val n = ex.agg(count(lit(1)).cast("double").as("n"))
+    val cn = ex.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(col("x").cast("decimal(27,12)")).as("s"))
+      .crossJoin(broadcast(n))
+      .select(((col("s").cast("double") / col("n")) *
+        (col("s").cast("double") / col("n"))).cast("decimal(27,12)").as("m2"))
+      .agg(sqrt(sum(col("m2")).cast("double")).as("cnorm"))
+    nstats.crossJoin(broadcast(cn))
+      .select(col("n_vecs"), lit(64L).as("dim"), col("mean_norm"),
+        round(col("cnorm"), 6).as("centroid_norm"),
+        round(col("cnorm") / col("mean_norm"), 6).as("isotropy_ratio"))
+  }
+
+  /** Session Markov transition matrix — the behavioral language model of
+    * the event stream: P(next event type | current), estimated from
+    * per-user consecutive pairs. Feeds next-event prediction, anomaly
+    * scoring (improbable transitions), and funnel design. Scale shape:
+    * the lag window partitions by user (the scalable window shape); the
+    * transition counts are a 25-group combinable aggregate; row
+    * normalization joins a broadcast-sized totals side. */
+  def q135_markov_transitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val tr = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .select(col("event_type").as("next_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+    val counts = tr.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val totals = counts.groupBy(col("prev_type"))
+      .agg(sum(col("n")).cast("long").as("tot"))
+    counts.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
 }

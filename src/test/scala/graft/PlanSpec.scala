@@ -515,6 +515,25 @@ class PlanSpec extends SparkSpec {
     plan should not include "No Partition Defined"
   }
 
+  test("q133 retention: user-keyed aggregates, cohort sizes broadcast") {
+    val plan = planString(queries.CorpusQueries.q133_retention_cohorts(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should include ("BroadcastHashJoin")
+  }
+
+  test("q134 isotropy: one posexplode aggregate, d-row math after") {
+    val plan = planString(queries.CorpusQueries.q134_embed_isotropy(spark, dir))
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q135 markov: lag window partitioned by user, totals broadcast") {
+    val plan = planString(queries.CorpusQueries.q135_markov_transitions(spark, dir))
+    plan should include ("Window")
+    plan should not include "No Partition Defined"
+    plan should not include "SortMergeJoin"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
