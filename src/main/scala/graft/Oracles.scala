@@ -2125,6 +2125,72 @@ object Oracles {
         |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
         |FROM c JOIN t ON c.prev_type = t.prev_type
         |ORDER BY c.prev_type, next_type""".stripMargin,
+
+    "q136_regional_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q137_basket_lift" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), no AS (
+        |  SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM items
+        |), freq AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part FROM items GROUP BY l_partkey
+        |), pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT part_a, part_b, n_ab,
+        |  round((CAST(n_ab AS DOUBLE) * n_orders)
+        |    / (CAST(fa.n_part AS DOUBLE) * CAST(fb.n_part AS DOUBLE)), 6) AS lift
+        |FROM pairs
+        |JOIN freq fa ON fa.l_partkey = part_a
+        |JOIN freq fb ON fb.l_partkey = part_b
+        |CROSS JOIN no
+        |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    "q138_rfm_segments" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_ms(o_orderdate) AS ms, o_totalprice FROM orders
+        |), tm AS (SELECT MAX(ms) AS tmax FROM o),
+        |cust AS (
+        |  SELECT o_custkey,
+        |    CAST(MAX(tmax) - MAX(ms) AS DOUBLE) / 86400000.0 AS recency_days,
+        |    CAST(COUNT(*) AS DOUBLE) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM o CROSS JOIN tm GROUP BY o_custkey
+        |), cuts AS (
+        |  SELECT quantile_cont(recency_days, 0.33) AS r33, quantile_cont(recency_days, 0.67) AS r67,
+        |    quantile_cont(frequency, 0.33) AS f33, quantile_cont(frequency, 0.67) AS f67,
+        |    quantile_cont(monetary, 0.33) AS m33, quantile_cont(monetary, 0.67) AS m67
+        |  FROM cust
+        |), seg AS (
+        |  SELECT
+        |    CASE WHEN recency_days <= r33 THEN 0 WHEN recency_days <= r67 THEN 1 ELSE 2 END AS r_bucket,
+        |    CASE WHEN frequency <= f33 THEN 0 WHEN frequency <= f67 THEN 1 ELSE 2 END AS f_bucket,
+        |    CASE WHEN monetary <= m33 THEN 0 WHEN monetary <= m67 THEN 1 ELSE 2 END AS m_bucket,
+        |    monetary
+        |  FROM cust CROSS JOIN cuts)
+        |SELECT CAST(r_bucket AS BIGINT) AS r_bucket, CAST(f_bucket AS BIGINT) AS f_bucket,
+        |  CAST(m_bucket AS BIGINT) AS m_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  round(CAST(SUM(CAST(monetary AS DECIMAL(27,12))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_monetary
+        |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

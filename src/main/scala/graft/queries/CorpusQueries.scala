@@ -1586,4 +1586,116 @@ object CorpusQueries {
         round(col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
       .orderBy(col("prev_type"), col("next_type"))
   }
+
+  /** Regional revenue (TPC-H Q5 shape) — the canonical 6-table snowflake
+    * join: region → nation → customer → orders → lineitem → supplier,
+    * local-supplier constraint, one-year order window, revenue per
+    * nation. Scale shape: region/nation (and the nation-filtered
+    * customer-side key set) broadcast; orders–lineitem is the one
+    * genuine fact–fact shuffle, keyed on orderkey; revenue folds through
+    * DECIMAL(18,2) (the q01 money discipline). */
+  def q136_regional_revenue(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >=
+          lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") <
+          lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).cast("long").as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Market-basket affinity — part-pair lift within orders:
+    * lift(a,b) = P(a,b)·N / (P(a)·P(b)), support ≥ 2, top-20. The
+    * co-occurrence self-join keys on l_orderkey, so pair generation is
+    * bounded by per-order basket size (~7 items → ≤21 pairs), never
+    * corpus-quadratic — the same bounded-key-pair discipline as the LSH
+    * buckets. Part frequencies are a dimension-sized broadcast; the
+    * top-20 is a TakeOrdered with full tie-break. */
+  def q137_basket_lift(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).cast("double").as("n_orders"))
+    val freq = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).cast("long").as("n_part"))
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey")).filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).cast("long").as("n_ab"))
+      .filter(col("n_ab") >= 2)
+      .join(broadcast(freq.select(col("l_partkey").as("part_a"),
+        col("n_part").as("n_a"))), "part_a")
+      .join(broadcast(freq.select(col("l_partkey").as("part_b"),
+        col("n_part").as("n_b"))), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round((col("n_ab").cast("double") * col("n_orders")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  /** RFM customer segmentation — recency / frequency / monetary tercile
+    * buckets, the standard BI segmentation: per-customer aggregates,
+    * global tercile cuts (exact percentiles over the customer-level
+    * frame — already corpus-collapsed; `approx_percentile` at larger
+    * dimension counts), then 27-cell segment sizes. Monetary folds
+    * through DECIMAL(18,2); recency derives from exact epoch millis. */
+  def q138_rfm_segments(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey"), unix_millis(col("o_orderdate")).as("ms"),
+        col("o_totalprice"))
+    val tmax = ord.agg(max(col("ms")).as("tmax"))
+    val cust = ord.crossJoin(broadcast(tmax))
+      .groupBy(col("o_custkey"))
+      .agg(((max(col("tmax")) - max(col("ms"))).cast("double") /
+          lit(86400000.0)).as("recency_days"),
+        count(lit(1)).cast("double").as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("monetary"))
+    val cuts = cust.agg(
+      expr("percentile(recency_days, 0.33)").as("r33"),
+      expr("percentile(recency_days, 0.67)").as("r67"),
+      expr("percentile(frequency, 0.33)").as("f33"),
+      expr("percentile(frequency, 0.67)").as("f67"),
+      expr("percentile(monetary, 0.33)").as("m33"),
+      expr("percentile(monetary, 0.67)").as("m67"))
+    def bucket(c: org.apache.spark.sql.Column, lo: String, hi: String) =
+      when(c <= col(lo), 0L).when(c <= col(hi), 1L).otherwise(2L)
+    cust.crossJoin(broadcast(cuts))
+      .select(bucket(col("recency_days"), "r33", "r67").as("r_bucket"),
+        bucket(col("frequency"), "f33", "f67").as("f_bucket"),
+        bucket(col("monetary"), "m33", "m67").as("m_bucket"),
+        col("monetary"))
+      .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        round(sum(col("monetary").cast("decimal(27,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_monetary"))
+      .orderBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+  }
 }

@@ -534,6 +534,24 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("q136 snowflake: dims broadcast, no cartesian; fact-fact may SMJ") {
+    val plan = planString(queries.CorpusQueries.q136_regional_revenue(spark, dir))
+    plan should include ("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q137 basket: pair join keys on orderkey, frequencies broadcast") {
+    val plan = planString(queries.CorpusQueries.q137_basket_lift(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should include ("TakeOrderedAndProject")
+  }
+
+  test("q138 RFM: tercile cuts broadcast back, one customer aggregate") {
+    val plan = planString(queries.CorpusQueries.q138_rfm_segments(spark, dir))
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
