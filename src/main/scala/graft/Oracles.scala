@@ -2191,6 +2191,86 @@ object Oracles {
         |  round(CAST(SUM(CAST(monetary AS DECIMAL(27,12))) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_monetary
         |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q139_zipf_fit" ->
+      """WITH v AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok ORDER BY c DESC, tok LIMIT 100
+        |), r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank FROM v
+        |), xy AS (
+        |  SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+        |    round(ln(CAST(c AS DOUBLE)), 9) AS y
+        |  FROM r
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(27,12))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(27,12))) AS DOUBLE) AS sy
+        |  FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+        |FROM m""".stripMargin,
+
+    "q140_trend_test" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) AS ms FROM events
+        |), t0 AS (SELECT MIN(ms) AS t0 FROM e),
+        |daily AS (
+        |  SELECT CAST(floor((ms - t0) / 86400000.0) AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM e CROSS JOIN t0 GROUP BY 1
+        |), s AS (
+        |  SELECT CAST(SUM(CAST(sign(b.c - a.c) AS BIGINT)) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON a.d < b.d
+        |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+        |ties AS (
+        |  SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_corr
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY c)
+        |  WHERE t > 1
+        |), v AS (
+        |  SELECT n AS n_days, s_stat,
+        |    CAST(n * (n - 1) * (2 * n + 5) - tie_corr AS DOUBLE) / 18.0 AS var_s
+        |  FROM s CROSS JOIN n CROSS JOIN ties)
+        |SELECT n_days, s_stat, round(var_s, 6) AS var_s,
+        |  round((CAST(s_stat AS DOUBLE) - sign(CAST(s_stat AS DOUBLE))) / sqrt(var_s), 6) AS z,
+        |  abs((CAST(s_stat AS DOUBLE) - sign(CAST(s_stat AS DOUBLE))) / sqrt(var_s)) > 1.96 AS trending
+        |FROM v""".stripMargin,
+
+    "q141_acf_seasonality" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) AS ms FROM events
+        |), t0 AS (SELECT MIN(ms) AS t0 FROM e),
+        |counts AS (
+        |  SELECT CAST(floor((ms - t0) / 3600000.0) AS BIGINT) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM e CROSS JOIN t0 GROUP BY 1
+        |), hm AS (SELECT MAX(h) AS hmax FROM counts),
+        |spine AS (SELECT unnest(range(0, hmax + 1)) AS h FROM hm),
+        |series AS (
+        |  SELECT spine.h, COALESCE(c, 0) AS c
+        |  FROM spine LEFT JOIN counts ON spine.h = counts.h
+        |), mu AS (
+        |  SELECT CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+        |    CAST(COUNT(*) AS BIGINT) AS n_hours
+        |  FROM series
+        |), dev AS (
+        |  SELECT h, CAST(c AS DOUBLE) - mu AS d, n_hours FROM series CROSS JOIN mu
+        |), denom AS (
+        |  SELECT CAST(SUM(CAST(d * d AS DECIMAL(27,12))) AS DOUBLE) AS ss,
+        |    MAX(n_hours) AS n_hours
+        |  FROM dev
+        |), lagt AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(24 AS BIGINT)), (CAST(168 AS BIGINT))) t(lag)),
+        |num AS (
+        |  SELECT lag, CAST(SUM(CAST(d0.d * d1.d AS DECIMAL(27,12))) AS DOUBLE) AS num
+        |  FROM dev d1 CROSS JOIN lagt
+        |  JOIN dev d0 ON d0.h = d1.h - lag
+        |  GROUP BY lag)
+        |SELECT lag, n_hours, round(num / ss, 6) AS acf
+        |FROM num CROSS JOIN denom ORDER BY lag""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

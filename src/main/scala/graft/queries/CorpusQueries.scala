@@ -1698,4 +1698,124 @@ object CorpusQueries {
           count(lit(1)).cast("double"), 6).as("mean_monetary"))
       .orderBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
   }
+
+  /** Zipf-law fit — OLS slope of ln(freq) on ln(rank) over the top-100
+    * vocabulary: natural corpora sit near −1; a flat slope flags
+    * templated/synthetic text, a steep one a collapsed vocabulary. The
+    * q110 Heaps-law growth curve's frequency-side twin. Scale shape: the
+    * vocabulary aggregate collapses the corpus; the top-100 is a
+    * TakeOrdered (full tie-break on (freq desc, tok)); the rank window
+    * runs on 100 rows — a BOUNDED single partition by construction, the
+    * one place a global window is the right plan. OLS moments fold
+    * through DECIMAL on 9-decimal-rounded ln terms. */
+  def q139_zipf_fit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(100)
+    val xy = top
+      .select(col("c"),
+        row_number().over(Window.orderBy(col("c").desc, col("tok")))
+          .cast("long").as("rank"))
+      .select(round(log(col("rank").cast("double")), 9).as("x"),
+        round(log(col("c").cast("double")), 9).as("y"))
+      .select(col("x"), col("y"),
+        (col("x") * col("y")).cast("decimal(27,12)").as("xy"),
+        (col("x") * col("x")).cast("decimal(27,12)").as("xx"),
+        col("x").cast("decimal(27,12)").as("sx"),
+        col("y").cast("decimal(27,12)").as("sy"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("xy")).cast("double").as("sxy"),
+        sum(col("xx")).cast("double").as("sxx"),
+        sum(col("sx")).cast("double").as("sx"),
+        sum(col("sy")).cast("double").as("sy"))
+    xy.select(col("n").cast("long").as("n_terms"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+      round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+        col("n"), 6).as("intercept"))
+  }
+
+  /** Mann–Kendall trend test on daily event volumes — the
+    * distribution-free "is traffic actually trending" monitor (no
+    * normality assumption, ties handled exactly): S = Σ_{i<j}
+    * sign(c_j − c_i) over the daily series, tie-corrected variance,
+    * normal-approximation z. Scale shape: the corpus collapses to
+    * #days counts in one aggregate; the pair sum and tie correction are
+    * #days²-row math on exact integers — nothing float-ordered. */
+  def q140_trend_test(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(unix_millis(col("ts")).as("ms"))
+    val t0 = ev.agg(min(col("ms")).as("t0"))
+    val daily = ev.crossJoin(broadcast(t0))
+      .select(floor((col("ms") - col("t0")) / lit(86400000.0)).cast("long")
+        .as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).cast("long").as("c"))
+    val a = daily.select(col("d").as("di"), col("c").as("ci"))
+    val b = daily.select(col("d").as("dj"), col("c").as("cj"))
+    val s = a.join(broadcast(b), col("di") < col("dj"))
+      .agg(sum(signum((col("cj") - col("ci")).cast("double")).cast("long"))
+        .as("s_stat"))
+    val n = daily.agg(count(lit(1)).cast("long").as("n"))
+    val ties = daily.groupBy(col("c")).agg(count(lit(1)).cast("long").as("t"))
+      .filter(col("t") > 1)
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)),
+        lit(0L)).as("tie_corr"))
+    s.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .select(col("n").as("n_days"), col("s_stat"),
+        ((col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie_corr"))
+          .cast("double") / lit(18.0)).as("var_s"))
+      .select(col("n_days"), col("s_stat"), round(col("var_s"), 6).as("var_s"),
+        round((col("s_stat").cast("double") -
+          signum(col("s_stat").cast("double"))) / sqrt(col("var_s")), 6)
+          .as("z"))
+      .withColumn("trending", abs(col("z")) > 1.96)
+  }
+
+  /** Autocorrelation seasonality probe — ACF of the hourly event-count
+    * series at lags 1 / 24 / 168 (hour, day, week): the statistical
+    * answer to "does this stream have a daily rhythm", which decides
+    * window sizes and anomaly baselines. Missing hours zero-fill via a
+    * sequence spine (sparse streams otherwise silently skip them and
+    * corrupt the lag alignment). Scale shape: one corpus aggregate →
+    * #hours rows; the lag joins and moments are series-sized math with
+    * DECIMAL folds over 9-decimal-rounded deviation products. */
+  def q141_acf_seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(unix_millis(col("ts")).as("ms"))
+    val t0 = ev.agg(min(col("ms")).as("t0"))
+    val counts = ev.crossJoin(broadcast(t0))
+      .select(floor((col("ms") - col("t0")) / lit(3600000.0)).cast("long")
+        .as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).cast("long").as("c"))
+    val hmax = counts.agg(max(col("h")).as("hmax"))
+    val spine = hmax.select(explode(sequence(lit(0L), col("hmax"))).as("h"))
+    val series = spine.join(counts, Seq("h"), "left")
+      .select(col("h"), coalesce(col("c"), lit(0L)).as("c"))
+    val mu = series.agg((sum(col("c")).cast("double") /
+      count(lit(1)).cast("double")).as("mu"),
+      count(lit(1)).cast("long").as("n_hours"))
+    val dev = series.crossJoin(broadcast(mu))
+      .select(col("h"), (col("c").cast("double") - col("mu")).as("d"),
+        col("n_hours"))
+    val denom = dev.agg(sum((col("d") * col("d")).cast("decimal(27,12)"))
+      .cast("double").as("ss"), max(col("n_hours")).as("n_hours"))
+    val lags = Seq(1L, 24L, 168L)
+    val lagDf = {
+      import spark.implicits._
+      lags.toDF("lag")
+    }
+    val pairs = dev.select(col("h"), col("d"))
+      .crossJoin(broadcast(lagDf))
+      .select((col("h") - col("lag")).as("h0"), col("lag"), col("d").as("d1"))
+      .join(dev.select(col("h").as("h0"), col("d").as("d0")), "h0")
+      .groupBy(col("lag"))
+      .agg(sum((col("d0") * col("d1")).cast("decimal(27,12)")).cast("double")
+        .as("num"))
+    pairs.crossJoin(broadcast(denom))
+      .select(col("lag"), col("n_hours"),
+        round(col("num") / col("ss"), 6).as("acf"))
+      .orderBy(col("lag"))
+  }
 }

@@ -552,6 +552,22 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("q139 Zipf fit: vocabulary top-k is a TakeOrdered before the window") {
+    val plan = planString(queries.CorpusQueries.q139_zipf_fit(spark, dir))
+    plan should include ("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q140 Mann-Kendall: daily pair join is a broadcast, never cartesian on events") {
+    val plan = planString(queries.CorpusQueries.q140_trend_test(spark, dir))
+    plan should not include "CartesianProduct"
+  }
+
+  test("q141 ACF: spine left-join + lag equi-joins, no SMJ needed") {
+    val plan = planString(queries.CorpusQueries.q141_acf_seasonality(spark, dir))
+    plan should not include "CartesianProduct"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
