@@ -2271,6 +2271,73 @@ object Oracles {
         |  GROUP BY lag)
         |SELECT lag, n_hours, round(num / ss, 6) AS acf
         |FROM num CROSS JOIN denom ORDER BY lag""".stripMargin,
+
+    "q142_pair_histogram" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), en AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        |), nn AS (SELECT COUNT(*) AS n FROM e),
+        |st AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (CAST(7 AS BIGINT)), (CAST(97 AS BIGINT))) t(s)),
+        |pr AS (
+        |  SELECT a.vec_id, (a.vec_id + s) % n AS tgt, a.v AS va, a.nrm AS na
+        |  FROM en a CROSS JOIN nn CROSS JOIN st
+        |), cs AS (
+        |  SELECT round(list_dot_product(pr.va, b.v) / (pr.na * b.nrm), 9) AS cos
+        |  FROM pr JOIN en b ON pr.tgt = b.vec_id
+        |  WHERE pr.vec_id <> pr.tgt
+        |), bins AS (
+        |  SELECT least(CAST(floor((cos + 1.0) * 5) AS BIGINT), 9) AS bin FROM cs)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(COUNT(*) AS DOUBLE) / (CAST(MAX(nn.n) AS DOUBLE) * 3.0), 6) AS share
+        |FROM bins CROSS JOIN nn GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q143_dup_degrees" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |pd AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS jaccard
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |), deg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |    SELECT id_a AS doc_id FROM pd UNION ALL SELECT id_b AS doc_id FROM pd)
+        |  GROUP BY doc_id
+        |), hist AS (
+        |  SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs FROM deg GROUP BY degree
+        |), zero AS (
+        |  SELECT CAST(0 AS BIGINT) AS degree,
+        |    CAST((SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM deg) AS BIGINT) AS n_docs)
+        |SELECT degree, n_docs FROM (
+        |  SELECT * FROM hist UNION ALL SELECT * FROM zero)
+        |WHERE n_docs > 0 ORDER BY degree""".stripMargin,
+
+    "q144_join_contract" ->
+      """WITH li AS (SELECT l_orderkey FROM lineitem),
+        |o AS (SELECT o_orderkey FROM orders),
+        |ln AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_li,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS li_null_keys
+        |  FROM li
+        |), onn AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ord_null_keys
+        |  FROM o
+        |), lo AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS li_orphans
+        |  FROM li WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey NOT IN (SELECT o_orderkey FROM o WHERE o_orderkey IS NOT NULL)
+        |), oc AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS orders_childless
+        |  FROM o WHERE o_orderkey IS NOT NULL
+        |    AND o_orderkey NOT IN (SELECT l_orderkey FROM li WHERE l_orderkey IS NOT NULL)
+        |), f AS (
+        |  SELECT CAST(MAX(k) AS BIGINT) AS max_fanout,
+        |    round(quantile_cont(k, 0.99), 6) AS p99_fanout
+        |  FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM li GROUP BY l_orderkey))
+        |SELECT n_li, n_orders, li_null_keys, ord_null_keys, li_orphans,
+        |  orders_childless, max_fanout, p99_fanout
+        |FROM ln CROSS JOIN onn CROSS JOIN lo CROSS JOIN oc CROSS JOIN f""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

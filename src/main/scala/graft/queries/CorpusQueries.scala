@@ -1818,4 +1818,103 @@ object CorpusQueries {
         round(col("num") / col("ss"), 6).as("acf"))
       .orderBy(col("lag"))
   }
+
+  /** Pairwise-distance histogram — the contrast-curve diagnostic behind
+    * every ANN parameter choice: the cosine distribution over a
+    * deterministic strided pair sample (vec i paired with (i+s) mod n
+    * for strides 1/7/97 — 3n pairs, engine-replayable, no RNG). A
+    * histogram bunched near 1 predicts LSH bucket collapse (q134's
+    * isotropy gate localized to pair space). Scale shape: norms and
+    * dots are compiled per-row folds; the sample is 3 equi-joins keyed
+    * on vec_id; the histogram is a ≤10-group aggregate. */
+  def q142_pair_histogram(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), CosineKnn.toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        sqrt(CosineKnn.dot(col("v"), col("v"))).as("nrm"))
+    val n = ex.agg(count(lit(1)).as("n"))
+    val strides = {
+      import spark.implicits._
+      Seq(1L, 7L, 97L).toDF("s")
+    }
+    val a = ex.crossJoin(broadcast(n)).crossJoin(broadcast(strides))
+      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"),
+        pmod(col("vec_id") + col("s"), col("n")).as("tgt"))
+    val b = ex.select(col("vec_id").as("tgt"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    a.join(b, "tgt").filter(col("vec_id") =!= col("tgt"))
+      .select(round(CosineKnn.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")), 9).as("cos"))
+      .select(least(floor((col("cos") + 1.0) * 5).cast("long"), lit(9L))
+        .as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .crossJoin(broadcast(n.select(col("n").cast("double").as("nd"))))
+      .select(col("bin"), col("n_pairs"),
+        round(col("n_pairs").cast("double") / (col("nd") * 3.0), 6)
+          .as("share"))
+      .orderBy(col("bin"))
+  }
+
+  /** Near-dup graph degree distribution — the graph-shape audit that
+    * decides between plain label-prop (q54) and whale-safe BigStar
+    * (q67): a power-law degree tail or a single huge hub means the
+    * whale path. Degrees from the capped q27 pair list (both
+    * directions), histogram including the degree-0 mass. Scale shape:
+    * the pair list is near-dup-sized; degrees and the histogram are two
+    * combinable aggregates; the zero row is corpus-count arithmetic. */
+  def q143_dup_degrees(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.similarity.MinHashLsh.nearDuplicatePairs(docs, "doc_id",
+      "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+      maxBucket = Some(100))
+    val deg = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("degree"))
+    val hist = deg.groupBy(col("degree"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val zero = docs.agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_pos"))))
+      .select(lit(0L).as("degree"),
+        (col("n_total") - col("n_pos")).cast("long").as("n_docs"))
+    hist.unionByName(zero)
+      .filter(col("n_docs") > 0)
+      .orderBy(col("degree"))
+  }
+
+  /** Join-contract audit — the pre-join data contract for the
+    * orders⋈lineitem key: null-key rates on both sides, orphan counts
+    * in both directions, key-cardinality ratio, and the fan-out profile
+    * (max + p99 lineitems per order) that predicts the join's output
+    * size and skew. q12 counts one orphan direction; this is the full
+    * contract a pipeline asserts before shipping a join at scale. All
+    * counts are combinable aggregates; the orphan checks are semi/anti
+    * joins on the join key itself. */
+  def q144_join_contract(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"))
+    val liNull = li.agg(count(lit(1)).cast("long").as("n_li"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).cast("long")
+        .as("li_null_keys"))
+    val ordNull = ord.agg(count(lit(1)).cast("long").as("n_orders"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).cast("long")
+        .as("ord_null_keys"))
+    // null keys are tallied separately — exclude them from the orphan
+    // checks so anti-join and NOT IN semantics agree
+    val liOrphans = li.filter(col("l_orderkey").isNotNull)
+      .join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("li_orphans"))
+    val ordChildless = ord.filter(col("o_orderkey").isNotNull)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("orders_childless"))
+    val fanout = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).cast("double").as("k"))
+      .agg(max(col("k")).cast("long").as("max_fanout"),
+        expr("percentile(k, 0.99)").as("p99_fanout"))
+    liNull.crossJoin(broadcast(ordNull)).crossJoin(broadcast(liOrphans))
+      .crossJoin(broadcast(ordChildless)).crossJoin(broadcast(fanout))
+      .select(col("n_li"), col("n_orders"), col("li_null_keys"),
+        col("ord_null_keys"), col("li_orphans"), col("orders_childless"),
+        col("max_fanout"), round(col("p99_fanout"), 6).as("p99_fanout"))
+  }
 }

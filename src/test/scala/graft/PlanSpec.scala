@@ -568,6 +568,21 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("q142 pair histogram: strided equi-join sample, no cartesian on vectors") {
+    val plan = planString(queries.CorpusQueries.q142_pair_histogram(spark, dir))
+    plan should not include "CartesianProduct"
+  }
+
+  test("q143 dup degrees: capped pair list feeds two combinable aggregates") {
+    val plan = planString(queries.CorpusQueries.q143_dup_degrees(spark, dir))
+    plan should not include "CartesianProduct"
+  }
+
+  test("q144 join contract: anti-joins on the key, percentile on bounded groups") {
+    val plan = planString(queries.CorpusQueries.q144_join_contract(spark, dir))
+    plan should not include "CartesianProduct"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
