@@ -2338,6 +2338,115 @@ object Oracles {
         |SELECT n_li, n_orders, li_null_keys, ord_null_keys, li_orphans,
         |  orders_childless, max_fanout, p99_fanout
         |FROM ln CROSS JOIN onn CROSS JOIN lo CROSS JOIN oc CROSS JOIN f""".stripMargin,
+
+    "q145_unshipped_revenue" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) DESC,
+        |  o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q146_small_qty_revenue" ->
+      """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+        |li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN bp ON l_partkey = p_partkey
+        |), st AS (
+        |  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+        |    CAST(COUNT(*) AS DECIMAL(18,0)) AS n
+        |  FROM li GROUP BY 1)
+        |SELECT
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+        |  CAST(COUNT(*) AS BIGINT) AS n_small
+        |FROM li JOIN st USING (l_partkey)
+        |WHERE 5 * CAST(l_quantity AS DECIMAL(18,2)) * n < qty_sum""".stripMargin,
+
+    "q147_last_touch" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('click','view','signup')
+        |), j AS (
+        |  SELECT p.event_id, p.value, p.ts AS pts, t.ts AS tts,
+        |    t.event_type AS tt
+        |  FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND t.ts <= p.ts)
+        |SELECT
+        |  CASE WHEN tts IS NOT NULL AND tts >= pts - INTERVAL 7 DAY
+        |    THEN tt ELSE 'direct' END AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q148_dup_triangles" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |pd AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |), tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM pd e1 JOIN pd e2 ON e2.id_a = e1.id_b
+        |  WHERE EXISTS (SELECT 1 FROM pd e3
+        |    WHERE e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+        |), deg AS (
+        |  SELECT doc_id, COUNT(*) AS d FROM (
+        |    SELECT id_a AS doc_id FROM pd UNION ALL SELECT id_b FROM pd)
+        |  GROUP BY doc_id
+        |), st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+        |    CAST(SUM(d * (d - 1)) AS BIGINT) // 2 AS n_wedges
+        |  FROM deg
+        |), ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pd)
+        |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges > 0
+        |    THEN round(3.0 * n_triangles / n_wedges, 6) ELSE 0.0 END
+        |    AS clustering_coef
+        |FROM st CROSS JOIN ne CROSS JOIN tri""".stripMargin,
+
+    "q149_target_encoding" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment,
+        |    CAST((CAST(md5_number_upper(CAST(o_orderkey AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 5 AS BIGINT) AS fold,
+        |    o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), sf AS (
+        |  SELECT c_mktsegment, fold,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_sf,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sf
+        |  FROM base GROUP BY 1, 2
+        |), s AS (
+        |  SELECT c_mktsegment, SUM(sum_sf) AS sum_s,
+        |    CAST(SUM(n_sf) AS BIGINT) AS n_s
+        |  FROM sf GROUP BY 1)
+        |SELECT sf.c_mktsegment, fold, n_sf AS n_rows,
+        |  CASE WHEN n_s > n_sf THEN
+        |    round(CAST(sum_s - sum_sf AS DOUBLE) / CAST(n_s - n_sf AS DOUBLE), 6)
+        |  END AS oof_mean
+        |FROM sf JOIN s ON sf.c_mktsegment = s.c_mktsegment
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q150_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

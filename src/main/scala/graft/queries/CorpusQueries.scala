@@ -1917,4 +1917,203 @@ object CorpusQueries {
         col("ord_null_keys"), col("li_orphans"), col("orders_childless"),
         col("max_fanout"), round(col("p99_fanout"), 6).as("p99_fanout"))
   }
+
+  /** Top-10 unshipped revenue — the TPC-H Q3 shape (segment-filtered
+    * customers, orders placed before the cut, lineitems still unshipped
+    * after it). Scale shape: both date filters push to the parquet scans;
+    * the customer join is NOT hinted (one segment is corpus-proportional,
+    * ~1/5 of customers — at 100 TB that is a shuffle join, and AQE may
+    * still broadcast it at small SF); the top-10 plans as
+    * TakeOrderedAndProject, never a global sort. Revenue is an exact
+    * decimal sum (order-independent), the sort key is the decimal with
+    * (o_orderdate, l_orderkey) tie-breaks, and the double cast happens
+    * after the cut. */
+  def q145_unshipped_revenue(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val cut = lit(java.sql.Timestamp.valueOf("1998-07-01 00:00:00"))
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cut)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
+      .orderBy(col("rev").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"), col("rev").cast("double").as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  /** Small-quantity revenue — the TPC-H Q17 shape: lineitems of one
+    * brand whose quantity is below 20% of that part's average, summed as
+    * a yearly average. The below-average predicate is spelled
+    * division-free (`5·qty·n < Σqty`, all exact decimals) so the
+    * threshold cannot flip on a last-ulp double between engines. Scale
+    * shape: the brand slice of `part` is a broadcast (4% of a dimension
+    * table); the per-part stats join is un-hinted — its cardinality is
+    * the same brand slice, so AQE broadcasts it at small SF and it
+    * shuffles on l_partkey at 100 TB, where lineitem rows per part are
+    * bounded (~30) so no skew. */
+  def q146_small_qty_revenue(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val stats = li.groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty_sum"),
+        count(lit(1)).cast("decimal(18,0)").as("n"))
+    li.join(stats, "l_partkey")
+      .filter(lit(5) * dec(col("l_quantity")) * col("n") < col("qty_sum"))
+      .agg(
+        (sum(dec(col("l_extendedprice"))).cast("double") / 7.0)
+          .cast("double").as("avg_yearly"),
+        count(lit(1)).cast("long").as("n_small"))
+  }
+
+  /** Last-touch attribution — each purchase credits the most recent
+    * click/view/signup by the same user within a 7-day lookback, else
+    * 'direct'. Reuses [[graft.transform.AsOfJoin]] (the union +
+    * ordered-window as-of), so the whole attribution is ONE shuffle on
+    * user_id + one in-partition sort — no range explosion, no per-row
+    * probe; per-user event counts bound the window partitions. The
+    * oracle is DuckDB's native ASOF LEFT JOIN (independent algorithm,
+    * same semantics); (user_id, ts) is collision-free in this data so
+    * the last touch is unambiguous. Value totals are exact decimal sums
+    * cast to double. */
+  def q147_last_touch(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val touches = ev
+      .filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("ts").as("touch_ts"))
+    graft.transform.AsOfJoin
+      .leftAsOf(purchases, touches, "user_id", "ts", "ts", "event_id")
+      .withColumn("channel",
+        when(col("asof_touch_ts").isNotNull &&
+          col("asof_touch_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+          col("asof_event_type")).otherwise(lit("direct")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).cast("long").as("n_conversions"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("channel"))
+  }
+
+  /** Dup-graph triangle census — triangle count and global clustering
+    * coefficient (3·triangles / wedges) over the capped q27 near-dup
+    * pair list. High clustering (→1) means dup CLIQUES (template
+    * families, mirror sites) where transitive closure is cheap; low
+    * clustering with high degree means chain/star topology where CC
+    * rounds dominate — the metric that picks label-prop (q54) vs
+    * whale-safe BigStar (q67) AND predicts its round count. Scale
+    * shape: the wedge join keys on the shared vertex, so work is
+    * Σ deg², bounded by the LSH `maxBucket` cap — never corpus-sized;
+    * triangles close with one semi-join back on the (a,c) edge;
+    * wedges are exact integer arithmetic on the degree histogram. */
+  def q148_dup_triangles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val e = graft.similarity.MinHashLsh.nearDuplicatePairs(docs, "doc_id",
+      "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+      maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true) // LSH pipeline runs once; 5 downstream uses
+    // ordered wedge (a<b<c): edges (a,b) and (b,c) share the middle
+    // vertex; the triangle closes iff (a,c) is also an edge
+    val tri = e.select(col("id_a").as("a"), col("id_b").as("b"))
+      .join(e.select(col("id_a").as("b"), col("id_b").as("c")), "b")
+      .join(e.select(col("id_a").as("a"), col("id_b").as("c")),
+        Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+    val deg = e.select(col("id_a").as("v"))
+      .union(e.select(col("id_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val st = deg.agg(count(lit(1)).cast("long").as("n_vertices"),
+      expr("CAST(sum(d * (d - 1)) AS BIGINT) div 2").as("n_wedges"))
+    val ne = e.agg(count(lit(1)).cast("long").as("n_edges"))
+    st.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .otherwise(lit(0.0)).as("clustering_coef"))
+  }
+
+  /** Leakage-safe target encoding — out-of-fold mean o_totalprice per
+    * customer market segment: each fold's encoding averages only the
+    * OTHER folds' rows, the standard trick that keeps a high-cardinality
+    * categorical feature from memorizing its own label. Folds are
+    * [[graft.functions.StableHash]] buckets of o_orderkey (pure function
+    * of the key — stable across reruns, partitionings, and engines; the
+    * DuckDB oracle recomputes the identical md5-mod assignment). Scale
+    * shape: one fact-dimension shuffle join for the segment, ONE
+    * combinable (segment, fold) aggregate; the per-segment totals come
+    * from re-aggregating those 25 rows, never a second corpus pass; the
+    * out-of-fold mean is exact decimal subtraction, divided once in
+    * double. */
+  def q149_target_encoding(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val base = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        graft.functions.StableHash.bucket(col("o_orderkey"), 5).as("fold"),
+        col("o_totalprice"))
+    val sf = base.groupBy(col("c_mktsegment"), col("fold"))
+      .agg(sum(dec(col("o_totalprice"))).as("sum_sf"),
+        count(lit(1)).cast("long").as("n_sf"))
+    val s = sf.groupBy(col("c_mktsegment"))
+      .agg(sum(col("sum_sf")).as("sum_s"),
+        sum(col("n_sf")).cast("long").as("n_s"))
+    sf.join(broadcast(s), "c_mktsegment")
+      .select(col("c_mktsegment"), col("fold"),
+        col("n_sf").as("n_rows"),
+        when(col("n_s") > col("n_sf"),
+          round((col("sum_s") - col("sum_sf")).cast("double") /
+            (col("n_s") - col("n_sf")).cast("double"), 6))
+          .as("oof_mean"))
+      .orderBy(col("c_mktsegment"), col("fold"))
+  }
+
+  /** Top supplier by quarterly revenue — the TPC-H Q15 shape: revenue
+    * per supplier over one quarter, then the argmax WITHOUT a global
+    * sort or window: a one-row max aggregate broadcast back and matched
+    * by exact DECIMAL equality (doubles here could drop a tied winner
+    * on a last-ulp difference; decimals cannot). Scale shape: the date
+    * filter pushes to the scan, revenue is one combinable aggregate on
+    * l_suppkey, and the equality probe broadcasts the provably-tiny
+    * winner set against the supplier dimension. */
+  def q150_top_supplier(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >=
+          lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") <
+          lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .as("total_revenue"))
+    val winners = rev.join(
+      broadcast(rev.agg(max(col("total_revenue")).as("max_rev"))),
+      col("total_revenue") === col("max_rev"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
 }

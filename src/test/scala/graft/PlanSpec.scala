@@ -583,6 +583,42 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("q145 unshipped revenue: top-10 plans TakeOrderedAndProject, no global sort") {
+    val plan = planString(queries.CorpusQueries.q145_unshipped_revenue(spark, dir))
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q146 small-qty revenue: brand slice broadcasts, no cartesian") {
+    val plan = planString(queries.CorpusQueries.q146_small_qty_revenue(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q147 last-touch: as-of union-window shape, no range-join explosion") {
+    val plan = planString(queries.CorpusQueries.q147_last_touch(spark, dir))
+    plan should not include "CartesianProduct"
+    // the as-of is the union + ordered-window, not a theta join
+    plan should include("Window")
+  }
+
+  test("q148 triangles: wedge join keys on shared vertex, no cartesian") {
+    val plan = planString(queries.CorpusQueries.q148_dup_triangles(spark, dir))
+    plan should not include "CartesianProduct"
+  }
+
+  test("q149 target encoding: one corpus aggregate, fold math on 25 rows") {
+    val plan = planString(queries.CorpusQueries.q149_target_encoding(spark, dir))
+    plan should not include "CartesianProduct"
+  }
+
+  test("q150 top supplier: argmax via broadcast max probe, no window sort") {
+    val plan = planString(queries.CorpusQueries.q150_top_supplier(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
