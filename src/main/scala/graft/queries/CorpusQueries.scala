@@ -2116,4 +2116,87 @@ object CorpusQueries {
         col("total_revenue").cast("double").as("total_revenue"))
       .orderBy(col("s_suppkey"))
   }
+
+  /** Customer order-count distribution — the TPC-H Q13 shape: how many
+    * customers placed 0, 1, 2, … non-urgent orders. The LEFT OUTER join
+    * keeps zero-order customers (the mass an inner join silently drops
+    * — the classic Q13 trap); `count(o_orderkey)` skips the null rows
+    * the outer join manufactures, so they land in the 0 bucket. Scale
+    * shape: one customer⋈orders shuffle on custkey, one combinable
+    * per-customer count, then a histogram over at-most-max-orders
+    * distinct counts — bounded output regardless of corpus size. */
+  def q151_order_count_dist(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).cast("long").as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).cast("long").as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Late-fulfillment priority profile — the TPC-H Q4 shape: orders per
+    * priority having AT LEAST ONE lineitem shipped more than 90 days
+    * after the order date. The EXISTS is a LEFT SEMI join (equi on
+    * orderkey + the cross-side date predicate), so each order is
+    * counted once no matter how many late lineitems it has — a plain
+    * inner join would double-count and a `distinct` repair would pay a
+    * second shuffle. Scale shape: one orderkey-partitioned semi-join;
+    * the date arithmetic is exact interval math on both engines. */
+  def q152_late_orders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Sole-late-supplier ranking — the TPC-H Q21 shape: suppliers whose
+    * lineitem shipped late (>60 days after the order date) in a
+    * MULTI-supplier order where NO other supplier was late — the
+    * "single point of failure" audit. One EXISTS (another supplier
+    * participated) and one NOT EXISTS (another supplier was also late)
+    * against the same fact, spelled as a LEFT SEMI then a LEFT ANTI
+    * self-join — both equi-shuffles on l_orderkey whose per-order group
+    * is basket-sized (~7 rows), so neither can explode. The supplier
+    * name join is a broadcast dimension probe; top-10 is
+    * TakeOrderedAndProject with a full (count, name) tie-break. */
+  def q153_sole_late_supplier(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("late"))
+    val late1 = tagged.filter(col("late"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val others = tagged
+      .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"),
+        col("late").as("late2"))
+    val sole = late1
+      .join(others,
+        col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(others,
+        col("ok") === col("ok2") && col("sk") =!= col("sk2") && col("late2"),
+        "left_anti")
+    sole.groupBy(col("sk"))
+      .agg(count(lit(1)).cast("long").as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("sk") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(10)
+  }
 }

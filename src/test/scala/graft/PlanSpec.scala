@@ -619,6 +619,26 @@ class PlanSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("q151 order-count distribution: outer join keeps zero-order customers") {
+    val plan = planString(queries.CorpusQueries.q151_order_count_dist(spark, dir))
+    plan should include("LeftOuter")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q152 late orders: EXISTS plans as one semi-join, no double-count") {
+    val plan = planString(queries.CorpusQueries.q152_late_orders(spark, dir))
+    plan should include("LeftSemi")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q153 sole-late supplier: semi + anti self-joins on orderkey, top-10 heap") {
+    val plan = planString(queries.CorpusQueries.q153_sole_late_supplier(spark, dir))
+    plan should include("LeftSemi")
+    plan should include("LeftAnti")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
