@@ -2487,6 +2487,79 @@ object Oracles {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 10""".stripMargin,
+
+    "q154_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST((CAST(md5_number_upper(CAST(user_id AS VARCHAR)) AS HUGEINT) % 2305843009213693951) % 2 AS BIGINT) AS arm,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value >= 100 THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1
+        |), s AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round(CAST(conv_a AS DOUBLE)/n_a, 6) AS rate_a,
+        |  round(CAST(conv_b AS DOUBLE)/n_b, 6) AS rate_b,
+        |  CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+        |    round((CAST(conv_a AS DOUBLE)/n_a - CAST(conv_b AS DOUBLE)/n_b)
+        |      / sqrt((CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b)) * (1 - CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b)) * (1.0/n_a + 1.0/n_b)), 6)
+        |  END AS z_score
+        |FROM s""".stripMargin,
+
+    "q155_quantile_norm" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+        |  FROM events GROUP BY 1
+        |), g AS (
+        |  SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS gcuts
+        |  FROM events)
+        |SELECT event_type, CAST(i AS BIGINT) AS decile,
+        |  round(cuts[i], 6) AS type_cut,
+        |  round(gcuts[i], 6) AS global_cut
+        |FROM t CROSS JOIN g CROSS JOIN generate_series(1, 9) AS s(i)
+        |ORDER BY event_type, decile""".stripMargin,
+
+    "q156_survival" ->
+      """WITH su AS (
+        |  SELECT user_id, MIN(ts) AS ts_s FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), fp AS (
+        |  SELECT su.user_id, ts_s, MIN(e.ts) AS ts_p
+        |  FROM su LEFT JOIN events e
+        |    ON e.user_id = su.user_id AND e.event_type = 'purchase'
+        |      AND e.ts >= ts_s
+        |  GROUP BY 1, 2
+        |), mx AS (SELECT MAX(ts) AS ts_max FROM events),
+        |dur AS (
+        |  SELECT (epoch_us(COALESCE(ts_p, ts_max)) - epoch_us(ts_s)) // 86400000000 AS day,
+        |    CASE WHEN ts_p IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM fp CROSS JOIN mx
+        |), daily AS (
+        |  SELECT day, CAST(SUM(ev) AS BIGINT) AS d,
+        |    CAST(SUM(1 - ev) AS BIGINT) AS c
+        |  FROM dur GROUP BY day
+        |), risk AS (
+        |  SELECT day, d, c,
+        |    CAST(CAST((SELECT COUNT(*) FROM dur) AS BIGINT)
+        |      - COALESCE(SUM(d + c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |  FROM daily
+        |), surv AS (
+        |  SELECT day, d, n_risk,
+        |    MIN(1 - CAST(d AS DOUBLE)/n_risk) OVER w AS min_ratio,
+        |    SUM(ln(CASE WHEN 1 - CAST(d AS DOUBLE)/n_risk > 0
+        |      THEN 1 - CAST(d AS DOUBLE)/n_risk ELSE 1 END)) OVER w AS logsum
+        |  FROM risk
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT day, n_risk, d AS d_events,
+        |  CASE WHEN min_ratio <= 0 THEN 0.0
+        |    ELSE round(exp(logsum), 6) END AS survival
+        |FROM surv WHERE d > 0 ORDER BY day""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

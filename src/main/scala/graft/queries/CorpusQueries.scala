@@ -2199,4 +2199,115 @@ object CorpusQueries {
       .orderBy(col("numwait").desc, col("s_name").asc)
       .limit(10)
   }
+
+  /** A/B conversion z-test — users split into two arms by
+    * [[graft.functions.StableHash]] (the same engine-portable md5-mod
+    * as the q99 splits, so assignment is reproducible and
+    * oracle-recomputable), conversion = any high-value purchase
+    * (value ≥ 100), and the two-proportion pooled z-statistic decides
+    * significance. The degenerate pools (0% or 100% conversion) yield
+    * NULL rather than a NaN that differs between engines. Scale shape:
+    * one per-user combinable aggregate, then ONE one-row conditional
+    * aggregate — the entire test is two map-side-combinable passes,
+    * no joins at all. */
+  def q154_ab_test(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") >= 100, 1).otherwise(0)).as("conv"))
+      .select(graft.functions.StableHash.bucket(col("user_id"), 2).as("arm"),
+        col("conv"))
+    val s = u.agg(
+      sum(when(col("arm") === 0, 1).otherwise(0)).cast("long").as("n_a"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0)).cast("long")
+        .as("conv_a"),
+      sum(when(col("arm") === 1, 1).otherwise(0)).cast("long").as("n_b"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0)).cast("long")
+        .as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val z = (pa - pb) /
+      sqrt(pp * (lit(1) - pp) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    s.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      when(col("conv_a") + col("conv_b") > 0 &&
+        col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+        round(z, 6)).as("z_score"))
+  }
+
+  /** Quantile-normalization map — per-event-type deciles against the
+    * global deciles: the lookup table that maps one source's score
+    * distribution onto the corpus distribution (rank-based feature
+    * normalization without a per-row window). Scale shape: two exact
+    * percentile aggregates (per-type and global — `approx_percentile`
+    * is the documented 100 TB swap, q61-gated), a broadcast of the
+    * one-row global cuts, and a 9-way posexplode of bounded arrays —
+    * output is #types × 9 rows regardless of corpus size. */
+  def q155_quantile_norm(spark: SparkSession, dir: String): DataFrame = {
+    val probs = "array(0.1d,0.2d,0.3d,0.4d,0.5d,0.6d,0.7d,0.8d,0.9d)"
+    val t = Tables.events(spark, dir).groupBy(col("event_type"))
+      .agg(expr(s"percentile(value, $probs)").as("cuts"))
+    val g = Tables.events(spark, dir)
+      .agg(expr(s"percentile(value, $probs)").as("gcuts"))
+    t.crossJoin(broadcast(g))
+      .select(col("event_type"), posexplode(col("cuts")).as(Seq("pos", "cut")),
+        col("gcuts"))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("decile"),
+        round(col("cut"), 6).as("type_cut"),
+        round(element_at(col("gcuts"), (col("pos") + 1).cast("int")), 6)
+          .as("global_cut"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
+  /** Kaplan–Meier time-to-conversion — survival curve for
+    * signup→first-purchase: S(t) = Π (1 − dᵢ/nᵢ) over event days, with
+    * users who never purchase right-censored at the end of observation.
+    * The standard estimator for "how long until users convert" that a
+    * naive mean-of-converted-durations biases badly. Duration math is
+    * exact integer microseconds (`unix_micros`/`epoch_us` — engine-
+    * identical floor division, no fractional-epoch drift); the product
+    * runs in log space with a zero-ratio guard (ln(0) aborts DuckDB and
+    * nulls Spark — survival pins to exactly 0.0 instead). Scale shape:
+    * per-user firsts are combinable aggregates; the curve itself lives
+    * on the bounded day series, so the only unpartitioned window sorts
+    * #distinct-days rows — same discipline as the q141 spine. */
+  def q156_survival(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ts_s"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu_id"), col("ts").as("ts_pe"))
+    val fp = su.join(pu,
+        col("pu_id") === col("user_id") && col("ts_pe") >= col("ts_s"),
+        "left_outer")
+      .groupBy(col("user_id"), col("ts_s")).agg(min(col("ts_pe")).as("ts_p"))
+    val mx = ev.agg(max(col("ts")).as("ts_max"))
+    val dur = fp.crossJoin(broadcast(mx))
+      .select(
+        expr("(unix_micros(coalesce(ts_p, ts_max)) - unix_micros(ts_s)) div 86400000000")
+          .as("day"),
+        when(col("ts_p").isNotNull, 1).otherwise(0).as("ev"))
+    val n = dur.agg(count(lit(1)).cast("long").as("n_total"))
+    val daily = dur.groupBy(col("day"))
+      .agg(sum(col("ev")).cast("long").as("d"),
+        sum(lit(1) - col("ev")).cast("long").as("c"))
+    val wPrev = W.orderBy(col("day")).rowsBetween(W.unboundedPreceding, -1)
+    val wCur = W.orderBy(col("day")).rowsBetween(W.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(n))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("ratio", lit(1) - col("d").cast("double") / col("n_risk"))
+      .withColumn("min_ratio", min(col("ratio")).over(wCur))
+      .withColumn("logsum",
+        sum(log(when(col("ratio") > 0, col("ratio")).otherwise(lit(1))))
+          .over(wCur))
+      .filter(col("d") > 0)
+      .select(col("day"), col("n_risk"), col("d").as("d_events"),
+        when(col("min_ratio") <= 0, lit(0.0))
+          .otherwise(round(exp(col("logsum")), 6)).as("survival"))
+      .orderBy(col("day"))
+  }
 }

@@ -639,6 +639,24 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("q154 A/B test: two combinable aggregates, no joins at all") {
+    val plan = planString(queries.CorpusQueries.q154_ab_test(spark, dir))
+    plan should not include "Join"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q155 quantile map: bounded posexplode, broadcast global cuts") {
+    val plan = planString(queries.CorpusQueries.q155_quantile_norm(spark, dir))
+    plan should include("Generate")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q156 survival: windows only on the bounded day series") {
+    val plan = planString(queries.CorpusQueries.q156_survival(spark, dir))
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
