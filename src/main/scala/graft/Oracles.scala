@@ -2560,6 +2560,86 @@ object Oracles {
         |  CASE WHEN min_ratio <= 0 THEN 0.0
         |    ELSE round(exp(logsum), 6) END AS survival
         |FROM surv WHERE d > 0 ORDER BY day""".stripMargin,
+
+    "q157_cumulative_uniques" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |), t0 AS (SELECT MIN(ms) AS t0 FROM e),
+        |fd AS (
+        |  SELECT user_id,
+        |    MIN(CAST(floor((ms - t0) / 86400000.0) AS BIGINT)) AS day
+        |  FROM e CROSS JOIN t0 GROUP BY user_id
+        |), daily AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM fd GROUP BY day)
+        |SELECT day, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_unique
+        |FROM daily ORDER BY day""".stripMargin,
+
+    "q158_cusum_changepoint" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) AS ms FROM events
+        |), t0 AS (SELECT MIN(ms) AS t0 FROM e),
+        |daily AS (
+        |  SELECT CAST(floor((ms - t0) / 86400000.0) AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM e CROSS JOIN t0 GROUP BY 1
+        |), st AS (
+        |  SELECT AVG(x) AS mu, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+        |), cum AS (
+        |  SELECT day, x,
+        |    SUM(CAST(x AS DOUBLE) - mu) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |    mu, n_days
+        |  FROM daily CROSS JOIN st)
+        |SELECT day, x, round(s, 6) AS cusum, round(abs(s), 6) AS abs_cusum,
+        |  round(mu, 6) AS mean_daily, n_days
+        |FROM cum
+        |ORDER BY abs_cusum DESC, day
+        |LIMIT 5""".stripMargin,
+
+    "q159_table_profile" ->
+      """SELECT 'l_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(MIN(l_orderkey) AS BIGINT) AS min_long,
+        |  CAST(MAX(l_orderkey) AS BIGINT) AS max_long
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_partkey', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+        |  CAST(MIN(l_partkey) AS BIGINT), CAST(MAX(l_partkey) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_suppkey', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+        |  CAST(MIN(l_suppkey) AS BIGINT), CAST(MAX(l_suppkey) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linenumber', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT l_linenumber) AS BIGINT),
+        |  CAST(MIN(l_linenumber) AS BIGINT), CAST(MAX(l_linenumber) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

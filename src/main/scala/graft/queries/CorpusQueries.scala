@@ -2310,4 +2310,93 @@ object CorpusQueries {
           .otherwise(round(exp(col("logsum")), 6)).as("survival"))
       .orderBy(col("day"))
   }
+
+  /** Cumulative unique users per day — growth accounting without a
+    * distinct-over-window: each user is reduced to their FIRST active
+    * day (one combinable aggregate), and the running total is a plain
+    * cumulative sum over the bounded day series. The naive
+    * `count(distinct) OVER (ORDER BY day)` spelling re-scans every
+    * prior day's users per day — quadratic and unsupported by most
+    * engines; dedup-then-cumsum is the scale-correct identity. Day
+    * indexing is the q133 convention (integer ms since corpus t0). */
+  def q157_cumulative_uniques(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+    val t0 = ev.agg(min(col("ms")).as("t0"))
+    val firstDay = ev.crossJoin(broadcast(t0))
+      .select(col("user_id"),
+        floor((col("ms") - col("t0")) / lit(86400000.0)).cast("long").as("d"))
+      .groupBy(col("user_id")).agg(min(col("d")).as("day"))
+    firstDay.groupBy(col("day"))
+      .agg(count(lit(1)).cast("long").as("n_new"))
+      .withColumn("cum_unique",
+        sum(col("n_new")).over(
+          W.orderBy(col("day")).rowsBetween(W.unboundedPreceding, 0))
+          .cast("long"))
+      .orderBy(col("day"))
+  }
+
+  /** CUSUM change-point scan — cumulative sum of daily-volume
+    * deviations from the global mean; the |S_t| peak marks the most
+    * likely mean-shift day (Page's classic detector, the batch
+    * pre-check behind drift alarms like the streaming KL monitor).
+    * Top-5 peak days reported with a deterministic (|S|, day)
+    * tie-break. Scale shape: the corpus collapses to #days counts in
+    * one combinable aggregate; mean is exact (long sums); the
+    * sequential CUSUM is a window over the bounded day series and the
+    * top-5 is a TakeOrdered heap. */
+  def q158_cusum_changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).select(unix_millis(col("ts")).as("ms"))
+    val t0 = ev.agg(min(col("ms")).as("t0"))
+    val daily = ev.crossJoin(broadcast(t0))
+      .select(floor((col("ms") - col("t0")) / lit(86400000.0)).cast("long")
+        .as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).cast("long").as("x"))
+    val stats = daily.agg(avg(col("x")).as("mu"),
+      count(lit(1)).cast("long").as("n_days"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("s",
+        sum(col("x").cast("double") - col("mu")).over(
+          W.orderBy(col("day")).rowsBetween(W.unboundedPreceding, 0)))
+      .select(col("day"), col("x"), round(col("s"), 6).as("cusum"),
+        round(abs(col("s")), 6).as("abs_cusum"),
+        round(col("mu"), 6).as("mean_daily"), col("n_days"))
+      .orderBy(col("abs_cusum").desc, col("day").asc)
+      .limit(5)
+  }
+
+  /** Table-statistics profile — the ANALYZE-style per-column summary a
+    * cost-based optimizer feeds on: null count, exact distinct count,
+    * and integer min/max for the key columns of `lineitem`, in ONE
+    * aggregate pass. Multiple exact count-distincts expand the input
+    * (Spark's Expand: one replica per distinct column) — the documented
+    * 100 TB swap is `approx_count_distinct` (HLL, q61-gated), which
+    * collapses the pass to plain combinable sketches. The wide one-row
+    * aggregate unpivots to long form via `stack`, so output is
+    * #profiled-columns rows regardless of corpus size. */
+  def q159_table_profile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def nulls(c: String) =
+      sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"nul_$c")
+    def nd(c: String) = count_distinct(col(c)).cast("long").as(s"nd_$c")
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_returnflag", "l_shipdate")
+    val intCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val ag = li.agg(count(lit(1)).cast("long").as("n_rows"),
+      (cols.map(nulls) ++ cols.map(nd) ++
+        intCols.map(c => min(col(c)).cast("long").as(s"min_$c")) ++
+        intCols.map(c => max(col(c)).cast("long").as(s"max_$c"))): _*)
+    val stackArgs = cols.map { c =>
+      val mn = if (intCols.contains(c)) s"min_$c" else "CAST(NULL AS BIGINT)"
+      val mx = if (intCols.contains(c)) s"max_$c" else "CAST(NULL AS BIGINT)"
+      s"'$c', nul_$c, nd_$c, $mn, $mx"
+    }.mkString(", ")
+    ag.select(col("n_rows"), expr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, null_count, n_distinct, min_long, max_long)"))
+      .select(col("col_name"), col("n_rows"), col("null_count"),
+        col("n_distinct"), col("min_long"), col("max_long"))
+      .orderBy(col("col_name"))
+  }
 }

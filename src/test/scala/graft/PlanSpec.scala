@@ -657,6 +657,24 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("q157 cumulative uniques: dedup-then-cumsum, window on day series only") {
+    val plan = planString(queries.CorpusQueries.q157_cumulative_uniques(spark, dir))
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q158 CUSUM: corpus collapses to day counts, top-5 is TakeOrdered") {
+    val plan = planString(queries.CorpusQueries.q158_cusum_changepoint(spark, dir))
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q159 table profile: single aggregate pass, Expand for exact distincts") {
+    val plan = planString(queries.CorpusQueries.q159_table_profile(spark, dir))
+    plan should include("Expand")
+    plan should not include "Join"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
