@@ -2640,6 +2640,52 @@ object Oracles {
         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
         |FROM lineitem
         |ORDER BY col_name""".stripMargin,
+
+    "q160_fuzzy_vocab_pairs" ->
+      """WITH d AS (
+        |  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    split_part(p_name, ' ', 2) AS blk
+        |  FROM part GROUP BY p_name)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+        |  a.freq AS freq_a, b.freq AS freq_b
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q161_event_paths" ->
+      """WITH w AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts) AS step2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts) AS step3
+        |  FROM events)
+        |SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n_paths
+        |FROM w WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, step1, step2, step3
+        |LIMIT 10""".stripMargin,
+
+    "q162_moment_profile" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(9,0)) AS d1
+        |  FROM events
+        |), p AS (
+        |  SELECT event_type, d1, d1*d1 AS d2 FROM b
+        |), g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(d1) AS s1, SUM(d2) AS s2,
+        |    SUM(CAST(d2 AS DECIMAL(19,0))*d1) AS s3,
+        |    SUM(CAST(d2 AS DECIMAL(19,0))*d2) AS s4
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((CAST(s1 AS DOUBLE)/n)/100, 6) AS mean,
+        |  round(sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))/100, 6) AS sd,
+        |  round((CAST(s3 AS DOUBLE)/n - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) + 2*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+        |    / pow(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 1.5), 6) AS skewness,
+        |  round((CAST(s4 AS DOUBLE)/n - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n) + 6*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+        |    / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))*(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3, 6) AS kurtosis
+        |FROM g ORDER BY event_type""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

@@ -2399,4 +2399,93 @@ object CorpusQueries {
         col("n_distinct"), col("min_long"), col("max_long"))
       .orderBy(col("col_name"))
   }
+
+  /** Fuzzy vocabulary pairs — near-identical categorical values
+    * (levenshtein ≤ 2) among DISTINCT part names, the dirty-dimension
+    * cleanup behind "cold bolt"/"old bolt" merge candidates. The scale
+    * discipline is dictionary-first: the corpus pays ONE combinable
+    * frequency aggregate; the edit-distance join runs on the distinct
+    * value dictionary (Heaps-law bounded — 64 names here at every SF),
+    * blocked on the head noun so even the dictionary never goes
+    * all-pairs. Levenshtein on the corpus rows directly would be
+    * O(rows²·len²) — the classic fuzzy-join mistake. */
+  def q160_fuzzy_vocab_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).cast("long").as("freq"))
+      .withColumn("blk", expr("split_part(p_name, ' ', 2)"))
+    val a = d.select(col("p_name").as("name_a"), col("freq").as("freq_a"),
+      col("blk"))
+    val b = d.select(col("p_name").as("name_b"), col("freq").as("freq_b"),
+      col("blk"))
+    a.join(b, "blk").filter(col("name_a") < col("name_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("lev") <= 2)
+      .select(col("name_a"), col("name_b"), col("lev").cast("long").as("lev"),
+        col("freq_a"), col("freq_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** Top event trigram paths — the most common 3-step behavioral
+    * sequences (per-user, time-ordered), the path-mining pass behind
+    * funnel discovery; q135's Markov matrix sees only bigram
+    * transitions and misses third-order structure. Scale shape: the
+    * lead-window partitions on user_id (high-cardinality, per-user
+    * event counts bounded), the trigram aggregate is combinable over
+    * ≤|types|³ groups, and the top-10 is a TakeOrdered heap with a
+    * full (count, path) tie-break. (user_id, ts) is collision-free in
+    * this data, so sequence order is unambiguous. */
+  def q161_event_paths(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("step2", lead(col("event_type"), 1).over(W))
+      .withColumn("step3", lead(col("event_type"), 2).over(W))
+      .filter(col("step3").isNotNull)
+      .select(col("event_type").as("step1"), col("step2"), col("step3"))
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).cast("long").as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(10)
+  }
+
+  /** Higher-moment profile — mean, SD, skewness, excess kurtosis of
+    * `value` per event type, from EXACT integer power sums: values are
+    * 2-decimal by contract, so each becomes an exact centi-unit long
+    * and the power sums accumulate in DECIMAL(38,0) — order-independent
+    * and engine-identical where raw double power sums would drift per
+    * partitioning (and long ones overflow at value⁴ ≥ 9.2e18). The
+    * final moment formulas run once per group on exact inputs, spelled
+    * identically in the oracle; skew/kurtosis are unit-free so the
+    * centi scaling cancels. Scale shape: ONE combinable aggregate over
+    * the corpus; the moment algebra touches #types rows. */
+  def q162_moment_profile(spark: SparkSession, dir: String): DataFrame = {
+    val iv = expr("CAST(round(value * 100) AS BIGINT)")
+    // DECIMAL(9,0) base: centi-values are ≤6 digits by contract, and the
+    // width keeps every product ≤38 digits on BOTH engines (DuckDB errors
+    // past 38 where Spark merely caps)
+    val d1 = expr("CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(9,0))")
+    val g = Tables.events(spark, dir)
+      .select(col("event_type"), iv.as("iv"), d1.as("d1"))
+      .withColumn("d2", col("d1") * col("d1"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("d1")).as("s1"), sum(col("d2")).as("s2"),
+        // widen d2 before multiplying: DuckDB computes same-width decimal
+        // products in int64 and overflows; the cast forces the wide path
+        // on both engines (values stay exact integers either way)
+        sum(col("d2").cast("decimal(19,0)") * col("d1")).as("s3"),
+        sum(col("d2").cast("decimal(19,0)") * col("d2")).as("s4"))
+    g.select(col("event_type"), col("n"),
+      expr("round((CAST(s1 AS DOUBLE)/n)/100, 6)").as("mean"),
+      expr("round(sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))/100, 6)")
+        .as("sd"),
+      expr("""round((CAST(s3 AS DOUBLE)/n - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) + 2*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+          / pow(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 1.5), 6)""")
+        .as("skewness"),
+      expr("""round((CAST(s4 AS DOUBLE)/n - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n) + 6*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+          / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))*(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3, 6)""")
+        .as("kurtosis"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -675,6 +675,24 @@ class PlanSpec extends SparkSpec {
     plan should not include "Join"
   }
 
+  test("q160 fuzzy vocab: levenshtein runs on the distinct dictionary, blocked") {
+    val plan = planString(queries.CorpusQueries.q160_fuzzy_vocab_pairs(spark, dir))
+    plan should not include "CartesianProduct"
+  }
+
+  test("q161 event paths: lead windows partition on user_id, top-10 heap") {
+    val plan = planString(queries.CorpusQueries.q161_event_paths(spark, dir))
+    plan should include("Window")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q162 moments: one combinable aggregate, no joins, no windows") {
+    val plan = planString(queries.CorpusQueries.q162_moment_profile(spark, dir))
+    plan should not include "Join"
+    plan should not include "Window"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
