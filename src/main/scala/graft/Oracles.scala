@@ -2686,6 +2686,86 @@ object Oracles {
         |  round((CAST(s4 AS DOUBLE)/n - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n) + 6*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
         |    / ((CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))*(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))) - 3, 6) AS kurtosis
         |FROM g ORDER BY event_type""".stripMargin,
+
+    "q163_backlog_lindley" ->
+      """WITH e AS (
+        |  SELECT l_suppkey, epoch_ms(l_shipdate) AS ms,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS qd
+        |  FROM lineitem
+        |), t0 AS (SELECT MIN(ms) AS t0 FROM e),
+        |daily AS (
+        |  SELECT l_suppkey,
+        |    CAST(floor((ms - t0) / 86400000.0) AS BIGINT) AS day,
+        |    SUM(qd) AS q
+        |  FROM e CROSS JOIN t0 GROUP BY 1, 2
+        |), w AS (
+        |  SELECT l_suppkey, day, q,
+        |    CAST(COUNT(*) OVER (PARTITION BY l_suppkey) AS BIGINT) AS n_days,
+        |    SUM(q) OVER (PARTITION BY l_suppkey) AS s_total
+        |  FROM daily
+        |), y AS (
+        |  SELECT l_suppkey, day, n_days, q * n_days - s_total AS y FROM w
+        |), c1 AS (
+        |  SELECT l_suppkey, day, n_days,
+        |    SUM(y) OVER (PARTITION BY l_suppkey ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM y
+        |), c AS (
+        |  SELECT l_suppkey, day, n_days, cum,
+        |    MIN(cum) OVER (PARTITION BY l_suppkey ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+        |  FROM c1
+        |), s AS (
+        |  SELECT l_suppkey, day, n_days,
+        |    cum - least(CAST(0 AS DECIMAL(38,2)), runmin) AS scaled
+        |  FROM c)
+        |SELECT l_suppkey, n_days,
+        |  round(CAST(MAX(scaled) AS DOUBLE) / n_days, 6) AS max_backlog,
+        |  round(CAST(arg_max(scaled, day) AS DOUBLE) / n_days, 6) AS end_backlog,
+        |  CAST(SUM(CASE WHEN scaled > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_backlog_days
+        |FROM s GROUP BY 1, 2 ORDER BY l_suppkey""".stripMargin,
+
+    "q164_revenue_share" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2
+        |), w AS (
+        |  SELECT r_name, n_name, rev,
+        |    SUM(rev) OVER (PARTITION BY r_name) AS region_total,
+        |    SUM(rev) OVER (PARTITION BY r_name ORDER BY rev DESC, n_name ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+        |    rank() OVER (PARTITION BY r_name ORDER BY rev DESC, n_name) AS rnk
+        |  FROM rev)
+        |SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE) / CAST(region_total AS DOUBLE), 6) AS share,
+        |  CAST(rnk AS BIGINT) AS rnk,
+        |  round(CAST(cum_rev AS DOUBLE) / CAST(region_total AS DOUBLE), 6) AS cum_share
+        |FROM w ORDER BY r_name, rnk""".stripMargin,
+
+    "q165_stickiness" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |), t AS (SELECT MIN(ms) AS t0, MAX(ms) AS t1 FROM e),
+        |ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor((ms - t0) / 86400000.0) AS BIGINT) AS day,
+        |    CAST(floor((t1 - t0) / 86400000.0) AS BIGINT) AS max_day
+        |  FROM e CROSS JOIN t
+        |), dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+        |), uw AS (
+        |  SELECT DISTINCT user_id, wday FROM ud
+        |  CROSS JOIN LATERAL unnest(generate_series(day, day + 6)) AS g(wday)
+        |  WHERE wday <= max_day
+        |), wau AS (
+        |  SELECT wday, CAST(COUNT(*) AS BIGINT) AS wau FROM uw GROUP BY wday)
+        |SELECT day, dau, wau,
+        |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |FROM dau JOIN wau ON day = wday
+        |ORDER BY day""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

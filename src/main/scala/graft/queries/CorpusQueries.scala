@@ -2488,4 +2488,132 @@ object CorpusQueries {
         .as("kurtosis"))
       .orderBy(col("event_type"))
   }
+
+  /** Queue-backlog accounting — per-supplier shipping backlog via the
+    * Lindley reflection: backlog_t = max(0, backlog_{t-1} + x_t) has
+    * the closed form S_t − min(0, min_{i≤t} S_i) over the prefix sums,
+    * turning a sequential recursion into two windows. Daily net flow is
+    * that day's shipped quantity minus the supplier's own mean daily
+    * rate — and the whole recursion runs SCALED BY n (the supplier's
+    * day count), so x_t·n = q_t·n − Σq stays exact decimal end to end:
+    * no mean division inside the recursion, no float drift, exact
+    * backlog>0 day counts. Scale shape: one (supplier, day) combinable
+    * aggregate, windows partitioned per supplier over day series
+    * bounded by the calendar, one final per-supplier aggregate. */
+  def q163_backlog_lindley(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val ev = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), unix_millis(col("l_shipdate")).as("ms"),
+        col("l_quantity"))
+    val t0 = ev.agg(min(col("ms")).as("t0"))
+    val daily = ev.crossJoin(broadcast(t0))
+      .select(col("l_suppkey"),
+        floor((col("ms") - col("t0")) / lit(86400000.0)).cast("long")
+          .as("day"),
+        col("l_quantity"))
+      .groupBy(col("l_suppkey"), col("day"))
+      .agg(sum(dec(col("l_quantity"))).as("q"))
+    val wSupp = W.partitionBy(col("l_suppkey"))
+    val wCum = wSupp.orderBy(col("day"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    daily
+      .withColumn("n_days", count(lit(1)).over(wSupp).cast("long"))
+      .withColumn("s_total", sum(col("q")).over(wSupp))
+      // scaled net flow: y = q·n − Σq (exact decimal; mean never divided)
+      .withColumn("y", col("q") * col("n_days") - col("s_total"))
+      .withColumn("cum", sum(col("y")).over(wCum))
+      .withColumn("runmin", min(col("cum")).over(wCum))
+      .withColumn("scaled",
+        col("cum") - least(lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 2)), col("runmin")))
+      .groupBy(col("l_suppkey"), col("n_days"))
+      .agg(
+        // divisions in double only — decimal division scales differ
+        // between engines; the numerators are exact decimals
+        round(max(col("scaled")).cast("double") / col("n_days"), 6)
+          .as("max_backlog"),
+        round(expr("CAST(max_by(scaled, day) AS DOUBLE)") / col("n_days"), 6)
+          .as("end_backlog"),
+        sum(when(col("scaled") > 0, 1).otherwise(0)).cast("long")
+          .as("n_backlog_days"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** Regional revenue share — contribution analysis: each nation's
+    * revenue share of its region, rank, and the Pareto cumulative
+    * share, the ratio-to-report window family every BI layer needs.
+    * Revenue is exact decimal; shares divide once into double at the
+    * end; the Pareto ordering tie-breaks on nation name so equal
+    * revenues cannot reorder between engines. Scale shape: the corpus
+    * collapses to ≤25 (region, nation) rows in one combinable
+    * aggregate before any window runs — the windows sort bounded
+    * dimension-sized groups, never data rows. */
+  def q164_revenue_share(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .as("rev"))
+    val wReg = W.partitionBy(col("r_name"))
+    val wPareto = wReg.orderBy(col("rev").desc, col("n_name"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    rev
+      .withColumn("region_total", sum(col("rev")).over(wReg))
+      .withColumn("cum_rev", sum(col("rev")).over(wPareto))
+      .select(col("r_name"), col("n_name"),
+        col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double") / col("region_total").cast("double"), 6)
+          .as("share"),
+        rank().over(wReg.orderBy(col("rev").desc, col("n_name")))
+          .cast("long").as("rnk"),
+        round(col("cum_rev").cast("double") / col("region_total").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy(col("r_name"), col("rnk"))
+  }
+
+  /** DAU/WAU stickiness — daily actives, trailing-7-day actives, and
+    * their ratio. Rolling DISTINCT over a window is the trap (most
+    * engines refuse it; emulations rescan 7 days of users per day) —
+    * the scale-correct identity is: each distinct (user, day)
+    * contributes to exactly 7 window-end days, so explode day..day+6,
+    * dedup (user, window_day), count. Linear ×7 in user-days, all
+    * shuffles on compact ids. Window days past the observation end are
+    * dropped; the ramp-up head (windows shorter than 7 days) is kept,
+    * as dashboards do. */
+  def q165_stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+    val t0 = ev.agg(min(col("ms")).as("t0"),
+      max(col("ms")).as("t1"))
+    val ud = ev.crossJoin(broadcast(t0))
+      .select(col("user_id"),
+        floor((col("ms") - col("t0")) / lit(86400000.0)).cast("long")
+          .as("day"),
+        floor((col("t1") - col("t0")) / lit(86400000.0)).cast("long")
+          .as("max_day"))
+      .distinct()
+    val dau = ud.groupBy(col("day"))
+      .agg(count(lit(1)).cast("long").as("dau"))
+    val wau = ud
+      .select(col("user_id"), col("max_day"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .filter(col("wday") <= col("max_day"))
+      .select(col("user_id"), col("wday")).distinct()
+      .groupBy(col("wday")).agg(count(lit(1)).cast("long").as("wau"))
+    dau.join(wau, col("day") === col("wday"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy(col("day"))
+  }
 }

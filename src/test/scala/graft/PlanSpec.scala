@@ -693,6 +693,24 @@ class PlanSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("q163 Lindley backlog: windows partition per supplier, no cartesian") {
+    val plan = planString(queries.CorpusQueries.q163_backlog_lindley(spark, dir))
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q164 revenue share: corpus collapses before windows run") {
+    val plan = planString(queries.CorpusQueries.q164_revenue_share(spark, dir))
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q165 stickiness: explode-dedup rolling distinct, no window distinct") {
+    val plan = planString(queries.CorpusQueries.q165_stickiness(spark, dir))
+    plan should include("Generate")
+    plan should not include "Window"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
