@@ -2766,6 +2766,46 @@ object Oracles {
         |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
         |FROM dau JOIN wau ON day = wday
         |ORDER BY day""".stripMargin,
+
+    "q166_revenue_gini" ->
+      """WITH cr AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT rev,
+        |    CAST(row_number() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS rnk
+        |  FROM cr
+        |), s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(rev) AS tot,
+        |    SUM(CAST(rnk AS DECIMAL(18,0)) * rev) AS wsum
+        |  FROM r)
+        |SELECT n, CAST(tot AS DOUBLE) AS total_rev,
+        |  round(2.0 * CAST(wsum AS DOUBLE) / (n * CAST(tot AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1)/n, 6) AS gini
+        |FROM s""".stripMargin,
+
+    "q167_readability" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_words,
+        |    CAST(SUM(greatest(len(regexp_extract_all(text, '[.!?]')), 1)) AS BIGINT) AS n_sents,
+        |    CAST(SUM(len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS BIGINT) AS n_syll
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_words, n_sents, n_syll,
+        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+        |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS flesch
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q168_ship_latency" ->
+      """WITH l AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST((epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000 AS BIGINT) AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(quantile_cont(lag_days, 0.5), 6) AS p50,
+        |  round(quantile_cont(lag_days, 0.9), 6) AS p90,
+        |  CAST(MAX(lag_days) AS BIGINT) AS max_lag
+        |FROM l GROUP BY 1 ORDER BY prio""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

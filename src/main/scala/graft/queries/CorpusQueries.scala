@@ -2616,4 +2616,82 @@ object CorpusQueries {
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
       .orderBy(col("day"))
   }
+
+  /** Revenue Gini coefficient — customer-concentration inequality via
+    * the rank formula G = 2·Σ(rᵢ·xᵢ)/(n·Σx) − (n+1)/n on ascending
+    * per-customer revenue; ties rank deterministically by custkey so
+    * both engines walk the same permutation. Everything up to the
+    * final formula is exact decimal (rank·revenue products included).
+    * Scale shape: the corpus collapses to per-customer revenue (one
+    * combinable aggregate) before the rank window — which therefore
+    * sorts the customer DIMENSION, not lineitem; the decile-binned
+    * Lorenz curve (SearchSorted against broadcast cuts, q78-style) is
+    * the documented swap when even the dimension outgrows a sort. */
+  def q166_revenue_gini(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cr = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    cr.withColumn("rnk",
+        row_number().over(W.orderBy(col("rev"), col("o_custkey")))
+          .cast("long"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("rev")).as("tot"),
+        sum(col("rnk").cast("decimal(18,0)") * col("rev")).as("wsum"))
+      .select(col("n"), col("tot").cast("double").as("total_rev"),
+        round(lit(2.0) * col("wsum").cast("double") /
+            (col("n") * col("tot").cast("double")) -
+          (col("n").cast("double") + 1) / col("n"), 6).as("gini"))
+  }
+
+  /** Readability profile — Flesch reading-ease per source from three
+    * regex-count statistics (words = \\S+ runs, sentences = terminal
+    * punctuation marks floored at 1/doc, syllables ≈ vowel groups).
+    * Counting MATCHES sidesteps the split() trailing-empty divergence
+    * between engines — greedy character-class regexes behave
+    * identically in Java regex and RE2. Scale shape: three per-row
+    * compiled counts summed in one combinable aggregate; the Flesch
+    * formula runs once per source on exact long sums. */
+  def q167_readability(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("w"),
+        greatest(size(expr("regexp_extract_all(text, '[.!?]', 0)")), lit(1))
+          .as("s"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).as("y"))
+      .groupBy(col("source"))
+      .agg(sum(col("w")).cast("long").as("n_words"),
+        sum(col("s")).cast("long").as("n_sents"),
+        sum(col("y")).cast("long").as("n_syll"))
+    g.select(col("source"), col("n_words"), col("n_sents"), col("n_syll"),
+      round(lit(206.835) -
+        lit(1.015) * (col("n_words").cast("double") / col("n_sents")) -
+        lit(84.6) * (col("n_syll").cast("double") / col("n_words")), 6)
+        .as("flesch"))
+      .orderBy(col("source"))
+  }
+
+  /** Order-to-ship latency matrix — p50/p90/max shipping lag in whole
+    * days per order priority: the SLA dashboard over the orders⋈lineitem
+    * join. Lag is exact integer microsecond floor-division (the q156
+    * discipline); percentiles are exact over priority groups
+    * (`approx_percentile` is the 100 TB swap, q61-gated). One
+    * orderkey-partitioned join, one combinable-ish aggregate per
+    * priority — 5 output rows at any scale. */
+  def q168_ship_latency(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("prio"),
+        expr("(unix_micros(l_shipdate) - unix_micros(o_orderdate)) div 86400000000")
+          .as("lag_days"))
+    l.groupBy(col("prio"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(expr("percentile(lag_days, 0.5d)"), 6).as("p50"),
+        round(expr("percentile(lag_days, 0.9d)"), 6).as("p90"),
+        max(col("lag_days")).cast("long").as("max_lag"))
+      .orderBy(col("prio"))
+  }
 }

@@ -711,6 +711,25 @@ class PlanSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("q166 Gini: rank window sorts the customer dimension, not lineitem") {
+    val plan = planString(queries.CorpusQueries.q166_revenue_gini(spark, dir))
+    plan should include("Window")
+    // the window input is the per-customer aggregate, not raw orders
+    plan should not include "CartesianProduct"
+  }
+
+  test("q167 readability: regex counts in one combinable aggregate, no joins") {
+    val plan = planString(queries.CorpusQueries.q167_readability(spark, dir))
+    plan should not include "Join"
+    plan should not include "Window"
+  }
+
+  test("q168 ship latency: one orderkey join, bounded percentile groups") {
+    val plan = planString(queries.CorpusQueries.q168_ship_latency(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
