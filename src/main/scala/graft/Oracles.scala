@@ -2806,6 +2806,101 @@ object Oracles {
         |  round(quantile_cont(lag_days, 0.9), 6) AS p90,
         |  CAST(MAX(lag_days) AS BIGINT) AS max_lag
         |FROM l GROUP BY 1 ORDER BY prio""".stripMargin,
+
+    "q169_jaccard_histogram" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |pj AS (
+        |  SELECT CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS jaccard
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |), hist AS (
+        |  SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM pj GROUP BY 1)
+        |SELECT bin, round(bin / 10.0, 1) AS thr_lo, n_pairs,
+        |  CAST(SUM(n_pairs) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS kept_at_threshold
+        |FROM hist ORDER BY bin""".stripMargin,
+
+    "q170_partition_advisor" ->
+      """WITH src AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events
+        |), parts AS (
+        |  SELECT event_type, day,
+        |    grouping(event_type) AS ge, grouping(day) AS gd,
+        |    count(*) AS nrows
+        |  FROM src
+        |  GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
+        |)
+        |SELECT
+        |  CASE WHEN ge = 0 AND gd = 1 THEN 'event_type'
+        |       WHEN ge = 1 AND gd = 0 THEN 'day'
+        |       ELSE 'event_type,day' END AS scheme,
+        |  CAST(count(*) AS BIGINT) AS n_partitions,
+        |  CAST(sum(nrows) AS BIGINT) AS total_rows,
+        |  CAST(max(nrows) AS BIGINT) AS max_rows,
+        |  round(CAST(sum(nrows) AS DOUBLE) / count(*), 6) AS avg_rows,
+        |  round(CAST(max(nrows) AS DOUBLE) * count(*) / sum(nrows), 6) AS skew
+        |FROM parts
+        |GROUP BY 1
+        |ORDER BY scheme""".stripMargin,
+
+    "q171_activity_heatmap" ->
+      """WITH g AS (
+        |  SELECT isodow(ts) AS iso_dow, CAST(hour(ts) AS BIGINT) AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT iso_dow, hr, n,
+        |  round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share,
+        |  n = MAX(n) OVER (PARTITION BY iso_dow) AS is_peak
+        |FROM g ORDER BY iso_dow, hr""".stripMargin,
+
+    "q172_bracket_revenue" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 20 AND 40)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q173_lapsed_customers" ->
+      """WITH pos AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+        |    CAST(COUNT(*) AS DECIMAL(18,0)) AS n
+        |  FROM customer WHERE c_acctbal > 0
+        |), rich AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal
+        |  FROM customer CROSS JOIN pos
+        |  WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+        |), lapsed AS (
+        |  SELECT * FROM rich r
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = r.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
+        |)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM lapsed JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+
+    "q174_returned_revenue" ->
+      """WITH perCust AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM perCust
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

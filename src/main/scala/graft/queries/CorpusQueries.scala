@@ -2694,4 +2694,192 @@ object CorpusQueries {
         max(col("lag_days")).cast("long").as("max_lag"))
       .orderBy(col("prio"))
   }
+
+  /** LSH threshold tuner — the exact-Jaccard distribution over ALL LSH
+    * candidate pairs (threshold 0 keeps every banding collision), binned
+    * into ten width-0.1 buckets, with a cumulative from-the-top count so
+    * each row reads directly as "pairs surviving at threshold ≥ thr_lo".
+    * This is the tuning companion to q27: run it once, pick the knee,
+    * set the production threshold. Scale shape: the pair list is
+    * LSH-bucketed and skew-capped (never all-pairs); the histogram is
+    * one combinable aggregate over it; the cumulative window runs over
+    * ≤10 rows. Both engines compute Jaccard as the same IEEE double
+    * division, so bin edges agree exactly. */
+  def q169_jaccard_histogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.similarity.MinHashLsh.nearDuplicatePairs(
+      Tables.documents(spark, dir), "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.0,
+      maxBucket = Some(100))
+    val hist = pairs
+      .select(least(floor(col("jaccard") * 10).cast("long"), lit(9L)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+    val wTop = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("kept_at_threshold", sum(col("n_pairs")).over(wTop).cast("long"))
+      .select(col("bin"), round(col("bin") / 10.0, 1).as("thr_lo"),
+        col("n_pairs"), col("kept_at_threshold"))
+      .orderBy(col("bin"))
+  }
+
+  /** Partition-key advisor — evaluates three candidate layout keys for
+    * the events table (event_type, event day, and their composite) in a
+    * SINGLE grouping-sets pass, then reduces each candidate to the
+    * numbers a layout decision needs: partition count, max/avg rows, and
+    * the skew ratio max/avg. The multi-grain aggregate is Spark's Expand
+    * + one combinable count — the table is read once for all three
+    * candidates, and the advisor aggregate runs over partition-value
+    * rows (thousands at most), not data rows. */
+  def q170_partition_advisor(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("ev_q170")
+    spark.sql(
+      """WITH src AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM ev_q170
+        |), parts AS (
+        |  SELECT event_type, day,
+        |    grouping(event_type) AS ge, grouping(day) AS gd,
+        |    count(*) AS nrows
+        |  FROM src
+        |  GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
+        |)
+        |SELECT
+        |  CASE WHEN ge = 0 AND gd = 1 THEN 'event_type'
+        |       WHEN ge = 1 AND gd = 0 THEN 'day'
+        |       ELSE 'event_type,day' END AS scheme,
+        |  CAST(count(*) AS BIGINT) AS n_partitions,
+        |  CAST(sum(nrows) AS BIGINT) AS total_rows,
+        |  CAST(max(nrows) AS BIGINT) AS max_rows,
+        |  round(CAST(sum(nrows) AS DOUBLE) / count(*), 6) AS avg_rows,
+        |  round(CAST(max(nrows) AS DOUBLE) * count(*) / sum(nrows), 6) AS skew
+        |FROM parts
+        |GROUP BY 1
+        |ORDER BY scheme""".stripMargin)
+  }
+
+  /** Weekday×hour activity heatmap — the load-pattern matrix behind
+    * capacity planning: event count per (ISO weekday, hour), each cell's
+    * share of all traffic, and a per-weekday peak-hour flag. Spark's
+    * weekday() is 0=Monday, so +1 aligns it with DuckDB's isodow.
+    * Scale shape: one combinable count to at most 7×24 = 168 cells;
+    * both windows (global share, per-weekday max) run over those 168
+    * rows, never over data. */
+  def q171_activity_heatmap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.events(spark, dir)
+      .select((expr("weekday(ts)") + 1).cast("long").as("iso_dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .groupBy(col("iso_dow"), col("hr"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wDow = Window.partitionBy(col("iso_dow"))
+    g.withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(wAll), 6))
+      .withColumn("is_peak", col("n") === max(col("n")).over(wDow))
+      .orderBy(col("iso_dow"), col("hr"))
+  }
+
+  /** Disjunctive bracket-predicate join — the TPC-H Q19 shape: revenue
+    * from lineitems matching any of three correlated (brand, size,
+    * quantity) brackets, where each disjunct constrains BOTH join sides.
+    * Scale shape: `part` is a broadcast dimension; since Spark 3.x the
+    * CNF conversion in predicate pushdown extracts the part-only
+    * disjunction (brand/size) to the build side and the quantity
+    * disjunction to the lineitem scan, so neither side carries
+    * non-matching rows into the join. Revenue is an exact decimal sum
+    * per brand (order-independent), cast to double only on output. */
+  def q172_bracket_revenue(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val bracket =
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#22" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 25)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 40) &&
+        col("l_quantity").between(20, 40))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .groupBy(col("p_brand"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"),
+        count(lit(1)).cast("long").as("n_items"))
+      .select(col("p_brand"), col("rev").cast("double").as("revenue"),
+        col("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Lapsed high-balance customers — the TPC-H Q22 shape adapted to this
+    * schema: customers whose balance exceeds the positive-balance mean,
+    * with NO order in the trailing year, rolled up per nation. The
+    * above-mean predicate is division-free (`bal·n > Σbal`, exact
+    * decimals both sides) so the threshold cannot flip on a last-ulp
+    * double between engines. Scale shape: the threshold is a one-row
+    * broadcast; the recency probe is a left-anti join whose right side
+    * is date-pruned at the orders scan and projected to o_custkey only;
+    * nation is a broadcast dim. */
+  def q173_lapsed_customers(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val cut = lit(java.sql.Timestamp.valueOf("2000-08-01 00:00:00"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val pos = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("s"),
+        count(lit(1)).cast("decimal(18,0)").as("n"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= cut)
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(pos))
+      .filter(dec(col("c_acctbal")) * col("n") > col("s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).cast("long").as("n_custs"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Returned-item customer ranking — the TPC-H Q10 shape: top-20
+    * customers by revenue lost to returns (l_returnflag = 'R') in one
+    * quarter, with nation context. Scale shape: the quarter filter
+    * pushes to the orders scan and the flag filter to lineitem; the
+    * orders⋈lineitem join shuffles on orderkey; customer joins on the
+    * aggregated (per-customer) result, not on raw lineitems; nation is
+    * broadcast; the top-20 plans as TakeOrderedAndProject with exact
+    * decimal revenue and a custkey tie-break. */
+  def q174_returned_revenue(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val lo = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+    val hi = lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val perCust = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
+    perCust
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("rev").desc, col("c_custkey").asc)
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"),
+        col("rev").cast("double").as("revenue"),
+        col("c_acctbal"), col("n_name"))
+  }
 }
