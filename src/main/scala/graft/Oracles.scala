@@ -2901,6 +2901,64 @@ object Oracles {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q175_bilateral_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_17')
+        |   OR (n1.n_name = 'NATION_17' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q176_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS v,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |), g AS (
+        |  SELECT o_year,
+        |    SUM(CASE WHEN supp_nation = 'NATION_7' THEN v
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS nat_vol,
+        |    SUM(v) AS tot_vol
+        |  FROM vol GROUP BY 1)
+        |SELECT o_year, CAST(nat_vol AS DOUBLE) AS nation_volume,
+        |  CAST(tot_vol AS DOUBLE) AS total_volume,
+        |  round(CAST(nat_vol AS DOUBLE) / CAST(tot_vol AS DOUBLE), 6) AS mkt_share
+        |FROM g ORDER BY o_year""".stripMargin,
+
+    "q177_promo_share" ->
+      """WITH g AS (
+        |  SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+        |    SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_rev,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS tot_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT ship_month, CAST(promo_rev AS DOUBLE) AS promo_revenue,
+        |  CAST(tot_rev AS DOUBLE) AS total_revenue,
+        |  round(100.0 * CAST(promo_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6) AS promo_pct
+        |FROM g ORDER BY ship_month""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

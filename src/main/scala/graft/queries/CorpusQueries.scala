@@ -2882,4 +2882,128 @@ object CorpusQueries {
         col("rev").cast("double").as("revenue"),
         col("c_acctbal"), col("n_name"))
   }
+
+  /** Bilateral shipping volume — the TPC-H Q7 shape: revenue flowing
+    * between two nations (supplier side ↔ customer side, both
+    * directions) per ship-year. Scale shape: nation is broadcast twice
+    * under different aliases; the symmetric nation-pair predicate sits
+    * ABOVE both dimension joins, where Catalyst can still prune each
+    * side to the two named nations (the disjunction references one
+    * alias per conjunct); the two big joins shuffle on orderkey and
+    * suppkey; revenue is an exact decimal sum per (pair, year). */
+  def q175_bilateral_volume(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val nA = "NATION_3"; val nB = "NATION_17"
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name").isin(nA, nB))
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name").isin(nA, nB))
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === nA && col("cust_nation") === nB) ||
+        (col("supp_nation") === nB && col("cust_nation") === nA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("rev"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        col("rev").cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** National market share — the TPC-H Q8 shape: one nation's share of
+    * PROMO-part revenue sold into one region's market, per order-year.
+    * The share is a conditional-sum ratio over the SAME aggregate pass
+    * (no second scan, no join of two aggregates). Scale shape: part is
+    * pre-filtered to the type slice and broadcast; customer routes
+    * through its broadcast nation→region chain; both decimal sums are
+    * exact, divided as doubles only on output. */
+  def q176_market_share(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val target = "NATION_7"
+    val promo = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val asiaCust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "ASIA")
+          .select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val suppNat = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("vol", dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("supp_nation") === target, col("vol"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("nat_vol"),
+        sum(col("vol")).as("tot_vol"))
+      .select(col("o_year"),
+        col("nat_vol").cast("double").as("nation_volume"),
+        col("tot_vol").cast("double").as("total_volume"),
+        round(col("nat_vol").cast("double") / col("tot_vol").cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Promo revenue share — the TPC-H Q14 shape: per ship-month, the
+    * percentage of revenue from PROMO-type parts, as a conditional-sum
+    * ratio in one aggregate pass. Scale shape: the month filter pushes
+    * to the lineitem scan; part is a broadcast dimension carrying only
+    * (p_partkey, p_type); exact decimal sums, double division on
+    * output rows (one per month). */
+  def q177_promo_share(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      .select(col("l_partkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("rev", dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+      .groupBy(month(col("l_shipdate")).cast("long").as("ship_month"))
+      .agg(sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("promo_rev"),
+        sum(col("rev")).as("tot_rev"))
+      .select(col("ship_month"),
+        col("promo_rev").cast("double").as("promo_revenue"),
+        col("tot_rev").cast("double").as("total_revenue"),
+        round(lit(100.0) * col("promo_rev").cast("double") /
+          col("tot_rev").cast("double"), 6).as("promo_pct"))
+      .orderBy(col("ship_month"))
+  }
 }
