@@ -2959,6 +2959,81 @@ object Oracles {
         |  CAST(tot_rev AS DOUBLE) AS total_revenue,
         |  round(100.0 * CAST(promo_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6) AS promo_pct
         |FROM g ORDER BY ship_month""".stripMargin,
+
+    "q178_cluster_canonical" ->
+      s"""WITH RECURSIVE ${Oracles.minhashPairCtes},
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.node = e.b
+        |), comp AS (
+        |  SELECT node, min(r) AS comp FROM reach GROUP BY node
+        |), allc AS (
+        |  SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        |), canon AS (
+        |  SELECT cluster_id, doc_id AS canonical_id FROM (
+        |    SELECT cluster_id, doc_id,
+        |      row_number() OVER (PARTITION BY cluster_id
+        |        ORDER BY n_chars DESC, doc_id) AS rn
+        |    FROM allc)
+        |  WHERE rn = 1)
+        |SELECT a.doc_id, a.cluster_id, c.canonical_id,
+        |  a.doc_id = c.canonical_id AS keep
+        |FROM allc a JOIN canon c ON a.cluster_id = c.cluster_id
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "q179_dedup_savings" ->
+      s"""WITH RECURSIVE ${Oracles.minhashPairCtes},
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.node = e.b
+        |), comp AS (
+        |  SELECT node, min(r) AS comp FROM reach GROUP BY node
+        |), allc AS (
+        |  SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        |), canon AS (
+        |  SELECT cluster_id, doc_id AS canonical_id FROM (
+        |    SELECT cluster_id, doc_id,
+        |      row_number() OVER (PARTITION BY cluster_id
+        |        ORDER BY n_chars DESC, doc_id) AS rn
+        |    FROM allc)
+        |  WHERE rn = 1
+        |), mem AS (
+        |  SELECT d.source,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks,
+        |    CAST(length(d.text) AS BIGINT) AS bytes,
+        |    a.doc_id <> c.canonical_id AS dropped
+        |  FROM allc a
+        |  JOIN canon c ON a.cluster_id = c.cluster_id
+        |  JOIN documents d ON d.doc_id = a.doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(toks) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(CASE WHEN dropped THEN toks ELSE 0 END) AS BIGINT) AS tokens_saved,
+        |  CAST(SUM(CASE WHEN dropped THEN bytes ELSE 0 END) AS BIGINT) AS bytes_saved,
+        |  round(100.0 * SUM(CASE WHEN dropped THEN toks ELSE 0 END) / SUM(toks), 6) AS pct_tokens_saved
+        |FROM mem GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q180_sketch_rollup" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(1 AS BOOLEAN) AS sketch_ok
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

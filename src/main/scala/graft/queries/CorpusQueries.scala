@@ -3006,4 +3006,93 @@ object CorpusQueries {
           col("tot_rev").cast("double"), 6).as("promo_pct"))
       .orderBy(col("ship_month"))
   }
+
+  /** Cluster-canonical selection — the DELETE side of near-dup dedup:
+    * within each duplicate family (q54's connected components), keep the
+    * longest member (ties to the lowest id) and mark the rest for drop.
+    * "Longest survives" is the common production policy: truncated
+    * mirrors and boilerplate-stripped copies lose to the full text.
+    * Scale shape: the pair list is LSH-bucketed + skew-capped; CC runs
+    * on the dup subgraph only; the per-cluster argmax goes through the
+    * heap TopKPerKeyExec (k=1, state = #clusters rows) — no window sort
+    * over the corpus-sized membership table. */
+  def q178_cluster_canonical(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.similarity.MinHashLsh.nearDuplicatePairs(docs, "doc_id",
+        "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val members = graft.transform.Dedup
+      .duplicateClusters(pairs, docs.select(col("doc_id")), "doc_id")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val canon = graft.plans.TopKPerKey.topKPerKey(members,
+        keys = Seq(col("cluster_id")),
+        order = Seq(col("n_chars").desc, col("doc_id").asc), k = 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_id"))
+    members.join(canon, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Dedup savings report — what near-dup dedup actually buys, per
+    * source: documents dropped, whitespace-tokens saved, bytes saved,
+    * and the percentage each represents. The drop set is q178's
+    * non-canonical membership (longest-survives policy). Scale shape:
+    * identical chain to q178 plus ONE combinable per-source aggregate;
+    * token/byte counts are per-row column reads, never a re-shuffle of
+    * text. */
+  def q179_dedup_savings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.similarity.MinHashLsh.nearDuplicatePairs(docs, "doc_id",
+        "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val members = graft.transform.Dedup
+      .duplicateClusters(pairs, docs.select(col("doc_id")), "doc_id")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val canon = graft.plans.TopKPerKey.topKPerKey(members,
+        keys = Seq(col("cluster_id")),
+        order = Seq(col("n_chars").desc, col("doc_id").asc), k = 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_id"))
+    members.join(canon, "cluster_id")
+      .join(docs.select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("toks"),
+        length(col("text")).cast("long").as("bytes")), "doc_id")
+      .withColumn("dropped", col("doc_id") =!= col("canonical_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).cast("long").as("n_dropped"),
+        sum(col("toks")).cast("long").as("tokens_total"),
+        sum(when(col("dropped"), col("toks")).otherwise(0L)).cast("long")
+          .as("tokens_saved"),
+        sum(when(col("dropped"), col("bytes")).otherwise(0L)).cast("long")
+          .as("bytes_saved"))
+      .withColumn("pct_tokens_saved",
+        round(lit(100.0) * col("tokens_saved") / col("tokens_total"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** Mergeable-sketch rollup — Datasketches HLL per (event_type, day)
+    * unioned up to per-type distinct users, checked against the exact
+    * count with an oracle-pinned error bound. This is the re-aggregation
+    * property `approx_count_distinct` (q61) cannot offer: daily sketches
+    * persist once and every coarser grain (week, month, all-time) is a
+    * cheap union of 2-KB sketches, never a re-scan of events. lgK=14
+    * puts the HLL standard error at 0.8%, so the 5% gate is ~6σ. */
+  def q180_sketch_rollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("est_u"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_u"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("exact_u").cast("long").as("exact_users"),
+        (abs(col("est_u") - col("exact_u")).cast("double") /
+          col("exact_u").cast("double") <= 0.05).as("sketch_ok"))
+      .orderBy(col("event_type"))
+  }
 }
