@@ -3034,6 +3034,83 @@ object Oracles {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  CAST(1 AS BOOLEAN) AS sketch_ok
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q181_join_cardinality" ->
+      """WITH ok AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+        |lk AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |ck AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1),
+        |oc AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+        |eu AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+        |j1 AS (
+        |  SELECT 'orders_lineitem' AS join_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n_matched_keys,
+        |    CAST(SUM(l.c * r.c) AS BIGINT) AS est_rows,
+        |    CAST(MAX(l.c * r.c) AS BIGINT) AS max_key_pairs
+        |  FROM ok l JOIN lk r ON l.k = r.k),
+        |j2 AS (
+        |  SELECT 'customer_orders' AS join_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n_matched_keys,
+        |    CAST(SUM(l.c * r.c) AS BIGINT) AS est_rows,
+        |    CAST(MAX(l.c * r.c) AS BIGINT) AS max_key_pairs
+        |  FROM ck l JOIN oc r ON l.k = r.k),
+        |j3 AS (
+        |  SELECT 'events_self_user' AS join_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n_matched_keys,
+        |    CAST(SUM(l.c * r.c) AS BIGINT) AS est_rows,
+        |    CAST(MAX(l.c * r.c) AS BIGINT) AS max_key_pairs
+        |  FROM eu l JOIN eu r ON l.k = r.k),
+        |u AS (SELECT * FROM j1 UNION ALL SELECT * FROM j2 UNION ALL SELECT * FROM j3)
+        |SELECT join_name, n_matched_keys, est_rows, max_key_pairs,
+        |  round(100.0 * max_key_pairs / est_rows, 6) AS skew_pct
+        |FROM u ORDER BY join_name""".stripMargin,
+
+    "q182_bloom_gate" ->
+      """WITH keys AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00')
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_filter_keys,
+        |  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_total_rows,
+        |  CAST((SELECT COUNT(*) FROM lineitem
+        |    WHERE l_orderkey IN (SELECT o_orderkey FROM keys)) AS BIGINT) AS n_matched_rows,
+        |  CAST(1 AS BOOLEAN) AS no_false_negatives,
+        |  CAST(1 AS BOOLEAN) AS fpr_ok""".stripMargin,
+
+    "q183_prefix_join" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') tk FROM documents
+        |), d AS (
+        |  SELECT doc_id, sg, len(sg) AS ns FROM (
+        |    SELECT doc_id,
+        |      list_distinct(CASE WHEN len(tk) >= 3
+        |        THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |        ELSE [] END) AS sg
+        |    FROM t)
+        |  WHERE len(sg) > 0
+        |), gf AS (
+        |  SELECT g, COUNT(*) AS c
+        |  FROM d, unnest(sg) AS u(g) GROUP BY 1
+        |), ranked AS (
+        |  SELECT doc_id, ns, g,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c, g) AS pos
+        |  FROM (SELECT doc_id, ns, g FROM d, unnest(sg) AS u(g)) e
+        |  JOIN gf USING (g)
+        |), pref AS (
+        |  SELECT doc_id, ns, g FROM ranked
+        |  WHERE pos <= ns - ((ns + 1) // 2) + 1
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pref a JOIN pref b ON a.g = b.g
+        |  WHERE a.doc_id < b.doc_id
+        |    AND a.ns * 2 >= b.ns AND b.ns * 2 >= a.ns
+        |), j AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(da.sg, db.sg)) AS DOUBLE) /
+        |      CAST(len(list_distinct(da.sg || db.sg)) AS DOUBLE) AS jaccard
+        |  FROM cand JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

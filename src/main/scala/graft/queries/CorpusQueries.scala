@@ -3095,4 +3095,118 @@ object CorpusQueries {
           col("exact_u").cast("double") <= 0.05).as("sketch_ok"))
       .orderBy(col("event_type"))
   }
+
+  /** Join-cardinality estimator — the CBO statistics pass: per-key count
+    * histograms on each side predict |L ⋈ R| = Σ_k cntL(k)·cntR(k), the
+    * hottest key's pair count, and its share of the output — BEFORE
+    * running the join. Three planned joins (one PK-FK, one FK-PK, one
+    * many-to-many self-join) in one result. Scale shape: each histogram
+    * is a combinable count; the histogram⋈histogram join carries one row
+    * per key, never data rows; output is 3 rows. At petabyte key counts
+    * the long products upcast to decimal and the histograms swap to
+    * count-min (q108) — documented, not needed at these widths. */
+  def q181_join_cardinality(spark: SparkSession, dir: String): DataFrame = {
+    def hist(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+      df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+    def est(l: DataFrame, r: DataFrame, name: String): DataFrame =
+      l.withColumnRenamed("c", "cl")
+        .join(r.withColumnRenamed("c", "cr"), "k")
+        .agg(count(lit(1)).cast("long").as("n_matched_keys"),
+          sum(col("cl") * col("cr")).cast("long").as("est_rows"),
+          max(col("cl") * col("cr")).cast("long").as("max_key_pairs"))
+        .select(lit(name).as("join_name"), col("n_matched_keys"),
+          col("est_rows"), col("max_key_pairs"),
+          round(lit(100.0) * col("max_key_pairs") / col("est_rows"), 6)
+            .as("skew_pct"))
+    val ordK = hist(Tables.orders(spark, dir), col("o_orderkey"))
+    val liK = hist(Tables.lineitem(spark, dir), col("l_orderkey"))
+    val custK = hist(Tables.customer(spark, dir), col("c_custkey"))
+    val ordC = hist(Tables.orders(spark, dir), col("o_custkey"))
+    val evU = hist(Tables.events(spark, dir), col("user_id"))
+    est(ordK, liK, "orders_lineitem")
+      .unionByName(est(custK, ordC, "customer_orders"))
+      .unionByName(est(evU, evU, "events_self_user"))
+      .orderBy(col("join_name"))
+  }
+
+  /** Bloom runtime-filter gate — measures what the q70-style semi-join
+    * pre-prune actually delivers: a filter built over one quarter's
+    * order keys probes every lineitem, and the result pins (a) zero
+    * false negatives — bloom-passed ⊇ exact matches, the property that
+    * makes the prune SAFE — and (b) the false-positive leak under 5% of
+    * non-matching rows (filter built at 1% fpp). Counts are exact and
+    * oracle-checked; booleans are oracle-pinned. Deterministic: bloom
+    * insertion is commutative bit-OR, so partition order cannot change
+    * the filter. Scale shape: the filter rides to executors as one
+    * referenced object; both probe and semi-join are one pass each. */
+  def q182_bloom_gate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomMightContainLong
+    val lo = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+    val hi = lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00"))
+    val keys = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"))
+    val nKeys = keys.count() // small-side sizing pass, same as q70
+    val bloom = BloomMightContainLong.buildOverHashes(keys, col("o_orderkey"),
+      expectedItems = nKeys)
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val passed = li
+      .filter(BloomMightContainLong.mightContain(xxhash64(col("l_orderkey")), bloom))
+      .agg(count(lit(1)).as("n_passed"))
+    val matched = li.join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("n_matched"))
+    val total = li.agg(count(lit(1)).as("n_total"))
+    passed.crossJoin(broadcast(matched)).crossJoin(broadcast(total))
+      .select(lit(nKeys).cast("long").as("n_filter_keys"),
+        col("n_total").cast("long").as("n_total_rows"),
+        col("n_matched").cast("long").as("n_matched_rows"),
+        (col("n_passed") >= col("n_matched")).as("no_false_negatives"),
+        ((col("n_passed") - col("n_matched")).cast("double") <=
+          lit(0.05) * (col("n_total") - col("n_matched")).cast("double") + 100.0)
+          .as("fpr_ok"))
+  }
+
+  /** Prefix-filtering set-similarity join (AllPairs/PPJoin family) — the
+    * EXACT, non-probabilistic counterpart to q27's MinHash at the same
+    * threshold and shingle universe: two 3-shingle sets with Jaccard
+    * ≥ 0.5 MUST share one of each other's rarest-shingle prefixes
+    * (length n − ⌈n/2⌉ + 1 under a global rarity order), so only
+    * prefix collisions are verified — no banding, no false negatives.
+    * The ceil is spelled in integer arithmetic ((n+1) div 2) so the
+    * prefix bound cannot shorten on a last-ulp double. Scale shape: the
+    * rarity order means boilerplate-shingle buckets never form (a
+    * common shingle is only in the prefix of a doc with almost nothing
+    * rarer); the per-doc rank window partitions on doc_id (high
+    * cardinality); candidate verification ships only candidate pairs'
+    * sorted arrays through the codegen'd merge-walk JaccardSim. */
+  def q183_prefix_join(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_sort(TextOps.shingles(col("text"), 3)).as("sg"))
+      .withColumn("ns", size(col("sg")))
+      .filter(col("ns") > 0)
+    val gf = d.select(explode(col("sg")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("c"), col("g"))
+    val pref = d.select(col("doc_id"), col("ns"), explode(col("sg")).as("g"))
+      .join(gf, "g")
+      .withColumn("pos", row_number().over(wDoc))
+      .filter(col("pos") <= expr("ns - ((ns + 1) div 2) + 1"))
+      .select(col("doc_id"), col("ns"), col("g"))
+    val a = pref.select(col("doc_id").as("id_a"), col("ns").as("na"), col("g"))
+    val b = pref.select(col("doc_id").as("id_b"), col("ns").as("nb"), col("g"))
+    val cand = a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        col("na") * 2 >= col("nb") && col("nb") * 2 >= col("na"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sa = d.select(col("doc_id").as("id_a"), col("sg").as("set_a"))
+    val sb = d.select(col("doc_id").as("id_b"), col("sg").as("set_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        graft.functions.JaccardSim.jaccardSimSorted(col("set_a"), col("set_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }
