@@ -3111,6 +3111,67 @@ object Oracles {
         |  FROM cand JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q184_lsh_recall" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |lshp AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh_pairs FROM (
+        |    SELECT id_a FROM cand
+        |    JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |    WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5)
+        |), d AS (
+        |  SELECT doc_id, sg, len(sg) AS ns FROM sh WHERE len(sg) > 0
+        |), gf AS (
+        |  SELECT g, COUNT(*) AS c FROM d, unnest(sg) AS u(g) GROUP BY 1
+        |), ranked AS (
+        |  SELECT doc_id, ns, g,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c, g) AS pos
+        |  FROM (SELECT doc_id, ns, g FROM d, unnest(sg) AS u(g)) e
+        |  JOIN gf USING (g)
+        |), pref AS (
+        |  SELECT doc_id, ns, g FROM ranked
+        |  WHERE pos <= ns - ((ns + 1) // 2) + 1
+        |), pcand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pref a JOIN pref b ON a.g = b.g
+        |  WHERE a.doc_id < b.doc_id
+        |    AND a.ns * 2 >= b.ns AND b.ns * 2 >= a.ns
+        |), exj AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs FROM (
+        |    SELECT id_a FROM pcand
+        |    JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b
+        |    WHERE CAST(len(list_intersect(da.sg, db.sg)) AS DOUBLE) / CAST(len(list_distinct(da.sg || db.sg)) AS DOUBLE) >= 0.5)
+        |)
+        |SELECT n_exact_pairs, n_lsh_pairs,
+        |  round(CAST(n_lsh_pairs AS DOUBLE) / CAST(n_exact_pairs AS DOUBLE), 6) AS recall,
+        |  n_lsh_pairs <= n_exact_pairs AS lsh_subset_of_exact
+        |FROM exj CROSS JOIN lshp""".stripMargin,
+
+    "q185_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q186_window_profile" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume_dist,
+        |  first_value(o_totalprice) OVER wf AS cheapest,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_cheapest,
+        |  last_value(o_totalprice) OVER wf AS priciest
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

@@ -3209,4 +3209,78 @@ object CorpusQueries {
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** MinHash-LSH recall audit — q27's probabilistic pair set measured
+    * against q183's exact prefix-join ground truth at the same
+    * threshold and shingle universe: the recall number that tells you
+    * what the 16×4 banding actually buys (theory: ~64% detection AT
+    * j = 0.5, >99.9% at j = 0.8 — the aggregate recall depends on where
+    * the corpus's true pairs sit). Closes the LSH-quality loop the way
+    * q49 closes IVF's and q102 closes the sketch-accuracy one. Both
+    * counts are one-row aggregates; LSH-found ⊆ exact by construction
+    * (LSH verifies candidates with the same exact Jaccard), which the
+    * subset boolean pins. */
+  def q184_lsh_recall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = q183_prefix_join(spark, dir)
+      .agg(count(lit(1)).cast("long").as("n_exact_pairs"))
+    val lsh = graft.similarity.MinHashLsh.nearDuplicatePairs(
+        Tables.documents(spark, dir), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .agg(count(lit(1)).cast("long").as("n_lsh_pairs"))
+    exact.crossJoin(broadcast(lsh))
+      .select(col("n_exact_pairs"), col("n_lsh_pairs"),
+        round(col("n_lsh_pairs").cast("double") /
+          col("n_exact_pairs").cast("double"), 6).as("recall"),
+        (col("n_lsh_pairs") <= col("n_exact_pairs")).as("lsh_subset_of_exact"))
+  }
+
+  /** Large-quantity orders — the TPC-H Q18 shape: orders whose total
+    * line quantity exceeds a threshold, with customer context, top-100
+    * by order value. Scale shape: the HAVING side is one combinable
+    * decimal sum per orderkey — the filter runs on the aggregate, so
+    * only qualifying orderkeys (a tiny set) join back to orders and
+    * customer; the top-100 plans as TakeOrderedAndProject with an
+    * orderkey tie-break. */
+  def q185_big_orders(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    big.join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("total_qty").cast("double").as("total_qty"))
+  }
+
+  /** Window-function breadth — the distribution profile of each
+    * customer's orders: percent_rank and cume_dist within the
+    * customer's price-ordered history, plus cheapest / second-cheapest
+    * / priciest via first_value, nth_value, and last_value over an
+    * explicit unbounded ROWS frame (the default RANGE frame would stop
+    * at the current row and silently change last_value). Scale shape:
+    * one window pass partitioned on the high-cardinality customer key;
+    * per-partition state is the customer's own orders. */
+  def q186_window_profile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir).select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume_dist"),
+        first(col("o_totalprice")).over(wf).as("cheapest"),
+        nth_value(col("o_totalprice"), 2).over(wf).as("second_cheapest"),
+        last(col("o_totalprice")).over(wf).as("priciest"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
 }
