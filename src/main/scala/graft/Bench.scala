@@ -25,9 +25,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT/codegen/session init + parquet footers, so the
     // first measured query isn't charged for cold-start. Goes through the
-    // Tables loaders (not raw spark.read) because events.parquet needs the
-    // TIMESTAMP(NANOS) legacy conf those loaders set; a warmup failure is a
-    // harness bug and must be visible, not swallowed.
+    // Tables loaders (not raw spark.read) because events.parquet has shipped
+    // as TIMESTAMP(NANOS) in some testdata generations and the loader holds
+    // the compat handling; a warmup failure is a harness bug and must be
+    // visible, not swallowed.
     Seq("lineitem", "orders", "documents", "embeddings").foreach(t =>
       tables.Tables.load(spark, sfDir, t).count())
     tables.Tables.events(spark, sfDir).count()

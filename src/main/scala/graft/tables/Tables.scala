@@ -28,14 +28,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is physically TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read it as a nanos long (legacy conf) and surface a proper
-    * TimestampType truncated to micros (the generator emits exact micros, so
-    * truncation is lossless). */
+  /** `events.ts` has shipped as both TIMESTAMP(NANOS) (which Spark's parquet
+    * reader rejects without the legacy nanos-as-long conf) and plain
+    * TIMESTAMP(MICROS) across testdata generations. Handle both: read with
+    * the legacy conf on, and only rebuild the timestamp from the nanos long
+    * when the reader actually surfaced a long (truncation to micros is
+    * lossless — the generator emits exact micros). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
