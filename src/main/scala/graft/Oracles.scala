@@ -3172,6 +3172,262 @@ object Oracles {
         |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q187_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    MIN(l_extendedprice) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT p_partkey, p_name, p_size FROM part
+        |  WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20),
+        |costs AS (SELECT * FROM ps JOIN pr ON ps_partkey = p_partkey),
+        |mc AS (
+        |  SELECT ps_partkey AS mk, MIN(ps_supplycost) AS min_cost
+        |  FROM costs GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+        |FROM costs
+        |JOIN mc ON ps_partkey = mk AND ps_supplycost = min_cost
+        |JOIN supplier ON ps_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""".stripMargin,
+
+    "q188_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1997
+        |  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""".stripMargin,
+
+    "q189_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(SUM(
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) -
+        |    CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(2,1)) *
+        |      CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q190_important_stock" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS part_value
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(part_value) AS total_value FROM pv)
+        |SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+        |FROM pv, tot
+        |WHERE part_value * 1000 > total_value
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "q191_priority_split" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE year(l_shipdate) = 1997
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q192_supplier_census" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps
+        |JOIN part ON ps_partkey = p_partkey
+        |WHERE p_type <> 'PROMO' AND p_size BETWEEN 15 AND 35
+        |  AND ps_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q193_dominant_supplier" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,1))) AS supp_qty
+        |  FROM lineitem
+        |  WHERE year(l_shipdate) = 1997
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey AS pk, SUM(supp_qty) AS part_qty
+        |  FROM shipped GROUP BY 1),
+        |dom AS (
+        |  SELECT DISTINCT l_suppkey FROM shipped
+        |  JOIN pt ON l_partkey = pk
+        |  WHERE supp_qty * 10 > part_qty * 3)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q194_correlation_matrix" -> corrMatrixSql,
+
+    "q195_ols_regression" ->
+      """WITH src AS (
+        |  SELECT
+        |    CAST(CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(11,0)) AS x1,
+        |    CAST(CAST(round(l_discount * 100) AS BIGINT) AS DECIMAL(11,0)) AS x2,
+        |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(11,0)) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+        |    SUM(CAST(x1 AS DECIMAL(19,0)) * x1) AS sx1x1,
+        |    SUM(CAST(x2 AS DECIMAL(19,0)) * x2) AS sx2x2,
+        |    SUM(CAST(x1 AS DECIMAL(19,0)) * x2) AS sx1x2,
+        |    SUM(CAST(x1 AS DECIMAL(19,0)) * y) AS sx1y,
+        |    SUM(CAST(x2 AS DECIMAL(19,0)) * y) AS sx2y,
+        |    SUM(CAST(y AS DECIMAL(19,0)) * y) AS syy
+        |  FROM src),
+        |d AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS a11, CAST(sx1 AS DOUBLE) AS a12,
+        |    CAST(sx2 AS DOUBLE) AS a13, CAST(sx1x1 AS DOUBLE) AS a22,
+        |    CAST(sx1x2 AS DOUBLE) AS a23, CAST(sx2x2 AS DOUBLE) AS a33,
+        |    CAST(sy AS DOUBLE) AS b1, CAST(sx1y AS DOUBLE) AS b2,
+        |    CAST(sx2y AS DOUBLE) AS b3, CAST(syy AS DOUBLE) AS syy
+        |  FROM s),
+        |dets AS (
+        |  SELECT n, b1, b2, b3, syy, a11,
+        |    a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+        |      + a13*(a12*a23 - a22*a13) AS det,
+        |    b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
+        |      + a13*(b2*a23 - a22*b3) AS det0,
+        |    a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13)
+        |      + a13*(a12*b3 - b2*a13) AS det1,
+        |    a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13)
+        |      + b1*(a12*a23 - a22*a13) AS det2
+        |  FROM d),
+        |c AS (
+        |  SELECT n, b1, b2, b3, syy, a11,
+        |    det0/det AS c0, det1/det AS c1, det2/det AS c2
+        |  FROM dets)
+        |SELECT n,
+        |  round(c0/100, 6) AS intercept,
+        |  round(c1, 6) AS beta_quantity,
+        |  round(c2, 6) AS beta_discount,
+        |  round(1 - (syy - c0*b1 - c1*b2 - c2*b3)
+        |    / (syy - b1*b1/a11), 6) AS r2
+        |FROM c""".stripMargin,
+
+    "q196_mutual_information" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |bl AS (SELECT lang, SUM(c) AS cl FROM cells GROUP BY 1),
+        |bs AS (SELECT source, SUM(c) AS cs FROM cells GROUP BY 1),
+        |nt AS (SELECT SUM(c) AS nn FROM cells),
+        |mi AS (
+        |  SELECT SUM(CAST((CAST(c AS DOUBLE)/nn) *
+        |    ln(CAST(c AS DOUBLE)*nn / (CAST(cl AS DOUBLE)*cs))
+        |    AS DECIMAL(27,12))) AS mi_d
+        |  FROM cells JOIN bl USING (lang) JOIN bs USING (source) CROSS JOIN nt),
+        |hl AS (
+        |  SELECT SUM(CAST(-(CAST(cl AS DOUBLE)/nn) * ln(CAST(cl AS DOUBLE)/nn)
+        |    AS DECIMAL(27,12))) AS hl_d
+        |  FROM bl CROSS JOIN nt),
+        |hs AS (
+        |  SELECT SUM(CAST(-(CAST(cs AS DOUBLE)/nn) * ln(CAST(cs AS DOUBLE)/nn)
+        |    AS DECIMAL(27,12))) AS hs_d
+        |  FROM bs CROSS JOIN nt)
+        |SELECT round(CAST(mi_d AS DOUBLE), 6) AS mi,
+        |  round(CAST(hl_d AS DOUBLE), 6) AS h_lang,
+        |  round(CAST(hs_d AS DOUBLE), 6) AS h_source,
+        |  round(CAST(mi_d AS DOUBLE) /
+        |    sqrt(CAST(hl_d AS DOUBLE) * CAST(hs_d AS DOUBLE)), 6) AS nmi
+        |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin,
+
+    "q197_decayed_activity" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT max(day) AS last_day FROM daily)
+        |SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events_30d,
+        |  round(CAST(SUM(CAST(n AS DECIMAL(19,0)) *
+        |      CAST(power(2, 29 - date_diff('day', day, last_day)) AS BIGINT))
+        |    AS DOUBLE) / 536870912.0, 6) AS decayed_count,
+        |  round(CAST(SUM(CAST(n AS DECIMAL(19,0)) *
+        |      CAST(power(2, 29 - date_diff('day', day, last_day)) AS BIGINT))
+        |    AS DOUBLE) / 536870912.0 / CAST(SUM(n) AS DOUBLE), 6) AS recency_ratio
+        |FROM daily CROSS JOIN l
+        |WHERE date_diff('day', day, last_day) <= 29
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q198_daily_spearman" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS vol,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS sv
+        |  FROM events GROUP BY 1),
+        |d2 AS (
+        |  SELECT *, CAST(sv AS DOUBLE) / CAST(vol AS DOUBLE) AS mean_val
+        |  FROM daily),
+        |rk AS (
+        |  SELECT
+        |    CAST(rank() OVER (ORDER BY vol)
+        |      + (COUNT(*) OVER (PARTITION BY vol) - 1) / 2.0
+        |      AS DECIMAL(9,1)) AS rv,
+        |    CAST(rank() OVER (ORDER BY mean_val)
+        |      + (COUNT(*) OVER (PARTITION BY mean_val) - 1) / 2.0
+        |      AS DECIMAL(9,1)) AS rm
+        |  FROM d2),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(rv) AS sx, SUM(rm) AS sy, SUM(rv*rm) AS sxy,
+        |    SUM(rv*rv) AS sxx, SUM(rm*rm) AS syy
+        |  FROM rk)
+        |SELECT n,
+        |  round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+        |         (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS spearman
+        |FROM s""".stripMargin,
+
+    "q199_cluster_silhouette" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), n0 AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        |), vh AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM n0
+        |), c0 AS (
+        |  SELECT vec_id AS j, v AS c FROM vh
+        |  QUALIFY row_number() OVER (ORDER BY vec_id) <= 4
+        |), ${Oracles.kmeansIter(1, "c0")},
+        |${Oracles.kmeansIter(2, "c1")},
+        |af AS (
+        |  SELECT vh.vec_id, c2.j, list_dot_product(vh.v, c2.c) AS cos,
+        |    row_number() OVER (PARTITION BY vh.vec_id
+        |      ORDER BY list_dot_product(vh.v, c2.c) DESC, j) AS rn
+        |  FROM vh CROSS JOIN c2
+        |), own AS (
+        |  SELECT vec_id, j AS cluster, cos AS own_cos FROM af WHERE rn = 1
+        |), oth AS (
+        |  SELECT vec_id, cos AS other_cos FROM af WHERE rn = 2
+        |), sil AS (
+        |  SELECT own.vec_id, cluster,
+        |    (own_cos - other_cos) / (1.0 - other_cos) AS sil
+        |  FROM own JOIN oth USING (vec_id)
+        |)
+        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  round(CAST(SUM(CAST(sil AS DECIMAL(27,12))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_silhouette,
+        |  round(MIN(sil), 6) AS min_silhouette
+        |FROM sil GROUP BY 1 ORDER BY cluster""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane
@@ -3249,6 +3505,41 @@ object Oracles {
     * (ties to smallest centroid id), DECIMAL(27,12) component sums, list
     * rebuild in position order, L2 re-normalization — stage-for-stage the
     * arithmetic of [[graft.similarity.KMeansCosine.fit]]. */
+  /** q194's oracle regenerates the same six pairwise Pearson r values from
+    * identical exact decimal power sums; the pair loop mirrors the Spark
+    * side's index order so the UNION ALL rows land in the same lexical
+    * (var_x, var_y) order the final ORDER BY pins anyway. */
+  private def corrMatrixSql: String = {
+    val vars = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val sel = vars.zipWithIndex.map { case (v, i) =>
+      s"CAST(CAST(round($v * 100) AS BIGINT) AS DECIMAL(11,0)) AS x$i"
+    }.mkString(",\n    ")
+    val sums = vars.indices.map(i => s"SUM(x$i) AS s$i") ++
+      vars.indices.flatMap(i => vars.indices.filter(_ >= i).map(j =>
+        s"SUM(CAST(x$i AS DECIMAL(19,0)) * x$j) AS p${i}_$j"))
+    val rows = vars.indices.flatMap(i => vars.indices.filter(_ > i).map { j =>
+      s"""SELECT '${vars(i)}' AS var_x, '${vars(j)}' AS var_y, round(
+         |    (CAST(n AS DOUBLE) * CAST(p${i}_$j AS DOUBLE)
+         |      - CAST(s$i AS DOUBLE) * CAST(s$j AS DOUBLE)) /
+         |    sqrt((CAST(n AS DOUBLE) * CAST(p${i}_$i AS DOUBLE)
+         |      - CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE)) *
+         |         (CAST(n AS DOUBLE) * CAST(p${j}_$j AS DOUBLE)
+         |      - CAST(s$j AS DOUBLE) * CAST(s$j AS DOUBLE))), 6) AS r
+         |  FROM s""".stripMargin
+    }).mkString("\n  UNION ALL\n  ")
+    s"""WITH src AS (
+       |  SELECT
+       |    $sel
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM src)
+       |SELECT var_x, var_y, r FROM (
+       |  $rows
+       |) ORDER BY var_x, var_y""".stripMargin
+  }
+
   private def kmeansIter(i: Int, prevC: String): String =
     s"""a$i AS (
       |  SELECT vh.vec_id, vh.v, $prevC.j, list_dot_product(vh.v, $prevC.c) AS cos

@@ -3283,4 +3283,423 @@ object CorpusQueries {
         last(col("o_totalprice")).over(wf).as("priciest"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
+
+  /** Derived part-supplier cost relation — the testdata has no partsupp
+    * table, so the Q2/Q11/Q16/Q20 family derives one from lineitem: per
+    * (partkey, suppkey), supply cost = the cheapest extended price ever
+    * quoted. min() over doubles is an exact value passthrough (no
+    * arithmetic), so downstream equality joins on the cost are safe.
+    * Scale shape: one combinable groupBy over the fact table; on a real
+    * cluster this would be a maintained silver table, not a re-derive. */
+  private def derivedPartSupp(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice")).as("ps_supplycost"))
+
+  /** Min-cost supplier — the TPC-H Q2 shape: for each LARGE part of a
+    * given size band, the supplier(s) quoting the minimum derived supply
+    * cost, with nation context, top-100 by account balance. The
+    * correlated MIN subquery is decorrelated the way a distributed
+    * engine should: ONE combinable groupBy-min per partkey and an
+    * equality join back, never a per-row re-scan. Scale shape: part
+    * filter prunes before the join; supplier/nation dims broadcast;
+    * the final top-100 plans as TakeOrderedAndProject. */
+  def q187_min_cost_supplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = derivedPartSupp(spark, dir)
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
+      .select(col("p_partkey"), col("p_name"), col("p_size"))
+    val costs = ps.join(parts, col("ps_partkey") === col("p_partkey"))
+    val minCost = costs.groupBy(col("ps_partkey").as("mk"))
+      .agg(min(col("ps_supplycost")).as("min_cost"))
+    costs.join(minCost,
+        col("ps_partkey") === col("mk") && col("ps_supplycost") === col("min_cost"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey").asc, col("s_name").asc)
+      .limit(100)
+  }
+
+  /** Forecast-revenue delta — the TPC-H Q6 shape: revenue that would be
+    * gained by eliminating a band of small discounts on low-quantity
+    * lineitems in one shipping year. The whole query is one scan with
+    * every predicate pushed to parquet and ONE combinable decimal
+    * product-sum — the canonical "filter-scan-agg" probe that any
+    * column-pruning / predicate-pushdown regression shows up in first.
+    * Exact DECIMAL arithmetic on both engines (discount quantized to
+    * (4,2)) so the one-row hash can't drift on double association. */
+  def q188_forecast_revenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")) === 1997 &&
+        col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(12,2)") *
+            col("l_discount").cast("decimal(4,2)"))
+          .cast("double").as("revenue_delta"),
+        count(lit(1)).cast("long").as("n_lines"))
+  }
+
+  /** Product-line profit — the TPC-H Q9 shape: per supplier-nation and
+    * order-year, profit on 'red' parts = revenue minus a derived supply
+    * cost (retailprice-proportional, since the testdata has no
+    * ps_supplycost). Scale shape: the part filter prunes the fact scan
+    * via an equi-join on the pruned part dim (broadcast); orders joins
+    * shuffle on orderkey; nation broadcasts; the per-(nation, year)
+    * aggregate is combinable decimal. Low-precision decimal staging
+    * ((12,2)x(4,2), (12,2)x(4,1)) keeps every intermediate well under
+    * precision 38 so Spark and DuckDB agree bit-for-bit. */
+  def q189_product_profit(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(12,2)")
+    val redParts = Tables.part(spark, dir)
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val profit = Tables.lineitem(spark, dir)
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"),
+        (dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")) -
+         dec(col("p_retailprice")) * lit(0.5).cast("decimal(2,1)") *
+           col("l_quantity").cast("decimal(4,1)"))
+          .as("amount"))
+    profit.groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("amount")).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Important-stock scan — the TPC-H Q11 shape: partkeys whose derived
+    * inventory value (from suppliers of the first five nations) exceeds
+    * a fraction of the total. The global scalar threshold is ONE one-row
+    * aggregate broadcast into the HAVING — never a correlated re-scan —
+    * and the fraction compare is integer-decimal (value*1000 > total) so
+    * no division touches the predicate. Scale shape: supplier filter is
+    * a broadcast semi-join; per-part value is combinable decimal. */
+  def q190_important_stock(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") < 5).select(col("s_suppkey"))
+    val partVal = Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("part_value"))
+    val total = partVal.agg(sum(col("part_value")).as("total_value"))
+    partVal.crossJoin(broadcast(total))
+      .filter(col("part_value") * lit(1000) > col("total_value"))
+      .select(col("l_partkey"), col("part_value").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey").asc)
+  }
+
+  /** Late-shipment priority split — the TPC-H Q12 shape: per line
+    * status, how many high- vs low-priority orders had a lineitem
+    * shipped more than 60 days after the order date in 1997. Scale
+    * shape: one fact-fact equi-join on orderkey (both sides pre-filtered
+    * at the scan), then a two-way conditional count — combinable, no
+    * window, no second pass. */
+  def q191_priority_split(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Seq("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")) === 1997)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin(hi: _*), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** Supplier-diversity census — the TPC-H Q16 shape: per (brand, type,
+    * size) of mid-size non-PROMO parts, how many distinct suppliers have
+    * ever shipped it, excluding suppliers in deficit (NOT IN as a
+    * broadcast anti-join, the decorrelation a distributed engine wants).
+    * Scale shape: the distinct-supplier count runs on the derived
+    * (partkey, suppkey) pairs — already one row per pair, so
+    * countDistinct is a partial-aggregable shuffle on the group key. */
+  def q192_supplier_census(spark: SparkSession, dir: String): DataFrame = {
+    val deficit = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_supp"))
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_type") =!= "PROMO" && col("p_size").between(15, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    derivedPartSupp(spark, dir)
+      .join(broadcast(deficit), col("ps_suppkey") === col("bad_supp"), "left_anti")
+      .join(parts, col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** Dominant-supplier probe — the TPC-H Q20 shape: suppliers who in
+    * 1997 shipped more than 30% of the total 1997 volume of some
+    * 'small' part — the nested IN/EXISTS chain decorrelated into a
+    * per-(part, supplier) share test followed by a LEFT SEMI join onto
+    * the supplier dim. The share compare is integer-decimal
+    * (qty*10 > 3*total): no division in the predicate. Scale shape:
+    * part filter broadcast-prunes the fact scan; per-part totals are a
+    * window-free second combinable agg joined back on partkey. */
+  def q193_dominant_supplier(spark: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
+    val shipped = Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")) === 1997)
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,1)")).as("supp_qty"))
+    val partTotal = shipped.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("supp_qty")).as("part_qty"))
+    val dominant = shipped.join(partTotal, col("l_partkey") === col("pk"))
+      .filter(col("supp_qty") * lit(10) > col("part_qty") * lit(3))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Pearson correlation matrix over the four lineitem measures — the
+    * feature-screening pass before any modeling. All six pairwise
+    * correlations come from ONE combinable aggregate of EXACT decimal
+    * power sums (centi-unit integers, the q162 recipe: double power
+    * sums drift with partitioning; these cannot), with the r formula
+    * applied in double only at the very end on six one-row values.
+    * Scale shape: one scan, one combine exchange, zero joins — the
+    * plan is identical at 100 TB. */
+  def q194_correlation_matrix(spark: SparkSession, dir: String): DataFrame = {
+    // centi-unit exact integers; DECIMAL(11,0) base keeps every pairwise
+    // product <=38 digits on both engines (DuckDB errors past 38)
+    def cv(c: String) =
+      expr(s"CAST(CAST(round($c * 100) AS BIGINT) AS DECIMAL(11,0))")
+    val vars = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val src = Tables.lineitem(spark, dir).select(
+      vars.zipWithIndex.map { case (v, i) => cv(v).as(s"x$i") }: _*)
+    // widen before multiplying (q162): forces the wide decimal path in DuckDB
+    val aggs =
+      Seq(count(lit(1)).cast("long").as("n")) ++
+      vars.indices.map(i => sum(col(s"x$i")).as(s"s$i")) ++
+      vars.indices.flatMap(i => vars.indices.filter(_ >= i).map { j =>
+        sum(col(s"x$i").cast("decimal(19,0)") * col(s"x$j")).as(s"p${i}_$j")
+      })
+    val sums = src.agg(aggs.head, aggs.tail: _*)
+    val pairRows = vars.indices.flatMap(i =>
+      vars.indices.filter(_ > i).map { j =>
+        struct(lit(vars(i)).as("var_x"), lit(vars(j)).as("var_y"),
+          expr(s"""round(
+            (CAST(n AS DOUBLE) * CAST(p${i}_$j AS DOUBLE)
+              - CAST(s$i AS DOUBLE) * CAST(s$j AS DOUBLE)) /
+            sqrt((CAST(n AS DOUBLE) * CAST(p${i}_$i AS DOUBLE)
+              - CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE)) *
+                 (CAST(n AS DOUBLE) * CAST(p${j}_$j AS DOUBLE)
+              - CAST(s$j AS DOUBLE) * CAST(s$j AS DOUBLE))), 6)""").as("r"))
+      })
+    sums.select(explode(array(pairRows: _*)).as("p"))
+      .select(col("p.var_x"), col("p.var_y"), col("p.r"))
+      .orderBy(col("var_x"), col("var_y"))
+  }
+
+  /** Closed-form OLS — extendedprice ~ quantity + discount fit by the
+    * normal equations, the way a distributed engine should run linear
+    * regression: ONE combinable pass of exact decimal cross-moments,
+    * then a 3×3 Cramer solve in double on the driver-side one-row
+    * result. No gradient loop, no per-iteration scan. Coefficients are
+    * reported in natural units (price in currency, not centi), plus R².
+    * Scale shape: identical to q194 — scan, combine, done. */
+  def q195_ols_regression(spark: SparkSession, dir: String): DataFrame = {
+    def cv(c: String) =
+      expr(s"CAST(CAST(round($c * 100) AS BIGINT) AS DECIMAL(11,0))")
+    val sums = Tables.lineitem(spark, dir)
+      .select(cv("l_quantity").as("x1"), cv("l_discount").as("x2"),
+        cv("l_extendedprice").as("y"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+        sum(col("y")).as("sy"),
+        sum(col("x1").cast("decimal(19,0)") * col("x1")).as("sx1x1"),
+        sum(col("x2").cast("decimal(19,0)") * col("x2")).as("sx2x2"),
+        sum(col("x1").cast("decimal(19,0)") * col("x2")).as("sx1x2"),
+        sum(col("x1").cast("decimal(19,0)") * col("y")).as("sx1y"),
+        sum(col("x2").cast("decimal(19,0)") * col("y")).as("sx2y"),
+        sum(col("y").cast("decimal(19,0)") * col("y")).as("syy"))
+    // 3x3 Cramer on doubles — every operand an exact integer-valued sum,
+    // every expression spelled identically in the DuckDB oracle
+    sums.selectExpr(
+      "n",
+      """CAST(n AS DOUBLE) AS a11""", "CAST(sx1 AS DOUBLE) AS a12",
+      "CAST(sx2 AS DOUBLE) AS a13", "CAST(sx1x1 AS DOUBLE) AS a22",
+      "CAST(sx1x2 AS DOUBLE) AS a23", "CAST(sx2x2 AS DOUBLE) AS a33",
+      "CAST(sy AS DOUBLE) AS b1", "CAST(sx1y AS DOUBLE) AS b2",
+      "CAST(sx2y AS DOUBLE) AS b3", "CAST(syy AS DOUBLE) AS syy")
+      .selectExpr("n", "b1", "b2", "b3", "syy", "a11",
+        """a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+           + a13*(a12*a23 - a22*a13) AS det""",
+        """b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
+           + a13*(b2*a23 - a22*b3) AS det0""",
+        """a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13)
+           + a13*(a12*b3 - b2*a13) AS det1""",
+        """a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13)
+           + b1*(a12*a23 - a22*a13) AS det2""")
+      .selectExpr("n", "b1", "b2", "b3", "syy", "a11",
+        "det0/det AS c0", "det1/det AS c1", "det2/det AS c2")
+      .selectExpr("n",
+        "round(c0/100, 6) AS intercept",
+        "round(c1, 6) AS beta_quantity",
+        "round(c2, 6) AS beta_discount",
+        """round(1 - (syy - c0*b1 - c1*b2 - c2*b3)
+           / (syy - b1*b1/a11), 6) AS r2""")
+  }
+
+  /** Mutual information between document language and source — the
+    * redundancy probe that tells a corpus curator whether source is
+    * already a language signal (MI ≈ 0 means the two stratifications
+    * are independent; NMI = 1 means one determines the other). EXACT
+    * joint counts (≤ ǀlangsǀ·ǀsourcesǀ cells), marginals derived from
+    * the same cell table — the corpus is scanned ONCE — and the
+    * p·ln(p/qr) series summed over the bounded cell table in double
+    * (libm ln parity, round 6). */
+  def q196_mutual_information(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true)
+    val byLang = cells.groupBy(col("lang")).agg(sum(col("c")).as("cl"))
+    val bySrc = cells.groupBy(col("source")).agg(sum(col("c")).as("cs"))
+    val n = cells.agg(sum(col("c")).as("nn"))
+    val mi = cells.join(broadcast(byLang), "lang")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(n))
+      .agg(sum(expr("""(CAST(c AS DOUBLE)/nn) *
+          ln(CAST(c AS DOUBLE)*nn / (CAST(cl AS DOUBLE)*cs))""")
+          .cast("decimal(27,12)")).as("mi_d"))
+    val hl = byLang.crossJoin(broadcast(n))
+      .agg(sum(expr("-(CAST(cl AS DOUBLE)/nn) * ln(CAST(cl AS DOUBLE)/nn)")
+        .cast("decimal(27,12)")).as("hl_d"))
+    val hs = bySrc.crossJoin(broadcast(n))
+      .agg(sum(expr("-(CAST(cs AS DOUBLE)/nn) * ln(CAST(cs AS DOUBLE)/nn)")
+        .cast("decimal(27,12)")).as("hs_d"))
+    mi.crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
+      .select(round(col("mi_d").cast("double"), 6).as("mi"),
+        round(col("hl_d").cast("double"), 6).as("h_lang"),
+        round(col("hs_d").cast("double"), 6).as("h_source"),
+        round(col("mi_d").cast("double") /
+          sqrt(col("hl_d").cast("double") * col("hs_d").cast("double")), 6)
+          .as("nmi"))
+  }
+
+  /** Exponentially-decayed activity score per event type — the decayed
+    * counter behind "recent popularity" ranking: each day's event count
+    * weighted by 0.5^(days-ago from the corpus's last day), over a
+    * trailing 30-day window. The decay runs in EXACT integer arithmetic
+    * (weights are powers of two, applied as 2^(29−ago) on centi-free
+    * counts), so partitioning cannot perturb the sum; the single double
+    * division by 2^29 happens on the final bounded rows. Scale shape:
+    * one (type, day) combinable count, a one-row max-day broadcast, and
+    * a ≤types·30-row reduce. */
+  def q197_decayed_activity(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val last = daily.agg(max(col("day")).as("last_day"))
+    daily.crossJoin(broadcast(last))
+      .withColumn("ago", datediff(col("last_day"), col("day")))
+      .filter(col("ago") <= 29)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("long").as("n_events_30d"),
+        sum(col("n").cast("decimal(19,0)") *
+            expr("CAST(pow(2, 29 - ago) AS BIGINT)")).as("wsum"))
+      .select(col("event_type"), col("n_events_30d"),
+        round(col("wsum").cast("double") / lit(math.pow(2, 29)), 6)
+          .as("decayed_count"),
+        round(col("wsum").cast("double") / lit(math.pow(2, 29)) /
+          col("n_events_30d").cast("double"), 6).as("recency_ratio"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Spearman rank correlation between daily event volume and daily
+    * mean event value — "do busy days skew cheap?" asked the
+    * scale-safe way: the corpus collapses to one row per day FIRST
+    * (exact count + exact decimal value sum), and the tie-aware average
+    * ranks (rank() + (ties−1)/2 — exact .5-multiples carried as
+    * DECIMAL(9,1)) plus every cross-moment live on the bounded day
+    * series. The final Pearson-on-ranks is double math over one row of
+    * exact sums. Windows: over ≤31 day rows, never data. */
+  def q198_daily_spearman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cv"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).cast("long").as("vol"), sum(col("cv")).as("sv"))
+      .withColumn("mean_val", col("sv").cast("double") / col("vol").cast("double"))
+    val rk = daily
+      .withColumn("rv", (rank().over(Window.orderBy(col("vol"))) +
+        (count(lit(1)).over(Window.partitionBy(col("vol"))) - 1) / lit(2.0))
+        .cast("decimal(9,1)"))
+      .withColumn("rm", (rank().over(Window.orderBy(col("mean_val"))) +
+        (count(lit(1)).over(Window.partitionBy(col("mean_val"))) - 1) / lit(2.0))
+        .cast("decimal(9,1)"))
+    val s = rk.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("rv")).as("sx"), sum(col("rm")).as("sy"),
+      sum(col("rv") * col("rm")).as("sxy"),
+      sum(col("rv") * col("rv")).as("sxx"),
+      sum(col("rm") * col("rm")).as("syy"))
+    s.selectExpr("n",
+      """round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+         sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+              (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS spearman""")
+  }
+
+  /** Per-cluster silhouette (centroid form) for the spherical k-means
+    * of q89 — the cluster-quality gate a curation pipeline runs before
+    * trusting cluster-stratified sampling: s = (cos_own − cos_other) /
+    * (1 − cos_other) per vector (cosine-distance silhouette against
+    * the best competing centroid), aggregated per cluster. Scale
+    * shape: centroids broadcast (k rows); per-vector work is one
+    * k-wide sorted array fold — no window, no second join; means fold
+    * through DECIMAL(27,12). The oracle replays both Lloyd rounds
+    * stage-by-stage (q89's machinery) plus the rn=1/rn=2 split. */
+  def q199_cluster_silhouette(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.KMeansCosine
+    val emb = Tables.embeddings(spark, dir)
+    val vh = KMeansCosine.normalized(emb, "vec_id", "embedding")
+    val cent = KMeansCosine.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val scored = vh.crossJoin(broadcast(cent))
+      .select(col("vec_id"), struct(
+        graft.functions.DotProduct.dotProduct(col("v"), col("c")).as("cos"),
+        (-col("j")).as("negj")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(reverse(sort_array(collect_list(col("sc")))).as("arr"))
+      .select(col("vec_id"),
+        (-col("arr")(0).getField("negj")).as("cluster"),
+        col("arr")(0).getField("cos").as("own_cos"),
+        col("arr")(1).getField("cos").as("other_cos"))
+    scored
+      .withColumn("sil", (col("own_cos") - col("other_cos")) /
+        (lit(1.0) - col("other_cos")))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        round(sum(col("sil").cast("decimal(27,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_silhouette"),
+        round(min(col("sil")), 6).as("min_silhouette"))
+      .orderBy(col("cluster"))
+  }
 }

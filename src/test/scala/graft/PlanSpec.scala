@@ -730,6 +730,129 @@ class PlanSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("q170 partition advisor: one Expand scan for all three candidate keys") {
+    val plan = planString(queries.CorpusQueries.q170_partition_advisor(spark, dir))
+    plan should include("Expand")
+    plan should not include "Join"
+  }
+
+  test("q171/q169 heatmap + jaccard histogram: windows only over bounded cells") {
+    val plan = planString(queries.CorpusQueries.q171_activity_heatmap(spark, dir))
+    // the window input is the 7x24 cell aggregate, never raw events
+    plan should not include "CartesianProduct"
+  }
+
+  test("q174/q185 agg-first joins: customer joins the aggregate, top-k is a heap") {
+    val p174 = planString(queries.CorpusQueries.q174_returned_revenue(spark, dir))
+    p174 should include("TakeOrderedAndProject")
+    val p185 = planString(queries.CorpusQueries.q185_big_orders(spark, dir))
+    p185 should include("TakeOrderedAndProject")
+  }
+
+  test("q175/q176 trade OLAP: nation dims broadcast, no cartesian on facts") {
+    val p175 = planString(queries.CorpusQueries.q175_bilateral_volume(spark, dir))
+    p175 should include("BroadcastHashJoin")
+    p175 should not include "CartesianProduct"
+    val p176 = planString(queries.CorpusQueries.q176_market_share(spark, dir))
+    p176 should include("BroadcastHashJoin")
+    p176 should not include "CartesianProduct"
+  }
+
+  test("q178 cluster canonical: per-cluster argmax is the heap, not a window") {
+    val plan = planString(queries.CorpusQueries.q178_cluster_canonical(spark, dir))
+    plan should include("TopKPerKey")
+  }
+
+  test("q181 join cardinality: histogram joins carry key counts, no cartesian") {
+    val plan = planString(queries.CorpusQueries.q181_join_cardinality(spark, dir))
+    plan should not include "CartesianProduct"
+  }
+
+  test("q183 prefix join: equi-join on prefix tokens, no nested-loop") {
+    val plan = planString(queries.CorpusQueries.q183_prefix_join(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q186 window profile: exactly one window operator spans all five frames") {
+    val plan = planString(queries.CorpusQueries.q186_window_profile(spark, dir))
+    // both frame variants share the (o_custkey, price-order) partitioning: one
+    // exchange, window operators but no second shuffle
+    countShuffles(queries.CorpusQueries.q186_window_profile(spark, dir)) should be <= 2
+    plan should include("Window")
+  }
+
+  test("q187 min-cost supplier: decorrelated min + broadcast dims + heap top-100") {
+    val plan = planString(queries.CorpusQueries.q187_min_cost_supplier(spark, dir))
+    plan should include("TakeOrderedAndProject")
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("q188 forecast revenue: predicates reach the parquet scan") {
+    val plan = planString(queries.CorpusQueries.q188_forecast_revenue(spark, dir))
+    // the full pushed list is [IsNotNull..., GreaterThanOrEqual(l_discount,0.04),
+    // LessThanOrEqual(l_discount,0.06), LessThan(l_quantity,24.0)] — the plan
+    // string truncates it, so pin the prefix that always renders
+    plan should include regex "PushedFilters: \\[.*GreaterThanOrEqual\\(l_discou"
+    plan should not include "Join"
+  }
+
+  test("q189 product profit: all dims broadcast, single fact-fact shuffle join") {
+    val plan = planString(queries.CorpusQueries.q189_product_profit(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q190 important stock: global threshold is a one-row broadcast, semi-join prune") {
+    val plan = planString(queries.CorpusQueries.q190_important_stock(spark, dir))
+    plan should include("BroadcastNestedLoopJoin") // 1-row total vs part values
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q192 supplier census: NOT IN runs as a broadcast anti-join") {
+    val plan = planString(queries.CorpusQueries.q192_supplier_census(spark, dir))
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("q193 dominant supplier: share test feeds a semi-join, no window") {
+    val plan = planString(queries.CorpusQueries.q193_dominant_supplier(spark, dir))
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q194/q195 exact-moment statistics: one scan, one combine, no joins") {
+    val p194 = planString(queries.CorpusQueries.q194_correlation_matrix(spark, dir))
+    p194 should not include "Join"
+    countShuffles(queries.CorpusQueries.q194_correlation_matrix(spark, dir)) should be <= 1
+    val p195 = planString(queries.CorpusQueries.q195_ols_regression(spark, dir))
+    p195 should not include "Join"
+  }
+
+  test("q196 mutual information: corpus scanned once, marginals broadcast back") {
+    val plan = planString(queries.CorpusQueries.q196_mutual_information(spark, dir))
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q197 decayed activity: integer decay weights, one-row max-day broadcast") {
+    val plan = planString(queries.CorpusQueries.q197_decayed_activity(spark, dir))
+    plan should not include "SortMergeJoin"
+    plan should not include "Window"
+  }
+
+  test("q198 daily spearman: windows over the bounded day series only") {
+    val df = queries.CorpusQueries.q198_daily_spearman(spark, dir)
+    val plan = planString(df)
+    // the window input is the per-day aggregate (≤31 rows), never raw events
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q199 silhouette: centroids broadcast, no window, no second corpus join") {
+    val plan = planString(queries.CorpusQueries.q199_cluster_silhouette(spark, dir))
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
