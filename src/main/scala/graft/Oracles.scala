@@ -3428,6 +3428,170 @@ object Oracles {
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_silhouette,
         |  round(MIN(sil), 6) AS min_silhouette
         |FROM sil GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    "q200_theilsen_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(b.n - a.n AS DOUBLE)
+        |      / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |r AS (
+        |  SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS m
+        |  FROM p),
+        |med AS (
+        |  SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_pairs,
+        |    round(AVG(slope), 6) AS sen_slope
+        |  FROM r WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+        |  GROUP BY 1)
+        |SELECT event_type, n_pairs, sen_slope,
+        |  CASE WHEN sen_slope > 0 THEN 'up'
+        |       WHEN sen_slope < 0 THEN 'down' ELSE 'flat' END AS direction
+        |FROM med ORDER BY event_type""".stripMargin,
+
+    "q201_bm25_topk" ->
+      """WITH qt AS (
+        |  SELECT * FROM (VALUES
+        |    ('q1', 'spark table join'), ('q2', 'hash merge sort'),
+        |    ('q3', 'fast row scan'), ('q4', 'window agg value'))
+        |    v(query_id, query_text)),
+        |qterms AS (
+        |  SELECT query_id, unnest(string_split(query_text, ' ')) AS tok FROM qt),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dx AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM dx GROUP BY 1, 2, 3),
+        |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl1) AS BIGINT) AS tl
+        |  FROM (SELECT doc_id, MAX(dl) AS dl1 FROM tf GROUP BY 1)),
+        |sc AS (
+        |  SELECT query_id, tf.doc_id,
+        |    ln((CAST(nd AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+        |        / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) *
+        |      (tf * CAST(2.2 AS DOUBLE)) /
+        |      (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |        + CAST(0.75 AS DOUBLE) * dl * CAST(nd AS DOUBLE) / tl))
+        |      AS part_score
+        |  FROM tf JOIN qterms USING (tok) JOIN dfq USING (tok) CROSS JOIN stats),
+        |agg AS (
+        |  SELECT query_id, doc_id,
+        |    round(CAST(SUM(CAST(part_score AS DECIMAL(27,12))) AS DOUBLE), 6)
+        |      AS score
+        |  FROM sc GROUP BY 1, 2),
+        |top AS (
+        |  SELECT * FROM agg
+        |  QUALIFY row_number()
+        |    OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) <= 10)
+        |SELECT query_id, doc_id, score FROM top
+        |ORDER BY query_id, score DESC, doc_id""".stripMargin,
+
+    "q202_psi_drift" ->
+      """WITH binned AS (
+        |  SELECT event_type,
+        |    CAST(ts AS DATE) <= DATE '2024-01-15' AS first_half,
+        |    LEAST(CAST(floor(value / 60) AS BIGINT), 9) AS bin
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, bin,
+        |    CAST(SUM(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM binned GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, bin
+        |  FROM (SELECT DISTINCT event_type FROM c)
+        |  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin)),
+        |f AS (
+        |  SELECT g.event_type, g.bin,
+        |    COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+        |  FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.bin = c.bin),
+        |tot AS (
+        |  SELECT event_type, SUM(c1) AS n1, SUM(c2) AS n2 FROM f GROUP BY 1),
+        |psi AS (
+        |  SELECT f.event_type,
+        |    CAST(MAX(n1) AS BIGINT) AS n_first,
+        |    CAST(MAX(n2) AS BIGINT) AS n_second,
+        |    round(CAST(SUM(CAST(
+        |      ((c1 + CAST(0.5 AS DOUBLE)) / (n1 + CAST(5.0 AS DOUBLE))
+        |        - (c2 + CAST(0.5 AS DOUBLE)) / (n2 + CAST(5.0 AS DOUBLE))) *
+        |      ln(((c1 + CAST(0.5 AS DOUBLE)) / (n1 + CAST(5.0 AS DOUBLE)))
+        |        / ((c2 + CAST(0.5 AS DOUBLE)) / (n2 + CAST(5.0 AS DOUBLE))))
+        |      AS DECIMAL(27,12))) AS DOUBLE), 6) AS psi
+        |  FROM f JOIN tot USING (event_type) GROUP BY 1)
+        |SELECT event_type, n_first, n_second, psi, psi > 0.1 AS drifted
+        |FROM psi ORDER BY event_type""".stripMargin,
+
+    "q203_rand_index" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), n0 AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+        |), vh AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM n0
+        |), c0 AS (
+        |  SELECT vec_id AS j, v AS c FROM vh
+        |  QUALIFY row_number() OVER (ORDER BY vec_id) <= 4
+        |), ${Oracles.kmeansIter(1, "c0")},
+        |${Oracles.kmeansIter(2, "c1")},
+        |own AS (
+        |  SELECT vh.vec_id, c2.j AS cluster
+        |  FROM vh CROSS JOIN c2
+        |  QUALIFY row_number() OVER (PARTITION BY vh.vec_id
+        |    ORDER BY list_dot_product(vh.v, c2.c) DESC, j) = 1
+        |), cont AS (
+        |  SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS nij
+        |  FROM own JOIN embeddings USING (vec_id) GROUP BY 1, 2
+        |), cp AS (
+        |  SELECT SUM((nij * (nij - 1)) // 2) AS sum_nij2, SUM(nij) AS n,
+        |    COUNT(DISTINCT cluster) AS k_clusters,
+        |    COUNT(DISTINCT label) AS n_labels
+        |  FROM cont
+        |), rp AS (
+        |  SELECT SUM((ai * (ai - 1)) // 2) AS sum_ai2, SUM(maxj) AS sum_max
+        |  FROM (SELECT cluster, SUM(nij) AS ai, MAX(nij) AS maxj
+        |        FROM cont GROUP BY 1)
+        |), cps AS (
+        |  SELECT SUM((bj * (bj - 1)) // 2) AS sum_bj2
+        |  FROM (SELECT label, SUM(nij) AS bj FROM cont GROUP BY 1)
+        |)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k_clusters AS BIGINT) AS k_clusters,
+        |  CAST(n_labels AS BIGINT) AS n_labels,
+        |  round((CAST(sum_nij2 AS DOUBLE)
+        |      - CAST(sum_ai2 AS DOUBLE) * CAST(sum_bj2 AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * (n - 1) / 2)) /
+        |    ((CAST(sum_ai2 AS DOUBLE) + CAST(sum_bj2 AS DOUBLE)) / 2
+        |      - CAST(sum_ai2 AS DOUBLE) * CAST(sum_bj2 AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * (n - 1) / 2)), 6) AS ari,
+        |  round(CAST(sum_max AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity
+        |FROM cp CROSS JOIN rp CROSS JOIN cps""".stripMargin,
+
+    "q204_funnel_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |fv AS (
+        |  SELECT user_id, MIN(us) AS v_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |conv AS (
+        |  SELECT e.user_id, MIN(us - v_us) AS lag_us
+        |  FROM ev e JOIN fv USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > v_us GROUP BY 1),
+        |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers FROM fv),
+        |cv AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |    round(quantile_cont(lag_us, 0.5) / 60000000.0, 6) AS p50_minutes,
+        |    round(quantile_cont(lag_us, 0.9) / 60000000.0, 6) AS p90_minutes
+        |  FROM conv)
+        |SELECT n_viewers, n_converted,
+        |  round(CAST(n_converted AS DOUBLE) / CAST(n_viewers AS DOUBLE), 6)
+        |    AS conv_rate,
+        |  p50_minutes, p90_minutes
+        |FROM cv CROSS JOIN nv""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

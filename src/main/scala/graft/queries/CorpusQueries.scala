@@ -3702,4 +3702,194 @@ object CorpusQueries {
         round(min(col("sil")), 6).as("min_silhouette"))
       .orderBy(col("cluster"))
   }
+
+  /** Theil–Sen robust trend per event type — the median pairwise slope
+    * of daily volume, the outlier-immune alternative to the OLS trend a
+    * monitoring pipeline wants when one incident day would drag a
+    * least-squares fit. Scale shape: the corpus collapses to one row
+    * per (type, day) FIRST; the pair self-join and the median-by-
+    * position window run over the bounded day series (≤31 days →
+    * ≤465 pairs per type), never data rows. The median of the two
+    * middle positions is exact whatever order ties land in — equal
+    * values occupy equal positions. */
+  def q200_theilsen_trend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val a = daily.select(col("event_type"), col("day").as("d1"), col("n").as("n1"))
+    val b = daily.select(col("event_type").as("et2"), col("day").as("d2"),
+      col("n").as("n2"))
+    val slopes = a.join(b, col("event_type") === col("et2") && col("d1") < col("d2"))
+      .select(col("event_type"),
+        ((col("n2") - col("n1")).cast("double") /
+          datediff(col("d2"), col("d1")).cast("double")).as("slope"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slope"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      // integer div: for odd m both positions coincide on the middle; for
+      // even m they select the two middles whose average is the median
+      .filter(col("rn") === expr("(m + 1) div 2") ||
+        col("rn") === expr("(m + 2) div 2"))
+      .groupBy(col("event_type"))
+      .agg(max(col("m")).cast("long").as("n_pairs"),
+        round(avg(col("slope")), 6).as("sen_slope"))
+      .withColumn("direction",
+        when(col("sen_slope") > 0, "up")
+          .when(col("sen_slope") < 0, "down").otherwise("flat"))
+      .orderBy(col("event_type"))
+  }
+
+  /** BM25 retrieval — Okapi BM25 (k1=1.2, b=0.75) of a pinned 4-query
+    * set against the document corpus, top-10 docs per query. The IR
+    * scoring operator a retrieval-augmented pipeline runs at corpus
+    * scale: per-doc term frequencies and per-term document frequencies
+    * are each ONE combinable aggregate; N and avgdl are a one-row
+    * broadcast; the query set is a broadcast literal; and the per-query
+    * top-10 goes through the heap [[graft.plans.TopKPerKey]], never a
+    * corpus-wide window sort. Scores round to 6 BEFORE the heap so a
+    * last-ulp ln difference cannot reorder the cut (q86's recipe). */
+  def q201_bm25_topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queryTerms = Seq(
+      ("q1", "spark table join"), ("q2", "hash merge sort"),
+      ("q3", "fast row scan"), ("q4", "window agg value"))
+      .toDF("query_id", "query_text")
+      .select(col("query_id"), explode(split(col("query_text"), " ")).as("tok"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("tok"))
+    val tf = docs.groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
+    val stats = tf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl1"))
+      .agg(count(lit(1)).cast("long").as("nd"), sum(col("dl1")).cast("long").as("tl"))
+    val scored = tf
+      .join(broadcast(queryTerms), "tok")
+      .join(broadcast(df_.join(queryTerms.select("tok").distinct(), "tok")), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        expr("""ln((CAST(nd AS DOUBLE) - df + 0.5d) / (df + 0.5d) + 1.0d) *
+          (tf * 2.2d) /
+          (tf + 1.2d * (0.25d + 0.75d * dl * CAST(nd AS DOUBLE) / tl))""")
+          .as("part_score"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("part_score").cast("decimal(27,12)")).cast("double"), 6)
+        .as("score"))
+    graft.plans.TopKPerKey.topKPerKey(scored,
+        keys = Seq(col("query_id")),
+        order = Seq(col("score").desc, col("doc_id").asc), k = 10)
+      .select(col("query_id"), col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  /** Population-stability index per event type — the standard drift
+    * score between the first and second half of the observation window,
+    * over ten pre-registered fixed-width value bins (quantile-free, so
+    * no cross-engine interpolation enters the bin edges). The full
+    * type×bin grid is materialized (sequence-explode of 10 literals ×
+    * the bounded type dim) so empty bins contribute their smoothed term
+    * instead of silently dropping; counts are exact, the (p−q)·ln(p/q)
+    * series is double math over the ≤10-row-per-type grid. */
+  def q202_psi_drift(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("first_half"),
+        least(floor(col("value") / 60).cast("long"), lit(9L)).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("first_half"), 0L).otherwise(1L)).as("c2"))
+    val grid = binned.select(col("event_type")).distinct()
+      .select(col("event_type"), explode(sequence(lit(0L), lit(9L))).as("bin"))
+    val full = grid.join(binned, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val tot = full.groupBy(col("event_type"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    full.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("n1"), col("n2"),
+        expr("""((c1 + 0.5d)/(n1 + 5.0d) - (c2 + 0.5d)/(n2 + 5.0d)) *
+          ln(((c1 + 0.5d)/(n1 + 5.0d)) / ((c2 + 0.5d)/(n2 + 5.0d)))""")
+          .as("term"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n1")).cast("long").as("n_first"),
+        max(col("n2")).cast("long").as("n_second"),
+        round(sum(col("term").cast("decimal(27,12)")).cast("double"), 6)
+          .as("psi"))
+      .withColumn("drifted", col("psi") > 0.1)
+      .orderBy(col("event_type"))
+  }
+
+  /** Adjusted Rand Index + purity — external cluster validation of the
+    * q89 spherical k-means against the embeddings' ground-truth labels.
+    * ARI's pair-counting sums (Σ C(n_ij,2) and the marginal versions)
+    * are EXACT integer arithmetic on the bounded k×ǀlabelsǀ contingency
+    * table; only the final expected-index ratio is double. Scale shape:
+    * one assignment pass (centroids broadcast), one contingency
+    * aggregate, everything after runs on ≤k·labels rows. */
+  def q203_rand_index(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.KMeansCosine
+    val emb = Tables.embeddings(spark, dir)
+    val vh = KMeansCosine.normalized(emb, "vec_id", "embedding")
+    val cent = KMeansCosine.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val cont = KMeansCosine.assign(vh, "vec_id", cent)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).cast("long").as("nij"))
+      .localCheckpoint(true)
+    val cellPairs = cont.agg(
+      sum(expr("(nij * (nij - 1)) div 2")).cast("long").as("sum_nij2"),
+      sum(col("nij")).cast("long").as("n"),
+      countDistinct(col("cluster")).as("k_clusters"),
+      countDistinct(col("label")).as("n_labels"))
+    val rowPairs = cont.groupBy(col("cluster"))
+      .agg(sum(col("nij")).as("ai"), max(col("nij")).as("maxj"))
+      .agg(sum(expr("(ai * (ai - 1)) div 2")).cast("long").as("sum_ai2"),
+        sum(col("maxj")).cast("long").as("sum_max"))
+    val colPairs = cont.groupBy(col("label"))
+      .agg(sum(col("nij")).as("bj"))
+      .agg(sum(expr("(bj * (bj - 1)) div 2")).cast("long").as("sum_bj2"))
+    cellPairs.crossJoin(broadcast(rowPairs)).crossJoin(broadcast(colPairs))
+      .selectExpr("n", "k_clusters", "n_labels",
+        """round((CAST(sum_nij2 AS DOUBLE)
+            - CAST(sum_ai2 AS DOUBLE) * CAST(sum_bj2 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (n - 1) / 2)) /
+          ((CAST(sum_ai2 AS DOUBLE) + CAST(sum_bj2 AS DOUBLE)) / 2
+            - CAST(sum_ai2 AS DOUBLE) * CAST(sum_bj2 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (n - 1) / 2)), 6) AS ari""",
+        "round(CAST(sum_max AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity")
+  }
+
+  /** Funnel conversion latency — first 'view' to first subsequent
+    * 'purchase' per user: conversion rate plus exact p50/p90 of the
+    * lag in minutes (integer-µs event math; the q168-proven
+    * percentile ↔ quantile_cont parity). Scale shape: per-user firsts
+    * are ONE combinable conditional aggregate; only converting users'
+    * purchase events re-enter the min-after-view join, keyed on the
+    * high-cardinality user id; percentiles run over the converted-user
+    * lag column. */
+  def q204_funnel_latency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us") - col("v_us")).as("lag_us"))
+    val nv = firstView.agg(count(lit(1)).cast("long").as("n_viewers"))
+    conv.agg(count(lit(1)).cast("long").as("n_converted"),
+        round(expr("percentile(lag_us, 0.5d)") / 60000000.0d, 6).as("p50_minutes"),
+        round(expr("percentile(lag_us, 0.9d)") / 60000000.0d, 6).as("p90_minutes"))
+      .crossJoin(broadcast(nv))
+      .select(col("n_viewers"), col("n_converted"),
+        round(col("n_converted").cast("double") /
+          col("n_viewers").cast("double"), 6).as("conv_rate"),
+        col("p50_minutes"), col("p90_minutes"))
+  }
 }

@@ -853,6 +853,36 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("q200 Theil-Sen: pair join and median window run on the day series only") {
+    val plan = planString(queries.CorpusQueries.q200_theilsen_trend(spark, dir))
+    // the self-join input is the per-(type, day) aggregate, never raw events
+    plan should not include "CartesianProduct"
+  }
+
+  test("q201 BM25: query set broadcast, per-query top-10 is the heap") {
+    val plan = planString(queries.CorpusQueries.q201_bm25_topk(spark, dir))
+    plan should include("TopKPerKey")
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("q202 PSI: fixed bins, counts combinable, totals broadcast back") {
+    val plan = planString(queries.CorpusQueries.q202_psi_drift(spark, dir))
+    plan should not include "SortMergeJoin"
+    plan should not include "Window"
+  }
+
+  test("q203 ARI: one assignment pass, contingency bounded, no window") {
+    val plan = planString(queries.CorpusQueries.q203_rand_index(spark, dir))
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q204 funnel latency: user-keyed joins, no cartesian, no window") {
+    val plan = planString(queries.CorpusQueries.q204_funnel_latency(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
