@@ -3592,6 +3592,78 @@ object Oracles {
         |    AS conv_rate,
         |  p50_minutes, p90_minutes
         |FROM cv CROSS JOIN nv""".stripMargin,
+
+    "q205_pq_codebooks" ->
+      s"""WITH ev AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), ${Oracles.pqSubspace(0)},
+        |${Oracles.pqSubspace(1)},
+        |${Oracles.pqSubspace(2)},
+        |${Oracles.pqSubspace(3)}
+        |SELECT * FROM res0 UNION ALL SELECT * FROM res1
+        |UNION ALL SELECT * FROM res2 UNION ALL SELECT * FROM res3
+        |ORDER BY sub, cluster""".stripMargin,
+
+    "q206_novelty_curve" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{Nd} ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+        |  FROM documents),
+        |f AS (SELECT h, MIN(doc_id) AS first_id FROM d GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM d),
+        |per AS (
+        |  SELECT CAST((doc_id * 10) // total AS BIGINT) AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM d JOIN f USING (h) CROSS JOIN nt GROUP BY 1)
+        |SELECT decile, n_docs, n_novel,
+        |  round(CAST(n_novel AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS novelty_rate
+        |FROM per ORDER BY decile""".stripMargin,
+
+    "q207_shuffle_planner" -> shufflePlannerSql,
+
+    "q208_postings_index" ->
+      """WITH dx AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |post AS (
+        |  SELECT tok, list(doc_id ORDER BY doc_id) AS postings,
+        |    CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM dx GROUP BY 1),
+        |q AS (
+        |  SELECT * FROM (VALUES ('spark', 'table'), ('hash', 'merge'),
+        |    ('window', 'value')) v(term_a, term_b))
+        |SELECT term_a, term_b, a.df AS df_a, b.df AS df_b,
+        |  CAST(len(list_filter(a.postings,
+        |    x -> list_contains(b.postings, x))) AS BIGINT) AS n_both,
+        |  array_to_string((list_filter(a.postings,
+        |    x -> list_contains(b.postings, x)))[1:5], ',') AS top5_docs
+        |FROM q
+        |JOIN post a ON a.tok = term_a
+        |JOIN post b ON b.tok = term_b
+        |ORDER BY term_a, term_b""".stripMargin,
+
+    "q209_qoq_growth" ->
+      """WITH rev AS (
+        |  SELECT n_name AS nation,
+        |    date_trunc('quarter', o_orderdate) AS quarter,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT *, lag(rev, 1) OVER (PARTITION BY nation ORDER BY quarter)
+        |    AS prev
+        |  FROM rev)
+        |SELECT nation, quarter, CAST(rev AS DOUBLE) AS revenue,
+        |  round((CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE))
+        |    / CAST(prev AS DOUBLE) * 100.0, 6) AS growth_pct
+        |FROM lagged ORDER BY nation, quarter""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane
@@ -3702,6 +3774,66 @@ object Oracles {
        |SELECT var_x, var_y, r FROM (
        |  $rows
        |) ORDER BY var_x, var_y""".stripMargin
+  }
+
+  /** q205's per-subspace PQ replay: slice → first-4 init → L2 argmin
+    * assignment (d² via three dot products, matching the Spark side's
+    * evaluation order exactly) → exact-decimal mean update → reassign →
+    * per-code population and mean residual. */
+  private def pqSubspace(s: Int): String = {
+    val lo = s * 16 + 1
+    val hi = s * 16 + 16
+    s"""xs$s AS (
+       |  SELECT vec_id, v[$lo:$hi] AS x FROM ev
+       |), c0_$s AS (
+       |  SELECT vec_id AS j, x AS c FROM xs$s
+       |  QUALIFY row_number() OVER (ORDER BY vec_id) <= 4
+       |), a1_$s AS (
+       |  SELECT xs$s.vec_id, xs$s.x, c0_$s.j,
+       |    list_dot_product(x, x) - 2.0 * list_dot_product(x, c)
+       |      + list_dot_product(c, c) AS d2
+       |  FROM xs$s CROSS JOIN c0_$s
+       |  QUALIFY row_number() OVER (PARTITION BY xs$s.vec_id ORDER BY d2, j) = 1
+       |), sub$s AS (
+       |  SELECT j, pos, SUM(CAST(xv AS DECIMAL(27,12))) AS sm, COUNT(*) AS n
+       |  FROM (SELECT j, unnest(x) AS xv, generate_subscripts(x, 1) AS pos
+       |        FROM a1_$s)
+       |  GROUP BY j, pos
+       |), c1_$s AS (
+       |  SELECT j, list(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS c
+       |  FROM sub$s GROUP BY j
+       |), a2_$s AS (
+       |  SELECT xs$s.vec_id, c1_$s.j,
+       |    list_dot_product(x, x) - 2.0 * list_dot_product(x, c)
+       |      + list_dot_product(c, c) AS d2
+       |  FROM xs$s CROSS JOIN c1_$s
+       |  QUALIFY row_number() OVER (PARTITION BY xs$s.vec_id ORDER BY d2, j) = 1
+       |), res$s AS (
+       |  SELECT $s AS sub, j AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |    round(CAST(SUM(CAST(d2 AS DECIMAL(27,12))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_d2
+       |  FROM a2_$s GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  /** q207's oracle: one UNION ALL branch per candidate shuffle key, each
+    * re-deriving the StableHash bucket ((md5_upper64 mod 2^61−1) mod 32 —
+    * the q90-proven portable spelling) and the same fixed-denominator
+    * bucket statistics. */
+  private def shufflePlannerSql: String = {
+    def branch(name: String): String =
+      s"""SELECT '$name' AS shuffle_key, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |    CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+         |    CAST(MAX(cnt) AS BIGINT) AS max_bucket_rows,
+         |    round(CAST(SUM(cnt) AS DOUBLE) / 32.0, 6) AS mean_bucket_rows,
+         |    round(CAST(MAX(cnt) AS DOUBLE)
+         |      / (CAST(SUM(cnt) AS DOUBLE) / 32.0), 6) AS skew_ratio
+         |  FROM (
+         |    SELECT CAST((CAST(md5_number_upper(CAST($name AS VARCHAR)) AS HUGEINT)
+         |        % 2305843009213693951) % 32 AS BIGINT) AS b, COUNT(*) AS cnt
+         |    FROM lineitem GROUP BY 1)""".stripMargin
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(branch)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY shuffle_key")
   }
 
   private def kmeansIter(i: Int, prevC: String): String =

@@ -3892,4 +3892,172 @@ object CorpusQueries {
           col("n_viewers").cast("double"), 6).as("conv_rate"),
         col("p50_minutes"), col("p90_minutes"))
   }
+
+  /** Product-quantization codebooks — the ANN-compression prep (Jégou
+    * et al., PQ): the 64-dim embedding splits into four 16-dim
+    * subspaces, each fitted with its own tiny L2 k-means (k=4, one
+    * Lloyd round from first-k init), and the result reports per-
+    * (subspace, code) population and mean squared residual — the
+    * numbers that size a PQ index before building it. Scale shape: per
+    * subspace, centroids are a ≤4-row broadcast, assignment is one
+    * k-wide argmin fold per row (d² via three dot products, never an
+    * elementwise sum whose order could drift), and the update is the
+    * q89 posexplode + exact-decimal mean. The oracle replays every
+    * stage per subspace. */
+  def q205_pq_codebooks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DotProduct
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), CosineKnn.toDouble(col("embedding")).as("v"))
+      .localCheckpoint(true)
+    def d2Col = DotProduct.dotProduct(col("x"), col("x")) -
+      lit(2.0d) * DotProduct.dotProduct(col("x"), col("c")) +
+      DotProduct.dotProduct(col("c"), col("c"))
+    def subspace(s: Int): DataFrame = {
+      val xs = base.select(col("vec_id"), slice(col("v"), s * 16 + 1, 16).as("x"))
+      val c0 = xs.orderBy(col("vec_id")).limit(4)
+        .select(col("vec_id").as("j"), col("x").as("c"))
+      val a1 = xs.crossJoin(broadcast(c0))
+        .select(col("vec_id"), struct(d2Col.as("d2"), col("j")).as("sc"))
+        .groupBy(col("vec_id")).agg(min(col("sc")).as("m"))
+        .select(col("vec_id"), col("m.j").as("cluster"))
+      val sums = a1.join(xs, "vec_id")
+        .select(col("cluster"), posexplode(col("x")).as(Seq("pos", "xv")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("xv").cast("decimal(27,12)")).as("sm"), count(lit(1)).as("n"))
+      val c1 = sums.groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("pos"),
+          (col("sm").cast("double") / col("n").cast("double")).as("m")))).as("arr"))
+        .select(col("cluster").as("j"),
+          transform(col("arr"), e => e.getField("m")).as("c"))
+        .localCheckpoint(true)
+      xs.crossJoin(broadcast(c1))
+        .select(col("vec_id"), struct(d2Col.as("d2"), col("j")).as("sc"))
+        .groupBy(col("vec_id")).agg(min(col("sc")).as("m"))
+        .select(col("m.j").as("cluster"), col("m.d2").as("d2"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).cast("long").as("n_vectors"),
+          round(sum(col("d2").cast("decimal(27,12)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_d2"))
+        .select(lit(s).as("sub"), col("cluster"), col("n_vectors"), col("mean_d2"))
+    }
+    (0 to 3).map(subspace).reduce(_ unionAll _)
+      .orderBy(col("sub"), col("cluster"))
+  }
+
+  /** Corpus novelty curve — per ingestion decile (doc_id order as the
+    * ingestion proxy), what fraction of documents are the FIRST
+    * occurrence of their normalized text: the freshness signal a crawl
+    * pipeline tracks to decide when a source is mined out. Exact-dup
+    * identity is the q44 normalize→md5 chain, so the curve composes
+    * with the dedup family. Scale shape: one groupBy-min for first
+    * occurrences, one count-per-decile aggregate; the decile is integer
+    * arithmetic on (doc_id·10 div N) — no window, no sort. */
+  def q206_novelty_curve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(TextOps.normalize(col("text"))).as("h"))
+    val firsts = docs.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.join(firsts, "h").crossJoin(broadcast(n))
+      .select(expr("(doc_id * 10) div n_docs").as("decile"),
+        (col("doc_id") === col("first_id")).as("novel"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("novel"), 1L).otherwise(0L)).cast("long").as("n_novel"))
+      .withColumn("novelty_rate",
+        round(col("n_novel").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy(col("decile"))
+  }
+
+  /** Shuffle-layout planner — predicts the reduce-side bucket histogram
+    * of a 32-partition hash shuffle for three candidate lineitem keys
+    * BEFORE running the shuffle: rows per bucket under the engine-
+    * portable [[graft.functions.StableHash]] (so the oracle computes
+    * identical assignments), used buckets, the hottest bucket, and the
+    * max/mean skew ratio against the FIXED 32-bucket denominator (an
+    * empty bucket is wasted parallelism and must drag the mean down).
+    * The low-cardinality suppkey key shows up immediately as the one
+    * that can't use the cluster. Scale shape: one combinable count per
+    * key; the advisor aggregate runs over ≤32 rows per key. */
+  def q207_shuffle_planner(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    def forKey(name: String): DataFrame =
+      Tables.lineitem(spark, dir)
+        .select(StableHash.bucket(col(name).cast("string"), 32).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).cast("long").as("cnt"))
+        .agg(count(lit(1)).cast("long").as("n_buckets_used"),
+          sum(col("cnt")).cast("long").as("n_rows"),
+          max(col("cnt")).cast("long").as("max_bucket_rows"))
+        .select(lit(name).as("shuffle_key"), col("n_rows"),
+          col("n_buckets_used"), col("max_bucket_rows"),
+          round(col("n_rows").cast("double") / 32.0d, 6).as("mean_bucket_rows"),
+          round(col("max_bucket_rows").cast("double") /
+            (col("n_rows").cast("double") / 32.0d), 6).as("skew_ratio"))
+    forKey("l_orderkey").unionAll(forKey("l_partkey"))
+      .unionAll(forKey("l_suppkey"))
+      .orderBy(col("shuffle_key"))
+  }
+
+  /** Inverted-index build + conjunctive query — the search-index side
+    * of the text stack: per-token sorted postings lists with document
+    * frequencies, probed by three two-term AND queries via an order-
+    * preserving filter-intersection (identical semantics on both
+    * engines, unlike set-intersect builtins whose ordering contracts
+    * differ). Scale shape: postings are one combinable collect per
+    * token (bounded by the per-token df — at web scale the hot tokens
+    * get df-capped exactly like q204's plan notes); each query touches
+    * two postings rows, never the corpus. */
+  def q208_postings_index(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val post = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text"))))
+        .as("tok"))
+      .groupBy(col("tok"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("postings"))
+      .withColumn("df", size(col("postings")).cast("long"))
+    val queries = Seq(("spark", "table"), ("hash", "merge"), ("window", "value"))
+      .toDF("term_a", "term_b")
+    queries
+      .join(post.select(col("tok").as("term_a"), col("postings").as("pa"),
+        col("df").as("df_a")), "term_a")
+      .join(post.select(col("tok").as("term_b"), col("postings").as("pb"),
+        col("df").as("df_b")), "term_b")
+      .select(col("term_a"), col("term_b"), col("df_a"), col("df_b"),
+        filter(col("pa"), x => array_contains(col("pb"), x)).as("both"))
+      .select(col("term_a"), col("term_b"), col("df_a"), col("df_b"),
+        size(col("both")).cast("long").as("n_both"),
+        // CSV, not a raw array: the driver's compare hashes scalar cells
+        // (q41's convention)
+        array_join(transform(slice(col("both"), 1, 5), x => x.cast("string")),
+          ",").as("top5_docs"))
+      .orderBy(col("term_a"), col("term_b"))
+  }
+
+  /** Quarter-over-quarter revenue growth per nation — the period-over-
+    * period reporting shape: exact decimal revenue per (nation,
+    * quarter), growth vs the previous quarter via one lag window over
+    * the bounded nation×quarter table (≤25·28 rows), NULL for each
+    * nation's first quarter rather than a fake zero. Scale shape: dims
+    * broadcast; the corpus collapses to the reporting grain before any
+    * window runs. */
+  def q209_qoq_growth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_trunc("quarter", col("o_orderdate")).as("quarter"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window.partitionBy(col("nation")).orderBy(col("quarter"))
+    rev
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("nation"), col("quarter"),
+        col("rev").cast("double").as("revenue"),
+        round((col("rev").cast("double") - col("prev").cast("double")) /
+          col("prev").cast("double") * 100.0d, 6).as("growth_pct"))
+      .orderBy(col("nation"), col("quarter"))
+  }
 }

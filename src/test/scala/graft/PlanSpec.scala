@@ -883,6 +883,36 @@ class PlanSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("q205 PQ codebooks: centroid broadcast per subspace, no window, no SMJ") {
+    val plan = planString(queries.CorpusQueries.q205_pq_codebooks(spark, dir))
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q206 novelty curve: groupBy-min firsts, integer deciles, no window") {
+    val plan = planString(queries.CorpusQueries.q206_novelty_curve(spark, dir))
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q207 shuffle planner: one combinable count per key, nothing else") {
+    val plan = planString(queries.CorpusQueries.q207_shuffle_planner(spark, dir))
+    plan should not include "Join"
+    plan should not include "Window"
+  }
+
+  test("q208 postings: queries touch postings rows, never the corpus scan") {
+    val plan = planString(queries.CorpusQueries.q208_postings_index(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+  }
+
+  test("q209 QoQ growth: dims broadcast, lag window on the reporting grain") {
+    val plan = planString(queries.CorpusQueries.q209_qoq_growth(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
