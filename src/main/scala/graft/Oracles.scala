@@ -3664,6 +3664,110 @@ object Oracles {
         |  round((CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE))
         |    / CAST(prev AS DOUBLE) * 100.0, 6) AS growth_pct
         |FROM lagged ORDER BY nation, quarter""".stripMargin,
+
+    "q210_pq_recall" ->
+      s"""WITH ev AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), ${Oracles.pqSubspace(0)},
+        |${Oracles.pqSubspace(1)},
+        |${Oracles.pqSubspace(2)},
+        |${Oracles.pqSubspace(3)},
+        |codes AS (
+        |  SELECT vec_id, 0 AS sub, j AS code FROM a2_0
+        |  UNION ALL SELECT vec_id, 1, j FROM a2_1
+        |  UNION ALL SELECT vec_id, 2, j FROM a2_2
+        |  UNION ALL SELECT vec_id, 3, j FROM a2_3
+        |), qd AS (
+        |${Seq(0, 1, 2, 3).map(s =>
+          s"""  SELECT q.vec_id AS query_id, $s AS sub, c.j,
+             |    list_dot_product(q.x, q.x) - 2.0 * list_dot_product(q.x, c.c)
+             |      + list_dot_product(c.c, c.c) AS qd2
+             |  FROM xs$s q CROSS JOIN c1_$s c WHERE q.vec_id < 20""".stripMargin)
+          .mkString("\n  UNION ALL\n")}
+        |), ad AS (
+        |  SELECT query_id, c.vec_id,
+        |    round(CAST(SUM(CAST(qd2 AS DECIMAL(27,12))) AS DOUBLE), 6) AS ad2
+        |  FROM codes c JOIN qd ON c.sub = qd.sub AND c.code = qd.j
+        |  WHERE c.vec_id <> qd.query_id
+        |  GROUP BY 1, 2
+        |), approx AS (
+        |  SELECT query_id, vec_id FROM ad
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY ad2, vec_id) <= 10
+        |), exd AS (
+        |  SELECT q.vec_id AS query_id, x.vec_id,
+        |    list_dot_product(x.v, x.v) - 2.0 * list_dot_product(x.v, q.v)
+        |      + list_dot_product(q.v, q.v) AS d2e
+        |  FROM ev x CROSS JOIN ev q
+        |  WHERE q.vec_id < 20 AND x.vec_id <> q.vec_id
+        |), exact AS (
+        |  SELECT query_id, vec_id FROM exd
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d2e, vec_id) <= 10
+        |), ov AS (
+        |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |  FROM approx JOIN exact USING (query_id, vec_id) GROUP BY 1
+        |), ql AS (SELECT vec_id AS query_id FROM ev WHERE vec_id < 20)
+        |SELECT query_id,
+        |  CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  round(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / 10.0, 6)
+        |    AS recall_at_10
+        |FROM ql LEFT JOIN ov USING (query_id) ORDER BY query_id""".stripMargin,
+
+    "q211_threshold_curve" ->
+      s"""WITH RECURSIVE ${Oracles.minhashPairCtes},
+        |pj AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+        |      / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS j
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |),
+        |${Seq(("a", "0.5"), ("b", "0.7")).map { case (sfx, t) =>
+          s"""kept_$sfx AS (SELECT id_a, id_b FROM pj WHERE j >= $t),
+             |edges_$sfx AS (
+             |  SELECT id_a AS a, id_b AS b FROM kept_$sfx
+             |  UNION SELECT id_b, id_a FROM kept_$sfx
+             |), reach_$sfx(node, r) AS (
+             |  SELECT a, a FROM edges_$sfx
+             |  UNION
+             |  SELECT e.a, re.r FROM edges_$sfx e JOIN reach_$sfx re ON re.node = e.b
+             |), comp_$sfx AS (
+             |  SELECT node, min(r) AS comp FROM reach_$sfx GROUP BY node
+             |), sizes_$sfx AS (
+             |  SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM comp_$sfx GROUP BY 1
+             |), row_$sfx AS (
+             |  SELECT CAST($t AS DOUBLE) AS threshold,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM kept_$sfx) AS n_pairs,
+             |    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             |    CAST(MAX(sz) AS BIGINT) AS largest_cluster,
+             |    CAST(SUM(sz - 1) AS BIGINT) AS n_dropped
+             |  FROM sizes_$sfx)""".stripMargin
+        }.mkString(",\n")}
+        |SELECT * FROM row_a UNION ALL SELECT * FROM row_b
+        |ORDER BY threshold""".stripMargin,
+
+    "q212_top_movers" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) <= DATE '2024-01-15' AS h1
+        |  FROM events),
+        |ca AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ev WHERE h1 GROUP BY 1),
+        |cb AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ev WHERE NOT h1 GROUP BY 1),
+        |ta AS (
+        |  SELECT user_id, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rk
+        |  FROM ca QUALIFY rk <= 50),
+        |tb AS (
+        |  SELECT user_id, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rk
+        |  FROM cb QUALIFY rk <= 50)
+        |SELECT user_id,
+        |  COALESCE(a.n, 0) AS n_first, COALESCE(b.n, 0) AS n_second,
+        |  COALESCE(a.rk, 51) AS rk_first, COALESCE(b.rk, 51) AS rk_second,
+        |  COALESCE(a.rk, 51) - COALESCE(b.rk, 51) AS rank_change
+        |FROM ta a FULL JOIN tb b USING (user_id)
+        |ORDER BY rank_change DESC, user_id""".stripMargin,
   )
 
   /** q105's oracle replays the JL projection with the SAME inlined plane

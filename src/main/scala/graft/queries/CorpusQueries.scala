@@ -3904,37 +3904,59 @@ object CorpusQueries {
     * elementwise sum whose order could drift), and the update is the
     * q89 posexplode + exact-decimal mean. The oracle replays every
     * stage per subspace. */
-  def q205_pq_codebooks(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared PQ machinery for q205/q210: the L2 d² used everywhere (three
+    * dot products — order-stable, never an elementwise fold). */
+  private def pqD2 = {
     import graft.functions.DotProduct
-    val base = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), CosineKnn.toDouble(col("embedding")).as("v"))
-      .localCheckpoint(true)
-    def d2Col = DotProduct.dotProduct(col("x"), col("x")) -
+    DotProduct.dotProduct(col("x"), col("x")) -
       lit(2.0d) * DotProduct.dotProduct(col("x"), col("c")) +
       DotProduct.dotProduct(col("c"), col("c"))
+  }
+
+  /** Raw-double embedding view for the PQ family. */
+  private def pqBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), CosineKnn.toDouble(col("embedding")).as("v"))
+      .localCheckpoint(true)
+
+  /** Subspace slice s (16 dims) of the raw vectors. */
+  private def pqSlice(base: DataFrame, s: Int): DataFrame =
+    base.select(col("vec_id"), slice(col("v"), s * 16 + 1, 16).as("x"))
+
+  /** One-Lloyd-round L2 codebook (j, c) for subspace s: first-4 init,
+    * argmin assignment, exact-decimal mean update. */
+  private def pqCodebook(xs: DataFrame): DataFrame = {
+    val c0 = xs.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("j"), col("x").as("c"))
+    val a1 = xs.crossJoin(broadcast(c0))
+      .select(col("vec_id"), struct(pqD2.as("d2"), col("j")).as("sc"))
+      .groupBy(col("vec_id")).agg(min(col("sc")).as("m"))
+      .select(col("vec_id"), col("m.j").as("cluster"))
+    a1.join(xs, "vec_id")
+      .select(col("cluster"), posexplode(col("x")).as(Seq("pos", "xv")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("xv").cast("decimal(27,12)")).as("sm"), count(lit(1)).as("n"))
+      .groupBy(col("cluster"))
+      .agg(sort_array(collect_list(struct(col("pos"),
+        (col("sm").cast("double") / col("n").cast("double")).as("m")))).as("arr"))
+      .select(col("cluster").as("j"),
+        transform(col("arr"), e => e.getField("m")).as("c"))
+      .localCheckpoint(true)
+  }
+
+  /** Per-vector code (argmin centroid) plus residual d² vs codebook c1. */
+  private def pqAssign(xs: DataFrame, c1: DataFrame): DataFrame =
+    xs.crossJoin(broadcast(c1))
+      .select(col("vec_id"), struct(pqD2.as("d2"), col("j")).as("sc"))
+      .groupBy(col("vec_id")).agg(min(col("sc")).as("m"))
+      .select(col("vec_id"), col("m.j").as("code"), col("m.d2").as("d2"))
+
+  def q205_pq_codebooks(spark: SparkSession, dir: String): DataFrame = {
+    val base = pqBase(spark, dir)
     def subspace(s: Int): DataFrame = {
-      val xs = base.select(col("vec_id"), slice(col("v"), s * 16 + 1, 16).as("x"))
-      val c0 = xs.orderBy(col("vec_id")).limit(4)
-        .select(col("vec_id").as("j"), col("x").as("c"))
-      val a1 = xs.crossJoin(broadcast(c0))
-        .select(col("vec_id"), struct(d2Col.as("d2"), col("j")).as("sc"))
-        .groupBy(col("vec_id")).agg(min(col("sc")).as("m"))
-        .select(col("vec_id"), col("m.j").as("cluster"))
-      val sums = a1.join(xs, "vec_id")
-        .select(col("cluster"), posexplode(col("x")).as(Seq("pos", "xv")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("xv").cast("decimal(27,12)")).as("sm"), count(lit(1)).as("n"))
-      val c1 = sums.groupBy(col("cluster"))
-        .agg(sort_array(collect_list(struct(col("pos"),
-          (col("sm").cast("double") / col("n").cast("double")).as("m")))).as("arr"))
-        .select(col("cluster").as("j"),
-          transform(col("arr"), e => e.getField("m")).as("c"))
-        .localCheckpoint(true)
-      xs.crossJoin(broadcast(c1))
-        .select(col("vec_id"), struct(d2Col.as("d2"), col("j")).as("sc"))
-        .groupBy(col("vec_id")).agg(min(col("sc")).as("m"))
-        .select(col("m.j").as("cluster"), col("m.d2").as("d2"))
-        .groupBy(col("cluster"))
+      val xs = pqSlice(base, s)
+      pqAssign(xs, pqCodebook(xs))
+        .groupBy(col("code").as("cluster"))
         .agg(count(lit(1)).cast("long").as("n_vectors"),
           round(sum(col("d2").cast("decimal(27,12)")).cast("double") /
             count(lit(1)).cast("double"), 6).as("mean_d2"))
@@ -4059,5 +4081,135 @@ object CorpusQueries {
         round((col("rev").cast("double") - col("prev").cast("double")) /
           col("prev").cast("double") * 100.0d, 6).as("growth_pct"))
       .orderBy(col("nation"), col("quarter"))
+  }
+
+  /** PQ recall audit — closes the quality loop on q205 the way q49
+    * closes IVF's and q184 closes LSH's, but with a FULL hash-matched
+    * oracle: per query (first 20 vectors), the top-10 neighbors under
+    * PQ asymmetric distance (query-to-centroid lookup tables, 4 adds
+    * per candidate) are compared against the exact L2 top-10 — the
+    * recall@10 a PQ deployment actually delivers. Scale shape: the
+    * query-side distance table is ǀqueriesǀ·16 rows broadcast; the
+    * corpus contributes its 4 codes per vector (the compressed
+    * representation — this is the point of PQ); both top-10s run
+    * through the heap TopKPerKey, never a corpus-wide window. */
+  def q210_pq_recall(spark: SparkSession, dir: String): DataFrame = {
+    val base = pqBase(spark, dir)
+    val nQ = 20
+    // codes + query-to-centroid distance tables, per subspace
+    val perSub = (0 to 3).map { s =>
+      val xs = pqSlice(base, s)
+      val cb = pqCodebook(xs)
+      val codes = pqAssign(xs, cb)
+        .select(col("vec_id"), lit(s).as("sub"), col("code"))
+      val qd = xs.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("query_id"), col("x"))
+        .crossJoin(broadcast(cb))
+        .select(col("query_id"), lit(s).as("sub"), col("j"), pqD2.as("qd2"))
+      (codes, qd)
+    }
+    val codes = perSub.map(_._1).reduce(_ unionAll _)
+    val qdist = perSub.map(_._2).reduce(_ unionAll _)
+    val ad2 = codes
+      .join(broadcast(qdist), codes("sub") === qdist("sub") &&
+        codes("code") === qdist("j"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("qd2").cast("decimal(27,12)")).cast("double"), 6)
+        .as("ad2"))
+    val approx = graft.plans.TopKPerKey.topKPerKey(ad2,
+        keys = Seq(col("query_id")),
+        order = Seq(col("ad2").asc, col("vec_id").asc), k = 10)
+      .select(col("query_id"), col("vec_id"))
+    val queries = base.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("v").as("c"))
+    val exactPairs = base.select(col("vec_id"), col("v").as("x"))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), pqD2.as("d2e"))
+    val exact = graft.plans.TopKPerKey.topKPerKey(exactPairs,
+        keys = Seq(col("query_id")),
+        order = Seq(col("d2e").asc, col("vec_id").asc), k = 10)
+      .select(col("query_id"), col("vec_id"))
+    val overlap = approx.join(exact, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).cast("long").as("n_overlap"))
+    queries.select(col("query_id")).join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_at_10",
+        round(col("n_overlap").cast("double") / 10.0d, 6))
+      .orderBy(col("query_id"))
+  }
+
+  /** Dedup-threshold sensitivity curve — the tuning table for the ONE
+    * knob that governs the whole near-dup family: at Jaccard cutoffs
+    * 0.5 and 0.7, how many duplicate pairs survive, how many clusters
+    * they form, the largest cluster, and docs dropped under
+    * keep-one-per-cluster. Both rows reuse the same LSH candidate pass
+    * (threshold 0 + skew cap) — the corpus is shingled ONCE; each
+    * cutoff only re-filters the bounded pair list and re-runs CC on its
+    * edge subgraph. */
+  def q211_threshold_curve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.similarity.MinHashLsh.nearDuplicatePairs(docs, "doc_id",
+        "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.0,
+        maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"), col("jaccard")).localCheckpoint(true)
+    def atThreshold(t: Double): DataFrame = {
+      val kept = pairs.filter(col("jaccard") >= t)
+        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      val members = graft.transform.Dedup
+        .duplicateClusters(kept, docs.select(col("doc_id")), "doc_id")
+      // dup clusters only (size >= 2): singletons are noise for the curve
+      val sizes = members.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("sz"))
+        .filter(col("sz") >= 2)
+      val stats = sizes.agg(count(lit(1)).cast("long").as("n_clusters"),
+        max(col("sz")).cast("long").as("largest_cluster"),
+        sum(col("sz") - 1).cast("long").as("n_dropped"))
+      val np = kept.agg(count(lit(1)).cast("long").as("n_pairs"))
+      np.crossJoin(broadcast(stats))
+        .select(lit(t).as("threshold"), col("n_pairs"), col("n_clusters"),
+          col("largest_cluster"), col("n_dropped"))
+    }
+    atThreshold(0.5).unionAll(atThreshold(0.7)).orderBy(col("threshold"))
+  }
+
+  /** Top movers — rank-change report between the first and second half
+    * of the observation window: among users in either half's top-50 by
+    * event volume, the biggest rank gainers and losers. Scale shape:
+    * each half collapses to per-user counts (combinable), the two
+    * top-50s come from the heap TopKPerKey (k bounds state, no global
+    * sort), and the rank join runs on ≤100 rows. Absent-in-one-half
+    * users rank as 51 (just off the board) so movement is defined for
+    * entrants and dropouts. */
+  def q212_top_movers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("h1"))
+    def half(first: Boolean): DataFrame = {
+      val counts = ev.filter(col("h1") === first)
+        .groupBy(col("user_id")).agg(count(lit(1)).cast("long").as("n"))
+      val top = graft.plans.TopKPerKey.topKPerKey(
+        counts.withColumn("g", lit(1)),
+        keys = Seq(col("g")),
+        order = Seq(col("n").desc, col("user_id").asc), k = 50)
+      top.select(col("user_id"), col("n"),
+        row_number().over(Window.orderBy(col("n").desc, col("user_id").asc))
+          .cast("long").as("rk"))
+    }
+    val a = half(first = true)
+      .select(col("user_id"), col("n").as("n_first"), col("rk").as("rk_first"))
+    val b = half(first = false)
+      .select(col("user_id"), col("n").as("n_second"), col("rk").as("rk_second"))
+    a.join(b, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("n_second"), lit(0L)).as("n_second"),
+        coalesce(col("rk_first"), lit(51L)).as("rk_first"),
+        coalesce(col("rk_second"), lit(51L)).as("rk_second"))
+      .withColumn("rank_change", col("rk_first") - col("rk_second"))
+      .orderBy(col("rank_change").desc, col("user_id"))
   }
 }
