@@ -3768,7 +3768,114 @@ object Oracles {
         |  COALESCE(a.rk, 51) - COALESCE(b.rk, 51) AS rank_change
         |FROM ta a FULL JOIN tb b USING (user_id)
         |ORDER BY rank_change DESC, user_id""".stripMargin,
+
+    "q213_substring_dup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') tk FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) >= 5
+        |      THEN list_transform(range(1, len(tk) - 3),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |             tk[i+3] || ' ' || tk[i+4])
+        |      ELSE [] END) AS sg
+        |  FROM t
+        |), g AS (
+        |  SELECT doc_id, md5(unnest(sg)) AS gh FROM sh
+        |), df AS (
+        |  SELECT gh, CAST(COUNT(*) AS BIGINT) AS nd FROM g GROUP BY 1
+        |), per AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g_all,
+        |    CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS g_dup
+        |  FROM g JOIN df USING (gh) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(g_all, 0) AS n_grams,
+        |  COALESCE(g_dup, 0) AS n_dup_grams,
+        |  round(CASE WHEN COALESCE(g_all, 0) > 0
+        |    THEN CAST(g_dup AS DOUBLE) / CAST(g_all AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS dup_frac
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q214_kcenter_coreset" -> Oracles.kcenterSql,
+
+    "q215_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey, CAST(o_orderdate AS DATE) AS s,
+        |    CAST(l_shipdate AS DATE) AS e, l_orderkey, l_linenumber
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), fl AS (
+        |  SELECT l_suppkey, s, e, l_orderkey, l_linenumber,
+        |    max(e) OVER (PARTITION BY l_suppkey
+        |      ORDER BY s, e, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv
+        |), fi AS (
+        |  SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni
+        |  FROM fl
+        |), isl0 AS (
+        |  SELECT *, SUM(ni) OVER (PARTITION BY l_suppkey
+        |    ORDER BY s, e, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM fi
+        |), isl AS (
+        |  SELECT l_suppkey, island, min(s) AS ms, max(e) AS me,
+        |    CAST(COUNT(*) AS BIGINT) AS n_iv
+        |  FROM isl0 GROUP BY 1, 2
+        |)
+        |SELECT l_suppkey,
+        |  CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(date_diff('day', ms, me) + 1) AS BIGINT) AS covered_days,
+        |  CAST(date_diff('day', MIN(ms), MAX(me)) + 1 AS BIGINT) AS span_days,
+        |  round(CAST(SUM(date_diff('day', ms, me) + 1) AS DOUBLE)
+        |    / CAST(date_diff('day', MIN(ms), MAX(me)) + 1 AS DOUBLE), 6)
+        |    AS busy_frac
+        |FROM isl GROUP BY 1 ORDER BY 1""".stripMargin,
   )
+
+  /** q214's oracle unrolls the 8 farthest-point-sampling rounds as a CTE
+    * chain: each round picks argmax of the running min-distance (same
+    * DESC/vec_id tiebreak as the Spark max(struct)), then folds the new
+    * center in with the SAME left-associated `least` the Spark state
+    * update applies. Distances use the proven-parity dot-product
+    * identities (q30/q210); everything stays unrounded until emission. */
+  private def kcenterSql: String = {
+    val k = 8
+    def dd(a: String, b: String) =
+      s"list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b)" +
+        s" + list_dot_product($b, $b)"
+    def notIn(i: Int) =
+      (0 until i).map(j => s"SELECT id FROM p$j").mkString(" UNION ALL ")
+    val head =
+      s"""WITH ev AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(NULL AS DOUBLE) AS d2),
+         |m0 AS (
+         |  SELECT x.vec_id, ${dd("x.v", "c.v")} AS d2min
+         |  FROM ev x JOIN ev c ON c.vec_id = (SELECT id FROM p0))""".stripMargin
+    val rounds = (1 until k).map { i =>
+      val pick =
+        s"""p$i AS (
+           |  SELECT vec_id AS id, d2min AS d2 FROM m${i - 1}
+           |  WHERE vec_id NOT IN (${notIn(i)})
+           |  ORDER BY d2min DESC, vec_id LIMIT 1)""".stripMargin
+      val upd =
+        if (i < k - 1)
+          s""",
+             |m$i AS (
+             |  SELECT m.vec_id, least(m.d2min, ${dd("x.v", "c.v")}) AS d2min
+             |  FROM m${i - 1} m JOIN ev x ON x.vec_id = m.vec_id
+             |  JOIN ev c ON c.vec_id = (SELECT id FROM p$i))""".stripMargin
+        else ""
+      ",\n" + pick + upd
+    }.mkString
+    val sel = (0 until k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS sel_order, id AS vec_id, " +
+        s"round(d2, 6) AS d2_sel FROM p$i").mkString("\n  UNION ALL ")
+    s"$head$rounds\nSELECT * FROM (\n  $sel\n) ORDER BY sel_order"
+  }
 
   /** q105's oracle replays the JL projection with the SAME inlined plane
     * constants the Spark side constant-folds (LshAnn.hyperplanes seed 7),

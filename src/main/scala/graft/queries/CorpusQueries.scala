@@ -4212,4 +4212,147 @@ object CorpusQueries {
       .withColumn("rank_change", col("rk_first") - col("rk_second"))
       .orderBy(col("rank_change").desc, col("user_id"))
   }
+
+  /** Within-corpus substring-duplication audit (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): per
+    * document, what fraction of its distinct word 5-grams also occurs in
+    * at least one OTHER document — the span-level memorization-risk
+    * signal that whole-doc dedup (q23/q44) and near-dup (q27) both miss,
+    * and the within-corpus twin of the q70 train-vs-test decontamination.
+    * Scale shape: grams collapse to md5 at the scan so the
+    * gram-frequency shuffle carries (hash, doc_id) only; the
+    * doc-frequency table is ONE combinable aggregate over per-doc
+    * distinct grams (so a doc repeating its own phrase doesn't
+    * self-trigger); the join back to exploded grams is the q70 equi-join
+    * class. Docs shorter than 5 tokens keep a zero row via the left
+    * join — no silent drop. */
+  def q213_substring_dup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 5)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    val df = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).cast("long").as("nd"))
+    val per = grams.join(df, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("g_all"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("long").as("g_dup"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("g_all"), lit(0L)).as("n_grams"),
+        coalesce(col("g_dup"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        round(when(col("n_grams") > 0,
+          col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0d)), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** K-center greedy coreset (farthest-point sampling; Sener & Savarese
+    * 2018 active-learning coresets) — the diversity-first subset
+    * selector that complements quality-first q115 and stratified q106:
+    * seed with vec_id 0, then 7 times pick the vector farthest (L2) from
+    * everything chosen so far. Scale shape: the state is one
+    * (vec_id, v, d2min) table updated per round with `least` against the
+    * SINGLE new center (a broadcast literal — never a growing center
+    * join), so each of the k rounds is one scan + one max(struct) agg;
+    * localCheckpoint truncates the k-deep lineage exactly like the CC
+    * rounds. Driver holds k ids — bounded by construction, the IVF
+    * training-sample pattern. Ordering uses UNROUNDED doubles (bitwise
+    * identical to the oracle's dot-product identities); rounding happens
+    * only at emission. */
+  def q214_kcenter_coreset(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DotProduct
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val k = 8
+    val base = pqBase(spark, dir)
+    def d2To(cLit: org.apache.spark.sql.Column) =
+      DotProduct.dotProduct(col("v"), col("v")) -
+        lit(2.0d) * DotProduct.dotProduct(col("v"), cLit) +
+        DotProduct.dotProduct(cLit, cLit)
+    def centerLit(id: Long) = {
+      val vec = base.filter(col("vec_id") === id).select(col("v"))
+        .head().getSeq[Double](0)
+      array(vec.map(lit): _*)
+    }
+    var centerId = 0L
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])]()
+    picked += ((0L, centerId, None))
+    var state = base
+      .select(col("vec_id"), col("v"), d2To(centerLit(centerId)).as("d2min"))
+      .localCheckpoint(true)
+    for (i <- 1 until k) {
+      val chosen = picked.map(_._2).toSeq
+      val top = state.filter(!col("vec_id").isin(chosen: _*))
+        .agg(max(struct(col("d2min").as("d"), (-col("vec_id")).as("nid"))).as("m"))
+        .select(col("m.d"), col("m.nid")).head()
+      centerId = -top.getLong(1)
+      picked += ((i.toLong, centerId, Some(top.getDouble(0))))
+      if (i < k - 1)
+        state = state
+          .select(col("vec_id"), col("v"),
+            least(col("d2min"), d2To(centerLit(centerId))).as("d2min"))
+          .localCheckpoint(true)
+    }
+    val schema = StructType(Seq(
+      StructField("sel_order", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("d2_raw", DoubleType, nullable = true)))
+    val rows = picked.map { case (o, id, d) =>
+      Row(o, id, d.map(Double.box).orNull)
+    }
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows.toSeq).asJava), schema)
+      .select(col("sel_order"), col("vec_id"),
+        round(col("d2_raw"), 6).as("d2_sel"))
+      .orderBy(col("sel_order"))
+  }
+
+  /** Interval-merge coverage (gaps-and-islands by OVERLAP, not by time
+    * gap — the complement of q19's gap-based sessionize): per supplier,
+    * merge overlapping order→ship fulfillment intervals into islands and
+    * report interval count, island count, covered days, span days, and
+    * the busy fraction — the machine-utilization / SLA-coverage shape.
+    * Scale shape: one equi-join to attach order dates, then ONE window
+    * over the supplier key (high-cardinality; per-partition row counts
+    * are bounded by lineitems-per-supplier) computing the running
+    * max(end) island flag and the running island id; island and supplier
+    * roll-ups are combinable aggregates. The window order includes
+    * (orderkey, linenumber) so equal-date rows order identically on both
+    * engines. */
+  def q215_interval_merge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("e"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("s")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("s"), col("e"),
+        col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("s"), col("e"), col("l_orderkey"), col("l_linenumber"))
+    val prevMax = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = iv
+      .withColumn("ni",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("l_suppkey"), col("island"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"),
+        count(lit(1)).cast("long").as("n_iv"))
+    islands.groupBy(col("l_suppkey"))
+      .agg(sum(col("n_iv")).cast("long").as("n_intervals"),
+        count(lit(1)).cast("long").as("n_islands"),
+        sum(datediff(col("me"), col("ms")) + 1).cast("long").as("covered_days"),
+        (datediff(max(col("me")), min(col("ms"))) + 1).cast("long")
+          .as("span_days"))
+      .withColumn("busy_frac",
+        round(col("covered_days").cast("double") /
+          col("span_days").cast("double"), 6))
+      .orderBy(col("l_suppkey"))
+  }
 }

@@ -913,6 +913,26 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("q213 substring dup: hash equi-joins only, no window, no cartesian") {
+    val plan = planString(queries.CorpusQueries.q213_substring_dup(spark, dir))
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q214 k-center: per-round state carries no join (centers are literals)") {
+    val plan = planString(queries.CorpusQueries.q214_kcenter_coreset(spark, dir))
+    // the emitted 8-row frame is driver-local; the heavy lifting happened in
+    // the k rounds, each a literal-center scan — no join survives to the plan
+    plan should not include "Join"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q215 interval merge: one supplier-keyed window, no cartesian") {
+    val plan = planString(queries.CorpusQueries.q215_interval_merge(spark, dir))
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
