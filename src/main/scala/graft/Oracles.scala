@@ -3833,6 +3833,80 @@ object Oracles {
         |    / CAST(date_diff('day', MIN(ms), MAX(me)) + 1 AS DOUBLE), 6)
         |    AS busy_frac
         |FROM isl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q216_weighted_median" ->
+      """WITH pw AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS price,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS wd
+        |  FROM lineitem GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT flag, SUM(wd) AS wt, CAST(COUNT(*) AS BIGINT) AS n_prices
+        |  FROM pw GROUP BY 1
+        |), cum AS (
+        |  SELECT flag, price, SUM(wd) OVER (PARTITION BY flag ORDER BY price
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        |  FROM pw
+        |), med AS (
+        |  SELECT flag, MIN(price) AS w_median
+        |  FROM cum JOIN tot USING (flag) WHERE cw * 2 >= wt GROUP BY 1
+        |)
+        |SELECT flag, n_prices, CAST(wt AS DOUBLE) AS total_qty, w_median
+        |FROM tot JOIN med USING (flag) ORDER BY flag""".stripMargin,
+
+    "q217_kmv_distinct" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), hs AS (
+        |  SELECT DISTINCT source,
+        |    CAST(CAST(md5_number_upper(tok) AS HUGEINT)
+        |      % 2305843009213693951 AS BIGINT) AS h
+        |  FROM tok
+        |), kept AS (
+        |  SELECT source, h FROM hs
+        |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 32
+        |), mk AS (
+        |  SELECT h FROM (SELECT DISTINCT h FROM kept)
+        |  QUALIFY row_number() OVER (ORDER BY h) <= 32
+        |), est AS (
+        |  SELECT source,
+        |    CASE WHEN n_k < 32 THEN CAST(n_k AS DOUBLE)
+        |      ELSE 31.0 * CAST(2305843009213693951 AS DOUBLE)
+        |        / CAST(kth AS DOUBLE) END AS e
+        |  FROM (
+        |    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_k, MAX(h) AS kth
+        |    FROM kept GROUP BY 1
+        |    UNION ALL
+        |    SELECT '__all__', CAST(COUNT(*) AS BIGINT), MAX(h) FROM mk)
+        |), ex AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM hs GROUP BY 1
+        |  UNION ALL
+        |  SELECT '__all__', CAST(COUNT(DISTINCT h) AS BIGINT) FROM hs
+        |)
+        |SELECT source, n_exact, round(e, 6) AS kmv_est,
+        |  round(abs(e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6)
+        |    AS rel_err
+        |FROM est JOIN ex USING (source) ORDER BY source""".stripMargin,
+
+    "q218_dup_bfs" ->
+      s"""WITH RECURSIVE ${Oracles.minhashPairCtes},
+        |pj AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+        |      / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS j
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |), kept AS (
+        |  SELECT id_a, id_b FROM pj WHERE j >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM kept
+        |  UNION ALL SELECT id_b, id_a FROM kept
+        |), reach(node, d) AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) FROM documents WHERE doc_id < 10
+        |  UNION
+        |  SELECT e.b, r.d + 1 FROM reach r JOIN edges e ON e.a = r.node
+        |  WHERE r.d < 4
+        |)
+        |SELECT node AS doc_id, CAST(MIN(d) AS BIGINT) AS hops
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** q214's oracle unrolls the 8 farthest-point-sampling rounds as a CTE

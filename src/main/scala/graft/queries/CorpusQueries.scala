@@ -4355,4 +4355,115 @@ object CorpusQueries {
           col("span_days").cast("double"), 6))
       .orderBy(col("l_suppkey"))
   }
+
+  /** Exact weighted median (lower) of price weighted by quantity, per
+    * return flag — the order-statistic q55's exact quantiles don't cover
+    * (every row counts `weight` times, the shape behind weighted SLA and
+    * per-unit price reporting). Scale shape: rows collapse to the
+    * (flag, price) grain FIRST (one combinable decimal agg), so the
+    * cumulative-weight window runs over the bounded distinct-price table,
+    * not the raw rows; the half-total comparison is `2*cum >= total` in
+    * exact decimal — no division, no float boundary. */
+  def q216_weighted_median(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pw = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("price"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("wd"))
+    val tot = pw.groupBy(col("flag"))
+      .agg(sum(col("wd")).as("wt"),
+        count(lit(1)).cast("long").as("n_prices"))
+    val cum = pw.withColumn("cw",
+      sum(col("wd")).over(Window.partitionBy(col("flag"))
+        .orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val med = cum.join(tot, "flag")
+      .filter(col("cw") * 2 >= col("wt"))
+      .groupBy(col("flag")).agg(min(col("price")).as("w_median"))
+    tot.join(med, "flag")
+      .select(col("flag"), col("n_prices"),
+        col("wt").cast("double").as("total_qty"), col("w_median"))
+      .orderBy(col("flag"))
+  }
+
+  /** KMV (k-minimum-values) distinct sketch, k=32 — the third sketch
+    * family next to HLL (q180) and CMS (q108), chosen here because it is
+    * fully DETERMINISTIC: values are the engine-portable md5-upper-64
+    * token hashes ([[graft.functions.StableHash]] family), so the oracle
+    * replays the sketch bit-for-bit, estimate included. Per source the 32
+    * smallest distinct hash values go through the heap TopKPerKey (state
+    * = 32 longs per source, never a sort); the `__all__` row demonstrates
+    * the sketch's mergeability — union the per-source min-sets, distinct,
+    * re-take min-32 — which is how a 1000-executor rollup would combine
+    * shard sketches without rescanning. Sources with < k values fall back
+    * to the exact count (the sketch IS exact there). */
+  def q217_kmv_distinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MinHashSig
+    val k = 32
+    val mDbl = 2305843009213693951L.toDouble
+    val hashed = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("source"),
+        element_at(MinHashSig.minhashSig(array(col("tok")), 1), 1).as("h"))
+      .distinct()
+      .localCheckpoint(true)
+    def kmvEstimate(kept: DataFrame): DataFrame =
+      kept.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_k"), max(col("h")).as("kth"))
+        .select(col("source"),
+          when(col("n_k") < k, col("n_k").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(mDbl) /
+              col("kth").cast("double")).as("est"))
+    val kept = graft.plans.TopKPerKey.topKPerKey(hashed,
+        keys = Seq(col("source")), order = Seq(col("h").asc), k = k)
+    val perSource = kmvEstimate(kept)
+    val mergedKept = graft.plans.TopKPerKey.topKPerKey(
+      kept.select(lit("__all__").as("source"), col("h")).distinct(),
+      keys = Seq(col("source")), order = Seq(col("h").asc), k = k)
+    val exact = hashed.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+    val exactAll = hashed.select(col("h")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+      .select(lit("__all__").as("source"), col("n_exact"))
+    perSource.unionAll(kmvEstimate(mergedKept))
+      .join(exact.unionAll(exactAll), "source")
+      .select(col("source"), col("n_exact"),
+        round(col("est"), 6).as("kmv_est"),
+        round(abs(col("est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6).as("rel_err"))
+      .orderBy(col("source"))
+  }
+
+  /** Bounded-hop BFS distance over the near-duplicate graph: from the
+    * seed set (doc_id < 10), the minimum hop count to every doc reachable
+    * within 4 hops — "how far does contamination spread through dup
+    * links" (the distance complement of q54/q67's component labels and
+    * q143's degrees). Scale shape: the LSH candidate pass is the shared
+    * skew-capped q27 machinery; each of the 4 relaxation rounds is one
+    * equi-join frontier expansion + a groupBy-min — the CC round class,
+    * with localCheckpoint truncating lineage per round and the round
+    * count FIXED (bounded work by construction, unlike
+    * loop-to-convergence). */
+  def q218_dup_bfs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.similarity.MinHashLsh.nearDuplicatePairs(docs, "doc_id",
+        "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint(true)
+    var dist = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("node"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 4) {
+      val next = dist.join(edges, dist("node") === edges("a"))
+        .select(col("b").as("node"), (col("d") + 1).as("d"))
+      dist = dist.unionAll(next)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("node").as("doc_id"), col("d").as("hops"))
+      .orderBy(col("doc_id"))
+  }
 }

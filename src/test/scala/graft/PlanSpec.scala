@@ -933,6 +933,30 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("q216 weighted median: window runs on the (flag, price) pre-aggregate") {
+    val df = queries.CorpusQueries.q216_weighted_median(spark, dir)
+    val plan = planString(df)
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+    // the grain collapse must happen: an aggregate exists below the window
+    plan should include("HashAggregate")
+  }
+
+  test("q217 KMV: min-k via the heap operator, no window, no sort-all") {
+    // the heap sits in an early AQE stage the finalized plan string doesn't
+    // expand — assert on the full pre-execution tree instead
+    val plan = queries.CorpusQueries.q217_kmv_distinct(spark, dir)
+      .queryExecution.executedPlan.toString
+    plan should include("TopKPerKey [")
+    plan should not include "Window"
+  }
+
+  test("q218 dup BFS: no cartesian, no window in the round plan") {
+    val plan = planString(queries.CorpusQueries.q218_dup_bfs(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
