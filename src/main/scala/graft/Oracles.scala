@@ -3907,7 +3907,112 @@ object Oracles {
         |)
         |SELECT node AS doc_id, CAST(MIN(d) AS BIGINT) AS hops
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q219_water_filling" ->
+      """WITH counts AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) FROM documents)
+        |  GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(t) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(FLOOR(CAST(SUM(t) AS DOUBLE) / 2.0) AS BIGINT) AS budget
+        |  FROM counts
+        |), ranked AS (
+        |  SELECT source, t,
+        |    CAST(row_number() OVER (ORDER BY t, source) AS BIGINT) AS r,
+        |    CAST(COALESCE(SUM(t) OVER (ORDER BY t, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS p
+        |  FROM counts
+        |), cand AS (
+        |  SELECT source, t, r,
+        |    CAST(budget - p AS DOUBLE) / CAST(n - r + 1 AS DOUBLE) AS cand
+        |  FROM ranked CROSS JOIN tot
+        |), pv AS (
+        |  SELECT r AS pr, cand AS lvl FROM cand
+        |  WHERE cand <= CAST(t AS DOUBLE) ORDER BY r LIMIT 1
+        |)
+        |SELECT source, t AS tokens,
+        |  round(CASE WHEN r < pr THEN CAST(t AS DOUBLE) ELSE lvl END, 6)
+        |    AS alloc,
+        |  r < pr AS funded_fully
+        |FROM cand CROSS JOIN pv ORDER BY source""".stripMargin,
+
+    "q220_shapley_attribution" -> Oracles.shapleySql,
+
+    "q221_roc_auc" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |vg AS (
+        |  SELECT value, CAST(COUNT(*) AS BIGINT) AS nv FROM ev GROUP BY 1
+        |), vgc AS (
+        |  SELECT value, nv,
+        |    CAST(COALESCE(SUM(nv) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM vg
+        |), tv AS (
+        |  SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS np
+        |  FROM ev GROUP BY 1, 2
+        |), tot AS (SELECT CAST(SUM(nv) AS BIGINT) AS ntot FROM vg),
+        |per AS (
+        |  SELECT event_type,
+        |    SUM(CAST(np AS HUGEINT) * CAST(2 * cb + nv + 1 AS HUGEINT)) AS r2,
+        |    CAST(SUM(np) AS BIGINT) AS p
+        |  FROM tv JOIN vgc USING (value) GROUP BY 1
+        |)
+        |SELECT event_type, p AS n_pos, ntot - p AS n_neg,
+        |  round(CAST(r2 - CAST(p AS HUGEINT) * CAST(p + 1 AS HUGEINT)
+        |      AS DOUBLE)
+        |    / CAST(CAST(2 AS HUGEINT) * CAST(p AS HUGEINT)
+        |      * CAST(ntot - p AS HUGEINT) AS DOUBLE), 6) AS auc
+        |FROM per CROSS JOIN tot ORDER BY event_type""".stripMargin,
   )
+
+  /** q220's oracle pivots the 8 coalition rows to one and spells every
+    * Shapley sum in the identical left-associated term order the Spark
+    * reduce produces (weights 1/3, 1/6, 1/6, 1/3 as folded divisions). */
+  private def shapleySql: String = {
+    val us = (0 to 7).map(m =>
+      s"CAST(SUM(CASE WHEN mask = $m THEN nu ELSE 0 END) AS BIGINT) AS u$m," +
+        s" CAST(SUM(CASE WHEN mask = $m THEN nc ELSE 0 END) AS BIGINT) AS c$m")
+      .mkString(",\n  ")
+    val vs = (0 to 7).map(m =>
+      s"CASE WHEN u$m > 0 THEN CAST(c$m AS DOUBLE) / CAST(u$m AS DOUBLE)" +
+        s" ELSE 0.0 END AS v$m").mkString(",\n  ")
+    def shap(pairs: Seq[(Int, Int)]): String = {
+      val w = Seq("1.0 / 3.0", "1.0 / 6.0", "1.0 / 6.0", "1.0 / 3.0")
+      pairs.zip(w).map { case ((a, b), wt) => s"$wt * (v$a - v$b)" }
+        .mkString(" + ")
+    }
+    def exposed(ms: Seq[Int]): String = ms.map(m => s"u$m").mkString(" + ")
+    s"""WITH fl AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+       |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+       |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+       |  FROM events GROUP BY 1
+       |), mt AS (
+       |  SELECT v + c * 2 + s * 4 AS mask, CAST(COUNT(*) AS BIGINT) AS nu,
+       |    CAST(SUM(cv) AS BIGINT) AS nc
+       |  FROM fl GROUP BY 1
+       |), one AS (SELECT
+       |  $us
+       |  FROM mt
+       |), vv AS (SELECT *,
+       |  $vs
+       |  FROM one)
+       |SELECT 'view' AS channel,
+       |  CAST(${exposed(Seq(1, 3, 5, 7))} AS BIGINT) AS n_exposed,
+       |  round(${shap(Seq((1, 0), (3, 2), (5, 4), (7, 6)))}, 6) AS shapley
+       |FROM vv
+       |UNION ALL SELECT 'click', CAST(${exposed(Seq(2, 3, 6, 7))} AS BIGINT),
+       |  round(${shap(Seq((2, 0), (3, 1), (6, 4), (7, 5)))}, 6) FROM vv
+       |UNION ALL SELECT 'signup', CAST(${exposed(Seq(4, 5, 6, 7))} AS BIGINT),
+       |  round(${shap(Seq((4, 0), (5, 1), (6, 2), (7, 3)))}, 6) FROM vv
+       |ORDER BY channel""".stripMargin
+  }
 
   /** q214's oracle unrolls the 8 farthest-point-sampling rounds as a CTE
     * chain: each round picks argmax of the running min-distance (same

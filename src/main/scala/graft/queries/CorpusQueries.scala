@@ -4466,4 +4466,128 @@ object CorpusQueries {
     dist.select(col("node").as("doc_id"), col("d").as("hops"))
       .orderBy(col("doc_id"))
   }
+
+  /** Water-filling token-budget allocation — the mixture PLANNER that
+    * complements the mixture SAMPLER (q75): given per-source token
+    * counts and a budget of half the corpus, allocate min(tokens, L)
+    * tokens per source with the level L chosen so allocations exactly
+    * exhaust the budget (the classic fair-share cap that stops one giant
+    * crawl from eating the whole training mix). Scale shape: the corpus
+    * collapses to ONE combinable per-source count; everything after —
+    * ranking, prefix sums, the pivot search — runs on the ≤|sources| row
+    * table, so the "global" windows are bounded by the source catalog,
+    * never by data volume. The level search is closed-form: the first
+    * rank (ascending by count) whose candidate level
+    * (budget − prefix) / (remaining) undershoots its own count. */
+  def q219_water_filling(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source")).agg(count(lit(1)).cast("long").as("t"))
+    val tot = counts.agg(sum(col("t")).cast("long").as("total"),
+        count(lit(1)).cast("long").as("n"))
+      .withColumn("budget",
+        floor(col("total").cast("double") / 2.0d).cast("long"))
+    val w = Window.orderBy(col("t"), col("source"))
+    val ranked = counts
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("p", coalesce(sum(col("t"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("cand", (col("budget") - col("p")).cast("double") /
+        (col("n") - col("r") + 1).cast("double"))
+    val pivot = ranked.filter(col("cand") <= col("t").cast("double"))
+      .agg(min(struct(col("r").as("pr"), col("cand").as("lvl"))).as("m"))
+      .select(col("m.pr").as("pr"), col("m.lvl").as("lvl"))
+    ranked.crossJoin(broadcast(pivot))
+      .select(col("source"), col("t").as("tokens"),
+        round(when(col("r") < col("pr"), col("t").cast("double"))
+          .otherwise(col("lvl")), 6).as("alloc"),
+        (col("r") < col("pr")).as("funded_fully"))
+      .orderBy(col("source"))
+  }
+
+  /** Shapley-value channel attribution over exposure coalitions (the
+    * game-theoretic upgrade of last-touch q147): users collapse to a
+    * 3-bit exposure mask over {view, click, signup}, conversion =
+    * reached purchase; v(S) is the conversion rate of users with EXACTLY
+    * coalition S, and each channel's Shapley value is the weighted sum
+    * of its marginal contributions (weights 1/3, 1/6, 1/6, 1/3 for
+    * n=3). Scale shape: ONE user-grain aggregate (high-cardinality key),
+    * then an 8-row mask table pivoted to a single row — the whole
+    * coalition algebra costs O(2^n) on the driver-side plan, never a
+    * second corpus pass. Empty coalitions rate as 0 on both engines. */
+  def q220_shapley_attribution(spark: SparkSession, dir: String): DataFrame = {
+    val fl = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+        max(when(col("event_type") === "signup", 1).otherwise(0)).as("s"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("cv"))
+    val mt = fl
+      .groupBy((col("v") + col("c") * 2 + col("s") * 4).as("mask"))
+      .agg(count(lit(1)).cast("long").as("nu"),
+        sum(col("cv")).cast("long").as("nc"))
+    val aggs = (0 to 7).flatMap(m => Seq(
+      sum(when(col("mask") === m, col("nu")).otherwise(0L)).cast("long")
+        .as(s"u$m"),
+      sum(when(col("mask") === m, col("nc")).otherwise(0L)).cast("long")
+        .as(s"c$m")))
+    val one = mt.agg(aggs.head, aggs.tail: _*)
+    val vv = one.select(
+      (0 to 7).map(m => col(s"u$m")) ++
+        (0 to 7).map(m => when(col(s"u$m") > 0,
+          col(s"c$m").cast("double") / col(s"u$m").cast("double"))
+          .otherwise(lit(0.0d)).as(s"v$m")): _*)
+    val weights = Seq(1.0 / 3.0, 1.0 / 6.0, 1.0 / 6.0, 1.0 / 3.0)
+    def channelRow(name: String, pairs: Seq[(Int, Int)], exp: Seq[Int]) =
+      vv.select(lit(name).as("channel"),
+        exp.map(m => col(s"u$m")).reduce(_ + _).cast("long").as("n_exposed"),
+        round(pairs.zip(weights).map { case ((a, b), wt) =>
+          lit(wt) * (col(s"v$a") - col(s"v$b"))
+        }.reduce(_ + _), 6).as("shapley"))
+    channelRow("view", Seq((1, 0), (3, 2), (5, 4), (7, 6)), Seq(1, 3, 5, 7))
+      .unionAll(channelRow("click",
+        Seq((2, 0), (3, 1), (6, 4), (7, 5)), Seq(2, 3, 6, 7)))
+      .unionAll(channelRow("signup",
+        Seq((4, 0), (5, 1), (6, 2), (7, 3)), Seq(4, 5, 6, 7)))
+      .orderBy(col("channel"))
+  }
+
+  /** Exact ROC-AUC per event type (value as the score, that type as the
+    * positive class) via the rank-sum identity with full tie handling —
+    * the threshold-free twin of the fixed-threshold calibration curve
+    * (q129) and the two-sample tests (q154): AUC =
+    * (2·R⁺ − P(P+1)) / (2PN) where R⁺ sums average ranks of positives.
+    * Scale shape: rows collapse to the VALUE grain first (one combinable
+    * agg), so the single global rank window runs over distinct scores —
+    * the q55 exact-order-statistics trade, with doubled ranks kept in
+    * exact integer arithmetic (DECIMAL(38,0) products) until the final
+    * division; all five AUCs share the ONE pooled rank table. */
+  def q221_roc_auc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val vg = ev.groupBy(col("value")).agg(count(lit(1)).cast("long").as("nv"))
+    val vgc = vg.withColumn("cb", coalesce(sum(col("nv"))
+      .over(Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tv = ev.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).cast("long").as("np"))
+    val tot = vg.agg(sum(col("nv")).cast("long").as("ntot"))
+    val per = tv.join(vgc, "value")
+      .groupBy(col("event_type"))
+      .agg(sum(col("np").cast("decimal(38,0)") *
+          (lit(2L) * col("cb") + col("nv") + lit(1L)).cast("decimal(38,0)"))
+          .as("r2"),
+        sum(col("np")).cast("long").as("p"))
+    per.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("p").as("n_pos"),
+        (col("ntot") - col("p")).as("n_neg"),
+        round((col("r2") - col("p").cast("decimal(38,0)") *
+            (col("p") + 1).cast("decimal(38,0)")).cast("double") /
+          (lit(2L).cast("decimal(38,0)") * col("p").cast("decimal(38,0)") *
+            (col("ntot") - col("p")).cast("decimal(38,0)")).cast("double"), 6)
+          .as("auc"))
+      .orderBy(col("event_type"))
+  }
 }

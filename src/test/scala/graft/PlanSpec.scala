@@ -957,6 +957,26 @@ class PlanSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("q219 water filling: corpus collapses before the source-table windows") {
+    val plan = planString(queries.CorpusQueries.q219_water_filling(spark, dir))
+    plan should include("HashAggregate")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q220 shapley: one user-grain aggregate, no window, no cartesian") {
+    val plan = planString(
+      queries.CorpusQueries.q220_shapley_attribution(spark, dir))
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q221 ROC-AUC: rank window runs on the value grain, not raw rows") {
+    val plan = planString(queries.CorpusQueries.q221_roc_auc(spark, dir))
+    plan should include("Window")
+    plan should include("HashAggregate")
+    plan should not include "CartesianProduct"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
