@@ -3967,6 +3967,75 @@ object Oracles {
         |    / CAST(CAST(2 AS HUGEINT) * CAST(p AS HUGEINT)
         |      * CAST(ntot - p AS HUGEINT) AS DOUBLE), 6) AS auc
         |FROM per CROSS JOIN tot ORDER BY event_type""".stripMargin,
+
+    "q222_bpe_pairs" ->
+      """WITH wf AS (
+        |  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) >= 2 GROUP BY 1
+        |), pc AS (
+        |  SELECT substring(word, CAST(i AS INTEGER), 2) AS pr,
+        |    CAST(SUM(f) AS BIGINT) AS total
+        |  FROM wf, LATERAL unnest(range(1, length(word))) AS t(i)
+        |  GROUP BY 1
+        |)
+        |SELECT pr AS pair, total FROM pc
+        |QUALIFY row_number() OVER (ORDER BY total DESC, pr) <= 20
+        |ORDER BY total DESC, pair""".stripMargin,
+
+    "q223_conformal_coverage" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    (CAST(md5_number_upper(CAST(event_id AS VARCHAR)) AS HUGEINT)
+        |      % 2305843009213693951) % 1000 < 500 AS is_cal
+        |  FROM events
+        |), cg AS (
+        |  SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS nv
+        |  FROM ev WHERE is_cal GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, value,
+        |    SUM(nv) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        |  FROM cg
+        |), ncal AS (
+        |  SELECT event_type, CAST(SUM(nv) AS BIGINT) AS n_cal,
+        |    CAST((9 * (SUM(nv) + 1) + 9) // 10 AS BIGINT) AS k
+        |  FROM cg GROUP BY 1
+        |), qh AS (
+        |  SELECT event_type, MIN(value) AS qhat
+        |  FROM cum JOIN ncal USING (event_type) WHERE cw >= k GROUP BY 1
+        |)
+        |SELECT event_type, n_cal,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test, qhat,
+        |  round(CAST(SUM(CASE WHEN value <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+        |FROM ev JOIN qh USING (event_type) JOIN ncal USING (event_type)
+        |WHERE NOT is_cal
+        |GROUP BY event_type, n_cal, qhat
+        |ORDER BY event_type""".stripMargin,
+
+    "q224_loo_influence" ->
+      """WITH per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+        |      AS HUGEINT) AS ss
+        |  FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS HUGEINT) AS st,
+        |    CAST(SUM(ss) AS HUGEINT) AS sst
+        |  FROM per
+        |)
+        |SELECT source, n AS n_docs,
+        |  round((CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE))
+        |    - (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS mean_delta,
+        |  round((CAST(sst - ss AS DOUBLE) / CAST(nt - n AS DOUBLE)
+        |      - (CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE))
+        |        * (CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE)))
+        |    - (CAST(sst AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      - (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))), 6) AS var_delta
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
   )
 
   /** q220's oracle pivots the 8 coalition rows to one and spells every

@@ -4590,4 +4590,104 @@ object CorpusQueries {
           .as("auc"))
       .orderBy(col("event_type"))
   }
+
+  /** BPE merge-pair mining — the FIRST iteration of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016) run corpus-wide: the 20
+    * most frequent adjacent character pairs, weighted by word frequency
+    * and within-word multiplicity. Complements the ESTIMATE in
+    * bpeTokenEstimate (q26) with the real training signal, and differs
+    * from q76's word-level PMI collocations by operating at the symbol
+    * level. Scale shape: the corpus collapses to the word-frequency
+    * grain first (one combinable agg bounded by vocabulary, not corpus
+    * size); the pair explode runs per DISTINCT word; and the final
+    * top-20 goes through the heap TopKPerKey over the rounded totals. */
+  def q222_bpe_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("f"))
+    val pc = wf
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pr"))
+      .groupBy(col("pr")).agg(sum(col("f")).cast("long").as("total"))
+    graft.plans.TopKPerKey.topKPerKey(pc.withColumn("g", lit(1)),
+        keys = Seq(col("g")),
+        order = Seq(col("total").desc, col("pr").asc), k = 20)
+      .select(col("pr").as("pair"), col("total"))
+      .orderBy(col("total").desc, col("pair"))
+  }
+
+  /** Split-conformal coverage audit (Vovk; Angelopoulos & Bates 2022):
+    * per event type, the finite-sample conformal quantile
+    * q̂ = k-th smallest calibration score with k = ⌈0.9(n+1)⌉, and the
+    * empirical coverage P(score ≤ q̂) it actually achieves on the
+    * held-out split — the distribution-free upgrade of the fixed-bin
+    * calibration curve (q129). The calibration/test split is the
+    * engine-portable [[graft.functions.StableHash]] (re-ingested rows
+    * land in the same split forever); k uses pure integer arithmetic
+    * ((9(n+1)+9) div 10), and the order statistic comes from the
+    * q216 value-grain cumulative-count machinery — an exact k-th
+    * smallest with no sort of raw rows, integer comparisons only. */
+  def q223_conformal_coverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        (graft.functions.StableHash.bucket(col("event_id"), 1000) < 500)
+          .as("is_cal"))
+    val calGrain = ev.filter(col("is_cal"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).cast("long").as("nv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val cum = calGrain.withColumn("cw",
+      sum(col("nv")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val nCal = calGrain.groupBy(col("event_type"))
+      .agg(sum(col("nv")).cast("long").as("n_cal"))
+      .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+      .select(col("event_type"), col("n_cal"), col("k").cast("long").as("k"))
+    val qhat = cum.join(nCal, "event_type")
+      .filter(col("cw") >= col("k"))
+      .groupBy(col("event_type")).agg(min(col("value")).as("qhat"))
+    ev.filter(!col("is_cal"))
+      .join(qhat, "event_type")
+      .groupBy(col("event_type"), col("qhat"))
+      .agg(count(lit(1)).cast("long").as("n_test"),
+        sum(when(col("value") <= col("qhat"), 1L).otherwise(0L)).cast("long")
+          .as("n_cov"))
+      .join(nCal.select(col("event_type"), col("n_cal")), "event_type")
+      .select(col("event_type"), col("n_cal"), col("n_test"), col("qhat"),
+        round(col("n_cov").cast("double") / col("n_test").cast("double"), 6)
+          .as("coverage"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Leave-one-source-out influence — group-level data valuation (the
+    * closed-form cousin of Data Shapley): for each source, how the
+    * corpus mean and variance of document length would move if that
+    * source were dropped. One combinable (sum, sum-of-squares, count)
+    * aggregate per source in exact decimal; the global row broadcasts
+    * back and all LOO deltas are O(1) algebra per source — influence
+    * for ANY number of sources at one scan's cost, where refitting
+    * per-source would cost \|sources\| scans. */
+  def q224_loo_influence(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("n_chars").cast("decimal(38,0)")).as("s"),
+        sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)")).as("ss"))
+    val tot = per.agg(sum(col("n")).cast("long").as("nt"),
+      sum(col("s")).as("st"), sum(col("ss")).as("sst"))
+    val gMean = col("st").cast("double") / col("nt").cast("double")
+    val gVar = col("sst").cast("double") / col("nt").cast("double") -
+      gMean * gMean
+    val looMean = (col("st") - col("s")).cast("double") /
+      (col("nt") - col("n")).cast("double")
+    val looVar = (col("sst") - col("ss")).cast("double") /
+      (col("nt") - col("n")).cast("double") - looMean * looMean
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_docs"),
+        round(looMean - gMean, 6).as("mean_delta"),
+        round(looVar - gVar, 6).as("var_delta"))
+      .orderBy(col("source"))
+  }
 }

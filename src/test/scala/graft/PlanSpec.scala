@@ -977,6 +977,26 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("q222 BPE pairs: vocab-grain collapse, heap top-20, no window") {
+    val plan = queries.CorpusQueries.q222_bpe_pairs(spark, dir)
+      .queryExecution.executedPlan.toString
+    plan should include("TopKPerKey [")
+    plan should not include "Window"
+  }
+
+  test("q223 conformal: windows only on the per-type value grain") {
+    val plan = planString(
+      queries.CorpusQueries.q223_conformal_coverage(spark, dir))
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q224 LOO influence: one grouped agg, broadcast global, no window") {
+    val plan = planString(queries.CorpusQueries.q224_loo_influence(spark, dir))
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
