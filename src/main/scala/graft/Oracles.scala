@@ -4036,6 +4036,111 @@ object Oracles {
         |      - (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
         |        * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))), 6) AS var_delta
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "q225_rrf_fusion" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e
+        |), sq AS (SELECT * FROM n WHERE vec_id < 5),
+        |sp AS (
+        |  SELECT sq.vec_id AS query_id, c.vec_id AS doc_id,
+        |    list_dot_product(sq.v, c.v) / (sq.nrm * c.nrm) AS cosine
+        |  FROM sq, n c WHERE c.vec_id <> sq.vec_id
+        |), sem AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, doc_id) AS BIGINT) AS r_sem
+        |  FROM sp QUALIFY r_sem <= 10
+        |), d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN length(text) >= 3
+        |      THEN list_transform(range(1, length(text) - 1),
+        |        i -> substring(text, CAST(i AS INTEGER), 3))
+        |      ELSE [] END) AS g3
+        |  FROM documents
+        |), lq AS (SELECT doc_id AS query_id, g3 AS qg FROM d WHERE doc_id < 5),
+        |lp AS (
+        |  SELECT lq.query_id, d.doc_id,
+        |    CAST(len(list_intersect(lq.qg, d.g3)) AS DOUBLE)
+        |      / CAST(len(list_distinct(lq.qg || d.g3)) AS DOUBLE) AS j
+        |  FROM lq, d WHERE d.doc_id <> lq.query_id
+        |), lex AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY j DESC, doc_id) AS BIGINT) AS r_lex
+        |  FROM lp QUALIFY r_lex <= 10
+        |), fused AS (
+        |  SELECT query_id, doc_id, r_lex, r_sem,
+        |    COALESCE(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0)
+        |      + COALESCE(1.0 / (60.0 + CAST(r_sem AS DOUBLE)), 0.0) AS rrf
+        |  FROM lex FULL JOIN sem USING (query_id, doc_id)
+        |)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+        |  doc_id, r_lex, r_sem, round(rrf, 6) AS rrf
+        |FROM fused QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q226_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |), pg AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(tk[i:i+4], ' ')) AS gh
+        |  FROM t, LATERAL unnest(range(1, len(tk) - 3)) AS u(i)
+        |  WHERE len(tk) >= 5
+        |), df AS (
+        |  SELECT gh, CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM (SELECT DISTINCT doc_id, gh FROM pg) GROUP BY 1
+        |), dp AS (
+        |  SELECT doc_id, pos FROM pg JOIN df USING (gh) WHERE nd >= 2
+        |), runs AS (
+        |  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |    FROM dp)
+        |  GROUP BY 1, 2
+        |), rs AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |    CAST(MAX(len) AS BIGINT) AS longest_run
+        |  FROM runs GROUP BY 1
+        |), cov AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS removable_tokens
+        |  FROM (SELECT DISTINCT doc_id, CAST(ti AS BIGINT) AS ti
+        |    FROM dp, LATERAL unnest(range(pos, pos + 5)) AS u(ti))
+        |  GROUP BY 1
+        |), np AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pos FROM pg GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(n_pos, 0) AS n_pos,
+        |  COALESCE(n_runs, 0) AS n_runs,
+        |  COALESCE(longest_run, 0) AS longest_run,
+        |  COALESCE(removable_tokens, 0) AS removable_tokens
+        |FROM documents d LEFT JOIN np USING (doc_id)
+        |LEFT JOIN rs USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q227_label_mmd" ->
+      """WITH e AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), x AS (
+        |  SELECT label, unnest(v) AS comp, generate_subscripts(v, 1) AS pos
+        |  FROM e
+        |), cm AS (
+        |  SELECT label, pos,
+        |    CAST(SUM(CAST(comp AS DECIMAL(27,12))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS m
+        |  FROM x GROUP BY 1, 2
+        |), cent AS (
+        |  SELECT label, list(m ORDER BY pos) AS c FROM cm GROUP BY 1
+        |)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(list_dot_product(a.c, a.c) - 2.0 * list_dot_product(a.c, b.c)
+        |    + list_dot_product(b.c, b.c), 6) AS mmd2
+        |FROM cent a JOIN cent b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin,
   )
 
   /** q220's oracle pivots the 8 coalition rows to one and spells every

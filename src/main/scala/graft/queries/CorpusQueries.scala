@@ -4690,4 +4690,130 @@ object CorpusQueries {
         round(looVar - gVar, 6).as("var_delta"))
       .orderBy(col("source"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of a lexical and a
+    * semantic retrieval run — the standard hybrid-search combiner, built
+    * entirely from machinery this engine already verifies independently:
+    * the lexical list is q29's sorted-3-gram merge-walk Jaccard, the
+    * semantic list is q30's brute cosine, and the fused score is
+    * 1/(60+r_lex) + 1/(60+r_sem) with absent-list terms contributing 0.
+    * Scale shape: both candidate passes broadcast the bounded query set
+    * and stream the corpus once; per-query windows rank ≤10-row lists;
+    * the fusion join runs on ≤ 2·10·|queries| rows. */
+  def q225_rrf_fusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nQ = 5; val kList = 10; val kOut = 5
+    val sem = CosineKnn.topK(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", queryPredicate = col("id") < nQ, k = kList)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("r_sem"))
+    val grams = Tables.documents(spark, dir).select(col("doc_id"),
+      array_sort(graft.functions.CharNgrams.charNgrams(col("text"), 3))
+        .as("g"))
+    val qg = broadcast(grams.filter(col("doc_id") < nQ)
+      .select(col("doc_id").as("query_id"), col("g").as("qg")))
+    val wl = Window.partitionBy(col("query_id"))
+      .orderBy(col("j").desc, col("doc_id").asc)
+    val lex = qg.join(grams, col("doc_id") =!= col("query_id"))
+      .withColumn("j",
+        graft.functions.JaccardSim.jaccardSimSorted(col("qg"), col("g")))
+      .withColumn("r_lex", row_number().over(wl).cast("long"))
+      .filter(col("r_lex") <= kList)
+      .select(col("query_id"), col("doc_id"), col("r_lex"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0d) / (lit(60.0d) + col("r_lex").cast("double")),
+          lit(0.0d)) +
+        coalesce(lit(1.0d) / (lit(60.0d) + col("r_sem").cast("double")),
+          lit(0.0d)))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= kOut)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("r_lex"),
+        col("r_sem"), round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Duplicate-SPAN removal estimator — the second half of Lee et al.
+    * 2022 that q213's per-doc rate doesn't give: using POSITIONAL word
+    * 5-grams, find maximal runs of corpus-duplicated grams per doc and
+    * count the tokens an exact-substring-removal pass would actually
+    * delete (the union of [p, p+4] spans — overlapping spans counted
+    * once via a distinct covered-token-index explode, no interval
+    * algebra needed). Run detection uses the pos − row_number grouping
+    * identity (positions are unique per doc, so it is tie-free on both
+    * engines). Scale shape: the dup-gram table is q213's combinable
+    * doc-frequency agg; positional work shuffles (doc_id, pos) pairs
+    * only; covered-token counting explodes ONLY dup positions ×5. */
+  def q226_dup_spans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val posGrams = docs
+      .select(col("doc_id"), posexplode(expr(
+        "CASE WHEN size(split(text, ' ')) >= 5 THEN " +
+          "transform(sequence(1, size(split(text, ' ')) - 4), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 5))) " +
+          "ELSE cast(array() AS array<string>) END"))
+        .as(Seq("pos", "g")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        md5(col("g")).as("gh"))
+    val df = posGrams.select(col("doc_id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).cast("long").as("nd"))
+    val dupPos = posGrams.join(df, "gh").filter(col("nd") >= 2)
+      .select(col("doc_id"), col("pos")).localCheckpoint(true)
+    import org.apache.spark.sql.expressions.Window
+    val runs = dupPos
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).cast("long").as("len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_runs"),
+        max(col("len")).as("longest_run"))
+    val covered = dupPos
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 4))
+        .as("ti"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("removable_tokens"))
+    val nPos = posGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_pos"))
+    docs.select(col("doc_id")).join(nPos, Seq("doc_id"), "left")
+      .join(runs, Seq("doc_id"), "left").join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        coalesce(col("removable_tokens"), lit(0L)).as("removable_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Linear-kernel MMD² between label slices — the two-sample
+    * distribution distance ‖μ_a − μ_b‖² over embedding centroids (the
+    * pairwise upgrade of single-slice drift q113): a calibration-free
+    * answer to "which label populations overlap in embedding space".
+    * Scale shape: ONE posexplode pass builds all centroids in exact
+    * decimal (q52's machinery, full 64 dims); the pairwise matrix is a
+    * ≤k² broadcast self-join using the same order-stable three-dot
+    * identity as the PQ family — corpus cost is one scan regardless of
+    * how many label pairs are reported. */
+  def q227_label_mmd(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(CosineKnn.toDouble(col("embedding")))
+        .as(Seq("pos", "comp")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("comp").cast("decimal(27,12)")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("s").cast("double") / col("n").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("arr"))
+      .select(col("label"), transform(col("arr"), e => e.getField("m"))
+        .as("c"))
+    val a = cents.select(col("label").as("label_a"), col("c").as("x"))
+    val b = cents.select(col("label").as("label_b"), col("c"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), round(pqD2, 6).as("mmd2"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
 }

@@ -997,6 +997,24 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("q225 RRF: both retrieval passes broadcast the query side") {
+    val plan = planString(queries.CorpusQueries.q225_rrf_fusion(spark, dir))
+    plan should include("BroadcastHashJoin").or(include("BroadcastNestedLoopJoin"))
+    plan should not include "CartesianProduct"
+  }
+
+  test("q226 dup spans: positional shuffles carry (doc, pos) only") {
+    val plan = planString(queries.CorpusQueries.q226_dup_spans(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should include("Window")
+  }
+
+  test("q227 label MMD: pairwise matrix is a broadcast self-join") {
+    val plan = planString(queries.CorpusQueries.q227_label_mmd(spark, dir))
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
