@@ -4141,6 +4141,82 @@ object Oracles {
         |    + list_dot_product(b.c, b.c), 6) AS mmd2
         |FROM cent a JOIN cent b ON a.label < b.label
         |ORDER BY label_a, label_b""".stripMargin,
+
+    "q228_scd2_asof" ->
+      """WITH h AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(ts) AS valid_from_us,
+        |    COALESCE(epoch_us(lead(ts) OVER w), 253402214400000000)
+        |      AS valid_to_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, event_id, valid_from_us FROM h
+        |WHERE valid_from_us <= 1705276800000000
+        |  AND valid_to_us > 1705276800000000
+        |ORDER BY user_id""".stripMargin,
+
+    "q229_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS y
+        |  FROM events GROUP BY 1
+        |), pairs AS (
+        |  SELECT CAST(SUM(CASE WHEN sign(CAST(b.x - a.x AS DOUBLE))
+        |      * sign(CAST(b.y - a.y AS DOUBLE)) = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS concordant,
+        |    CAST(SUM(CASE WHEN sign(CAST(b.x - a.x AS DOUBLE))
+        |      * sign(CAST(b.y - a.y AS DOUBLE)) = -1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS discordant
+        |  FROM daily a JOIN daily b ON a.d < b.d
+        |), n AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+        |    COUNT(*) * (COUNT(*) - 1) / 2 AS n0
+        |  FROM daily
+        |), t1 AS (
+        |  SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n1
+        |  FROM (SELECT COUNT(*) AS c FROM daily GROUP BY x)
+        |), t2 AS (
+        |  SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n2
+        |  FROM (SELECT COUNT(*) AS c FROM daily GROUP BY y)
+        |)
+        |SELECT nd AS n_days, concordant, discordant,
+        |  round(CAST(concordant - discordant AS DOUBLE)
+        |    / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 6)
+        |    AS tau_b
+        |FROM pairs CROSS JOIN n CROSS JOIN t1 CROSS JOIN t2""".stripMargin,
+
+    "q230_grouped_ols" ->
+      """WITH rev AS (
+        |  SELECT n_name AS nation,
+        |    CAST(year(date_trunc('quarter', o_orderdate)) * 4
+        |      + quarter(date_trunc('quarter', o_orderdate)) AS BIGINT) AS x,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, date_trunc('quarter', o_orderdate)
+        |), sums AS (
+        |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    SUM(rev) AS sy,
+        |    SUM(CAST(rev AS DECIMAL(18,2)) * CAST(x AS DECIMAL(6,0))) AS sxy
+        |  FROM rev GROUP BY 1
+        |)
+        |SELECT nation, n AS n_quarters,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0 THEN
+        |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+        |  ELSE NULL END AS slope,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0 THEN
+        |    round(((CAST(sy AS DOUBLE)
+        |      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE)) / 1000000.0, 6)
+        |  ELSE NULL END AS intercept_m
+        |FROM sums ORDER BY nation""".stripMargin,
   )
 
   /** q220's oracle pivots the 8 coalition rows to one and spells every

@@ -4816,4 +4816,114 @@ object CorpusQueries {
       .select(col("label_a"), col("label_b"), round(pqD2, 6).as("mmd2"))
       .orderBy(col("label_a"), col("label_b"))
   }
+
+  /** SCD2 as-of reconstruction — the point-in-time read that makes the
+    * q10 history table WORTH building: the state every user was in at
+    * one instant (2024-01-15T00:00:00Z), selected by
+    * valid_from ≤ T < valid_to. Scale shape: the interval predicate sits
+    * directly on the SCD2 window output — on a stored history table
+    * partitioned by valid_from date this prunes to the partitions
+    * straddling T; exactly one row per user survives by the SCD2
+    * non-overlap invariant, so the result is user-grain bounded. */
+  def q228_scd2_asof(spark: SparkSession, dir: String): DataFrame = {
+    val t = 1705276800000000L // epoch micros of 2024-01-15T00:00:00Z
+    graft.transform.Scd2.fromHistory(Tables.events(spark, dir),
+        Seq("user_id"), "ts", tiebreak = Seq("event_id"))
+      .filter(col("valid_from_us") <= t && col("valid_to_us") > t)
+      .select(col("user_id"), col("event_id"), col("valid_from_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Exact Kendall's τ-b between daily event volume and daily value sum
+    * — the rank-correlation triad's third member (Pearson q194,
+    * Spearman q198), preferred when the series are short and tie-heavy
+    * because every pair is classified exactly: concordant, discordant,
+    * or tied, with the tie-corrected denominator
+    * √((n₀−n₁)(n₀−n₂)). Scale shape: the corpus collapses to the
+    * calendar grain FIRST (q198's discipline), so the O(days²) pair
+    * join is bounded by the observation window — 365 days is 66k pairs
+    * forever, however many trillion events feed the days; tie counts
+    * are integer combinable aggregates over the same tiny table. */
+  def q229_kendall_tau(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("long").as("x"),
+        sum(col("value").cast("decimal(18,2)")).as("y"))
+      .localCheckpoint(true)
+    val a = daily.select(col("d").as("d1"), col("x").as("x1"),
+      col("y").as("y1"))
+    val b = daily.select(col("d").as("d2"), col("x").as("x2"),
+      col("y").as("y2"))
+    val pairs = a.join(broadcast(b), col("d1") < col("d2"))
+      .select((signum((col("x2") - col("x1")).cast("double")) *
+        signum((col("y2") - col("y1")).cast("double"))).as("cd"))
+      .agg(sum(when(col("cd") === 1.0d, 1L).otherwise(0L)).cast("long")
+          .as("concordant"),
+        sum(when(col("cd") === -1.0d, 1L).otherwise(0L)).cast("long")
+          .as("discordant"))
+    val n = daily.agg(count(lit(1)).cast("long").as("nd"))
+      .withColumn("n0", col("nd") * (col("nd") - 1) / 2)
+    val t1 = daily.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1) / 2).cast("long").as("n1"))
+    val t2 = daily.groupBy(col("y")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1) / 2).cast("long").as("n2"))
+    pairs.crossJoin(broadcast(n)).crossJoin(broadcast(t1))
+      .crossJoin(broadcast(t2))
+      .select(col("nd").as("n_days"), col("concordant"), col("discordant"),
+        round((col("concordant") - col("discordant")).cast("double") /
+          sqrt((col("n0") - col("n1")).cast("double") *
+            (col("n0") - col("n2")).cast("double")), 6).as("tau_b"))
+  }
+
+  /** Grouped OLS trend — per-nation least-squares slope and intercept of
+    * quarterly revenue over the calendar quarter index (the per-group
+    * generalization of the single global regression q195, and the model
+    * underneath q209's raw QoQ deltas). Scale shape: ONE combinable
+    * (n, Σx, Σy, Σx², Σxy) aggregate per nation in exact decimal at the
+    * reporting grain; the normal-equation solve is O(1) double algebra
+    * per group — fitting 10 million groups costs the same single scan.
+    * Degenerate groups (one quarter) emit NULL slope on both engines. */
+  def q230_grouped_ols(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_trunc("quarter", col("o_orderdate")).as("q"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .select(col("nation"),
+        (year(col("q")) * 4 + quarter(col("q"))).cast("long").as("x"),
+        col("rev"))
+    val sums = rev.groupBy(col("nation"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("rev")).as("sy"),
+        // tight types: (18,2)×(6,0) = (25,2), below Spark's 38-digit cap, so
+        // the per-row product is exact — no engine-specific scale rounding
+        sum(col("rev").cast("decimal(18,2)") * col("x").cast("decimal(6,0)"))
+          .as("sxy"))
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    // numerator in DOUBLE from exactly-converted components: Spark's decimal
+    // precision-cap rounding is engine-specific, double ops are IEEE-portable
+    val slope = (col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) / den
+    sums
+      .withColumn("slope",
+        when(den =!= 0.0d, round(slope, 6)).otherwise(lit(null)))
+      .withColumn("intercept_m",
+        // reported in millions: at raw magnitude ~1e9 a 6-decimal rounding
+        // sits below one double ULP and the two engines' round() can land on
+        // adjacent doubles; /1e6 first keeps the rounded value representable
+        when(den =!= 0.0d, round(((col("sy").cast("double") -
+          slope * col("sx").cast("double")) / col("n").cast("double")) /
+          1.0e6d, 6))
+          .otherwise(lit(null)))
+      .select(col("nation"), col("n").as("n_quarters"), col("slope"),
+        col("intercept_m"))
+      .orderBy(col("nation"))
+  }
 }

@@ -1015,6 +1015,26 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("q228 SCD2 as-of: interval predicate sits above the history window") {
+    val plan = planString(queries.CorpusQueries.q228_scd2_asof(spark, dir))
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q229 Kendall tau: pair join bounded to the calendar grain") {
+    val plan = planString(queries.CorpusQueries.q229_kendall_tau(spark, dir))
+    // day-grain collapse must come first; the d1 < d2 pair join is broadcast
+    plan should include("HashAggregate")
+    plan should include("BroadcastNestedLoopJoin")
+  }
+
+  test("q230 grouped OLS: one combinable sums pass, dims broadcast") {
+    val plan = planString(queries.CorpusQueries.q230_grouped_ols(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
