@@ -4217,6 +4217,106 @@ object Oracles {
         |      / CAST(n AS DOUBLE)) / 1000000.0, 6)
         |  ELSE NULL END AS intercept_m
         |FROM sums ORDER BY nation""".stripMargin,
+
+    "q231_heaps_fit" ->
+      """WITH nmax AS (
+        |  SELECT CAST(MAX(doc_id) + 1 AS DOUBLE) AS nd FROM documents
+        |), toks AS (
+        |  SELECT CAST(floor(CAST(doc_id AS DOUBLE) * 10.0 / nd) AS BIGINT)
+        |      AS decile,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents CROSS JOIN nmax
+        |), pd AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |  FROM toks GROUP BY decile
+        |), fs AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_new FROM (
+        |    SELECT tok, MIN(decile) AS decile FROM toks GROUP BY tok)
+        |  GROUP BY decile
+        |), cum AS (
+        |  SELECT pd.decile,
+        |    CAST(SUM(pd.n_tokens)
+        |      OVER (ORDER BY pd.decile ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS ct,
+        |    CAST(SUM(COALESCE(fs.n_new, 0))
+        |      OVER (ORDER BY pd.decile ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cv
+        |  FROM pd LEFT JOIN fs USING (decile)
+        |), xy AS (
+        |  SELECT round(ln(CAST(ct AS DOUBLE)), 9) AS x,
+        |    round(ln(CAST(cv AS DOUBLE)), 9) AS y
+        |  FROM cum
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(27,12))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(27,12))) AS DOUBLE) AS sy
+        |  FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_points,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |    AS ln_k
+        |FROM m""".stripMargin,
+
+    "q232_source_jsd" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST((CAST(md5_number_upper(tok) AS HUGEINT)
+        |      % 2305843009213693951) % 256 AS BIGINT) AS b
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |), counts AS (
+        |  SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2
+        |), totals AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM counts GROUP BY 1
+        |), grid AS (
+        |  SELECT totals.source, gb.b,
+        |    CAST(COALESCE(c, 0) + 1 AS DOUBLE) / CAST(t + 256 AS DOUBLE) AS p
+        |  FROM totals CROSS JOIN (SELECT unnest(range(0, 256)) AS b) gb
+        |  LEFT JOIN counts ON counts.source = totals.source
+        |    AND counts.b = gb.b
+        |)
+        |SELECT a.source AS source_a, b2.source AS source_b,
+        |  round(CAST(SUM(CAST(
+        |    0.5 * (a.p * ln(a.p / ((a.p + b2.p) / 2.0)))
+        |      + 0.5 * (b2.p * ln(b2.p / ((a.p + b2.p) / 2.0)))
+        |    AS DECIMAL(27,12))) AS DOUBLE), 6) AS jsd
+        |FROM grid a JOIN grid b2 ON a.b = b2.b AND a.source < b2.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q233_exp_ks_fit" ->
+      """WITH g AS (
+        |  SELECT epoch_us(ts)
+        |    - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS g
+        |  FROM events
+        |  QUALIFY g IS NOT NULL
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(g) AS BIGINT) AS s
+        |  FROM g
+        |), grain AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(COUNT(*)) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM g GROUP BY g
+        |), d AS (
+        |  SELECT n, s,
+        |    greatest(
+        |      abs(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - (1.0 - exp(-(CAST(n AS DOUBLE) / CAST(s AS DOUBLE))
+        |          * CAST(g AS DOUBLE)))),
+        |      abs(CAST(cum - ng AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - (1.0 - exp(-(CAST(n AS DOUBLE) / CAST(s AS DOUBLE))
+        |          * CAST(g AS DOUBLE))))) AS dd
+        |  FROM grain CROSS JOIN tot
+        |)
+        |SELECT n AS n_gaps,
+        |  round(CAST(n AS DOUBLE) / CAST(s AS DOUBLE) * 3600000000.0, 6)
+        |    AS lambda_per_hour,
+        |  round(MAX(dd), 6) AS ks_d
+        |FROM d GROUP BY n, s""".stripMargin,
   )
 
   /** q220's oracle pivots the 8 coalition rows to one and spells every

@@ -4926,4 +4926,138 @@ object CorpusQueries {
         col("intercept_m"))
       .orderBy(col("nation"))
   }
+
+  /** Heaps'-law fit V(n) = K·n^β — the vocabulary-growth exponent that
+    * pairs with the Zipf rank-frequency fit (q139) and turns q110's raw
+    * growth curve into the two parameters capacity planning actually
+    * uses (how big does the token dictionary get at 100 TB?). Scale
+    * shape: q110's decile machinery (one first-seen groupBy-min, one
+    * token count) collapses the corpus to 10 (cum_tokens, cum_types)
+    * points; the log-log OLS runs q139's exact-decimal spelling over
+    * those 10 rows. */
+  def q231_heaps_fit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nmax = docs.agg((max(col("doc_id")) + 1).cast("double").as("nd"))
+    val toks = docs.crossJoin(broadcast(nmax))
+      .select(floor(col("doc_id").cast("double") * 10.0 / col("nd"))
+          .cast("long").as("decile"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+    val perDecile = toks.groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"))
+    val firstSeen = toks.groupBy(col("tok"))
+      .agg(min(col("decile")).as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).cast("long").as("n_new"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perDecile.join(firstSeen, Seq("decile"), "left")
+      .select(col("decile"), col("n_tokens"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("ct", sum(col("n_tokens")).over(w).cast("long"))
+      .withColumn("cv", sum(col("n_new")).over(w).cast("long"))
+    val xy = cum
+      .select(round(log(col("ct").cast("double")), 9).as("x"),
+        round(log(col("cv").cast("double")), 9).as("y"))
+      .select(col("x"), col("y"),
+        (col("x") * col("y")).cast("decimal(27,12)").as("xy"),
+        (col("x") * col("x")).cast("decimal(27,12)").as("xx"),
+        col("x").cast("decimal(27,12)").as("sx"),
+        col("y").cast("decimal(27,12)").as("sy"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("xy")).cast("double").as("sxy"),
+        sum(col("xx")).cast("double").as("sxx"),
+        sum(col("sx")).cast("double").as("sx"),
+        sum(col("sy")).cast("double").as("sy"))
+    xy.select(col("n").cast("long").as("n_points"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("heaps_beta"),
+      round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+        col("n"), 6).as("ln_k"))
+  }
+
+  /** Jensen–Shannon divergence matrix between source unigram
+    * distributions — the symmetric, bounded [0, ln 2] complement of the
+    * directional KL (q96/q113-style drift) and the lexical twin of the
+    * embedding MMD matrix (q227): which sources SAY the same things.
+    * Scale shape: tokens collapse to 256 portable hash buckets at the
+    * scan (q90's feature map), the source×bucket grid is DENSIFIED to
+    * make add-1 smoothing exact for absent buckets, and the pairwise
+    * pass is table algebra over ≤\|sources\|²·256 rows; per-pair term
+    * sums fold through DECIMAL(27,12), so the double additions are
+    * order-immune. */
+  def q232_source_jsd(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val nB = 256
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("source"), StableHash.bucket(col("tok"), nB).as("b"))
+    val counts = tok.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("t"))
+    val grid = totals
+      .select(col("source"), col("t"),
+        explode(sequence(lit(0L), lit((nB - 1).toLong))).as("b"))
+      .join(counts, Seq("source", "b"), "left")
+      .select(col("source"), col("b"),
+        ((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("t") + nB).cast("double")).as("p"))
+      .localCheckpoint(true)
+    val a = grid.select(col("source").as("source_a"), col("b"),
+      col("p").as("pa"))
+    val b = grid.select(col("source").as("source_b"), col("b"),
+      col("p").as("pb"))
+    val m = (col("pa") + col("pb")) / 2.0d
+    a.join(b, Seq("b")).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        ((lit(0.5d) * (col("pa") * log(col("pa") / m)) +
+          lit(0.5d) * (col("pb") * log(col("pb") / m)))
+          .cast("decimal(27,12)")).as("term"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("jsd"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Exponential goodness-of-fit for inter-event gaps: rate MLE
+    * λ = n/Σgap plus the exact two-sided Kolmogorov–Smirnov distance
+    * sup|F̂ − F| against Exp(λ) — the distributional yes/no behind
+    * q132's burstiness summary (a Poisson process would pass; bursty
+    * traffic fails with a large D). Scale shape: gaps come from ONE
+    * user-keyed lag window; the KS sup evaluates BOTH one-sided gaps
+    * (jump top and bottom) on the value grain, so the only global
+    * structure is the distinct-gap cumulative table (q55 trade), and
+    * max() is order-immune — no spelled-sum parity risk at all. Gaps
+    * stay exact integer micros until the model evaluation. */
+  def q233_exp_ks_fit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"),
+      col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("g",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wu))
+      .filter(col("g").isNotNull)
+      .select(col("g"))
+    val tot = gaps.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("g")).cast("long").as("s"))
+    val grain = gaps.groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("ng"))
+      .withColumn("cum", sum(col("ng")).over(Window.orderBy(col("g"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val lam = col("n").cast("double") / col("s").cast("double")
+    val model = lit(1.0d) - exp(-lam * col("g").cast("double"))
+    grain.crossJoin(broadcast(tot))
+      .select(col("n"), col("s"),
+        greatest(
+          abs(col("cum").cast("double") / col("n").cast("double") - model),
+          abs((col("cum") - col("ng")).cast("double") /
+            col("n").cast("double") - model)).as("d"))
+      .groupBy(col("n"), col("s"))
+      .agg(round(max(col("d")), 6).as("ks_d"))
+      .select(col("n").as("n_gaps"),
+        round(col("n").cast("double") / col("s").cast("double") *
+          lit(3.6e9d), 6).as("lambda_per_hour"),
+        col("ks_d"))
+  }
 }

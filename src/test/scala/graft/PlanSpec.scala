@@ -1035,6 +1035,24 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("q231 Heaps fit: decile collapse before the 10-point regression") {
+    val plan = planString(queries.CorpusQueries.q231_heaps_fit(spark, dir))
+    plan should include("HashAggregate")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q232 source JSD: bounded grid algebra, no corpus self-join") {
+    val plan = planString(queries.CorpusQueries.q232_source_jsd(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+  }
+
+  test("q233 exp KS: one user-keyed lag window plus the value-grain cum") {
+    val plan = planString(queries.CorpusQueries.q233_exp_ks_fit(spark, dir))
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
