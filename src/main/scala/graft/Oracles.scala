@@ -4317,7 +4317,105 @@ object Oracles {
         |    AS lambda_per_hour,
         |  round(MAX(dd), 6) AS ks_d
         |FROM d GROUP BY n, s""".stripMargin,
+
+    "q234_dup_assortativity" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |pj AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+        |      / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS j
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |), kept AS (
+        |  SELECT id_a, id_b FROM pj WHERE j >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM kept
+        |  UNION ALL SELECT id_b, id_a FROM kept
+        |), deg AS (
+        |  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM edges GROUP BY 1
+        |), dec AS (
+        |  SELECT da.deg AS dx, db.deg AS dy
+        |  FROM edges JOIN deg da ON da.node = edges.a
+        |  JOIN deg db ON db.node = edges.b
+        |), mm AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(CAST(dx AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(dy AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS HUGEINT)
+        |      AS sxx,
+        |    CAST(SUM(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS HUGEINT)
+        |      AS syy,
+        |    CAST(SUM(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS HUGEINT)
+        |      AS sxy
+        |  FROM dec
+        |)
+        |SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+        |  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS assortativity
+        |FROM mm""".stripMargin,
+
+    "q235_fd_binning" ->
+      """WITH grain AS (
+        |  SELECT value, CAST(COUNT(*) AS BIGINT) AS nv,
+        |    CAST(SUM(COUNT(*)) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM events GROUP BY value
+        |), tot AS (
+        |  SELECT CAST(SUM(nv) AS BIGINT) AS n, MIN(value) AS vmin,
+        |    MAX(value) AS vmax,
+        |    CAST((SUM(nv) + 3) // 4 AS BIGINT) AS k25,
+        |    CAST((3 * SUM(nv) + 3) // 4 AS BIGINT) AS k75
+        |  FROM grain
+        |), p25 AS (
+        |  SELECT MIN(value) AS q25 FROM grain CROSS JOIN tot WHERE cum >= k25
+        |), p75 AS (
+        |  SELECT MIN(value) AS q75 FROM grain CROSS JOIN tot WHERE cum >= k75
+        |)
+        |SELECT n AS n_rows, vmin, vmax,
+        |  round(q75 - q25, 6) AS iqr,
+        |  round(2.0 * (q75 - q25) * exp(-ln(CAST(n AS DOUBLE)) / 3.0), 6)
+        |    AS fd_width,
+        |  CAST(ceil((vmax - vmin)
+        |    / (2.0 * (q75 - q25) * exp(-ln(CAST(n AS DOUBLE)) / 3.0)))
+        |    AS BIGINT) AS fd_bins,
+        |  CAST(ceil(ln(CAST(n AS DOUBLE)) / ln(2.0)) AS BIGINT) + 1
+        |    AS sturges_bins
+        |FROM tot CROSS JOIN p25 CROSS JOIN p75""".stripMargin,
+
+    "q236_distinct_n" -> Oracles.distinctNSql,
   )
+
+  /** q236's oracle: one per-n gram level (tokens for n=1, positional
+    * slices for n=2,3), each a (count, count-distinct-md5) aggregate. */
+  private def distinctNSql: String = {
+    def level(n: Int): String = {
+      val grams =
+        if (n == 1)
+          "SELECT source, unnest(string_split(text, ' ')) AS g FROM documents"
+        else
+          s"""SELECT source, array_to_string(tk[i:i+${n - 1}], ' ') AS g
+             |    FROM (SELECT source, string_split(text, ' ') AS tk
+             |      FROM documents),
+             |      LATERAL unnest(range(1, len(tk) - ${n - 2})) AS u(i)
+             |    WHERE len(tk) >= $n""".stripMargin
+      s"""SELECT source, CAST($n AS BIGINT) AS n,
+         |  CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+         |  CAST(COUNT(DISTINCT md5(g)) AS BIGINT) AS distinct_ngrams,
+         |  round(CAST(COUNT(DISTINCT md5(g)) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS distinct_ratio
+         |FROM ($grams) GROUP BY source""".stripMargin
+    }
+    s"""SELECT * FROM (
+       |${level(1)}
+       |UNION ALL ${level(2)}
+       |UNION ALL ${level(3)}
+       |) ORDER BY source, n""".stripMargin
+  }
 
   /** q220's oracle pivots the 8 coalition rows to one and spells every
     * Shapley sum in the identical left-associated term order the Spark

@@ -5060,4 +5060,114 @@ object CorpusQueries {
           lit(3.6e9d), 6).as("lambda_per_hour"),
         col("ks_d"))
   }
+
+  /** Degree assortativity of the near-dup graph — the network statistic
+    * that says whether boilerplate hubs link to OTHER hubs (r > 0, one
+    * giant template family) or to leaves (r < 0, hub-and-spoke
+    * syndication), completing the graph-diagnostics suite
+    * (degrees q143, triangles q148, components q54, BFS q218). Computed
+    * as the exact Pearson correlation of (deg(a), deg(b)) over both
+    * orientations of every edge: degrees are integers, so every moment
+    * sum is EXACT integer arithmetic (DECIMAL(38,0)) until the one final
+    * sqrt-divide. Scale shape: one groupBy-count for degrees, two
+    * id-keyed equi-joins to decorate edges, one combinable moment agg. */
+  def q234_dup_assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.similarity.MinHashLsh.nearDuplicatePairs(docs, "doc_id",
+        "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val dec = edges
+      .join(deg.select(col("node").as("a"), col("deg").as("dx")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("dy")), "b")
+    val m = dec.agg(count(lit(1)).cast("long").as("m"),
+      sum(col("dx").cast("decimal(38,0)")).as("sx"),
+      sum(col("dy").cast("decimal(38,0)")).as("sy"),
+      sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"),
+      sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"))
+    m.select((col("m") / 2).cast("long").as("n_edges"),
+      round((col("m").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        sqrt((col("m").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+          (col("m").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))), 6)
+        .as("assortativity"))
+  }
+
+  /** Histogram auto-binning planner (Freedman–Diaconis vs Sturges) —
+    * the pre-flight that sizes every downstream histogram/PSI/drift bin
+    * layout (q202's bins are pre-registered constants; THIS is the pass
+    * that registers them). IQR comes exact from the q216 value-grain
+    * cumulative machinery with pure-integer k = ⌈n/4⌉, ⌈3n/4⌉;
+    * n^(−1/3) is spelled exp(−ln n / 3) (libm exp/ln parity, avoiding
+    * engine-specific pow). One row out; one scan in. */
+  def q235_fd_binning(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).select(col("value"))
+    val grain = ev.groupBy(col("value"))
+      .agg(count(lit(1)).cast("long").as("nv"))
+      .withColumn("cum", sum(col("nv")).over(Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .localCheckpoint(true)
+    val tot = grain.agg(sum(col("nv")).cast("long").as("n"),
+      min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .withColumn("k25", expr("(n + 3) div 4"))
+      .withColumn("k75", expr("(3 * n + 3) div 4"))
+    val q25 = grain.crossJoin(broadcast(tot))
+      .filter(col("cum") >= col("k25"))
+      .agg(min(col("value")).as("q25"))
+    val q75 = grain.crossJoin(broadcast(tot))
+      .filter(col("cum") >= col("k75"))
+      .agg(min(col("value")).as("q75"))
+    val width = lit(2.0d) * (col("q75") - col("q25")) *
+      exp(-log(col("n").cast("double")) / 3.0d)
+    tot.crossJoin(broadcast(q25)).crossJoin(broadcast(q75))
+      .select(col("n").as("n_rows"), col("vmin"), col("vmax"),
+        round(col("q75") - col("q25"), 6).as("iqr"),
+        round(width, 6).as("fd_width"),
+        ceil((col("vmax") - col("vmin")) / width).cast("long").as("fd_bins"),
+        (ceil(log(col("n").cast("double")) / log(lit(2.0d))).cast("long") + 1)
+          .as("sturges_bins"))
+  }
+
+  /** Distinct-n diversity (the corpus-health metric behind self-BLEU
+    * style generation audits): per source and n ∈ {1,2,3}, the ratio of
+    * DISTINCT word n-grams to total n-gram occurrences — near 1 means
+    * fresh text, near 0 means template spam; the per-source drill-down
+    * of what q51's per-doc repetition score measures locally. Scale
+    * shape: positional grams collapse to md5 at the scan; each n is one
+    * combinable (count, count-distinct-hash) aggregate — the distinct
+    * side shuffles (source, hash) once, the q23 exact-dedup class. */
+  def q236_distinct_n(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def level(n: Int): DataFrame = {
+      val grams =
+        if (n == 1)
+          docs.select(col("source"),
+            explode(TextOps.tokens(col("text"))).as("g"))
+        else
+          docs.select(col("source"), explode(expr(
+            s"CASE WHEN size(split(text, ' ')) >= $n THEN " +
+              s"transform(sequence(1, size(split(text, ' ')) - ${n - 1}), " +
+              s"i -> concat_ws(' ', slice(split(text, ' '), i, $n))) " +
+              "ELSE cast(array() AS array<string>) END")).as("g"))
+      grams.select(col("source"), md5(col("g")).as("gh"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("total_ngrams"),
+          countDistinct(col("gh")).cast("long").as("distinct_ngrams"))
+        .select(col("source"), lit(n.toLong).as("n"), col("total_ngrams"),
+          col("distinct_ngrams"),
+          round(col("distinct_ngrams").cast("double") /
+            col("total_ngrams").cast("double"), 6).as("distinct_ratio"))
+    }
+    level(1).unionAll(level(2)).unionAll(level(3))
+      .orderBy(col("source"), col("n"))
+  }
 }

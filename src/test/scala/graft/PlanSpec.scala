@@ -1053,6 +1053,27 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("q234 assortativity: id-keyed joins only, one moment aggregate") {
+    val plan = planString(
+      queries.CorpusQueries.q234_dup_assortativity(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+  }
+
+  test("q235 FD binning: quantiles from the value-grain cum, no raw sort") {
+    // the grain table is checkpointed (reused 3x), so the window sits behind
+    // the checkpoint scan; the visible plan must stay join-light
+    val plan = planString(queries.CorpusQueries.q235_fd_binning(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q236 distinct-n: three combinable aggregates, no window") {
+    val plan = planString(queries.CorpusQueries.q236_distinct_n(spark, dir))
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+  }
+
   test("q12's fact-parent anti-join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = transform.RefIntegrity.orphans(
