@@ -4388,6 +4388,94 @@ object Oracles {
         |FROM tot CROSS JOIN p25 CROSS JOIN p75""".stripMargin,
 
     "q236_distinct_n" -> Oracles.distinctNSql,
+
+    "q237_mann_whitney" ->
+      """WITH ev AS (
+        |  SELECT value,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isa
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |), grain AS (
+        |  SELECT value, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(isa) AS BIGINT) AS na,
+        |    CAST(SUM(COUNT(*)) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM ev GROUP BY value
+        |), s AS (
+        |  SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+        |    CAST(SUM(n - na) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(na AS HUGEINT)
+        |      * (2 * CAST(cum AS HUGEINT) - n + 1)) AS HUGEINT) AS two_r_a,
+        |    CAST(SUM(CAST(n AS HUGEINT) * n * n - n) AS HUGEINT) AS tie_term
+        |  FROM grain
+        |), u AS (
+        |  SELECT n_a, n_b,
+        |    two_r_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS two_u,
+        |    tie_term, n_a + n_b AS nn
+        |  FROM s
+        |)
+        |SELECT n_a, n_b, CAST(two_u AS BIGINT) AS two_u_a,
+        |  CAST(tie_term AS BIGINT) AS tie_term,
+        |  round((CAST(two_u AS DOUBLE) / 2.0
+        |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |      * ((CAST(nn AS DOUBLE) + 1.0)
+        |        - CAST(tie_term AS DOUBLE)
+        |          / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))), 6)
+        |    AS z_score,
+        |  round((CAST(two_u AS DOUBLE)
+        |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS cliffs_delta
+        |FROM u""".stripMargin,
+
+    "q238_wilson_rank" ->
+      """WITH agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pass
+        |  FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, n_docs, n_pass,
+        |    round((CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |        + 3.8416 / (2.0 * CAST(n_docs AS DOUBLE))
+        |        - 1.96 * sqrt(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |            * (1.0 - CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |            / CAST(n_docs AS DOUBLE)
+        |          + 3.8416 / (4.0 * CAST(n_docs AS DOUBLE)
+        |            * CAST(n_docs AS DOUBLE))))
+        |      / (1.0 + 3.8416 / CAST(n_docs AS DOUBLE)), 6) AS wilson_lb
+        |  FROM agg
+        |)
+        |SELECT source, n_docs, n_pass, wilson_lb,
+        |  CAST(row_number() OVER (ORDER BY wilson_lb DESC, source) AS BIGINT)
+        |    AS rnk
+        |FROM w ORDER BY rnk""".stripMargin,
+
+    "q239_katz_centrality" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |pj AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+        |      / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS j
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |), kept AS (
+        |  SELECT id_a, id_b FROM pj WHERE j >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM kept
+        |  UNION ALL SELECT id_b, id_a FROM kept
+        |), w1 AS (
+        |  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS w1
+        |  FROM edges GROUP BY 1
+        |), w2 AS (
+        |  SELECT e.a AS node, CAST(SUM(w1.w1) AS BIGINT) AS w2
+        |  FROM edges e JOIN w1 ON w1.node = e.b GROUP BY 1
+        |), w3 AS (
+        |  SELECT e.a AS node, CAST(SUM(w2.w2) AS BIGINT) AS w3
+        |  FROM edges e JOIN w2 ON w2.node = e.b GROUP BY 1
+        |)
+        |SELECT w1.node AS doc_id, w1.w1, w2.w2, w3.w3,
+        |  CAST(w1.w1 * 100 + w2.w2 * 10 + w3.w3 AS BIGINT) AS katz_x1000
+        |FROM w1 JOIN w2 ON w2.node = w1.node JOIN w3 ON w3.node = w1.node
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional

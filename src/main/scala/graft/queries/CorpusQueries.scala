@@ -5170,4 +5170,113 @@ object CorpusQueries {
     level(1).unionAll(level(2)).unionAll(level(3))
       .orderBy(col("source"), col("n"))
   }
+
+  /** Mann–Whitney U rank-sum test (tie-corrected) comparing purchase vs
+    * click event values — the distribution-free A/B answer when q154's
+    * proportion z-test can't see magnitude shifts. Everything up to the
+    * final z is EXACT integer arithmetic on the value grain: a tied
+    * block occupying ranks (cum−n+1 .. cum) has 2·midrank = 2·cum−n+1,
+    * so 2·R_A = Σ n_a·(2·cum−n+1) and the tie term Σ(n³−n) stay
+    * integral (DECIMAL(38,0) — rank sums reach ~2N² and outgrow long at
+    * cluster scale). Scale shape: one combinable grain agg, one ordered
+    * cumulative over the DISTINCT-value grain (the q216/q235 machinery),
+    * one one-row reduce. Cliff's delta comes free from the same U. */
+  def q237_mann_whitney(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("value"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("isa"))
+    val grain = ev.groupBy(col("value"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("isa")).cast("long").as("na"))
+      .withColumn("cum", sum(col("n")).over(Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .localCheckpoint(true)
+    val s = grain.agg(
+      sum(col("na")).cast("long").as("n_a"),
+      sum(col("n") - col("na")).cast("long").as("n_b"),
+      sum(col("na").cast("decimal(38,0)") *
+        (lit(2L) * col("cum") - col("n") + lit(1L)).cast("decimal(38,0)"))
+        .as("two_r_a"),
+      sum((col("n") * col("n") * col("n") - col("n")).cast("decimal(38,0)"))
+        .as("tie_term"))
+    val u = s.select(col("n_a"), col("n_b"),
+      (col("two_r_a") - (col("n_a") * (col("n_a") + lit(1L)))
+        .cast("decimal(38,0)")).as("two_u"),
+      col("tie_term"), (col("n_a") + col("n_b")).as("nn"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nnD = col("nn").cast("double")
+    val tieD = col("tie_term").cast("double")
+    val uD = col("two_u").cast("double")
+    u.select(col("n_a"), col("n_b"),
+      col("two_u").cast("long").as("two_u_a"),
+      col("tie_term").cast("long").as("tie_term"),
+      round((uD / lit(2.0d) - naD * nbD / lit(2.0d)) /
+        sqrt(naD * nbD / lit(12.0d) *
+          ((nnD + lit(1.0d)) - tieD / (nnD * (nnD - lit(1.0d))))), 6)
+        .as("z_score"),
+      round((uD - naD * nbD) / (naD * nbD), 6).as("cliffs_delta"))
+  }
+
+  /** Wilson-score lower-bound ranking of per-source quality pass rates —
+    * the small-sample-honest way to rank sources by "fraction of docs
+    * passing the length gate": a source with 3/3 passing must NOT outrank
+    * one with 95/100, which a raw proportion does and the 95% Wilson
+    * lower bound does not. z² is the literal 3.8416 on BOTH engines (so
+    * no cross-engine 1.96·1.96 product parity is needed). Scale shape:
+    * one combinable (count, sum-of-flag) aggregate per source; the
+    * ranking window orders the post-agg source table (|sources| rows). */
+  def q238_wilson_rank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).cast("long")
+          .as("n_pass"))
+    val nD = col("n_docs").cast("double")
+    val p = col("n_pass").cast("double") / nD
+    val z = lit(1.96d)
+    val z2 = lit(3.8416d)
+    val lb = (p + z2 / (lit(2.0d) * nD) -
+      z * sqrt(p * (lit(1.0d) - p) / nD + z2 / (lit(4.0d) * nD * nD))) /
+      (lit(1.0d) + z2 / nD)
+    agg.select(col("source"), col("n_docs"), col("n_pass"),
+        round(lb, 6).as("wilson_lb"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("wilson_lb").desc, col("source"))).cast("long"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Katz centrality on the near-dup graph via EXACT integer walk counts —
+    * which documents sit at the CENTER of duplication clusters (the ones
+    * whose removal de-dups the most): score = Σ_k β^k·walks_k with β=0.1
+    * truncated at k=3, held integral as katz_x1000 = 100·w1 + 10·w2 + w3
+    * so no floating-point sum order can flip a ranking (the PageRank-class
+    * alternative needs FP fixpoints; walk counts need only BIGINT joins).
+    * Scale shape: w_{k+1} = one id-keyed equi-join of the edge list
+    * against the (node, w_k) table + one combinable sum — three rounds,
+    * shuffles carry (id, long) only; degree skew is pre-capped by the LSH
+    * maxBucket guard upstream. */
+  def q239_katz_centrality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.similarity.MinHashLsh.nearDuplicatePairs(docs, "doc_id",
+        "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint(true)
+    val w1 = edges.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).cast("long").as("w1"))
+    val w2 = edges.join(w1.select(col("node").as("b"), col("w1")), "b")
+      .groupBy(col("a").as("node")).agg(sum(col("w1")).cast("long").as("w2"))
+    val w3 = edges.join(w2.select(col("node").as("b"), col("w2")), "b")
+      .groupBy(col("a").as("node")).agg(sum(col("w2")).cast("long").as("w3"))
+    w1.join(w2, "node").join(w3, "node")
+      .select(col("node").as("doc_id"), col("w1"), col("w2"), col("w3"),
+        (col("w1") * 100L + col("w2") * 10L + col("w3")).as("katz_x1000"))
+      .orderBy(col("doc_id"))
+  }
 }
