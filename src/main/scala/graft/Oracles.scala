@@ -4476,6 +4476,312 @@ object Oracles {
         |  CAST(w1.w1 * 100 + w2.w2 * 10 + w3.w3 AS BIGINT) AS katz_x1000
         |FROM w1 JOIN w2 ON w2.node = w1.node JOIN w3 ON w3.node = w1.node
         |ORDER BY doc_id""".stripMargin,
+
+    "q240_kruskal_wallis" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events
+        |), pv AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_v FROM ev GROUP BY v
+        |), cumt AS (
+        |  SELECT v, n_v,
+        |    CAST(SUM(n_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM pv
+        |), gv AS (
+        |  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS n_gv
+        |  FROM ev GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, CAST(SUM(n_gv) AS BIGINT) AS n_g,
+        |    CAST(SUM(n_gv * (2 * cum - n_v + 1)) AS BIGINT) AS two_r
+        |  FROM gv JOIN cumt USING (v) GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(n_v) AS BIGINT) AS n_tot,
+        |    CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_term
+        |  FROM pv
+        |), terms AS (
+        |  SELECT event_type, n_g, two_r,
+        |    CAST(round(CAST(two_r AS DOUBLE) * CAST(two_r AS DOUBLE)
+        |      / (4.0 * CAST(n_g AS DOUBLE)), 6) AS DECIMAL(38,6)) AS term
+        |  FROM g
+        |), hs AS (
+        |  SELECT SUM(term) AS sum_terms FROM terms
+        |)
+        |SELECT event_type, n_g, two_r,
+        |  round(CAST(two_r AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE)), 6)
+        |    AS mean_rank,
+        |  round(12.0 / (CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) + 1.0))
+        |      * CAST(sum_terms AS DOUBLE)
+        |      - 3.0 * (CAST(n_tot AS DOUBLE) + 1.0), 6) AS h_stat,
+        |  round((12.0 / (CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) + 1.0))
+        |      * CAST(sum_terms AS DOUBLE)
+        |      - 3.0 * (CAST(n_tot AS DOUBLE) + 1.0))
+        |    / (1.0 - CAST(tie_term AS DOUBLE)
+        |      / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+        |        * CAST(n_tot AS DOUBLE) - CAST(n_tot AS DOUBLE))), 6)
+        |    AS h_corr
+        |FROM terms CROSS JOIN hs CROSS JOIN tot
+        |ORDER BY event_type""".stripMargin,
+
+    "q241_brown_forsythe" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events
+        |), grain AS (
+        |  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS n_gv
+        |  FROM ev GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, v, n_gv,
+        |    CAST(SUM(n_gv) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM grain
+        |), ng AS (
+        |  SELECT event_type, CAST(SUM(n_gv) AS BIGINT) AS n_g
+        |  FROM grain GROUP BY 1
+        |), med AS (
+        |  SELECT c.event_type, MIN(c.v) AS med
+        |  FROM cum c JOIN ng ON ng.event_type = c.event_type
+        |  WHERE c.cum * 2 >= ng.n_g GROUP BY 1
+        |), z AS (
+        |  SELECT ev.event_type,
+        |    CAST(abs(ev.v - med.med) AS DECIMAL(18,2)) AS z
+        |  FROM ev JOIN med ON med.event_type = ev.event_type
+        |), gs AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(z) AS DECIMAL(38,2)) AS s1,
+        |    CAST(SUM(CAST(z * z AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS s2
+        |  FROM z GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot,
+        |    CAST(SUM(s1) AS DECIMAL(38,2)) AS s1_tot,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM gs
+        |), parts AS (
+        |  SELECT gs.event_type, gs.n_g, med.med,
+        |    round(CAST(s1 AS DOUBLE) / CAST(gs.n_g AS DOUBLE), 6)
+        |      AS mean_absdev,
+        |    CAST(round(CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |        / CAST(gs.n_g AS DOUBLE), 6) AS DECIMAL(38,6)) AS ssw_t,
+        |    CAST(round(CAST(gs.n_g AS DOUBLE)
+        |      * (CAST(s1 AS DOUBLE) / CAST(gs.n_g AS DOUBLE)
+        |        - CAST(s1_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |      * (CAST(s1 AS DOUBLE) / CAST(gs.n_g AS DOUBLE)
+        |        - CAST(s1_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)), 6)
+        |      AS DECIMAL(38,6)) AS ssb_t,
+        |    n_tot, k
+        |  FROM gs JOIN med ON med.event_type = gs.event_type
+        |  CROSS JOIN tot
+        |), fagg AS (
+        |  SELECT SUM(ssw_t) AS ssw, SUM(ssb_t) AS ssb FROM parts
+        |)
+        |SELECT event_type, n_g, CAST(med AS DOUBLE) AS group_median,
+        |  mean_absdev,
+        |  round(CAST(ssw AS DOUBLE), 6) AS ssw,
+        |  round(CAST(ssb AS DOUBLE), 6) AS ssb,
+        |  round((CAST(ssb AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+        |    / (CAST(ssw AS DOUBLE)
+        |      / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat
+        |FROM parts CROSS JOIN fagg
+        |ORDER BY event_type""".stripMargin,
+
+    "q242_mcnemar" ->
+      """WITH d AS (
+        |  SELECT (n_chars >= 300) AS ga,
+        |    (len(string_split(text, ' ')) >= 52) AS gb
+        |  FROM documents
+        |), s AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN ga AND gb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n11,
+        |    CAST(SUM(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10,
+        |    CAST(SUM(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01,
+        |    CAST(SUM(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM d
+        |)
+        |SELECT n11, n10, n01, n00,
+        |  CASE WHEN n10 + n01 > 0 THEN
+        |    round((CAST(n10 AS DOUBLE) - n01) * (CAST(n10 AS DOUBLE) - n01)
+        |      / (CAST(n10 AS DOUBLE) + n01), 6) END AS chi2,
+        |  CASE WHEN n10 + n01 > 0 THEN
+        |    round((abs(CAST(n10 AS DOUBLE) - n01) - 1.0)
+        |      * (abs(CAST(n10 AS DOUBLE) - n01) - 1.0)
+        |      / (CAST(n10 AS DOUBLE) + n01), 6) END AS chi2_cc,
+        |  CASE WHEN n01 > 0 THEN
+        |    round(CAST(n10 AS DOUBLE) / CAST(n01 AS DOUBLE), 6) END
+        |    AS discordant_ratio
+        |FROM s""".stripMargin,
+
+    "q243_kneser_ney" ->
+      """WITH tk AS (
+        |  SELECT string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), pos AS MATERIALIZED (
+        |  SELECT unnest(l, recursive := true)
+        |  FROM (SELECT list_transform(range(1, len(tk)),
+        |          i -> struct_pack(w1 := tk[i], w2 := tk[i+1])) AS l
+        |        FROM tk)
+        |), cb AS MATERIALIZED (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM pos GROUP BY w1, w2
+        |), cpre AS (
+        |  SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu,
+        |    CAST(COUNT(*) AS BIGINT) AS n1fw
+        |  FROM cb GROUP BY w1
+        |), cbw AS (
+        |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1bw FROM cb GROUP BY w2
+        |), tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM cb)
+        |SELECT w1, w2, cb, cu, n1fw, n1bw,
+        |  round(greatest(CAST(cb AS DOUBLE) - 0.75, 0.0)
+        |      / CAST(cu AS DOUBLE)
+        |    + 0.75 * (CAST(n1fw AS DOUBLE) / CAST(cu AS DOUBLE))
+        |      * (CAST(n1bw AS DOUBLE) / CAST(t_types AS DOUBLE)), 6)
+        |    AS p_kn
+        |FROM cb JOIN cpre USING (w1) JOIN cbw USING (w2) CROSS JOIN tt
+        |ORDER BY cb DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q244_temperature_mix" ->
+      """WITH bl AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang
+        |), tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM bl),
+        |scored AS (
+        |  SELECT lang, n_docs, n_tot,
+        |    CAST(round(pow(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE),
+        |      0.3), 12) AS DECIMAL(38,12)) AS sd
+        |  FROM bl CROSS JOIN tot
+        |), norm AS (
+        |  SELECT CAST(SUM(sd) AS DECIMAL(38,12)) AS s_tot FROM scored
+        |)
+        |SELECT lang, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS p_raw,
+        |  round(CAST(sd AS DOUBLE) / CAST(s_tot AS DOUBLE), 6) AS weight,
+        |  round(CAST(sd AS DOUBLE) / CAST(s_tot AS DOUBLE)
+        |    * CAST(n_tot AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS upsample_factor
+        |FROM scored CROSS JOIN norm
+        |ORDER BY lang""".stripMargin,
+
+    "q245_head_coverage" ->
+      """WITH counts AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS total_mass,
+        |    CAST(COUNT(*) AS BIGINT) AS vocab_size
+        |  FROM counts
+        |), ranked AS (
+        |  SELECT cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+        |      AS rnk
+        |  FROM counts QUALIFY rnk <= 1000
+        |), ks AS (
+        |  SELECT k, CAST(SUM(cnt) AS BIGINT) AS head_mass
+        |  FROM ranked CROSS JOIN (SELECT unnest([10, 100, 1000]) AS k)
+        |  WHERE rnk <= k GROUP BY k
+        |)
+        |SELECT CAST(k AS BIGINT) AS k, head_mass, total_mass, vocab_size,
+        |  round(CAST(head_mass AS DOUBLE) / CAST(total_mass AS DOUBLE), 6)
+        |    AS coverage
+        |FROM ks CROSS JOIN tot
+        |ORDER BY k""".stripMargin,
+
+    "q246_clustering_coeff" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |pj AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+        |      / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS j
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |), kept AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM pj WHERE j >= 0.5
+        |), tri AS (
+        |  SELECT k1.id_a AS a, k1.id_b AS b, k2.id_b AS c
+        |  FROM kept k1
+        |  JOIN kept k2 ON k2.id_a = k1.id_b
+        |  JOIN kept k3 ON k3.id_a = k1.id_a AND k3.id_b = k2.id_b
+        |), tpv AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+        |  FROM (SELECT unnest([a, b, c]) AS v FROM tri) GROUP BY v
+        |), deg AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+        |  FROM (SELECT id_a AS v FROM kept
+        |        UNION ALL SELECT id_b FROM kept) GROUP BY v
+        |)
+        |SELECT deg.v AS doc_id, degree,
+        |  COALESCE(tri_cnt, 0) AS tri_cnt,
+        |  round(2.0 * CAST(COALESCE(tri_cnt, 0) AS DOUBLE)
+        |    / (CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6)
+        |    AS lcc
+        |FROM deg LEFT JOIN tpv ON tpv.v = deg.v
+        |WHERE degree >= 2
+        |ORDER BY doc_id""".stripMargin,
+
+    "q247_kcore_bounded" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |pj AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+        |      / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS j
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |), e0 AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM pj WHERE j >= 0.5
+        |), k0 AS (
+        |  SELECT v FROM (SELECT id_a AS v FROM e0
+        |    UNION ALL SELECT id_b FROM e0) GROUP BY v HAVING COUNT(*) >= 2
+        |), e1 AS (
+        |  SELECT id_a, id_b FROM e0
+        |  WHERE id_a IN (SELECT v FROM k0) AND id_b IN (SELECT v FROM k0)
+        |), k1 AS (
+        |  SELECT v FROM (SELECT id_a AS v FROM e1
+        |    UNION ALL SELECT id_b FROM e1) GROUP BY v HAVING COUNT(*) >= 2
+        |), e2 AS (
+        |  SELECT id_a, id_b FROM e1
+        |  WHERE id_a IN (SELECT v FROM k1) AND id_b IN (SELECT v FROM k1)
+        |), k2 AS (
+        |  SELECT v FROM (SELECT id_a AS v FROM e2
+        |    UNION ALL SELECT id_b FROM e2) GROUP BY v HAVING COUNT(*) >= 2
+        |), e3 AS (
+        |  SELECT id_a, id_b FROM e2
+        |  WHERE id_a IN (SELECT v FROM k2) AND id_b IN (SELECT v FROM k2)
+        |), k3 AS (
+        |  SELECT v FROM (SELECT id_a AS v FROM e3
+        |    UNION ALL SELECT id_b FROM e3) GROUP BY v HAVING COUNT(*) >= 2
+        |), e4 AS (
+        |  SELECT id_a, id_b FROM e3
+        |  WHERE id_a IN (SELECT v FROM k3) AND id_b IN (SELECT v FROM k3)
+        |)
+        |SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+        |FROM (SELECT id_a AS v FROM e4 UNION ALL SELECT id_b FROM e4)
+        |GROUP BY v ORDER BY doc_id""".stripMargin,
+
+    "q248_two_hop" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |pj AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+        |      / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS j
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |), kept AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM pj WHERE j >= 0.5
+        |), n1 AS MATERIALIZED (
+        |  SELECT id_a AS v, id_b AS u FROM kept
+        |  UNION ALL SELECT id_b, id_a FROM kept
+        |), n2 AS (
+        |  SELECT x.v, y.u FROM n1 x JOIN n1 y ON y.v = x.u
+        |), reach AS (
+        |  SELECT v, CAST(COUNT(DISTINCT u) AS BIGINT) AS reach2
+        |  FROM (SELECT v, u FROM n1 UNION ALL SELECT v, u FROM n2)
+        |  WHERE v <> u GROUP BY v
+        |), deg AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM n1 GROUP BY v
+        |)
+        |SELECT deg.v AS doc_id, degree, reach2
+        |FROM deg JOIN reach ON reach.v = deg.v
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional

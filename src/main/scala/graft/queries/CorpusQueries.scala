@@ -5279,4 +5279,354 @@ object CorpusQueries {
         (col("w1") * 100L + col("w2") * 10L + col("w3")).as("katz_x1000"))
       .orderBy(col("doc_id"))
   }
+
+  /** Kruskal-Wallis H across event types on the money grain — the k-group
+    * generalization of q237's Mann-Whitney: "does `value` differ by event
+    * type" without any normality assumption. Rank sums are held EXACT as
+    * integers on the (value) grain (2·R_g = Σ n_gv·(2·cum−n_v+1), the same
+    * trick q237 uses), the per-group R²/n terms are rounded to 6 decimals
+    * and summed as DECIMAL so no FP sum order can flip the statistic, and
+    * the tie correction Σ(t³−t) is an integer sum. Scale shape: two
+    * combinable aggregates on the value grain (bounded by the price
+    * domain, not the row count) + one ordered prefix-sum over that grain;
+    * shuffles carry (value, count) pairs only. */
+  def q240_kruskal_wallis(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+    val pv = ev.groupBy(col("v")).agg(count(lit(1)).cast("long").as("n_v"))
+    val cumt = pv.withColumn("cum",
+      sum(col("n_v")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    val gv = ev.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).cast("long").as("n_gv"))
+    val g = gv.join(cumt, "v")
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_gv")).cast("long").as("n_g"),
+        sum(col("n_gv") * (lit(2L) * col("cum") - col("n_v") + lit(1L)))
+          .cast("long").as("two_r"))
+    val tot = cumt.agg(sum(col("n_v")).cast("long").as("n_tot"),
+      sum(col("n_v") * col("n_v") * col("n_v") - col("n_v")).cast("long")
+        .as("tie_term"))
+    val terms = g.select(col("event_type"), col("n_g"), col("two_r"),
+      round((col("two_r").cast("double") * col("two_r").cast("double")) /
+        (lit(4.0d) * col("n_g").cast("double")), 6)
+        .cast("decimal(38,6)").as("term"))
+    val hs = terms.agg(sum(col("term")).as("sum_terms"))
+    val nD = col("n_tot").cast("double")
+    val h = lit(12.0d) / (nD * (nD + lit(1.0d))) *
+      col("sum_terms").cast("double") - lit(3.0d) * (nD + lit(1.0d))
+    val corr = lit(1.0d) -
+      col("tie_term").cast("double") / (nD * nD * nD - nD)
+    terms.crossJoin(hs).crossJoin(tot)
+      .select(col("event_type"), col("n_g"), col("two_r"),
+        round(col("two_r").cast("double") /
+          (lit(2.0d) * col("n_g").cast("double")), 6).as("mean_rank"),
+        round(h, 6).as("h_stat"),
+        round(h / corr, 6).as("h_corr"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Brown-Forsythe robust equality-of-spread test across event types —
+    * the Levene variant on deviations from the group MEDIAN, the standard
+    * pre-check before trusting a pooled-variance model on heavy-tailed
+    * value data. Medians are exact order statistics on the per-group money
+    * grain (min v with 2·cum ≥ n_g = the lower median in both parities);
+    * |v−med| stays DECIMAL so the S1/S2 deviation sums are exact and
+    * order-independent; only the final F assembly is FP, with per-group
+    * terms rounded-then-DECIMAL-summed (the q240 determinism trick).
+    * Scale shape: the grain agg and cumulative window are per event type
+    * over the bounded price domain; the deviation pass is one broadcast
+    * join of 5 medians against the fact table + one combinable agg. */
+  def q241_brown_forsythe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+    val grain = ev.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).cast("long").as("n_gv"))
+    val cum = grain.withColumn("cum",
+      sum(col("n_gv")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    val ng = grain.groupBy(col("event_type"))
+      .agg(sum(col("n_gv")).cast("long").as("n_g"))
+    val med = cum.join(ng, "event_type")
+      .filter(col("cum") * 2 >= col("n_g"))
+      .groupBy(col("event_type")).agg(min(col("v")).as("med"))
+    val z = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"),
+        abs(col("v") - col("med")).cast("decimal(18,2)").as("z"))
+    val gs = z.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_g"),
+        sum(col("z")).cast("decimal(38,2)").as("s1"),
+        sum((col("z") * col("z")).cast("decimal(38,4)"))
+          .cast("decimal(38,4)").as("s2"))
+    val tot = gs.agg(sum(col("n_g")).cast("long").as("n_tot"),
+      sum(col("s1")).cast("decimal(38,2)").as("s1_tot"),
+      count(lit(1)).cast("long").as("k"))
+    val nD = col("n_g").cast("double")
+    val s1D = col("s1").cast("double")
+    val withTot = gs.join(broadcast(med), "event_type").crossJoin(tot)
+    val sswTerm = round(col("s2").cast("double") - s1D * s1D / nD, 6)
+      .cast("decimal(38,6)")
+    val dev = s1D / nD - col("s1_tot").cast("double") /
+      col("n_tot").cast("double")
+    val ssbTerm = round(nD * dev * dev, 6).cast("decimal(38,6)")
+    val parts = withTot.select(col("event_type"), col("n_g"), col("med"),
+      round(s1D / nD, 6).as("mean_absdev"),
+      sswTerm.as("ssw_t"), ssbTerm.as("ssb_t"),
+      col("n_tot"), col("k"))
+    val fagg = parts.agg(sum(col("ssw_t")).as("ssw"),
+      sum(col("ssb_t")).as("ssb"))
+    val f = (col("ssb").cast("double") / (col("k").cast("double") -
+      lit(1.0d))) / (col("ssw").cast("double") /
+      (col("n_tot").cast("double") - col("k").cast("double")))
+    parts.crossJoin(fagg)
+      .select(col("event_type"), col("n_g"),
+        col("med").cast("double").as("group_median"),
+        col("mean_absdev"),
+        round(col("ssw").cast("double"), 6).as("ssw"),
+        round(col("ssb").cast("double"), 6).as("ssb"),
+        round(f, 6).as("f_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  /** McNemar's paired test between two quality gates — "does the
+    * char-length gate and the token-count gate disagree more in one
+    * direction?", the right test when both gates score the SAME documents
+    * (a two-proportion z would wrongly treat them as independent samples).
+    * Pure integer contingency counts (one combinable agg over documents)
+    * with the continuity-corrected χ² = (|b−c|−1)²/(b+c); only the final
+    * two ratios are FP. Scale shape: one map + one 4-counter aggregate —
+    * the cheapest possible full-table pass. */
+  def q242_mcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      (col("n_chars") >= 300).as("ga"),
+      (TextOps.tokenCount(col("text")) >= 52).as("gb"))
+    val s = d.agg(
+      sum(when(col("ga") && col("gb"), 1L).otherwise(0L)).cast("long")
+        .as("n11"),
+      sum(when(col("ga") && !col("gb"), 1L).otherwise(0L)).cast("long")
+        .as("n10"),
+      sum(when(!col("ga") && col("gb"), 1L).otherwise(0L)).cast("long")
+        .as("n01"),
+      sum(when(!col("ga") && !col("gb"), 1L).otherwise(0L)).cast("long")
+        .as("n00"))
+    val b = col("n10").cast("double")
+    val c = col("n01").cast("double")
+    s.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      when(col("n10") + col("n01") > 0,
+        round((b - c) * (b - c) / (b + c), 6)).as("chi2"),
+      when(col("n10") + col("n01") > 0,
+        round((abs(b - c) - lit(1.0d)) * (abs(b - c) - lit(1.0d)) / (b + c),
+          6)).as("chi2_cc"),
+      when(col("n01") > 0, round(b / c, 6)).as("discordant_ratio"))
+  }
+
+  /** Interpolated Kneser-Ney bigram probabilities (D=0.75) for the top-50
+    * corpus bigrams — the smoothing a real LM backoff uses, where the
+    * continuation probability is "in how many distinct contexts does w2
+    * appear" rather than raw frequency (so "francisco" scores low even
+    * though it's frequent, because it only ever follows "san"). All four
+    * count tables are combinable aggregates on vocabulary-sized grains
+    * (bigram types, unigram types); the only FP is the final probability
+    * assembly, rounded to 6. The top-50 cut orders by integer count with
+    * a full lexical tiebreak, so no FP value participates in the ranking.
+    * Scale shape: position rows shuffle once to the bigram grain, every
+    * later join is vocabulary-sized against vocabulary-sized. */
+  def q243_kneser_ney(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val pos = toks.select(
+        explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = pos.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("cb"))
+    val cpre = cb.groupBy(col("w1"))
+      .agg(sum(col("cb")).cast("long").as("cu"),
+        count(lit(1)).cast("long").as("n1fw"))
+    val cbw = cb.groupBy(col("w2"))
+      .agg(count(lit(1)).cast("long").as("n1bw"))
+    val tTypes = cb.agg(count(lit(1)).cast("long").as("t_types"))
+    val d = lit(0.75d)
+    val cbD = col("cb").cast("double")
+    val cuD = col("cu").cast("double")
+    val pkn = greatest(cbD - d, lit(0.0d)) / cuD +
+      d * (col("n1fw").cast("double") / cuD) *
+        (col("n1bw").cast("double") / col("t_types").cast("double"))
+    cb.join(cpre, "w1").join(cbw, "w2")
+      .crossJoin(broadcast(tTypes))
+      .orderBy(col("cb").desc, col("w1"), col("w2"))
+      .limit(50)
+      .select(col("w1"), col("w2"), col("cb"), col("cu"),
+        col("n1fw"), col("n1bw"), round(pkn, 6).as("p_kn"))
+      .orderBy(col("cb").desc, col("w1"), col("w2"))
+  }
+
+  /** Temperature-scaled sampling weights per language (α=0.3, the
+    * standard multilingual-LM rebalance): w_l ∝ p_l^α flattens the
+    * head-language dominance so low-resource languages are upsampled, and
+    * the report spells out exactly how much (upsample factor = w·N/n).
+    * Determinism: each p^α is rounded to 12 decimals and DECIMAL-summed
+    * so the normalizing constant has no FP-order dependence; libm pow
+    * last-ulp differences die in the round. Scale shape: one combinable
+    * count by language + a |langs|-row cross join — nothing row-scale
+    * after the first agg. */
+  def q244_temperature_mix(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).cast("long").as("n_docs"))
+    val tot = byLang.agg(sum(col("n_docs")).cast("long").as("n_tot"))
+    val p = col("n_docs").cast("double") / col("n_tot").cast("double")
+    val scored = byLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tot"),
+        round(pow(p, lit(0.3d)), 12).cast("decimal(38,12)").as("sd"))
+    val norm = scored.agg(sum(col("sd")).cast("decimal(38,12)").as("s_tot"))
+    val w = col("sd").cast("double") / col("s_tot").cast("double")
+    scored.crossJoin(broadcast(norm))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_tot").cast("double"), 6)
+          .as("p_raw"),
+        round(w, 6).as("weight"),
+        round(w * col("n_tot").cast("double") /
+          col("n_docs").cast("double"), 6).as("upsample_factor"))
+      .orderBy(col("lang"))
+  }
+
+  /** Vocabulary head-coverage curve — what fraction of the corpus token
+    * mass the top-10/100/1000 most frequent tokens cover. The Zipf-head
+    * audit behind "how big does a tokenizer vocab need to be" and
+    * stopword-list sizing. Ranking and cumulative mass are exact
+    * integers on the vocabulary grain (count-desc with lexical
+    * tiebreak); the coverage ratio is the only FP, rounded at 6. Scale
+    * shape: one combinable token-count agg; the ordered rank window runs
+    * on the vocabulary grain, and only the 1000-row head ever reaches
+    * the explode — row-scale data never sees a window. */
+  def q245_head_coverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).cast("long").as("total_mass"),
+      count(lit(1)).cast("long").as("vocab_size"))
+    val ranked = counts.withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok")))
+          .cast("long"))
+      .filter(col("rnk") <= 1000)
+    val ks = ranked.select(col("cnt"), col("rnk"),
+        explode(array(lit(10L), lit(100L), lit(1000L))).as("k"))
+      .filter(col("rnk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("cnt")).cast("long").as("head_mass"))
+    ks.crossJoin(broadcast(tot))
+      .select(col("k"), col("head_mass"), col("total_mass"),
+        col("vocab_size"),
+        round(col("head_mass").cast("double") /
+          col("total_mass").cast("double"), 6).as("coverage"))
+      .orderBy(col("k"))
+  }
+
+  /** Local clustering coefficient per document on the near-dup graph —
+    * distinguishes docs inside tight duplicate CLIQUES (lcc→1, safe to
+    * drop all but one) from hub docs bridging unrelated clusters (lcc→0,
+    * dropping them would merge distinct content). Triangles are counted
+    * once in (a<b<c) order and credited to all three corners; degree and
+    * triangle counts stay integer, the coefficient is the only FP. Scale
+    * shape: the wedge join is Σ deg², pre-bounded by the LSH maxBucket
+    * cap; per-vertex credit is an explode of exactly 3 rows per triangle. */
+  def q246_clustering_coeff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val e = graft.similarity.MinHashLsh.nearDuplicatePairs(docs, "doc_id",
+        "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val tri = e.select(col("id_a").as("a"), col("id_b").as("b"))
+      .join(e.select(col("id_a").as("b"), col("id_b").as("c")), "b")
+      .join(e.select(col("id_a").as("a"), col("id_b").as("c")),
+        Seq("a", "c"), "left_semi")
+    val triPerV = tri.select(explode(array(col("a"), col("b"), col("c")))
+        .as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).cast("long").as("tri_cnt"))
+    val deg = e.select(col("id_a").as("v"))
+      .unionAll(e.select(col("id_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).cast("long").as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(triPerV, "v", "left")
+      .select(col("v").as("doc_id"), col("degree"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        round(lit(2.0d) * coalesce(col("tri_cnt"), lit(0L)).cast("double") /
+          (col("degree").cast("double") *
+            (col("degree").cast("double") - lit(1.0d))), 6).as("lcc"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bounded-round 2-core peeling of the near-dup graph — the standard
+    * preprocessing cut before community detection: leaves (degree-1 docs)
+    * carry no cluster structure, and removing them exposes new leaves, so
+    * the peel iterates. Four fixed rounds (not a data-dependent fixpoint)
+    * keep the computation deterministic and the plan statically bounded —
+    * the oracle unrolls the identical four rounds. Scale shape: each
+    * round is one degree aggregate + one semi-join edge filter; edge-set
+    * size is monotonically nonincreasing and lineage is truncated by the
+    * single upstream checkpoint. */
+  def q247_kcore_bounded(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    var e = graft.similarity.MinHashLsh.nearDuplicatePairs(docs, "doc_id",
+        "text", shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 4) {
+      val keep = e.select(col("id_a").as("v"))
+        .unionAll(e.select(col("id_b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).cast("long").as("d"))
+        .filter(col("d") >= 2)
+        .select(col("v"))
+      e = e.join(keep.withColumnRenamed("v", "id_a"), Seq("id_a"),
+          "left_semi")
+        .join(keep.withColumnRenamed("v", "id_b"), Seq("id_b"), "left_semi")
+        .select(col("id_a"), col("id_b"))
+    }
+    e.select(col("id_a").as("v")).unionAll(e.select(col("id_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).cast("long").as("core_degree"))
+      .select(col("v").as("doc_id"), col("core_degree"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Two-hop reach per document on the near-dup graph — how much of the
+    * corpus each doc's duplication neighborhood touches within two hops,
+    * the blast-radius estimate for "if this doc is contaminated, what
+    * else is suspect". Exact distinct counts over the union of 1-hop and
+    * 2-hop neighbor sets, self excluded. Scale shape: the 2-hop
+    * expansion keys on the shared middle vertex (Σ deg², maxBucket-
+    * bounded); distinct-per-vertex is one combinable agg on (v, u). */
+  def q248_two_hop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.similarity.MinHashLsh.nearDuplicatePairs(docs,
+        "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 4,
+        threshold = 0.5, maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val n1 = pairs.select(col("id_a").as("v"), col("id_b").as("u"))
+      .unionAll(pairs.select(col("id_b").as("v"), col("id_a").as("u")))
+    val n2 = n1.select(col("v"), col("u").as("m"))
+      .join(n1.select(col("v").as("m"), col("u")), "m")
+      .select(col("v"), col("u"))
+    val reach = n1.unionAll(n2)
+      .filter(col("v") =!= col("u"))
+      .distinct()
+      .groupBy(col("v"))
+      .agg(count(lit(1)).cast("long").as("reach2"))
+    val deg = n1.groupBy(col("v"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+    deg.join(reach, "v")
+      .select(col("v").as("doc_id"), col("degree"), col("reach2"))
+      .orderBy(col("doc_id"))
+  }
 }
