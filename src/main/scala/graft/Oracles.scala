@@ -4782,6 +4782,135 @@ object Oracles {
         |SELECT deg.v AS doc_id, degree, reach2
         |FROM deg JOIN reach ON reach.v = deg.v
         |ORDER BY doc_id""".stripMargin,
+
+    "q249_mips" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm FROM e
+        |), mx AS (SELECT max(nrm) AS m FROM n),
+        |q AS (SELECT * FROM n WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) AS ip, q.nrm AS qn
+        |  FROM q, n c WHERE c.vec_id <> q.vec_id
+        |), rk AS (
+        |  SELECT query_id, neighbor_id, ip, qn,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ip DESC, neighbor_id) AS rnk
+        |  FROM pairs
+        |)
+        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, ip,
+        |  ip / (qn * m) AS aug_cos
+        |FROM rk CROSS JOIN mx WHERE rnk <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q250_ewma_control" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1
+        |), mom AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(rev) AS DECIMAL(38,2)) AS s1,
+        |    CAST(SUM(CAST(CAST(rev AS DECIMAL(28,2)) * rev AS DECIMAL(38,4))) AS DECIMAL(38,4))
+        |      AS s2
+        |  FROM daily
+        |), s0 AS (
+        |  SELECT d, CAST(rev AS DOUBLE) AS x,
+        |    CAST(row_number() OVER (ORDER BY d) AS DOUBLE) AS t
+        |  FROM daily
+        |), seq AS (
+        |  SELECT d, x, t,
+        |    first_value(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+        |      AS x1,
+        |    SUM(pow(1.25, t) * x) OVER (ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS s_t
+        |  FROM s0
+        |), lim AS (
+        |  SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    3.0 * sqrt((CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |          / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0)) * sqrt(0.2 / 1.8) AS half
+        |  FROM mom
+        |), ew AS (
+        |  SELECT d, x,
+        |    0.2 * pow(0.8, t) * (s_t - 1.25 * x1)
+        |      + pow(0.8, t - 1.0) * x1 AS ewma
+        |  FROM seq
+        |)
+        |SELECT d, x AS revenue, round(ewma, 2) AS ewma,
+        |  round(mu + half, 2) AS ucl, round(mu - half, 2) AS lcl,
+        |  (ewma > mu + half OR ewma < mu - half) AS out_of_control
+        |FROM ew CROSS JOIN lim ORDER BY d""".stripMargin,
+
+    "q251_pacf" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1
+        |), di AS (
+        |  SELECT rev, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS idx
+        |  FROM daily
+        |), mom AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(rev) AS DECIMAL(38,2)) AS s1,
+        |    CAST(SUM(CAST(CAST(rev AS DECIMAL(28,2)) * rev AS DECIMAL(38,4))) AS DECIMAL(38,4))
+        |      AS s2
+        |  FROM di
+        |), lagsums AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CAST(CAST(a.rev AS DECIMAL(28,2)) * b.rev AS DECIMAL(38,4)))
+        |      AS DECIMAL(38,4)) AS sk,
+        |    CAST(SUM(a.rev) AS DECIMAL(38,2)) AS hk,
+        |    CAST(SUM(b.rev) AS DECIMAL(38,2)) AS tk
+        |  FROM di a
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks
+        |  JOIN di b ON b.idx = a.idx + k
+        |  GROUP BY k
+        |), md AS (
+        |  SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+        |    CAST(s2 AS DOUBLE) AS s2d
+        |  FROM mom
+        |), md2 AS (
+        |  SELECT mu, s2d - 2.0 * mu * s1d + nd * mu * mu AS den FROM md
+        |), rs AS (
+        |  SELECT
+        |    max(CASE WHEN k = 1 THEN (CAST(sk AS DOUBLE)
+        |      - mu * CAST(hk + tk AS DOUBLE)
+        |      + CAST(n_pairs AS DOUBLE) * mu * mu) / den END) AS r1,
+        |    max(CASE WHEN k = 2 THEN (CAST(sk AS DOUBLE)
+        |      - mu * CAST(hk + tk AS DOUBLE)
+        |      + CAST(n_pairs AS DOUBLE) * mu * mu) / den END) AS r2,
+        |    max(CASE WHEN k = 3 THEN (CAST(sk AS DOUBLE)
+        |      - mu * CAST(hk + tk AS DOUBLE)
+        |      + CAST(n_pairs AS DOUBLE) * mu * mu) / den END) AS r3,
+        |    max(CASE WHEN k = 1 THEN n_pairs END) AS np1,
+        |    max(CASE WHEN k = 2 THEN n_pairs END) AS np2,
+        |    max(CASE WHEN k = 3 THEN n_pairs END) AS np3
+        |  FROM lagsums CROSS JOIN md2
+        |), p2 AS (
+        |  SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22 FROM rs
+        |), p3 AS (
+        |  SELECT *, r1 - phi22 * r1 AS phi21 FROM p2
+        |), fin AS (
+        |  SELECT *, (r3 - phi21 * r2 - phi22 * r1)
+        |    / (1.0 - phi21 * r1 - phi22 * r2) AS phi33 FROM p3
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS lag, np1 AS n_pairs,
+        |    round(r1, 6) AS acf, round(r1, 6) AS pacf FROM fin
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), np2, round(r2, 6), round(phi22, 6)
+        |  FROM fin
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), np3, round(r3, 6), round(phi33, 6)
+        |  FROM fin
+        |) ORDER BY lag""".stripMargin,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional

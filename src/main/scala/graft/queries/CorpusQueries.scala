@@ -5629,4 +5629,150 @@ object CorpusQueries {
       .select(col("v").as("doc_id"), col("degree"), col("reach2"))
       .orderBy(col("doc_id"))
   }
+
+  /** Maximum-inner-product search via the norm-augmentation reduction —
+    * the recommender-scoring primitive (user·item, NOT cosine: popular
+    * items with big norms should win). The classic trick maps x to
+    * [x; √(M²−‖x‖²)] so MIPS order becomes cosine order in the augmented
+    * space, which is what lets the existing LSH/IVF cosine
+    * infrastructure serve MIPS at scale; the emitted aug_cos column IS
+    * that monotone equivalence (rank by ip ≡ rank by aug_cos). Exact
+    * inner products use the deterministic index-order float64 fold
+    * ([[graft.functions.DotProduct]]) so ranking matches the oracle
+    * bit-for-bit. Scale shape: queries broadcast; one pass over the
+    * vector table per query batch; M is a one-row max. */
+  def q249_mips(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        CosineKnn.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(CosineKnn.dot(col("v"), col("v"))))
+    val mx = base.agg(max(col("nrm")).as("m"))
+    val queries = broadcast(base.filter(col("id") < 8)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")))
+    val pairs = queries.join(base, col("id") =!= col("query_id"))
+      .withColumn("ip", CosineKnn.dot(col("qv"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("id").asc)
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .crossJoin(broadcast(mx))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        col("ip"), (col("ip") / (col("qn") * col("m"))).as("aug_cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** EWMA control chart (λ=0.2) over daily order revenue — the
+    * change-detection chart ops teams run on ingest volume; flags days
+    * where the smoothed level exits the ±3σ·√(λ/(2−λ)) band. The
+    * recursion e_t = λx_t + (1−λ)e_{t−1} is folded into a CLOSED-FORM
+    * date-ordered prefix sum (e_t = λ·0.8^t·(S_t − 1.25·x_1) +
+    * 0.8^(t−1)·x_1 with S_t = Σ 1.25^i·x_i), so no sequential driver
+    * loop — one window pass on the date grain. 1.25^t stays inside
+    * float64 range for series up to ~3000 points; longer series need the
+    * block-rescaled form (documented tradeoff, the date domain here is
+    * bounded). μ/σ for the band fold through exact DECIMAL moments.
+    * Outputs round at cents: the running FP fold's association may
+    * differ across engines by ~ulp(max term), which 2-decimal rounding
+    * absorbs with orders of magnitude to spare (6 decimals did not, at
+    * sf0.1). */
+  def q250_ewma_control(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+    val mom = daily.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("rev")).cast("decimal(38,2)").as("s1"),
+      sum((col("rev") * col("rev")).cast("decimal(38,4)"))
+        .cast("decimal(38,4)").as("s2"))
+    val w = Window.orderBy(col("d"))
+    val cum = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = col("rev").cast("double")
+    val t = row_number().over(w).cast("double")
+    val seq = daily
+      .withColumn("t", t)
+      .withColumn("x1", first_value(x).over(cum))
+      .withColumn("s_t", sum(pow(lit(1.25d), col("t")) * x).over(cum))
+    val ewma = lit(0.2d) * pow(lit(0.8d), col("t")) *
+      (col("s_t") - lit(1.25d) * col("x1")) +
+      pow(lit(0.8d), col("t") - lit(1.0d)) * col("x1")
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val sd = sqrt((col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / nD) /
+      (nD - lit(1.0d)))
+    val half = lit(3.0d) * sd * sqrt(lit(0.2d) / lit(1.8d))
+    seq.crossJoin(broadcast(mom))
+      .select(col("d"), x.as("revenue"),
+        round(ewma, 2).as("ewma"),
+        round(mu + half, 2).as("ucl"),
+        round(mu - half, 2).as("lcl"),
+        (ewma > mu + half || ewma < mu - half).as("out_of_control"))
+      .orderBy(col("d"))
+  }
+
+  /** Exact ACF and Durbin-Levinson PACF at lags 1–3 for the daily
+    * revenue series — the Box-Jenkins identification step ("is this
+    * AR(1) or AR(2)") behind forecasting the ingest volume. All lag
+    * cross-products Σx_t·x_{t+k} fold through DECIMAL(38,4) exactly (the
+    * FP-order-immune route); the Durbin-Levinson recursion runs on three
+    * scalars with an identically-associated spelling on both engines.
+    * Scale shape: the lag self-join keys on the day index (date-grain
+    * sized); everything after the first agg is constant-sized. */
+  def q251_pacf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("d"))).cast("long"))
+    val mom = daily.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("rev")).cast("decimal(38,2)").as("s1"),
+      sum((col("rev") * col("rev")).cast("decimal(38,4)"))
+        .cast("decimal(38,4)").as("s2"))
+    val a = daily.select(col("idx").as("ia"), col("rev").as("xa"))
+      .withColumn("k", explode(array(lit(1L), lit(2L), lit(3L))))
+      .withColumn("ib", col("ia") + col("k"))
+    val lagSums = a.join(
+        daily.select(col("idx").as("ib"), col("rev").as("xb")), "ib")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum((col("xa") * col("xb")).cast("decimal(38,4)"))
+          .cast("decimal(38,4)").as("sk"),
+        sum(col("xa")).cast("decimal(38,2)").as("hk"),
+        sum(col("xb")).cast("decimal(38,2)").as("tk"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val den = col("s2").cast("double") -
+      lit(2.0d) * mu * col("s1").cast("double") + nD * mu * mu
+    def rk(k: Int) = max(when(col("k") === k,
+      (col("sk").cast("double") -
+        mu * (col("hk") + col("tk")).cast("double") +
+        col("n_pairs").cast("double") * mu * mu) / den).otherwise(lit(null)))
+    val one = lagSums.crossJoin(broadcast(mom))
+      .agg(rk(1).as("r1"), rk(2).as("r2"), rk(3).as("r3"),
+        max(when(col("k") === 1, col("n_pairs"))).as("np1"),
+        max(when(col("k") === 2, col("n_pairs"))).as("np2"),
+        max(when(col("k") === 3, col("n_pairs"))).as("np3"))
+    val phi22 = (col("r2") - col("r1") * col("r1")) /
+      (lit(1.0d) - col("r1") * col("r1"))
+    val phi21 = col("r1") - phi22 * col("r1")
+    val phi33 = (col("r3") - phi21 * col("r2") - phi22 * col("r1")) /
+      (lit(1.0d) - phi21 * col("r1") - phi22 * col("r2"))
+    one.select(explode(array(
+        struct(lit(1L).as("lag"), col("np1").as("n_pairs"),
+          round(col("r1"), 6).as("acf"), round(col("r1"), 6).as("pacf")),
+        struct(lit(2L).as("lag"), col("np2").as("n_pairs"),
+          round(col("r2"), 6).as("acf"), round(phi22, 6).as("pacf")),
+        struct(lit(3L).as("lag"), col("np3").as("n_pairs"),
+          round(col("r3"), 6).as("acf"), round(phi33, 6).as("pacf"))))
+        .as("row"))
+      .select(col("row.lag").as("lag"), col("row.n_pairs").as("n_pairs"),
+        col("row.acf").as("acf"), col("row.pacf").as("pacf"))
+      .orderBy(col("lag"))
+  }
 }
