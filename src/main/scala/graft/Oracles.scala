@@ -4911,6 +4911,118 @@ object Oracles {
         |  SELECT CAST(3 AS BIGINT), np3, round(r3, 6), round(phi33, 6)
         |  FROM fin
         |) ORDER BY lag""".stripMargin,
+
+    "q252_rptree_ann" ->
+      s"""WITH ${graft.similarity.RpTree.sqlAssignLeaves(3)},
+        |fin AS (
+        |  SELECT id, v, leaf, sqrt(list_dot_product(v, v)) AS nrm FROM l3
+        |), q AS (
+        |  SELECT id AS query_id, v AS qv, nrm AS qn, leaf AS qleaf
+        |  FROM fin WHERE id < 50
+        |), pairs AS (
+        |  SELECT query_id, f.id AS neighbor_id,
+        |    list_dot_product(qv, f.v) / (qn * f.nrm) AS cosine, f.leaf
+        |  FROM q JOIN fin f ON f.leaf = qleaf AND f.id <> query_id
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM pairs
+        |)
+        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cosine,
+        |  leaf
+        |FROM rk WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q253_query_likelihood" ->
+      """WITH qt AS (
+        |  SELECT query_id, unnest(string_split(query_text, ' ')) AS tok
+        |  FROM (VALUES ('q1', 'spark table join'), ('q2', 'hash merge sort'),
+        |    ('q3', 'fast row scan'), ('q4', 'window agg value'))
+        |    AS v(query_id, query_text)
+        |), ql AS (
+        |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS qlen
+        |  FROM qt GROUP BY 1
+        |), toks AS MATERIALIZED (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2, 3
+        |), ctf AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS ctf FROM toks GROUP BY 1
+        |), ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS c_tot FROM toks),
+        |part1 AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(SUM(CAST(ln(1.0 + CAST(tf AS DOUBLE)
+        |      / (2000.0 * (CAST(ctf AS DOUBLE) / CAST(c_tot AS DOUBLE))))
+        |      AS DECIMAL(27,12))) AS DECIMAL(27,12)) AS s1,
+        |    CAST(COUNT(*) AS BIGINT) AS n_matched
+        |  FROM qt JOIN tf USING (tok) JOIN ctf USING (tok) CROSS JOIN ctot
+        |  GROUP BY 1, 2
+        |), dls AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents
+        |), scored AS (
+        |  SELECT query_id, doc_id, n_matched,
+        |    CAST(s1 AS DOUBLE) + CAST(qlen AS DOUBLE)
+        |      * ln(2000.0 / (CAST(dl AS DOUBLE) + 2000.0)) AS score
+        |  FROM part1 JOIN dls USING (doc_id) JOIN ql USING (query_id)
+        |), rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, doc_id, rank, n_matched, round(score, 6) AS score
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q254_ndcg" ->
+      """WITH qt AS (
+        |  SELECT query_id, unnest(string_split(query_text, ' ')) AS tok
+        |  FROM (VALUES ('q1', 'spark table join'), ('q2', 'hash merge sort'),
+        |    ('q3', 'fast row scan'), ('q4', 'window agg value'))
+        |    AS v(query_id, query_text)
+        |), toks AS MATERIALIZED (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2, 3
+        |), perdoc AS MATERIALIZED (
+        |  SELECT query_id, doc_id, dl,
+        |    CAST(COUNT(*) AS BIGINT) AS coverage,
+        |    CAST(least(3, SUM(tf)) AS BIGINT) AS rel
+        |  FROM qt JOIN tf USING (tok) GROUP BY 1, 2, 3
+        |), sys AS (
+        |  SELECT query_id, rel,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY coverage DESC, dl ASC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM perdoc QUALIFY rank <= 10
+        |), dcg AS (
+        |  SELECT query_id,
+        |    CAST(SUM(CAST((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+        |      / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))
+        |      AS DECIMAL(27,12))) AS DECIMAL(27,12)) AS dcg,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ranked
+        |  FROM sys GROUP BY 1
+        |), ideal AS (
+        |  SELECT query_id, rel,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM perdoc QUALIFY rank <= 10
+        |), idcg AS (
+        |  SELECT query_id,
+        |    CAST(SUM(CAST((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+        |      / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))
+        |      AS DECIMAL(27,12))) AS DECIMAL(27,12)) AS idcg
+        |  FROM ideal GROUP BY 1
+        |)
+        |SELECT query_id, n_ranked,
+        |  round(CAST(dcg AS DOUBLE), 6) AS dcg10,
+        |  round(CAST(idcg AS DOUBLE), 6) AS idcg10,
+        |  round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg10
+        |FROM dcg JOIN idcg USING (query_id)
+        |ORDER BY query_id""".stripMargin,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional

@@ -5775,4 +5775,133 @@ object CorpusQueries {
         col("row.acf").as("acf"), col("row.pacf").as("pacf"))
       .orderBy(col("lag"))
   }
+
+  /** Balanced random-projection-tree ANN (Annoy-style, depth 3 → 8
+    * leaves) — the median-split alternative to q31's sign-LSH: leaves are
+    * balanced by construction, so no embedding-distribution pathology can
+    * make one bucket quadratic (the failure mode the LSH paths guard with
+    * maxBucket caps). Full oracle: DuckDB re-derives every median split
+    * from the same inlined plane literals ([[graft.similarity.RpTree]]).
+    * Scale shape: depth passes of projection + per-node median; query
+    * routing touches one ~n/8 leaf per query. */
+  def q252_rptree_ann(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.RpTree.topKLeaf(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", queryPredicate = col("id") < 50, k = 3,
+        depth = 3)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Dirichlet-smoothed query-likelihood retrieval (μ=2000) — the
+    * language-modeling IR baseline next to q201's BM25; the standard
+    * sparse ranker in every Lucene-era stack. Uses the rank-equivalent
+    * decomposition score = Σ_t∈q∩d ln(1 + tf/(μ·P(t|C))) +
+    * |q|·ln(μ/(dl+μ)), so only MATCHING (term, doc) pairs join — absent
+    * terms cost nothing, which is what makes the posting-list plan work
+    * at corpus scale. Per-term lns round through DECIMAL(27,12) before
+    * the per-doc sum (FP-order immunity). Candidates = docs matching ≥1
+    * query term (postings-driven, the production retrieval contract), so
+    * the per-query ranking window runs over the posting union — bounded
+    * by document frequency, never the corpus. Scale shape: one
+    * (doc, term) tf agg, a term-keyed join against a 12-row broadcast
+    * query set, a corpus-LM lookup on the vocabulary grain. */
+  def q253_query_likelihood(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val mu = lit(2000.0d)
+    val qterms = Seq(
+      ("q1", "spark table join"), ("q2", "hash merge sort"),
+      ("q3", "fast row scan"), ("q4", "window agg value"))
+      .toDF("query_id", "query_text")
+      .select(col("query_id"), explode(split(col("query_text"), " ")).as("tok"))
+    val qlen = qterms.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("qlen"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val ctf = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("ctf"))
+    val ctot = toks.agg(count(lit(1)).cast("long").as("c_tot"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("dl"))
+    val pc = col("ctf").cast("double") / col("c_tot").cast("double")
+    val part1 = broadcast(qterms).join(tf, "tok")
+      .join(ctf, "tok").crossJoin(broadcast(ctot))
+      .select(col("query_id"), col("doc_id"),
+        log(lit(1.0d) + col("tf").cast("double") / (mu * pc))
+          .cast("decimal(27,12)").as("lt"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("lt")).cast("decimal(27,12)").as("s1"),
+        count(lit(1)).cast("long").as("n_matched"))
+    val scored = part1.join(docs, "doc_id").join(broadcast(qlen), "query_id")
+      .select(col("query_id"), col("doc_id"), col("n_matched"),
+        (col("s1").cast("double") +
+          col("qlen").cast("double") *
+            log(mu / (col("dl").cast("double") + mu))).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("n_matched"), round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** nDCG@10 of a deterministic coverage-ranked retrieval run against
+    * graded term-frequency relevance — the ranking-quality gate every
+    * retrieval change ships behind. The system ranks by (distinct query
+    * terms matched, shorter doc first); relevance grades are
+    * min(3, Σtf) — correlated but not identical signals, so nDCG lands
+    * strictly inside (0,1) and actually discriminates. Gains
+    * (2^rel−1)/log2(rank+1) round through DECIMAL(27,12) before the
+    * 10-row sums; ideal DCG re-ranks the FULL corpus by grade. Scale
+    * shape: integer ranking keys (no FP in the cut), two 10-row-per-
+    * query windows on bounded keys. */
+  def q254_ndcg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qterms = Seq(
+      ("q1", "spark table join"), ("q2", "hash merge sort"),
+      ("q3", "fast row scan"), ("q4", "window agg value"))
+      .toDF("query_id", "query_text")
+      .select(col("query_id"), explode(split(col("query_text"), " ")).as("tok"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val perDoc = broadcast(qterms).join(tf, "tok")
+      .groupBy(col("query_id"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("coverage"),
+        least(lit(3L), sum(col("tf"))).cast("long").as("rel"))
+    val sysW = Window.partitionBy(col("query_id"))
+      .orderBy(col("coverage").desc, col("dl").asc, col("doc_id").asc)
+    val gain = (pow(lit(2.0d), col("rel").cast("double")) - lit(1.0d)) /
+      (log(2.0, col("rank").cast("double") + lit(1.0d)))
+    val dcg = perDoc
+      .withColumn("rank", row_number().over(sysW).cast("long"))
+      .filter(col("rank") <= 10)
+      .withColumn("g", gain.cast("decimal(27,12)"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("g")).cast("decimal(27,12)").as("dcg"),
+        count(lit(1)).cast("long").as("n_ranked"))
+    val idealW = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    val idcg = perDoc
+      .withColumn("rank", row_number().over(idealW).cast("long"))
+      .filter(col("rank") <= 10)
+      .withColumn("g", gain.cast("decimal(27,12)"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("g")).cast("decimal(27,12)").as("idcg"))
+    dcg.join(idcg, "query_id")
+      .select(col("query_id"), col("n_ranked"),
+        round(col("dcg").cast("double"), 6).as("dcg10"),
+        round(col("idcg").cast("double"), 6).as("idcg10"),
+        round(col("dcg").cast("double") / col("idcg").cast("double"), 6)
+          .as("ndcg10"))
+      .orderBy(col("query_id"))
+  }
 }

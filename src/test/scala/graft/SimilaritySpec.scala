@@ -223,4 +223,34 @@ class SimilaritySpec extends SparkSpec {
     math.abs(v(0)) shouldBe (1.0 / math.sqrt(2.0)) +- 1e-9
     math.abs(v(1)) shouldBe (1.0 / math.sqrt(2.0)) +- 1e-9
   }
+
+  test("RpTree median splits produce balanced leaves (±1 per level)") {
+    val base = graft.tables.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        CosineKnn.toDouble(col("embedding")).as("v"))
+    val n = base.count()
+    val leaves = graft.similarity.RpTree.assignLeaves(base, depth = 3)
+      .groupBy(col("leaf")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    leaves.keySet should have size 8 // all 2^3 leaves populated
+    // each median split is floor/ceil-balanced, so leaf sizes differ by
+    // at most 1 from n/8 after three levels
+    leaves.values.foreach { c =>
+      c should (be >= n / 8 - 1L and be <= n / 8 + 2L)
+    }
+    // sign-LSH over the same planes has no such guarantee — this is the
+    // operator's reason to exist
+    leaves.values.sum shouldBe n
+  }
+
+  test("RpTree routing is deterministic across invocations") {
+    val base = graft.tables.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        CosineKnn.toDouble(col("embedding")).as("v"))
+    val a = graft.similarity.RpTree.assignLeaves(base, depth = 3)
+      .select("id", "leaf").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.similarity.RpTree.assignLeaves(base, depth = 3)
+      .select("id", "leaf").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    a shouldBe b
+  }
 }
