@@ -5023,6 +5023,106 @@ object Oracles {
         |  round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg10
         |FROM dcg JOIN idcg USING (query_id)
         |ORDER BY query_id""".stripMargin,
+
+    "q255_phrase_search" ->
+      """WITH ph AS (
+        |  SELECT phrase, string_split(phrase, ' ')[1] AS t1,
+        |    string_split(phrase, ' ')[2] AS t2
+        |  FROM (VALUES ('hash join'), ('merge sort'), ('table scan'))
+        |    AS v(phrase)
+        |), pos AS MATERIALIZED (
+        |  SELECT doc_id, tk[i] AS tok, i AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |        FROM documents),
+        |    LATERAL unnest(range(1, len(tk) + 1)) AS u(i)
+        |), m1 AS (
+        |  SELECT phrase, doc_id, pos FROM ph JOIN pos ON tok = t1
+        |), m2 AS (
+        |  SELECT phrase, doc_id, pos - 1 AS pos FROM ph JOIN pos ON tok = t2
+        |), occ AS (
+        |  SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS occ
+        |  FROM m1 JOIN m2 USING (phrase, doc_id, pos)
+        |  GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY phrase
+        |    ORDER BY occ DESC, doc_id) AS rn
+        |  FROM occ
+        |)
+        |SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(occ) AS BIGINT) AS n_occ,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+        |    AS top_doc_id,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN occ END) AS BIGINT)
+        |    AS top_doc_occ
+        |FROM rk GROUP BY phrase ORDER BY phrase""".stripMargin,
+
+    "q256_jonckheere" ->
+      """WITH src AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(floor(o_totalprice / 100.0) AS BIGINT) AS v
+        |  FROM orders
+        |), gv AS (
+        |  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n FROM src GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT gs.g, vals.v, COALESCE(gv.n, 0) AS n
+        |  FROM (SELECT DISTINCT v FROM gv) vals
+        |  CROSS JOIN (SELECT DISTINCT g FROM gv) gs
+        |  LEFT JOIN gv ON gv.g = gs.g AND gv.v = vals.v
+        |), cum AS (
+        |  SELECT g, v, n,
+        |    CAST(SUM(n) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n AS cumlt
+        |  FROM grid
+        |), twoj AS (
+        |  SELECT CAST(SUM(j.n * (2 * i.cumlt + i.n)) AS BIGINT) AS two_j
+        |  FROM cum i JOIN gv j ON j.v = i.v AND i.g < j.g
+        |), sizes AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g FROM src GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n_tot,
+        |    CAST(SUM(n_g * n_g) AS BIGINT) AS sum_n2,
+        |    CAST(SUM(n_g * n_g * (2 * n_g + 3)) AS BIGINT) AS sum_n23
+        |  FROM sizes
+        |)
+        |SELECT k, n_tot, two_j,
+        |  round((CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+        |    - CAST(sum_n2 AS DOUBLE)) / 4.0, 6) AS e_j,
+        |  round((CAST(two_j AS DOUBLE) / 2.0
+        |      - (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+        |        - CAST(sum_n2 AS DOUBLE)) / 4.0)
+        |    / sqrt((CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+        |        * (2.0 * CAST(n_tot AS DOUBLE) + 3.0)
+        |        - CAST(sum_n23 AS DOUBLE)) / 72.0), 6) AS z_score
+        |FROM twoj CROSS JOIN tot""".stripMargin,
+
+    "q257_snapshot_diff" ->
+      """WITH h AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(ts) AS valid_from_us,
+        |    COALESCE(epoch_us(lead(ts) OVER w), 253402214400000000)
+        |      AS valid_to_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s1 AS (
+        |  SELECT user_id, event_id AS old_event FROM h
+        |  WHERE valid_from_us <= 1704844800000000
+        |    AND valid_to_us > 1704844800000000
+        |), s2 AS (
+        |  SELECT user_id, event_id AS new_event FROM h
+        |  WHERE valid_from_us <= 1705708800000000
+        |    AND valid_to_us > 1705708800000000
+        |), d AS (
+        |  SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+        |    CASE WHEN s1.user_id IS NULL THEN 'ADDED'
+        |         WHEN s2.user_id IS NULL THEN 'REMOVED'
+        |         WHEN old_event <> new_event THEN 'CHANGED'
+        |         ELSE 'UNCHANGED' END AS change_type,
+        |    old_event, new_event
+        |  FROM s1 FULL OUTER JOIN s2 ON s2.user_id = s1.user_id
+        |)
+        |SELECT * FROM d WHERE change_type <> 'UNCHANGED'
+        |ORDER BY user_id""".stripMargin,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional

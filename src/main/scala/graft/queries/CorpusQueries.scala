@@ -5904,4 +5904,124 @@ object CorpusQueries {
           .as("ndcg10"))
       .orderBy(col("query_id"))
   }
+
+  /** Exact phrase search over a positional inverted index — the operator
+    * conjunctive postings (q208) cannot express: "hash join" must match
+    * ADJACENT tokens, not co-occurrence. Postings carry (doc, token,
+    * position); a phrase match is an equi-join of the two term posting
+    * lists on (doc, pos+1) — offset-relative, so 0- vs 1-based position
+    * conventions cancel. Scale shape: per-term postings are
+    * document-frequency-sized, the adjacency join keys on (token-pair,
+    * doc, pos) — never a scan of non-matching docs; the per-phrase
+    * summary is one combinable agg + a |phrases|-row window. */
+  def q255_phrase_search(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val phrases = Seq("hash join", "merge sort", "table scan")
+      .toDF("phrase")
+      .select(col("phrase"),
+        split(col("phrase"), " ").getItem(0).as("t1"),
+        split(col("phrase"), " ").getItem(1).as("t2"))
+    val pos = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val m1 = broadcast(phrases).join(pos, col("tok") === col("t1"))
+      .select(col("phrase"), col("doc_id"), col("pos"))
+    val m2 = broadcast(phrases).join(pos, col("tok") === col("t2"))
+      .select(col("phrase"), col("doc_id"), (col("pos") - 1).as("pos"))
+    val occ = m1.join(m2, Seq("phrase", "doc_id", "pos"))
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("occ"))
+    val w = Window.partitionBy(col("phrase"))
+      .orderBy(col("occ").desc, col("doc_id"))
+    occ.withColumn("rn", row_number().over(w))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("occ")).cast("long").as("n_occ"),
+        max(when(col("rn") === 1, col("doc_id"))).as("top_doc_id"),
+        max(when(col("rn") === 1, col("occ"))).as("top_doc_occ"))
+      .orderBy(col("phrase"))
+  }
+
+  /** Jonckheere-Terpstra ordered-trend test: does order value rise with
+    * priority class? The right test when the alternative is ORDERED
+    * (μ₁≤μ₂≤...), where Kruskal-Wallis (q240) throws the ordering
+    * information away. The statistic is held exact: 2·J = Σ over group
+    * pairs i<j of Σ_v n_jv·(2·#{G_i < v} + #{G_i = v}) — pure integer
+    * arithmetic on a DISCRETIZED price grain (floor to $100 buckets, the
+    * documented quantization that bounds the grain domain at any corpus
+    * size); mean and variance are closed-form integers, z is the only
+    * FP. Scale shape: one (group, bucket) agg, per-group prefix sums on
+    * the bounded grid, one grid-sized pair join. */
+  def q256_jonckheere(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("g"),
+        floor(col("o_totalprice") / lit(100.0d)).cast("long").as("v"))
+    val gv = src.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val vals = gv.select(col("v")).distinct()
+    val gs = gv.select(col("g")).distinct()
+    val grid = vals.crossJoin(broadcast(gs))
+      .join(gv, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), coalesce(col("n"), lit(0L)).as("n"))
+    val cum = grid.withColumn("cum",
+        sum(col("n")).over(Window.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .withColumn("cumlt", (col("cum") - col("n")).cast("long"))
+    val twoJ = cum.select(col("g").as("gi"), col("v"),
+        col("cumlt"), col("n").as("ni"))
+      .join(gv.select(col("g").as("gj"), col("v"), col("n").as("nj")), "v")
+      .filter(col("gi") < col("gj"))
+      .agg(sum(col("nj") * (lit(2L) * col("cumlt") + col("ni")))
+        .cast("long").as("two_j"))
+    val sizes = src.groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("n_g"))
+    val tot = sizes.agg(count(lit(1)).cast("long").as("k"),
+      sum(col("n_g")).cast("long").as("n_tot"),
+      sum(col("n_g") * col("n_g")).cast("long").as("sum_n2"),
+      sum(col("n_g") * col("n_g") * (lit(2L) * col("n_g") + lit(3L)))
+        .cast("long").as("sum_n23"))
+    val nD = col("n_tot").cast("double")
+    val ej = (nD * nD - col("sum_n2").cast("double")) / lit(4.0d)
+    val varj = (nD * nD * (lit(2.0d) * nD + lit(3.0d)) -
+      col("sum_n23").cast("double")) / lit(72.0d)
+    twoJ.crossJoin(tot)
+      .select(col("k"), col("n_tot"), col("two_j"),
+        round(ej, 6).as("e_j"),
+        round((col("two_j").cast("double") / lit(2.0d) - ej) / sqrt(varj), 6)
+          .as("z_score"))
+  }
+
+  /** SCD2 snapshot diff — "what changed between the Jan-10 and Jan-20
+    * state of the user dimension": the audit report every slowly-changing
+    * warehouse table ships with. Two point-in-time reads of the SAME
+    * [[graft.transform.Scd2]] history (one pass, no per-snapshot
+    * recompute of the source), full-outer-joined on the business key,
+    * classified ADDED / CHANGED / REMOVED. Scale shape: the history build
+    * is one per-key ordered window; each snapshot is a validity-interval
+    * filter on it; the diff is one key-keyed join. */
+  def q257_snapshot_diff(spark: SparkSession, dir: String): DataFrame = {
+    val t1 = 1704844800000000L // 2024-01-10T00:00:00Z epoch micros
+    val t2 = 1705708800000000L // 2024-01-20T00:00:00Z
+    val hist = graft.transform.Scd2.fromHistory(Tables.events(spark, dir),
+        Seq("user_id"), "ts", tiebreak = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("valid_from_us"),
+        col("valid_to_us"))
+      .localCheckpoint(true) // both snapshots read the one history build
+    def snap(t: Long) = hist
+      .filter(col("valid_from_us") <= t && col("valid_to_us") > t)
+    val s1 = snap(t1).select(col("user_id"), col("event_id").as("old_event"))
+    val s2 = snap(t2).select(col("user_id"), col("event_id").as("new_event"))
+    s1.join(s2, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("old_event").isNull, lit("ADDED"))
+          .when(col("new_event").isNull, lit("REMOVED"))
+          .when(col("old_event") =!= col("new_event"), lit("CHANGED"))
+          .otherwise(lit("UNCHANGED")).as("change_type"),
+        col("old_event"), col("new_event"))
+      .filter(col("change_type") =!= "UNCHANGED")
+      .orderBy(col("user_id"))
+  }
 }
