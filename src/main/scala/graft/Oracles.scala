@@ -5123,6 +5123,101 @@ object Oracles {
         |)
         |SELECT * FROM d WHERE change_type <> 'UNCHANGED'
         |ORDER BY user_id""".stripMargin,
+
+    "q258_sorted_neighborhood" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    substring(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{Nd} ]', ' ', 'g'), ' +', ' ', 'g')), 1, 24) AS sk
+        |  FROM documents
+        |), rk AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY sk, doc_id) AS BIGINT) AS rnk
+        |  FROM keyed
+        |), cand AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+        |    greatest(a.doc_id, b.doc_id) AS id_b,
+        |    b.rnk - a.rnk AS rank_dist
+        |  FROM rk a JOIN rk b ON b.rnk - a.rnk BETWEEN 1 AND 3
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) >= 3
+        |      THEN list_transform(range(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |      ELSE [] END) AS sg
+        |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents)
+        |), pj AS (
+        |  SELECT id_a, id_b, rank_dist,
+        |    CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+        |      / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE)
+        |      AS jaccard
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a
+        |  JOIN sh sb ON sb.doc_id = id_b
+        |)
+        |SELECT id_a, id_b, rank_dist, jaccard FROM pj
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q259_rolling_range" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS daynum
+        |  FROM orders GROUP BY 1, 3
+        |)
+        |SELECT d, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(rev) OVER (ORDER BY daynum
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(38,2)) AS DOUBLE) AS rev_7d,
+        |  CAST(COUNT(*) OVER (ORDER BY daynum
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS days_present
+        |FROM daily ORDER BY d""".stripMargin,
+
+    "q260_equidepth_histogram" ->
+      """WITH grain AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM grain),
+        |cum AS (
+        |  SELECT v, n, CAST(SUM(n) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM grain
+        |)
+        |SELECT CAST(floor(CAST((cum - 1) * 8 AS DOUBLE)
+        |    / CAST(n_tot AS DOUBLE)) + 1 AS BIGINT) AS bucket,
+        |  CAST(MIN(v) AS DOUBLE) AS lo, CAST(MAX(v) AS DOUBLE) AS hi,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |FROM cum CROSS JOIN tot
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q261_mutual_knn" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT id, v, sqrt(list_dot_product(v, v)) nrm FROM e
+        |), knn AS (
+        |  SELECT a.id AS src, b.id AS dst,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY a.id
+        |      ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+        |        b.id ASC) AS BIGINT) AS rank
+        |  FROM n a JOIN n b ON b.id <> a.id
+        |  QUALIFY rank <= 5
+        |), fwd AS (
+        |  SELECT src AS id_a, dst AS id_b, cos, rank AS rank_ab
+        |  FROM knn WHERE src < dst
+        |), bwd AS (
+        |  SELECT dst AS id_a, src AS id_b, rank AS rank_ba
+        |  FROM knn WHERE src > dst
+        |)
+        |SELECT id_a, id_b, cos, rank_ab, rank_ba
+        |FROM fwd JOIN bwd USING (id_a, id_b)
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional

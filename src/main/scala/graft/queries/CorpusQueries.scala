@@ -6024,4 +6024,134 @@ object CorpusQueries {
       .filter(col("change_type") =!= "UNCHANGED")
       .orderBy(col("user_id"))
   }
+
+  /** Sorted-neighborhood blocking dedup — the sort-merge alternative to
+    * LSH blocking (Hernández-Stolfo): sort once on a normalized prefix
+    * key, compare only rows within a fixed window of the sort order, so
+    * candidate count is n·(w−1) BY CONSTRUCTION (no bucket-skew cap
+    * needed — the property LSH needs maxBucket to approximate). Survivor
+    * pairs are confirmed with exact word-3-shingle Jaccard. Scale shape:
+    * one range-partitioned sort + rank-offset self-join on (rank+d) keys;
+    * shingle arrays join back by id for candidates only. */
+  def q258_sorted_neighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val keyed = docs.select(col("doc_id"),
+        substring(TextOps.normalize(col("text")), 1, 24).as("sk"))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("sk"), col("doc_id"))).cast("long"))
+    val a = keyed.select(col("doc_id").as("id_a"), col("rnk").as("ra"))
+      .withColumn("d", explode(array(lit(1L), lit(2L), lit(3L))))
+      .withColumn("rb", col("d") + col("ra"))
+    val cand = a.join(keyed.select(col("doc_id").as("id_b"),
+        col("rnk").as("rb")), "rb")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        (col("rb") - col("ra")).as("rank_dist"))
+    val grams = docs.select(col("doc_id"),
+      array_sort(TextOps.shingles(col("text"), 3)).as("sg"))
+    cand
+      .join(grams.select(col("doc_id").as("id_a"), col("sg").as("ga")), "id_a")
+      .join(grams.select(col("doc_id").as("id_b"), col("sg").as("gb")), "id_b")
+      .withColumn("jaccard",
+        graft.functions.JaccardSim.jaccardSimSorted(col("ga"), col("gb")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("rank_dist"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Rolling 7-day revenue via a RANGE frame on the day number — the
+    * value-based frame ROWS windows cannot express when dates have gaps:
+    * "the trailing calendar week", not "the trailing 7 observed rows".
+    * Revenue folds through DECIMAL inside the frame (exact, order-free);
+    * days_present exposes the gap handling. Scale shape: one agg to the
+    * date grain, then a range-frame window on the bounded calendar
+    * domain. */
+  def q259_rolling_range(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+      .withColumn("daynum",
+        datediff(col("d"), to_date(lit("1992-01-01"))).cast("long"))
+    val w = Window.orderBy(col("daynum")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rev7", sum(col("rev")).over(w).cast("decimal(38,2)"))
+      .withColumn("days_present", count(lit(1)).over(w).cast("long"))
+      .select(col("d"), col("rev").cast("double").as("revenue"),
+        col("rev7").cast("double").as("rev_7d"), col("days_present"))
+      .orderBy(col("d"))
+  }
+
+  /** Equi-depth (equi-height) histogram of l_extendedprice in 8 buckets —
+    * the optimizer-statistics structure behind selectivity estimation
+    * (q170/q181's planning family): every bucket holds ~n/8 rows, so
+    * skewed value mass cannot blind a range predicate the way q235's
+    * equi-WIDTH bins can. Bucket assignment is pure integer arithmetic on
+    * the value grain's cumulative counts (a grain value lands in the
+    * bucket of its last row's rank), so no percentile interpolation
+    * convention can diverge. Scale shape: one grain agg + one prefix sum
+    * on the bounded price domain. */
+  def q260_equidepth_histogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grain = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").cast("decimal(18,2)").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).cast("long").as("n"))
+    val tot = grain.agg(sum(col("n")).cast("long").as("n_tot"))
+    val cum = grain.withColumn("cum",
+      sum(col("n")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        (floor(((col("cum") - lit(1L)) * lit(8L)).cast("double") /
+          col("n_tot").cast("double")) + lit(1L)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(min(col("v")).cast("double").as("lo"),
+        max(col("v")).cast("double").as("hi"),
+        sum(col("n")).cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_distinct"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Mutual k-NN graph over the embedding corpus (k=5, cosine) — the
+    * symmetrized neighborhood graph UMAP/HDBSCAN-class structure
+    * discovery starts from: an edge survives only if BOTH endpoints rank
+    * each other in their top-5, which strips hub vectors' asymmetric
+    * fan-in. Exact float64 folds make both directions' ranks
+    * oracle-reproducible. Scale shape: this exact form is the n² audit
+    * grid; production swaps the candidate stage for q31's LSH or q252's
+    * RP-tree leaves and keeps the mutual filter — the filter is one
+    * self-join of the (src,dst,rank) list either way. */
+  def q261_mutual_knn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        CosineKnn.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(CosineKnn.dot(col("v"), col("v"))))
+      .localCheckpoint(true)
+    val l = base.select(col("id").as("src"), col("v").as("va"),
+      col("nrm").as("na"))
+    val r = base.select(col("id").as("dst"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    val knn = l.join(r, col("src") =!= col("dst"))
+      .withColumn("cos",
+        CosineKnn.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("src"), col("dst"), col("cos"), col("rank"))
+    val fwd = knn.filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"),
+        col("cos"), col("rank").as("rank_ab"))
+    val bwd = knn.filter(col("src") > col("dst"))
+      .select(col("dst").as("id_a"), col("src").as("id_b"),
+        col("rank").as("rank_ba"))
+    fwd.join(bwd, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("cos"), col("rank_ab"),
+        col("rank_ba"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }
