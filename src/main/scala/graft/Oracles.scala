@@ -5218,6 +5218,133 @@ object Oracles {
         |SELECT id_a, id_b, cos, rank_ab, rank_ba
         |FROM fwd JOIN bwd USING (id_a, id_b)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q262_pr_curve" ->
+      """WITH ev AS (
+        |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events
+        |), grain AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_v,
+        |    CAST(SUM(pos) AS BIGINT) AS p_v
+        |  FROM ev GROUP BY v
+        |), cum AS (
+        |  SELECT v, n_v, p_v,
+        |    CAST(SUM(n_v) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cumn,
+        |    CAST(SUM(p_v) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cump
+        |  FROM grain
+        |), tot AS (
+        |  SELECT CAST(SUM(p_v) AS BIGINT) AS n_pos,
+        |    CAST(SUM(n_v) - SUM(p_v) AS BIGINT) AS n_neg
+        |  FROM grain
+        |)
+        |SELECT max(n_pos) AS n_pos, max(n_neg) AS n_neg,
+        |  round(CAST(SUM(CAST(CAST(p_v AS DOUBLE)
+        |      * (CAST(cump AS DOUBLE) / CAST(cumn AS DOUBLE))
+        |      AS DECIMAL(27,12))) AS DOUBLE)
+        |    / CAST(max(n_pos) AS DOUBLE), 6) AS avg_precision,
+        |  round(max(CASE WHEN CAST(cump AS DOUBLE) / CAST(n_pos AS DOUBLE)
+        |      >= 0.25 THEN CAST(cump AS DOUBLE) / CAST(cumn AS DOUBLE)
+        |    END), 6) AS p_at_r25,
+        |  round(max(CASE WHEN CAST(cump AS DOUBLE) / CAST(n_pos AS DOUBLE)
+        |      >= 0.5 THEN CAST(cump AS DOUBLE) / CAST(cumn AS DOUBLE)
+        |    END), 6) AS p_at_r50,
+        |  round(max(CASE WHEN CAST(cump AS DOUBLE) / CAST(n_pos AS DOUBLE)
+        |      >= 0.75 THEN CAST(cump AS DOUBLE) / CAST(cumn AS DOUBLE)
+        |    END), 6) AS p_at_r75
+        |FROM cum CROSS JOIN tot""".stripMargin,
+
+    "q263_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS daynum
+        |  FROM orders GROUP BY 1, 3
+        |), dowd AS (
+        |  SELECT *, daynum % 7 AS dow FROM daily
+        |), trended AS (
+        |  SELECT d, rev, dow,
+        |    CAST(COUNT(*) OVER win AS BIGINT) AS win_n,
+        |    CAST(SUM(rev) OVER win AS DECIMAL(38,2)) AS win_sum
+        |  FROM dowd
+        |  WINDOW win AS (ORDER BY daynum
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |  QUALIFY win_n = 7
+        |), rat AS (
+        |  SELECT d, rev, dow,
+        |    CAST(win_sum AS DOUBLE) / 7.0 AS trend,
+        |    CAST(rev AS DOUBLE) / (CAST(win_sum AS DOUBLE) / 7.0) AS ratio
+        |  FROM trended
+        |), sidx AS (
+        |  SELECT dow,
+        |    CAST(SUM(CAST(ratio AS DECIMAL(27,12))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS s_raw
+        |  FROM rat GROUP BY 1
+        |), smean AS (
+        |  SELECT CAST(SUM(CAST(round(s_raw, 12) AS DECIMAL(27,12)))
+        |    AS DOUBLE) / 7.0 AS s_mean
+        |  FROM sidx
+        |), sfin AS (
+        |  SELECT dow, s_raw / s_mean AS seasonal
+        |  FROM sidx CROSS JOIN smean
+        |)
+        |SELECT d, CAST(rev AS DOUBLE) AS revenue,
+        |  round(trend, 6) AS trend, dow,
+        |  round(seasonal, 6) AS seasonal,
+        |  round(ratio / seasonal, 6) AS remainder
+        |FROM rat JOIN sfin USING (dow)
+        |ORDER BY d""".stripMargin,
+
+    "q264_sax" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS daynum
+        |  FROM orders GROUP BY 1, 3
+        |), mom AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(rev) AS DECIMAL(38,2)) AS s1,
+        |    CAST(SUM(CAST(CAST(rev AS DECIMAL(28,2)) * rev
+        |      AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS s2
+        |  FROM daily
+        |), d0 AS (SELECT MIN(daynum) AS day0 FROM daily),
+        |segs AS (
+        |  SELECT CAST(floor(CAST(daynum - day0 AS DOUBLE) / 30.0)
+        |      AS BIGINT) AS seg,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(rev) AS DECIMAL(38,2)) AS seg_sum
+        |  FROM daily CROSS JOIN d0 GROUP BY 1
+        |), paa AS (
+        |  SELECT seg, n_days,
+        |    CAST(seg_sum AS DOUBLE) / CAST(n_days AS DOUBLE) AS paa
+        |  FROM segs
+        |), zed AS (
+        |  SELECT seg, n_days, paa,
+        |    (paa - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt((CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |          / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0)) AS z
+        |  FROM paa CROSS JOIN mom
+        |), symd AS (
+        |  SELECT seg, n_days, round(paa, 2) AS paa, round(z, 6) AS z,
+        |    CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+        |         WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+        |  FROM zed
+        |)
+        |SELECT s0.seg, s0.n_days, s0.paa, s0.z, s0.symbol,
+        |  CASE WHEN s1.symbol IS NOT NULL AND s2.symbol IS NOT NULL
+        |    THEN s0.symbol || s1.symbol || s2.symbol END AS motif3
+        |FROM symd s0
+        |LEFT JOIN symd s1 ON s1.seg = s0.seg + 1
+        |LEFT JOIN symd s2 ON s2.seg = s0.seg + 2
+        |ORDER BY s0.seg""".stripMargin,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional

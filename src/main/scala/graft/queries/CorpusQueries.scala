@@ -6154,4 +6154,135 @@ object CorpusQueries {
         col("rank_ba"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Average precision + interpolated precision-recall points for the
+    * value-predicts-purchase classifier — the imbalanced-class companion
+    * to q221's ROC-AUC (PR is the honest curve when positives are rare;
+    * ROC flatters). The threshold sweep runs on the DESCENDING money
+    * grain: AP = (1/n_pos)·Σ_v p_v·P(v) with every cumulative count an
+    * exact integer, per-grain terms rounded through DECIMAL(27,12)
+    * before the sum; interpolated P@R≥x is a max over identically-
+    * computed doubles. Scale shape: one grain agg + one ordered prefix
+    * window on the bounded money domain — same discipline as q221. */
+  def q262_pr_curve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("value").cast("decimal(18,2)").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    val grain = ev.groupBy(col("v"))
+      .agg(count(lit(1)).cast("long").as("n_v"),
+        sum(col("pos")).cast("long").as("p_v"))
+    val w = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grain
+      .withColumn("cumn", sum(col("n_v")).over(w).cast("long"))
+      .withColumn("cump", sum(col("p_v")).over(w).cast("long"))
+    val tot = grain.agg(sum(col("p_v")).cast("long").as("n_pos"),
+      (sum(col("n_v")) - sum(col("p_v"))).cast("long").as("n_neg"))
+    val prec = col("cump").cast("double") / col("cumn").cast("double")
+    val rec = col("cump").cast("double") / col("n_pos").cast("double")
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"),
+        round(sum((col("p_v").cast("double") * prec)
+          .cast("decimal(27,12)")).cast("double") /
+          max(col("n_pos")).cast("double"), 6).as("avg_precision"),
+        round(max(when(rec >= 0.25, prec)), 6).as("p_at_r25"),
+        round(max(when(rec >= 0.5, prec)), 6).as("p_at_r50"),
+        round(max(when(rec >= 0.75, prec)), 6).as("p_at_r75"))
+  }
+
+  /** Classical multiplicative seasonal decomposition of daily revenue —
+    * trend (centered 7-day moving average), day-of-week seasonal index,
+    * remainder: the pre-STL decomposition every ops dashboard uses to
+    * separate "weekend dip" from "real drop". Trend folds through
+    * DECIMAL inside the ROWS ±3 frame (exact); seasonal indexes are
+    * means of per-day ratios rounded through DECIMAL(27,12) then
+    * normalized to mean 1 over the 7-slot week; day-of-week is
+    * daynum mod 7 (pure integer — no engine weekday-origin convention
+    * can disagree). Scale shape: everything after the first agg lives on
+    * the bounded calendar grain. */
+  def q263_seasonal_decompose(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+      .withColumn("daynum",
+        datediff(col("d"), to_date(lit("1992-01-01"))).cast("long"))
+      .withColumn("dow", pmod(col("daynum"), lit(7L)).cast("long"))
+    val wMa = Window.orderBy(col("daynum")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("win_n", count(lit(1)).over(wMa).cast("long"))
+      .withColumn("win_sum", sum(col("rev")).over(wMa).cast("decimal(38,2)"))
+      .filter(col("win_n") === 7)
+      .withColumn("trend",
+        col("win_sum").cast("double") / lit(7.0d))
+      .withColumn("ratio", col("rev").cast("double") / col("trend"))
+    val sIdx = trended.groupBy(col("dow"))
+      .agg((sum(col("ratio").cast("decimal(27,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("s_raw"))
+    val sNormD = sIdx.agg(
+      (sum(round(col("s_raw"), 12).cast("decimal(27,12)")).cast("double") /
+        lit(7.0d)).as("s_mean"))
+    val sFinal = sIdx.crossJoin(broadcast(sNormD))
+      .select(col("dow"), (col("s_raw") / col("s_mean")).as("seasonal"))
+    trended.join(broadcast(sFinal), "dow")
+      .select(col("d"), col("rev").cast("double").as("revenue"),
+        round(col("trend"), 6).as("trend"), col("dow"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("ratio") / col("seasonal"), 6).as("remainder"))
+      .orderBy(col("d"))
+  }
+
+  /** SAX symbolization of the daily revenue series (PAA over 30-day
+    * segments, 4-symbol alphabet at the N(0,1) quartile breakpoints
+    * ±0.6745) — the symbolic-approximation operator (Lin et al.) behind
+    * motif discovery and cheap whole-series indexing. PAA means fold
+    * through DECIMAL; z-normalization uses the DAILY series' exact
+    * DECIMAL moments; breakpoints are literals on both engines, and the
+    * emitted motif3 column is the 3-segment symbol trigram used for
+    * motif counting. Scale shape: one agg to the date grain, one agg to
+    * the segment grain, two segment-grain self-joins. */
+  def q264_sax(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+      .withColumn("daynum",
+        datediff(col("d"), to_date(lit("1992-01-01"))).cast("long"))
+    val mom = daily.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("rev")).cast("decimal(38,2)").as("s1"),
+      sum((col("rev") * col("rev")).cast("decimal(38,4)"))
+        .cast("decimal(38,4)").as("s2"))
+    val d0 = daily.agg(min(col("daynum")).as("day0"))
+    val segs = daily.crossJoin(broadcast(d0))
+      .withColumn("seg", floor((col("daynum") - col("day0"))
+        .cast("double") / lit(30.0d)).cast("long"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("rev")).cast("decimal(38,2)").as("seg_sum"))
+      .withColumn("paa",
+        col("seg_sum").cast("double") / col("n_days").cast("double"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val sd = sqrt((col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / nD) /
+      (nD - lit(1.0d)))
+    val z = (col("paa") - mu) / sd
+    val sym = when(z < -0.6745, lit("a")).when(z < 0.0, lit("b"))
+      .when(z < 0.6745, lit("c")).otherwise(lit("d"))
+    val symd = segs.crossJoin(broadcast(mom))
+      .select(col("seg"), col("n_days"), round(col("paa"), 2).as("paa"),
+        round(z, 6).as("z"), sym.as("symbol"))
+    val s1n = symd.select((col("seg") - 1).as("seg"),
+      col("symbol").as("sym1"))
+    val s2n = symd.select((col("seg") - 2).as("seg"),
+      col("symbol").as("sym2"))
+    symd.join(s1n, Seq("seg"), "left").join(s2n, Seq("seg"), "left")
+      .select(col("seg"), col("n_days"), col("paa"), col("z"),
+        col("symbol"),
+        when(col("sym1").isNotNull && col("sym2").isNotNull,
+          concat(col("symbol"), col("sym1"), col("sym2"))).as("motif3"))
+      .orderBy(col("seg"))
+  }
 }
