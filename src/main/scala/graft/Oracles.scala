@@ -5345,6 +5345,155 @@ object Oracles {
         |LEFT JOIN symd s1 ON s1.seg = s0.seg + 1
         |LEFT JOIN symd s2 ON s2.seg = s0.seg + 2
         |ORDER BY s0.seg""".stripMargin,
+
+    "q265_did" ->
+      """WITH ev AS (
+        |  SELECT CAST((CAST(md5_number_upper(CAST(user_id AS VARCHAR))
+        |      AS HUGEINT) % 2305843009213693951) % 2 AS BIGINT) AS arm,
+        |    (epoch_us(ts) >= 1705276800000000) AS post,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |), cells AS (
+        |  SELECT arm, post, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS DECIMAL(38,2)) AS s
+        |  FROM ev GROUP BY 1, 2
+        |), one AS (
+        |  SELECT
+        |    max(CASE WHEN arm = 1 AND NOT post THEN n END) AS n_t_pre,
+        |    max(CASE WHEN arm = 1 AND post THEN n END) AS n_t_post,
+        |    max(CASE WHEN arm = 0 AND NOT post THEN n END) AS n_c_pre,
+        |    max(CASE WHEN arm = 0 AND post THEN n END) AS n_c_post,
+        |    max(CASE WHEN arm = 1 AND NOT post THEN s END) AS s_t_pre,
+        |    max(CASE WHEN arm = 1 AND post THEN s END) AS s_t_post,
+        |    max(CASE WHEN arm = 0 AND NOT post THEN s END) AS s_c_pre,
+        |    max(CASE WHEN arm = 0 AND post THEN s END) AS s_c_post
+        |  FROM cells
+        |)
+        |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  round(CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE), 6)
+        |    AS mean_t_pre,
+        |  round(CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE), 6)
+        |    AS mean_t_post,
+        |  round(CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE), 6)
+        |    AS mean_c_pre,
+        |  round(CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE), 6)
+        |    AS mean_c_post,
+        |  round((CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+        |      - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+        |    - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+        |      - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)), 6)
+        |    AS did_estimate
+        |FROM one""".stripMargin,
+
+    "q266_changepoint" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1
+        |), seq AS (
+        |  SELECT d, rev,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+        |  FROM daily
+        |), pre AS (
+        |  SELECT d, t,
+        |    CAST(SUM(rev) OVER w AS DECIMAL(38,2)) AS cs,
+        |    CAST(SUM(CAST(CAST(rev AS DECIMAL(28,2)) * rev
+        |      AS DECIMAL(38,4))) OVER w AS DECIMAL(38,4)) AS cs2
+        |  FROM seq
+        |  WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |), tot AS (
+        |  SELECT max(t) AS n, max(cs) AS s_tot, max(cs2) AS s2_tot
+        |  FROM pre
+        |), sc AS (
+        |  SELECT d, t, n,
+        |    round(CAST(cs AS DOUBLE) / CAST(t AS DOUBLE), 6) AS mean_left,
+        |    round(CAST(s_tot - cs AS DOUBLE) / CAST(n - t AS DOUBLE), 6)
+        |      AS mean_right,
+        |    (CAST(s2_tot AS DOUBLE) - CAST(s_tot AS DOUBLE)
+        |        * CAST(s_tot AS DOUBLE) / CAST(n AS DOUBLE))
+        |      - ((CAST(cs2 AS DOUBLE) - CAST(cs AS DOUBLE)
+        |          * CAST(cs AS DOUBLE) / CAST(t AS DOUBLE))
+        |        + (CAST(s2_tot - cs2 AS DOUBLE)
+        |          - CAST(s_tot - cs AS DOUBLE) * CAST(s_tot - cs AS DOUBLE)
+        |            / CAST(n - t AS DOUBLE))) AS gain_raw
+        |  FROM pre CROSS JOIN tot
+        |  WHERE t >= 7 AND t <= n - 7
+        |), rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY gain_raw DESC, t) AS rn
+        |  FROM sc
+        |)
+        |SELECT d AS split_day, t AS t_index, t AS n_left,
+        |  n - t AS n_right, mean_left, mean_right,
+        |  round(gain_raw / 1000000.0, 3) AS ss_gain_millions
+        |FROM rk WHERE rn = 1""".stripMargin,
+
+    "q267_cuped" ->
+      """WITH base AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+        |    (epoch_us(ts) >= 1705276800000000) AS post
+        |  FROM events WHERE event_type = 'purchase'
+        |), pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN NOT post THEN v
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS x,
+        |    CAST(SUM(CASE WHEN post THEN v
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS y
+        |  FROM base GROUP BY 1
+        |), pua AS (
+        |  SELECT CAST((CAST(md5_number_upper(CAST(user_id AS VARCHAR))
+        |      AS HUGEINT) % 2305843009213693951) % 2 AS BIGINT) AS arm,
+        |    x, y
+        |  FROM pu
+        |), mom AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+        |    CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+        |    CAST(SUM(CAST(CAST(x AS DECIMAL(28,2)) * x AS DECIMAL(38,4)))
+        |      AS DECIMAL(38,4)) AS sxx,
+        |    CAST(SUM(CAST(CAST(y AS DECIMAL(28,2)) * y AS DECIMAL(38,4)))
+        |      AS DECIMAL(38,4)) AS syy,
+        |    CAST(SUM(CAST(CAST(x AS DECIMAL(28,2)) * y AS DECIMAL(38,4)))
+        |      AS DECIMAL(38,4)) AS sxy
+        |  FROM pua
+        |), arms AS (
+        |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_a,
+        |    CAST(SUM(x) AS DECIMAL(38,2)) AS sx_a,
+        |    CAST(SUM(y) AS DECIMAL(38,2)) AS sy_a
+        |  FROM pua GROUP BY 1
+        |), armrow AS (
+        |  SELECT max(CASE WHEN arm = 1 THEN n_a END) AS n_t,
+        |    max(CASE WHEN arm = 0 THEN n_a END) AS n_c,
+        |    max(CASE WHEN arm = 1 THEN sx_a END) AS sx_t,
+        |    max(CASE WHEN arm = 0 THEN sx_a END) AS sx_c,
+        |    max(CASE WHEN arm = 1 THEN sy_a END) AS sy_t,
+        |    max(CASE WHEN arm = 0 THEN sy_a END) AS sy_c
+        |  FROM arms
+        |), md AS (
+        |  SELECT n, n_t, n_c,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS varx,
+        |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vary,
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS covxy,
+        |    CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS amx_t,
+        |    CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS amx_c,
+        |    CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS amy_t,
+        |    CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS amy_c
+        |  FROM mom CROSS JOIN armrow
+        |)
+        |SELECT n AS n_users, n_t, n_c,
+        |  round(covxy / varx, 6) AS theta,
+        |  round(vary, 6) AS var_raw,
+        |  round(vary - covxy * covxy / varx, 6) AS var_cuped,
+        |  round((1.0 - (vary - covxy * covxy / varx) / vary) * 100.0, 6)
+        |    AS reduction_pct,
+        |  round(amy_t - amy_c, 6) AS diff_raw,
+        |  round((amy_t - covxy / varx * (amx_t - mx))
+        |    - (amy_c - covxy / varx * (amx_c - mx)), 6) AS diff_cuped
+        |FROM md""".stripMargin,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional

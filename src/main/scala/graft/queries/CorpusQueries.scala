@@ -6285,4 +6285,175 @@ object CorpusQueries {
           concat(col("symbol"), col("sym1"), col("sym2"))).as("motif3"))
       .orderBy(col("seg"))
   }
+
+  /** Difference-in-differences on purchase value across the Jan-15
+    * mid-stream boundary — the causal-inference workhorse when a change
+    * ships to one cohort mid-period: DiD = (treat_post − treat_pre) −
+    * (ctrl_post − ctrl_pre) cancels both the cohort baseline and the
+    * common time shock that a naive post-only comparison absorbs as
+    * bias. Cohorts are the q154 deterministic hash split; all four cell
+    * sums fold through DECIMAL, so the estimate is four exact divisions
+    * and three subtractions. Scale shape: one combinable 4-cell
+    * aggregate over the fact stream — nothing after it exceeds one row. */
+  def q265_did(spark: SparkSession, dir: String): DataFrame = {
+    val cut = 1705276800000000L // 2024-01-15T00:00:00Z epoch micros
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(graft.functions.StableHash.bucket(col("user_id"), 2).as("arm"),
+        (unix_micros(col("ts")) >= cut).as("post"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val cells = ev.groupBy(col("arm"), col("post"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("v")).cast("decimal(38,2)").as("s"))
+    def cell(arm: Int, post: Boolean, c: String) =
+      max(when(col("arm") === arm && col("post") === post, col(c)))
+    val one = cells.agg(
+      cell(1, post = false, "n").as("n_t_pre"),
+      cell(1, post = true, "n").as("n_t_post"),
+      cell(0, post = false, "n").as("n_c_pre"),
+      cell(0, post = true, "n").as("n_c_post"),
+      cell(1, post = false, "s").as("s_t_pre"),
+      cell(1, post = true, "s").as("s_t_post"),
+      cell(0, post = false, "s").as("s_c_pre"),
+      cell(0, post = true, "s").as("s_c_post"))
+    def m(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    one.select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+      col("n_c_post"),
+      round(m("s_t_pre", "n_t_pre"), 6).as("mean_t_pre"),
+      round(m("s_t_post", "n_t_post"), 6).as("mean_t_post"),
+      round(m("s_c_pre", "n_c_pre"), 6).as("mean_c_pre"),
+      round(m("s_c_post", "n_c_post"), 6).as("mean_c_post"),
+      round((m("s_t_post", "n_t_post") - m("s_t_pre", "n_t_pre")) -
+        (m("s_c_post", "n_c_post") - m("s_c_pre", "n_c_pre")), 6)
+        .as("did_estimate"))
+  }
+
+  /** Single-changepoint detection by binary segmentation on daily
+    * revenue — argmax over split points of the between-segment
+    * sum-of-squares gain, the recursive-segmentation primitive CUSUM
+    * (q158) only flags but does not localize. Prefix sums are exact
+    * DECIMAL (decimal addition is associative, so the running window is
+    * order-immune); every candidate's gain is the same deterministic
+    * double expression on both engines, so the argmax (gain desc, day
+    * tiebreak) cannot diverge. A 7-day margin excludes degenerate edge
+    * splits. The reported gain is scaled to millions before rounding:
+    * at ~1e12 magnitude the DECIMAL(38,4)→double conversions differ
+    * between engines by ~1500 ulps (sub-unit), which the scaled round
+    * absorbs. Scale shape: one date-grain agg, one prefix window, one
+    * grain-sized argmax — candidates are calendar-bounded. */
+  def q266_changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+      .withColumn("t",
+        row_number().over(Window.orderBy(col("d"))).cast("long"))
+    val cum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = daily
+      .withColumn("cs", sum(col("rev")).over(cum).cast("decimal(38,2)"))
+      .withColumn("cs2", sum((col("rev") * col("rev"))
+        .cast("decimal(38,4)")).over(cum).cast("decimal(38,4)"))
+    val tot = pre.agg(max(col("t")).as("n"),
+      max(col("cs")).as("s_tot"), max(col("cs2")).as("s2_tot"))
+    val withTot = pre.crossJoin(broadcast(tot))
+      .filter(col("t") >= 7 && col("t") <= col("n") - 7)
+    val nlD = col("t").cast("double")
+    val nrD = (col("n") - col("t")).cast("double")
+    val slD = col("cs").cast("double")
+    val srD = (col("s_tot") - col("cs")).cast("double")
+    val ssL = col("cs2").cast("double") - slD * slD / nlD
+    val ssR = (col("s2_tot") - col("cs2")).cast("double") - srD * srD / nrD
+    val ssT = col("s2_tot").cast("double") -
+      col("s_tot").cast("double") * col("s_tot").cast("double") /
+        col("n").cast("double")
+    val gain = ssT - (ssL + ssR)
+    val scored = withTot.select(col("d"), col("t"), col("n"),
+      round(slD / nlD, 6).as("mean_left"),
+      round(srD / nrD, 6).as("mean_right"),
+      gain.as("gain_raw"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("gain_raw").desc, col("t"))))
+      .filter(col("rn") === 1)
+      .select(col("d").as("split_day"), col("t").as("t_index"),
+        col("t").as("n_left"), (col("n") - col("t")).as("n_right"),
+        col("mean_left"), col("mean_right"),
+        round(col("gain_raw") / lit(1.0e6d), 3).as("ss_gain_millions"))
+  }
+
+  /** CUPED variance reduction for the purchase A/B test — the
+    * pre-experiment-covariate adjustment every mature experimentation
+    * platform applies before reading a result: θ = cov(pre,post)/var(pre)
+    * and var(Y_adj) = var(Y) − cov²/var(X) IN CLOSED FORM from exact
+    * DECIMAL moment sums, so no second adjusted-data pass exists to
+    * accumulate FP error. Reports the variance reduction and both the
+    * raw and CUPED treatment-effect estimates. Scale shape: one per-user
+    * two-window aggregate, one pooled + per-arm moment aggregate — the
+    * entire analysis is two combinable passes. */
+  def q267_cuped(spark: SparkSession, dir: String): DataFrame = {
+    val cut = 1705276800000000L // 2024-01-15T00:00:00Z
+    val perUser = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value").cast("decimal(18,2)").as("v"),
+        (unix_micros(col("ts")) >= cut).as("post"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(!col("post"), col("v")).otherwise(lit(0)
+          .cast("decimal(18,2)"))).cast("decimal(18,2)").as("x"),
+        sum(when(col("post"), col("v")).otherwise(lit(0)
+          .cast("decimal(18,2)"))).cast("decimal(18,2)").as("y"))
+      .select(graft.functions.StableHash.bucket(col("user_id"), 2).as("arm"),
+        col("x"), col("y"))
+    val mom = perUser.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("x")).cast("decimal(38,2)").as("sx"),
+      sum(col("y")).cast("decimal(38,2)").as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,4)"))
+        .cast("decimal(38,4)").as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,4)"))
+        .cast("decimal(38,4)").as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,4)"))
+        .cast("decimal(38,4)").as("sxy"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).cast("long").as("n_a"),
+        sum(col("x")).cast("decimal(38,2)").as("sx_a"),
+        sum(col("y")).cast("decimal(38,2)").as("sy_a"))
+    val armRow = arms.agg(
+      max(when(col("arm") === 1, col("n_a"))).as("n_t"),
+      max(when(col("arm") === 0, col("n_a"))).as("n_c"),
+      max(when(col("arm") === 1, col("sx_a"))).as("sx_t"),
+      max(when(col("arm") === 0, col("sx_a"))).as("sx_c"),
+      max(when(col("arm") === 1, col("sy_a"))).as("sy_t"),
+      max(when(col("arm") === 0, col("sy_a"))).as("sy_c"))
+    val nD = col("n").cast("double")
+    val mx = col("sx").cast("double") / nD
+    val my = col("sy").cast("double") / nD
+    val varX = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nD) /
+      (nD - lit(1.0d))
+    val varY = (col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double") / nD) /
+      (nD - lit(1.0d))
+    val covXY = (col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double") / nD) /
+      (nD - lit(1.0d))
+    val theta = covXY / varX
+    val varAdj = varY - covXY * covXY / varX
+    def am(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    val diffRaw = am("sy_t", "n_t") - am("sy_c", "n_c")
+    val diffCuped = (am("sy_t", "n_t") -
+      theta * (am("sx_t", "n_t") - mx)) -
+      (am("sy_c", "n_c") - theta * (am("sx_c", "n_c") - mx))
+    mom.crossJoin(armRow)
+      .select(col("n").as("n_users"), col("n_t"), col("n_c"),
+        round(theta, 6).as("theta"),
+        round(varY, 6).as("var_raw"),
+        round(varAdj, 6).as("var_cuped"),
+        round((lit(1.0d) - varAdj / varY) * lit(100.0d), 6)
+          .as("reduction_pct"),
+        round(diffRaw, 6).as("diff_raw"),
+        round(diffCuped, 6).as("diff_cuped"))
+  }
 }
