@@ -5494,6 +5494,106 @@ object Oracles {
         |  round((amy_t - covxy / varx * (amx_t - mx))
         |    - (amy_c - covxy / varx * (amx_c - mx)), 6) AS diff_cuped
         |FROM md""".stripMargin,
+
+    "q268_modularity" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |pj AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+        |      / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) AS j
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |), kept AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM pj WHERE j >= 0.5
+        |), tagged AS MATERIALIZED (
+        |  SELECT id_a, id_b, da.lang AS la, db.lang AS lb
+        |  FROM kept JOIN documents da ON da.doc_id = id_a
+        |  JOIN documents db ON db.doc_id = id_b
+        |), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM tagged),
+        |intra AS (
+        |  SELECT la AS lang, CAST(COUNT(*) AS BIGINT) AS e_c
+        |  FROM tagged WHERE la = lb GROUP BY 1
+        |), deg AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_c
+        |  FROM (SELECT id_a AS v, la AS lang FROM tagged
+        |        UNION ALL SELECT id_b, lb FROM tagged)
+        |  GROUP BY 1
+        |), terms AS (
+        |  SELECT deg.lang, COALESCE(e_c, 0) AS e_c, d_c,
+        |    CAST(round(CAST(COALESCE(e_c, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+        |      - (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+        |        * (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))), 12)
+        |      AS DECIMAL(27,12)) AS term,
+        |    m
+        |  FROM deg LEFT JOIN intra ON intra.lang = deg.lang CROSS JOIN m
+        |), q AS (
+        |  SELECT round(CAST(SUM(term) AS DOUBLE), 6) AS modularity_q
+        |  FROM terms
+        |)
+        |SELECT lang, e_c, d_c,
+        |  round(CAST(term AS DOUBLE), 6) AS q_term, modularity_q,
+        |  m AS n_edges
+        |FROM terms CROSS JOIN q
+        |ORDER BY lang""".stripMargin,
+
+    "q269_skyline" ->
+      """WITH parts AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM part
+        |), flagged AS (
+        |  SELECT p_partkey, size, cents,
+        |    max(size) OVER (ORDER BY cents
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS best_lt,
+        |    max(size) OVER (PARTITION BY cents) AS best_eq
+        |  FROM parts
+        |)
+        |SELECT p_partkey, CAST(cents AS DOUBLE) / 100.0 AS retail_price,
+        |  size
+        |FROM flagged
+        |WHERE (best_lt IS NULL OR best_lt < size) AND best_eq = size
+        |ORDER BY retail_price, p_partkey""".stripMargin,
+
+    "q270_ks_two_sample" ->
+      """WITH ev AS (
+        |  SELECT CAST((CAST(md5_number_upper(CAST(user_id AS VARCHAR))
+        |      AS HUGEINT) % 2305843009213693951) % 2 AS BIGINT) AS arm,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events
+        |), grain AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0v,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1v
+        |  FROM ev GROUP BY v
+        |), cum AS (
+        |  SELECT v, n0v, n1v,
+        |    CAST(SUM(n0v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS c0,
+        |    CAST(SUM(n1v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS c1
+        |  FROM grain
+        |), tot AS (
+        |  SELECT CAST(SUM(n0v) AS BIGINT) AS n0,
+        |    CAST(SUM(n1v) AS BIGINT) AS n1
+        |  FROM grain
+        |), rk AS (
+        |  SELECT v, n0, n1, abs(c0 * n1 - c1 * n0) AS gap_num,
+        |    row_number() OVER (ORDER BY abs(c0 * n1 - c1 * n0) DESC, v)
+        |      AS rn
+        |  FROM cum CROSS JOIN tot
+        |)
+        |SELECT n0, n1, CAST(gap_num AS BIGINT) AS gap_num,
+        |  CAST(v AS DOUBLE) AS at_value,
+        |  round(CAST(gap_num AS DOUBLE)
+        |    / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 6) AS d_stat,
+        |  round(CAST(gap_num AS DOUBLE)
+        |    / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+        |    * sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))), 6) AS ks_z
+        |FROM rk WHERE rn = 1""".stripMargin,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional

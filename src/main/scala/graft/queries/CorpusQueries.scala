@@ -6456,4 +6456,127 @@ object CorpusQueries {
         round(diffRaw, 6).as("diff_raw"),
         round(diffCuped, 6).as("diff_cuped"))
   }
+
+  /** Newman modularity of the LANGUAGE partition over the near-dup graph
+    * — "do near-duplicates concentrate within languages?": Q = Σ_c
+    * [e_c/m − (d_c/2m)²] compares intra-language edge mass against the
+    * degree-preserving random expectation. Unlike the CC partition
+    * (where Q degenerates — every edge is intra-component), the language
+    * partition is exogenous, so Q actually measures assortativity of the
+    * dup structure. Edge/degree masses are exact integers; per-community
+    * terms round through DECIMAL(27,12) before the Q sum. Scale shape:
+    * one id→lang join on the edge list + two combinable aggregates. */
+  def q268_modularity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.similarity.MinHashLsh.nearDuplicatePairs(docs,
+        "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 4,
+        threshold = 0.5, maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val langs = docs.select(col("doc_id"), col("lang"))
+    val tagged = pairs
+      .join(langs.select(col("doc_id").as("id_a"), col("lang").as("la")),
+        "id_a")
+      .join(langs.select(col("doc_id").as("id_b"), col("lang").as("lb")),
+        "id_b")
+    val m = tagged.agg(count(lit(1)).cast("long").as("m"))
+    val intra = tagged.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lang"))
+      .agg(count(lit(1)).cast("long").as("e_c"))
+    val deg = tagged.select(col("id_a").as("v"), col("la").as("lang"))
+      .unionAll(tagged.select(col("id_b").as("v"), col("lb").as("lang")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("d_c"))
+    val mD = col("m").cast("double")
+    val frac = col("e_c").cast("double") / mD
+    val expd = (col("d_c").cast("double") / (lit(2.0d) * mD)) *
+      (col("d_c").cast("double") / (lit(2.0d) * mD))
+    val terms = deg.join(intra, Seq("lang"), "left")
+      .select(col("lang"), col("d_c"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"))
+      .crossJoin(broadcast(m))
+      .select(col("lang"), col("e_c"), col("d_c"),
+        round(frac - expd, 12).cast("decimal(27,12)").as("term"))
+    val q = terms.agg(
+      round(sum(col("term")).cast("double"), 6).as("modularity_q"))
+    terms.crossJoin(broadcast(q)).crossJoin(broadcast(m))
+      .select(col("lang"), col("e_c"), col("d_c"),
+        round(col("term").cast("double"), 6).as("q_term"),
+        col("modularity_q"), col("m").as("n_edges"))
+      .orderBy(col("lang"))
+  }
+
+  /** Skyline (Pareto frontier) of parts on (retail price ↓, size ↑) —
+    * the preference-query operator (Börzsönyi's SKYLINE OF): a part
+    * survives iff no other part is cheaper-or-equal AND bigger-or-equal
+    * with one strict. Computed sort-free of n² via two window maxima:
+    * the best size among STRICTLY cheaper parts (a RANGE frame on the
+    * cents grain — the value-based frame this query exists to exercise)
+    * and the best size among equal-priced parts; both comparisons are
+    * pure integers. Scale shape: one sort by price + two windows — the
+    * classic O(n log n) 2-D skyline, never the quadratic dominance
+    * join. */
+  def q269_skyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_size").cast("long").as("size"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    val wLt = Window.orderBy(col("cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("cents"))
+    val flagged = parts
+      .withColumn("best_lt", max(col("size")).over(wLt))
+      .withColumn("best_eq", max(col("size")).over(wEq))
+    flagged
+      .filter((col("best_lt").isNull || col("best_lt") < col("size")) &&
+        col("best_eq") === col("size"))
+      .select(col("p_partkey"), (col("cents").cast("double") / 100.0)
+        .as("retail_price"), col("size"))
+      .orderBy(col("retail_price"), col("p_partkey"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov between the hash-split arms' value
+    * distributions — the A/A distribution-equality check run before
+    * trusting an experiment split (q154 compares means; KS catches a
+    * split that skews SHAPE). The sup-gap argmax runs on INTEGERS:
+    * maximize |cum₁·n₂ − cum₂·n₁| over the money grain, so no FP value
+    * participates in locating D; the statistic itself is one exact
+    * rational division at the end. Scale shape: one (arm, value) grain
+    * agg + one prefix window on the bounded money domain. */
+  def q270_ks_two_sample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(graft.functions.StableHash.bucket(col("user_id"), 2).as("arm"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val grain = ev.groupBy(col("v"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long")
+          .as("n0v"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n1v"))
+    val cumW = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grain
+      .withColumn("c0", sum(col("n0v")).over(cumW).cast("long"))
+      .withColumn("c1", sum(col("n1v")).over(cumW).cast("long"))
+    val tot = grain.agg(sum(col("n0v")).cast("long").as("n0"),
+      sum(col("n1v")).cast("long").as("n1"))
+    val gap = abs(col("c0") * col("n1") - col("c1") * col("n0"))
+    val scored = cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("n0"), col("n1"), gap.as("gap_num"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("gap_num").desc, col("v"))))
+      .filter(col("rn") === 1)
+      .select(col("n0"), col("n1"), col("gap_num"),
+        col("v").cast("double").as("at_value"),
+        round(col("gap_num").cast("double") /
+          (col("n0").cast("double") * col("n1").cast("double")), 6)
+          .as("d_stat"),
+        round(col("gap_num").cast("double") /
+          (col("n0").cast("double") * col("n1").cast("double")) *
+          sqrt(col("n0").cast("double") * col("n1").cast("double") /
+            (col("n0").cast("double") + col("n1").cast("double"))), 6)
+          .as("ks_z"))
+  }
 }
