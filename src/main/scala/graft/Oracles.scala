@@ -5594,6 +5594,145 @@ object Oracles {
         |    * sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
         |      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))), 6) AS ks_z
         |FROM rk WHERE rn = 1""".stripMargin,
+
+    "q271_periodogram" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1
+        |), seq AS (
+        |  SELECT rev,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+        |  FROM daily
+        |), mom AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(rev) AS DECIMAL(38,2)) AS s1,
+        |    CAST(SUM(CAST(CAST(rev AS DECIMAL(28,2)) * rev
+        |      AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS s2
+        |  FROM seq
+        |), withp AS (
+        |  SELECT rev, t, period,
+        |    6.283185307179586 * CAST(t AS DOUBLE)
+        |      / CAST(period AS DOUBLE) AS theta
+        |  FROM seq CROSS JOIN (SELECT unnest([7, 30, 90]) AS period)
+        |), sums AS (
+        |  SELECT CAST(period AS BIGINT) AS period,
+        |    CAST(SUM(CAST(CAST(round(cos(theta), 12) AS DECIMAL(24,12))
+        |      * rev AS DECIMAL(38,14))) AS DECIMAL(38,14)) AS a,
+        |    CAST(SUM(CAST(CAST(round(sin(theta), 12) AS DECIMAL(24,12))
+        |      * rev AS DECIMAL(38,14))) AS DECIMAL(38,14)) AS b
+        |  FROM withp GROUP BY 1
+        |)
+        |SELECT period,
+        |  round(CAST(a AS DOUBLE) / 1000000.0, 3) AS a_millions,
+        |  round(CAST(b AS DOUBLE) / 1000000.0, 3) AS b_millions,
+        |  round((CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+        |      + CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) * 2.0
+        |    / (CAST(n AS DOUBLE) * (CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |        / CAST(n AS DOUBLE))), 6) AS var_fraction
+        |FROM sums CROSS JOIN mom
+        |ORDER BY period""".stripMargin,
+
+    "q272_welch_anova" ->
+      """WITH gs AS (
+        |  SELECT event_type AS g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |      AS s1,
+        |    CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(18,2))
+        |      AS DECIMAL(28,2)) * CAST(value AS DECIMAL(18,2))
+        |      AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS s2
+        |  FROM events GROUP BY 1
+        |), gd AS (
+        |  SELECT g, n_g,
+        |    CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE) AS mean_g,
+        |    CAST(n_g AS DOUBLE) / ((CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |        / CAST(n_g AS DOUBLE))
+        |      / (CAST(n_g AS DOUBLE) - 1.0)) AS wg
+        |  FROM gs
+        |), base AS (
+        |  SELECT g, n_g,
+        |    CAST(round(wg, 12) AS DECIMAL(27,12)) AS w,
+        |    CAST(round(wg * mean_g, 6) AS DECIMAL(38,6)) AS wm,
+        |    wg, mean_g
+        |  FROM gd
+        |), tots AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(w) AS DECIMAL(38,12)) AS w_tot,
+        |    CAST(SUM(wm) AS DECIMAL(38,6)) AS wm_tot
+        |  FROM base
+        |), terms AS (
+        |  SELECT k, n_g,
+        |    CAST(round(wg * (mean_g - CAST(wm_tot AS DOUBLE)
+        |        / CAST(w_tot AS DOUBLE))
+        |      * (mean_g - CAST(wm_tot AS DOUBLE)
+        |        / CAST(w_tot AS DOUBLE)), 6) AS DECIMAL(38,6)) AS a_t,
+        |    CAST(round((1.0 - wg / CAST(w_tot AS DOUBLE))
+        |      * (1.0 - wg / CAST(w_tot AS DOUBLE))
+        |      / (CAST(n_g AS DOUBLE) - 1.0), 12) AS DECIMAL(27,12)) AS b_t
+        |  FROM base CROSS JOIN tots
+        |), red AS (
+        |  SELECT max(k) AS k, CAST(SUM(n_g) AS BIGINT) AS n_tot,
+        |    CAST(SUM(a_t) AS DOUBLE) AS a_sum,
+        |    CAST(SUM(b_t) AS DOUBLE) AS b_sum
+        |  FROM terms
+        |)
+        |SELECT k, n_tot,
+        |  round((a_sum / (CAST(k AS DOUBLE) - 1.0))
+        |    / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+        |      / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) * b_sum), 6)
+        |    AS f_welch,
+        |  k - 1 AS df1,
+        |  round((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+        |    / (3.0 * b_sum), 6) AS df2
+        |FROM red""".stripMargin,
+
+    "q273_permutation_entropy" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1
+        |), seq AS (
+        |  SELECT rev,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+        |  FROM daily
+        |), tri AS (
+        |  SELECT a.rev AS x1, b.rev AS x2, c.rev AS x3
+        |  FROM seq a JOIN seq b ON b.t = a.t + 1
+        |  JOIN seq c ON c.t = a.t + 2
+        |), pats AS (
+        |  SELECT (1 + (CASE WHEN x2 < x1 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN x3 < x1 THEN 1 ELSE 0 END)) * 100
+        |    + (1 + (CASE WHEN x1 < x2 OR x1 = x2 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN x3 < x2 THEN 1 ELSE 0 END)) * 10
+        |    + (1 + (CASE WHEN x1 < x3 OR x1 = x3 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN x2 < x3 OR x2 = x3 THEN 1 ELSE 0 END))
+        |    AS pattern
+        |  FROM tri
+        |), cnts AS (
+        |  SELECT CAST(pattern AS BIGINT) AS pattern,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM pats GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tri FROM cnts),
+        |terms AS (
+        |  SELECT pattern, cnt, n_tri,
+        |    round(CAST(cnt AS DOUBLE) / CAST(n_tri AS DOUBLE), 6)
+        |      AS p_hat,
+        |    CAST(round(-(CAST(cnt AS DOUBLE) / CAST(n_tri AS DOUBLE))
+        |      * ln(CAST(cnt AS DOUBLE) / CAST(n_tri AS DOUBLE)), 12)
+        |      AS DECIMAL(27,12)) AS term
+        |  FROM cnts CROSS JOIN tot
+        |), h AS (
+        |  SELECT round(CAST(SUM(term) AS DOUBLE) / ln(6.0), 6)
+        |    AS perm_entropy
+        |  FROM terms
+        |)
+        |SELECT pattern, cnt, p_hat, perm_entropy, n_tri
+        |FROM terms CROSS JOIN h
+        |ORDER BY pattern""".stripMargin,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional

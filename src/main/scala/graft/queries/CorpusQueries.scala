@@ -6579,4 +6579,157 @@ object CorpusQueries {
             (col("n0").cast("double") + col("n1").cast("double"))), 6)
           .as("ks_z"))
   }
+
+  /** Goertzel-style single-bin periodogram of daily revenue at the 7/30/
+    * 90-day periods — "which cadence dominates the series" without a full
+    * FFT (at fixed business frequencies the three-bin probe IS the
+    * production shape). Determinism trick: the trig factor is rounded to
+    * 12 decimals FIRST (absorbing last-ulp libm cos/sin differences
+    * while the value is O(1)) and THEN multiplied as DECIMAL by the
+    * exact DECIMAL revenue — so the Fourier sums are exact decimal
+    * arithmetic, immune to both FP sum order and libm drift at 1e7
+    * magnitudes. Variance-fraction uses the series' exact moments.
+    * Scale shape: date-grain only, one pass per fixed frequency. */
+  def q271_periodogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+      .withColumn("t",
+        row_number().over(Window.orderBy(col("d"))).cast("long"))
+    val mom = daily.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("rev")).cast("decimal(38,2)").as("s1"),
+      sum((col("rev") * col("rev")).cast("decimal(38,4)"))
+        .cast("decimal(38,4)").as("s2"))
+    val twoPi = lit(6.283185307179586d)
+    val withP = daily
+      .withColumn("period", explode(array(lit(7L), lit(30L), lit(90L))))
+      .withColumn("theta",
+        twoPi * col("t").cast("double") / col("period").cast("double"))
+    val sums = withP
+      .withColumn("cf", round(cos(col("theta")), 12).cast("decimal(14,12)"))
+      .withColumn("sf", round(sin(col("theta")), 12).cast("decimal(14,12)"))
+      .groupBy(col("period"))
+      .agg(sum((col("cf") * col("rev")).cast("decimal(38,14)"))
+          .cast("decimal(38,14)").as("a"),
+        sum((col("sf") * col("rev")).cast("decimal(38,14)"))
+          .cast("decimal(38,14)").as("b"))
+    val nD = col("n").cast("double")
+    val ss = col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / nD
+    val aD = col("a").cast("double")
+    val bD = col("b").cast("double")
+    val power = aD * aD + bD * bD
+    sums.crossJoin(broadcast(mom))
+      .select(col("period"),
+        round(aD / lit(1.0e6d), 3).as("a_millions"),
+        round(bD / lit(1.0e6d), 3).as("b_millions"),
+        round(power * lit(2.0d) / (nD * ss), 6).as("var_fraction"))
+      .orderBy(col("period"))
+  }
+
+  /** Welch's heteroscedastic one-way ANOVA across event types — the
+    * equality-of-means test q241's Brown-Forsythe gates FOR: when
+    * spreads differ, classic ANOVA's pooled variance is wrong and
+    * Welch's weights w=n/s² repair it. All group moments are exact
+    * DECIMAL sums; the three cross-group reductions (ΣW, Σw·m, and the
+    * two quadratic-term sums) round each term to 12 decimals and fold
+    * through DECIMAL so no 5-element FP sum order can flip the
+    * statistic; Welch-Satterthwaite df₂ comes from the same sums.
+    * Scale shape: one combinable (n, Σx, Σx²) aggregate per group —
+    * nothing after it exceeds k rows. */
+  def q272_welch_anova(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type").as("g"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val gs = ev.groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("n_g"),
+        sum(col("v")).cast("decimal(38,2)").as("s1"),
+        sum((col("v") * col("v")).cast("decimal(38,4)"))
+          .cast("decimal(38,4)").as("s2"))
+    val nD = col("n_g").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val s2g = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / nD) /
+      (nD - lit(1.0d))
+    val wg = nD / s2g
+    val base = gs.select(col("g"), col("n_g"),
+      round(wg, 12).cast("decimal(27,12)").as("w"),
+      round(wg * mean, 6).cast("decimal(38,6)").as("wm"))
+    val tots = base.agg(count(lit(1)).cast("long").as("k"),
+      sum(col("w")).cast("decimal(38,12)").as("w_tot"),
+      sum(col("wm")).cast("decimal(38,6)").as("wm_tot"))
+    val mw = col("wm_tot").cast("double") / col("w_tot").cast("double")
+    val joined = gs.crossJoin(broadcast(tots))
+    val dev = mean - mw
+    val aTerm = round(wg * dev * dev, 6).cast("decimal(38,6)")
+    val bTerm = round(
+      (lit(1.0d) - wg / col("w_tot").cast("double")) *
+        (lit(1.0d) - wg / col("w_tot").cast("double")) / (nD - lit(1.0d)),
+      12).cast("decimal(27,12)")
+    val reduced = joined.select(col("k"), col("n_g"),
+        aTerm.as("a_t"), bTerm.as("b_t"))
+      .agg(max(col("k")).as("k"), sum(col("n_g")).cast("long").as("n_tot"),
+        sum(col("a_t")).cast("double").as("a_sum"),
+        sum(col("b_t")).cast("double").as("b_sum"))
+    val kD = col("k").cast("double")
+    val fW = (col("a_sum") / (kD - lit(1.0d))) /
+      (lit(1.0d) + lit(2.0d) * (kD - lit(2.0d)) /
+        (kD * kD - lit(1.0d)) * col("b_sum"))
+    val df2 = (kD * kD - lit(1.0d)) / (lit(3.0d) * col("b_sum"))
+    reduced.select(col("k"), col("n_tot"),
+      round(fW, 6).as("f_welch"),
+      (col("k") - 1L).as("df1"),
+      round(df2, 6).as("df2"))
+  }
+
+  /** Bandt-Pompe permutation entropy (order 3) of daily revenue — the
+    * model-free complexity measure: near 1 the series is
+    * indistinguishable from noise at this scale, near 0 it is strongly
+    * patterned. Ordinal patterns come from exact DECIMAL comparisons
+    * with the standard earlier-index-wins tie rule, so every triple maps
+    * to one of 6 integer codes identically on both engines; only the
+    * −Σp·ln p fold is FP, with per-pattern terms rounded through
+    * DECIMAL(27,12). Scale shape: two grain-sized lag joins + one 6-row
+    * aggregate. */
+  def q273_permutation_entropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("rev"))
+      .withColumn("t",
+        row_number().over(Window.orderBy(col("d"))).cast("long"))
+      .select(col("t"), col("rev"))
+    val tri = daily.select(col("t"), col("rev").as("x1"))
+      .join(daily.select((col("t") - 1).as("t"), col("rev").as("x2")), "t")
+      .join(daily.select((col("t") - 2).as("t"), col("rev").as("x3")), "t")
+    // "u@i precedes v@j": u < v, or equal values with the earlier index
+    def prec(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column,
+             earlier: Boolean) =
+      when(u < v || (u === v && lit(earlier)), 1L).otherwise(0L)
+    val r1 = lit(1L) + prec(col("x2"), col("x1"), earlier = false) +
+      prec(col("x3"), col("x1"), earlier = false)
+    val r2 = lit(1L) + prec(col("x1"), col("x2"), earlier = true) +
+      prec(col("x3"), col("x2"), earlier = false)
+    val r3 = lit(1L) + prec(col("x1"), col("x3"), earlier = true) +
+      prec(col("x2"), col("x3"), earlier = true)
+    val pats = tri
+      .select((r1 * 100L + r2 * 10L + r3).as("pattern"))
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val tot = pats.agg(sum(col("cnt")).cast("long").as("n_tri"))
+    val p = col("cnt").cast("double") / col("n_tri").cast("double")
+    val terms = pats.crossJoin(broadcast(tot))
+      .select(col("pattern"), col("cnt"), col("n_tri"),
+        round(p, 6).as("p_hat"),
+        round(-p * log(p), 12).cast("decimal(27,12)").as("term"))
+    val h = terms.agg(round(sum(col("term")).cast("double") /
+      log(lit(6.0d)), 6).as("perm_entropy"))
+    terms.crossJoin(broadcast(h))
+      .select(col("pattern"), col("cnt"), col("p_hat"),
+        col("perm_entropy"), col("n_tri"))
+      .orderBy(col("pattern"))
+  }
 }
