@@ -5733,6 +5733,131 @@ object Oracles {
         |SELECT pattern, cnt, p_hat, perm_entropy, n_tri
         |FROM terms CROSS JOIN h
         |ORDER BY pattern""".stripMargin,
+
+    "q274_eb_shrinkage" ->
+      """WITH src AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pass
+        |  FROM documents GROUP BY 1
+        |), scored AS (
+        |  SELECT source, n, pass,
+        |    CAST(round(CAST(pass AS DOUBLE) / CAST(n AS DOUBLE), 12)
+        |      AS DECIMAL(27,12)) AS rd,
+        |    CAST(round((CAST(pass AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(pass AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+        |      AS DECIMAL(27,12)) AS rd2
+        |  FROM src
+        |), pri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(rd) AS DECIMAL(38,12)) AS sr,
+        |    CAST(SUM(rd2) AS DECIMAL(38,12)) AS sr2
+        |  FROM scored
+        |), md AS (
+        |  SELECT k, CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) AS m,
+        |    (CAST(sr2 AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+        |      / CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0) AS v
+        |  FROM pri
+        |), cp AS (
+        |  SELECT m, m * (1.0 - m) / v - 1.0 AS c FROM md
+        |)
+        |SELECT source, n, pass,
+        |  round(CAST(pass AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+        |  round((CAST(pass AS DOUBLE) + m * c)
+        |    / (CAST(n AS DOUBLE) + c), 6) AS shrunk_rate,
+        |  round(CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) + c), 6)
+        |    AS shrink_weight,
+        |  round(m, 6) AS prior_mean
+        |FROM scored CROSS JOIN cp
+        |ORDER BY source""".stripMargin,
+
+    "q275_gini_screening" ->
+      """WITH ev AS (
+        |  SELECT ts, value,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events
+        |), melted AS (
+        |  SELECT 'hour6' AS feature,
+        |    CAST(floor(CAST(hour(ts) AS DOUBLE) / 6.0) AS BIGINT)
+        |      AS bucket, pos
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT 'value_band',
+        |    CASE WHEN value < 10 THEN 0 WHEN value < 50 THEN 1
+        |         WHEN value < 150 THEN 2 ELSE 3 END, pos
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT 'weekday',
+        |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+        |      AS BIGINT) % 7, pos
+        |  FROM ev
+        |), cell AS (
+        |  SELECT feature, bucket, CAST(COUNT(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(pos) AS BIGINT) AS p_b
+        |  FROM melted GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT feature, CAST(SUM(n_b) AS BIGINT) AS n_tot,
+        |    CAST(SUM(p_b) AS BIGINT) AS p_tot
+        |  FROM cell GROUP BY 1
+        |), j AS (
+        |  SELECT cell.feature, n_b, p_b, n_tot, p_tot,
+        |    CAST(round(CAST(n_b AS DOUBLE) / CAST(n_tot AS DOUBLE)
+        |      * (1.0 - (CAST(p_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |          * (CAST(p_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        - (1.0 - CAST(p_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |          * (1.0 - CAST(p_b AS DOUBLE) / CAST(n_b AS DOUBLE))),
+        |      12) AS DECIMAL(27,12)) AS w_term,
+        |    1.0 - (CAST(p_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |        * (CAST(p_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |      - (1.0 - CAST(p_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |        * (1.0 - CAST(p_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |      AS parent_g
+        |  FROM cell JOIN tot ON tot.feature = cell.feature
+        |)
+        |SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  round(max(parent_g), 6) AS gini_parent,
+        |  round(CAST(SUM(w_term) AS DOUBLE), 6) AS gini_split,
+        |  round(max(parent_g) - CAST(SUM(w_term) AS DOUBLE), 6)
+        |    AS gini_gain
+        |FROM j GROUP BY feature ORDER BY feature""".stripMargin,
+
+    "q276_tornado" ->
+      """WITH li AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS ep,
+        |    CAST(l_discount AS DECIMAL(18,2)) AS disc,
+        |    CAST(l_tax AS DECIMAL(18,2)) AS tax
+        |  FROM lineitem
+        |), scen AS (
+        |  SELECT scenario, CAST(mp AS DECIMAL(2,1)) AS mp,
+        |    CAST(md AS DECIMAL(2,1)) AS md, CAST(mt AS DECIMAL(2,1)) AS mt
+        |  FROM (VALUES ('base', '1.0', '1.0', '1.0'),
+        |    ('price_down', '0.9', '1.0', '1.0'),
+        |    ('price_up', '1.1', '1.0', '1.0'),
+        |    ('discount_down', '1.0', '0.9', '1.0'),
+        |    ('discount_up', '1.0', '1.1', '1.0'),
+        |    ('tax_down', '1.0', '1.0', '0.9'),
+        |    ('tax_up', '1.0', '1.0', '1.1'))
+        |    AS v(scenario, mp, md, mt)
+        |), totals AS (
+        |  SELECT scenario,
+        |    CAST(SUM(CAST(
+        |      CAST(CAST(ep * mp AS DECIMAL(24,3))
+        |        * CAST(CAST(1 AS DECIMAL(4,3))
+        |          - CAST(disc * md AS DECIMAL(6,3)) AS DECIMAL(6,3))
+        |        AS DECIMAL(28,6))
+        |      * CAST(CAST(1 AS DECIMAL(4,3))
+        |        + CAST(tax * mt AS DECIMAL(6,3)) AS DECIMAL(6,3))
+        |      AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS tot
+        |  FROM li CROSS JOIN scen GROUP BY 1
+        |), bt AS (
+        |  SELECT tot AS base_tot FROM totals WHERE scenario = 'base'
+        |)
+        |SELECT scenario,
+        |  round(CAST(tot AS DOUBLE) / 1000000.0, 3) AS revenue_millions,
+        |  round((CAST(tot AS DOUBLE) - CAST(base_tot AS DOUBLE))
+        |    / CAST(base_tot AS DOUBLE) * 100.0, 6) AS delta_pct
+        |FROM totals CROSS JOIN bt
+        |ORDER BY scenario""".stripMargin,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional

@@ -6732,4 +6732,141 @@ object CorpusQueries {
         col("perm_entropy"), col("n_tri"))
       .orderBy(col("pattern"))
   }
+
+  /** Empirical-Bayes (beta-binomial) shrinkage of per-source quality
+    * pass rates — the fix for q238's small-sample problem from the other
+    * direction: instead of ranking by a confidence bound, SHRINK each
+    * source's rate toward the cross-source prior, with shrink weight
+    * n/(n+α+β) so tiny sources borrow strength and big sources keep
+    * their data. The beta prior is method-of-moments from the observed
+    * rate spread (per-source terms rounded through DECIMAL before the
+    * k-element mean/variance sums). Scale shape: one combinable
+    * per-source aggregate; everything after is k rows. */
+  def q274_eb_shrinkage(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).cast("long")
+          .as("pass"))
+    val r = col("pass").cast("double") / col("n").cast("double")
+    val scored = src.select(col("source"), col("n"), col("pass"),
+      round(r, 12).cast("decimal(27,12)").as("rd"),
+      round(r * r, 12).cast("decimal(27,12)").as("rd2"))
+    val pri = scored.agg(count(lit(1)).cast("long").as("k"),
+      sum(col("rd")).cast("decimal(38,12)").as("sr"),
+      sum(col("rd2")).cast("decimal(38,12)").as("sr2"))
+    val kD = col("k").cast("double")
+    val m = col("sr").cast("double") / kD
+    val v = (col("sr2").cast("double") -
+      col("sr").cast("double") * col("sr").cast("double") / kD) /
+      (kD - lit(1.0d))
+    val c = m * (lit(1.0d) - m) / v - lit(1.0d)
+    val alpha = m * c
+    scored.crossJoin(broadcast(pri))
+      .select(col("source"), col("n"), col("pass"),
+        round(col("pass").cast("double") / col("n").cast("double"), 6)
+          .as("raw_rate"),
+        round((col("pass").cast("double") + alpha) /
+          (col("n").cast("double") + c), 6).as("shrunk_rate"),
+        round(col("n").cast("double") / (col("n").cast("double") + c), 6)
+          .as("shrink_weight"),
+        round(m, 6).as("prior_mean"))
+      .orderBy(col("source"))
+  }
+
+  /** Decision-stump feature screening by Gini impurity reduction for
+    * predicting purchase events — the split-quality computation inside
+    * every tree learner, run as the cheap "which feature is worth a
+    * model" triage. Three candidate features (6-hour time-of-day bucket,
+    * fixed value band, epoch-day weekday) are melted to one
+    * (feature, bucket, label) count table; weighted child Gini folds
+    * integer counts with per-bucket terms rounded through DECIMAL.
+    * Weekday comes from epoch-day mod 7 — no engine weekday-origin
+    * convention involved. Scale shape: one melt + one combinable
+    * (feature, bucket) aggregate. */
+  def q275_gini_screening(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("value"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    val melted = ev.select(lit("hour6").as("feature"),
+        floor(hour(col("ts")).cast("double") / lit(6.0d)).cast("long")
+          .as("bucket"), col("pos"))
+      .unionAll(ev.select(lit("value_band").as("feature"),
+        when(col("value") < 10, 0L).when(col("value") < 50, 1L)
+          .when(col("value") < 150, 2L).otherwise(3L).as("bucket"),
+        col("pos")))
+      .unionAll(ev.select(lit("weekday").as("feature"),
+        pmod(floor(unix_micros(col("ts")).cast("double") /
+          lit(86400000000.0d)).cast("long"), lit(7L)).as("bucket"),
+        col("pos")))
+    val cell = melted.groupBy(col("feature"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_b"),
+        sum(col("pos")).cast("long").as("p_b"))
+    val tot = cell.groupBy(col("feature"))
+      .agg(sum(col("n_b")).cast("long").as("n_tot"),
+        sum(col("p_b")).cast("long").as("p_tot"))
+    val pb = col("p_b").cast("double") / col("n_b").cast("double")
+    val childG = lit(1.0d) - pb * pb -
+      (lit(1.0d) - pb) * (lit(1.0d) - pb)
+    val wTerm = round(col("n_b").cast("double") /
+      col("n_tot").cast("double") * childG, 12).cast("decimal(27,12)")
+    val pt = col("p_tot").cast("double") / col("n_tot").cast("double")
+    val parentG = lit(1.0d) - pt * pt -
+      (lit(1.0d) - pt) * (lit(1.0d) - pt)
+    cell.join(tot, "feature")
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        round(max(parentG), 6).as("gini_parent"),
+        round(sum(wTerm).cast("double"), 6).as("gini_split"),
+        round(max(parentG) - sum(wTerm).cast("double"), 6).as("gini_gain"))
+      .orderBy(col("feature"))
+  }
+
+  /** One-at-a-time sensitivity ("tornado") analysis of total charge
+    * revenue to ±10% in extended price, discount, and tax — the
+    * what-if grid a pricing review runs before committing a change.
+    * Every scenario's revenue Σ ep·m_p·(1−disc·m_d)·(1+tax·m_t) folds
+    * ENTIRELY through DECIMAL (the multipliers are scale-1 decimals), so
+    * the seven scenario totals are exact to the cent and the deltas are
+    * one division each. Scale shape: the 7-scenario grid is a literal
+    * cross join; one combinable aggregate per pass over the fact
+    * table — at scale a single pass with 7 conditional sums. */
+  def q276_tornado(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").cast("decimal(18,2)").as("ep"),
+        col("l_discount").cast("decimal(18,2)").as("disc"),
+        col("l_tax").cast("decimal(18,2)").as("tax"))
+    val scen = Seq(
+      ("base", "1.0", "1.0", "1.0"),
+      ("price_down", "0.9", "1.0", "1.0"),
+      ("price_up", "1.1", "1.0", "1.0"),
+      ("discount_down", "1.0", "0.9", "1.0"),
+      ("discount_up", "1.0", "1.1", "1.0"),
+      ("tax_down", "1.0", "1.0", "0.9"),
+      ("tax_up", "1.0", "1.0", "1.1"))
+      .toDF("scenario", "mp", "md", "mt")
+      .select(col("scenario"), col("mp").cast("decimal(2,1)").as("mp"),
+        col("md").cast("decimal(2,1)").as("md"),
+        col("mt").cast("decimal(2,1)").as("mt"))
+    val f = (col("ep") * col("mp")).cast("decimal(24,3)")
+    val g = (lit(1).cast("decimal(4,3)") -
+      (col("disc") * col("md")).cast("decimal(6,3)")).cast("decimal(6,3)")
+    val h = (lit(1).cast("decimal(4,3)") +
+      (col("tax") * col("mt")).cast("decimal(6,3)")).cast("decimal(6,3)")
+    val rev = (f * g).cast("decimal(28,6)") * h
+    val totals = li.crossJoin(broadcast(scen))
+      .groupBy(col("scenario"))
+      .agg(sum(rev.cast("decimal(38,9)")).cast("decimal(38,9)").as("tot"))
+    val baseTot = totals.filter(col("scenario") === "base")
+      .select(col("tot").as("base_tot"))
+    totals.crossJoin(broadcast(baseTot))
+      .select(col("scenario"),
+        round(col("tot").cast("double") / lit(1.0e6d), 3)
+          .as("revenue_millions"),
+        round((col("tot").cast("double") - col("base_tot").cast("double")) /
+          col("base_tot").cast("double") * lit(100.0d), 6)
+          .as("delta_pct"))
+      .orderBy(col("scenario"))
+  }
 }
