@@ -5858,6 +5858,71 @@ object Oracles {
         |    / CAST(base_tot AS DOUBLE) * 100.0, 6) AS delta_pct
         |FROM totals CROSS JOIN bt
         |ORDER BY scenario""".stripMargin,
+
+    "q277_merkle_diff" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(floor(CAST(epoch_us(o_orderdate) AS DOUBLE)
+        |      / 86400000000.0) AS BIGINT) AS eday,
+        |    o_orderkey % 256 AS bucket
+        |  FROM orders
+        |), h AS (
+        |  SELECT bucket, o_orderkey,
+        |    CAST(CAST(md5_number_upper(concat_ws('|', o_orderkey,
+        |      o_custkey, cents, eday)) AS HUGEINT)
+        |      % 2305843009213693951 AS BIGINT) AS rh
+        |  FROM r
+        |), f AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_full,
+        |    CAST(SUM(CAST(rh AS HUGEINT)) % 2305843009213693951
+        |      AS BIGINT) AS dig_full
+        |  FROM h GROUP BY 1
+        |), rep AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_replica,
+        |    CAST(SUM(CAST(rh AS HUGEINT)) % 2305843009213693951
+        |      AS BIGINT) AS dig_replica
+        |  FROM h WHERE o_orderkey % 1000 <> 7 GROUP BY 1
+        |)
+        |SELECT f.bucket, n_full, COALESCE(n_replica, 0) AS n_replica,
+        |  dig_full, COALESCE(dig_replica, 0) AS dig_replica
+        |FROM f LEFT JOIN rep ON rep.bucket = f.bucket
+        |WHERE dig_full <> COALESCE(dig_replica, 0)
+        |ORDER BY f.bucket""".stripMargin,
+
+    "q278_erasure_audit" ->
+      """WITH dl AS (
+        |  SELECT DISTINCT user_id AS k FROM events
+        |  WHERE (CAST(md5_number_upper(CAST(user_id AS VARCHAR))
+        |    AS HUGEINT) % 2305843009213693951) % 97 = 0
+        |)
+        |SELECT * FROM (
+        |  SELECT 'events' AS table_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows_referencing,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_keys
+        |  FROM events WHERE user_id IN (SELECT k FROM dl)
+        |  UNION ALL
+        |  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+        |  FROM orders WHERE o_custkey IN (SELECT k FROM dl)
+        |  UNION ALL
+        |  SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+        |  FROM customer WHERE c_custkey IN (SELECT k FROM dl)
+        |  UNION ALL
+        |  SELECT '_deletion_list', CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT)
+        |  FROM dl
+        |) ORDER BY table_name""".stripMargin,
+
+    "q279_incremental_state" ->
+      """SELECT user_id, event_id, ts_us, event_type FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional

@@ -6869,4 +6869,104 @@ object CorpusQueries {
           .as("delta_pct"))
       .orderBy(col("scenario"))
   }
+
+  /** Merkle-style bucket digests for anti-entropy replica repair — the
+    * Cassandra/Dynamo primitive: digest each key-range bucket with an
+    * ORDER-FREE combinable sum of per-row hashes, compare against a
+    * replica (here: one simulating lost rows), and ship only mismatched
+    * buckets. Row hashes use the engine-portable md5-number channel
+    * (exact on both engines), bucket digests are Σ hash mod p — a
+    * commutative monoid, so distribution order can't change a digest.
+    * Row reprs concatenate INTEGER fields only (cents, epoch days) — no
+    * float formatting enters the hash. Scale shape: one combinable
+    * aggregate per replica; the diff is a |buckets|-row join. */
+  def q277_merkle_diff(spark: SparkSession, dir: String): DataFrame = {
+    val p = 2305843009213693951L
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        floor(unix_micros(col("o_orderdate")).cast("double") /
+          lit(86400000000.0d)).cast("long").as("eday"))
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(256L)))
+      .withColumn("rh", element_at(graft.functions.MinHashSig.minhashSig(
+        array(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          col("cents"), col("eday"))), 1), 1))
+    def digest(df: DataFrame) = df.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        pmod(sum(col("rh").cast("decimal(38,0)")),
+          lit(p).cast("decimal(38,0)")).cast("long").as("dig"))
+    val full = digest(rows)
+    val replica = digest(rows.filter(pmod(col("o_orderkey"), lit(1000L))
+      =!= 7L))
+    full.select(col("bucket"), col("n").as("n_full"),
+        col("dig").as("dig_full"))
+      .join(replica.select(col("bucket"), col("n").as("n_replica"),
+        col("dig").as("dig_replica")), Seq("bucket"), "left")
+      .select(col("bucket"), col("n_full"),
+        coalesce(col("n_replica"), lit(0L)).as("n_replica"),
+        col("dig_full"), coalesce(col("dig_replica"), lit(0L))
+          .as("dig_replica"))
+      .filter(col("dig_full") =!= col("dig_replica"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Cross-table GDPR erasure audit — given a deletion list (the users a
+    * right-to-be-forgotten request names, here the deterministic 1/97
+    * hash slice), count every surviving reference in every table that
+    * carries the key: the report a DPO needs BEFORE and AFTER the purge
+    * job runs. Pure semi-join counts per table, unioned into one
+    * sweep-result relation. Scale shape: the deletion list broadcasts;
+    * each table contributes one semi-join + combinable count — no
+    * cross-table shuffle at all. */
+  def q278_erasure_audit(spark: SparkSession, dir: String): DataFrame = {
+    val delList = Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .filter(graft.functions.StableHash.bucket(col("user_id"), 97) === 0)
+      .select(col("user_id").as("k"))
+    val dl = broadcast(delList)
+    def audit(df: DataFrame, keyCol: String, table: String) =
+      df.select(col(keyCol).as("k"))
+        .join(dl, "k", "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_rows_referencing"),
+          count_distinct(col("k")).cast("long").as("n_distinct_keys"))
+        .select(lit(table).as("table_name"), col("n_rows_referencing"),
+          col("n_distinct_keys"))
+    val nDel = delList
+      .agg(count(lit(1)).cast("long").as("n_rows_referencing"),
+        count(lit(1)).cast("long").as("n_distinct_keys"))
+      .select(lit("_deletion_list").as("table_name"),
+        col("n_rows_referencing"), col("n_distinct_keys"))
+    audit(Tables.events(spark, dir), "user_id", "events")
+      .unionByName(audit(Tables.orders(spark, dir), "o_custkey", "orders"))
+      .unionByName(audit(Tables.customer(spark, dir), "c_custkey",
+        "customer"))
+      .unionByName(nDel)
+      .orderBy(col("table_name"))
+  }
+
+  /** Incremental-ingest invariance proof: latest-state-per-user computed
+    * as batch1-state THEN upsert(batch2) must equal the single-pass
+    * recompute — the correctness contract that lets a 100 TB pipeline
+    * process only the delta. The Spark side runs the REAL two-batch path
+    * through [[graft.transform.Dedup.latestByKeyAgg]] (map-side
+    * combinable max_by) and [[graft.transform.Merge.upsertByKey]]; the
+    * oracle is the full-recompute window — so a hash match IS the
+    * invariance proof, not a self-comparison. Scale shape: per-batch
+    * keyed aggregates + one anti-join on broadcast update keys. */
+  def q279_incremental_state(spark: SparkSession, dir: String): DataFrame = {
+    val cut = 1705708800000000L // 2024-01-20T00:00:00Z
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val batch1 = ev.filter(col("ts_us") < cut)
+    val batch2 = ev.filter(col("ts_us") >= cut)
+    val state1 = graft.transform.Dedup.latestByKeyAgg(batch1,
+      Seq("user_id"), "ts_us", "event_id")
+    graft.transform.Merge.upsertByKey(state1, batch2, Seq("user_id"),
+        "ts_us", "event_id")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"))
+      .orderBy(col("user_id"))
+  }
 }
