@@ -5592,6 +5592,10 @@ object CorpusQueries {
           "left_semi")
         .join(keep.withColumnRenamed("v", "id_b"), Seq("id_b"), "left_semi")
         .select(col("id_a"), col("id_b"))
+        // truncate per round: the surviving edge set is tiny, and without
+        // this the 4 rounds stack into one 12-shuffle plan that Catalyst
+        // re-plans wholesale (8.5s at sf0.1 vs ~1s truncated)
+        .localCheckpoint(true)
     }
     e.select(col("id_a").as("v")).unionAll(e.select(col("id_b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).cast("long").as("core_degree"))
