@@ -5923,6 +5923,75 @@ object Oracles {
         |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events
         |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q280_pit_features" ->
+      """SELECT event_id, user_id, us, n_prior_7d,
+        |  CAST(sum_prior_7d AS DOUBLE) AS sum_prior_7d,
+        |  n_prior_purchases
+        |FROM (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n_prior_7d,
+        |    COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w
+        |      AS DECIMAL(38,2)), CAST(0 AS DECIMAL(38,2)))
+        |      AS sum_prior_7d,
+        |    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) OVER w AS BIGINT), 0) AS n_prior_purchases
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+        |) WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q281_calendarize" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    CAST(max(l_shipdate) AS DATE) AS last_ship
+        |  FROM lineitem GROUP BY 1
+        |), spans AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(o_orderdate AS DATE) AS d0,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(date_diff('day', CAST(o_orderdate AS DATE), last_ship)
+        |        + 1 AS BIGINT)) AS n_days
+        |  FROM orders JOIN ls USING (o_orderkey)
+        |), alloc AS (
+        |  SELECT d0 + CAST(i AS INTEGER) AS day,
+        |    CAST(floor(CAST(cents AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |      AS BIGINT)
+        |      + (CASE WHEN i < cents % n_days THEN 1 ELSE 0 END)
+        |      AS alloc_cents
+        |  FROM spans, LATERAL unnest(range(0, n_days)) AS u(i)
+        |)
+        |SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
+        |  CAST(SUM(alloc_cents) AS DOUBLE) / 100.0 AS allocated,
+        |  CAST(COUNT(*) AS BIGINT) AS n_order_days
+        |FROM alloc GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q282_rendezvous_hash" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, s,
+        |    CAST(CAST(md5_number_upper(concat_ws('#', doc_id, s))
+        |      AS HUGEINT) % 2305843009213693951 AS BIGINT) AS h
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS s)
+        |), assigned AS (
+        |  SELECT doc_id,
+        |    CAST((max(struct_pack(h := h, s := s))).s AS BIGINT) AS s8,
+        |    CAST((max(CASE WHEN s <> 3
+        |      THEN struct_pack(h := h, s := s) END)).s AS BIGINT) AS s7
+        |  FROM keyed GROUP BY 1
+        |)
+        |SELECT s7 AS shard,
+        |  CAST(SUM(CASE WHEN s8 = s7 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_stayed,
+        |  CAST(SUM(CASE WHEN s8 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_moved_from_removed,
+        |  CAST(SUM(CASE WHEN s8 <> 3 AND s8 <> s7 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved_from_surviving,
+        |  CAST(COUNT(*) AS BIGINT) AS n_after
+        |FROM assigned GROUP BY 1 ORDER BY shard""".stripMargin,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional

@@ -6973,4 +6973,106 @@ object CorpusQueries {
         col("event_type"))
       .orderBy(col("user_id"))
   }
+
+  /** Point-in-time-correct trailing features for purchase events — the
+    * feature-store materialization that training pipelines MUST get
+    * right: each purchase sees only events STRICTLY BEFORE its own
+    * timestamp (frame ends at −1 µs), within a 7-day event-time RANGE
+    * frame, so no label leakage is possible by construction. Counts are
+    * integers; the trailing value sum folds through DECIMAL inside the
+    * frame. Scale shape: one per-user value-range window — partitioned
+    * by the entity key, the exact shape a feature store shards by. */
+  def q280_pit_features(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekUs = 604800000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        col("value").cast("decimal(18,2)").as("v"),
+        col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-weekUs, -1L)
+    ev
+      .withColumn("n_prior_7d", count(lit(1)).over(w).cast("long"))
+      .withColumn("sum_prior_7d",
+        coalesce(sum(col("v")).over(w).cast("decimal(38,2)"),
+          lit(0).cast("decimal(38,2)")))
+      .withColumn("n_prior_purchases",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w).cast("long"))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("n_prior_7d"),
+        col("sum_prior_7d").cast("double").as("sum_prior_7d"),
+        coalesce(col("n_prior_purchases"), lit(0L))
+          .as("n_prior_purchases"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Penny-exact revenue calendarization — prorate each order's total
+    * across its order-to-last-ship day span the way revenue recognition
+    * actually books it: base = cents div days to every day, and the
+    * remainder cents go to the FIRST remainder days, so the allocation
+    * sums back to the invoice TO THE CENT (a double division never
+    * does). Spans explode bounded by the ship window; the monthly
+    * rollup is an exact integer sum. Scale shape: one order-grain max
+    * join, a span-bounded explode, one combinable month aggregate. */
+  def q281_calendarize(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(max(col("l_shipdate")).as("last_ship")), "o_orderkey")
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        to_date(col("o_orderdate")).as("d0"),
+        greatest(lit(1L),
+          (datediff(col("last_ship"), col("o_orderdate")) + 1).cast("long"))
+          .as("n_days"))
+    val alloc = spans
+      .select(col("o_orderkey"), col("cents"), col("d0"), col("n_days"),
+        explode(sequence(lit(0L), col("n_days") - 1)).as("i"))
+      .select(date_add(col("d0"), col("i").cast("int")).as("day"),
+        (floor(col("cents").cast("double") / col("n_days").cast("double"))
+          .cast("long") +
+          when(col("i") < pmod(col("cents"), col("n_days")), 1L)
+            .otherwise(0L)).as("alloc_cents"))
+    alloc.groupBy(date_trunc("month", col("day")).as("month"))
+      .agg(sum(col("alloc_cents")).cast("long").as("alloc_cents"),
+        count(lit(1)).cast("long").as("n_order_days"))
+      .select(col("month"),
+        (col("alloc_cents").cast("double") / 100.0).as("allocated"),
+        col("n_order_days"))
+      .orderBy(col("month"))
+  }
+
+  /** Rendezvous (highest-random-weight) hash sharding with a
+    * minimal-disruption proof — assign each document to the shard
+    * maximizing h(key, shard) over 8 shards, then remove shard 3 and
+    * reassign: ONLY keys that lived on the removed shard move (HRW's
+    * defining property), and the emitted n_moved_from_surviving column
+    * proves it is zero from the data. Hashes ride the engine-portable
+    * md5-number channel; argmax ties break on the larger shard id via
+    * lexicographic struct max. Scale shape: an 8-way bounded explode
+    * per key + two max-struct aggregates — no shuffle beyond the key
+    * grain. */
+  def q282_rendezvous_hash(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("s", explode(array((0 until 8).map(i => lit(i.toLong)): _*)))
+      .withColumn("h", element_at(graft.functions.MinHashSig.minhashSig(
+        array(concat_ws("#", col("doc_id"), col("s"))), 1), 1))
+    val assigned = keyed.groupBy(col("doc_id"))
+      .agg(max(struct(col("h"), col("s"))).getField("s").as("s8"),
+        max(when(col("s") =!= 3L, struct(col("h"), col("s"))))
+          .getField("s").as("s7"))
+    assigned.groupBy(col("s7").as("shard"))
+      .agg(sum(when(col("s8") === col("s7"), 1L).otherwise(0L))
+          .cast("long").as("n_stayed"),
+        sum(when(col("s8") === 3L, 1L).otherwise(0L)).cast("long")
+          .as("n_moved_from_removed"),
+        sum(when(col("s8") =!= 3L && col("s8") =!= col("s7"), 1L)
+          .otherwise(0L)).cast("long").as("n_moved_from_surviving"),
+        count(lit(1)).cast("long").as("n_after"))
+      .orderBy(col("shard"))
+  }
 }
