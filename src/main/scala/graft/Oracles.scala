@@ -5992,6 +5992,65 @@ object Oracles {
         |    AS BIGINT) AS n_moved_from_surviving,
         |  CAST(COUNT(*) AS BIGINT) AS n_after
         |FROM assigned GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q283_item_cf" ->
+      """WITH bought AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey, l_partkey
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |), ni AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+        |  FROM bought GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.l_partkey AS i, b.l_partkey AS j,
+        |    CAST(COUNT(*) AS BIGINT) AS cooc
+        |  FROM bought a JOIN bought b ON b.o_custkey = a.o_custkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |), scored AS (
+        |  SELECT i, j, cooc, ni_i.n_cust AS n_i, ni_j.n_cust AS n_j,
+        |    CAST(cooc AS DOUBLE) / sqrt(CAST(ni_i.n_cust AS DOUBLE)
+        |      * CAST(ni_j.n_cust AS DOUBLE)) AS sim
+        |  FROM pairs JOIN ni ni_i ON ni_i.l_partkey = i
+        |  JOIN ni ni_j ON ni_j.l_partkey = j
+        |)
+        |SELECT i, j, cooc, n_i, n_j, round(sim, 6) AS cosine_sim
+        |FROM scored ORDER BY sim DESC, i, j LIMIT 20""".stripMargin,
+
+    "q284_nelson_aalen" ->
+      """WITH purch AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        |  WHERE event_type = 'purchase'
+        |), gaps AS (
+        |  SELECT CAST(floor(CAST(us - prev_us AS DOUBLE)
+        |    / 86400000000.0) AS BIGINT) AS gap_days
+        |  FROM (SELECT us, lag(us) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS prev_us
+        |        FROM purch)
+        |  WHERE prev_us IS NOT NULL
+        |), grain AS (
+        |  SELECT gap_days, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM gaps GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(d) AS BIGINT) AS n_tot FROM grain),
+        |wr AS (
+        |  SELECT gap_days, d, n_tot,
+        |    CAST(SUM(d) OVER (ORDER BY gap_days ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_d
+        |  FROM grain CROSS JOIN tot
+        |), inc AS (
+        |  SELECT gap_days, d, n_tot - cum_d + d AS n_at_risk,
+        |    CAST(round(CAST(d AS DOUBLE)
+        |      / CAST(n_tot - cum_d + d AS DOUBLE), 12)
+        |      AS DECIMAL(27,12)) AS inc
+        |  FROM wr
+        |)
+        |SELECT gap_days, d, n_at_risk,
+        |  round(CAST(inc AS DOUBLE), 9) AS hazard_increment,
+        |  round(CAST(CAST(SUM(inc) OVER (ORDER BY gap_days
+        |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,12)) AS DOUBLE), 6)
+        |    AS cum_hazard
+        |FROM inc ORDER BY gap_days""".stripMargin,
+
+    "q285_sprt" -> Oracles.sprtSql,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional
@@ -6299,6 +6358,45 @@ object Oracles {
     * shingle sets (`sh`) over `documents` — the q27 pipeline, reused by
     * q54's connected-components oracle. Rendered WITHOUT the leading
     * "WITH " so callers can choose WITH vs WITH RECURSIVE. */
+  /** q285's oracle: the SPRT constants are interpolated from the SAME
+    * math.log calls the Spark side uses, so both engines walk the path
+    * with bit-identical literals. */
+  private def sprtSql: String = {
+    val k1 = math.log(0.35 / 0.25)
+    val k2 = math.log(0.65 / 0.75)
+    val bound = math.log(19.0)
+    s"""WITH obs AS (
+      |  SELECT epoch_us(ts) AS us, event_id,
+      |    CASE WHEN value >= 100 THEN 1 ELSE 0 END AS conv
+      |  FROM events WHERE event_type = 'purchase'
+      |), path AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY us, event_id)
+      |      AS BIGINT) AS t,
+      |    CAST(SUM(conv) OVER (ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conv_t
+      |  FROM obs
+      |), llrp AS (
+      |  SELECT t, conv_t,
+      |    $k1 * CAST(conv_t AS DOUBLE)
+      |      + $k2 * CAST(t - conv_t AS DOUBLE) AS llr
+      |  FROM path
+      |), cr AS (
+      |  SELECT min(t) AS first_cross_t FROM llrp
+      |  WHERE llr >= $bound OR llr <= -($bound)
+      |), fin AS (
+      |  SELECT max(t) AS n_obs, max(conv_t) AS n_conv FROM llrp
+      |)
+      |SELECT n_obs, n_conv,
+      |  round($k1 * CAST(n_conv AS DOUBLE)
+      |    + $k2 * CAST(n_obs - n_conv AS DOUBLE), 6) AS llr_final,
+      |  first_cross_t, lp.conv_t AS conv_at_cross,
+      |  CASE WHEN first_cross_t IS NULL THEN 'CONTINUE'
+      |       WHEN lp.llr >= $bound THEN 'ACCEPT_H1'
+      |       ELSE 'ACCEPT_H0' END AS decision
+      |FROM fin CROSS JOIN cr
+      |LEFT JOIN llrp lp ON lp.t = first_cross_t""".stripMargin
+  }
+
   private def minhashPairCtes: String =
     s"""t AS (
       |  SELECT doc_id, string_split(text, ' ') tk FROM documents

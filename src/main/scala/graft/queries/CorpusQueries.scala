@@ -7075,4 +7075,132 @@ object CorpusQueries {
         count(lit(1)).cast("long").as("n_after"))
       .orderBy(col("shard"))
   }
+
+  /** Item-item collaborative filtering on co-purchase vectors — the
+    * "customers who bought X also bought Y" scorer: cosine similarity of
+    * binary customer-incidence vectors, cooc/√(n_i·n_j), with a support
+    * floor so one shared customer can't fabricate affinity. The pair
+    * space is generated per customer (bounded by basket size²) and every
+    * input to the score is an integer count, so the ranking is engine-
+    * deterministic with an (i,j) tiebreak. Scale shape: the per-customer
+    * self-join is basket-bounded (the q137 discipline at the customer
+    * grain); item marginals join back on item id only. */
+  def q283_item_cf(spark: SparkSession, dir: String): DataFrame = {
+    val bought = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+        "o_orderkey")
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+    val ni = bought.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).cast("long").as("n_cust"))
+    val pairs = bought.select(col("o_custkey"), col("l_partkey").as("i"))
+      .join(bought.select(col("o_custkey"), col("l_partkey").as("j")),
+        "o_custkey")
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).cast("long").as("cooc"))
+      .filter(col("cooc") >= 3)
+    val sim = col("cooc").cast("double") /
+      sqrt(col("n_i").cast("double") * col("n_j").cast("double"))
+    pairs
+      .join(ni.select(col("l_partkey").as("i"), col("n_cust").as("n_i")),
+        "i")
+      .join(ni.select(col("l_partkey").as("j"), col("n_cust").as("n_j")),
+        "j")
+      .orderBy(sim.desc, col("i"), col("j"))
+      .limit(20)
+      .select(col("i"), col("j"), col("cooc"), col("n_i"), col("n_j"),
+        round(sim, 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("i"), col("j"))
+  }
+
+  /** Nelson-Aalen cumulative hazard of inter-purchase times — the
+    * hazard-view complement to q156's Kaplan-Meier survival: H(t) jumps
+    * by d/n at each observed gap, and its slope read directly answers
+    * "does repurchase risk rise or fall with time since last purchase".
+    * Gaps are floored to whole days so the duration grain is calendar-
+    * bounded; d and the at-risk count n are exact integers from ONE
+    * descending prefix sum; increments round through DECIMAL before the
+    * cumulative fold (decimal addition is associative). Scale shape:
+    * one per-user lag window + two bounded-grain prefix windows. */
+  def q284_nelson_aalen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val purch = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+    val lagW = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = purch
+      .withColumn("prev_us", lag(col("us"), 1).over(lagW))
+      .filter(col("prev_us").isNotNull)
+      .select(floor((col("us") - col("prev_us")).cast("double") /
+        lit(86400000000.0d)).cast("long").as("gap_days"))
+    val grain = gaps.groupBy(col("gap_days"))
+      .agg(count(lit(1)).cast("long").as("d"))
+    val tot = grain.agg(sum(col("d")).cast("long").as("n_tot"))
+    val cumW = Window.orderBy(col("gap_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = grain.crossJoin(broadcast(tot))
+      .withColumn("cum_d", sum(col("d")).over(cumW).cast("long"))
+      .withColumn("n_at_risk", col("n_tot") - col("cum_d") + col("d"))
+    val inc = round(col("d").cast("double") /
+      col("n_at_risk").cast("double"), 12).cast("decimal(27,12)")
+    withRisk
+      .withColumn("inc", inc)
+      .withColumn("cum_hazard",
+        sum(col("inc")).over(cumW).cast("decimal(38,12)"))
+      .select(col("gap_days"), col("d"), col("n_at_risk"),
+        round(col("inc").cast("double"), 9).as("hazard_increment"),
+        round(col("cum_hazard").cast("double"), 6).as("cum_hazard"))
+      .orderBy(col("gap_days"))
+  }
+
+  /** Wald SPRT sequential A/B monitor over the purchase stream — the
+    * always-valid alternative to fixed-horizon testing: the
+    * log-likelihood ratio for H1: p=0.35 vs H0: p=0.25 is walked in
+    * event-time order and the FIRST boundary crossing (±ln 19 at
+    * α=β=0.05) is the decision point. The LLR path is the closed form
+    * k₁·conv_t + k₂·(t−conv_t) over the exact INTEGER conversion prefix
+    * count, so no FP accumulates along the walk — only the two ln
+    * constants are FP at all. Scale shape: one ordered prefix count on
+    * the event stream + one argmin over crossing rows. */
+  def q285_sprt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k1 = math.log(0.35 / 0.25)
+    val k2 = math.log(0.65 / 0.75)
+    val bound = math.log(19.0)
+    val obs = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(unix_micros(col("ts")).as("us"), col("event_id"),
+        when(col("value") >= 100, 1L).otherwise(0L).as("conv"))
+    val w = Window.orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val path = obs
+      .withColumn("t", row_number().over(
+        Window.orderBy(col("us"), col("event_id"))).cast("long"))
+      .withColumn("conv_t", sum(col("conv")).over(w).cast("long"))
+      .withColumn("llr", lit(k1) * col("conv_t").cast("double") +
+        lit(k2) * (col("t") - col("conv_t")).cast("double"))
+    val crossings = path
+      .filter(col("llr") >= bound || col("llr") <= -bound)
+      .agg(min(col("t")).as("first_cross_t"))
+    val fin = path.agg(max(col("t")).as("n_obs"),
+      max(col("conv_t")).as("n_conv"))
+    val joined = fin.crossJoin(crossings)
+    val llrAt = lit(k1) * col("n_conv").cast("double") +
+      lit(k2) * (col("n_obs") - col("n_conv")).cast("double")
+    joined
+      .join(path.select(col("t").as("first_cross_t"),
+        col("llr").as("llr_at_cross"), col("conv_t").as("conv_at_cross")),
+        Seq("first_cross_t"), "left")
+      .select(col("n_obs"), col("n_conv"),
+        round(llrAt, 6).as("llr_final"),
+        col("first_cross_t"),
+        col("conv_at_cross"),
+        when(col("first_cross_t").isNull, lit("CONTINUE"))
+          .when(col("llr_at_cross") >= bound, lit("ACCEPT_H1"))
+          .otherwise(lit("ACCEPT_H0")).as("decision"))
+  }
 }
