@@ -6051,6 +6051,103 @@ object Oracles {
         |FROM inc ORDER BY gap_days""".stripMargin,
 
     "q285_sprt" -> Oracles.sprtSql,
+
+    "q286_best_streak" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(38,0))) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), seq AS (
+        |  SELECT d, cents,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+        |  FROM daily
+        |), tot AS (
+        |  SELECT CAST(SUM(cents) AS BIGINT) AS c_tot,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM seq
+        |), based AS (
+        |  SELECT d, t, cents - CAST(floor(CAST(c_tot AS DOUBLE)
+        |    / CAST(n_days AS DOUBLE)) AS BIGINT) AS dev
+        |  FROM seq CROSS JOIN tot
+        |), path AS (
+        |  SELECT d, t,
+        |    CAST(SUM(dev) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS p
+        |  FROM based
+        |), path2 AS (
+        |  SELECT d, t, p,
+        |    least(CAST(0 AS BIGINT), COALESCE(min(p) OVER
+        |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |       AND 1 PRECEDING), 0)) AS pmin_before
+        |  FROM path
+        |), best AS (
+        |  SELECT t AS t_end, d AS end_day,
+        |    p - pmin_before AS streak_cents, pmin_before
+        |  FROM path2
+        |  QUALIFY row_number() OVER (ORDER BY p - pmin_before DESC, t) = 1
+        |), st AS (
+        |  SELECT t_end, end_day, streak_cents,
+        |    COALESCE(min(p2.t) + 1, 1) AS t_start
+        |  FROM best LEFT JOIN path2 p2
+        |    ON p2.p = best.pmin_before AND p2.t < best.t_end
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT t_start, t_end, t_end - t_start + 1 AS n_days,
+        |  streak_cents,
+        |  CAST(streak_cents AS DOUBLE) / 100.0 AS streak_above_baseline
+        |FROM st ORDER BY t_start""".stripMargin,
+
+    "q287_weighted_reservoir" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |    CAST(CAST(md5_number_upper('wr#' || CAST(doc_id AS VARCHAR))
+        |      AS HUGEINT) % 2305843009213693951 AS BIGINT) AS h
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, w,
+        |    ln((CAST(h AS DOUBLE) + 1.0)
+        |      / (2305843009213693951.0 + 1.0)) / w AS key
+        |  FROM keyed
+        |)
+        |SELECT doc_id, CAST(w AS BIGINT) AS weight,
+        |  round(key * 1000000.0, 6) AS key_x1e6
+        |FROM scored ORDER BY key DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q288_reconciliation" ->
+      """WITH om AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+        |      AS month,
+        |    o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+        |  FROM orders
+        |), header AS (
+        |  SELECT month, CAST(SUM(tp) AS DECIMAL(38,2)) AS header_total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM om GROUP BY 1
+        |), lines AS (
+        |  SELECT month,
+        |    CAST(SUM(CAST(
+        |      CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * CAST(CAST(1 AS DECIMAL(4,3))
+        |          - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(6,3))
+        |        AS DECIMAL(28,5))
+        |      * CAST(CAST(1 AS DECIMAL(4,3))
+        |        + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(6,3))
+        |      AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS line_total
+        |  FROM lineitem
+        |  JOIN om ON om.o_orderkey = l_orderkey
+        |  GROUP BY 1
+        |)
+        |SELECT month, n_orders,
+        |  CAST(header_total AS DOUBLE) AS header_total,
+        |  round(CAST(line_total AS DOUBLE), 2) AS line_total,
+        |  round(CAST(header_total AS DOUBLE)
+        |    - CAST(line_total AS DOUBLE), 2) AS difference,
+        |  round((CAST(header_total AS DOUBLE)
+        |    - CAST(line_total AS DOUBLE))
+        |    / CAST(header_total AS DOUBLE) * 100.0, 6) AS diff_pct
+        |FROM header JOIN lines USING (month)
+        |ORDER BY month""".stripMargin,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional

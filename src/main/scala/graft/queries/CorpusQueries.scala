@@ -7203,4 +7203,119 @@ object CorpusQueries {
           .when(col("llr_at_cross") >= bound, lit("ACCEPT_H1"))
           .otherwise(lit("ACCEPT_H0")).as("decision"))
   }
+
+  /** Best revenue streak — maximum-sum contiguous run of daily revenue
+    * above baseline, the Kadane max-subarray problem solved with the
+    * PREFIX-MIN identity (best run ending at t = P_t − min_{s<t} P_s) so
+    * it is one window pass, not a quadratic interval scan. Everything is
+    * INTEGER cents: the baseline is the floor of mean daily cents, so
+    * prefix sums, the min tracker, and the argmax are all exact — no FP
+    * anywhere in the answer. Scale shape: date-grain prefix windows +
+    * one argmax + one start-recovery lookup join. */
+  def q286_best_streak(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")).cast("decimal(38,0)").cast("long")
+        .as("cents"))
+      .withColumn("t",
+        row_number().over(Window.orderBy(col("d"))).cast("long"))
+    val tot = daily.agg(sum(col("cents")).cast("long").as("c_tot"),
+      count(lit(1)).cast("long").as("n_days"))
+    val based = daily.crossJoin(broadcast(tot))
+      .withColumn("base", floor(col("c_tot").cast("double") /
+        col("n_days").cast("double")).cast("long"))
+      .withColumn("dev", col("cents") - col("base"))
+    val cumW = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevW = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val path = based
+      .withColumn("p", sum(col("dev")).over(cumW).cast("long"))
+      .withColumn("pmin_before",
+        least(lit(0L), coalesce(min(col("p")).over(prevW), lit(0L))))
+      .withColumn("ending", col("p") - col("pmin_before"))
+    val best = path
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("ending").desc, col("t"))))
+      .filter(col("rn") === 1)
+      .select(col("t").as("t_end"), col("d").as("end_day"),
+        col("ending").as("streak_cents"), col("pmin_before"))
+    val start = best.join(path.select(col("t").as("ts_"), col("p"),
+        col("d").as("sd")),
+        col("p") === col("pmin_before") && col("ts_") < col("t_end"),
+        "left")
+      .groupBy(col("t_end"), col("end_day"), col("streak_cents"))
+      .agg(coalesce(min(col("ts_")) + 1, lit(1L)).as("t_start"))
+    start.select(col("t_start"), col("t_end"),
+        (col("t_end") - col("t_start") + 1).as("n_days"),
+        col("streak_cents"),
+        (col("streak_cents").cast("double") / 100.0)
+          .as("streak_above_baseline"))
+      .orderBy(col("t_start"))
+  }
+
+  /** Efraimidis-Spirakis weighted sampling WITHOUT replacement (A-Res) —
+    * the one-pass distributed algorithm for "sample 20 docs proportional
+    * to length": each item draws key ln(u)/w (monotone in u^(1/w)) from
+    * the deterministic md5-uniform channel and the global top-k by key
+    * IS the weighted sample — no sequential draws, no rejection, fully
+    * parallel and mergeable (the property that makes it THE map-reduce
+    * weighted sampler). Scale shape: per-row key + one top-k cut
+    * (TakeOrderedAndProject class). */
+  def q287_weighted_reservoir(spark: SparkSession, dir: String): DataFrame = {
+    val p = 2305843009213693951L
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("double").as("w"))
+      .withColumn("h", element_at(graft.functions.MinHashSig.minhashSig(
+        array(concat(lit("wr#"), col("doc_id"))), 1), 1))
+      .withColumn("u", (col("h").cast("double") + lit(1.0d)) /
+        (lit(p.toDouble) + lit(1.0d)))
+      .withColumn("key", log(col("u")) / col("w"))
+    keyed.orderBy(col("key").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("w").cast("long").as("weight"),
+        round(col("key") * lit(1.0e6d), 6).as("key_x1e6"))
+      .orderBy(col("key_x1e6").desc, col("doc_id"))
+  }
+
+  /** Order-vs-lineitem revenue reconciliation by month — the control-
+    * total audit every finance close runs: does the header total
+    * (o_totalprice) reconcile with the computed line-level charge
+    * Σ ep·(1−disc)·(1+tax)? Both sides fold through DECIMAL so the
+    * reported differences are real data discrepancies, never FP
+    * artifacts. Scale shape: two independent month-grain combinable
+    * aggregates joined on the bounded calendar key. */
+  def q288_reconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val om = Tables.orders(spark, dir)
+      .select(date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("tp"))
+    val header = om.groupBy(col("month"))
+      .agg(sum(col("tp")).cast("decimal(38,2)").as("header_total"),
+        count(lit(1)).cast("long").as("n_orders"))
+    val charge = (col("ep") * (lit(1).cast("decimal(4,3)") - col("disc"))
+      .cast("decimal(6,3)")).cast("decimal(28,5)") *
+      (lit(1).cast("decimal(4,3)") + col("tax")).cast("decimal(6,3)")
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"),
+        col("l_extendedprice").cast("decimal(18,2)").as("ep"),
+        col("l_discount").cast("decimal(18,2)").as("disc"),
+        col("l_tax").cast("decimal(18,2)").as("tax"))
+      .join(om.select(col("o_orderkey"), col("month")), "o_orderkey")
+      .groupBy(col("month"))
+      .agg(sum(charge.cast("decimal(38,8)")).cast("decimal(38,8)")
+        .as("line_total"))
+    header.join(lines, "month")
+      .select(col("month"), col("n_orders"),
+        col("header_total").cast("double").as("header_total"),
+        round(col("line_total").cast("double"), 2).as("line_total"),
+        round(col("header_total").cast("double") -
+          col("line_total").cast("double"), 2).as("difference"),
+        round((col("header_total").cast("double") -
+          col("line_total").cast("double")) /
+          col("header_total").cast("double") * 100.0, 6).as("diff_pct"))
+      .orderBy(col("month"))
+  }
 }
