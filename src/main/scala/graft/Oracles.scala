@@ -6148,6 +6148,130 @@ object Oracles {
         |    / CAST(header_total AS DOUBLE) * 100.0, 6) AS diff_pct
         |FROM header JOIN lines USING (month)
         |ORDER BY month""".stripMargin,
+
+    "q289_runs_test" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(38,0))) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), grain AS (
+        |  SELECT cents, CAST(COUNT(*) AS BIGINT) AS n_v
+        |  FROM daily GROUP BY 1
+        |), cumg AS (
+        |  SELECT cents, CAST(SUM(n_v) OVER (ORDER BY cents
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM grain
+        |), nall AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n_all FROM grain),
+        |med AS (
+        |  SELECT MIN(cents) AS median_cents
+        |  FROM cumg CROSS JOIN nall WHERE cum * 2 >= n_all
+        |), signed AS (
+        |  SELECT d, cents, median_cents,
+        |    CASE WHEN cents > median_cents THEN 1 ELSE 0 END AS above,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+        |  FROM daily CROSS JOIN med
+        |  WHERE cents <> median_cents
+        |), runs AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> above THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n_runs,
+        |    CAST(SUM(above) AS BIGINT) AS n1,
+        |    CAST(SUM(1 - above) AS BIGINT) AS n2,
+        |    max(median_cents) AS median_cents
+        |  FROM (SELECT above, median_cents,
+        |          lag(above) OVER (ORDER BY t) AS prev
+        |        FROM signed)
+        |), md AS (
+        |  SELECT n_runs, n1, n2, median_cents,
+        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nd
+        |  FROM runs
+        |)
+        |SELECT n_runs, n1, n2,
+        |  CAST(median_cents AS DOUBLE) / 100.0 AS median_revenue,
+        |  round(2.0 * n1d * n2d / nd + 1.0, 6) AS expected_runs,
+        |  round((CAST(n_runs AS DOUBLE) - (2.0 * n1d * n2d / nd + 1.0))
+        |    / sqrt(2.0 * n1d * n2d * (2.0 * n1d * n2d - n1d - n2d)
+        |      / (nd * nd * (nd - 1.0))), 6) AS z_score
+        |FROM md""".stripMargin,
+
+    "q290_gains_table" ->
+      """WITH grain AS (
+        |  SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS n_v,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p_v
+        |  FROM events GROUP BY 1
+        |), cum AS (
+        |  SELECT v, n_v, p_v,
+        |    CAST(SUM(n_v) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM grain
+        |), tot AS (
+        |  SELECT CAST(SUM(n_v) AS BIGINT) AS n_tot,
+        |    CAST(SUM(p_v) AS BIGINT) AS p_tot
+        |  FROM grain
+        |), dec AS (
+        |  SELECT CAST(floor(CAST((cum - 1) * 10 AS DOUBLE)
+        |      / CAST(n_tot AS DOUBLE)) + 1 AS BIGINT) AS decile,
+        |    CAST(SUM(n_v) AS BIGINT) AS n_rows,
+        |    CAST(SUM(p_v) AS BIGINT) AS n_pos,
+        |    max(n_tot) AS n_tot, max(p_tot) AS p_tot
+        |  FROM cum CROSS JOIN tot GROUP BY 1
+        |), c2 AS (
+        |  SELECT decile, n_rows, n_pos, n_tot, p_tot,
+        |    CAST(SUM(n_rows) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rows,
+        |    CAST(SUM(n_pos) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+        |  FROM dec
+        |)
+        |SELECT decile, n_rows, n_pos,
+        |  round(CAST(cum_pos AS DOUBLE) / CAST(p_tot AS DOUBLE), 6)
+        |    AS cum_capture,
+        |  round((CAST(cum_pos AS DOUBLE) / CAST(cum_rows AS DOUBLE))
+        |    / (CAST(p_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)), 6)
+        |    AS cum_lift
+        |FROM c2 ORDER BY decile""".stripMargin,
+
+    "q291_tail_dependence" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS y
+        |  FROM events GROUP BY 1
+        |), qx AS (
+        |  SELECT MIN(x) AS q90_x FROM (
+        |    SELECT x, CAST(SUM(n_v) OVER (ORDER BY x
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |      SUM(n_v) OVER () AS n_all
+        |    FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_v
+        |          FROM daily GROUP BY 1)
+        |  ) WHERE cum * 10 >= n_all * 9
+        |), qy AS (
+        |  SELECT MIN(y) AS q90_y FROM (
+        |    SELECT y, CAST(SUM(n_v) OVER (ORDER BY y
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |      SUM(n_v) OVER () AS n_all
+        |    FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS n_v
+        |          FROM daily GROUP BY 1)
+        |  ) WHERE cum * 10 >= n_all * 9
+        |), counts AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(CASE WHEN x > q90_x THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_x_tail,
+        |    CAST(SUM(CASE WHEN y > q90_y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_y_tail,
+        |    CAST(SUM(CASE WHEN x > q90_x AND y > q90_y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_joint
+        |  FROM daily CROSS JOIN qx CROSS JOIN qy
+        |)
+        |SELECT n_days, n_x_tail, n_y_tail, n_joint,
+        |  round(CAST(n_joint AS DOUBLE) / CAST(n_y_tail AS DOUBLE), 6)
+        |    AS lambda_u,
+        |  round(CAST(n_x_tail AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+        |    AS independence_baseline
+        |FROM counts""".stripMargin,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional

@@ -7318,4 +7318,142 @@ object CorpusQueries {
           col("header_total").cast("double") * 100.0, 6).as("diff_pct"))
       .orderBy(col("month"))
   }
+
+  /** Wald-Wolfowitz runs test on the above/below-median daily revenue
+    * sequence — "is the series a random shuffle or does it trend/cycle":
+    * too FEW runs means persistence (trending), too many means
+    * oscillation. The median is an exact order statistic on the cents
+    * grain, median-exact days are dropped (the standard convention),
+    * runs are counted by one integer lag comparison, and μ_R/σ_R are
+    * closed form in (n₁, n₂). Scale shape: date-grain only — a lag
+    * window and a 4-counter aggregate. */
+  def q289_runs_test(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")).cast("long").as("cents"))
+    val grain = daily.groupBy(col("cents"))
+      .agg(count(lit(1)).cast("long").as("n_v"))
+    val cumG = grain.withColumn("cum",
+      sum(col("n_v")).over(Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    val nAll = grain.agg(sum(col("n_v")).cast("long").as("n_all"))
+    val med = cumG.crossJoin(broadcast(nAll))
+      .filter(col("cum") * 2 >= col("n_all"))
+      .agg(min(col("cents")).as("median_cents"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("cents") =!= col("median_cents"))
+      .withColumn("above", (col("cents") > col("median_cents")).cast("long"))
+      .withColumn("t", row_number()
+        .over(Window.orderBy(col("d"))).cast("long"))
+    val lagW = Window.orderBy(col("t"))
+    val runs = signed
+      .withColumn("prev", lag(col("above"), 1).over(lagW))
+      .agg(sum(when(col("prev").isNull || col("prev") =!= col("above"), 1L)
+          .otherwise(0L)).cast("long").as("n_runs"),
+        sum(col("above")).cast("long").as("n1"),
+        sum(lit(1L) - col("above")).cast("long").as("n2"),
+        max(col("median_cents")).as("median_cents"))
+    val n1D = col("n1").cast("double")
+    val n2D = col("n2").cast("double")
+    val nD = n1D + n2D
+    val muR = lit(2.0d) * n1D * n2D / nD + lit(1.0d)
+    val varR = lit(2.0d) * n1D * n2D *
+      (lit(2.0d) * n1D * n2D - n1D - n2D) / (nD * nD * (nD - lit(1.0d)))
+    runs.select(col("n_runs"), col("n1"), col("n2"),
+      (col("median_cents").cast("double") / 100.0).as("median_revenue"),
+      round(muR, 6).as("expected_runs"),
+      round((col("n_runs").cast("double") - muR) / sqrt(varR), 6)
+        .as("z_score"))
+  }
+
+  /** Cumulative gains / lift table by score decile — the campaign-
+    * targeting report ("mailing the top 30% by score captures X% of
+    * buyers at Y× lift") that q262's PR curve summarizes but marketers
+    * read bucketed. Deciles cut the DESCENDING money grain with the
+    * q260 integer rank convention; captures and lifts are exact count
+    * ratios rounded at the end. Scale shape: one grain agg + one prefix
+    * window on the bounded money domain + a 10-row rollup. */
+  def q290_gains_table(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grain = Tables.events(spark, dir)
+      .select(col("value").cast("decimal(18,2)").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).cast("long").as("n_v"),
+        sum(col("pos")).cast("long").as("p_v"))
+    val cum = grain.withColumn("cum",
+      sum(col("n_v")).over(Window.orderBy(col("v").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    val tot = grain.agg(sum(col("n_v")).cast("long").as("n_tot"),
+      sum(col("p_v")).cast("long").as("p_tot"))
+    val dec = cum.crossJoin(broadcast(tot))
+      .withColumn("decile",
+        (floor(((col("cum") - lit(1L)) * lit(10L)).cast("double") /
+          col("n_tot").cast("double")) + lit(1L)).cast("long"))
+      .groupBy(col("decile"))
+      .agg(sum(col("n_v")).cast("long").as("n_rows"),
+        sum(col("p_v")).cast("long").as("n_pos"),
+        max(col("n_tot")).as("n_tot"), max(col("p_tot")).as("p_tot"))
+    val cumW = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .withColumn("cum_rows", sum(col("n_rows")).over(cumW).cast("long"))
+      .withColumn("cum_pos", sum(col("n_pos")).over(cumW).cast("long"))
+      .select(col("decile"), col("n_rows"), col("n_pos"),
+        round(col("cum_pos").cast("double") / col("p_tot").cast("double"),
+          6).as("cum_capture"),
+        round((col("cum_pos").cast("double") /
+          col("cum_rows").cast("double")) /
+          (col("p_tot").cast("double") / col("n_tot").cast("double")), 6)
+          .as("cum_lift"))
+      .orderBy(col("decile"))
+  }
+
+  /** Empirical upper-tail dependence between daily event volume and
+    * daily revenue — the copula-level question correlation cannot
+    * answer: "when volume spikes into its top decile, does revenue
+    * spike into ITS top decile too?" λ̂_U = P(X>q₉₀ˣ | Y>q₉₀ʸ) from
+    * exact order-statistic thresholds and pure joint counts, reported
+    * against the independence baseline. Scale shape: the corpus
+    * collapses to the calendar grain first (q229's discipline); both
+    * thresholds are bounded-grain order statistics. */
+  def q291_tail_dependence(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("long").as("x"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)")
+          .as("y"))
+    def q90(c: String) = {
+      val grain = daily.groupBy(col(c)).agg(count(lit(1)).cast("long")
+        .as("n_v"))
+      val cum = grain.withColumn("cum",
+        sum(col("n_v")).over(Window.orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      val n = grain.agg(sum(col("n_v")).cast("long").as("n_all"))
+      cum.crossJoin(broadcast(n))
+        .filter(col("cum") * 10 >= col("n_all") * 9)
+        .agg(min(col(c)).as(s"q90_$c"))
+    }
+    val counts = daily.crossJoin(broadcast(q90("x")))
+      .crossJoin(broadcast(q90("y")))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(when(col("x") > col("q90_x"), 1L).otherwise(0L)).cast("long")
+          .as("n_x_tail"),
+        sum(when(col("y") > col("q90_y"), 1L).otherwise(0L)).cast("long")
+          .as("n_y_tail"),
+        sum(when(col("x") > col("q90_x") && col("y") > col("q90_y"), 1L)
+          .otherwise(0L)).cast("long").as("n_joint"))
+    counts.select(col("n_days"), col("n_x_tail"), col("n_y_tail"),
+      col("n_joint"),
+      round(col("n_joint").cast("double") /
+        col("n_y_tail").cast("double"), 6).as("lambda_u"),
+      round(col("n_x_tail").cast("double") /
+        col("n_days").cast("double"), 6).as("independence_baseline"))
+  }
 }
