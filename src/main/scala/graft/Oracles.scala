@@ -6272,6 +6272,104 @@ object Oracles {
         |  round(CAST(n_x_tail AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
         |    AS independence_baseline
         |FROM counts""".stripMargin,
+
+    "q292_blocking_audit" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+        |tr0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.n_chars - b.n_chars) <= 16
+        |), truth AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM tr0
+        |  JOIN sh sa ON sa.doc_id = id_a
+        |  JOIN sh sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+        |    / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |), snk AS (
+        |  SELECT doc_id, substring(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^\\p{L}\\p{Nd} ]', ' ', 'g'), ' +', ' ', 'g')),
+        |    1, 24) AS sk
+        |  FROM documents
+        |), snr AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY sk, doc_id) AS BIGINT) AS rnk
+        |  FROM snk
+        |), sncand AS MATERIALIZED (
+        |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+        |    greatest(a.doc_id, b.doc_id) AS id_b
+        |  FROM snr a JOIN snr b ON b.rnk - a.rnk BETWEEN 1 AND 3
+        |), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+        |res AS (
+        |  SELECT 'minhash_lsh' AS blocker,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+        |    (SELECT n_truth FROM nt) AS n_truth,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+        |     WHERE EXISTS (SELECT 1 FROM cand c
+        |       WHERE c.id_a = t.id_a AND c.id_b = t.id_b)) AS n_hit
+        |  UNION ALL
+        |  SELECT 'sorted_neighborhood',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sncand),
+        |    (SELECT n_truth FROM nt),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+        |     WHERE EXISTS (SELECT 1 FROM sncand c
+        |       WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+        |)
+        |SELECT blocker, n_candidates, n_truth, n_hit,
+        |  round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+        |    AS recall,
+        |  round(CAST(n_truth AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6)
+        |    AS efficiency
+        |FROM res ORDER BY blocker""".stripMargin,
+
+    "q293_disparate_impact" ->
+      """WITH bl AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_sel
+        |  FROM documents GROUP BY 1
+        |), rk AS (
+        |  SELECT *, CAST(n_sel AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        |    row_number() OVER (ORDER BY
+        |      CAST(n_sel AS DOUBLE) / CAST(n AS DOUBLE) DESC, lang) AS rn
+        |  FROM bl
+        |), ref AS (
+        |  SELECT lang AS ref_lang, rate AS ref_rate FROM rk WHERE rn = 1
+        |)
+        |SELECT lang, n, n_sel, round(rate, 6) AS selection_rate,
+        |  ref_lang, round(rate / ref_rate, 6) AS impact_ratio,
+        |  (rate / ref_rate < 0.8) AS fails_80_rule
+        |FROM rk CROSS JOIN ref ORDER BY lang""".stripMargin,
+
+    "q294_leaderboard_drift" ->
+      """WITH weekly AS (
+        |  SELECT CAST(floor(CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(l_shipdate AS DATE)) AS DOUBLE) / 7.0) AS BIGINT)
+        |      AS week,
+        |    l_partkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(CAST(1 AS DECIMAL(4,3))
+        |        - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(6,3))
+        |      AS DECIMAL(28,5))) AS DECIMAL(38,5)) AS rev
+        |  FROM lineitem GROUP BY 1, 2
+        |), top5 AS (
+        |  SELECT week, l_partkey, rev FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY week
+        |      ORDER BY rev DESC, l_partkey) AS rn
+        |    FROM weekly) WHERE rn <= 5
+        |), agg AS (
+        |  SELECT week, list_sort(list(l_partkey)) AS top_parts,
+        |    CAST(max(rev) AS DOUBLE) AS top_rev
+        |  FROM top5 GROUP BY 1
+        |)
+        |SELECT a.week,
+        |  array_to_string(a.top_parts, ',') AS top_parts_csv,
+        |  round(a.top_rev, 2) AS top_rev,
+        |  CASE WHEN p.top_parts IS NOT NULL
+        |    THEN CAST(len(list_intersect(a.top_parts, p.top_parts))
+        |      AS BIGINT) END AS overlap_with_prev
+        |FROM agg a LEFT JOIN agg p ON p.week = a.week - 1
+        |ORDER BY a.week""".stripMargin,
   )
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional

@@ -7456,4 +7456,138 @@ object CorpusQueries {
       round(col("n_x_tail").cast("double") /
         col("n_days").cast("double"), 6).as("independence_baseline"))
   }
+
+  /** Blocking-quality audit: candidate recall and efficiency of the two
+    * blocking strategies this library ships (MinHash-LSH banding and
+    * sorted-neighborhood) against the exact ≥0.5-shingle-Jaccard truth —
+    * the report that decides WHICH blocker a 100 TB dedup run uses. The
+    * truth set comes from the metric-implied length-band exact join (a
+    * ≥0.5 3-shingle overlap forces similar length, so the band misses
+    * nothing while staying subquadratic). Every count is an exact
+    * integer over id pairs. Scale shape: three candidate generators
+    * (each already scale-shaped) + id-pair semi-joins. */
+  def q292_blocking_audit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val slim = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    // exact truth under the metric-implied length band (|Δchars| ≤ 16)
+    val a = slim.select(col("doc_id").as("id_a"), col("lang").as("la"),
+        col("n_chars").as("nca"))
+      .withColumn("nck", explode(array((-16 to 16).map(d =>
+        col("nca") + lit(d)): _*)))
+    val candTruth = a.join(slim.select(col("doc_id").as("id_b"),
+        col("lang").as("lb"), col("n_chars").as("ncb")),
+        col("la") === col("lb") && col("nck") === col("ncb") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val grams = docs.select(col("doc_id"),
+      array_sort(TextOps.shingles(col("text"), 3)).as("sg"))
+    val truth = candTruth
+      .join(grams.select(col("doc_id").as("id_a"), col("sg").as("ga")),
+        "id_a")
+      .join(grams.select(col("doc_id").as("id_b"), col("sg").as("gb")),
+        "id_b")
+      .filter(graft.functions.JaccardSim.jaccardSimSorted(col("ga"),
+        col("gb")) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    // blocker 1: MinHash-LSH band candidates (the q27 pipeline's stage 1)
+    val sets = docs.select(col("doc_id"),
+      TextOps.shingles(col("text"), 3).as("shingle_set"))
+    val lshCand = graft.similarity.MinHashLsh.candidatePairs(sets,
+        "doc_id", bands = 16, rowsPerBand = 4, maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+    // blocker 2: sorted-neighborhood window (the q258 construction, w=4)
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col("doc_id"),
+        substring(TextOps.normalize(col("text")), 1, 24).as("sk"))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("sk"), col("doc_id"))).cast("long"))
+    val sn = keyed.select(col("doc_id").as("id_x"), col("rnk").as("ra"))
+      .withColumn("dd", explode(array(lit(1L), lit(2L), lit(3L))))
+      .withColumn("rb", col("dd") + col("ra"))
+      .join(keyed.select(col("doc_id").as("id_y"), col("rnk").as("rb")),
+        "rb")
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+    def audit(cand: DataFrame, name: String) = {
+      val nC = cand.agg(count(lit(1)).cast("long").as("n_candidates"))
+      val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_hit"))
+      val nT = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+      nC.crossJoin(hits).crossJoin(nT)
+        .select(lit(name).as("blocker"), col("n_candidates"),
+          col("n_truth"), col("n_hit"),
+          round(col("n_hit").cast("double") /
+            col("n_truth").cast("double"), 6).as("recall"),
+          round(col("n_truth").cast("double") /
+            col("n_candidates").cast("double"), 6).as("efficiency"))
+    }
+    audit(lshCand, "minhash_lsh")
+      .unionByName(audit(sn, "sorted_neighborhood"))
+      .orderBy(col("blocker"))
+  }
+
+  /** Disparate-impact (80% rule) audit of the length quality gate across
+    * languages — the fairness report a data-governance review demands
+    * before a selection rule ships: per-language selection rate, ratio
+    * to the most-selected reference group, and the four-fifths flag.
+    * The reference group is the exact-rational argmax (cross-multiplied
+    * integer comparison via rank on identical doubles, lang tiebreak).
+    * Scale shape: one combinable per-language aggregate; everything
+    * after is |langs| rows. */
+  def q293_disparate_impact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).cast("long")
+          .as("n_sel"))
+    val rate = col("n_sel").cast("double") / col("n").cast("double")
+    val ranked = byLang.withColumn("rate", rate)
+      .withColumn("is_ref", row_number().over(
+        Window.orderBy(col("rate").desc, col("lang"))) === 1)
+    val ref = ranked.filter(col("is_ref"))
+      .select(col("lang").as("ref_lang"), col("rate").as("ref_rate"))
+    ranked.crossJoin(broadcast(ref))
+      .select(col("lang"), col("n"), col("n_sel"),
+        round(col("rate"), 6).as("selection_rate"),
+        col("ref_lang"),
+        round(col("rate") / col("ref_rate"), 6).as("impact_ratio"),
+        (col("rate") / col("ref_rate") < 0.8).as("fails_80_rule"))
+      .orderBy(col("lang"))
+  }
+
+  /** Weekly top-5 parts leaderboard with rank-churn — "how stable is the
+    * bestseller list week over week", the report behind trending-item
+    * caching decisions. Weeks are integer 7-day buckets from the epoch
+    * day (no engine week-origin convention); per-week top-5 goes through
+    * the heap [[graft.plans.TopKPerKey]] operator (state = #weeks × 5,
+    * never a window sort over each week's full catalog); churn is the
+    * exact intersection size of consecutive weeks' id sets. */
+  def q294_leaderboard_drift(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        floor(datediff(col("l_shipdate"), to_date(lit("1992-01-01")))
+          .cast("double") / lit(7.0d)).cast("long").as("week"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(4,3)") -
+            col("l_discount").cast("decimal(18,2)")).cast("decimal(6,3)"))
+          .cast("decimal(28,5)").as("rev"))
+      .groupBy(col("week"), col("l_partkey"))
+      .agg(sum(col("rev")).cast("decimal(38,5)").as("rev"))
+    val top5 = graft.plans.TopKPerKey.topKPerKey(weekly,
+        Seq(col("week")), Seq(col("rev").desc, col("l_partkey").asc), 5)
+      .groupBy(col("week"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("top_parts"),
+        max(col("rev")).cast("double").as("top_rev"))
+    val withPrev = top5.join(top5.select((col("week") + 1).as("week"),
+        col("top_parts").as("prev_parts")), Seq("week"), "left")
+    withPrev.select(col("week"),
+        array_join(col("top_parts"), ",").as("top_parts_csv"),
+        round(col("top_rev"), 2).as("top_rev"),
+        when(col("prev_parts").isNotNull,
+          size(array_intersect(col("top_parts"), col("prev_parts")))
+            .cast("long")).as("overlap_with_prev"))
+      .orderBy(col("week"))
+  }
 }
