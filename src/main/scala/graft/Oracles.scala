@@ -6370,7 +6370,353 @@ object Oracles {
         |      AS BIGINT) END AS overlap_with_prev
         |FROM agg a LEFT JOIN agg p ON p.week = a.week - 1
         |ORDER BY a.week""".stripMargin,
+
+    // q295-q297 are gated against DuckDB's NATIVE string-similarity
+    // functions (jaro_similarity / jaro_winkler_similarity /
+    // damerau_levenshtein) — an independent engine's implementation of
+    // the same published algorithms, not an echo of our formula.
+    "q295_jaro_vocab" ->
+      s"""WITH $bigramVocabSql,
+         |v AS (SELECT s, substr(s, 1, 1) AS blk, len(s) AS ln FROM bg)
+         |SELECT a.s AS a, b.s AS b,
+         |  round(jaro_similarity(a.s, b.s), 6) AS jaro,
+         |  round(jaro_winkler_similarity(a.s, b.s), 6) AS jw
+         |FROM v a JOIN v b
+         |  ON a.blk = b.blk AND a.s < b.s AND abs(a.ln - b.ln) <= 4
+         |WHERE round(jaro_winkler_similarity(a.s, b.s), 6) >= 0.88
+         |ORDER BY a, b""".stripMargin,
+
+    "q296_damerau_typos" ->
+      s"""WITH $bigramVocabSql,
+         |v AS (
+         |  SELECT s, CAST(1 + (CAST(md5_number_upper('typo#' || s)
+         |      AS HUGEINT) % 2305843009213693951) % (len(s) - 1)
+         |    AS INT) AS pos
+         |  FROM bg WHERE len(s) >= 4
+         |), t AS (
+         |  SELECT s, substr(s, 1, pos - 1) || substr(s, pos + 1, 1)
+         |    || substr(s, pos, 1) || substr(s, pos + 2) AS typo
+         |  FROM v
+         |)
+         |SELECT s, typo,
+         |  CAST(levenshtein(s, typo) AS BIGINT) AS lev,
+         |  CAST(damerau_levenshtein(s, typo) AS BIGINT) AS dl,
+         |  CAST(levenshtein(s, typo) - damerau_levenshtein(s, typo)
+         |    AS BIGINT) AS transposition_gain
+         |FROM t ORDER BY s""".stripMargin,
+
+    "q297_linkage_score" ->
+      """WITH sample AS (
+        |  SELECT p_partkey, p_name, p_brand, p_size FROM part
+        |  WHERE p_partkey % 7 = 0
+        |), pre AS (
+        |  SELECT p_partkey, p_name, p_brand, p_size,
+        |    CAST(1 + (CAST(md5_number_upper('typo#' || p_name)
+        |        AS HUGEINT) % 2305843009213693951) % (len(p_name) - 1)
+        |      AS INT) AS pos
+        |  FROM sample
+        |), dirty AS (
+        |  SELECT p_partkey AS d_key, p_brand AS d_brand,
+        |    substr(p_name, 1, pos - 1) || substr(p_name, pos + 1, 1)
+        |      || substr(p_name, pos, 1) || substr(p_name, pos + 2) AS d_name,
+        |    p_size + CASE WHEN (CAST(md5_number_upper('sz#' || p_partkey)
+        |        AS HUGEINT) % 2305843009213693951) % 3 = 0
+        |      THEN 1 ELSE 0 END AS d_size
+        |  FROM pre
+        |), scored AS (
+        |  SELECT a.p_partkey, b.d_key,
+        |    CAST(CASE WHEN jaro_winkler_similarity(a.p_name, b.d_name)
+        |        >= 0.95 THEN CAST('4.00' AS DECIMAL(4,2))
+        |      ELSE CAST('-2.00' AS DECIMAL(4,2)) END
+        |    + CASE WHEN abs(a.p_size - b.d_size) <= 1
+        |        THEN CAST('1.00' AS DECIMAL(4,2))
+        |      ELSE CAST('-1.50' AS DECIMAL(4,2)) END
+        |    + CASE WHEN string_split(a.p_name, ' ')[1]
+        |          = string_split(b.d_name, ' ')[1]
+        |        THEN CAST('1.50' AS DECIMAL(4,2))
+        |      ELSE CAST('-1.00' AS DECIMAL(4,2)) END AS DECIMAL(6,2))
+        |      AS score
+        |  FROM sample a JOIN dirty b
+        |    ON a.p_brand = b.d_brand
+        |    AND substr(a.p_name, 1, 1) = substr(b.d_name, 1, 1)
+        |), classed AS (
+        |  SELECT *, CASE WHEN score >= CAST('6.00' AS DECIMAL(4,2))
+        |      THEN 'match'
+        |    WHEN score >= CAST('3.50' AS DECIMAL(4,2)) THEN 'possible'
+        |    ELSE 'non_match' END AS decision
+        |  FROM scored
+        |)
+        |SELECT decision,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN p_partkey = d_key THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_true,
+        |  round(CAST(SUM(CASE WHEN p_partkey = d_key THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS precision
+        |FROM classed GROUP BY decision ORDER BY decision""".stripMargin,
+
+    // q298: the bucket index is the integer bit length of the cents value
+    // (printf('%b') length here, length(bin()) in Spark) — zero FP in the
+    // sketch, so the oracle replays it exactly, guarantee included.
+    "q298_log2_quantile_sketch" ->
+      """WITH vals AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |), vb AS (
+        |  SELECT prio, cents,
+        |    CAST(length(printf('%b', cents)) AS INT) AS bucket
+        |  FROM vals WHERE cents > 0
+        |), per_prio AS (
+        |  SELECT prio, bucket, COUNT(*) AS c FROM vb GROUP BY 1, 2
+        |), merged AS (
+        |  SELECT bucket, SUM(c) AS c_merged FROM per_prio GROUP BY 1
+        |), direct AS (
+        |  SELECT bucket, COUNT(*) AS c_direct FROM vb GROUP BY 1
+        |), mok AS (
+        |  SELECT min(coalesce(c_merged = c_direct, false)) AS merged_ok
+        |  FROM merged FULL JOIN direct USING (bucket)
+        |), nn AS (SELECT COUNT(*) AS n FROM vb),
+        |byval AS (SELECT cents, COUNT(*) AS cv FROM vb GROUP BY 1),
+        |cumv AS (
+        |  SELECT cents, SUM(cv) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM byval
+        |), cumb AS (
+        |  SELECT bucket, SUM(c_direct) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM direct
+        |), phis AS (
+        |  SELECT * FROM (VALUES ('0.50', 1, 2), ('0.90', 9, 10),
+        |    ('0.99', 99, 100)) AS t(phi, num, den)
+        |), r AS (
+        |  SELECT phi, n, CAST((n * num + den - 1) // den AS BIGINT) AS rank
+        |  FROM phis, nn
+        |), bsel AS (
+        |  SELECT phi, r.n, rank, MIN(bucket) AS bucket
+        |  FROM r JOIN cumb ON cumb >= rank GROUP BY 1, 2, 3
+        |), esel AS (
+        |  SELECT phi, CAST(MIN(cents) AS BIGINT) AS exact_cents
+        |  FROM r JOIN cumv ON cum >= rank GROUP BY 1
+        |)
+        |SELECT b.phi, b.n, b.rank, b.bucket,
+        |  CAST(1 AS BIGINT) << (b.bucket - 1) AS lo_cents,
+        |  (CAST(1 AS BIGINT) << b.bucket) - 1 AS hi_cents,
+        |  e.exact_cents,
+        |  (SELECT merged_ok FROM mok) AS merged_ok,
+        |  e.exact_cents >= (CAST(1 AS BIGINT) << (b.bucket - 1))
+        |    AND e.exact_cents <= (CAST(1 AS BIGINT) << b.bucket) - 1
+        |    AS within_bucket
+        |FROM bsel b JOIN esel e USING (phi) ORDER BY b.phi""".stripMargin,
+
+    // q299: PAVA via the minimax identity on bounded bucket triples;
+    // pooled averages are integer-count ratios → bit-identical doubles.
+    "q299_isotonic_calibration" ->
+      """WITH buckets AS (
+        |  SELECT LEAST(19, n_chars // 50) AS bucket,
+        |    COUNT(*) AS n,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS s
+        |  FROM documents GROUP BY 1
+        |), pre AS (
+        |  SELECT bucket, n, s,
+        |    SUM(n) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |    SUM(s) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM buckets
+        |), iv AS (
+        |  SELECT j.bucket AS j, k.bucket AS k,
+        |    CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+        |      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg_jk
+        |  FROM pre j JOIN pre k ON j.bucket <= k.bucket
+        |), iso AS (
+        |  SELECT i, MAX(mn) AS iso FROM (
+        |    SELECT b.bucket AS i, iv.j, MIN(iv.avg_jk) AS mn
+        |    FROM iv JOIN buckets b
+        |      ON iv.j <= b.bucket AND b.bucket <= iv.k
+        |    GROUP BY 1, 2) GROUP BY 1
+        |), joined AS (
+        |  SELECT b.bucket, CAST(b.n AS BIGINT) AS n,
+        |    CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS rate, iso.iso
+        |  FROM buckets b JOIN iso ON iso.i = b.bucket
+        |)
+        |SELECT CAST(bucket AS INT) AS bucket, n,
+        |  round(rate, 6) AS rate, round(iso, 6) AS iso_rate,
+        |  coalesce(rate < lag(rate, 1) OVER (ORDER BY bucket), false)
+        |    AS pre_violation,
+        |  coalesce(iso >= lag(iso, 1) OVER (ORDER BY bucket), true)
+        |    AS iso_monotone
+        |FROM joined ORDER BY bucket""".stripMargin,
+
+    // q300: forecasts are integer cents (MA-7 floor-divided), MAE exact,
+    // MAPE through the q272 rounded-term DECIMAL reduction.
+    "q300_forecast_backtest" -> {
+      def score(fc: String): String =
+        s"""SELECT '$fc' AS forecaster,
+           |  CAST(COUNT(*) AS BIGINT) AS n_origins,
+           |  round(CAST(SUM(abs(rev - $fc)) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE), 2) AS mae_cents,
+           |  round(CAST(SUM(CAST(round(CAST(abs(rev - $fc) AS DOUBLE)
+           |      / CAST(rev AS DOUBLE), 12) AS DECIMAL(24,12))) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE), 8) AS mape
+           |FROM f""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1
+         |), wf AS (
+         |  SELECT day, rev,
+         |    row_number() OVER (ORDER BY day) AS rn,
+         |    lag(rev, 1) OVER (ORDER BY day) AS naive,
+         |    lag(rev, 7) OVER (ORDER BY day) AS seasonal,
+         |    (SUM(rev) OVER (ORDER BY day
+         |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) // 7 AS ma7
+         |  FROM daily
+         |), f AS (SELECT * FROM wf WHERE rn >= 8)
+         |${score("naive")}
+         |UNION ALL ${score("seasonal")}
+         |UNION ALL ${score("ma7")}
+         |ORDER BY forecaster""".stripMargin
+    },
+
+    // q301: ε-graph recomputed as a plain quadratic join over the bounded
+    // point set (the Spark side grid-blocks); CC as a recursive CTE.
+    "q301_dbscan_regimes" ->
+      """WITH RECURSIVE wk AS (
+        |  SELECT date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) // 7 AS x,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS rev
+        |  FROM orders GROUP BY 1
+        |), nn AS (SELECT COUNT(*) AS nw FROM wk),
+        |pp AS (
+        |  SELECT CAST(x AS BIGINT) AS x,
+        |    CAST(((row_number() OVER (ORDER BY rev, x)) - 1) * 20 // nw
+        |      AS BIGINT) AS y,
+        |    CAST(x * 32 + ((row_number() OVER (ORDER BY rev, x)) - 1)
+        |      * 20 // nw AS BIGINT) AS pid
+        |  FROM wk, nn
+        |), e AS (
+        |  SELECT a.pid AS pa, b.pid AS pb FROM pp a JOIN pp b
+        |  ON abs(a.x - b.x) <= 2 AND abs(a.y - b.y) <= 2
+        |    AND a.pid <> b.pid
+        |), deg AS (SELECT pa, COUNT(*) AS nb FROM e GROUP BY 1),
+        |core AS (SELECT pa AS pid FROM deg WHERE nb >= 3),
+        |ce AS (
+        |  SELECT e.pa, e.pb FROM e
+        |  JOIN core c1 ON c1.pid = e.pa JOIN core c2 ON c2.pid = e.pb
+        |), reach(node, r) AS (
+        |  SELECT pa, pa FROM ce
+        |  UNION
+        |  SELECT ce.pa, re.r FROM ce JOIN reach re ON re.node = ce.pb
+        |), compe AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+        |comp AS (
+        |  SELECT c.pid, COALESCE(x2.comp, c.pid) AS cluster_id
+        |  FROM core c LEFT JOIN compe x2 ON x2.node = c.pid
+        |), border AS (
+        |  SELECT e.pa, MIN(comp.cluster_id) AS b_cluster
+        |  FROM e JOIN comp ON comp.pid = e.pb
+        |  WHERE e.pa NOT IN (SELECT pid FROM core)
+        |  GROUP BY e.pa
+        |)
+        |SELECT pp.pid, pp.x, pp.y,
+        |  CASE WHEN comp.pid IS NOT NULL THEN 'core'
+        |    WHEN border.pa IS NOT NULL THEN 'border'
+        |    ELSE 'noise' END AS role,
+        |  CAST(CASE WHEN comp.pid IS NOT NULL THEN comp.cluster_id
+        |    ELSE border.b_cluster END AS BIGINT) AS cluster_id
+        |FROM pp LEFT JOIN comp ON comp.pid = pp.pid
+        |LEFT JOIN border ON border.pa = pp.pid
+        |ORDER BY pp.pid""".stripMargin,
+
+    // q302: exact integer path counts — no normalization, no FP.
+    "q302_hits_bipartite" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |), a1 AS (SELECT p, COUNT(*) AS a1 FROM e GROUP BY 1),
+        |h1 AS (
+        |  SELECT c, CAST(SUM(a1) AS BIGINT) AS h1
+        |  FROM e JOIN a1 USING (p) GROUP BY 1
+        |), a2 AS (
+        |  SELECT p, CAST(SUM(h1) AS BIGINT) AS a2
+        |  FROM e JOIN h1 USING (c) GROUP BY 1
+        |)
+        |SELECT p AS partkey, CAST(a1.a1 AS BIGINT) AS a1, a2.a2
+        |FROM a1 JOIN a2 USING (p)
+        |ORDER BY a2.a2 DESC, p LIMIT 15""".stripMargin,
+
+    // q303: both channels and all estimator terms replayed exactly; the
+    // per-stratum terms fold through the q272 rounded-term reduction.
+    "q303_ipw_stratified" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey AS stratum,
+        |    CASE WHEN (CAST(md5_number_upper('trt#'
+        |        || CAST(c_custkey AS VARCHAR)) AS HUGEINT)
+        |        % 2305843009213693951) % 100
+        |      < 20 + 3 * (c_nationkey % 10) THEN 1 ELSE 0 END AS t
+        |  FROM customer
+        |), base2 AS (
+        |  SELECT *, CASE WHEN (CAST(md5_number_upper('out#'
+        |        || CAST(c_custkey AS VARCHAR)) AS HUGEINT)
+        |        % 2305843009213693951) % 100
+        |      < 10 + 2 * (stratum % 10) + 15 * t THEN 1 ELSE 0 END AS y
+        |  FROM base
+        |), strata AS (
+        |  SELECT stratum, CAST(COUNT(*) AS BIGINT) AS ns,
+        |    CAST(SUM(t) AS BIGINT) AS nt,
+        |    CAST(SUM(y * t) AS BIGINT) AS yt,
+        |    CAST(SUM(y * (1 - t)) AS BIGINT) AS yc
+        |  FROM base2 GROUP BY 1
+        |), s2 AS (SELECT *, ns - nt AS nc FROM strata),
+        |ok AS (SELECT * FROM s2 WHERE nt > 0 AND nc > 0),
+        |exc AS (
+        |  SELECT CAST(COALESCE(SUM(ns), 0) AS BIGINT) AS n_excluded
+        |  FROM s2 WHERE NOT (nt > 0 AND nc > 0)
+        |), terms AS (
+        |  SELECT ns, nt, nc, yt, yc,
+        |    CAST(round(CAST(ns AS DOUBLE) * (CAST(yt AS DOUBLE)
+        |      / CAST(nt AS DOUBLE) - CAST(yc AS DOUBLE)
+        |      / CAST(nc AS DOUBLE)), 12) AS DECIMAL(24,12)) AS strat_term,
+        |    CAST(round(CAST(yt AS DOUBLE) / (CAST(nt AS DOUBLE)
+        |      / CAST(ns AS DOUBLE)), 12) AS DECIMAL(24,12)) AS ht_t_term,
+        |    CAST(round(CAST(yc AS DOUBLE) / (CAST(nc AS DOUBLE)
+        |      / CAST(ns AS DOUBLE)), 12) AS DECIMAL(24,12)) AS ht_c_term
+        |  FROM ok
+        |), agg AS (
+        |  SELECT CAST(SUM(ns) AS BIGINT) AS n,
+        |    CAST(SUM(nt) AS BIGINT) AS n_treated,
+        |    CAST(SUM(yt) AS BIGINT) AS conv_treated,
+        |    CAST(SUM(nc) AS BIGINT) AS n_control,
+        |    CAST(SUM(yc) AS BIGINT) AS conv_control,
+        |    SUM(strat_term) AS strat_sum,
+        |    SUM(ht_t_term) AS ht_t_sum,
+        |    SUM(ht_c_term) AS ht_c_sum
+        |  FROM terms
+        |)
+        |SELECT n, (SELECT n_excluded FROM exc) AS n_excluded,
+        |  round(CAST(conv_treated AS DOUBLE) / CAST(n_treated AS DOUBLE)
+        |    - CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE), 6)
+        |    AS naive_diff,
+        |  round(CAST(strat_sum AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS stratified_ate,
+        |  round((CAST(ht_t_sum AS DOUBLE) - CAST(ht_c_sum AS DOUBLE))
+        |    / CAST(n AS DOUBLE), 6) AS ipw_ate
+        |FROM agg""".stripMargin,
   )
+
+  /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word
+    * bigrams of the corpus (the bounded string grain). */
+  private def bigramVocabSql: String =
+    """tk AS (
+      |  SELECT string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2
+      |), bg AS (
+      |  SELECT DISTINCT t[i] || ' ' || t[i+1] AS s
+      |  FROM tk, LATERAL unnest(range(1, len(t))) AS u(i)
+      |  WHERE len(t[i] || ' ' || t[i+1]) > 0
+      |)""".stripMargin
 
   /** q236's oracle: one per-n gram level (tokens for n=1, positional
     * slices for n=2,3), each a (count, count-distinct-md5) aggregate. */

@@ -172,6 +172,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             Literal(1)),
           Cast(args(1), org.apache.spark.sql.types.LongType))
     },
+    fn("jaro_sim", "jaro_sim(a, b) - Jaro string similarity in [0, 1]") {
+      args => graft.functions.JaroWinkler(args(0), args(1), winkler = false)
+    },
+    fn("jaro_winkler_sim", "jaro_winkler_sim(a, b) - prefix-boosted Jaro-Winkler similarity") {
+      args => graft.functions.JaroWinkler(args(0), args(1), winkler = true)
+    },
+    fn("damerau_levenshtein", "damerau_levenshtein(a, b) - true (unrestricted) Damerau-Levenshtein edit distance") {
+      args => graft.functions.DamerauLevenshtein(args(0), args(1))
+    },
     fn("modal_count", "modal_count(arr) - occurrence count of the most frequent element") {
       args => graft.functions.ModalCount(args(0))
     },

@@ -7014,9 +7014,12 @@ object CorpusQueries {
     * actually books it: base = cents div days to every day, and the
     * remainder cents go to the FIRST remainder days, so the allocation
     * sums back to the invoice TO THE CENT (a double division never
-    * does). Spans explode bounded by the ship window; the monthly
-    * rollup is an exact integer sum. Scale shape: one order-grain max
-    * join, a span-bounded explode, one combinable month aggregate. */
+    * does). The per-day allocation is folded to CLOSED FORM per spanned
+    * month — q·overlapDays + |[d0, d0+r-1] ∩ month| — so the explode is
+    * per order-month (≤ ~5 rows), never per order-day (~60 rows); the
+    * DuckDB oracle still books day by day, so the hash match proves the
+    * fold. Scale shape: one order-grain max join, a month-bounded
+    * explode, one combinable month aggregate. */
   def q281_calendarize(spark: SparkSession, dir: String): DataFrame = {
     val spans = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir)
@@ -7029,17 +7032,27 @@ object CorpusQueries {
         greatest(lit(1L),
           (datediff(col("last_ship"), col("o_orderdate")) + 1).cast("long"))
           .as("n_days"))
-    val alloc = spans
-      .select(col("o_orderkey"), col("cents"), col("d0"), col("n_days"),
-        explode(sequence(lit(0L), col("n_days") - 1)).as("i"))
-      .select(date_add(col("d0"), col("i").cast("int")).as("day"),
-        (floor(col("cents").cast("double") / col("n_days").cast("double"))
-          .cast("long") +
-          when(col("i") < pmod(col("cents"), col("n_days")), 1L)
-            .otherwise(0L)).as("alloc_cents"))
-    alloc.groupBy(date_trunc("month", col("day")).as("month"))
-      .agg(sum(col("alloc_cents")).cast("long").as("alloc_cents"),
-        count(lit(1)).cast("long").as("n_order_days"))
+    val perMonth = spans
+      .withColumn("dend", date_add(col("d0"), (col("n_days") - 1).cast("int")))
+      .withColumn("q", expr("cents div n_days"))
+      .withColumn("r", pmod(col("cents"), col("n_days")))
+      .select(col("*"), explode(expr(
+        "sequence(date_trunc('MONTH', d0), date_trunc('MONTH', dend), interval 1 month)"))
+        .as("month"))
+      .withColumn("som", to_date(col("month")))
+      .withColumn("eom", last_day(col("som")))
+      .withColumn("ovl",
+        (datediff(least(col("dend"), col("eom")),
+          greatest(col("d0"), col("som"))) + 1).cast("long"))
+      .withColumn("rovl", when(col("r") > 0,
+        greatest(lit(0L),
+          (datediff(least(date_add(col("d0"), (col("r") - 1).cast("int")),
+            col("eom")), greatest(col("d0"), col("som"))) + 1).cast("long")))
+        .otherwise(0L))
+    perMonth.groupBy(col("month"))
+      .agg(sum(col("q") * col("ovl") + col("rovl")).cast("long")
+          .as("alloc_cents"),
+        sum(col("ovl")).cast("long").as("n_order_days"))
       .select(col("month"),
         (col("alloc_cents").cast("double") / 100.0).as("allocated"),
         col("n_order_days"))

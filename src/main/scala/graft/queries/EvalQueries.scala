@@ -1,0 +1,331 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Sketch-guarantee, calibration, backtest, density-clustering, and
+  * causal-inference wave — the "is the cheap estimator / selection rule
+  * good enough to ship" reports. Each query pairs a scale-path
+  * estimator with its exact audit in one result, so the guarantee is
+  * data, not doc prose.
+  *
+  * Scale shapes: estimators are one combinable aggregate over the
+  * corpus; audits run on bounded grains (log2 bucket domain, score
+  * buckets, the calendar day/week domain, nation strata).
+  */
+object EvalQueries {
+
+  /** Log2-bucket quantile sketch (a DDSketch with γ=2 — Masson et al.,
+    * VLDB'19 — whose bucket index is the INTEGER bit length of the cents
+    * value, so the sketch is engine-portable with zero FP): per-priority
+    * sketches, their merged rollup proven equal to the directly-built
+    * global sketch (the mergeability contract a 1000-executor rollup
+    * relies on), and for φ ∈ {0.5, 0.9, 0.99} the sketch bucket is shown
+    * to BRACKET the exact rank-φ order statistic — the relative-error ≤ 2
+    * guarantee, held up against the data. Scale shape: sketch build is
+    * one map-side-combinable groupBy on ~40 buckets; only the exact
+    * audit touches the value grain (cumulative rank over distinct cents,
+    * the q216 convention). */
+  def q298_log2_quantile_sketch(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val vals = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"), cents.as("cents"))
+      .filter(col("cents") > 0)
+      .withColumn("bucket", length(bin(col("cents"))).cast("int"))
+      .localCheckpoint(true)
+    val perPrio = vals.groupBy(col("prio"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val merged = perPrio.groupBy(col("bucket"))
+      .agg(sum(col("c")).cast("long").as("c_merged"))
+    val direct = vals.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("c_direct"))
+    val mergedOk = merged.join(direct, Seq("bucket"), "full")
+      .agg(min(coalesce(col("c_merged") === col("c_direct"), lit(false)))
+        .as("merged_ok"))
+    val n = vals.agg(count(lit(1)).cast("long").as("n"))
+    // exact rank-φ order statistics on the distinct-cents grain
+    val byVal = vals.groupBy(col("cents"))
+      .agg(count(lit(1)).cast("long").as("cv"))
+      .withColumn("cum", sum(col("cv")).over(
+        Window.orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val cumB = direct.withColumn("cumb", sum(col("c_direct")).over(
+      Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val phis = Seq(("0.50", 1L, 2L), ("0.90", 9L, 10L), ("0.99", 99L, 100L))
+    val out = phis.map { case (label, num, den) =>
+      val r = n.select(
+        expr(s"CAST((n * $num + ${den - 1}) div $den AS BIGINT)").as("r"),
+        col("n"))
+      val b = r.crossJoin(cumB).filter(col("cumb") >= col("r"))
+        .groupBy(col("r"), col("n")).agg(min(col("bucket")).as("bucket"))
+      val exact = r.crossJoin(byVal).filter(col("cum") >= col("r"))
+        .groupBy(col("r")).agg(min(col("cents")).as("exact_cents"))
+      b.join(exact, "r")
+        .select(lit(label).as("phi"), col("n"), col("r").as("rank"),
+          col("bucket"),
+          expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)").as("lo_cents"),
+          (expr("shiftleft(CAST(1 AS BIGINT), bucket)") - 1).as("hi_cents"),
+          col("exact_cents"))
+    }.reduce(_ unionByName _)
+    out.crossJoin(mergedOk)
+      .withColumn("within_bucket",
+        col("exact_cents") >= col("lo_cents") &&
+          col("exact_cents") <= col("hi_cents"))
+      .orderBy(col("phi"))
+  }
+
+  /** Isotonic (monotone) calibration of a document-length score against
+    * the observed English rate, via the PAVA minimax identity
+    * g(i) = max_{j≤i} min_{k≥i} pooledAvg(j..k) (Robertson-Wright-Dykstra)
+    * — the calibration step between a raw quality score and a selection
+    * threshold. The pooled averages are integer-count ratios, so both
+    * engines produce bit-identical doubles; the output carries the
+    * before/after adjacent-violation evidence. Scale shape: one
+    * combinable corpus aggregate to ~20 buckets; the j/i/k triple
+    * enumeration is on the bounded bucket grain (≤ B³ tiny rows). */
+  def q299_isotonic_calibration(spark: SparkSession, dir: String): DataFrame = {
+    val b = least(lit(19L), floor(col("n_chars") / 50)).cast("int")
+    val buckets = Tables.documents(spark, dir)
+      .select(b.as("bucket"), (col("lang") === "en").cast("long").as("y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("y")).as("s"))
+      .localCheckpoint(true)
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // avg(j..k) from prefix sums; pn/ps are the sums strictly before j
+    val withPrefix = buckets.select(col("bucket"), col("n"), col("s"))
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cs", sum(col("s")).over(w))
+    val iv = withPrefix.select(col("bucket").as("j"),
+        (col("cn") - col("n")).as("pn"), (col("cs") - col("s")).as("ps"))
+      .join(withPrefix.select(col("bucket").as("k"), col("cn").as("nk"),
+        col("cs").as("sk")), col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("sk") - col("ps")).cast("double") /
+          (col("nk") - col("pn")).cast("double")).as("avg_jk"))
+    val i = buckets.select(col("bucket").as("i"))
+    val iso = iv.join(i, col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("i"), col("j")).agg(min(col("avg_jk")).as("mn"))
+      .groupBy(col("i")).agg(max(col("mn")).as("iso"))
+    val joined = buckets.join(iso, col("bucket") === col("i"))
+      .select(col("bucket"), col("n"),
+        (col("s").cast("double") / col("n").cast("double")).as("rate"),
+        col("iso"))
+    val lagW = Window.orderBy(col("bucket"))
+    joined
+      .withColumn("pre_violation",
+        coalesce(col("rate") < lag(col("rate"), 1).over(lagW), lit(false)))
+      .withColumn("iso_monotone",
+        coalesce(col("iso") >= lag(col("iso"), 1).over(lagW), lit(true)))
+      .select(col("bucket"), col("n"), round(col("rate"), 6).as("rate"),
+        round(col("iso"), 6).as("iso_rate"), col("pre_violation"),
+        col("iso_monotone"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Rolling-origin forecast backtest on the daily revenue series: three
+    * closed-form forecasters (naive last-observation, seasonal-naive at
+    * lag 7, integer-floored trailing MA-7) scored at every origin with at
+    * least 7 prior observations — the model-selection evidence a forecast
+    * pipeline needs BEFORE anyone fits a model. MAE is exact integer
+    * cents; MAPE folds per-origin terms rounded at 12 dp through DECIMAL
+    * (the q272 rounded-term reduction), so both engines agree exactly.
+    * Scale shape: one combinable day-grain aggregate, then lag/avg
+    * windows on the bounded calendar domain. */
+  def q300_forecast_backtest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).cast("long").as("rev"))
+    val w = Window.orderBy(col("day"))
+    val withF = daily
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("naive", lag(col("rev"), 1).over(w))
+      .withColumn("seasonal", lag(col("rev"), 7).over(w))
+      .withColumn("ma7", expr(
+        "sum(rev) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) div 7"))
+      .filter(col("rn") >= 8)
+    def score(fc: String): DataFrame = {
+      val err = abs(col("rev") - col(fc))
+      withF.select(col("rev"), err.as("err"))
+        .agg(count(lit(1)).cast("long").as("n_origins"),
+          sum(col("err")).cast("long").as("sum_abs_err"),
+          sum(round(col("err").cast("double") / col("rev").cast("double"),
+            12).cast("decimal(24,12)")).as("mape_sum"))
+        .select(lit(fc).as("forecaster"), col("n_origins"),
+          round(col("sum_abs_err").cast("double") /
+            col("n_origins").cast("double"), 2).as("mae_cents"),
+          round(col("mape_sum").cast("double") /
+            col("n_origins").cast("double"), 8).as("mape"))
+    }
+    score("naive").unionByName(score("seasonal")).unionByName(score("ma7"))
+      .orderBy(col("forecaster"))
+  }
+
+  /** Grid-blocked DBSCAN (Ester et al., KDD'96) as revenue-regime
+    * detection: points are (week, rank-vigintile of weekly revenue) — the
+    * rank transform makes the 2D density scale-invariant — with L∞ ε=2,
+    * minPts=3. The Spark side builds the ε-graph the way a 100 TB run
+    * must: cell = ε-grid key, candidates from the 3×3 neighbor-cell
+    * equi-join (never the quadratic all-pairs), exact distance check on
+    * candidates only; clusters come from the whale-safe BigStar CC
+    * already gated by q67. The oracle recomputes the ε-graph as a plain
+    * quadratic join + recursive CTE — an independent construction.
+    * Output is per point: role (core/border/noise) and cluster id. */
+  def q301_dbscan_regimes(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 2
+    val wk = Tables.orders(spark, dir)
+      .select(expr(
+        "datediff(to_date(o_orderdate), DATE'1992-01-01') div 7").as("x"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .groupBy(col("x")).agg(sum(col("cents")).cast("long").as("rev"))
+    val n = wk.agg(count(lit(1)).cast("long").as("nw"))
+    val pts = wk
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rev"), col("x"))).cast("long"))
+      .crossJoin(broadcast(n))
+      .select(col("x"), expr("(rn - 1) * 20 div nw").as("y"))
+      .withColumn("pid", col("x") * 32 + col("y"))
+      .localCheckpoint(true)
+    // ε-grid blocking: cell size = ε, so any L∞-ε pair shares a 3x3 block
+    val withCell = pts.withColumn("cx", expr(s"x div $eps"))
+      .withColumn("cy", expr(s"y div $eps"))
+    val probes = withCell
+      .withColumn("dx", explode(array((-1 to 1).map(lit): _*)))
+      .withColumn("dy", explode(array((-1 to 1).map(lit): _*)))
+      .select(col("pid").as("pa"), col("x").as("xa"), col("y").as("ya"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    val edges = probes.join(withCell.select(col("pid").as("pb"),
+        col("x").as("xb"), col("y").as("yb"), col("cx"), col("cy")),
+        Seq("cx", "cy"))
+      .filter(abs(col("xa") - col("xb")) <= eps &&
+        abs(col("ya") - col("yb")) <= eps && col("pa") =!= col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("pa")).agg(count(lit(1)).as("nb"))
+    val core = deg.filter(col("nb") >= 3).select(col("pa").as("pid"))
+    val coreEdges = edges
+      .join(core.select(col("pid").as("pa")), "pa")
+      .join(core.select(col("pid").as("pb")), "pb")
+      .filter(col("pa") < col("pb"))
+      .select(col("pa").as("id_a"), col("pb").as("id_b"))
+    val comp = graft.transform.Dedup.duplicateClustersBigStar(
+      coreEdges, core, "pid")
+    val borderAssign = edges
+      .join(core.select(col("pid").as("pb")), "pb") // neighbor is core
+      .join(comp.withColumnRenamed("pid", "pb"), "pb")
+      .groupBy(col("pa")).agg(min(col("cluster_id")).as("b_cluster"))
+    pts.join(comp.withColumnRenamed("cluster_id", "c_cluster"),
+        Seq("pid"), "left")
+      .join(broadcast(core.withColumn("is_core", lit(true))), Seq("pid"),
+        "left")
+      .join(borderAssign.withColumnRenamed("pa", "pid"), Seq("pid"), "left")
+      .select(col("pid"), col("x"), col("y"),
+        when(col("is_core"), "core")
+          .when(col("b_cluster").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        when(col("is_core"), col("c_cluster"))
+          .otherwise(col("b_cluster")).as("cluster_id"))
+      .orderBy(col("pid"))
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg, JACM'99) on the bipartite
+    * customer-part purchase graph, two exact integer iterations (no
+    * normalization, so every score is a path count and both engines agree
+    * to the last bit): a1 = in-degree, h1 = Σ a1 over a customer's parts,
+    * a2 = Σ h1 over a part's customers. Scale shape: each iteration is
+    * one groupBy-sum + equi-join over the edge list — the PageRank-class
+    * power-iteration layout; the final top-15 plans as
+    * TakeOrderedAndProject, never a full sort. */
+  def q302_hits_bipartite(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+        "o_orderkey")
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(true)
+    val a1 = edges.groupBy(col("p"))
+      .agg(count(lit(1)).cast("long").as("a1"))
+    val h1 = edges.join(a1, "p").groupBy(col("c"))
+      .agg(sum(col("a1")).cast("long").as("h1"))
+    val a2 = edges.join(h1, "c").groupBy(col("p"))
+      .agg(sum(col("h1")).cast("long").as("a2"))
+    a1.join(a2, "p")
+      .orderBy(col("a2").desc, col("p"))
+      .limit(15)
+      .select(col("p").as("partkey"), col("a1"), col("a2"))
+  }
+
+  /** Stratified causal-effect estimation under confounded assignment —
+    * the observational-data answer to q-series A/B tests: treatment and
+    * outcome both depend on the nation stratum through deterministic
+    * md5-uniform channels (true lift = 15pp by construction), so the
+    * naive difference-in-means is biased and the stratified /
+    * Horvitz-Thompson IPW estimators recover the effect. Positivity
+    * strata lacking either arm are excluded and counted. Per-stratum
+    * terms are exact integer-count rationals folded through the q272
+    * rounded-term DECIMAL reduction. Scale shape: one combinable
+    * customer-grain aggregate to |nation| strata; everything after is
+    * bounded-grain arithmetic. */
+  def q303_ipw_stratified(spark: SparkSession, dir: String): DataFrame = {
+    val p = 2305843009213693951L
+    def chan(tag: String): Column =
+      pmod(element_at(graft.functions.MinHashSig.minhashSig(
+        array(concat(lit(tag + "#"), col("c_custkey"))), 1), 1), lit(100L))
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").as("stratum"),
+        (chan("trt") < lit(20L) + lit(3L) * pmod(col("c_nationkey").cast("long"),
+          lit(10L))).cast("int").as("t"))
+      .withColumn("y",
+        (chan("out") < lit(10L) + lit(2L) * pmod(col("stratum").cast("long"),
+          lit(10L)) + lit(15L) * col("t")).cast("long"))
+    val strata = base.groupBy(col("stratum"))
+      .agg(count(lit(1)).cast("long").as("ns"),
+        sum(col("t")).cast("long").as("nt"),
+        sum(col("y") * col("t")).cast("long").as("yt"),
+        sum(col("y") * (lit(1) - col("t"))).cast("long").as("yc"))
+      .withColumn("nc", col("ns") - col("nt"))
+      .localCheckpoint(true)
+    val ok = strata.filter(col("nt") > 0 && col("nc") > 0)
+    val excluded = strata.filter(!(col("nt") > 0 && col("nc") > 0))
+      .agg(coalesce(sum(col("ns")), lit(0L)).cast("long").as("n_excluded"))
+    def dec(c: Column): Column = round(c, 12).cast("decimal(24,12)")
+    val terms = ok.select(col("ns"), col("nt"), col("nc"),
+      col("yt"), col("yc"),
+      dec(col("ns").cast("double") * (col("yt").cast("double") /
+        col("nt").cast("double") - col("yc").cast("double") /
+          col("nc").cast("double"))).as("strat_term"),
+      dec(col("yt").cast("double") / (col("nt").cast("double") /
+        col("ns").cast("double"))).as("ht_t_term"),
+      dec(col("yc").cast("double") / (col("nc").cast("double") /
+        col("ns").cast("double"))).as("ht_c_term"))
+    val agg = terms.agg(
+      sum(col("ns")).cast("long").as("n"),
+      sum(col("nt")).cast("long").as("n_treated"),
+      sum(col("yt")).cast("long").as("conv_treated"),
+      sum(col("nc")).cast("long").as("n_control"),
+      sum(col("yc")).cast("long").as("conv_control"),
+      sum(col("strat_term")).as("strat_sum"),
+      sum(col("ht_t_term")).as("ht_t_sum"),
+      sum(col("ht_c_term")).as("ht_c_sum"))
+    agg.crossJoin(excluded)
+      .select(col("n"), col("n_excluded"),
+        round(col("conv_treated").cast("double") /
+          col("n_treated").cast("double") -
+          col("conv_control").cast("double") /
+            col("n_control").cast("double"), 6).as("naive_diff"),
+        round(col("strat_sum").cast("double") / col("n").cast("double"), 6)
+          .as("stratified_ate"),
+        round((col("ht_t_sum").cast("double") -
+          col("ht_c_sum").cast("double")) / col("n").cast("double"), 6)
+          .as("ipw_ate"))
+  }
+}

@@ -298,7 +298,10 @@ class ExpressionsSpec extends SparkSpec {
           BloomMightContainLong.buildOverHashes(texts, col("text"), 10L)).as("bloom"),
         DotProduct.dotProduct(fn.array(lit(1.0), lit(2.0)), fn.array(lit(3.0), lit(4.0))).as("dp"),
         ModalCount.modalCount(TextOps.tokens(col("text"))).as("modal"),
-        EntropyTermSum.entropyTermSum(TextOps.tokens(col("text"))).as("ets"))
+        EntropyTermSum.entropyTermSum(TextOps.tokens(col("text"))).as("ets"),
+        JaroWinkler.jaroWinklerSim(col("text"), fn.reverse(col("text"))).as("jw"),
+        DamerauLevenshtein.damerauLevenshtein(col("text"),
+          fn.reverse(col("text"))).as("dl"))
         .collect()
       out.length shouldBe 1
       out(0).getAs[Double]("dp") shouldBe 11.0
@@ -327,5 +330,39 @@ class ExpressionsSpec extends SparkSpec {
     val xs = Seq.tabulate(50)(i => ((i * 2654435761L) % 1000))
     val fps = winnowOf(xs, 4).toSet
     xs.sliding(4).foreach(wnd => fps.intersect(wnd.toSet) should not be empty)
+  }
+
+  test("JaroWinkler matches the published textbook values (DuckDB parity set)") {
+    import graft.functions.JaroWinkler
+    def jj(a: String, b: String): (Double, Double) = {
+      val r = Seq((a, b)).toDF("a", "b").select(
+        JaroWinkler.jaroSim(col("a"), col("b")).as("j"),
+        JaroWinkler.jaroWinklerSim(col("a"), col("b")).as("jw")).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // Winkler's canonical example; values verified against DuckDB's native
+    // jaro_similarity / jaro_winkler_similarity to the exact double
+    jj("MARTHA", "MARHTA") shouldBe ((1.0 + 1.0 + 5.0 / 6.0) / 3.0,
+      0.9611111111111111)
+    jj("DIXON", "DICKSONX")._2 shouldBe 0.8133333333333332 +- 1e-15
+    // empty-side convention: 0, not 1 (DuckDB semantics)
+    jj("", "") shouldBe ((0.0, 0.0))
+    jj("abc", "") shouldBe ((0.0, 0.0))
+    // no Winkler boost at or below jaro 0.7
+    jj("abcdxxxxxx", "abcdyyyyyy") shouldBe ((0.6, 0.6))
+  }
+
+  test("DamerauLevenshtein is the TRUE (unrestricted) variant") {
+    import graft.functions.DamerauLevenshtein
+    def d(a: String, b: String): Long =
+      Seq((a, b)).toDF("a", "b").select(
+        DamerauLevenshtein.damerauLevenshtein(col("a"), col("b")).as("d"))
+        .collect()(0).getLong(0)
+    d("CA", "ABC") shouldBe 2L // OSA would say 3 — the discriminating case
+    d("MARTHA", "MARHTA") shouldBe 1L // adjacent transposition = 1 edit
+    d("kitten", "sitting") shouldBe 3L
+    d("", "abc") shouldBe 3L
+    d("abc", "") shouldBe 3L
+    d("same", "same") shouldBe 0L
   }
 }
