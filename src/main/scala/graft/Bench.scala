@@ -57,8 +57,15 @@ object Bench {
     // can't dominate the reported number. Per-query run spread (max/min) is
     // recorded so a noisy session is visible in the output itself.
     // A query that throws is recorded as an error entry — never as a time.
+    // SPARK_GRAFT_ONLY=q226,q283 restricts the timed set — dev-loop
+    // convenience mirroring Verify; the driver leaves it unset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     val results: Seq[(String, Either[String, (Double, Double)])] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+      SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
+        .map { case (name, fn) =>
         def once(): Either[String, Double] = {
           val t0 = System.nanoTime()
           Try(fn(spark, sfDir).count()) match {

@@ -4757,6 +4757,10 @@ object CorpusQueries {
         .as(Seq("pos", "g")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         md5(col("g")).as("gh"))
+      // consumed by THREE downstream aggregates (gram df, dup positions,
+      // per-doc position counts) — truncate so the tokenize+explode+md5
+      // scan runs once, not three times
+      .localCheckpoint(true)
     val df = posGrams.select(col("doc_id"), col("gh")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).cast("long").as("nd"))
     val dupPos = posGrams.join(df, "gh").filter(col("nd") >= 2)
