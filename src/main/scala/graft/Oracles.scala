@@ -6704,6 +6704,178 @@ object Oracles {
         |  round((CAST(ht_t_sum AS DOUBLE) - CAST(ht_c_sum AS DOUBLE))
         |    / CAST(n AS DOUBLE), 6) AS ipw_ate
         |FROM agg""".stripMargin,
+
+    // q304: bounded brand-itemset grain; top-20 by (support, triple).
+    "q304_frequent_triples" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM b),
+        |singles AS (SELECT brand, COUNT(*) AS supp1 FROM b GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.brand AS x, c.brand AS y, COUNT(*) AS supp_xy
+        |  FROM b a JOIN b c ON a.ok = c.ok AND a.brand < c.brand
+        |  GROUP BY 1, 2
+        |), triples AS (
+        |  SELECT a.brand AS x, c.brand AS y, d.brand AS z,
+        |    CAST(COUNT(*) AS BIGINT) AS supp
+        |  FROM b a JOIN b c ON a.ok = c.ok AND a.brand < c.brand
+        |  JOIN b d ON a.ok = d.ok AND c.brand < d.brand
+        |  GROUP BY 1, 2, 3
+        |), top AS (
+        |  SELECT * FROM triples ORDER BY supp DESC, x, y, z LIMIT 20
+        |)
+        |SELECT t.x, t.y, t.z, t.supp,
+        |  CAST(p.supp_xy AS BIGINT) AS supp_xy,
+        |  round(CAST(t.supp AS DOUBLE) / CAST(p.supp_xy AS DOUBLE), 6)
+        |    AS confidence,
+        |  round(CAST(t.supp AS DOUBLE) / CAST(p.supp_xy AS DOUBLE)
+        |    * CAST(nb.n_baskets AS DOUBLE) / CAST(s.supp1 AS DOUBLE), 6)
+        |    AS lift
+        |FROM top t JOIN pairs p ON p.x = t.x AND p.y = t.y
+        |JOIN singles s ON s.brand = t.z CROSS JOIN nb
+        |ORDER BY t.supp DESC, t.x, t.y, t.z""".stripMargin,
+
+    // q305: Morton interleave replayed with the same bit arithmetic.
+    "q305_morton_locality" -> {
+      val interleave = (0 until 16).map(b =>
+        s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH pts AS (
+         |  SELECT DISTINCT
+         |    CAST(date_diff('day', DATE '1992-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         |    CAST(length(printf('%b',
+         |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)))
+         |      AS BIGINT) AS y
+         |  FROM orders
+         |), keyed AS (
+         |  SELECT x, y,
+         |    row_number() OVER (ORDER BY ($interleave)) AS rm,
+         |    row_number() OVER (ORDER BY x * 65536 + y) AS rr
+         |  FROM pts
+         |), edges AS (
+         |  SELECT abs(a.rm - b.rm) AS gm, abs(a.rr - b.rr) AS gr
+         |  FROM keyed a JOIN keyed b ON b.x = a.x + 1 AND b.y = a.y
+         |  UNION ALL
+         |  SELECT abs(a.rm - b.rm), abs(a.rr - b.rr)
+         |  FROM keyed a JOIN keyed b ON b.x = a.x AND b.y = a.y + 1
+         |)
+         |SELECT 'morton' AS ordering, CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |  round(CAST(SUM(gm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+         |    AS avg_rank_gap,
+         |  CAST(MAX(gm) AS BIGINT) AS max_rank_gap
+         |FROM edges
+         |UNION ALL
+         |SELECT 'row_major', CAST(COUNT(*) AS BIGINT),
+         |  round(CAST(SUM(gr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4),
+         |  CAST(MAX(gr) AS BIGINT)
+         |FROM edges
+         |ORDER BY ordering""".stripMargin
+    },
+
+    // q306: both md5 channels replayed; every quantity an exact integer.
+    "q306_ams_f2" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), counts AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST((CAST(md5_number_upper('amsb#' || tok) AS HUGEINT)
+        |      % 2305843009213693951) % 16 AS BIGINT) AS bucket,
+        |    2 * CAST((CAST(md5_number_upper('amss#' || tok) AS HUGEINT)
+        |      % 2305843009213693951) % 2 AS BIGINT) - 1 AS sign
+        |  FROM tok GROUP BY source, tok
+        |), per_source AS (
+        |  SELECT source, bucket, CAST(SUM(sign * c) AS BIGINT) AS z
+        |  FROM counts GROUP BY 1, 2
+        |), merged AS (
+        |  SELECT bucket, CAST(SUM(z) AS BIGINT) AS z_merged
+        |  FROM per_source GROUP BY 1
+        |), tok_global AS (
+        |  SELECT tok, CAST(SUM(c) AS BIGINT) AS c,
+        |    MIN(bucket) AS bucket, MIN(sign) AS sign
+        |  FROM counts GROUP BY 1
+        |), direct AS (
+        |  SELECT bucket, CAST(SUM(sign * c) AS BIGINT) AS z_direct
+        |  FROM tok_global GROUP BY 1
+        |), mok AS (
+        |  SELECT min(coalesce(z_merged = z_direct, false)) AS merged_ok
+        |  FROM merged FULL JOIN direct USING (bucket)
+        |), ex AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(c * c) AS BIGINT) AS f2_exact
+        |  FROM tok_global
+        |), es AS (
+        |  SELECT CAST(SUM(z_direct * z_direct) AS BIGINT) AS f2_est
+        |  FROM direct
+        |)
+        |SELECT n_tokens, n_distinct, f2_exact, f2_est,
+        |  round(CAST(f2_est AS DOUBLE) / CAST(f2_exact AS DOUBLE), 6)
+        |    AS est_ratio,
+        |  (SELECT merged_ok FROM mok) AS merged_ok
+        |FROM ex CROSS JOIN es""".stripMargin,
+
+    // q307: hypergeometric E/V at each event day; terms fold through the
+    // q272 rounded-term DECIMAL reduction.
+    "q307_logrank" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        |), per_user AS (
+        |  SELECT user_id,
+        |    CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN us END)
+        |        IS NOT NULL
+        |      THEN (MIN(CASE WHEN event_type = 'purchase' THEN us END)
+        |        - MIN(us)) // 86400000000
+        |      ELSE (MAX(us) - MIN(us)) // 86400000000 END AS t,
+        |    CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN us END)
+        |      IS NOT NULL THEN 1 ELSE 0 END AS d,
+        |    CAST((CAST(md5_number_upper('arm#'
+        |      || CAST(user_id AS VARCHAR)) AS HUGEINT)
+        |      % 2305843009213693951) % 2 AS INT) AS arm
+        |  FROM ev GROUP BY user_id
+        |), by_day AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(d) AS BIGINT) AS dd,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |    CAST(SUM(d * arm) AS BIGINT) AS d1
+        |  FROM per_user GROUP BY 1
+        |), risk AS (
+        |  SELECT *,
+        |    CAST(SUM(m) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n,
+        |    CAST(SUM(m1) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n1
+        |  FROM by_day
+        |), fr AS (SELECT * FROM risk WHERE dd > 0 AND n > 1),
+        |terms AS (
+        |  SELECT d1, dd,
+        |    CAST(round(CAST(dd AS DOUBLE) * (CAST(n1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE)), 12) AS DECIMAL(24,12)) AS e1,
+        |    CAST(round(CAST(dd AS DOUBLE) * (CAST(n1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) * (1.0 - CAST(n1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) * (CAST(n - dd AS DOUBLE)
+        |      / CAST(n - 1 AS DOUBLE)), 12) AS DECIMAL(24,12)) AS v
+        |  FROM fr
+        |), us AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(d) AS BIGINT) AS n_events
+        |  FROM per_user
+        |), ag AS (
+        |  SELECT CAST(SUM(d1) AS BIGINT) AS o1, SUM(e1) AS e1s,
+        |    SUM(v) AS vs
+        |  FROM terms
+        |)
+        |SELECT n_users, n_events, o1,
+        |  round(CAST(e1s AS DOUBLE), 6) AS e1,
+        |  round(CAST(vs AS DOUBLE), 6) AS var_sum,
+        |  round((CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE))
+        |    * (CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE))
+        |    / CAST(vs AS DOUBLE), 6) AS chi2
+        |FROM us CROSS JOIN ag""".stripMargin,
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

@@ -328,4 +328,212 @@ object EvalQueries {
           col("ht_c_sum").cast("double")) / col("n").cast("double"), 6)
           .as("ipw_ate"))
   }
+
+  /** Apriori-style frequent brand TRIPLES with association-rule stats —
+    * the 3-itemset extension of q137's pair lift: top-20 co-purchased
+    * brand triples by support, each carrying the {x,y}→z rule's exact
+    * confidence and lift. The item grain is brand, so the itemset
+    * universe is bounded (C(25,3) = 2300) and every support is an exact
+    * basket count. Scale shape: the triple enumeration is a basket-
+    * bounded double self-join on the order key (≤ C(k,3) rows per
+    * basket), aggregated to the bounded itemset grain; the final top-20
+    * plans as TakeOrderedAndProject. */
+  def q304_frequent_triples(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .join(Tables.part(spark, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand")), "l_partkey")
+      .select(col("ok"), col("p_brand").as("brand")).distinct()
+      .localCheckpoint(true)
+    val nBaskets = b.select(col("ok")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_baskets"))
+    val singles = b.groupBy(col("brand"))
+      .agg(count(lit(1)).cast("long").as("supp1"))
+    val pairs = b.select(col("ok"), col("brand").as("x"))
+      .join(b.select(col("ok"), col("brand").as("y")), "ok")
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).cast("long").as("supp_xy"))
+    val triples = b.select(col("ok"), col("brand").as("x"))
+      .join(b.select(col("ok"), col("brand").as("y")), "ok")
+      .join(b.select(col("ok"), col("brand").as("z")), "ok")
+      .filter(col("x") < col("y") && col("y") < col("z"))
+      .groupBy(col("x"), col("y"), col("z"))
+      .agg(count(lit(1)).cast("long").as("supp"))
+    triples
+      .orderBy(col("supp").desc, col("x"), col("y"), col("z"))
+      .limit(20)
+      .join(pairs, Seq("x", "y"))
+      .join(singles.select(col("brand").as("z"), col("supp1").as("supp_z")),
+        "z")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("x"), col("y"), col("z"), col("supp"), col("supp_xy"),
+        round(col("supp").cast("double") / col("supp_xy").cast("double"), 6)
+          .as("confidence"),
+        round(col("supp").cast("double") / col("supp_xy").cast("double") *
+          col("n_baskets").cast("double") / col("supp_z").cast("double"), 6)
+          .as("lift"))
+      .orderBy(col("supp").desc, col("x"), col("y"), col("z"))
+  }
+
+  /** Space-filling-curve locality audit: Morton (Z-order) interleaving of
+    * the (order-day, price-log2-bucket) plane versus the row-major layout,
+    * judged by the rank distance between 2D-adjacent points — the in-data
+    * evidence behind choosing (or rejecting) a z-order table layout
+    * ([[graft.lakehouse.ZOrder]]). On THIS plane the day axis dominates
+    * (every day is present, only a few price buckets are active per day),
+    * and the audit duly reports row-major ahead of Morton — the classic
+    * "don't z-order a keyspace one dimension already orders well"
+    * advisory, measured rather than asserted. Everything is integer bit
+    * arithmetic replayed identically by the oracle. Scale shape: distinct
+    * bounded key grain, two equi-joins for the 4-neighborhood, one rank
+    * window per ordering on that grain. */
+  def q305_morton_locality(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.orders(spark, dir)
+      .select(datediff(to_date(col("o_orderdate")),
+          to_date(lit("1992-01-01"))).cast("long").as("x"),
+        length(bin((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long"))).cast("long").as("y"))
+      .distinct()
+    val morton = (0 until 16).map { bit =>
+      shiftleft(shiftright(col("x"), bit).bitwiseAND(lit(1L)), 2 * bit) +
+        shiftleft(shiftright(col("y"), bit).bitwiseAND(lit(1L)), 2 * bit + 1)
+    }.reduce(_ + _)
+    val keyed = pts
+      .withColumn("pid", col("x") * 65536 + col("y"))
+      .withColumn("morton", morton)
+      .withColumn("rm", row_number().over(Window.orderBy(col("morton")))
+        .cast("long"))
+      .withColumn("rr", row_number().over(Window.orderBy(col("pid")))
+        .cast("long"))
+      .localCheckpoint(true)
+    val a = keyed.select(col("x"), col("y"), col("rm").as("rma"),
+      col("rr").as("rra"))
+    val bb = keyed.select(col("x").as("bx"), col("y").as("by"),
+      col("rm").as("rmb"), col("rr").as("rrb"))
+    val right = a.join(bb, col("bx") === col("x") + 1 && col("by") === col("y"))
+    val up = a.join(bb, col("bx") === col("x") && col("by") === col("y") + 1)
+    val edges = right.unionByName(up)
+      .select(abs(col("rma") - col("rmb")).as("gm"),
+        abs(col("rra") - col("rrb")).as("gr"))
+      .localCheckpoint(true)
+    def side(gap: String, label: String): DataFrame =
+      edges.agg(count(lit(1)).cast("long").as("n_edges"),
+        sum(col(gap)).cast("long").as("gap_sum"),
+        max(col(gap)).cast("long").as("max_rank_gap"))
+        .select(lit(label).as("ordering"), col("n_edges"),
+          round(col("gap_sum").cast("double") /
+            col("n_edges").cast("double"), 4).as("avg_rank_gap"),
+          col("max_rank_gap"))
+    side("gm", "morton").unionByName(side("gr", "row_major"))
+      .orderBy(col("ordering"))
+  }
+
+  /** Count-sketch second-moment (F2) estimator — the AMS (Alon-Matias-
+    * Szegedy, STOC'96) sketch in its bucketed form: 16 signed counters
+    * Z_j = Σ s(tok)·c_tok over md5-derived buckets and ±1 signs, with
+    * F̂2 = Σ Z_j². Fully deterministic (both channels are the engine-
+    * portable md5 hash), so the oracle replays the sketch exactly;
+    * per-source sketches summed equal the direct global sketch — the
+    * linearity/mergeability a distributed rollup relies on — and the
+    * estimate lands next to the exact Σc² in the same row. Scale shape:
+    * token counts are one combinable aggregate; the sketch is 16
+    * integers regardless of corpus size. */
+  def q306_ams_f2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MinHashSig
+    def chan(tag: String, c: Column): Column =
+      element_at(MinHashSig.minhashSig(
+        array(concat(lit(tag + "#"), c)), 1), 1)
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("bucket", pmod(chan("amsb", col("tok")), lit(16L)))
+      .withColumn("sign",
+        (lit(2L) * pmod(chan("amss", col("tok")), lit(2L)) - 1L))
+      .localCheckpoint(true)
+    val perSource = counts.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("sign") * col("c")).cast("long").as("z"))
+    val mergedZ = perSource.groupBy(col("bucket"))
+      .agg(sum(col("z")).cast("long").as("z_merged"))
+    val tokGlobal = counts.groupBy(col("tok"))
+      .agg(sum(col("c")).cast("long").as("c"),
+        min(col("bucket")).as("bucket"), min(col("sign")).as("sign"))
+    val directZ = tokGlobal.groupBy(col("bucket"))
+      .agg(sum(col("sign") * col("c")).cast("long").as("z_direct"))
+    val mergedOk = mergedZ.join(directZ, Seq("bucket"), "full")
+      .agg(min(coalesce(col("z_merged") === col("z_direct"), lit(false)))
+        .as("merged_ok"))
+    val exact = tokGlobal.agg(
+      sum(col("c")).cast("long").as("n_tokens"),
+      count(lit(1)).cast("long").as("n_distinct"),
+      sum(col("c") * col("c")).cast("long").as("f2_exact"))
+    val est = directZ.agg(sum(col("z_direct") * col("z_direct"))
+      .cast("long").as("f2_est"))
+    exact.crossJoin(est).crossJoin(mergedOk)
+      .select(col("n_tokens"), col("n_distinct"), col("f2_exact"),
+        col("f2_est"),
+        round(col("f2_est").cast("double") /
+          col("f2_exact").cast("double"), 6).as("est_ratio"),
+        col("merged_ok"))
+  }
+
+  /** Two-sample log-rank test between hash-split user arms on time-to-
+    * first-purchase — the inferential companion to the q156 Kaplan-Meier
+    * curve: at every event day, observed arm-1 deaths vs the
+    * hypergeometric expectation E = d·n1/n and variance
+    * V = d·(n1/n)(1−n1/n)(n−d)/(n−1), χ² = (O−E)²/V. Users without a
+    * purchase are right-censored at their last observed event. Day
+    * counts are exact integers; per-day E/V terms fold through the q272
+    * rounded-term DECIMAL reduction. Scale shape: one per-user min/max
+    * aggregate, then suffix-sum windows on the bounded day grain. */
+  def q307_logrank(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(col("us")).as("t0"),
+        min(when(col("event_type") === "purchase", col("us"))).as("tp"),
+        max(col("us")).as("tlast"))
+      .select(col("user_id"),
+        when(col("tp").isNotNull,
+          expr("(tp - t0) div 86400000000")).otherwise(
+          expr("(tlast - t0) div 86400000000")).as("t"),
+        col("tp").isNotNull.cast("int").as("d"),
+        pmod(element_at(graft.functions.MinHashSig.minhashSig(
+          array(concat(lit("arm#"), col("user_id"))), 1), 1), lit(2L))
+          .cast("int").as("arm"))
+    val byDay = perUser.groupBy(col("t"))
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("d")).cast("long").as("dd"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("m1"),
+        sum(col("d") * col("arm")).cast("long").as("d1"))
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val risk = byDay
+      .withColumn("n", sum(col("m")).over(w))
+      .withColumn("n1", sum(col("m1")).over(w))
+      .filter(col("dd") > 0 && col("n") > 1)
+    def dec12(c: Column): Column = round(c, 12).cast("decimal(24,12)")
+    val terms = risk.select(col("d1"), col("dd"),
+      dec12(col("dd").cast("double") * (col("n1").cast("double") /
+        col("n").cast("double"))).as("e1"),
+      dec12(col("dd").cast("double") * (col("n1").cast("double") /
+        col("n").cast("double")) * (lit(1.0d) -
+          col("n1").cast("double") / col("n").cast("double")) *
+        ((col("n") - col("dd")).cast("double") /
+          (col("n") - 1).cast("double"))).as("v"))
+    val users = perUser.agg(count(lit(1)).cast("long").as("n_users"),
+      sum(col("d")).cast("long").as("n_events"))
+    val agg = terms.agg(sum(col("d1")).cast("long").as("o1"),
+      sum(col("e1")).as("e1s"), sum(col("v")).as("vs"))
+    users.crossJoin(agg)
+      .select(col("n_users"), col("n_events"), col("o1"),
+        round(col("e1s").cast("double"), 6).as("e1"),
+        round(col("vs").cast("double"), 6).as("var_sum"),
+        round((col("o1").cast("double") - col("e1s").cast("double")) *
+          (col("o1").cast("double") - col("e1s").cast("double")) /
+          col("vs").cast("double"), 6).as("chi2"))
+  }
 }
