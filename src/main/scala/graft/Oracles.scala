@@ -6876,6 +6876,188 @@ object Oracles {
         |    * (CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE))
         |    / CAST(vs AS DOUBLE), 6) AS chi2
         |FROM us CROSS JOIN ag""".stripMargin,
+
+    // q308: all Σ are exact integers; the z assembly is a fixed-order
+    // double formula.
+    "q308_cochran_armitage" ->
+      """WITH banded AS (
+        |  SELECT LEAST(9, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) // 2500000) AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS r
+        |  FROM orders
+        |), sums AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(r) AS BIGINT) AS rr,
+        |    CAST(SUM(s) AS BIGINT) AS ssn,
+        |    CAST(SUM(s * r) AS BIGINT) AS ssr,
+        |    CAST(SUM(s * s) AS BIGINT) AS ss2n
+        |  FROM banded
+        |)
+        |SELECT n, rr AS successes,
+        |  round(CAST(ssr AS DOUBLE) - CAST(ssn AS DOUBLE)
+        |    * CAST(rr AS DOUBLE) / CAST(n AS DOUBLE), 6) AS t_stat,
+        |  round((CAST(rr AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (1.0 - CAST(rr AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(ss2n AS DOUBLE) - CAST(ssn AS DOUBLE)
+        |      * CAST(ssn AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS var_t,
+        |  round((CAST(ssr AS DOUBLE) - CAST(ssn AS DOUBLE)
+        |    * CAST(rr AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(rr AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (1.0 - CAST(rr AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(ss2n AS DOUBLE) - CAST(ssn AS DOUBLE)
+        |      * CAST(ssn AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS z
+        |FROM sums""".stripMargin,
+
+    // q309: per-stratum 2x2 tables exact; MH terms dec12-folded.
+    "q309_mantel_haenszel" ->
+      """WITH urgent AS (
+        |  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |), base AS (
+        |  SELECT c.c_custkey, c.c_mktsegment AS stratum,
+        |    CAST((CAST(md5_number_upper('exp#'
+        |      || CAST(c.c_custkey AS VARCHAR)) AS HUGEINT)
+        |      % 2305843009213693951) % 2 AS INT) AS e,
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        |  FROM customer c LEFT JOIN urgent u ON u.c_custkey = c.c_custkey
+        |), tab AS (
+        |  SELECT stratum,
+        |    CAST(SUM(e * y) AS BIGINT) AS a,
+        |    CAST(SUM(e * (1 - y)) AS BIGINT) AS b,
+        |    CAST(SUM((1 - e) * y) AS BIGINT) AS c,
+        |    CAST(SUM((1 - e) * (1 - y)) AS BIGINT) AS d
+        |  FROM base GROUP BY 1
+        |), mh AS (
+        |  SELECT CAST(SUM(CAST(round(CAST(a * d AS DOUBLE)
+        |      / CAST(a + b + c + d AS DOUBLE), 12) AS DECIMAL(24,12)))
+        |      AS DECIMAL(38,12)) AS num,
+        |    CAST(SUM(CAST(round(CAST(b * c AS DOUBLE)
+        |      / CAST(a + b + c + d AS DOUBLE), 12) AS DECIMAL(24,12)))
+        |      AS DECIMAL(38,12)) AS den
+        |  FROM tab
+        |), pooled AS (
+        |  SELECT CAST(SUM(a) AS BIGINT) AS a, CAST(SUM(b) AS BIGINT) AS b,
+        |    CAST(SUM(c) AS BIGINT) AS c, CAST(SUM(d) AS BIGINT) AS d
+        |  FROM tab
+        |)
+        |SELECT stratum, a, b, c, d,
+        |  CASE WHEN b * c > 0 THEN round(CAST(a * d AS DOUBLE)
+        |    / CAST(b * c AS DOUBLE), 6) END AS odds_ratio,
+        |  CAST(NULL AS DOUBLE) AS or_mh,
+        |  CAST(NULL AS BOOLEAN) AS simpson_flip
+        |FROM tab
+        |UNION ALL
+        |SELECT '__pooled__', p.a, p.b, p.c, p.d,
+        |  CASE WHEN p.b * p.c > 0 THEN round(CAST(p.a * p.d AS DOUBLE)
+        |    / CAST(p.b * p.c AS DOUBLE), 6) END,
+        |  round(CAST(m.num AS DOUBLE) / CAST(m.den AS DOUBLE), 6),
+        |  (CAST(p.a * p.d AS DOUBLE) / CAST(p.b * p.c AS DOUBLE) > 1.0)
+        |    <> (CAST(m.num AS DOUBLE) / CAST(m.den AS DOUBLE) > 1.0)
+        |FROM pooled p CROSS JOIN mh m
+        |ORDER BY stratum""".stripMargin,
+
+    // q310: the ln(2/δ) constant is interpolated from the SAME driver
+    // math.log call the Spark side uses (q285 convention).
+    "q310_hoeffding_racing" ->
+      s"""WITH shards AS (
+         |  SELECT CAST((CAST(md5_number_upper('shard#'
+         |      || CAST(doc_id AS VARCHAR)) AS HUGEINT)
+         |      % 2305843009213693951) % 10 AS BIGINT) AS shard,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents
+         |), agg AS (
+         |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS ns,
+         |    CAST(SUM(y) AS BIGINT) AS ys
+         |  FROM shards GROUP BY 1
+         |), cum AS (
+         |  SELECT shard,
+         |    CAST(SUM(ns) OVER (ORDER BY shard
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS n_cum,
+         |    CAST(SUM(ys) OVER (ORDER BY shard
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS y_cum
+         |  FROM agg
+         |), tot AS (
+         |  SELECT CAST(SUM(ys) AS DOUBLE) / CAST(SUM(ns) AS DOUBLE)
+         |    AS final_mean
+         |  FROM agg
+         |)
+         |SELECT shard, n_cum,
+         |  round(CAST(y_cum AS DOUBLE) / CAST(n_cum AS DOUBLE), 6)
+         |    AS mean_cum,
+         |  round(sqrt(${graft.queries.EvalQueries.ln2OverDelta}
+         |    / (2.0 * CAST(n_cum AS DOUBLE))), 6) AS eps,
+         |  abs(CAST(y_cum AS DOUBLE) / CAST(n_cum AS DOUBLE) - final_mean)
+         |    <= sqrt(${graft.queries.EvalQueries.ln2OverDelta}
+         |      / (2.0 * CAST(n_cum AS DOUBLE))) AS within_bound
+         |FROM cum CROSS JOIN tot ORDER BY shard""".stripMargin,
+
+    // q311: one aggregate per FD candidate, UNION ALL on the 9-row grain.
+    "q311_fd_discovery" -> {
+      def probe(tbl: String, lhs: String, rhs: String): String =
+        s"""SELECT '$tbl' AS tbl, '$lhs -> $rhs' AS fd,
+           |  CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           |  CAST(SUM(nr) AS BIGINT) AS n_pairs,
+           |  COUNT(*) = SUM(nr) AS holds,
+           |  CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating_lhs
+           |FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS nr FROM $tbl
+           |  GROUP BY $lhs)""".stripMargin
+      Seq(
+        probe("part", "p_partkey", "p_name"),
+        probe("part", "p_name", "p_brand"),
+        probe("part", "p_name", "p_type"),
+        probe("orders", "o_orderkey", "o_custkey"),
+        probe("orders", "o_custkey", "o_orderpriority"),
+        probe("lineitem", "l_orderkey", "l_suppkey"),
+        probe("customer", "c_custkey", "c_mktsegment"),
+        probe("nation", "n_nationkey", "n_regionkey"),
+        probe("supplier", "s_nationkey", "s_name"),
+      ).mkString("", "\nUNION ALL ", "\nORDER BY tbl, fd")
+    },
+
+    // q312: train on arm 0, test on arm 1; argmax tiebreaks pinned.
+    "q312_markov_eval" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CAST((CAST(md5_number_upper('arm#'
+        |      || CAST(user_id AS VARCHAR)) AS HUGEINT)
+        |      % 2305843009213693951) % 2 AS INT) AS arm
+        |  FROM events
+        |), bg AS (
+        |  SELECT arm,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev,
+        |    event_type AS cur
+        |  FROM ev
+        |), bigrams AS (SELECT * FROM bg WHERE prev IS NOT NULL),
+        |tc AS (
+        |  SELECT prev, cur, COUNT(*) AS cnt FROM bigrams
+        |  WHERE arm = 0 GROUP BY 1, 2
+        |), predicted AS (
+        |  SELECT prev, cur AS pred FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY prev
+        |      ORDER BY cnt DESC, cur) AS rn FROM tc) WHERE rn = 1
+        |), maj AS (
+        |  SELECT cur AS maj FROM (
+        |    SELECT cur, COUNT(*) AS cnt FROM bigrams WHERE arm = 0
+        |    GROUP BY 1 ORDER BY cnt DESC, cur LIMIT 1)
+        |), test AS (SELECT * FROM bigrams WHERE arm = 1)
+        |SELECT 'markov1' AS model,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN p.pred = t.cur THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hits,
+        |  round(CAST(SUM(CASE WHEN p.pred = t.cur THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+        |FROM test t LEFT JOIN predicted p ON p.prev = t.prev
+        |UNION ALL
+        |SELECT 'majority', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN m.maj = t.cur THEN 1 ELSE 0 END) AS BIGINT),
+        |  round(CAST(SUM(CASE WHEN m.maj = t.cur THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |FROM test t CROSS JOIN maj m
+        |ORDER BY model""".stripMargin,
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

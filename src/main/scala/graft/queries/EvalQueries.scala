@@ -536,4 +536,229 @@ object EvalQueries {
           (col("o1").cast("double") - col("e1s").cast("double")) /
           col("vs").cast("double"), 6).as("chi2"))
   }
+
+  /** Cochran-Armitage trend test — does the order-fulfilled rate TREND
+    * across ordered price bands (the dose-response question a plain
+    * chi-square can't answer): integer scores s=band,
+    * T = Σs(r_b − n_b·R/N), Var = p(1−p)[Σs²n − (Σsn)²/N], z = T/√Var.
+    * Every Σ is an exact integer; the z assembly is a fixed-order double
+    * formula both engines replay identically. Scale shape: ONE
+    * combinable band-grain aggregate, then O(1) arithmetic. */
+  def q308_cochran_armitage(spark: SparkSession, dir: String): DataFrame = {
+    val banded = Tables.orders(spark, dir)
+      .select(least(lit(9L), expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 2500000"))
+        .as("s"),
+        (col("o_orderstatus") === "F").cast("long").as("r"))
+    val sums = banded.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("r")).cast("long").as("rr"),
+      sum(col("s")).cast("long").as("ssn"),
+      sum(col("s") * col("r")).cast("long").as("ssr"),
+      sum(col("s") * col("s")).cast("long").as("ss2n"))
+    val nD = col("n").cast("double")
+    val pD = col("rr").cast("double") / nD
+    val tD = col("ssr").cast("double") -
+      col("ssn").cast("double") * col("rr").cast("double") / nD
+    val varD = pD * (lit(1.0d) - pD) *
+      (col("ss2n").cast("double") -
+        col("ssn").cast("double") * col("ssn").cast("double") / nD)
+    sums.select(col("n"), col("rr").as("successes"),
+      round(tD, 6).as("t_stat"), round(varD, 6).as("var_t"),
+      round(tD / sqrt(varD), 6).as("z"))
+  }
+
+  /** Mantel-Haenszel pooled odds ratio across market-segment strata,
+    * with the per-stratum 2×2 tables and a Simpson's-paradox flag —
+    * "does the pooled association direction survive stratification".
+    * Exposure is the md5 hash arm; outcome is having any urgent order.
+    * OR_MH = Σ(a·d/n)/Σ(b·c/n) with terms folded through the q272
+    * rounded-term DECIMAL reduction. Scale shape: one customer-grain
+    * semi-aggregate join, one combinable stratum aggregate. */
+  def q309_mantel_haenszel(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("stratum"))
+      .withColumn("e", pmod(element_at(
+        graft.functions.MinHashSig.minhashSig(
+          array(concat(lit("exp#"), col("c_custkey"))), 1), 1), lit(2L))
+        .cast("int"))
+      .join(urgent.withColumn("y", lit(1)), Seq("c_custkey"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0)))
+    val tab = base.groupBy(col("stratum"))
+      .agg(sum((col("e") * col("y")).cast("long")).as("a"),
+        sum((col("e") * (lit(1) - col("y"))).cast("long")).as("b"),
+        sum(((lit(1) - col("e")) * col("y")).cast("long")).as("c"),
+        sum(((lit(1) - col("e")) * (lit(1) - col("y"))).cast("long"))
+          .as("d"))
+      .localCheckpoint(true)
+    def dec12(c: Column): Column = round(c, 12).cast("decimal(24,12)")
+    val orS = when(col("b") * col("c") > 0,
+      round((col("a") * col("d")).cast("double") /
+        (col("b") * col("c")).cast("double"), 6))
+    val strata = tab.select(col("stratum"), col("a"), col("b"), col("c"),
+      col("d"), orS.as("odds_ratio"),
+      lit(null).cast("double").as("or_mh"),
+      lit(null).cast("boolean").as("simpson_flip"))
+    val pooledTab = tab.agg(
+      sum(col("a")).as("a"), sum(col("b")).as("b"),
+      sum(col("c")).as("c"), sum(col("d")).as("d"))
+    val mh = tab
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .agg(sum(dec12((col("a") * col("d")).cast("double") /
+          col("n").cast("double"))).as("num"),
+        sum(dec12((col("b") * col("c")).cast("double") /
+          col("n").cast("double"))).as("den"))
+      .select((col("num").cast("double") / col("den").cast("double"))
+        .as("or_mh_raw"))
+    val pooled = pooledTab.crossJoin(mh)
+      .select(lit("__pooled__").as("stratum"), col("a"), col("b"),
+        col("c"), col("d"),
+        when(col("b") * col("c") > 0,
+          round((col("a") * col("d")).cast("double") /
+            (col("b") * col("c")).cast("double"), 6)).as("odds_ratio"),
+        round(col("or_mh_raw"), 6).as("or_mh"),
+        (((col("a") * col("d")).cast("double") /
+          (col("b") * col("c")).cast("double") > 1.0d) =!=
+          (col("or_mh_raw") > 1.0d)).as("simpson_flip"))
+    strata.unionByName(pooled).orderBy(col("stratum"))
+  }
+
+  /** Hoeffding racing audit — "after how many shards could the corpus
+    * English-rate estimate have stopped early": cumulative means over 10
+    * md5 shards vs the final mean, each with its two-sided Hoeffding
+    * radius ε = √(ln(2/δ)/2n), δ=0.05. The ln(2/δ) constant is computed
+    * once HERE and interpolated into the oracle (the q285 convention), so
+    * no libm-ulp drift can split the engines; √ is IEEE-exact in both.
+    * Scale shape: one combinable shard aggregate; the race table is 10
+    * rows. */
+  def q310_hoeffding_racing(spark: SparkSession, dir: String): DataFrame = {
+    val shards = Tables.documents(spark, dir)
+      .select(pmod(element_at(graft.functions.MinHashSig.minhashSig(
+        array(concat(lit("shard#"), col("doc_id"))), 1), 1), lit(10L))
+        .as("shard"),
+        (col("lang") === "en").cast("long").as("y"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("ns"),
+        sum(col("y")).cast("long").as("ys"))
+    val w = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = shards
+      .withColumn("n_cum", sum(col("ns")).over(w))
+      .withColumn("y_cum", sum(col("ys")).over(w))
+    val tot = shards.agg(sum(col("ns")).as("nt"), sum(col("ys")).as("yt"))
+      .select((col("yt").cast("double") / col("nt").cast("double"))
+        .as("final_mean"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_cum"),
+        round(col("y_cum").cast("double") / col("n_cum").cast("double"), 6)
+          .as("mean_cum"),
+        round(sqrt(lit(EvalQueries.ln2OverDelta) /
+          (lit(2.0d) * col("n_cum").cast("double"))), 6).as("eps"),
+        (abs(col("y_cum").cast("double") / col("n_cum").cast("double") -
+          col("final_mean")) <=
+          sqrt(lit(EvalQueries.ln2OverDelta) /
+            (lit(2.0d) * col("n_cum").cast("double")))).as("within_bound"))
+      .orderBy(col("shard"))
+  }
+
+  /** ln(2/δ) for δ=0.05 — evaluated once on the driver and shared with
+    * the oracle SQL verbatim (both engines then only do IEEE-exact
+    * division and sqrt on it). */
+  val ln2OverDelta: Double = math.log(2.0 / 0.05)
+
+  /** Functional-dependency discovery over a fixed candidate set — the
+    * schema-profiling pass that tells an ingestion pipeline which
+    * "business keys" actually determine which attributes before anyone
+    * declares constraints: per candidate lhs→rhs, distinct-lhs vs
+    * distinct-pair counts (FD holds iff equal) and how many lhs values
+    * witness a violation. Scale shape: one combinable
+    * groupBy(lhs)+countDistinct(rhs) per candidate — each a single
+    * aggregate over its table, unioned on a 9-row result grain. */
+  def q311_fd_discovery(spark: SparkSession, dir: String): DataFrame = {
+    def probe(tbl: String, df: DataFrame, lhs: String, rhs: String)
+        : DataFrame =
+      df.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("nr"))
+        .agg(count(lit(1)).cast("long").as("n_lhs"),
+          sum(col("nr")).cast("long").as("n_pairs"),
+          sum(when(col("nr") > 1, 1L).otherwise(0L)).cast("long")
+            .as("n_violating_lhs"))
+        .select(lit(tbl).as("tbl"), lit(s"$lhs -> $rhs").as("fd"),
+          col("n_lhs"), col("n_pairs"),
+          (col("n_lhs") === col("n_pairs")).as("holds"),
+          col("n_violating_lhs"))
+    val part = Tables.part(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    Seq(
+      probe("part", part, "p_partkey", "p_name"),
+      probe("part", part, "p_name", "p_brand"),
+      probe("part", part, "p_name", "p_type"),
+      probe("orders", orders, "o_orderkey", "o_custkey"),
+      probe("orders", orders, "o_custkey", "o_orderpriority"),
+      probe("lineitem", Tables.lineitem(spark, dir), "l_orderkey",
+        "l_suppkey"),
+      probe("customer", Tables.customer(spark, dir), "c_custkey",
+        "c_mktsegment"),
+      probe("nation", Tables.nation(spark, dir), "n_nationkey",
+        "n_regionkey"),
+      probe("supplier", Tables.supplier(spark, dir), "s_nationkey",
+        "s_name"),
+    ).reduce(_ unionByName _).orderBy(col("tbl"), col("fd"))
+  }
+
+  /** First-order Markov next-event prediction, evaluated honestly on a
+    * held-out hash arm: transitions trained on arm-0 user streams
+    * (argmax next state per state, count-desc/state-asc tiebreak),
+    * top-1 accuracy measured on arm-1 bigrams, against the majority-
+    * class baseline from the same training arm — the minimal
+    * train/test protocol for sequence models, entirely in closed form.
+    * Unseen test states count as misses. Scale shape: one per-user lag
+    * window, combinable bigram aggregates on the bounded event-type
+    * grain. */
+  def q312_markov_eval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("arm", pmod(element_at(
+        graft.functions.MinHashSig.minhashSig(
+          array(concat(lit("arm#"), col("user_id"))), 1), 1), lit(2L))
+        .cast("int"))
+    val lagW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bigrams = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(lagW))
+      .filter(col("prev").isNotNull)
+      .select(col("arm"), col("prev"), col("event_type").as("cur"))
+      .localCheckpoint(true)
+    val trainCounts = bigrams.filter(col("arm") === 0)
+      .groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val predicted = trainCounts
+      .withColumn("rn", row_number().over(Window.partitionBy(col("prev"))
+        .orderBy(col("cnt").desc, col("cur"))))
+      .filter(col("rn") === 1)
+      .select(col("prev"), col("cur").as("pred"))
+    val majority = bigrams.filter(col("arm") === 0)
+      .groupBy(col("cur")).agg(count(lit(1)).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("cur")).limit(1)
+      .select(col("cur").as("maj"))
+    val test = bigrams.filter(col("arm") === 1)
+    val markov = test.join(broadcast(predicted), Seq("prev"), "left")
+      .agg(count(lit(1)).cast("long").as("n_test"),
+        sum(when(col("pred") === col("cur"), 1L).otherwise(0L))
+          .cast("long").as("n_hits"))
+      .select(lit("markov1").as("model"), col("n_test"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_test").cast("double"),
+          6).as("accuracy"))
+    val base = test.crossJoin(broadcast(majority))
+      .agg(count(lit(1)).cast("long").as("n_test"),
+        sum(when(col("maj") === col("cur"), 1L).otherwise(0L))
+          .cast("long").as("n_hits"))
+      .select(lit("majority").as("model"), col("n_test"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_test").cast("double"),
+          6).as("accuracy"))
+    markov.unionByName(base).orderBy(col("model"))
+  }
 }
