@@ -7058,6 +7058,124 @@ object Oracles {
         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
         |FROM test t CROSS JOIN maj m
         |ORDER BY model""".stripMargin,
+
+    // q313: the same three locally-dominant rounds, unrolled as CTEs.
+    "q313_dominant_matching" -> {
+      def round(in: String, out: String, rnd: Int): String =
+        s"""m$rnd AS (
+           |  SELECT s, c, w, CAST($rnd AS BIGINT) AS matched_round
+           |  FROM (SELECT *,
+           |    row_number() OVER (PARTITION BY s ORDER BY w DESC, c)
+           |      AS rs,
+           |    row_number() OVER (PARTITION BY c ORDER BY w DESC, s)
+           |      AS rc
+           |    FROM $in)
+           |  WHERE rs = 1 AND rc = 1
+           |), $out AS (
+           |  SELECT e.* FROM $in e
+           |  WHERE e.s NOT IN (SELECT s FROM m$rnd)
+           |    AND e.c NOT IN (SELECT c FROM m$rnd)
+           |)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT l_suppkey AS s, o_custkey AS c,
+         |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+         |      * CAST(CAST(1 AS DECIMAL(4,3))
+         |        - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(6,3))
+         |      AS DECIMAL(28,5))) AS DECIMAL(38,5)) AS w
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2
+         |), ${round("e0", "e1", 1)}, ${round("e1", "e2", 2)},
+         |${round("e2", "e3", 3)}
+         |SELECT s, c, CAST(w AS DOUBLE) AS weight, matched_round
+         |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+         |  UNION ALL SELECT * FROM m3)
+         |ORDER BY s""".stripMargin
+    },
+
+    // q314: per-arm cumulative ranks on the distinct-cents grain.
+    "q314_quantile_effects" ->
+      """WITH vals AS (
+        |  SELECT CAST((CAST(md5_number_upper('qte#'
+        |      || CAST(o_custkey AS VARCHAR)) AS HUGEINT)
+        |      % 2305843009213693951) % 2 AS INT) AS arm,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |), byval AS (
+        |  SELECT arm, cents, COUNT(*) AS cv FROM vals GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT arm, cents,
+        |    SUM(cv) OVER (PARTITION BY arm ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM byval
+        |), ns AS (
+        |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n FROM vals GROUP BY 1
+        |), dec AS (
+        |  SELECT c.arm, d.d, CAST(MIN(c.cents) AS BIGINT) AS q
+        |  FROM cum c JOIN ns ON ns.arm = c.arm
+        |  CROSS JOIN (SELECT unnest(range(1, 10)) AS d) d
+        |  WHERE c.cum >= (ns.n * d.d + 9) // 10
+        |  GROUP BY 1, 2
+        |)
+        |SELECT t.d AS decile, t.q AS q_treat, u.q AS q_control,
+        |  t.q - u.q AS qte_cents
+        |FROM dec t JOIN dec u ON u.d = t.d AND u.arm = 0
+        |WHERE t.arm = 1
+        |ORDER BY decile""".stripMargin,
+
+    // q315: the Φ⁻¹ thresholds come from the SAME driver-side Acklam
+    // evaluation the Spark side uses, as a VALUES table.
+    "q315_bh_fdr" -> {
+      val rows = graft.queries.EvalQueries.bhThresholds.toSeq.sortBy(_._1)
+        .map { case ((m, i), t) => s"($m, $i, $t)" }.mkString(",\n    ")
+      s"""WITH urgent AS (
+         |  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+         |  WHERE o_orderpriority = '1-URGENT'
+         |), base AS (
+         |  SELECT c.c_custkey, c.c_nationkey AS nation,
+         |    CAST((CAST(md5_number_upper('aa#'
+         |      || CAST(c.c_custkey AS VARCHAR)) AS HUGEINT)
+         |      % 2305843009213693951) % 2 AS INT) AS arm,
+         |    CASE WHEN u.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+         |  FROM customer c LEFT JOIN urgent u ON u.c_custkey = c.c_custkey
+         |), tests AS (
+         |  SELECT nation,
+         |    CAST(SUM(arm) AS BIGINT) AS n1,
+         |    CAST(SUM(1 - arm) AS BIGINT) AS n0,
+         |    CAST(SUM(y * arm) AS BIGINT) AS y1,
+         |    CAST(SUM(y * (1 - arm)) AS BIGINT) AS y0
+         |  FROM base GROUP BY 1
+         |  HAVING SUM(arm) > 0 AND SUM(1 - arm) > 0
+         |    AND SUM(y) > 0 AND SUM(y) < COUNT(*)
+         |), zed AS (
+         |  SELECT *,
+         |    (CAST(y1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         |      - CAST(y0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+         |    / sqrt((CAST(y1 + y0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+         |      * (1.0 - CAST(y1 + y0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+         |      * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE)))
+         |      AS z
+         |  FROM tests
+         |), ranked AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY abs(z) DESC, nation)
+         |    AS BIGINT) AS rank FROM zed
+         |), mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ranked),
+         |thr(m, rank, thr) AS (
+         |  SELECT * FROM (VALUES
+         |    $rows) AS t(m, rank, thr)
+         |), flagged AS (
+         |  SELECT r.*, t.thr, abs(r.z) >= t.thr AS flag
+         |  FROM ranked r CROSS JOIN mm
+         |  JOIN thr t ON t.m = mm.m AND t.rank = r.rank
+         |), ks AS (
+         |  SELECT COALESCE(MAX(CASE WHEN flag THEN rank END), 0) AS kstar
+         |  FROM flagged
+         |)
+         |SELECT nation, n1, n0, round(z, 6) AS z, rank,
+         |  round(thr, 6) AS bh_threshold,
+         |  rank <= (SELECT kstar FROM ks) AS rejected
+         |FROM flagged ORDER BY rank""".stripMargin
+    },
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

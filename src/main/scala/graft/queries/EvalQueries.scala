@@ -761,4 +761,190 @@ object EvalQueries {
           6).as("accuracy"))
     markov.unionByName(base).orderBy(col("model"))
   }
+
+  /** Locally-dominant greedy weighted matching (Manne-Bisseling style) of
+    * suppliers to customers by exact DECIMAL trade revenue, THREE
+    * synchronized rounds: an edge matches when it is simultaneously its
+    * supplier's and its customer's best remaining edge (weight-desc,
+    * partner-asc tiebreak — a total order, so rounds are deterministic),
+    * then both endpoints leave the pool. This is the data-parallel form
+    * of greedy matching (each round is two rank windows + one filter —
+    * no sequential conflict chain), and the oracle unrolls the same
+    * three rounds as CTEs. Output: matched pairs with their round.
+    * Scale shape: per-round cost is two high-cardinality-key windows
+    * over the shrinking edge list; round count is fixed. */
+  def q313_dominant_matching(spark: SparkSession, dir: String): DataFrame = {
+    val edges0 = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("c"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey").as("s"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(4,3)") -
+              col("l_discount").cast("decimal(18,2)")).cast("decimal(6,3)"))
+            .cast("decimal(28,5)").as("rev")), "o_orderkey")
+      .groupBy(col("s"), col("c"))
+      .agg(sum(col("rev")).cast("decimal(38,5)").as("w"))
+      .localCheckpoint(true)
+    var remaining = edges0
+    var matched: DataFrame = null
+    for (round <- 1 to 3) {
+      val bs = Window.partitionBy(col("s"))
+        .orderBy(col("w").desc, col("c"))
+      val bc = Window.partitionBy(col("c"))
+        .orderBy(col("w").desc, col("s"))
+      val m = remaining
+        .withColumn("rs", row_number().over(bs))
+        .withColumn("rc", row_number().over(bc))
+        .filter(col("rs") === 1 && col("rc") === 1)
+        .select(col("s"), col("c"), col("w"),
+          lit(round.toLong).as("matched_round"))
+        .localCheckpoint(true)
+      matched = if (matched == null) m else matched.unionByName(m)
+      remaining = remaining
+        .join(m.select(col("s")), Seq("s"), "left_anti")
+        .join(m.select(col("c")), Seq("c"), "left_anti")
+        .localCheckpoint(true)
+    }
+    matched
+      .select(col("s"), col("c"), col("w").cast("double").as("weight"),
+        col("matched_round"))
+      .orderBy(col("s"))
+  }
+
+  /** Quantile treatment effects — the distributional view a mean ATE
+    * hides: per hash arm, the exact rank-decile order statistics of
+    * order value (q216 cumulative-rank convention, integer cents), and
+    * their per-decile difference. Everything is an integer; the oracle
+    * replays rank arithmetic exactly. Scale shape: one combinable
+    * (arm, value)-grain aggregate, one cumulative window per arm on the
+    * distinct-value grain. */
+  def q314_quantile_effects(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.orders(spark, dir)
+      .select(pmod(element_at(graft.functions.MinHashSig.minhashSig(
+        array(concat(lit("qte#"), col("o_custkey"))), 1), 1), lit(2L))
+        .cast("int").as("arm"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    val byVal = vals.groupBy(col("arm"), col("cents"))
+      .agg(count(lit(1)).cast("long").as("cv"))
+      .withColumn("cum", sum(col("cv")).over(
+        Window.partitionBy(col("arm")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .localCheckpoint(true)
+    val ns = vals.groupBy(col("arm"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val dec = byVal.join(ns, "arm")
+      .withColumn("d", explode(array((1 to 9).map(i => lit(i.toLong)): _*)))
+      .filter(col("cum") >= expr("CAST((n * d + 9) div 10 AS BIGINT)"))
+      .groupBy(col("arm"), col("d"))
+      .agg(min(col("cents")).as("q"))
+    dec.filter(col("arm") === 1)
+      .select(col("d").as("decile"), col("q").as("q_treat"))
+      .join(dec.filter(col("arm") === 0)
+        .select(col("d").as("decile"), col("q").as("q_control")), "decile")
+      .select(col("decile"), col("q_treat"), col("q_control"),
+        (col("q_treat") - col("q_control")).as("qte_cents"))
+      .orderBy(col("decile"))
+  }
+
+  /** Benjamini-Hochberg FDR gate over a per-nation A/A test sweep — the
+    * multiple-testing control a metrics platform needs before it pages
+    * anyone about "significant" segments: per valid nation a two-
+    * proportion z on the urgent-order rate between md5 A/A arms, tests
+    * ranked by |z|, and BH run on the z-scale against thresholds
+    * Φ⁻¹(1 − iα/(2m)) precomputed ON THE DRIVER (Acklam inverse-normal,
+    * |err| < 1.2e-9) for every (m, i) and shared verbatim with the
+    * oracle — no in-engine erf, no libm drift. A/A means rejections
+    * SHOULD be zero; the gate proves the control holds on real splits.
+    * Scale shape: one customer-grain semi-join aggregate to the nation
+    * grain; the BH pass is |nations| rows. */
+  def q315_bh_fdr(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").as("nation"))
+      .withColumn("arm", pmod(element_at(
+        graft.functions.MinHashSig.minhashSig(
+          array(concat(lit("aa#"), col("c_custkey"))), 1), 1), lit(2L))
+        .cast("int"))
+      .join(urgent.withColumn("y", lit(1)), Seq("c_custkey"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0)))
+    val tests = base.groupBy(col("nation"))
+      .agg(sum(col("arm")).cast("long").as("n1"),
+        sum(lit(1) - col("arm")).cast("long").as("n0"),
+        sum(col("y") * col("arm")).cast("long").as("y1"),
+        sum(col("y") * (lit(1) - col("arm"))).cast("long").as("y0"))
+      .filter(col("n1") > 0 && col("n0") > 0 &&
+        col("y1") + col("y0") > 0 &&
+        col("y1") + col("y0") < col("n1") + col("n0"))
+      .localCheckpoint(true)
+    val pbar = (col("y1") + col("y0")).cast("double") /
+      (col("n1") + col("n0")).cast("double")
+    val z = (col("y1").cast("double") / col("n1").cast("double") -
+      col("y0").cast("double") / col("n0").cast("double")) /
+      sqrt(pbar * (lit(1.0d) - pbar) *
+        (lit(1.0d) / col("n1").cast("double") +
+          lit(1.0d) / col("n0").cast("double")))
+    val zed = tests.withColumn("z", z)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(abs(col("z")).desc, col("nation"))).cast("long"))
+    val m = zed.agg(count(lit(1)).cast("long").as("m"))
+    val spark2 = spark
+    import spark2.implicits._
+    val thr = EvalQueries.bhThresholds.toSeq
+      .map { case ((mm, i), t) => (mm.toLong, i.toLong, t) }
+      .toDF("m", "rank", "thr")
+    val flagged = zed.crossJoin(broadcast(m))
+      .join(broadcast(thr), Seq("m", "rank"))
+      .withColumn("flag", abs(col("z")) >= col("thr"))
+    val kstar = flagged.agg(coalesce(max(when(col("flag"), col("rank"))),
+      lit(0L)).as("kstar"))
+    flagged.crossJoin(broadcast(kstar))
+      .select(col("nation"), col("n1"), col("n0"),
+        round(col("z"), 6).as("z"), col("rank"),
+        round(col("thr"), 6).as("bh_threshold"),
+        (col("rank") <= col("kstar")).as("rejected"))
+      .orderBy(col("rank"))
+  }
+
+  /** BH z-scale thresholds Φ⁻¹(1 − iα/(2m)) for α=0.1, every m ≤ 25 and
+    * i ≤ m — evaluated once on the driver (Acklam's inverse-normal
+    * approximation, |err| < 1.2e-9) and interpolated verbatim into both
+    * engines, so the BH pass itself is pure comparisons. */
+  val bhThresholds: Map[(Int, Int), Double] = {
+    def invNorm(p: Double): Double = {
+      // Acklam 2003 rational approximation to the standard normal
+      // quantile; coefficients are the published constants.
+      val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+        -2.759285104469687e+02, 1.383577518672690e+02,
+        -3.066479806614716e+01, 2.506628277459239e+00)
+      val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+        -1.556989798598866e+02, 6.680131188771972e+01,
+        -1.328068155288572e+01)
+      val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+        -2.400758277161838e+00, -2.549732539343734e+00,
+        4.374664141464968e+00, 2.938163982698783e+00)
+      val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+        2.445134137142996e+00, 3.754408661907416e+00)
+      val pl = 0.02425
+      if (p < pl) {
+        val q = math.sqrt(-2 * math.log(p))
+        (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+          ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+      } else if (p <= 1 - pl) {
+        val q = p - 0.5
+        val r = q * q
+        (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+          (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+      } else {
+        val q = math.sqrt(-2 * math.log(1 - p))
+        -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+          ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+      }
+    }
+    val alpha = 0.1
+    (for (m <- 1 to 25; i <- 1 to m)
+      yield (m, i) -> invNorm(1.0 - i * alpha / (2.0 * m))).toMap
+  }
 }
