@@ -7176,6 +7176,77 @@ object Oracles {
          |  rank <= (SELECT kstar FROM ks) AS rejected
          |FROM flagged ORDER BY rank""".stripMargin
     },
+
+    // q316: per-pattern replace-count equals all-occurrences because no
+    // pattern in the set has a proper border (documented at the query);
+    // the oracle therefore never needs the automaton.
+    "q316_blocklist_scan" -> {
+      val ps = graft.queries.EvalQueries.blocklistPatterns
+      val total = ps.map(p =>
+        s"(len(text) - len(replace(text, '$p', ''))) // ${p.length}")
+        .mkString("\n    + ")
+      val hit = ps.map(p =>
+        s"CASE WHEN strpos(text, '$p') > 0 THEN 1 ELSE 0 END")
+        .mkString("\n    + ")
+      s"""SELECT doc_id,
+         |  CAST($total AS BIGINT) AS total_matches,
+         |  CAST($hit AS BIGINT) AS patterns_hit
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // q317: exact integer moment sums; fixed-order double assembly.
+    "q317_overdispersion" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), sums AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(c) AS BIGINT) AS s1,
+        |    CAST(SUM(c * c) AS BIGINT) AS s2
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT event_type, n_days, s1 AS n_events,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+        |    AS mean_daily,
+        |  round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |    * CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / (CAST(n_days AS DOUBLE) - 1.0), 6) AS var_daily,
+        |  round(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |    * CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / (CAST(n_days AS DOUBLE) - 1.0))
+        |    / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)
+        |    AS dispersion_index,
+        |  round((CAST(n_days AS DOUBLE) - 1.0)
+        |    * ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |    * CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / (CAST(n_days AS DOUBLE) - 1.0))
+        |    / (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)
+        |    AS chi2_stat
+        |FROM sums ORDER BY event_type""".stripMargin,
+
+    // q318: the same disjoint md5 document samples, replayed.
+    "q318_capture_recapture" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    CAST((CAST(md5_number_upper('cap#'
+        |      || CAST(doc_id AS VARCHAR)) AS HUGEINT)
+        |      % 2305843009213693951) % 10 AS BIGINT) AS draw
+        |  FROM documents
+        |), a AS (SELECT DISTINCT tok FROM toks WHERE draw < 5),
+        |b AS (SELECT DISTINCT tok FROM toks WHERE draw >= 5),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM a),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM b),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m_both
+        |  FROM a JOIN b USING (tok)
+        |), tr AS (
+        |  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_true FROM toks
+        |)
+        |SELECT n_a, n_b, m_both, n_true,
+        |  round(CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
+        |    / CAST(m_both + 1 AS DOUBLE) - 1.0, 6) AS chapman_estimate
+        |FROM na CROSS JOIN nb CROSS JOIN m CROSS JOIN tr""".stripMargin,
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

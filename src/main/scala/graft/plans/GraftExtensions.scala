@@ -103,6 +103,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (new FunctionIdentifier(name),
       new ExpressionInfo("graft", null, name, usage, ""), builder)
 
+  private def stringArrayLit(e: Expression, what: String): Seq[String] =
+    e match {
+      case a if a.foldable && a.dataType.isInstanceOf[ArrayType] &&
+          a.dataType.asInstanceOf[ArrayType].elementType == StringType =>
+        val arr = a.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        Seq.tabulate(arr.numElements()) { i =>
+          if (arr.isNullAt(i)) throw new IllegalArgumentException(
+            s"$what must not contain NULL")
+          arr.getUTF8String(i).toString
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what must be a foldable array<string> literal, got $other")
+    }
+
   private val functions = Seq(
     fn("jaccard_sim", "jaccard_sim(a, b) - Jaccard similarity of distinct string arrays") {
       args => JaccardSim(args(0), args(1))
@@ -180,6 +195,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     },
     fn("damerau_levenshtein", "damerau_levenshtein(a, b) - true (unrestricted) Damerau-Levenshtein edit distance") {
       args => graft.functions.DamerauLevenshtein(args(0), args(1))
+    },
+    fn("multi_pattern_count", "multi_pattern_count(s, array('p1', ...)) - one-pass Aho-Corasick total occurrence count") {
+      args => graft.functions.MultiPatternCount(args(0),
+        graft.functions.MultiPatternCount.build(stringArrayLit(args(1),
+          "multi_pattern_count patterns")), distinctMode = false)
+    },
+    fn("multi_pattern_distinct", "multi_pattern_distinct(s, array('p1', ...)) - distinct patterns hit in one pass") {
+      args => graft.functions.MultiPatternCount(args(0),
+        graft.functions.MultiPatternCount.build(stringArrayLit(args(1),
+          "multi_pattern_distinct patterns")), distinctMode = true)
     },
     fn("modal_count", "modal_count(arr) - occurrence count of the most frequent element") {
       args => graft.functions.ModalCount(args(0))

@@ -908,6 +908,92 @@ object EvalQueries {
       .orderBy(col("rank"))
   }
 
+  /** The q316 pattern set. Deliberately includes "he" ⊂ "the" so the
+    * one-pass automaton demonstrably counts overlapping cross-pattern
+    * hits; no pattern has a proper border (prefix = suffix), so the
+    * oracle's per-pattern replace-count equals the all-occurrences
+    * count and stays independent of the automaton. */
+  val blocklistPatterns: Seq[String] =
+    Seq("the", "he", "query", "spark", "row", "stream", "fast", "line")
+
+  /** One-pass Aho-Corasick blocklist scan ([[graft.functions
+    * .MultiPatternCount]]): total pattern occurrences and distinct
+    * patterns hit, per document — the blocklist/PII-term scan at corpus
+    * scale, where the naive plan is |patterns| separate contains() scans
+    * per row. Scale shape: per-row compiled automaton (one executor-wide
+    * reference object), no shuffle before the per-doc projection. */
+  def q316_blocklist_scan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MultiPatternCount
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        MultiPatternCount.totalMatches(col("text"), blocklistPatterns)
+          .as("total_matches"),
+        MultiPatternCount.distinctPatterns(col("text"), blocklistPatterns)
+          .as("patterns_hit"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Poisson overdispersion check on daily event counts per type — the
+    * count-data QC behind alerting thresholds (a Poisson assumption
+    * under real burstiness fires pages at the wrong rate): dispersion
+    * index D = s²/x̄ from exact integer moment sums and the χ²-scaled
+    * statistic (n−1)·D. Scale shape: two nested combinable aggregates
+    * (event→day grain, day→type grain). */
+  def q317_overdispersion(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val sums = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("c")).cast("long").as("s1"),
+        sum(col("c") * col("c")).cast("long").as("s2"))
+    val nD = col("n_days").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / nD) /
+      (nD - lit(1.0d))
+    sums.select(col("event_type"), col("n_days"), col("s1").as("n_events"),
+        round(mean, 6).as("mean_daily"),
+        round(variance, 6).as("var_daily"),
+        round(variance / mean, 6).as("dispersion_index"),
+        round((nD - lit(1.0d)) * variance / mean, 6).as("chi2_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Chapman capture-recapture estimate of the distinct vocabulary —
+    * "how many distinct tokens does the full corpus hold" from TWO
+    * independent md5 document samples (the two 'capture occasions'):
+    * N̂ = (nA+1)(nB+1)/(m+1) − 1, against the true distinct count in the
+    * same row. The population-size estimator every coverage audit uses
+    * when a full scan is off the table; here the full scan exists and
+    * grades it. Scale shape: two hash-filtered token-distinct aggregates
+    * + one exact distinct; all integers until the final estimator. */
+  def q318_capture_recapture(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MinHashSig
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("draw", pmod(element_at(MinHashSig.minhashSig(
+        array(concat(lit("cap#"), col("doc_id"))), 1), 1), lit(10L)))
+      .localCheckpoint(true)
+    val inA = toks.filter(col("draw") < 5)
+      .select(col("tok")).distinct()
+    val inB = toks.filter(col("draw") >= 5)
+      .select(col("tok")).distinct()
+    val nA = inA.agg(count(lit(1)).cast("long").as("n_a"))
+    val nB = inB.agg(count(lit(1)).cast("long").as("n_b"))
+    val m = inA.join(inB, "tok")
+      .agg(count(lit(1)).cast("long").as("m_both"))
+    val truth = toks.select(col("tok")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_true"))
+    nA.crossJoin(nB).crossJoin(m).crossJoin(truth)
+      .select(col("n_a"), col("n_b"), col("m_both"), col("n_true"),
+        round((col("n_a") + 1).cast("double") *
+          (col("n_b") + 1).cast("double") /
+          (col("m_both") + 1).cast("double") - lit(1.0d), 6)
+          .as("chapman_estimate"))
+  }
+
   /** BH z-scale thresholds Φ⁻¹(1 − iα/(2m)) for α=0.1, every m ≤ 25 and
     * i ≤ m — evaluated once on the driver (Acklam's inverse-normal
     * approximation, |err| < 1.2e-9) and interpolated verbatim into both

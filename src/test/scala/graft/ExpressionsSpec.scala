@@ -301,7 +301,9 @@ class ExpressionsSpec extends SparkSpec {
         EntropyTermSum.entropyTermSum(TextOps.tokens(col("text"))).as("ets"),
         JaroWinkler.jaroWinklerSim(col("text"), fn.reverse(col("text"))).as("jw"),
         DamerauLevenshtein.damerauLevenshtein(col("text"),
-          fn.reverse(col("text"))).as("dl"))
+          fn.reverse(col("text"))).as("dl"),
+        MultiPatternCount.totalMatches(col("text"), Seq("the", "he", "fox"))
+          .as("mpc"))
         .collect()
       out.length shouldBe 1
       out(0).getAs[Double]("dp") shouldBe 11.0
@@ -364,5 +366,31 @@ class ExpressionsSpec extends SparkSpec {
     d("", "abc") shouldBe 3L
     d("abc", "") shouldBe 3L
     d("same", "same") shouldBe 0L
+  }
+
+  test("MultiPatternCount counts overlapping cross-pattern hits in one pass") {
+    import graft.functions.MultiPatternCount
+    def run(text: String, pats: Seq[String]): (Long, Long) = {
+      val r = Seq(text).toDF("t").select(
+        MultiPatternCount.totalMatches(col("t"), pats).as("a"),
+        MultiPatternCount.distinctPatterns(col("t"), pats).as("b"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // "the" contains "he": both count at the same end position
+    run("the theme", Seq("the", "he")) shouldBe ((4L, 2L))
+    // self-overlapping pattern: "aa" occurs 3 times in "aaaa"
+    run("aaaa", Seq("aa")) shouldBe ((3L, 1L))
+    run("no hits here", Seq("spark", "query")) shouldBe ((0L, 0L))
+    // automaton equivalence vs per-pattern regex count on real docs
+    val pats = graft.queries.EvalQueries.blocklistPatterns
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val composed = pats.map(p =>
+      (fn.length(col("text")) - fn.length(fn.replace(col("text"), fn.lit(p))))
+        .cast("long") / fn.lit(p.length.toLong)).reduce(_ + _).cast("long")
+    docs.select(
+        MultiPatternCount.totalMatches(col("text"), pats).as("fast"),
+        composed.as("ref"))
+      .filter(col("fast") =!= col("ref")).count() shouldBe 0L
   }
 }

@@ -1087,4 +1087,39 @@ class PlanSpec extends SparkSpec {
     }
     all(hints.map(h => (h.leftHint, h.rightHint))) shouldBe (None, None)
   }
+
+  test("q295 vocab pairing is an equi-join on the block key, not cartesian") {
+    val plan = planString(queries.LinkageQueries.q295_jaro_vocab(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q301 DBSCAN candidate generation is an equi-join on grid cells") {
+    val plan = planString(queries.EvalQueries.q301_dbscan_regimes(spark, dir))
+    plan should not include "CartesianProduct"
+  }
+
+  test("q302 HITS top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = planString(queries.EvalQueries.q302_hits_bipartite(spark, dir))
+    plan should include("TakeOrderedAndProject")
+  }
+
+  test("q298 sketch build shuffles only bucket-grain rows (no value sort)") {
+    // the sketch side is groupBy on ~40 integer buckets; the exact audit
+    // windows live on the distinct-cents grain — but no shuffle may carry
+    // the raw order rows more than once
+    val df = queries.EvalQueries.q298_log2_quantile_sketch(spark, dir)
+    df.collect().foreach { r =>
+      r.getAs[Boolean]("within_bucket") shouldBe true
+      r.getAs[Boolean]("merged_ok") shouldBe true
+    }
+  }
+
+  test("q313 matching terminates with disjoint endpoints per round") {
+    val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
+    val ss = rows.map(_.getAs[Long]("s"))
+    val cs = rows.map(_.getAs[Long]("c"))
+    ss.distinct.length shouldBe ss.length // a supplier matches at most once
+    cs.distinct.length shouldBe cs.length // a customer matches at most once
+  }
 }
