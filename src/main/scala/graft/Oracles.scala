@@ -7247,6 +7247,134 @@ object Oracles {
         |  round(CAST(n_a + 1 AS DOUBLE) * CAST(n_b + 1 AS DOUBLE)
         |    / CAST(m_both + 1 AS DOUBLE) - 1.0, 6) AS chapman_estimate
         |FROM na CROSS JOIN nb CROSS JOIN m CROSS JOIN tr""".stripMargin,
+
+    // q319: q318's md5 split convention, Good-Turing on trigram types
+    // (with repeats) from the train half.
+    "q319_good_turing" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a,
+        |    CAST((CAST(md5_number_upper('gt#'
+        |      || CAST(doc_id AS VARCHAR)) AS HUGEINT)
+        |      % 2305843009213693951) % 10 AS BIGINT) AS draw
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), toks AS (
+        |  SELECT doc_id, draw,
+        |    a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS tok
+        |  FROM docs, unnest(range(1, len(a) - 1)) AS u(i)
+        |), counts AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks WHERE draw < 5 GROUP BY 1
+        |), fof AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n_train,
+        |    CAST(COUNT(*) AS BIGINT) AS v_train,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM counts
+        |), held AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_heldout,
+        |    CAST(SUM(CASE WHEN counts.tok IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_unseen_occ
+        |  FROM (SELECT tok FROM toks WHERE draw >= 5) h
+        |  LEFT JOIN counts ON h.tok = counts.tok
+        |)
+        |SELECT n_train, v_train, n1, n2, n_heldout, n_unseen_occ,
+        |  round(CAST(n1 AS DOUBLE) / CAST(n_train AS DOUBLE), 6)
+        |    AS p0_good_turing,
+        |  round(CAST(n_unseen_occ AS DOUBLE) / CAST(n_heldout AS DOUBLE), 6)
+        |    AS heldout_unseen_rate,
+        |  round(2.0 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS r1_star
+        |FROM fof CROSS JOIN held""".stripMargin,
+
+    // q320: the DTW recurrence unrolled as 144 exact BIGINT cells —
+    // layer CTE r_i holds DP row i; within a row DuckDB's lateral
+    // column aliases express the left-to-right dependency.
+    "q320_dtw_nations" -> {
+      val n = 12
+      val vs = (1 to n)
+      val serCols = vs.map(m =>
+        s"CAST(COALESCE(MAX(CASE WHEN m = $m THEN c END), 0) AS BIGINT) AS v$m")
+        .mkString(",\n    ")
+      val abCols = (vs.map(i => s"x.v$i AS a$i") ++
+        vs.map(j => s"y.v$j AS b$j")).mkString(", ")
+      val l1 = vs.map(i => s"abs(x.v$i - y.v$i)").mkString(" + ")
+      val r1 = vs.map { j =>
+        if (j == 1) s"abs(a1 - b1) AS d1_1"
+        else s"d1_${j - 1} + abs(a1 - b$j) AS d1_$j"
+      }.mkString(",\n    ")
+      val layers = (2 to n).map { i =>
+        val cells = vs.map { j =>
+          if (j == 1) s"d${i - 1}_1 + abs(a$i - b1) AS d${i}_1"
+          else s"abs(a$i - b$j) + least(d${i - 1}_$j, d${i - 1}_${j - 1}, " +
+            s"d${i}_${j - 1}) AS d${i}_$j"
+        }.mkString(",\n    ")
+        s"r$i AS (\n  SELECT *,\n    $cells\n  FROM r${i - 1}\n)"
+      }.mkString(", ")
+      s"""WITH mc AS (
+         |  SELECT c_nationkey AS nk, CAST(month(o_orderdate) AS INT) AS m,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         |    AND o_orderdate < TIMESTAMP '1996-01-01'
+         |  GROUP BY 1, 2
+         |), ser AS (
+         |  SELECT n_nationkey AS nk, n_name AS name,
+         |    $serCols
+         |  FROM nation LEFT JOIN mc ON n_nationkey = mc.nk
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT x.name AS name_a, y.name AS name_b, $abCols,
+         |    CAST($l1 AS BIGINT) AS l1
+         |  FROM ser x JOIN ser y ON x.nk < y.nk
+         |), r1 AS (
+         |  SELECT *,
+         |    $r1
+         |  FROM pairs
+         |), $layers
+         |SELECT name_a, name_b, CAST(d12_12 AS BIGINT) AS dtw, l1,
+         |  round(CASE WHEN l1 > 0
+         |    THEN 1.0 - CAST(d12_12 AS DOUBLE) / CAST(l1 AS DOUBLE)
+         |    ELSE 0.0 END, 6) AS warp_gain
+         |FROM r12 ORDER BY name_a, name_b""".stripMargin
+    },
+
+    // q321: per-column window-run + value-grain profile, same round-9 →
+    // DECIMAL term fold as the Spark side.
+    "q321_encoding_advisor" -> {
+      val per = graft.queries.EvalQueries.encodingColumns.map { case (l, c) =>
+        s"""SELECT '$l' AS column_name, n, n_distinct, n_runs,
+           |  round(CAST(n AS DOUBLE) / CAST(n_runs AS DOUBLE), 6)
+           |    AS avg_run_len,
+           |  round((ln(CAST(n AS DOUBLE))
+           |    - CAST(clogc AS DOUBLE) / CAST(n AS DOUBLE)) / ln(2.0), 6)
+           |    AS entropy_bits,
+           |  CASE WHEN n_distinct * 100 <= n AND n >= n_runs * 2
+           |      THEN 'dict_rle'
+           |    WHEN n_distinct * 100 <= n THEN 'dict'
+           |    WHEN n >= n_runs * 2 THEN 'rle'
+           |    ELSE 'plain' END AS encoding
+           |FROM (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN pv IS NULL OR pv <> v THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_runs
+           |  FROM (
+           |    SELECT $c AS v, lag($c) OVER (
+           |      PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey,
+           |        l_suppkey, l_quantity, l_extendedprice, l_discount,
+           |        l_tax, l_returnflag, l_linestatus, l_shipdate) AS pv
+           |    FROM lineitem)
+           |) CROSS JOIN (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           |    SUM(CAST(round(CAST(cnt AS DOUBLE)
+           |      * ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(27,12))) AS clogc
+           |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+           |    FROM lineitem GROUP BY $c)
+           |)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT * FROM (
+         |$per
+         |) ORDER BY column_name""".stripMargin
+    },
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

@@ -206,6 +206,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MultiPatternCount.build(stringArrayLit(args(1),
           "multi_pattern_distinct patterns")), distinctMode = true)
     },
+    fn("dtw_distance", "dtw_distance(a, b) - dynamic-time-warping distance of two bigint series, L1 cell cost") {
+      args => graft.functions.DtwDistance(args(0), args(1))
+    },
     fn("modal_count", "modal_count(arr) - occurrence count of the most frequent element") {
       args => graft.functions.ModalCount(args(0))
     },

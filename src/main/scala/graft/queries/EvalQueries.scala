@@ -994,6 +994,165 @@ object EvalQueries {
           .as("chapman_estimate"))
   }
 
+  /** Good-Turing missing-mass estimate, validated held-out: train on an
+    * md5 half of the corpus, estimate the probability that the NEXT
+    * token occurrence is an unseen type as P₀ = N₁/N (Good, Biometrika
+    * 1953 — the leave-one-out identity), then MEASURE the unseen-type
+    * occurrence rate on the held-out half in the same row. Also emits
+    * the GT-discounted singleton count r₁* = 2·N₂/N₁ — the smoothing
+    * every Katz/Kneser-Ney backoff starts from. The coverage question a
+    * 100 TB vocabulary build must answer before freezing: how much
+    * probability mass belongs to words not yet seen. Scale shape: one
+    * token-grain groupBy for train counts; frequency-of-frequencies is a
+    * bounded-grain fold of it; the held-out audit is one equi-join on
+    * token carrying (token, seen) only. All integers until the final
+    * two rates. */
+  def q319_good_turing(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MinHashSig
+    // 3-token grams WITH repeats (the corpus template vocabulary is ~31
+    // words — unigram frequencies have no tail; the trigram type
+    // distribution is the Zipf-shaped population GT assumes)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .withColumn("draw", pmod(element_at(MinHashSig.minhashSig(
+        array(concat(lit("gt#"), col("doc_id"))), 1), 1), lit(10L)))
+      .select(col("doc_id"), col("draw"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
+          .as("tok"))
+      .localCheckpoint(true)
+    val counts = toks.filter(col("draw") < 5)
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("c"))
+    val fof = counts.agg(
+      sum(col("c")).cast("long").as("n_train"),
+      count(lit(1)).cast("long").as("v_train"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n1"),
+      sum(when(col("c") === 2, 1L).otherwise(0L)).cast("long").as("n2"))
+    val held = toks.filter(col("draw") >= 5)
+      .join(counts.select(col("tok"), lit(1L).as("seen")), Seq("tok"),
+        "left")
+      .agg(count(lit(1)).cast("long").as("n_heldout"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_unseen_occ"))
+    fof.crossJoin(held)
+      .select(col("n_train"), col("v_train"), col("n1"), col("n2"),
+        col("n_heldout"), col("n_unseen_occ"),
+        round(col("n1").cast("double") / col("n_train").cast("double"), 6)
+          .as("p0_good_turing"),
+        round(col("n_unseen_occ").cast("double") /
+          col("n_heldout").cast("double"), 6).as("heldout_unseen_rate"),
+        round(lit(2.0d) * col("n2").cast("double") /
+          col("n1").cast("double"), 6).as("r1_star"))
+  }
+
+  /** Dynamic-time-warping distance ([[graft.functions.DtwDistance]])
+    * between every nation pair's 1995 monthly order-count profile, next
+    * to the lockstep L1 distance on the same vectors — the shape-vs-
+    * phase report behind demand-curve clustering (two nations whose
+    * seasons are shifted a month apart are L1-far but DTW-close;
+    * warp_gain measures exactly that slack). The DP is all-Long, so the
+    * oracle unrolls the identical recurrence as 144 exact SQL cells.
+    * Scale shape: the corpus reduces via one combinable (nation, month)
+    * aggregate to 25 twelve-long vectors; the quadratic kernel runs once
+    * per pair on the BOUNDED 300-pair nation grain (the nested-loop pair
+    * join is over two 25-row sides — never data rows). */
+  def q320_dtw_nations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DtwDistance
+    val mc = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey").as("nk")), "o_custkey")
+      .groupBy(col("nk"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val series = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("nk"), col("n_name").as("name"))
+      .crossJoin(spark.range(1, 13).select(col("id").cast("int").as("m")))
+      .join(mc, Seq("nk", "m"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy(col("nk"), col("name"))
+      .agg(transform(sort_array(collect_list(struct(col("m"), col("c")))),
+        s => s.getField("c")).as("series"))
+    val a = series.select(col("nk").as("nk_a"), col("name").as("name_a"),
+      col("series").as("sa"))
+    val b = series.select(col("nk").as("nk_b"), col("name").as("name_b"),
+      col("series").as("sb"))
+    a.join(b, col("nk_a") < col("nk_b"))
+      .select(col("name_a"), col("name_b"),
+        DtwDistance.dtwDistance(col("sa"), col("sb")).as("dtw"),
+        aggregate(zip_with(col("sa"), col("sb"),
+          (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v).as("l1"))
+      .select(col("name_a"), col("name_b"), col("dtw"), col("l1"),
+        round(when(col("l1") > 0, lit(1.0d) -
+            col("dtw").cast("double") / col("l1").cast("double"))
+          .otherwise(lit(0.0d)), 6).as("warp_gain"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** The q321 column list: (label, lineitem column) pairs the advisor
+    * profiles. Shared with the oracle generator. */
+  val encodingColumns: Seq[(String, String)] = Seq(
+    "l_returnflag" -> "l_returnflag", "l_linestatus" -> "l_linestatus",
+    "l_quantity" -> "l_quantity", "l_shipdate" -> "l_shipdate",
+    "l_partkey" -> "l_partkey")
+
+  /** Columnar-encoding advisor — the storage-layout report a 100 TB
+    * parquet rewrite starts from: per column, the distinct ratio, the
+    * run profile under the table's natural sort key (runs counted
+    * WITHIN each l_orderkey block ordered by l_linenumber — page runs
+    * never span the block boundary, mirroring row-group locality), the
+    * value-distribution entropy in bits (the dictionary-page size
+    * driver), and the resulting encoding decision (dictionary / RLE on
+    * integer-comparison thresholds — never FP). Scale shape: per column
+    * one lag window PARTITIONED BY the high-cardinality block key (no
+    * global sort anywhere) + one value-grain aggregate; decisions
+    * happen on the |columns|-row grain. */
+  def q321_encoding_advisor(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // (l_orderkey, l_linenumber) is NOT unique in this data; the full
+    // column tuple breaks ties deterministically (identical full rows
+    // are order-ambiguous but can't change any column's run count)
+    val tiebreak = Seq("l_linenumber", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate").map(col)
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(tiebreak: _*)
+    def profile(label: String, c: String): DataFrame = {
+      val runs = li
+        .withColumn("pv", lag(col(c), 1).over(w))
+        .withColumn("v", col(c))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("pv").isNull || col("pv") =!= col("v"), 1L)
+            .otherwise(0L)).cast("long").as("n_runs"))
+      // c·ln(c) terms round to 9 decimals then fold as exact DECIMAL —
+      // the q121 discipline: identical doubles in, order-independent sum
+      val dist = li.groupBy(col(c).as("v"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .agg(count(lit(1)).cast("long").as("n_distinct"),
+          sum(round(col("cnt").cast("double") *
+              log(col("cnt").cast("double")), 9).cast("decimal(27,12)"))
+            .as("clogc"))
+      runs.crossJoin(dist)
+        .select(lit(label).as("column_name"), col("n"), col("n_distinct"),
+          col("n_runs"),
+          round(col("n").cast("double") / col("n_runs").cast("double"), 6)
+            .as("avg_run_len"),
+          round((log(col("n").cast("double")) -
+            col("clogc").cast("double") / col("n").cast("double")) /
+            log(lit(2.0d)), 6).as("entropy_bits"),
+          when(col("n_distinct") * 100 <= col("n") &&
+              col("n") >= col("n_runs") * 2, "dict_rle")
+            .when(col("n_distinct") * 100 <= col("n"), "dict")
+            .when(col("n") >= col("n_runs") * 2, "rle")
+            .otherwise("plain").as("encoding"))
+    }
+    encodingColumns.map { case (l, c) => profile(l, c) }
+      .reduce(_ unionByName _)
+      .orderBy(col("column_name"))
+  }
+
   /** BH z-scale thresholds Φ⁻¹(1 − iα/(2m)) for α=0.1, every m ≤ 25 and
     * i ≤ m — evaluated once on the driver (Acklam's inverse-normal
     * approximation, |err| < 1.2e-9) and interpolated verbatim into both

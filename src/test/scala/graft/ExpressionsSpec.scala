@@ -303,7 +303,9 @@ class ExpressionsSpec extends SparkSpec {
         DamerauLevenshtein.damerauLevenshtein(col("text"),
           fn.reverse(col("text"))).as("dl"),
         MultiPatternCount.totalMatches(col("text"), Seq("the", "he", "fox"))
-          .as("mpc"))
+          .as("mpc"),
+        DtwDistance.dtwDistance(fn.array(lit(1L), lit(2L)),
+          fn.array(lit(2L), lit(2L))).as("dtw"))
         .collect()
       out.length shouldBe 1
       out(0).getAs[Double]("dp") shouldBe 11.0
@@ -392,5 +394,33 @@ class ExpressionsSpec extends SparkSpec {
         MultiPatternCount.totalMatches(col("text"), pats).as("fast"),
         composed.as("ref"))
       .filter(col("fast") =!= col("ref")).count() shouldBe 0L
+  }
+
+  test("DtwDistance: warping, lockstep bound, and null semantics") {
+    import graft.functions.DtwDistance
+    def d(a: Seq[Long], b: Seq[Long]): Option[Long] = {
+      val r = Seq((a, b)).toDF("a", "b")
+        .select(DtwDistance.dtwDistance(col("a"), col("b")).as("d"))
+        .collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    // a phase shift L1 can't absorb: [0,0,5,0] vs [0,5,0,0]
+    d(Seq(0L, 0L, 5L, 0L), Seq(0L, 5L, 0L, 0L)) shouldBe Some(0L)
+    // identical series
+    d(Seq(3L, 1L, 4L), Seq(3L, 1L, 4L)) shouldBe Some(0L)
+    // single-element vs series: sum of |5 - b_j|
+    d(Seq(5L), Seq(1L, 5L, 9L)) shouldBe Some(8L)
+    // known small DP: [1,3,2] vs [2,2]: cost 1+1+0 via alignment
+    d(Seq(1L, 3L, 2L), Seq(2L, 2L)) shouldBe Some(2L)
+    // empty side -> null
+    d(Seq(1L), Seq.empty[Long]) shouldBe None
+    // dtw <= lockstep L1 on equal-length series, across real profiles
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.EvalQueries.q320_dtw_nations(spark, dir)
+      .collect()
+    rows.length shouldBe 300
+    rows.foreach { r =>
+      r.getLong(r.fieldIndex("dtw")) should be <= r.getLong(r.fieldIndex("l1"))
+    }
   }
 }

@@ -1115,6 +1115,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q319 held-out audit is an equi-join on the gram key, not cartesian") {
+    val plan = planString(queries.EvalQueries.q319_good_turing(spark, dir))
+    plan should not include "CartesianProduct"
+    // the only nested-loop is the 1-row estimator assembly crossJoin
+  }
+
+  test("q321 run windows partition on the block key, never a global sort") {
+    val df = queries.EvalQueries.q321_encoding_advisor(spark, dir)
+    val plan = planString(df)
+    // a window with an empty partition spec would plan a SinglePartition
+    // exchange UNDER a Window node; assert every Window carries the
+    // l_orderkey partition key instead
+    plan should include("l_orderkey")
+    val rows = df.collect()
+    rows.length shouldBe queries.EvalQueries.encodingColumns.length
+    rows.foreach { r =>
+      r.getLong(r.fieldIndex("n_runs")) should be <= r.getLong(r.fieldIndex("n"))
+      r.getLong(r.fieldIndex("n_runs")) should be > 0L
+      Set("dict_rle", "dict", "rle", "plain") should contain(
+        r.getString(r.fieldIndex("encoding")))
+    }
+    // the profiled corpus must exercise more than one decision branch
+    rows.map(_.getString(rows(0).fieldIndex("encoding"))).toSet.size should be > 1
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
