@@ -7375,6 +7375,244 @@ object Oracles {
          |$per
          |) ORDER BY column_name""".stripMargin
     },
+
+    // q322: integer nano-nat scores make the argmax exact; the window
+    // rank replays Spark's min(struct(-score, cand)) tiebreak.
+    "q322_naive_bayes" ->
+      """WITH feats AS (
+        |  SELECT doc_id, lang,
+        |    CAST((CAST(md5_number_upper('nb#'
+        |      || CAST(doc_id AS VARCHAR)) AS HUGEINT)
+        |      % 2305843009213693951) % 10 AS BIGINT) AS draw,
+        |    unnest(string_split(text, ' ')
+        |      || ['LEN#' || CAST(least(n_chars // 50, 11) AS VARCHAR)])
+        |      AS feat
+        |  FROM documents
+        |), train AS (SELECT * FROM feats WHERE draw < 7),
+        |test AS (SELECT * FROM feats WHERE draw >= 7),
+        |lang_stats AS (
+        |  SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_occ
+        |  FROM train GROUP BY 1
+        |), vocab AS (SELECT DISTINCT feat FROM train),
+        |vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+        |counts AS (
+        |  SELECT lang, feat, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM train GROUP BY 1, 2
+        |), model AS (
+        |  SELECT ls.lang, vb.feat,
+        |    CAST(round(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+        |      / CAST(ls.n_occ + vn.v AS DOUBLE)) * 1e9) AS BIGINT) AS lnp
+        |  FROM lang_stats ls CROSS JOIN vn CROSS JOIN vocab vb
+        |  LEFT JOIN counts c ON c.lang = ls.lang AND c.feat = vb.feat
+        |), ntd AS (
+        |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_train_docs
+        |  FROM train
+        |), lang_side AS (
+        |  SELECT ls.lang AS cand,
+        |    CAST(round(ln(CAST(ls.n_docs AS DOUBLE)
+        |      / CAST(ntd.n_train_docs AS DOUBLE)) * 1e9) AS BIGINT)
+        |      AS prior_n,
+        |    CAST(round(ln(1.0 / CAST(ls.n_occ + vn.v AS DOUBLE)) * 1e9)
+        |      AS BIGINT) AS lnp0,
+        |    ls.n_docs
+        |  FROM lang_stats ls CROSS JOIN vn CROSS JOIN ntd
+        |), test_feats AS (
+        |  SELECT doc_id, lang, feat, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM test GROUP BY 1, 2, 3
+        |), part AS (
+        |  SELECT tf.doc_id, m.lang AS cand,
+        |    CAST(SUM(tf.k * m.lnp) AS BIGINT) AS p_seen
+        |  FROM test_feats tf JOIN model m ON tf.feat = m.feat
+        |  GROUP BY 1, 2
+        |), unseen AS (
+        |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS k_unseen
+        |  FROM test_feats tf
+        |  WHERE NOT EXISTS (SELECT 1 FROM vocab v WHERE v.feat = tf.feat)
+        |  GROUP BY 1
+        |), scored AS (
+        |  SELECT d.doc_id, d.lang AS lang_true, ls.cand,
+        |    ls.prior_n + COALESCE(p.p_seen, 0)
+        |      + COALESCE(u.k_unseen, 0) * ls.lnp0 AS score
+        |  FROM (SELECT DISTINCT doc_id, lang FROM test) d
+        |  CROSS JOIN lang_side ls
+        |  LEFT JOIN part p ON p.doc_id = d.doc_id AND p.cand = ls.cand
+        |  LEFT JOIN unseen u ON u.doc_id = d.doc_id
+        |), pred AS (
+        |  SELECT doc_id, lang_true, cand AS lang_pred FROM (
+        |    SELECT doc_id, lang_true, cand, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+        |    FROM scored) WHERE rn = 1
+        |), confusion AS (
+        |  SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pred GROUP BY 1, 2
+        |), acc AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+        |    CAST(SUM(CASE WHEN lang_true = lang_pred THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_correct
+        |  FROM pred
+        |), maj AS (
+        |  SELECT cand AS maj_lang FROM lang_side
+        |  ORDER BY n_docs DESC, cand ASC LIMIT 1
+        |), majacc AS (
+        |  SELECT CAST(SUM(CASE WHEN p.lang_true = m.maj_lang
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_maj
+        |  FROM pred p CROSS JOIN maj m
+        |)
+        |SELECT lang_true, lang_pred, n,
+        |  round(CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+        |    AS accuracy,
+        |  round(CAST(n_maj AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+        |    AS majority_baseline
+        |FROM confusion CROSS JOIN acc CROSS JOIN majacc
+        |ORDER BY lang_true, lang_pred""".stripMargin,
+
+    // q323: one-pass fold moments; train = total − fold; closed-form
+    // ridge per (fold, λ); SSEs quantize round-6 → DECIMAL.
+    "q323_ridge_cv" -> {
+      val lams = graft.queries.EvalQueries.ridgeLambdas.mkString(", ")
+      s"""WITH li AS (
+         |  SELECT CAST(CAST(round(l_quantity) AS BIGINT) AS DECIMAL(11,0))
+         |      AS x,
+         |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |      AS DECIMAL(13,0)) AS y,
+         |    CAST((CAST(md5_number_upper(CAST(l_orderkey AS VARCHAR) || ':'
+         |      || CAST(l_linenumber AS VARCHAR) || ':'
+         |      || CAST(l_partkey AS VARCHAR) || ':'
+         |      || CAST(l_suppkey AS VARCHAR)) AS HUGEINT)
+         |      % 2305843009213693951) % 5 AS BIGINT) AS fold
+         |  FROM lineitem
+         |), folds AS (
+         |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(CAST(x AS DECIMAL(19,0)) * x) AS sxx,
+         |    SUM(CAST(x AS DECIMAL(19,0)) * y) AS sxy,
+         |    SUM(CAST(y AS DECIMAL(19,0)) * y) AS syy
+         |  FROM li GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS tn, SUM(sx) AS tsx,
+         |    SUM(sy) AS tsy, SUM(sxx) AS tsxx, SUM(sxy) AS tsxy,
+         |    SUM(syy) AS tsyy
+         |  FROM folds
+         |), ev AS (
+         |  SELECT fold, lambda, n, sx, sy, sxx, sxy, syy, tn,
+         |    CAST(tn - n AS DOUBLE) AS rn, CAST(tsx - sx AS DOUBLE) AS rsx,
+         |    CAST(tsy - sy AS DOUBLE) AS rsy,
+         |    CAST(tsxx - sxx AS DOUBLE) AS rsxx,
+         |    CAST(tsxy - sxy AS DOUBLE) AS rsxy
+         |  FROM folds CROSS JOIN tot
+         |  CROSS JOIN (SELECT unnest([$lams]) AS lambda)
+         |), ev2 AS (
+         |  SELECT fold, lambda, n, sx, sy, sxx, sxy, syy, tn, rsy, rsx, rn,
+         |    (rsxy - rsx * rsy / rn)
+         |      / (rsxx - rsx * rsx / rn + CAST(lambda AS DOUBLE)) AS b
+         |  FROM ev
+         |), ev3 AS (
+         |  SELECT fold, lambda, n, sx, sy, sxx, sxy, syy, tn, b,
+         |    (rsy - b * rsx) / rn AS a
+         |  FROM ev2
+         |), sse AS (
+         |  SELECT lambda,
+         |    SUM(CAST(round((CAST(syy AS DOUBLE)
+         |      + CAST(n AS DOUBLE) * a * a + b * b * CAST(sxx AS DOUBLE)
+         |      - 2.0 * a * CAST(sy AS DOUBLE)
+         |      - 2.0 * b * CAST(sxy AS DOUBLE)
+         |      + 2.0 * a * b * CAST(sx AS DOUBLE))
+         |      / (10000.0 * CAST(tn AS DOUBLE)), 6) AS DECIMAL(38,6)))
+         |      AS cv_mse
+         |  FROM ev3 GROUP BY 1
+         |), chosen AS (
+         |  SELECT lambda AS chosen_lambda FROM sse
+         |  ORDER BY cv_mse ASC, lambda ASC LIMIT 1
+         |), fin1 AS (
+         |  SELECT chosen_lambda,
+         |    (CAST(tsxy AS DOUBLE) - CAST(tsx AS DOUBLE)
+         |      * CAST(tsy AS DOUBLE) / CAST(tn AS DOUBLE))
+         |    / (CAST(tsxx AS DOUBLE) - CAST(tsx AS DOUBLE)
+         |      * CAST(tsx AS DOUBLE) / CAST(tn AS DOUBLE)
+         |      + CAST(chosen_lambda AS DOUBLE)) AS fb,
+         |    tsy, tsx, tn
+         |  FROM tot CROSS JOIN chosen
+         |), fin AS (
+         |  SELECT chosen_lambda, fb,
+         |    (CAST(tsy AS DOUBLE) - fb * CAST(tsx AS DOUBLE))
+         |      / CAST(tn AS DOUBLE) AS fa
+         |  FROM fin1
+         |)
+         |SELECT lambda, round(CAST(cv_mse AS DOUBLE), 2) AS cv_mse_usd2,
+         |  lambda = chosen_lambda AS chosen,
+         |  round(fa / 100.0, 6) AS final_intercept,
+         |  round(fb / 100.0, 6) AS final_slope_per_unit_qty
+         |FROM sse CROSS JOIN fin
+         |ORDER BY lambda""".stripMargin
+    },
+
+    // q324: three unrolled EM iterations; responsibilities round-9,
+    // weighted moment terms round-6/round-3 → DECIMAL folds.
+    "q324_gaussian_em" -> {
+      def estep(k: Int): String = {
+        val p = s"p${k - 1}"
+        def phi(mu: String, s: String) =
+          s"(exp((bk.v - $p.$mu)*(bk.v - $p.$mu) / (-2.0 * $p.$s * $p.$s)) / $p.$s)"
+        s"""e$k AS (
+           |  SELECT bk.v, bk.c, $p.n,
+           |    round($p.pi1 * ${phi("mu1", "s1")}
+           |      / ($p.pi1 * ${phi("mu1", "s1")}
+           |        + (1.0 - $p.pi1) * ${phi("mu2", "s2")}), 9) AS r
+           |  FROM bk CROSS JOIN $p
+           |), m$k AS (
+           |  SELECT MAX(n) AS n,
+           |    SUM(CAST(round(c * r, 6) AS DECIMAL(38,6))) AS w1,
+           |    SUM(CAST(round(c * r * v, 6) AS DECIMAL(38,6))) AS wx1,
+           |    SUM(CAST(round(c * r * v * v, 3) AS DECIMAL(38,3))) AS wxx1,
+           |    SUM(CAST(round(c * (1.0 - r), 6) AS DECIMAL(38,6))) AS w2,
+           |    SUM(CAST(round(c * (1.0 - r) * v, 6) AS DECIMAL(38,6)))
+           |      AS wx2,
+           |    SUM(CAST(round(c * (1.0 - r) * v * v, 3) AS DECIMAL(38,3)))
+           |      AS wxx2
+           |  FROM e$k
+           |), p$k AS (
+           |  SELECT n,
+           |    CAST(w1 AS DOUBLE) / (CAST(w1 AS DOUBLE)
+           |      + CAST(w2 AS DOUBLE)) AS pi1,
+           |    CAST(wx1 AS DOUBLE) / CAST(w1 AS DOUBLE) AS mu1,
+           |    sqrt(CAST(wxx1 AS DOUBLE) / CAST(w1 AS DOUBLE)
+           |      - (CAST(wx1 AS DOUBLE) / CAST(w1 AS DOUBLE))
+           |      * (CAST(wx1 AS DOUBLE) / CAST(w1 AS DOUBLE))) AS s1,
+           |    CAST(wx2 AS DOUBLE) / CAST(w2 AS DOUBLE) AS mu2,
+           |    sqrt(CAST(wxx2 AS DOUBLE) / CAST(w2 AS DOUBLE)
+           |      - (CAST(wx2 AS DOUBLE) / CAST(w2 AS DOUBLE))
+           |      * (CAST(wx2 AS DOUBLE) / CAST(w2 AS DOUBLE))) AS s2
+           |  FROM m$k
+           |)""".stripMargin
+      }
+      s"""WITH b AS (
+         |  SELECT CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) * 1000 + 500
+         |      AS vi,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM orders GROUP BY 1
+         |), bk AS (SELECT CAST(vi AS DOUBLE) AS v, c FROM b),
+         |m0 AS (
+         |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |    SUM(CAST(round(c * v, 6) AS DECIMAL(38,6))) AS sv,
+         |    SUM(CAST(round(c * v * v, 3) AS DECIMAL(38,3))) AS svv
+         |  FROM bk
+         |), st AS (
+         |  SELECT n, CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |    sqrt(CAST(svv AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+         |      * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))) AS sd
+         |  FROM m0
+         |), p0 AS (
+         |  SELECT n, 0.5 AS pi1, mean - sd AS mu1, sd AS s1,
+         |    mean + sd AS mu2, sd AS s2
+         |  FROM st
+         |), ${estep(1)}, ${estep(2)}, ${estep(3)}
+         |SELECT n AS n_orders, round(pi1, 6) AS pi1,
+         |  round(mu1, 4) AS mu1, round(s1, 4) AS sigma1,
+         |  round(mu2, 4) AS mu2, round(s2, 4) AS sigma2
+         |FROM p3""".stripMargin
+    },
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

@@ -1153,6 +1153,282 @@ object EvalQueries {
       .orderBy(col("column_name"))
   }
 
+  /** Multinomial Naive Bayes trained on an md5 70% split and graded
+    * held-out, next to the majority-class baseline — the generative
+    * text classifier at its deployment shape: the MODEL is a bounded
+    * (|classes| × |vocab|) table, so training is one combinable
+    * (class, feature) count aggregate and scoring is an equi-join of
+    * test features against the broadcast model. Log-probabilities are
+    * INTEGER NANO-NATS (round(ln·1e9)) so per-doc scores sum exactly
+    * and the argmax is bit-portable — no FP tie can flip a prediction
+    * between engines. Features: tokens + a length-bucket pseudo-token.
+    * On THIS corpus the languages share one template vocabulary, so NB
+    * lands below the majority baseline — which is exactly what the
+    * baseline column is for: the feature audit that tells a curator
+    * the features carry no class signal BEFORE a classifier ships. */
+  def q322_naive_bayes(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        concat(graft.text.TextOps.tokens(col("text")),
+          array(concat(lit("LEN#"),
+            least(floor(col("n_chars") / lit(50.0)), lit(11.0))
+              .cast("long").cast("string")))).as("fs"))
+      .withColumn("draw",
+        StableHash.bucket(concat(lit("nb#"), col("doc_id")), 10))
+      .select(col("doc_id"), col("lang"), col("draw"),
+        explode(col("fs")).as("feat"))
+      .localCheckpoint(true)
+    val train = feats.filter(col("draw") < 7)
+    val test = feats.filter(col("draw") >= 7)
+    // class stats: doc priors + total feature occurrences per lang
+    val langStats = train.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_occ"))
+    val vocab = train.select(col("feat")).distinct()
+    val vocabN = vocab.agg(count(lit(1)).cast("long").as("v"))
+    val counts = train.groupBy(col("lang"), col("feat"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    // Laplace-smoothed model over the full lang × train-vocab grid,
+    // log-probs as integer nano-nats
+    val model = langStats.crossJoin(broadcast(vocabN))
+      .crossJoin(vocab)
+      .join(counts, Seq("lang", "feat"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(col("lang"), col("feat"),
+        round(log((col("c") + 1).cast("double") /
+          (col("n_occ") + col("v")).cast("double")) * 1e9, 0)
+          .cast("long").as("lnp"))
+    val nTrainDocs = train.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_train_docs"))
+    val langSide = langStats.crossJoin(broadcast(vocabN))
+      .crossJoin(broadcast(nTrainDocs))
+      .select(col("lang").as("cand"),
+        round(log(col("n_docs").cast("double") /
+          col("n_train_docs").cast("double")) * 1e9, 0).cast("long")
+          .as("prior_n"),
+        round(log(lit(1.0d) /
+          (col("n_occ") + col("v")).cast("double")) * 1e9, 0).cast("long")
+          .as("lnp0"),
+        col("n_docs"))
+    // test feature counts; seen-feature partial scores per candidate
+    val testFeats = test.groupBy(col("doc_id"), col("lang"), col("feat"))
+      .agg(count(lit(1)).cast("long").as("k"))
+    val partial = testFeats
+      .join(broadcast(model.withColumnRenamed("lang", "cand")), Seq("feat"))
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg(sum(col("k") * col("lnp")).cast("long").as("p_seen"))
+    val unseen = testFeats
+      .join(broadcast(vocab), Seq("feat"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).cast("long").as("k_unseen"))
+    val scored = test.select(col("doc_id"), col("lang")).distinct()
+      .crossJoin(broadcast(langSide.drop("n_docs")))
+      .join(partial, Seq("doc_id", "lang", "cand"), "left")
+      .join(unseen, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("p_seen", "k_unseen"))
+      .select(col("doc_id"), col("lang"),
+        col("cand"), (col("prior_n") + col("p_seen") +
+          col("k_unseen") * col("lnp0")).as("score"))
+    val pred = scored.groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("score")).as("neg"), col("cand").as("cand")))
+        .as("best"))
+      .select(col("doc_id"), col("lang").as("lang_true"),
+        col("best.cand").as("lang_pred"))
+    val confusion = pred.groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val acc = pred.agg(count(lit(1)).cast("long").as("n_test"),
+      sum(when(col("lang_true") === col("lang_pred"), 1L).otherwise(0L))
+        .cast("long").as("n_correct"))
+    // majority TRAIN class applied to test = the baseline to beat
+    val majority = langSide
+      .select(min(struct((-col("n_docs")).as("neg"), col("cand"))).as("m"))
+      .select(col("m.cand").as("maj_lang"))
+    val majAcc = pred.crossJoin(broadcast(majority))
+      .agg(sum(when(col("lang_true") === col("maj_lang"), 1L)
+        .otherwise(0L)).cast("long").as("n_maj"))
+    confusion.crossJoin(broadcast(acc)).crossJoin(broadcast(majAcc))
+      .select(col("lang_true"), col("lang_pred"), col("n"),
+        round(col("n_correct").cast("double") /
+          col("n_test").cast("double"), 6).as("accuracy"),
+        round(col("n_maj").cast("double") /
+          col("n_test").cast("double"), 6).as("majority_baseline"))
+      .orderBy(col("lang_true"), col("lang_pred"))
+  }
+
+  /** The q323 ridge grid (raw-scale λ on cents² moments). */
+  val ridgeLambdas: Seq[Long] = Seq(0L, 10000000L, 1000000000L,
+    100000000000L)
+
+  /** Ridge regression with 5-fold cross-validated λ selection — model
+    * selection as a distributed computation: ONE pass collects exact
+    * per-fold decimal moments; every (fold, λ) train/eval pair is then
+    * closed-form arithmetic on the 5-row fold grain (train moments are
+    * total − fold, so no second scan exists), and the chosen λ refits
+    * on the full moments. Per-(fold,λ) MSEs (dollars² — a magnitude
+    * where the 6-decimal quantum dominates the double ulp) quantize
+    * round-6 → DECIMAL before the cross-fold sum (order-independent).
+    * On THIS corpus price and quantity are generated independently, so
+    * CV correctly selects the heaviest shrinkage — the guard rail
+    * working as designed against a no-signal feature. Scale shape: the
+    * scan is the only corpus touch; everything after is a 20-row
+    * computation — the shape a 100 TB hyperparameter sweep must have
+    * (folds never re-scan). */
+  def q323_ridge_cv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val li = Tables.lineitem(spark, dir).select(
+      expr("CAST(CAST(round(l_quantity) AS BIGINT) AS DECIMAL(11,0))")
+        .as("x"),
+      expr("CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(13,0))")
+        .as("y"),
+      StableHash.bucket(concat_ws(":", col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey")), 5)
+        .as("fold"))
+    val folds = li.groupBy(col("fold"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(19,0)") * col("x")).as("sxx"),
+        sum(col("x").cast("decimal(19,0)") * col("y")).as("sxy"),
+        sum(col("y").cast("decimal(19,0)") * col("y")).as("syy"))
+      .localCheckpoint(true)
+    val tot = folds.agg(sum(col("n")).cast("long").as("tn"),
+      sum(col("sx")).as("tsx"), sum(col("sy")).as("tsy"),
+      sum(col("sxx")).as("tsxx"), sum(col("sxy")).as("tsxy"),
+      sum(col("syy")).as("tsyy"))
+    val lamCol = explode(array(ridgeLambdas.map(lit): _*)).as("lambda")
+    // train moments = total − fold; closed-form ridge on centered sums
+    val evalRows = folds.crossJoin(broadcast(tot)).select(
+        col("fold"), col("n"), col("sx"), col("sy"), col("sxx"),
+        col("sxy"), col("syy"), col("tn"),
+        (col("tn") - col("n")).cast("double").as("rn"),
+        (col("tsx") - col("sx")).cast("double").as("rsx"),
+        (col("tsy") - col("sy")).cast("double").as("rsy"),
+        (col("tsxx") - col("sxx")).cast("double").as("rsxx"),
+        (col("tsxy") - col("sxy")).cast("double").as("rsxy"),
+        lamCol)
+      .select(col("fold"), col("lambda"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"), col("syy"), col("tn"),
+        ((col("rsxy") - col("rsx") * col("rsy") / col("rn")) /
+          (col("rsxx") - col("rsx") * col("rsx") / col("rn") +
+            col("lambda").cast("double"))).as("b"),
+        col("rsy"), col("rsx"), col("rn"))
+      .select(col("fold"), col("lambda"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"), col("syy"), col("tn"), col("b"),
+        ((col("rsy") - col("b") * col("rsx")) / col("rn")).as("a"))
+    // per-fold contribution in DOLLARS² per total row — magnitude ~1e7,
+    // so the 6-decimal quantum dominates the double ulp and both
+    // engines' double→DECIMAL conversions land on the same grid point
+    // (raw cents² SSE is ~1e17, where decimal conversion is ulp-unsafe)
+    val sse = evalRows.select(col("lambda"),
+      round((col("syy").cast("double") +
+        col("n").cast("double") * col("a") * col("a") +
+        col("b") * col("b") * col("sxx").cast("double") -
+        lit(2.0d) * col("a") * col("sy").cast("double") -
+        lit(2.0d) * col("b") * col("sxy").cast("double") +
+        lit(2.0d) * col("a") * col("b") * col("sx").cast("double")) /
+        (lit(10000.0d) * col("tn").cast("double")), 6)
+        .cast("decimal(38,6)").as("m"))
+      .groupBy(col("lambda"))
+      .agg(sum(col("m")).as("cv_mse"))
+    val chosen = sse
+      .select(min(struct(col("cv_mse"), col("lambda"))).as("m"))
+      .select(col("m.lambda").as("chosen_lambda"))
+    // final refit on the full moments with the chosen λ
+    val fin = tot.crossJoin(broadcast(chosen)).select(
+        col("chosen_lambda"),
+        ((col("tsxy").cast("double") -
+          col("tsx").cast("double") * col("tsy").cast("double") /
+            col("tn").cast("double")) /
+         (col("tsxx").cast("double") -
+          col("tsx").cast("double") * col("tsx").cast("double") /
+            col("tn").cast("double") +
+          col("chosen_lambda").cast("double"))).as("fb"),
+        col("tsy"), col("tsx"), col("tn"))
+      .select(col("chosen_lambda"), col("fb"),
+        ((col("tsy").cast("double") - col("fb") *
+          col("tsx").cast("double")) / col("tn").cast("double")).as("fa"))
+    sse.crossJoin(broadcast(fin))
+      .select(col("lambda"),
+        round(col("cv_mse").cast("double"), 2).as("cv_mse_usd2"),
+        (col("lambda") === col("chosen_lambda")).as("chosen"),
+        round(col("fa") / 100.0, 6).as("final_intercept"),
+        round(col("fb") / 100.0, 6).as("final_slope_per_unit_qty"))
+      .orderBy(col("lambda"))
+  }
+
+  /** Two-component Gaussian EM on the $1000-binned order-value
+    * distribution, three unrolled iterations — distributed EM at its
+    * scale shape: the corpus reduces ONCE to a bounded (bucket, count)
+    * grain; every E-step is a per-bucket compiled expression against
+    * the 1-row parameter set and every M-step is a combinable weighted
+    * aggregate over ≤ a few hundred buckets. Responsibilities quantize
+    * round-9 and weighted M-step terms round-6 → DECIMAL folds, so
+    * every iteration's parameters are bit-identical in both engines
+    * (the normal-pdf 1/√2π constant cancels in the responsibility
+    * ratio and is never computed). Fixed iteration count: at 100 TB
+    * you run EM as k scans of a pre-aggregated sketch table, not a
+    * convergence loop over raw data. */
+  def q324_gaussian_em(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables.orders(spark, dir)
+      .select((floor(col("o_totalprice") / lit(1000.0)).cast("long") *
+        1000 + 500).cast("double").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true)
+    val m0 = buckets.agg(
+        sum(col("c")).cast("long").as("n"),
+        sum(round(col("c") * col("v"), 6).cast("decimal(38,6)")).as("sv"),
+        sum(round(col("c") * col("v") * col("v"), 3)
+          .cast("decimal(38,3)")).as("svv"))
+      .select(col("n"),
+        (col("sv").cast("double") / col("n").cast("double")).as("mean"),
+        sqrt(col("svv").cast("double") / col("n").cast("double") -
+          (col("sv").cast("double") / col("n").cast("double")) *
+          (col("sv").cast("double") / col("n").cast("double"))).as("sd"))
+    var params = m0.select(col("n"), lit(0.5d).as("pi1"),
+      (col("mean") - col("sd")).as("mu1"), col("sd").as("s1"),
+      (col("mean") + col("sd")).as("mu2"), col("sd").as("s2"))
+    for (_ <- 1 to 3) {
+      val e = buckets.crossJoin(broadcast(params))
+        .withColumn("phi1",
+          exp((col("v") - col("mu1")) * (col("v") - col("mu1")) /
+            (lit(-2.0d) * col("s1") * col("s1"))) / col("s1"))
+        .withColumn("phi2",
+          exp((col("v") - col("mu2")) * (col("v") - col("mu2")) /
+            (lit(-2.0d) * col("s2") * col("s2"))) / col("s2"))
+        .withColumn("r", round(col("pi1") * col("phi1") /
+          (col("pi1") * col("phi1") +
+            (lit(1.0d) - col("pi1")) * col("phi2")), 9))
+      val mstep = e.agg(
+        first(col("n")).as("n"),
+        sum(round(col("c") * col("r"), 6).cast("decimal(38,6)")).as("w1"),
+        sum(round(col("c") * col("r") * col("v"), 6)
+          .cast("decimal(38,6)")).as("wx1"),
+        sum(round(col("c") * col("r") * col("v") * col("v"), 3)
+          .cast("decimal(38,3)")).as("wxx1"),
+        sum(round(col("c") * (lit(1.0d) - col("r")), 6)
+          .cast("decimal(38,6)")).as("w2"),
+        sum(round(col("c") * (lit(1.0d) - col("r")) * col("v"), 6)
+          .cast("decimal(38,6)")).as("wx2"),
+        sum(round(col("c") * (lit(1.0d) - col("r")) * col("v") *
+          col("v"), 3).cast("decimal(38,3)")).as("wxx2"))
+      params = mstep.select(col("n"),
+        (col("w1").cast("double") /
+          (col("w1").cast("double") + col("w2").cast("double"))).as("pi1"),
+        (col("wx1").cast("double") / col("w1").cast("double")).as("mu1"),
+        sqrt(col("wxx1").cast("double") / col("w1").cast("double") -
+          (col("wx1").cast("double") / col("w1").cast("double")) *
+          (col("wx1").cast("double") / col("w1").cast("double"))).as("s1"),
+        (col("wx2").cast("double") / col("w2").cast("double")).as("mu2"),
+        sqrt(col("wxx2").cast("double") / col("w2").cast("double") -
+          (col("wx2").cast("double") / col("w2").cast("double")) *
+          (col("wx2").cast("double") / col("w2").cast("double"))).as("s2"))
+    }
+    params.select(col("n").as("n_orders"),
+      round(col("pi1"), 6).as("pi1"),
+      round(col("mu1"), 4).as("mu1"), round(col("s1"), 4).as("sigma1"),
+      round(col("mu2"), 4).as("mu2"), round(col("s2"), 4).as("sigma2"))
+  }
+
   /** BH z-scale thresholds Φ⁻¹(1 − iα/(2m)) for α=0.1, every m ≤ 25 and
     * i ≤ m — evaluated once on the driver (Acklam's inverse-normal
     * approximation, |err| < 1.2e-9) and interpolated verbatim into both

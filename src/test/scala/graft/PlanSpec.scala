@@ -1140,6 +1140,33 @@ class PlanSpec extends SparkSpec {
     rows.map(_.getString(rows(0).fieldIndex("encoding"))).toSet.size should be > 1
   }
 
+  test("q322 NB scoring broadcasts the bounded model, never shuffles it") {
+    val plan = planString(queries.EvalQueries.q322_naive_bayes(spark, dir))
+    plan should include("BroadcastHashJoin")
+    val rows = queries.EvalQueries.q322_naive_bayes(spark, dir).collect()
+    val nTest = rows.map(_.getAs[Long]("n")).sum
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      acc should (be >= 0.0 and be <= 1.0)
+    }
+    nTest should be > 0L
+  }
+
+  test("q323 CV selects exactly one lambda and refits with it everywhere") {
+    val rows = queries.EvalQueries.q323_ridge_cv(spark, dir).collect()
+    rows.length shouldBe queries.EvalQueries.ridgeLambdas.length
+    rows.count(_.getAs[Boolean]("chosen")) shouldBe 1
+    rows.map(_.getAs[Double]("final_slope_per_unit_qty")).distinct.length shouldBe 1
+  }
+
+  test("q324 EM parameters stay a valid ordered two-component mixture") {
+    val r = queries.EvalQueries.q324_gaussian_em(spark, dir).collect()(0)
+    r.getAs[Double]("pi1") should (be > 0.0 and be < 1.0)
+    r.getAs[Double]("mu1") should be < r.getAs[Double]("mu2")
+    r.getAs[Double]("sigma1") should be > 0.0
+    r.getAs[Double]("sigma2") should be > 0.0
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
