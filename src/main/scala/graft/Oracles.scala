@@ -7613,6 +7613,116 @@ object Oracles {
          |  round(mu2, 4) AS mu2, round(s2, 4) AS sigma2
          |FROM p3""".stripMargin
     },
+
+    // q325: the identical Holt recurrence as a recursive CTE over the
+    // month index; fitted_t = level+trend of the state at t−1.
+    "q325_holt_smoothing" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), idx AS (
+        |  SELECT ym, y,
+        |    CAST(row_number() OVER (ORDER BY ym) AS BIGINT) AS rn
+        |  FROM m
+        |), nmax AS (SELECT CAST(MAX(rn) AS BIGINT) AS t_max FROM idx),
+        |rec AS (
+        |  SELECT CAST(1 AS BIGINT) AS t,
+        |    CAST(i1.y AS DOUBLE) AS s,
+        |    CAST(i2.y AS DOUBLE) - CAST(i1.y AS DOUBLE) AS b
+        |  FROM idx i1 JOIN idx i2 ON i1.rn = 1 AND i2.rn = 2
+        |  UNION ALL
+        |  SELECT r.t + 1,
+        |    0.3 * CAST(i.y AS DOUBLE) + 0.7 * (r.s + r.b),
+        |    0.1 * ((0.3 * CAST(i.y AS DOUBLE) + 0.7 * (r.s + r.b)) - r.s)
+        |      + 0.9 * r.b
+        |  FROM rec r JOIN idx i ON i.rn = r.t + 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 'fit' AS kind, i.ym, i.y,
+        |    CASE WHEN i.rn = 1 THEN NULL
+        |      ELSE round(r.s + r.b, 6) END AS fitted
+        |  FROM idx i LEFT JOIN rec r ON r.t = i.rn - 1
+        |  UNION ALL
+        |  SELECT 'forecast', 'h' || CAST(h AS VARCHAR),
+        |    CAST(NULL AS BIGINT),
+        |    round(r.s + CAST(h AS DOUBLE) * r.b, 6)
+        |  FROM rec r CROSS JOIN nmax
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+        |  WHERE r.t = nmax.t_max
+        |) ORDER BY kind, ym""".stripMargin,
+
+    // q326: one-pass exact cents moments; dollar-scale σ; Σ-terms
+    // quantized at 4/0 decimals where the grid dominates the ulp.
+    "q326_neyman_allocation" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority AS stratum,
+        |    CAST(COUNT(*) AS BIGINT) AS n_h,
+        |    SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS DECIMAL(28,0))) AS sv,
+        |    SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS DECIMAL(19,0))
+        |      * CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS DECIMAL(19,0))) AS svv
+        |  FROM orders GROUP BY 1
+        |), sd AS (
+        |  SELECT stratum, n_h,
+        |    sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)
+        |      * CAST(sv AS DOUBLE) / CAST(n_h AS DOUBLE))
+        |      / CAST(n_h AS DOUBLE)) / 100.0 AS sd_usd
+        |  FROM s
+        |), tot AS (
+        |  SELECT CAST(SUM(n_h) AS BIGINT) AS n_tot,
+        |    SUM(CAST(round(CAST(n_h AS DOUBLE) * sd_usd, 4)
+        |      AS DECIMAL(38,4))) AS sns,
+        |    SUM(CAST(round(CAST(n_h AS DOUBLE) * sd_usd * sd_usd, 0)
+        |      AS DECIMAL(38,0))) AS sns2
+        |  FROM sd
+        |)
+        |SELECT stratum, n_h, round(sd_usd, 4) AS sd_usd,
+        |  CAST(round(10000.0 * CAST(n_h AS DOUBLE) * sd_usd
+        |    / CAST(sns AS DOUBLE), 0) AS BIGINT) AS n_neyman,
+        |  CAST(round(10000.0 * CAST(n_h AS DOUBLE)
+        |    / CAST(n_tot AS DOUBLE), 0) AS BIGINT) AS n_prop,
+        |  round((CAST(sns AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |    * (CAST(sns AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |    / (CAST(sns2 AS DOUBLE) / CAST(n_tot AS DOUBLE)), 6)
+        |    AS neyman_vs_prop_var_ratio
+        |FROM sd CROSS JOIN tot
+        |ORDER BY stratum""".stripMargin,
+
+    // q327: the z constant is the driver-evaluated Acklam value shared
+    // verbatim with the Spark side.
+    "q327_ab_power" -> {
+      val z = graft.queries.EvalQueries.invNorm(0.975) +
+        graft.queries.EvalQueries.invNorm(0.8)
+      s"""WITH base AS (
+         |  SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_conv
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY 1
+         |), p AS (
+         |  SELECT nation, n_orders, n_conv,
+         |    CAST(n_conv AS DOUBLE) / CAST(n_orders AS DOUBLE) AS p
+         |  FROM base
+         |), m AS (
+         |  SELECT nation, n_orders, n_conv, p,
+         |    $z * sqrt(2.0 * p * (1.0 - p)
+         |      / (CAST(n_orders AS DOUBLE) / 2.0)) AS mde_abs
+         |  FROM p
+         |)
+         |SELECT nation, n_orders, n_conv, round(p, 6) AS p_base,
+         |  round(mde_abs, 6) AS mde_abs,
+         |  round(mde_abs / p, 6) AS mde_rel,
+         |  mde_abs / p <= 0.05 AS powered_5pct_lift,
+         |  CAST(round(${z * z} * 2.0 * p * (1.0 - p)
+         |    / ((0.05 * p) * (0.05 * p)), 0) AS BIGINT)
+         |    AS n_req_per_arm_5pct
+         |FROM m ORDER BY nation""".stripMargin
+    },
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

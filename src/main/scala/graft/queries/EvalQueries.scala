@@ -1433,8 +1433,143 @@ object EvalQueries {
     * i ≤ m — evaluated once on the driver (Acklam's inverse-normal
     * approximation, |err| < 1.2e-9) and interpolated verbatim into both
     * engines, so the BH pass itself is pure comparisons. */
-  val bhThresholds: Map[(Int, Int), Double] = {
-    def invNorm(p: Double): Double = {
+  /** Holt double-exponential (level + trend) smoothing of the monthly
+    * order-count series, one-step-ahead fits and a 3-step forecast —
+    * sequential state recursion done the only way it scales: the corpus
+    * reduces via one combinable (month) aggregate to the BOUNDED
+    * calendar grain (~80 points), and the recursion folds over that
+    * array with builtin higher-order functions (codegen'd, zero
+    * shuffle, zero UDF). The oracle replays the identical recurrence as
+    * a recursive CTE, so every level/trend double is bit-matched.
+    * α=0.3, β=0.1. At 100 TB the monthly reduce is the only thing that
+    * grows; the smoother's cost is fixed. */
+  def q325_holt_smoothing(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).cast("long").as("y"))
+    val state = monthly
+      .agg(sort_array(collect_list(struct(col("ym"), col("y")))).as("arr"))
+      .select(col("arr"),
+        transform(col("arr"), s => s.getField("y").cast("double")).as("ys"))
+      .selectExpr("arr",
+        """aggregate(
+             slice(ys, 2, size(ys) - 1),
+             named_struct(
+               's', element_at(ys, 1),
+               'b', element_at(ys, 2) - element_at(ys, 1),
+               'fit', CAST(array() AS ARRAY<DOUBLE>)),
+             (acc, y) -> named_struct(
+               's', 0.3D * y + 0.7D * (acc.s + acc.b),
+               'b', 0.1D * ((0.3D * y + 0.7D * (acc.s + acc.b)) - acc.s)
+                 + 0.9D * acc.b,
+               'fit', array_append(acc.fit, acc.s + acc.b))) AS st""")
+      .localCheckpoint(true)
+    val fitRows = state
+      .select(col("st"), posexplode(col("arr")).as(Seq("pos", "e")))
+      .select(lit("fit").as("kind"), col("e.ym").as("ym"),
+        col("e.y").as("y"),
+        when(col("pos") === 0, lit(null).cast("double"))
+          .otherwise(round(element_at(col("st.fit"), col("pos")), 6))
+          .as("fitted"))
+    val fcRows = state
+      .select(col("st"), explode(array((1 to 3).map(h =>
+        struct(lit(s"h$h").as("ym"), lit(h).as("h"))): _*)).as("f"))
+      .select(lit("forecast").as("kind"), col("f.ym").as("ym"),
+        lit(null).cast("long").as("y"),
+        round(col("st.s") + col("f.h").cast("double") * col("st.b"), 6)
+          .as("fitted"))
+    fitRows.unionByName(fcRows).orderBy(col("kind"), col("ym"))
+  }
+
+  /** Neyman-optimal stratified-sampling allocation vs proportional —
+    * the sampling-design advisor a 100 TB profiling job consults before
+    * drawing: per stratum the exact-moment population σ, the Neyman
+    * share n·N_hσ_h/ΣN_kσ_k, and the design-variance ratio
+    * (ΣW_hσ_h)²/ΣW_hσ_h² that prices how much the optimal design saves.
+    * One combinable aggregate; everything after is |strata|-row
+    * arithmetic. Σ-terms quantize at dollar magnitudes where the
+    * decimal quantum dominates the double ulp (the q323 lesson). */
+  def q326_neyman_allocation(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 10000L
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val strata = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("stratum"), cents.as("v"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).cast("long").as("n_h"),
+        sum(col("v").cast("decimal(28,0)")).as("sv"),
+        sum(col("v").cast("decimal(19,0)") * col("v")).as("svv"))
+      .select(col("stratum"), col("n_h"),
+        (sqrt((col("svv").cast("double") -
+          col("sv").cast("double") * col("sv").cast("double") /
+            col("n_h").cast("double")) / col("n_h").cast("double")) /
+          lit(100.0d)).as("sd_usd"))
+      .localCheckpoint(true)
+    val tot = strata.agg(
+      sum(col("n_h")).cast("long").as("n_tot"),
+      sum(round(col("n_h").cast("double") * col("sd_usd"), 4)
+        .cast("decimal(38,4)")).as("sns"),
+      sum(round(col("n_h").cast("double") * col("sd_usd") * col("sd_usd"),
+        0).cast("decimal(38,0)")).as("sns2"))
+    strata.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_h"), round(col("sd_usd"), 4)
+          .as("sd_usd"),
+        round(lit(budget.toDouble) * col("n_h").cast("double") *
+          col("sd_usd") / col("sns").cast("double"), 0).cast("long")
+          .as("n_neyman"),
+        round(lit(budget.toDouble) * col("n_h").cast("double") /
+          col("n_tot").cast("double"), 0).cast("long").as("n_prop"),
+        round((col("sns").cast("double") / col("n_tot").cast("double")) *
+          (col("sns").cast("double") / col("n_tot").cast("double")) /
+          (col("sns2").cast("double") / col("n_tot").cast("double")), 6)
+          .as("neyman_vs_prop_var_ratio"))
+      .orderBy(col("stratum"))
+  }
+
+  /** A/B-test power planner: per nation, the minimum detectable effect
+    * (absolute and relative) of a 50/50 split on the order-completion
+    * rate at α=0.05 two-sided, power 0.8 — MDE = (z_{α/2}+z_β)·
+    * √(2p(1−p)/(n/2)). The z constants are driver-evaluated once
+    * ([[invNorm]]) and interpolated verbatim into both engines, so the
+    * plan is pure IEEE arithmetic on exact counts. The report every
+    * experimentation platform runs before committing traffic: which
+    * strata are even big enough to measure a 5% lift. Scale shape: one
+    * combinable per-nation aggregate; |nations| rows after. */
+  def q327_ab_power(spark: SparkSession, dir: String): DataFrame = {
+    val z = invNorm(0.975) + invNorm(0.8)
+    val base = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")
+          .as("nk")), "o_custkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("nk"), col("n_name").as("nation"))),
+        "nk")
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+          .cast("long").as("n_conv"))
+      .withColumn("p",
+        col("n_conv").cast("double") / col("n_orders").cast("double"))
+      .withColumn("mde_abs", lit(z) *
+        sqrt(lit(2.0d) * col("p") * (lit(1.0d) - col("p")) /
+          (col("n_orders").cast("double") / lit(2.0d))))
+    base.select(col("nation"), col("n_orders"), col("n_conv"),
+        round(col("p"), 6).as("p_base"),
+        round(col("mde_abs"), 6).as("mde_abs"),
+        round(col("mde_abs") / col("p"), 6).as("mde_rel"),
+        (col("mde_abs") / col("p") <= lit(0.05d)).as("powered_5pct_lift"),
+        // per-arm n needed to detect a 5% relative lift — the number
+        // the platform quotes back when the answer above is "no"
+        round(lit(z * z) * lit(2.0d) * col("p") * (lit(1.0d) - col("p")) /
+          ((lit(0.05d) * col("p")) * (lit(0.05d) * col("p"))), 0)
+          .cast("long").as("n_req_per_arm_5pct"))
+      .orderBy(col("nation"))
+  }
+
+  /** Acklam 2003 rational approximation to the standard normal
+    * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
+    * resulting constants interpolated verbatim into both engines. */
+  private[graft] def invNorm(p: Double): Double = {
       // Acklam 2003 rational approximation to the standard normal
       // quantile; coefficients are the published constants.
       val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
@@ -1462,10 +1597,13 @@ object EvalQueries {
         val q = math.sqrt(-2 * math.log(1 - p))
         -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
           ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
-      }
     }
-    val alpha = 0.1
-    (for (m <- 1 to 25; i <- 1 to m)
-      yield (m, i) -> invNorm(1.0 - i * alpha / (2.0 * m))).toMap
   }
+
+  /** BH z-scale thresholds Φ⁻¹(1 − iα/(2m)) for α=0.1, every m ≤ 25 and
+    * i ≤ m — evaluated once on the driver and interpolated verbatim into
+    * both engines, so the BH pass itself is pure comparisons. */
+  val bhThresholds: Map[(Int, Int), Double] =
+    (for (m <- 1 to 25; i <- 1 to m)
+      yield (m, i) -> invNorm(1.0 - i * 0.1 / (2.0 * m))).toMap
 }

@@ -1167,6 +1167,34 @@ class PlanSpec extends SparkSpec {
     r.getAs[Double]("sigma2") should be > 0.0
   }
 
+  test("q325 Holt state is a bounded-grain fold, no UDF and no extra shuffle") {
+    val plan = planString(queries.EvalQueries.q325_holt_smoothing(spark, dir))
+    plan should not include "BatchEvalPython"
+    plan should not include "ScalaUDF"
+    val rows = queries.EvalQueries.q325_holt_smoothing(spark, dir).collect()
+    rows.count(_.getAs[String]("kind") == "forecast") shouldBe 3
+    // one-step fits exist for every month after the first
+    val fits = rows.filter(_.getAs[String]("kind") == "fit")
+    fits.count(r => !r.isNullAt(r.fieldIndex("fitted"))) shouldBe (fits.length - 1)
+  }
+
+  test("q326 Neyman allocation sums to ~budget and beats proportional") {
+    val rows = queries.EvalQueries.q326_neyman_allocation(spark, dir).collect()
+    val ney = rows.map(_.getAs[Long]("n_neyman")).sum
+    ney should (be >= 9990L and be <= 10010L) // rounding slack only
+    val ratio = rows.head.getAs[Double]("neyman_vs_prop_var_ratio")
+    ratio should (be > 0.0 and be <= 1.0) // Cauchy-Schwarz: optimal ≤ prop
+  }
+
+  test("q327 MDE shrinks with sample size within the result") {
+    val rows = queries.EvalQueries.q327_ab_power(spark, dir).collect()
+    val byN = rows.sortBy(_.getAs[Long]("n_orders"))
+    // largest nation must have a no-larger absolute MDE than the smallest
+    byN.last.getAs[Double]("mde_abs") should be <=
+      byN.head.getAs[Double]("mde_abs")
+    rows.foreach(r => r.getAs[Long]("n_req_per_arm_5pct") should be > 0L)
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
