@@ -7723,6 +7723,95 @@ object Oracles {
          |    AS n_req_per_arm_5pct
          |FROM m ORDER BY nation""".stripMargin
     },
+
+    // q328: matrix-free power iteration, 4 unrolled passes; coordinate
+    // sums quantize round-9 → DECIMAL; list_dot_product bit-matches the
+    // Spark DotProduct fold (the q30 convention).
+    "q328_pca_power" -> {
+      def iter(k: Int): String =
+        s"""s$k AS (
+           |  SELECT cx.vec_id, cx.cx,
+           |    list_dot_product(cx.cx, vv.vec) AS s
+           |  FROM cx CROSS JOIN v${k - 1} vv
+           |), wc$k AS (
+           |  SELECT i, CAST(SUM(CAST(round(s * cxi, 9) AS DECIMAL(27,12)))
+           |    AS DOUBLE) AS w
+           |  FROM (SELECT s, unnest(cx) AS cxi,
+           |      unnest(range(1, 1 + len(cx))) AS i FROM s$k)
+           |  GROUP BY i
+           |), v$k AS (
+           |  SELECT list(w / nrm ORDER BY i) AS vec
+           |  FROM wc$k CROSS JOIN (
+           |    SELECT sqrt(CAST(SUM(CAST(round(w * w, 9)
+           |      AS DECIMAL(27,12))) AS DOUBLE)) AS nrm FROM wc$k)
+           |)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+         |coord AS (
+         |  SELECT vec_id, unnest(v) AS x,
+         |    unnest(range(1, 1 + len(v))) AS i
+         |  FROM e
+         |), mu AS (
+         |  SELECT i, CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+         |    / (SELECT CAST(n AS DOUBLE) FROM nn) AS m
+         |  FROM coord GROUP BY i
+         |), cx AS (
+         |  SELECT vec_id, list(x - m ORDER BY i) AS cx
+         |  FROM coord JOIN mu USING (i) GROUP BY vec_id
+         |), v0 AS (SELECT list_transform(range(1, 65), i -> 0.125) AS vec),
+         |${iter(1)}, ${iter(2)}, ${iter(3)}, ${iter(4)},
+         |proj AS (
+         |  SELECT SUM(CAST(round(s * s, 9) AS DECIMAL(27,12))) AS ss
+         |  FROM (SELECT list_dot_product(cx.cx, vv.vec) AS s
+         |    FROM cx CROSS JOIN v4 vv)
+         |), tr AS (
+         |  SELECT SUM(CAST(round(list_dot_product(cx, cx), 9)
+         |    AS DECIMAL(27,12))) AS tr
+         |  FROM cx
+         |)
+         |SELECT CAST(comp AS BIGINT) AS component, round(lv, 6) AS loading,
+         |  n AS n_vecs,
+         |  round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |    AS top_eigenvalue,
+         |  round(CAST(ss AS DOUBLE) / CAST(tr AS DOUBLE), 6)
+         |    AS variance_share
+         |FROM (SELECT unnest(vec) AS lv, unnest(range(1, 65)) AS comp
+         |  FROM v4) lv
+         |CROSS JOIN nn CROSS JOIN proj CROSS JOIN tr
+         |WHERE comp <= 8 ORDER BY component""".stripMargin
+    },
+
+    // q329: four unrolled min-plus relaxation layers from supplier 1.
+    "q329_sssp_latency" -> {
+      def relax(k: Int): String =
+        s"""d$k AS (
+           |  SELECT node, MIN(d) AS d FROM (
+           |    SELECT node, d FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT e.v AS node, dd.d + e.w AS d
+           |    FROM edges e JOIN d${k - 1} dd ON e.u = dd.node
+           |  ) GROUP BY node
+           |)""".stripMargin
+      s"""WITH ed AS (
+         |  SELECT l_suppkey AS sk, o_custkey AS ck,
+         |    CAST(MIN(abs(datediff('day', o_orderdate, l_shipdate))) + 1
+         |      AS BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2
+         |), edges AS (
+         |  SELECT sk * 2 AS u, ck * 2 + 1 AS v, w FROM ed
+         |  UNION ALL
+         |  SELECT ck * 2 + 1, sk * 2, w FROM ed
+         |), d0 AS (SELECT CAST(2 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d),
+         |${relax(1)}, ${relax(2)}, ${relax(3)}, ${relax(4)}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+         |    AS side,
+         |  CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |  MIN(d) AS min_days, MAX(d) AS max_days,
+         |  CAST(SUM(d) AS BIGINT) AS sum_days
+         |FROM d4 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

@@ -1566,6 +1566,123 @@ object EvalQueries {
       .orderBy(col("nation"))
   }
 
+  /** Top principal component of the embedding corpus by POWER ITERATION
+    * in matrix-free form — the d×d covariance is never materialized:
+    * each of the 4 iterations computes per-vector projections
+    * s = (x−μ)·v ([[graft.similarity.CosineKnn.dot]], the compiled
+    * sequential fold DuckDB's list_dot_product bit-matches) and
+    * re-aggregates w_i = Σ s·(x−μ)_i per coordinate — so the same plan
+    * works at d = 4096 where the Gram matrix wouldn't fit a task.
+    * Coordinate sums quantize round-9 → DECIMAL (order-independent);
+    * the fixed v₀ = 1/8·𝟙 makes the eigenvector sign deterministic.
+    * Emits the Rayleigh eigenvalue, its share of total variance
+    * (trace), and the first 8 loadings. Scale shape: one centered-
+    * vector pass per iteration, shuffling only (i, term) pairs; the
+    * parameter vector rides as a 1-row broadcast. */
+  def q328_pca_power(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.CosineKnn
+    val dim = 64
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), CosineKnn.toDouble(col("embedding")).as("v"))
+    val n = ex.agg(count(lit(1)).cast("long").as("n"))
+    val mu = ex.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(col("x").cast("decimal(27,12)")).as("sx"))
+      .crossJoin(broadcast(n))
+      .select(col("i"),
+        (col("sx").cast("double") / col("n").cast("double")).as("m"))
+      .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("ms"))
+      .select(transform(col("ms"), s => s.getField("m")).as("mu"))
+    val cx = ex.crossJoin(broadcast(mu))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("mu"), (a, b) => a - b).as("cx"))
+      .localCheckpoint(true)
+    var v = mu.select(
+      transform(sequence(lit(1), lit(dim)), _ => lit(0.125d)).as("vec"))
+    for (_ <- 1 to 4) {
+      val s = cx.crossJoin(broadcast(v))
+        .select(col("cx"), CosineKnn.dot(col("cx"), col("vec")).as("s"))
+      val w = s.select(col("s"), posexplode(col("cx")).as(Seq("i", "cxi")))
+        .groupBy(col("i"))
+        .agg(sum(round(col("s") * col("cxi"), 9).cast("decimal(27,12)"))
+          .as("wd"))
+        .select(col("i"), col("wd").cast("double").as("w"))
+      v = w.agg(
+          sqrt(sum(round(col("w") * col("w"), 9).cast("decimal(27,12)"))
+            .cast("double")).as("nrm"),
+          sort_array(collect_list(struct(col("i"), col("w")))).as("ws"))
+        .select(transform(col("ws"),
+          s => s.getField("w") / col("nrm")).as("vec"))
+        .localCheckpoint(true)
+    }
+    val proj = cx.crossJoin(broadcast(v))
+      .select(col("cx"), CosineKnn.dot(col("cx"), col("vec")).as("s"))
+      .agg(sum(round(col("s") * col("s"), 9).cast("decimal(27,12)"))
+        .as("ss"))
+    val trace = cx
+      .select(CosineKnn.dot(col("cx"), col("cx")).as("t"))
+      .agg(sum(round(col("t"), 9).cast("decimal(27,12)")).as("tr"))
+    val head = v.select(posexplode(col("vec")).as(Seq("pos", "lv")))
+      .filter(col("pos") < 8)
+      .select((col("pos") + 1).cast("long").as("component"),
+        round(col("lv"), 6).as("loading"))
+    head.crossJoin(broadcast(n)).crossJoin(broadcast(proj))
+      .crossJoin(broadcast(trace))
+      .select(col("component"), col("loading"), col("n").as("n_vecs"),
+        round(col("ss").cast("double") / col("n").cast("double"), 6)
+          .as("top_eigenvalue"),
+        round(col("ss").cast("double") / col("tr").cast("double"), 6)
+          .as("variance_share"))
+      .orderBy(col("component"))
+  }
+
+  /** Single-source shortest paths on the supplier↔customer fulfillment
+    * graph (edge weight = 1 + the pair's smallest |ship − order| gap in
+    * days — a temporal-proximity metric, since this corpus generates
+    * the two dates independently and a signed "latency" would go
+    * negative), four unrolled Bellman-Ford rounds from supplier 1 — the
+    * Pregel/
+    * delta-stepping layout every distributed SSSP uses: per round ONE
+    * equi-join of the current distances against the edge list + ONE
+    * min-combine, lineage truncated per round. Integer-day weights keep
+    * every distance exact. The result is the reachability/latency
+    * census after ≤4 hops, by node side. Scale shape: the edge build is
+    * one (supp, cust) aggregate off the fact join; rounds touch only
+    * (node, dist) pairs. */
+  def q329_sssp_latency(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        col("l_shipdate"))
+    val ed = li.join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+          col("o_orderdate")), "ok")
+      .groupBy(col("sk"), col("ck"))
+      .agg((min(abs(datediff(col("l_shipdate"), col("o_orderdate")))) + 1)
+        .cast("long").as("w"))
+    // node encoding: supplier 2k, customer 2k+1; undirected edges
+    val edges = ed.select((col("sk") * 2).as("u"),
+        (col("ck") * 2 + 1).as("v"), col("w"))
+      .unionByName(ed.select((col("ck") * 2 + 1).as("u"),
+        (col("sk") * 2).as("v"), col("w")))
+      .localCheckpoint(true)
+    var dist = edges.sparkSession.range(1, 2)
+      .select(lit(2L).as("node"), lit(0L).as("d"))
+    for (_ <- 1 to 4) {
+      val relaxed = edges.join(dist.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist.select(when(pmod(col("node"), lit(2L)) === 0, "supplier")
+          .otherwise("customer").as("side"), col("d"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).cast("long").as("n_reached"),
+        min(col("d")).as("min_days"), max(col("d")).as("max_days"),
+        sum(col("d")).cast("long").as("sum_days"))
+      .orderBy(col("side"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

@@ -1195,6 +1195,27 @@ class PlanSpec extends SparkSpec {
     rows.foreach(r => r.getAs[Long]("n_req_per_arm_5pct") should be > 0L)
   }
 
+  test("q328 power iteration yields a unit eigenvector and bounded share") {
+    val rows = queries.EvalQueries.q328_pca_power(spark, dir).collect()
+    rows.length shouldBe 8
+    val share = rows.head.getAs[Double]("variance_share")
+    share should (be > 0.0 and be <= 1.0)
+    rows.head.getAs[Double]("top_eigenvalue") should be > 0.0
+    // loadings are components of a unit vector
+    rows.foreach(r =>
+      math.abs(r.getAs[Double]("loading")) should be <= 1.0)
+  }
+
+  test("q329 SSSP relaxes monotonically and the source stays at zero") {
+    val rows = queries.EvalQueries.q329_sssp_latency(spark, dir).collect()
+    val bySide = rows.map(r => r.getAs[String]("side") -> r).toMap
+    bySide("supplier").getAs[Long]("min_days") shouldBe 0L // the source
+    bySide("customer").getAs[Long]("min_days") should be > 0L
+    rows.foreach { r =>
+      r.getAs[Long]("max_days") should be >= r.getAs[Long]("min_days")
+    }
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
