@@ -7812,6 +7812,52 @@ object Oracles {
          |  CAST(SUM(d) AS BIGINT) AS sum_days
          |FROM d4 GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // q330: frames are byte-aligned 16-char slices (ascii corpus, so
+    // char slicing equals the Spark binary slicing); same cap, same
+    // containment, same top-10 order.
+    "q330_frame_dedup" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |), fr AS (
+        |  SELECT DISTINCT media_id,
+        |    md5(substring(text, i * 16 + 1, 16)) AS fh
+        |  FROM media, unnest(range(0,
+        |    greatest(CAST(floor(len(text) / 16.0) AS INT) - 1, 0) + 1))
+        |    u(i)
+        |), nf AS (
+        |  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+        |  FROM fr GROUP BY 1
+        |), capped AS (
+        |  SELECT fr.media_id, fr.fh FROM fr
+        |  JOIN (SELECT fh FROM fr GROUP BY fh HAVING COUNT(*) <= 100) ok
+        |    ON fr.fh = ok.fh
+        |), pr AS (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM capped a JOIN capped b
+        |    ON a.fh = b.fh AND a.media_id < b.media_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b, shared, na.n_frames AS n_a,
+        |    nb.n_frames AS n_b,
+        |    round(CAST(shared AS DOUBLE)
+        |      / CAST(least(na.n_frames, nb.n_frames) AS DOUBLE), 6)
+        |      AS containment
+        |  FROM pr
+        |  JOIN nf na ON na.media_id = id_a
+        |  JOIN nf nb ON nb.media_id = id_b
+        |  WHERE round(CAST(shared AS DOUBLE)
+        |    / CAST(least(na.n_frames, nb.n_frames) AS DOUBLE), 6) >= 0.5
+        |), summary AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs)
+        |      AS n_neardup_pairs,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM media) AS n_media
+        |)
+        |SELECT id_a, id_b, shared, n_a, n_b, containment,
+        |  n_neardup_pairs, n_media
+        |FROM pairs CROSS JOIN summary
+        |ORDER BY containment DESC, id_a, id_b LIMIT 10""".stripMargin,
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

@@ -1683,6 +1683,54 @@ object EvalQueries {
       .orderBy(col("side"))
   }
 
+  /** Frame-level media near-dup — the video-dedup shape: payloads are
+    * sliced into fixed 16-byte frames ([[graft.multimodal.Multimodal
+    * .sampleFrames]], the batch-shape plumbing a real codec would fill),
+    * each frame content-hashed, and near-dups found by frame-hash
+    * equi-join with containment = |shared| / min(|A|,|B|) ≥ 0.5. The
+    * frame index is frequency-capped (≤ 100 media per hash) before the
+    * pair join — the q27 skew guard: one constant/black frame shared by
+    * everything must never go quadratic. Scale shape: shuffles carry
+    * (hash, id) pairs only; the pair aggregate lives on the candidate
+    * grain; payload bytes never ride a shuffle. */
+  def q330_frame_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.packBinary(
+      Tables.documents(spark, dir), "doc_id", "text", "video", "source")
+    val frames = Multimodal.sampleFrames(media, "payload",
+        frameBytes = 16, stride = 1)
+      .select(col("media_id"), md5(col("frame")).as("fh"))
+      .distinct()
+      .localCheckpoint(true)
+    val nf = frames.groupBy(col("media_id"))
+      .agg(count(lit(1)).cast("long").as("n_frames"))
+    val capped = frames.join(
+      frames.groupBy(col("fh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select(col("fh")), "fh")
+    val pairs = capped
+      .join(capped.select(col("fh"), col("media_id").as("mb")), "fh")
+      .filter(col("media_id") < col("mb"))
+      .groupBy(col("media_id"), col("mb"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .join(nf.select(col("media_id"), col("n_frames").as("n_a")),
+        "media_id")
+      .join(nf.select(col("media_id").as("mb"), col("n_frames")
+        .as("n_b")), "mb")
+      .select(col("media_id").as("id_a"), col("mb").as("id_b"),
+        col("shared"), col("n_a"), col("n_b"),
+        round(col("shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6)
+          .as("containment"))
+      .filter(col("containment") >= 0.5)
+    val summary = pairs
+      .agg(count(lit(1)).cast("long").as("n_neardup_pairs"))
+      .crossJoin(broadcast(media.agg(count(lit(1)).cast("long")
+        .as("n_media"))))
+    pairs.crossJoin(broadcast(summary))
+      .orderBy(col("containment").desc, col("id_a"), col("id_b"))
+      .limit(10)
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

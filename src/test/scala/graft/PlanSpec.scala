@@ -1216,6 +1216,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q330 frame dedup finds the planted dups and caps hash buckets") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, md5}
+    val rows = queries.EvalQueries.q330_frame_dedup(spark, dir).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      c should (be >= 0.5 and be <= 1.0)
+      r.getAs[Long]("shared") should be <=
+        math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    }
+    // a degenerate frame shared by >100 media must be dropped: re-run the
+    // capped index build against a synthetic whale and assert it vanishes
+    import spark.implicits._
+    val whale = (1L to 150L).map(i => (i, "SAMEFRAMESAMEFRA" * 2))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", expr("length(text)"))
+    val media = graft.multimodal.Multimodal.packBinary(
+      whale, "doc_id", "text", "video", "source")
+    val frames = graft.multimodal.Multimodal
+      .sampleFrames(media, "payload", frameBytes = 16, stride = 1)
+      .select(col("media_id"), md5(col("frame")).as("fh")).distinct()
+    val capped = frames.join(
+      frames.groupBy(col("fh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select(col("fh")), "fh")
+    capped.count() shouldBe 0L // every frame hash is a 150-media whale
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
