@@ -7858,6 +7858,75 @@ object Oracles {
         |  n_neardup_pairs, n_media
         |FROM pairs CROSS JOIN summary
         |ORDER BY containment DESC, id_a, id_b LIMIT 10""".stripMargin,
+
+    // q331: the identical DP as DuckDB list lambdas — prefix sums are
+    // integer-valued doubles (exact regardless of summation path),
+    // list_min is order-independent, list_position ties break at the
+    // first occurrence in both engines.
+    "q331_voptimal_histogram" -> {
+      val b = 8
+      def sse(j: String, i: String): String = {
+        def d(arr: String, k: String) =
+          s"(CASE WHEN $k = 0 THEN 0.0 ELSE $arr[$k] END)"
+        s"((${d("F2", i)} - ${d("F2", j)}) - " +
+          s"(${d("F1", i)} - ${d("F1", j)}) * " +
+          s"(${d("F1", i)} - ${d("F1", j)}) / CAST($i - $j AS DOUBLE))"
+      }
+      val layers = (2 to b).map { k =>
+        val cand = s"list_transform(range($k - 1, i), " +
+          s"j -> e${k - 1}[j] + ${sse("j", "i")})"
+        s"""l$k AS (
+           |  SELECT *,
+           |    list_transform(range(1, n + 1), i -> CASE WHEN i < $k
+           |      THEN NULL ELSE list_min($cand) END) AS e$k,
+           |    list_transform(range(1, n + 1), i -> CASE WHEN i < $k
+           |      THEN NULL ELSE CAST($k - 2
+           |        + list_position($cand, list_min($cand)) AS INT) END)
+           |      AS a$k
+           |  FROM ${if (k == 2) "l1e" else s"l${k - 1}"}
+           |)""".stripMargin
+      }.mkString(", ")
+      val backtrack = (b to 2 by -1).map { k =>
+        s"""t${k - 1} AS (SELECT *, a$k[i$k] AS i${k - 1} FROM t$k)"""
+      }.mkString(", ")
+      val segs = (1 to b).map { k =>
+        val lo = if (k == 1) "0" else s"i${k - 1}"
+        s"""SELECT CAST($k AS BIGINT) AS segment,
+           |  vs[$lo + 1] AS v_start, vs[i$k] AS v_end,
+           |  CAST(i$k - $lo AS BIGINT) AS n_values,
+           |  round(((CASE WHEN i$k = 0 THEN 0.0 ELSE F1[i$k] END)
+           |    - (CASE WHEN $lo = 0 THEN 0.0 ELSE F1[$lo] END))
+           |    / CAST(i$k - $lo AS DOUBLE), 6) AS seg_avg_freq,
+           |  round(${sse(lo, s"i$k")}, 6) AS seg_sse,
+           |  round(e$b[n], 6) AS total_sse,
+           |  round(e1[n], 6) AS flat_sse
+           |FROM t1""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH g AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS v,
+         |    CAST(COUNT(*) AS BIGINT) AS f
+         |  FROM lineitem GROUP BY 1
+         |), w AS (
+         |  SELECT v, f,
+         |    SUM(CAST(f AS DOUBLE)) OVER (ORDER BY v) AS f1v,
+         |    SUM(CAST(f AS DOUBLE) * CAST(f AS DOUBLE)) OVER (ORDER BY v)
+         |      AS f2v
+         |  FROM g
+         |), l1 AS (
+         |  SELECT list(v ORDER BY v) AS vs,
+         |    list(f1v ORDER BY v) AS F1, list(f2v ORDER BY v) AS F2,
+         |    CAST(COUNT(*) AS INT) AS n
+         |  FROM w
+         |), l1e AS (
+         |  SELECT *, list_transform(range(1, n + 1),
+         |    i -> ${sse("0", "i")}) AS e1
+         |  FROM l1
+         |), $layers,
+         |t$b AS (SELECT *, n AS i$b FROM l$b), $backtrack
+         |SELECT * FROM (
+         |$segs
+         |) ORDER BY segment""".stripMargin
+    },
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

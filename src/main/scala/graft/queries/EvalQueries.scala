@@ -1731,6 +1731,86 @@ object EvalQueries {
       .limit(10)
   }
 
+  /** V-optimal histogram construction (Jagadish et al., VLDB'98) — the
+    * optimizer-statistics DP: partition the quantity frequency vector
+    * into B = 8 piecewise-constant segments minimizing SSE. The corpus
+    * reduces via one combinable value-grain aggregate to ≤ 50 (value,
+    * freq) cells; the O(n²B) DP then runs IN-ENGINE as eight chained
+    * higher-order-function layers over prefix-sum arrays (codegen'd, no
+    * UDF, no driver loop over data), with per-layer argmin arrays so
+    * the segment boundaries BACKTRACK exactly. All prefix sums are
+    * integer-valued doubles (exact), array_min is order-independent,
+    * and first-position argmin ties break identically in both engines —
+    * the whole DP is bit-portable. Output: the 8 recovered segments
+    * with their SSEs, plus the flat (B=1) SSE for comparison. Scale
+    * shape: the scan is the only corpus touch; the DP is a fixed-size
+    * 1-row computation. */
+  def q331_voptimal_histogram(spark: SparkSession, dir: String): DataFrame = {
+    val b = 8
+    // sse of cells (j+1..i) given 1-based prefix arrays F1/F2, F(0)=0
+    def sse(j: String, i: String): String = {
+      def d(arr: String, k: String) =
+        s"IF($k = 0, 0D, element_at($arr, $k))"
+      s"((${d("F2", i)} - ${d("F2", j)}) - " +
+        s"(${d("F1", i)} - ${d("F1", j)}) * " +
+        s"(${d("F1", i)} - ${d("F1", j)}) / CAST($i - $j AS DOUBLE))"
+    }
+    val grain = Tables.lineitem(spark, dir)
+      .groupBy(col("l_quantity").cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("f"))
+    var df = grain
+      .agg(sort_array(collect_list(struct(col("v"), col("f")))).as("vf"))
+      .select(col("vf"),
+        transform(col("vf"), s => s.getField("f").cast("double")).as("fv"))
+      .selectExpr("vf", "size(fv) AS n",
+        """aggregate(fv,
+             named_struct('s1', CAST(array() AS ARRAY<DOUBLE>), 'a1', 0D,
+                          's2', CAST(array() AS ARRAY<DOUBLE>), 'a2', 0D),
+             (acc, x) -> named_struct(
+               's1', array_append(acc.s1, acc.a1 + x), 'a1', acc.a1 + x,
+               's2', array_append(acc.s2, acc.a2 + x * x),
+               'a2', acc.a2 + x * x)) AS pre""")
+      .selectExpr("vf", "n", "pre.s1 AS F1", "pre.s2 AS F2")
+      .selectExpr("*",
+        s"transform(sequence(1, n), i -> ${sse("0", "i")}) AS e1")
+    for (k <- 2 to b) {
+      val cand = s"transform(sequence($k - 1, i - 1), " +
+        s"j -> element_at(e${k - 1}, j) + ${sse("j", "i")})"
+      df = df.selectExpr("*",
+        s"""transform(sequence(1, n), i -> IF(i < $k,
+              CAST(NULL AS DOUBLE), array_min($cand))) AS e$k""",
+        s"""transform(sequence(1, n), i -> IF(i < $k,
+              CAST(NULL AS INT),
+              CAST($k - 2 + array_position($cand, array_min($cand))
+                AS INT))) AS a$k""")
+    }
+    // backtrack: i_8 = n, j_k = a_k[i_k], i_{k-1} = j_k, j_1 = 0
+    df = df.selectExpr("*", "CAST(n AS INT) AS i8")
+    for (k <- b to 2 by -1)
+      df = df.selectExpr("*", s"element_at(a$k, i$k) AS j$k")
+        .withColumnRenamed(s"j$k", s"i${k - 1}")
+    val segs = (1 to b).map { k =>
+      val lo = if (k == 1) "0" else s"i${k - 1}"
+      s"named_struct('segment', ${k}L, 'lo', CAST($lo AS INT), " +
+        s"'hi', i$k)"
+    }.mkString(", ")
+    df.selectExpr("vf", "n", "F1", "F2",
+        s"element_at(e1, CAST(n AS INT)) AS flat_sse",
+        s"element_at(e$b, CAST(n AS INT)) AS total_sse",
+        s"explode(array($segs)) AS s")
+      .selectExpr("s.segment AS segment",
+        "element_at(vf, s.lo + 1).v AS v_start",
+        "element_at(vf, s.hi).v AS v_end",
+        "CAST(s.hi - s.lo AS BIGINT) AS n_values",
+        s"""round((IF(s.hi = 0, 0D, element_at(F1, s.hi))
+             - IF(s.lo = 0, 0D, element_at(F1, s.lo)))
+             / CAST(s.hi - s.lo AS DOUBLE), 6) AS seg_avg_freq""",
+        s"round(${sse("s.lo", "s.hi")}, 6) AS seg_sse",
+        "round(total_sse, 6) AS total_sse",
+        "round(flat_sse, 6) AS flat_sse")
+      .orderBy(col("segment"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

@@ -1244,6 +1244,21 @@ class PlanSpec extends SparkSpec {
     capped.count() shouldBe 0L // every frame hash is a 150-media whale
   }
 
+  test("q331 v-optimal segments are contiguous, exhaustive, and optimal-ish") {
+    val rows = queries.EvalQueries.q331_voptimal_histogram(spark, dir)
+      .collect().sortBy(_.getAs[Long]("segment"))
+    rows.length shouldBe 8
+    // contiguous cover of the value domain
+    rows.sliding(2).foreach { case Array(a, c) =>
+      c.getAs[Long]("v_start") should be > a.getAs[Long]("v_end")
+    }
+    val segSum = rows.map(_.getAs[Double]("seg_sse")).sum
+    segSum shouldBe rows.head.getAs[Double]("total_sse") +- 1e-3
+    // the DP can never lose to the flat histogram
+    rows.head.getAs[Double]("total_sse") should be <=
+      rows.head.getAs[Double]("flat_sse")
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
