@@ -7927,6 +7927,104 @@ object Oracles {
          |$segs
          |) ORDER BY segment""".stripMargin
     },
+
+    // q332: same md5 % (2^61−1) hash universe; k-min per side via
+    // ORDER BY + LIMIT (the heap operator's semantics).
+    "q332_kmv_setops" ->
+      """WITH docs AS (
+        |  SELECT source, string_split(text, ' ') AS a FROM documents
+        |  WHERE source IN ('src0', 'src1')
+        |    AND len(string_split(text, ' ')) >= 3
+        |), grams AS (
+        |  SELECT DISTINCT source,
+        |    a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS g
+        |  FROM docs, unnest(range(1, len(a) - 1)) AS u(i)
+        |), hashed AS (
+        |  SELECT source, CAST(CAST(md5_number_upper(g) AS HUGEINT)
+        |    % 2305843009213693951 AS BIGINT) AS h
+        |  FROM grams
+        |), kmin AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h, row_number() OVER (
+        |      PARTITION BY source ORDER BY h) AS rn
+        |    FROM hashed) WHERE rn <= 64
+        |), exact AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM hashed GROUP BY 1
+        |), merged AS (
+        |  SELECT DISTINCT h FROM kmin ORDER BY h LIMIT 64
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k_u, MAX(m.h) AS kth_u,
+        |    CAST(SUM(CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS k_both
+        |  FROM merged m
+        |  LEFT JOIN (SELECT h FROM kmin WHERE source = 'src0') ka
+        |    ON m.h = ka.h
+        |  LEFT JOIN (SELECT h FROM kmin WHERE source = 'src1') kb
+        |    ON m.h = kb.h
+        |), per_side AS (
+        |  SELECT k.source, CAST(COUNT(*) AS BIGINT) AS k_eff,
+        |    MAX(k.h) AS kth
+        |  FROM kmin k GROUP BY 1
+        |), inter AS (
+        |  SELECT CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS inter_exact,
+        |    CAST(COUNT(*) AS BIGINT) AS union_exact
+        |  FROM (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM hashed GROUP BY 1)
+        |)
+        |SELECT p.source, p.k_eff, e.n_exact,
+        |  round(CAST(p.k_eff - 1 AS DOUBLE)
+        |    / (CAST(p.kth AS DOUBLE) / 2305843009213693951.0), 2)
+        |    AS n_est,
+        |  i.union_exact,
+        |  round(CAST(s.k_u - 1 AS DOUBLE)
+        |    / (CAST(s.kth_u AS DOUBLE) / 2305843009213693951.0), 2)
+        |    AS union_est,
+        |  i.inter_exact,
+        |  round(CAST(s.k_both AS DOUBLE) / CAST(s.k_u AS DOUBLE)
+        |    * (CAST(s.k_u - 1 AS DOUBLE)
+        |      / (CAST(s.kth_u AS DOUBLE) / 2305843009213693951.0)), 2)
+        |    AS inter_est
+        |FROM per_side p JOIN exact e ON p.source = e.source
+        |CROSS JOIN stats s CROSS JOIN inter i
+        |ORDER BY p.source""".stripMargin,
+
+    // q333: the identical FFD fold as a per-source recursive CTE (all
+    // integer arithmetic — no FP anywhere in the packing).
+    "q333_ffd_compaction" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+        |    list(n_chars ORDER BY n_chars DESC) AS sizes
+        |  FROM documents GROUP BY 1
+        |), rec AS (
+        |  SELECT source, n_files, total_bytes, sizes,
+        |    CAST(0 AS BIGINT) AS idx, CAST([] AS BIGINT[]) AS bins
+        |  FROM s
+        |  UNION ALL
+        |  SELECT source, n_files, total_bytes, sizes, idx + 1,
+        |    CASE WHEN list_position(
+        |        list_transform(bins, r -> r >= sizes[idx + 1]), true) > 0
+        |      THEN list_transform(range(1, 1 + len(bins)),
+        |        i -> CASE WHEN i = list_position(
+        |            list_transform(bins, r -> r >= sizes[idx + 1]), true)
+        |          THEN bins[i] - sizes[idx + 1] ELSE bins[i] END)
+        |      ELSE list_append(bins, 4096 - sizes[idx + 1]) END
+        |  FROM rec WHERE idx < len(sizes)
+        |), done AS (
+        |  SELECT source, n_files, total_bytes,
+        |    CAST(len(bins) AS BIGINT) AS n_bins_ffd
+        |  FROM rec WHERE idx = len(sizes)
+        |)
+        |SELECT source, n_files, total_bytes, n_bins_ffd,
+        |  CAST(ceil(CAST(total_bytes AS DOUBLE) / 4096.0) AS BIGINT)
+        |    AS lower_bound,
+        |  round(1.0 - CAST(total_bytes AS DOUBLE)
+        |    / (CAST(n_bins_ffd AS DOUBLE) * 4096.0), 6) AS waste_frac,
+        |  n_bins_ffd = CAST(ceil(CAST(total_bytes AS DOUBLE) / 4096.0)
+        |    AS BIGINT) AS is_optimal
+        |FROM done ORDER BY source""".stripMargin,
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

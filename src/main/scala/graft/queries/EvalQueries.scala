@@ -1811,6 +1811,114 @@ object EvalQueries {
       .orderBy(col("segment"))
   }
 
+  /** KMV (k-minimum-values) sketch set operations — distinct-count,
+    * union, and intersection ESTIMATES between two sources' trigram
+    * vocabularies, each graded against its exact value in the same row
+    * (Beyer et al., SIGMOD'07). The k smallest hashes per side come
+    * from the repo's heap [[graft.plans.TopKPerKey]] operator (state
+    * k per key, never a sort); the union sketch merges the two k-min
+    * lists and re-takes k; ρ = |union k-min present in both sides|/k
+    * gives Jaccard, and intersection = ρ·Û. Everything is integer md5
+    * hashes — the estimates are bit-portable. k_eff = min(k, |side|)
+    * keeps the small-SF corner deterministic. Scale shape: per side one
+    * distinct + heap top-k; the sketches (≤k rows) broadcast; the exact
+    * audit is the verification harness, not the production path. */
+  def q332_kmv_setops(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.TopKPerKey
+    val k = 64
+    val p = 2305843009213693951L // 2^61 - 1, the StableHash modulus
+    val grams = Tables.documents(spark, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), graft.text.TextOps.tokens(col("text"))
+        .as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
+          .as("g"))
+      .distinct()
+      .select(col("source"), element_at(
+        graft.functions.MinHashSig.minhashSig(array(col("g")), 1), 1)
+        .as("h"))
+      .localCheckpoint(true)
+    val kmin = TopKPerKey.topKPerKey(grams, Seq(col("source")),
+      Seq(col("h").asc), k)
+    val exact = grams.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+    def side(s: String) = kmin.filter(col("source") === s)
+      .select(col("h").as(s"h_$s"))
+    val a = side("src0"); val b = side("src1")
+    // merged union sketch: k smallest of the combined distinct hashes
+    val merged = a.select(col("h_src0").as("h"))
+      .unionByName(b.select(col("h_src1").as("h"))).distinct()
+      .orderBy(col("h")).limit(k)
+    val stats = merged
+      .join(a, col("h") === col("h_src0"), "left")
+      .join(b, col("h") === col("h_src1"), "left")
+      .agg(count(lit(1)).cast("long").as("k_u"),
+        max(col("h")).as("kth_u"),
+        sum(when(col("h_src0").isNotNull && col("h_src1").isNotNull, 1L)
+          .otherwise(0L)).cast("long").as("k_both"))
+    def est(kEff: Column, kth: Column): Column =
+      (kEff - 1).cast("double") / (kth.cast("double") / lit(p.toDouble))
+    val perSide = kmin.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("k_eff"),
+        max(col("h")).as("kth"))
+      .join(exact, "source")
+      .select(col("source"), col("k_eff"), col("n_exact"),
+        round(est(col("k_eff"), col("kth")), 2).as("n_est"))
+    val inter = grams.groupBy(col("h"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .agg(sum(when(col("cnt") === 2, 1L).otherwise(0L)).cast("long")
+        .as("inter_exact"),
+        count(lit(1)).cast("long").as("union_exact"))
+    perSide.crossJoin(broadcast(stats)).crossJoin(broadcast(inter))
+      .select(col("source"), col("k_eff"), col("n_exact"), col("n_est"),
+        col("union_exact"),
+        round(est(col("k_u"), col("kth_u")), 2).as("union_est"),
+        col("inter_exact"),
+        round(col("k_both").cast("double") / col("k_u").cast("double") *
+          est(col("k_u"), col("kth_u")), 2).as("inter_est"))
+      .orderBy(col("source"))
+  }
+
+  /** First-fit-decreasing bin packing as the small-file compaction
+    * planner — per source, pack its documents (sizes = n_chars) into
+    * 4096-byte target files and report bins used vs the ⌈total/cap⌉
+    * lower bound. FFD is inherently sequential, so the scalable shape
+    * is: fold the per-PARTITION sorted size list with builtin HOFs
+    * (state = bin residual capacities; first-fit via boolean
+    * array_position) — each partition's list is bounded by compaction
+    * cadence, and partitions pack in parallel. All integer arithmetic.
+    * This is the planning half of `lakehouse/Compaction.scala`, graded
+    * by oracle. */
+  def q333_ffd_compaction(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 4096
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_files"),
+        sum(col("n_chars")).cast("long").as("total_bytes"),
+        sort_array(collect_list(col("n_chars")), asc = false).as("sizes"))
+      .selectExpr("source", "n_files", "total_bytes",
+        s"""aggregate(sizes, CAST(array() AS ARRAY<BIGINT>),
+              (bins, sz) -> IF(
+                array_position(transform(bins, r -> r >= sz), true) > 0,
+                zip_with(bins, sequence(1L, CAST(size(bins) AS BIGINT)),
+                  (r, i) -> IF(i = array_position(
+                    transform(bins, r2 -> r2 >= sz), true), r - sz, r)),
+                array_append(bins, $cap - sz))) AS residuals""")
+      .selectExpr("source", "n_files", "total_bytes",
+        "CAST(size(residuals) AS BIGINT) AS n_bins_ffd",
+        s"CAST(ceil(CAST(total_bytes AS DOUBLE) / $cap.0D) AS BIGINT)" +
+          " AS lower_bound",
+        s"""round(1.0D - CAST(total_bytes AS DOUBLE)
+              / (CAST(size(residuals) AS DOUBLE) * $cap.0D), 6)
+              AS waste_frac""")
+      .selectExpr("*", "n_bins_ffd = lower_bound AS is_optimal")
+      .orderBy(col("source"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

@@ -1259,6 +1259,37 @@ class PlanSpec extends SparkSpec {
       rows.head.getAs[Double]("flat_sse")
   }
 
+  test("q332 KMV sketches are bounded by k and estimates bracket sanely") {
+    val rows = queries.EvalQueries.q332_kmv_setops(spark, dir).collect()
+    rows.length shouldBe 2
+    rows.foreach { r =>
+      r.getAs[Long]("k_eff") should be <= 64L   // sketch never exceeds k
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("n_est")
+      est should be > 0.0
+      // when the side is smaller than k the estimator must be near-exact;
+      // otherwise allow the standard ~1/sqrt(k) relative-error band (3 sigma)
+      if (r.getAs[Long]("k_eff") < 64L) est shouldBe exact +- (exact * 0.05)
+      else math.abs(est - exact) / exact should be < 3.0 / math.sqrt(64.0)
+      r.getAs[Long]("inter_exact") should be <= r.getAs[Long]("union_exact")
+      r.getAs[Double]("inter_est") should be <= r.getAs[Double]("union_est")
+    }
+  }
+
+  test("q333 FFD bins respect capacity and the volume lower bound") {
+    val rows = queries.EvalQueries.q333_ffd_compaction(spark, dir).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val bins = r.getAs[Long]("n_bins_ffd")
+      bins should be >= r.getAs[Long]("lower_bound") // can't beat volume
+      bins should be <= r.getAs[Long]("n_files")     // one bin per file max
+      val w = r.getAs[Double]("waste_frac")
+      w should (be >= 0.0 and be < 1.0) // no bin ever over capacity
+      r.getAs[Boolean]("is_optimal") shouldBe
+        (bins == r.getAs[Long]("lower_bound"))
+    }
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
