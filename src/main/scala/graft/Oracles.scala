@@ -8025,6 +8025,263 @@ object Oracles {
         |  n_bins_ffd = CAST(ceil(CAST(total_bytes AS DOUBLE) / 4096.0)
         |    AS BIGINT) AS is_optimal
         |FROM done ORDER BY source""".stripMargin,
+
+    // q334: identical integer nano-unit rounds; HUGEINT `//` mirrors
+    // Spark's DECIMAL(38,0) IntegralDivide on positive operands.
+    "q334_pagerank" -> {
+      def round(k: Int): String =
+        s"""recv$k AS (
+           |  SELECT e.v AS node, SUM(CAST(p.pr AS HUGEINT) * (17 * e.w)
+           |      // CAST(20 * e.outw AS HUGEINT)) AS recv
+           |  FROM edges e JOIN pr${k - 1} p ON e.u = p.node GROUP BY 1
+           |), pr$k AS (
+           |  SELECT n.node, CAST((SELECT base FROM consts)
+           |    + COALESCE(r.recv, 0) AS BIGINT) AS pr
+           |  FROM nodes n LEFT JOIN recv$k r ON n.node = r.node
+           |)""".stripMargin
+      s"""WITH ed AS (
+         |  SELECT c.c_nationkey AS u, s.s_nationkey AS v,
+         |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+         |        AS BIGINT)
+         |      * (100 - CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100
+         |        AS BIGINT))) AS BIGINT) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2
+         |), edges AS (
+         |  SELECT ed.u, ed.v, ed.w, ow.outw
+         |  FROM ed JOIN (SELECT u, CAST(SUM(w) AS BIGINT) AS outw
+         |    FROM ed GROUP BY 1) ow ON ed.u = ow.u
+         |), nodes AS (
+         |  SELECT DISTINCT u AS node FROM edges
+         |  UNION SELECT DISTINCT v FROM edges
+         |), consts AS (
+         |  SELECT COUNT(*) AS n,
+         |    (150000000 * 2 + COUNT(*)) // (2 * COUNT(*)) AS base,
+         |    1000000000 // COUNT(*) AS init FROM nodes
+         |), pr0 AS (
+         |  SELECT node, CAST((SELECT init FROM consts) AS BIGINT) AS pr
+         |  FROM nodes
+         |), ${round(1)}, ${round(2)}, ${round(3)}
+         |SELECT n.n_name, p.pr AS pr_nano,
+         |  COALESCE((SELECT MAX(outw) FROM edges e WHERE e.u = p.node), 0)
+         |    AS out_cc,
+         |  COALESCE((SELECT CAST(SUM(w) AS BIGINT) FROM edges e
+         |    WHERE e.v = p.node), 0) AS in_cc,
+         |  CAST(row_number() OVER (ORDER BY p.pr DESC, p.node ASC)
+         |    AS BIGINT) AS rank
+         |FROM pr3 p JOIN nation n ON p.node = n.n_nationkey
+         |ORDER BY rank""".stripMargin
+    },
+
+    // q335: identical register build — same hash universe, same
+    // trailing-zero CASE chain (shared generator), BIGINT shifts, and
+    // the same driver-interpolated α·m²·2^54 numerator.
+    "q335_hll" -> {
+      val m = 256
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val cNum = alpha * m * m * math.pow(2.0, 54)
+      val rho = graft.queries.EvalQueries.sqlRho(s"(h // $m)")
+      s"""WITH docs AS (
+         |  SELECT lang, string_split(text, ' ') AS a FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3
+         |), grams AS (
+         |  SELECT DISTINCT lang,
+         |    a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS g
+         |  FROM docs, unnest(range(1, len(a) - 1)) AS u(i)
+         |), hashed AS (
+         |  SELECT lang, CAST(CAST(md5_number_upper(g) AS HUGEINT)
+         |    % 2305843009213693951 AS BIGINT) AS h
+         |  FROM grams
+         |), regs AS (
+         |  SELECT lang, h % $m AS bucket, MAX($rho) AS mj
+         |  FROM hashed GROUP BY 1, 2
+         |), lang_sketch AS (
+         |  SELECT lang,
+         |    CAST(SUM(CAST(1 AS BIGINT) << (54 - mj)) AS BIGINT)
+         |      + ($m - COUNT(*)) * (CAST(1 AS BIGINT) << 54) AS s_scaled,
+         |    CAST(COUNT(*) AS BIGINT) AS n_filled
+         |  FROM regs GROUP BY 1
+         |), lang_exact AS (
+         |  SELECT lang, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact
+         |  FROM hashed GROUP BY 1
+         |), ghash AS (SELECT DISTINCT h FROM hashed
+         |), gregs AS (
+         |  SELECT h % $m AS bucket, MAX($rho) AS mj FROM ghash GROUP BY 1
+         |), direct AS (
+         |  SELECT
+         |    CAST(SUM(CAST(1 AS BIGINT) << (54 - mj)) AS BIGINT)
+         |      + ($m - COUNT(*)) * (CAST(1 AS BIGINT) << 54) AS s_scaled,
+         |    CAST(COUNT(*) AS BIGINT) AS n_filled,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ghash) AS n_exact
+         |  FROM gregs
+         |), merged AS (
+         |  SELECT
+         |    CAST(SUM(CAST(1 AS BIGINT) << (54 - mj)) AS BIGINT)
+         |      + ($m - COUNT(*)) * (CAST(1 AS BIGINT) << 54) AS s_merged
+         |  FROM (SELECT bucket, MAX(mj) AS mj FROM regs GROUP BY 1)
+         |), unioned AS (
+         |  SELECT s.lang AS scope, e.n_exact,
+         |    round($cNum / CAST(s.s_scaled AS DOUBLE), 4) AS hll_est,
+         |    s.n_filled, true AS merged_eq
+         |  FROM lang_sketch s JOIN lang_exact e ON s.lang = e.lang
+         |  UNION ALL
+         |  SELECT '__all__', d.n_exact,
+         |    round($cNum / CAST(d.s_scaled AS DOUBLE), 4),
+         |    d.n_filled, d.s_scaled = m.s_merged
+         |  FROM direct d CROSS JOIN merged m
+         |)
+         |SELECT scope, n_exact, hll_est, n_filled, merged_eq,
+         |  round(abs(hll_est - CAST(n_exact AS DOUBLE))
+         |    / CAST(n_exact AS DOUBLE), 6) AS rel_err
+         |FROM unioned ORDER BY scope""".stripMargin
+    },
+
+    // q336: the same greedy rounds, unrolled — pick_i via ORDER BY
+    // gained DESC, source LIMIT 1; covered_i chains the term union.
+    "q336_set_cover" -> {
+      def pick(i: Int): String = {
+        val notPicked =
+          if (i == 1) ""
+          else "WHERE source NOT IN (" +
+            (1 until i).map(j => s"SELECT source FROM p$j").mkString(" UNION ALL ") + ")" +
+            s" AND h NOT IN (SELECT h FROM c${i - 1})"
+        val cov =
+          if (i == 1) s"SELECT DISTINCT h FROM st WHERE source IN (SELECT source FROM p1)"
+          else s"SELECT h FROM c${i - 1} UNION SELECT h FROM st WHERE source IN (SELECT source FROM p$i)"
+        s"""p$i AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS gained
+           |  FROM st $notPicked
+           |  GROUP BY 1 ORDER BY gained DESC, source LIMIT 1
+           |), c$i AS ($cov)""".stripMargin
+      }
+      val rounds = (1 to 5).map(pick).mkString(",\n")
+      val out = (1 to 5).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS round, source, gained,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c$i) AS cum_covered
+           |FROM p$i""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH docs AS (
+         |  SELECT source, string_split(text, ' ') AS a FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3
+         |), tri AS (
+         |  SELECT DISTINCT source,
+         |    a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS g
+         |  FROM docs, unnest(range(1, len(a) - 1)) AS u(i)
+         |), st AS (
+         |  SELECT DISTINCT source, CAST(CAST(md5_number_upper(g) AS HUGEINT)
+         |    % 2305843009213693951 AS BIGINT) AS h
+         |  FROM tri
+         |), uni AS (SELECT COUNT(DISTINCT h) AS n FROM st),
+         |$rounds
+         |SELECT round, source, gained, cum_covered,
+         |  round(CAST(cum_covered AS DOUBLE) / (SELECT CAST(n AS DOUBLE)
+         |    FROM uni), 6) AS coverage_frac
+         |FROM ($out) ORDER BY round""".stripMargin
+    },
+
+    // q337: same 6-band grain; EMD numerator in exact integers
+    // (|cum_g·N − cum_G·n_g|), one final double division.
+    "q337_anonymity_audit" ->
+      """WITH rows_ AS (
+        |  SELECT c_mktsegment AS segment, n_name AS nation,
+        |    least(greatest((CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) + 100000) // 200000, 0), 5) AS band
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |), gb AS (
+        |  SELECT segment, nation, band, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM rows_ GROUP BY 1, 2, 3
+        |), spine AS (
+        |  SELECT g.segment, g.nation, b.band
+        |  FROM (SELECT DISTINCT segment, nation FROM gb) g
+        |  CROSS JOIN (SELECT unnest(range(0, 6)) AS band) b
+        |), grp AS (
+        |  SELECT s.segment, s.nation, s.band, COALESCE(gb.cnt, 0) AS cnt,
+        |    SUM(COALESCE(gb.cnt, 0)) OVER (PARTITION BY s.segment, s.nation
+        |      ORDER BY s.band) AS cum_g
+        |  FROM spine s LEFT JOIN gb
+        |    ON s.segment = gb.segment AND s.nation = gb.nation
+        |      AND s.band = gb.band
+        |), gcum AS (
+        |  SELECT b.band,
+        |    SUM(COALESCE(x.gcnt, 0)) OVER (ORDER BY b.band) AS cum_n
+        |  FROM (SELECT unnest(range(0, 6)) AS band) b
+        |  LEFT JOIN (SELECT band, CAST(COUNT(*) AS BIGINT) AS gcnt
+        |    FROM rows_ GROUP BY 1) x ON b.band = x.band
+        |), ng AS (
+        |  SELECT segment, nation, CAST(SUM(cnt) AS BIGINT) AS n_g,
+        |    CAST(COUNT(*) AS BIGINT) AS l_diversity
+        |  FROM gb GROUP BY 1, 2
+        |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM rows_),
+        |emd AS (
+        |  SELECT g.segment, g.nation,
+        |    CAST(SUM(abs(g.cum_g * t.n_total - gl.cum_n * n.n_g))
+        |      AS BIGINT) AS emd_num,
+        |    MAX(t.n_total) AS n_total
+        |  FROM grp g
+        |  JOIN gcum gl ON g.band = gl.band
+        |  JOIN ng n ON g.segment = n.segment AND g.nation = n.nation
+        |  CROSS JOIN tot t
+        |  WHERE g.band < 5
+        |  GROUP BY 1, 2
+        |)
+        |SELECT n.segment, n.nation, n.n_g, n.l_diversity,
+        |  round(CAST(e.emd_num AS DOUBLE)
+        |    / CAST(n.n_g * e.n_total * 5 AS DOUBLE), 6) AS emd,
+        |  n.l_diversity >= 3 AS l_ok,
+        |  round(CAST(e.emd_num AS DOUBLE)
+        |    / CAST(n.n_g * e.n_total * 5 AS DOUBLE), 6) <= 0.2 AS t_ok
+        |FROM ng n JOIN emd e
+        |  ON n.segment = e.segment AND n.nation = e.nation
+        |ORDER BY n.segment, n.nation""".stripMargin,
+
+    // q338: same prefix-slice cosine ranks (list_dot_product shares the
+    // sequential fold order with the compiled DotProduct expression).
+    "q338_matryoshka_recall" -> {
+      def topk(d: Int, name: String): String =
+        s"""$name AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        list_dot_product(q.v[1:$d], c.v[1:$d])
+           |          / (sqrt(list_dot_product(q.v[1:$d], q.v[1:$d]))
+           |             * sqrt(list_dot_product(c.v[1:$d], c.v[1:$d])))
+           |          DESC, c.vec_id ASC) AS rank
+           |    FROM qv q, ev c WHERE c.vec_id <> q.vec_id
+           |  ) WHERE rank <= 10
+           |)""".stripMargin
+      val dims = Seq(8, 16, 32, 64)
+      val cte = (topk(64, "truth") +: dims.filter(_ != 64)
+        .map(d => topk(d, s"t$d"))).mkString(",\n")
+      val rows = dims.map { d =>
+        val t = if (d == 64) "truth" else s"t$d"
+        s"""SELECT CAST($d AS BIGINT) AS d, n_queries,
+           |  round(CAST(sum_hits AS DOUBLE)
+           |    / CAST(n_queries * 10 AS DOUBLE), 6) AS mean_recall,
+           |  round(CAST(min_hits AS DOUBLE) / 10.0, 6) AS min_recall
+           |FROM (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           |    CAST(SUM(hits) AS BIGINT) AS sum_hits,
+           |    CAST(MIN(hits) AS BIGINT) AS min_hits
+           |  FROM (
+           |    SELECT q.query_id, COALESCE(o.hits, 0) AS hits
+           |    FROM (SELECT DISTINCT query_id FROM truth) q
+           |    LEFT JOIN (
+           |      SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+           |      FROM $t a JOIN truth b ON a.query_id = b.query_id
+           |        AND a.neighbor_id = b.neighbor_id
+           |      GROUP BY 1) o ON q.query_id = o.query_id
+           |  )
+           |)""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH ev AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), qv AS (SELECT * FROM ev WHERE vec_id < 30),
+         |$cte
+         |SELECT * FROM ($rows) ORDER BY d""".stripMargin
+    },
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

@@ -1919,6 +1919,333 @@ object EvalQueries {
       .orderBy(col("source"))
   }
 
+  /** Weighted PageRank of the nation trade graph — edges customer-nation
+    * → supplier-nation weighted by exact revenue centi-cents, three
+    * damped (d=0.85) power-iteration rounds in INTEGER nano-units:
+    * transfer(u→v) = (pr_u · 17 · w_uv) div (20 · outw_u), teleport base
+    * = 0.15e9 div N, so every round is pure integer multiply +
+    * floor-divide — bit-portable because Spark's `div` (IntegralDivide
+    * over DECIMAL(38,0)) and DuckDB's HUGEINT `//` truncate identically
+    * on positive operands. Dangling mass (a node with in- but no
+    * out-edges) is dropped, the classic pruned-dangling variant —
+    * deterministic either way. Scale shape: the loop body is one
+    * equi-join (edges ⋈ pr on src, pr broadcastable at the nation grain,
+    * shuffled at a url/document grain) + one groupBy(dst) sum per round,
+    * with per-round lineage truncation — the standard distributed
+    * PageRank plan; edge weights ride the join once, never the text. */
+  def q334_pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = 3
+    val revCc = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+      .cast("long") * (lit(100L) - (col("l_discount")
+        .cast("decimal(4,2)") * 100).cast("long"))
+    val ed = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("u"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("v"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("u"), col("v"))
+      .agg(sum(revCc).cast("long").as("w"))
+    val edges = ed
+      .join(ed.groupBy(col("u")).agg(sum(col("w")).cast("long").as("outw")),
+        "u")
+      .localCheckpoint(true)
+    val nodes = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count() // bounded node census, sizes the teleport base
+    val base = (150000000L * 2L + n) / (2L * n) // round-half-up 0.15e9/N
+    var pr = nodes.select(col("node"), lit(1000000000L / n).as("pr"))
+    for (_ <- 1 to rounds) {
+      val in = edges.join(pr.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node"),
+          expr("CAST(pr AS DECIMAL(38,0)) * CAST(17 * w AS DECIMAL(38,0))" +
+            " div CAST(20 * outw AS DECIMAL(38,0))").as("t"))
+        .groupBy(col("node")).agg(sum(col("t")).cast("long").as("recv"))
+      pr = nodes.join(in, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("recv"), lit(0L))).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("node"), col("n_name"))), "node")
+      .join(edges.groupBy(col("u").as("node"))
+        .agg(max(col("outw")).as("out_cc")), Seq("node"), "left")
+      .join(edges.groupBy(col("v").as("node"))
+        .agg(sum(col("w")).cast("long").as("in_cc")), Seq("node"), "left")
+      .select(col("n_name"), col("pr").as("pr_nano"),
+        coalesce(col("out_cc"), lit(0L)).as("out_cc"),
+        coalesce(col("in_cc"), lit(0L)).as("in_cc"),
+        row_number().over(Window.orderBy(col("pr").desc, col("node").asc))
+          .cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** Trailing-zero rank ρ(rest) = 1 + count of trailing zero bits, as a
+    * generated CASE chain over `rest % 2^k` — pure integer comparisons,
+    * interpolated verbatim into BOTH engines (rest is 53-bit; rest = 0,
+    * probability 2^-53, pins the cap 54). */
+  private[graft] def sqlRho(rest: String): String = {
+    val whens = (1 to 53).map { k =>
+      s"WHEN $rest % ${1L << k} = ${1L << (k - 1)} THEN $k"
+    }.mkString(" ")
+    s"CASE WHEN $rest = 0 THEN 54 $whens ELSE 54 END"
+  }
+
+  /** HyperLogLog from scratch, bit-portable (Flajolet et al., AofA'07):
+    * m=256 registers over the md5 % (2^61−1) hash universe — bucket =
+    * h mod m, rank = trailing-zero ρ of the remaining 53 bits via
+    * [[sqlRho]]'s integer CASE chain. The register sum Σ 2^(54−M_j) is
+    * kept in exact BIGINT (every term a power of two ≤ 2^54, sum < 2^62)
+    * and the raw estimate α_m·m²·2^54 / S is ONE IEEE division by the
+    * driver-interpolated constant — no libm anywhere. Graded in-row
+    * against the exact per-language trigram vocabulary, and the
+    * mergeability contract is data: max-merging the five per-language
+    * register sets must reproduce the directly-built union sketch
+    * bit-for-bit (the property a 1000-executor rollup relies on).
+    * Cardinalities here (≥3k per language) sit far above the 2.5m
+    * linear-counting switchover, so the raw estimator is the correct
+    * regime. Scale shape: one map-side-combinable groupBy onto ≤256·L
+    * register rows; everything downstream is on the register grain. */
+  def q335_hll(spark: SparkSession, dir: String): DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val cNum = alpha * m * m * math.pow(2.0, 54) // exact 2^54
+    val grams = Tables.documents(spark, dir)
+      .select(col("lang"), graft.text.TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("lang"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
+          .as("g"))
+      .distinct()
+      .select(col("lang"), element_at(
+        graft.functions.MinHashSig.minhashSig(array(col("g")), 1), 1)
+        .as("h"))
+      .localCheckpoint(true)
+    def regs(df: DataFrame, keys: Seq[String]): DataFrame = df
+      .selectExpr(keys :+ s"h % $m AS bucket" :+
+        s"${sqlRho(s"(h div $m)")} AS rho": _*)
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("mj"))
+    def sketch(regDf: DataFrame, keys: Seq[String]): DataFrame = regDf
+      .groupBy(keys.map(col): _*)
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 54 - mj)")).cast("long")
+          .as("s_filled"),
+        count(lit(1)).cast("long").as("n_filled"))
+      .select((keys.map(col) :+
+        (col("s_filled") + (lit(m.toLong) - col("n_filled")) *
+          lit(1L << 54)).as("s_scaled") :+ col("n_filled")): _*)
+      .withColumn("hll_est",
+        round(lit(cNum) / col("s_scaled").cast("double"), 4))
+    val perLang = sketch(regs(grams, Seq("lang")), Seq("lang"))
+      .join(grams.select(col("lang"), col("h")).distinct()
+        .groupBy(col("lang")).agg(count(lit(1)).cast("long").as("n_exact")),
+        "lang")
+    val globalGrams = grams.select(col("h")).distinct()
+      .withColumn("scope", lit("__all__"))
+    val direct = sketch(regs(globalGrams, Seq("scope")), Seq("scope"))
+      .join(globalGrams.groupBy(col("scope"))
+        .agg(count(lit(1)).cast("long").as("n_exact")), "scope")
+    val merged = sketch(
+      regs(grams, Seq("lang")).groupBy(col("bucket"))
+        .agg(max(col("mj")).as("mj")).withColumn("scope", lit("__all__")),
+      Seq("scope"))
+      .select(col("scope"), col("s_scaled").as("s_merged"))
+    perLang.select(col("lang").as("scope"), col("n_exact"), col("hll_est"),
+        col("n_filled"), lit(true).as("merged_eq"))
+      .unionByName(direct.join(merged, "scope")
+        .select(col("scope"), col("n_exact"), col("hll_est"),
+          col("n_filled"), (col("s_scaled") === col("s_merged"))
+            .as("merged_eq")))
+      .withColumn("rel_err",
+        round(abs(col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6))
+      .orderBy(col("scope"))
+  }
+
+  /** Greedy set-cover corpus selection — pick 5 sources maximizing
+    * marginal trigram-vocabulary coverage (the submodular data-selection
+    * rule; greedy is (1−1/e)-optimal, Nemhauser'78). Each round is one
+    * distributed anti-join + per-source count; only the single argmax
+    * row (count desc, source asc tie-break) is collected — bounded by
+    * construction at k rows total. Cumulative coverage is the running
+    * sum of marginals (disjoint by the anti-join), so no extra actions.
+    * Terms ride shuffles as md5 hashes, never text. Scale shape: k
+    * passes over the (source, hash) grain, each map-side combinable;
+    * the candidate-source fan-in is the argmax aggregate, not a sort. */
+  def q336_set_cover(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), graft.text.TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
+          .as("g"))
+      .distinct()
+      .select(col("source"), element_at(
+        graft.functions.MinHashSig.minhashSig(array(col("g")), 1), 1)
+        .as("h"))
+      .distinct()
+      .localCheckpoint(true)
+    val universe = grams.select(col("h")).distinct().count()
+    var picked = Vector.empty[(String, Long)] // (source, gained)
+    for (_ <- 1 to k) {
+      val pickedSources = picked.map(_._1)
+      val remaining =
+        if (pickedSources.isEmpty) grams
+        else grams.filter(!col("source").isin(pickedSources: _*))
+      val uncovered =
+        if (pickedSources.isEmpty) remaining
+        else remaining.join(
+          grams.filter(col("source").isin(pickedSources: _*))
+            .select(col("h")).distinct(),
+          Seq("h"), "left_anti")
+      val top = uncovered.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("gained"))
+        .orderBy(col("gained").desc, col("source").asc)
+        .limit(1).collect() // bounded: exactly one planner row per round
+      if (top.nonEmpty)
+        picked :+= ((top(0).getString(0), top(0).getLong(1)))
+    }
+    val rows = picked.zipWithIndex.scanLeft(("", 0L, 0L, 0L)) {
+      case ((_, _, cum, _), ((src, gained), i)) =>
+        (src, i + 1L, cum + gained, gained)
+    }.tail.map { case (src, r, cum, gained) =>
+      (r, src, gained, cum,
+        BigDecimal(cum.toDouble / universe.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    spark.createDataFrame(rows)
+      .toDF("round", "source", "gained", "cum_covered", "coverage_frac")
+      .orderBy(col("round"))
+  }
+
+  /** l-diversity + t-closeness audit (Machanavajjhala'07 / Li'07) — the
+    * release gate [[graft.dq.PiiMask]]'s k-anonymity check (q73) does
+    * not cover: per quasi-identifier group (mktsegment × nation), the
+    * count of distinct sensitive values (account-balance band, 6 ordered
+    * $2000 bands) and the ordered-domain earth-mover's distance between
+    * the group's band distribution and the global one. EMD on an ordered
+    * discrete domain is Σ|cum diffs|/(k−1), computed EXACTLY as integers
+    * — |cum_g·N − cum_G·n_g| — with one final double division, so the
+    * audit is bit-portable. Scale shape: one groupBy onto the (group ×
+    * 6-band) grain, cumulative sums via windows whose partitions are 6
+    * rows; the group spine is the bounded segment×nation cross. */
+  def q337_anonymity_audit(spark: SparkSession, dir: String): DataFrame = {
+    val k = 6
+    val band = least(greatest(
+      expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+        " + 100000) div 200000"), lit(0L)), lit(k - 1L)).cast("long")
+    val rows = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_mktsegment").as("segment"), col("n_name").as("nation"),
+        band.as("band"))
+    val gb = rows.groupBy(col("segment"), col("nation"), col("band"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val spine = gb.select(col("segment"), col("nation")).distinct()
+      .crossJoin(broadcast(
+        spark.range(0, k).select(col("id").as("band"))))
+    val wg = Window.partitionBy(col("segment"), col("nation"))
+      .orderBy(col("band"))
+    val grp = spine.join(gb, Seq("segment", "nation", "band"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("cum_g", sum(col("cnt")).over(wg).cast("long"))
+    val glob = rows.groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("gcnt"))
+    val globCum = spark.range(0, k).select(col("id").as("band"))
+      .join(glob, Seq("band"), "left")
+      .withColumn("gcnt", coalesce(col("gcnt"), lit(0L)))
+      .withColumn("cum_n", sum(col("gcnt"))
+        .over(Window.orderBy(col("band"))).cast("long"))
+      .select(col("band"), col("cum_n"))
+    val ng = gb.groupBy(col("segment"), col("nation"))
+      .agg(sum(col("cnt")).cast("long").as("n_g"),
+        count(lit(1)).cast("long").as("l_diversity"))
+    val tot = rows.agg(count(lit(1)).cast("long").as("n_total"))
+    val emdNum = grp.join(broadcast(globCum), "band")
+      .join(ng.select(col("segment"), col("nation"), col("n_g")),
+        Seq("segment", "nation"))
+      .crossJoin(broadcast(tot))
+      .filter(col("band") < k - 1)
+      .groupBy(col("segment"), col("nation"))
+      .agg(sum(abs(col("cum_g") * col("n_total")
+        - col("cum_n") * col("n_g"))).cast("long").as("emd_num"),
+        max(col("n_total")).as("n_total"))
+    ng.join(emdNum, Seq("segment", "nation"))
+      .select(col("segment"), col("nation"), col("n_g"),
+        col("l_diversity"),
+        round(col("emd_num").cast("double") /
+          (col("n_g") * col("n_total") * lit(k - 1L)).cast("double"), 6)
+          .as("emd"))
+      .withColumn("l_ok", col("l_diversity") >= 3)
+      .withColumn("t_ok", col("emd") <= 0.2)
+      .orderBy(col("segment"), col("nation"))
+  }
+
+  /** Matryoshka dimension-truncation recall (Kusupati et al.,
+    * NeurIPS'22) — the "can we search on a prefix of the embedding"
+    * storage/latency decision, measured instead of assumed: for d ∈
+    * {8,16,32,64}, recall@10 of prefix-d cosine top-10 against the
+    * full-64-dim truth, per query and aggregated. Cosines use the
+    * compiled sequential-fold [[graft.functions.DotProduct]] on sliced
+    * vectors (FP-order parity with DuckDB's list_dot_product), ranks
+    * tie-break on id, and recall is exact integer overlap / 10 — so
+    * every output digit is bit-portable. The d=64 row is the built-in
+    * sanity gate (must be 1.0). Scale shape: same broadcast-query plan
+    * as q30 per d; at corpus scale the truncated search routes through
+    * the q31 LSH buckets — this query grades whether the prefix is
+    * good enough to do so. */
+  def q338_matryoshka_recall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.CosineKnn
+    val k = 10
+    val dims = Seq(8, 16, 32, 64)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), CosineKnn.toDouble(col("embedding")).as("v"))
+      .localCheckpoint(true)
+    def topk(d: Int): DataFrame = {
+      val sliced = base.select(col("vec_id").as("id"),
+        slice(col("v"), 1, d).as("v"))
+        .withColumn("nrm", sqrt(CosineKnn.dot(col("v"), col("v"))))
+      val qs = broadcast(sliced.filter(col("id") < 30)
+        .select(col("id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("id").asc)
+      qs.join(sliced, col("id") =!= col("query_id"))
+        .withColumn("cosine",
+          CosineKnn.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("id").as("neighbor_id"))
+    }
+    val truth = topk(64).localCheckpoint(true)
+    val queries = truth.select(col("query_id")).distinct()
+    dims.map { d =>
+      val overlap = topk(d)
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).cast("long").as("hits"))
+      queries.join(overlap, Seq("query_id"), "left")
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          sum(col("hits")).cast("long").as("sum_hits"),
+          min(col("hits")).cast("long").as("min_hits"))
+        .select(lit(d.toLong).as("d"), col("n_queries"),
+          round(col("sum_hits").cast("double") /
+            (col("n_queries") * k).cast("double"), 6).as("mean_recall"),
+          round(col("min_hits").cast("double") / k, 6).as("min_recall"))
+    }.reduce(_ unionByName _).orderBy(col("d"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

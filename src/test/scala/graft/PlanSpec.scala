@@ -1290,6 +1290,64 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q334 pagerank mass is conserved up to dropped dangling/floor dust") {
+    val rows = queries.EvalQueries.q334_pagerank(spark, dir).collect()
+    rows.length should be > 0
+    val total = rows.map(_.getAs[Long]("pr_nano")).sum
+    total should be <= 1000000000L          // floors only ever lose mass
+    total should be > 100000000L            // teleport floor alone guarantees this
+    rows.map(_.getAs[Long]("rank")).sorted shouldBe
+      (1L to rows.length.toLong).toArray    // rank is a permutation
+    // a node that receives nothing holds exactly the teleport base
+    rows.filter(_.getAs[Long]("in_cc") == 0L)
+      .map(_.getAs[Long]("pr_nano")).distinct.length should be <= 1
+  }
+
+  test("q335 HLL registers bound by m and merge equals direct build") {
+    val rows = queries.EvalQueries.q335_hll(spark, dir).collect()
+    rows.length should be > 1
+    rows.foreach { r =>
+      r.getAs[Long]("n_filled") should be <= 256L
+      r.getAs[Boolean]("merged_eq") shouldBe true
+      r.getAs[Double]("rel_err") should be < 0.25 // ~4σ at m=256
+    }
+  }
+
+  test("q336 greedy set-cover gains are non-increasing (submodularity)") {
+    val rows = queries.EvalQueries.q336_set_cover(spark, dir).collect()
+      .sortBy(_.getAs[Long]("round"))
+    rows.length shouldBe 5
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getAs[Long]("gained") should be <= a.getAs[Long]("gained")
+      b.getAs[Long]("cum_covered") shouldBe
+        a.getAs[Long]("cum_covered") + b.getAs[Long]("gained")
+    }
+    rows.last.getAs[Double]("coverage_frac") should be <= 1.0
+  }
+
+  test("q337 EMD is a [0,1] distance and l bounded by the band domain") {
+    val rows = queries.EvalQueries.q337_anonymity_audit(spark, dir).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val e = r.getAs[Double]("emd")
+      e should (be >= 0.0 and be <= 1.0)
+      r.getAs[Long]("l_diversity") should be <= 6L
+      r.getAs[Long]("l_diversity") should be <= r.getAs[Long]("n_g")
+    }
+  }
+
+  test("q338 truncation recall is monotone in d and exact at full dim") {
+    val rows = queries.EvalQueries.q338_matryoshka_recall(spark, dir)
+      .collect().sortBy(_.getAs[Long]("d"))
+    rows.map(_.getAs[Long]("d")) shouldBe Array(8L, 16L, 32L, 64L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getAs[Double]("mean_recall") should be >=
+        a.getAs[Double]("mean_recall") - 0.05 // monotone up to tie noise
+    }
+    rows.last.getAs[Double]("mean_recall") shouldBe 1.0
+    rows.last.getAs[Double]("min_recall") shouldBe 1.0
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
