@@ -8282,6 +8282,259 @@ object Oracles {
          |$cte
          |SELECT * FROM ($rows) ORDER BY d""".stripMargin
     },
+
+    // q339: same per-round min-edge picks (distinct wkey kills ties);
+    // contraction is CANONICAL min-label CC, recomputed here by
+    // recursive closure — independent of the Spark label-prop algorithm.
+    "q339_boruvka_mst" -> {
+      def round(r: Int): String =
+        s"""ce_$r AS MATERIALIZED (
+           |  SELECT e.wkey, e.u, e.v, e.w, a.comp AS cu, b.comp AS cv
+           |  FROM edges e
+           |  JOIN lab_${r - 1} a ON e.u = a.node
+           |  JOIN lab_${r - 1} b ON e.v = b.node
+           |  WHERE a.comp <> b.comp
+           |), dir_$r AS (
+           |  SELECT cu AS c, wkey, u, v, w, cu, cv FROM ce_$r
+           |  UNION ALL
+           |  SELECT cv, wkey, u, v, w, cu, cv FROM ce_$r
+           |), ch_$r AS (
+           |  SELECT DISTINCT wkey, u, v, w, cu, cv FROM (
+           |    SELECT d.*, row_number() OVER (PARTITION BY c ORDER BY wkey)
+           |      AS rn FROM dir_$r d
+           |  ) WHERE rn = 1
+           |), sym_$r AS (
+           |  SELECT cu AS a, cv AS b FROM ch_$r
+           |  UNION SELECT cv, cu FROM ch_$r
+           |), reach_$r(node, rt) AS (
+           |  SELECT a, a FROM sym_$r
+           |  UNION
+           |  SELECT e.a, re.rt FROM sym_$r e JOIN reach_$r re
+           |    ON re.node = e.b
+           |), cmap_$r AS (
+           |  SELECT node AS oldc, MIN(rt) AS newc FROM reach_$r GROUP BY 1
+           |), lab_$r AS MATERIALIZED (
+           |  SELECT l.node, COALESCE(c.newc, l.comp) AS comp
+           |  FROM lab_${r - 1} l LEFT JOIN cmap_$r c ON l.comp = c.oldc
+           |)""".stripMargin
+      val rounds = (1 to 5).map(round).mkString(",\n")
+      val out = (1 to 5).map(r =>
+        s"SELECT u, v, w, CAST($r AS BIGINT) AS round FROM ch_$r")
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE ed AS MATERIALIZED (
+         |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+         |    greatest(c.c_nationkey, s.s_nationkey) AS v,
+         |    CAST(MIN(abs(datediff('day', o.o_orderdate, l.l_shipdate)) + 1)
+         |      AS BIGINT) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey
+         |  GROUP BY 1, 2
+         |), edges AS MATERIALIZED (
+         |  SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, w,
+         |    w * 10000 + u * 31 + v AS wkey
+         |  FROM ed
+         |), nodes AS (
+         |  SELECT DISTINCT u AS node FROM edges
+         |  UNION SELECT DISTINCT v FROM edges
+         |), lab_0 AS (SELECT node, node AS comp FROM nodes),
+         |$rounds
+         |SELECT * FROM ($out) ORDER BY w, u, v""".stripMargin
+    },
+
+    // q340: identical Hilbert level chain (shared generator, `//`
+    // spelling), 8-bit morton interleave, same rank-gap audit.
+    "q340_hilbert_locality" -> {
+      val interleave = (0 until 8).map(b =>
+        s"(((cx >> $b) & 1) << ${2 * b}) + (((cy >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      val chain = graft.queries.EvalQueries
+        .hilbertLevels((a, b) => s"($a // $b)")
+        .foldLeft("SELECT cx, cy, cx AS hx0, cy AS hy0, " +
+          "CAST(0 AS BIGINT) AS hd0 FROM pts") { case (inner, exprs) =>
+          s"SELECT *, ${exprs.mkString(", ")} FROM ($inner)"
+        }
+      s"""WITH pts AS (
+         |  SELECT DISTINCT
+         |    least(CAST(date_diff('day', DATE '1992-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) // 10, 255) AS cx,
+         |    least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) // 200000, 255) AS cy
+         |  FROM orders
+         |), hil AS ($chain), keyed AS MATERIALIZED (
+         |  SELECT cx, cy,
+         |    row_number() OVER (ORDER BY hd8) AS rh,
+         |    row_number() OVER (ORDER BY ($interleave)) AS rm,
+         |    row_number() OVER (ORDER BY cx * 256 + cy) AS rr
+         |  FROM hil
+         |), edges AS (
+         |  SELECT abs(a.rh - b.rh) AS gh, abs(a.rm - b.rm) AS gm,
+         |    abs(a.rr - b.rr) AS gr
+         |  FROM keyed a JOIN keyed b ON b.cx = a.cx + 1 AND b.cy = a.cy
+         |  UNION ALL
+         |  SELECT abs(a.rh - b.rh), abs(a.rm - b.rm), abs(a.rr - b.rr)
+         |  FROM keyed a JOIN keyed b ON b.cx = a.cx AND b.cy = a.cy + 1
+         |), sq(ordering, md) AS (
+         |  SELECT 'hilbert', abs(a.cx - b.cx) + abs(a.cy - b.cy)
+         |  FROM keyed a JOIN keyed b ON b.rh = a.rh + 1
+         |  UNION ALL
+         |  SELECT 'morton', abs(a.cx - b.cx) + abs(a.cy - b.cy)
+         |  FROM keyed a JOIN keyed b ON b.rm = a.rm + 1
+         |  UNION ALL
+         |  SELECT 'row_major', abs(a.cx - b.cx) + abs(a.cy - b.cy)
+         |  FROM keyed a JOIN keyed b ON b.rr = a.rr + 1
+         |), seqa AS (
+         |  SELECT ordering,
+         |    round(CAST(SUM(md) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+         |      AS seq_avg_dist,
+         |    CAST(MAX(md) AS BIGINT) AS seq_max_dist
+         |  FROM sq GROUP BY 1
+         |), spat(ordering, n_edges, avg_rank_gap, max_rank_gap) AS (
+         |  SELECT 'hilbert', CAST(COUNT(*) AS BIGINT),
+         |    round(CAST(SUM(gh) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4),
+         |    CAST(MAX(gh) AS BIGINT)
+         |  FROM edges
+         |  UNION ALL
+         |  SELECT 'morton', CAST(COUNT(*) AS BIGINT),
+         |    round(CAST(SUM(gm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4),
+         |    CAST(MAX(gm) AS BIGINT)
+         |  FROM edges
+         |  UNION ALL
+         |  SELECT 'row_major', CAST(COUNT(*) AS BIGINT),
+         |    round(CAST(SUM(gr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4),
+         |    CAST(MAX(gr) AS BIGINT)
+         |  FROM edges
+         |)
+         |SELECT s.ordering, s.n_edges, s.avg_rank_gap, s.max_rank_gap,
+         |  q.seq_avg_dist, q.seq_max_dist
+         |FROM spat s JOIN seqa q ON s.ordering = q.ordering
+         |ORDER BY s.ordering""".stripMargin
+    },
+
+    // q341: same two layouts (arrival-keyed and date-sorted 1000-row
+    // files), same shared workload VALUES, all-integer zone math.
+    "q341_zonemap_advisor" -> {
+      val values = graft.queries.EvalQueries.zonemapWorkload
+        .map { case (p, dlo, dhi, plo, phi) =>
+          s"('$p', CAST($dlo AS BIGINT), CAST($dhi AS BIGINT)," +
+            s" CAST($plo AS BIGINT), CAST($phi AS BIGINT))"
+        }.mkString(",\n    ")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT o_orderkey,
+         |    CAST(date_diff('day', DATE '1992-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS cents
+         |  FROM orders
+         |), both_ AS (
+         |  SELECT 'arrival' AS layout, o_orderkey // 1000 AS fid, d, cents
+         |  FROM base
+         |  UNION ALL
+         |  SELECT 'date_clustered',
+         |    (row_number() OVER (ORDER BY d, o_orderkey) - 1) // 1000,
+         |    d, cents
+         |  FROM base
+         |), zones AS MATERIALIZED (
+         |  SELECT layout, fid, MIN(d) AS dmin, MAX(d) AS dmax,
+         |    MIN(cents) AS pmin, MAX(cents) AS pmax,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows
+         |  FROM both_ GROUP BY 1, 2
+         |), preds(pred, dlo, dhi, plo, phi) AS (
+         |  VALUES
+         |    $values
+         |), hit AS (
+         |  SELECT z.layout, p.pred, CAST(COUNT(*) AS BIGINT) AS files_hit,
+         |    CAST(SUM(z.n_rows) AS BIGINT) AS rows_in_hit
+         |  FROM zones z CROSS JOIN preds p
+         |  WHERE z.dmax >= p.dlo AND z.dmin < p.dhi
+         |    AND z.pmax >= p.plo AND z.pmin < p.phi
+         |  GROUP BY 1, 2
+         |), matching AS (
+         |  SELECT p.pred, CAST(COUNT(*) AS BIGINT) AS rows_match
+         |  FROM base b CROSS JOIN preds p
+         |  WHERE b.d >= p.dlo AND b.d < p.dhi
+         |    AND b.cents >= p.plo AND b.cents < p.phi
+         |  GROUP BY 1
+         |), totals AS (
+         |  SELECT layout, CAST(COUNT(*) AS BIGINT) AS files_total
+         |  FROM zones GROUP BY 1
+         |)
+         |SELECT t.layout, p.pred, t.files_total,
+         |  COALESCE(h.files_hit, 0) AS files_hit,
+         |  COALESCE(h.rows_in_hit, 0) AS rows_in_hit,
+         |  COALESCE(m.rows_match, 0) AS rows_match,
+         |  round(1.0 - CAST(COALESCE(h.files_hit, 0) AS DOUBLE)
+         |    / CAST(t.files_total AS DOUBLE), 6) AS skip_frac,
+         |  CASE WHEN COALESCE(h.rows_in_hit, 0) = 0 THEN 0.0
+         |    ELSE round(CAST(COALESCE(h.rows_in_hit, 0)
+         |        - COALESCE(m.rows_match, 0) AS DOUBLE)
+         |      / CAST(h.rows_in_hit AS DOUBLE), 6) END AS waste_frac
+         |FROM (SELECT pred FROM preds) p CROSS JOIN totals t
+         |LEFT JOIN hit h ON h.layout = t.layout AND h.pred = p.pred
+         |LEFT JOIN matching m ON m.pred = p.pred
+         |ORDER BY t.layout, p.pred""".stripMargin
+    },
+
+    // q342: q23/q44/q54's oracle fragments composed — same canonical
+    // (min doc_id) rule, cumulative-union funnel, integer counts.
+    "q342_dedup_funnel" ->
+      s"""WITH RECURSIVE ${Oracles.minhashPairCtes},
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.node = e.b
+        |), rm3 AS (
+        |  SELECT node AS doc_id FROM (
+        |    SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+        |  ) WHERE node <> comp
+        |), rm1 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        |    FROM documents) WHERE doc_id <> keep
+        |), rm2 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(
+        |      trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^\\p{L}\\p{Nd} ]', ' ', 'g'), ' +', ' ', 'g')))) AS keep
+        |    FROM documents) WHERE doc_id <> keep
+        |), tok AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS toks
+        |  FROM documents
+        |), cum1 AS (SELECT DISTINCT doc_id FROM rm1),
+        |cum2 AS (SELECT doc_id FROM rm1 UNION SELECT doc_id FROM rm2),
+        |cum3 AS (SELECT doc_id FROM cum2 UNION SELECT doc_id FROM rm3),
+        |stages AS (
+        |  SELECT CAST(0 AS BIGINT) AS stage_id, '0_raw' AS stage,
+        |    CAST(COUNT(*) AS BIGINT) AS docs_kept,
+        |    CAST(SUM(toks) AS BIGINT) AS tokens_kept FROM tok
+        |  UNION ALL
+        |  SELECT 1, '1_exact', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(toks) AS BIGINT)
+        |  FROM tok WHERE doc_id NOT IN (SELECT doc_id FROM cum1)
+        |  UNION ALL
+        |  SELECT 2, '2_normalized', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(toks) AS BIGINT)
+        |  FROM tok WHERE doc_id NOT IN (SELECT doc_id FROM cum2)
+        |  UNION ALL
+        |  SELECT 3, '3_neardup', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(toks) AS BIGINT)
+        |  FROM tok WHERE doc_id NOT IN (SELECT doc_id FROM cum3)
+        |)
+        |SELECT stage_id, stage, docs_kept, tokens_kept,
+        |  COALESCE(lag(docs_kept) OVER (ORDER BY stage_id) - docs_kept, 0)
+        |    AS docs_removed,
+        |  round(CAST(tokens_kept AS DOUBLE) / CAST(first_value(tokens_kept)
+        |    OVER (ORDER BY stage_id) AS DOUBLE), 6) AS tok_frac
+        |FROM stages ORDER BY stage_id""".stripMargin,
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

@@ -2246,6 +2246,321 @@ object EvalQueries {
     }.reduce(_ unionByName _).orderBy(col("d"))
   }
 
+  /** Distributed Borůvka minimum spanning forest of the nation
+    * proximity graph (edge = min ship-latency days between a customer
+    * nation and a supplier nation). Each round: per-component minimum
+    * outgoing edge (weights made DISTINCT via wkey = w·10⁴ + u·31 + v,
+    * so the MSF is unique and tie-free), then CANONICAL contraction —
+    * min-label connected components of the chosen-edge graph via the
+    * shared [[graft.transform.Dedup.duplicateClusters]] operator, which
+    * is algorithm-independent truth (min label per component), so the
+    * oracle reproduces it with a recursive-CTE closure rather than
+    * mirroring label-prop. 5 rounds ≥ log₂(25) always suffice; rounds
+    * after convergence choose nothing. Handles forests (disconnected
+    * graphs) natively — no single-root assumption. Scale shape: per
+    * round one join edges⋈labels (labels broadcastable at the nation
+    * grain; partitioned co-join at a billion-node grain), one
+    * per-component min aggregate, and a CC restricted to chosen edges;
+    * per-round lineage truncation throughout. PlanSpec re-derives the
+    * forest with driver-side Prim on the bounded edge list and pins
+    * equality — engine parity AND algorithmic truth are both gated. */
+  def q339_boruvka_mst(spark: SparkSession, dir: String): DataFrame = {
+    import graft.transform.Dedup
+    val ed0 = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("cn"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey").cast("long").as("sn"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("cn") =!= col("sn"))
+      .select(least(col("cn"), col("sn")).as("u"),
+        greatest(col("cn"), col("sn")).as("v"),
+        (abs(datediff(col("l_shipdate"), col("o_orderdate"))) + 1)
+          .cast("long").as("d"))
+      .groupBy(col("u"), col("v")).agg(min(col("d")).as("w"))
+    val edges = ed0
+      .withColumn("wkey", col("w") * 10000L + col("u") * 31L + col("v"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("comp"))
+    var mst = spark.range(0, 0)
+      .select(col("id").as("u"), col("id").as("v"), col("id").as("w"),
+        col("id").as("round"))
+    for (r <- 1 to 5) {
+      val ce = edges
+        .join(labels.select(col("node").as("u"), col("comp").as("cu")), "u")
+        .join(labels.select(col("node").as("v"), col("comp").as("cv")), "v")
+        .filter(col("cu") =!= col("cv"))
+      val both = ce.select(col("cu").as("c"),
+          struct(col("wkey"), col("u"), col("v"), col("w"), col("cu"),
+            col("cv")).as("e"))
+        .unionByName(ce.select(col("cv").as("c"),
+          struct(col("wkey"), col("u"), col("v"), col("w"), col("cu"),
+            col("cv")).as("e")))
+      val chosen = both.groupBy(col("c")).agg(min(col("e")).as("e"))
+        .select(col("e.wkey").as("wkey"), col("e.u").as("u"),
+          col("e.v").as("v"), col("e.w").as("w"), col("e.cu").as("cu"),
+          col("e.cv").as("cv"))
+        .distinct()
+        .localCheckpoint(true)
+      mst = mst.unionByName(chosen
+        .select(col("u"), col("v"), col("w"), lit(r.toLong).as("round")))
+      val compRelabel = Dedup.duplicateClusters(
+        chosen.select(least(col("cu"), col("cv")).as("id_a"),
+          greatest(col("cu"), col("cv")).as("id_b")),
+        labels.select(col("comp")).distinct(), "comp")
+      labels = labels
+        .join(compRelabel.withColumnRenamed("cluster_id", "newc"), "comp")
+        .select(col("node"), col("newc").as("comp"))
+        .localCheckpoint(true)
+    }
+    mst.orderBy(col("w"), col("u"), col("v"))
+  }
+
+  /** Per-level Hilbert xy→d update expressions (the classic iterative
+    * rot+accumulate, Wikipedia form), generated as pure-integer SQL over
+    * named columns hx_i/hy_i/hd_i. The ONLY engine-specific spelling is
+    * floor division, injected via `idiv` (`a div b` in Spark, `a // b`
+    * in DuckDB) — identical arithmetic on the non-negative grid. */
+  private[graft] def hilbertLevels(idiv: (String, String) => String,
+                                   order: Int = 8): Seq[Seq[String]] = {
+    val n = 1 << order
+    (0 until order).map { i =>
+      val k = order - 1 - i
+      val s = 1L << k
+      val (x, y, d) = (s"hx$i", s"hy$i", s"hd$i")
+      val rx = s"(${idiv(x, s.toString)} % 2)"
+      val ry = s"(${idiv(y, s.toString)} % 2)"
+      val quad = s"(CASE WHEN $rx = 0 AND $ry = 0 THEN 0" +
+        s" WHEN $rx = 0 AND $ry = 1 THEN 1" +
+        s" WHEN $rx = 1 AND $ry = 1 THEN 2 ELSE 3 END)"
+      Seq(
+        s"($d + ${s * s} * $quad) AS hd${i + 1}",
+        s"(CASE WHEN $ry = 1 THEN $x WHEN $rx = 1 THEN ${n - 1} - $y" +
+          s" ELSE $y END) AS hx${i + 1}",
+        s"(CASE WHEN $ry = 1 THEN $y WHEN $rx = 1 THEN ${n - 1} - $x" +
+          s" ELSE $x END) AS hy${i + 1}")
+    }
+  }
+
+  /** Hilbert-vs-Morton-vs-row-major locality audit — the q305 rank-gap
+    * measurement extended with the better curve, on a 256×256 grid
+    * (order-day × price-band cells from orders). For each grid-adjacent
+    * cell pair, the |rank difference| under each ordering; lower average
+    * gap = better clustering for range scans, which is exactly the
+    * z-order vs hilbert file-layout decision `lakehouse/ZOrder` takes on
+    * faith. The Hilbert index is 8 chained integer levels from
+    * [[hilbertLevels]] — same generated text both engines. Scale shape:
+    * the audit runs on the bounded distinct-cell grain (≤65536 cells);
+    * ranks are windows over that grain, neighbor pairs an equi-join. */
+  def q340_hilbert_locality(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.orders(spark, dir)
+      .select(least(expr("datediff(to_date(o_orderdate)," +
+          " to_date('1992-01-01')) div 10"), lit(255)).cast("long").as("cx"),
+        least(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100" +
+          " AS BIGINT) div 200000"), lit(255)).cast("long").as("cy"))
+      .distinct()
+    var cur = pts.selectExpr("cx", "cy", "cx AS hx0", "cy AS hy0",
+      "CAST(0 AS BIGINT) AS hd0")
+    hilbertLevels((a, b) => s"($a div $b)").foreach { exprs =>
+      cur = cur.selectExpr(Seq("*") ++ exprs: _*)
+    }
+    val morton = (0 until 8).map { bit =>
+      shiftleft(shiftright(col("cx"), bit).bitwiseAND(lit(1L)), 2 * bit) +
+        shiftleft(shiftright(col("cy"), bit).bitwiseAND(lit(1L)), 2 * bit + 1)
+    }.reduce(_ + _)
+    val keyed = cur.select(col("cx"), col("cy"), col("hd8").as("hilbert"))
+      .withColumn("morton", morton)
+      .withColumn("pid", col("cx") * 256 + col("cy"))
+      .withColumn("rh", row_number().over(Window.orderBy(col("hilbert")))
+        .cast("long"))
+      .withColumn("rm", row_number().over(Window.orderBy(col("morton")))
+        .cast("long"))
+      .withColumn("rr", row_number().over(Window.orderBy(col("pid")))
+        .cast("long"))
+      .localCheckpoint(true)
+    val a = keyed.select(col("cx"), col("cy"), col("rh").as("rha"),
+      col("rm").as("rma"), col("rr").as("rra"))
+    val b = keyed.select(col("cx").as("bx"), col("cy").as("by"),
+      col("rh").as("rhb"), col("rm").as("rmb"), col("rr").as("rrb"))
+    val edges = a.join(b, col("bx") === col("cx") + 1 && col("by") === col("cy"))
+      .unionByName(
+        a.join(b, col("bx") === col("cx") && col("by") === col("cy") + 1))
+      .select(abs(col("rha") - col("rhb")).as("gh"),
+        abs(col("rma") - col("rmb")).as("gm"),
+        abs(col("rra") - col("rrb")).as("gr"))
+      .localCheckpoint(true)
+    def side(gap: String, rank: String, label: String): DataFrame = {
+      val spatial = edges.agg(count(lit(1)).cast("long").as("n_edges"),
+        sum(col(gap)).cast("long").as("gap_sum"),
+        max(col(gap)).cast("long").as("max_rank_gap"))
+      // the other direction: consecutive-rank cells' spatial distance —
+      // curve continuity, what a sequential block scan actually touches
+      val seq = keyed.select(col(rank).as("r"), col("cx"), col("cy"))
+        .join(keyed.select((col(rank) - 1).as("r"), col("cx").as("nx"),
+          col("cy").as("ny")), "r")
+        .select((abs(col("cx") - col("nx")) + abs(col("cy") - col("ny")))
+          .as("md"))
+        .agg(sum(col("md")).cast("long").as("md_sum"),
+          max(col("md")).cast("long").as("seq_max_dist"),
+          count(lit(1)).cast("long").as("n_seq"))
+      spatial.crossJoin(seq)
+        .select(lit(label).as("ordering"), col("n_edges"),
+          round(col("gap_sum").cast("double") /
+            col("n_edges").cast("double"), 4).as("avg_rank_gap"),
+          col("max_rank_gap"),
+          round(col("md_sum").cast("double") /
+            col("n_seq").cast("double"), 4).as("seq_avg_dist"),
+          col("seq_max_dist"))
+    }
+    side("gh", "rh", "hilbert").unionByName(side("gm", "rm", "morton"))
+      .unionByName(side("gr", "rr", "row_major"))
+      .orderBy(col("ordering"))
+  }
+
+  /** Zone-map (min/max data-skipping) effectiveness advisor — the
+    * measurement behind the "should we re-cluster this table" call:
+    * orders are sliced into 1000-row files under TWO layouts (arrival =
+    * orderkey ranges, vs date-clustered = sorted by orderdate), each
+    * file gets a min/max zone map on order-day and price cents, and a
+    * fixed workload (12 quarterly date ranges + 4 price bands) is
+    * planned against the maps. Reported per (layout, predicate): files
+    * hit, rows inside hit files vs rows actually matching, skip fraction
+    * and scan waste — all integer counts, two exact divisions. The
+    * date-clustered layout's near-1 skip_frac on date predicates and
+    * unchanged price rows is the re-cluster decision, as data. Scale
+    * shape: zone maps are one groupBy on the file grain (metadata
+    * scale); predicate × zone-map is a bounded broadcast cross; matching
+    * rows is one pass with the broadcast predicate list. The clustered
+    * layout's global sort IS the modeled rewrite, not overhead. */
+  /** q341's fixed workload — 12 quarterly date windows + 4 price bands,
+    * shared verbatim with the oracle's VALUES list. Sentinel bounds are
+    * Long.Min/MaxValue. */
+  private[graft] val zonemapWorkload: Seq[(String, Long, Long, Long, Long)] = {
+    val qtrs = for (y <- 0 to 2; q <- 0 to 3) yield
+      (s"date_q${y * 4 + q + 1}", 365L + y * 365L + q * 91L,
+        365L + y * 365L + q * 91L + 91L, Long.MinValue, Long.MaxValue)
+    val bands = (0 to 3).map(i =>
+      (s"price_b${i + 1}", Long.MinValue, Long.MaxValue,
+        i * 7500000L, (i + 1) * 7500000L))
+    (qtrs ++ bands).toSeq
+  }
+
+  def q341_zonemap_advisor(spark: SparkSession, dir: String): DataFrame = {
+    val fileRows = 1000L
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+          .cast("long").as("d"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    val arrival = base.withColumn("fid",
+      expr(s"o_orderkey div $fileRows")).withColumn("layout", lit("arrival"))
+    val clustered = base.withColumn("fid",
+        expr(s"(row_number() OVER (ORDER BY d, o_orderkey) - 1)" +
+          s" div $fileRows"))
+      .withColumn("layout", lit("date_clustered"))
+    val zones = arrival.unionByName(clustered)
+      .groupBy(col("layout"), col("fid"))
+      .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"),
+        min(col("cents")).as("pmin"), max(col("cents")).as("pmax"),
+        count(lit(1)).cast("long").as("n_rows"))
+      .localCheckpoint(true)
+    val preds = broadcast(spark.createDataFrame(zonemapWorkload)
+      .toDF("pred", "dlo", "dhi", "plo", "phi"))
+    val hit = zones.crossJoin(preds)
+      .filter(col("dmax") >= col("dlo") && col("dmin") < col("dhi") &&
+        col("pmax") >= col("plo") && col("pmin") < col("phi"))
+      .groupBy(col("layout"), col("pred"))
+      .agg(count(lit(1)).cast("long").as("files_hit"),
+        sum(col("n_rows")).cast("long").as("rows_in_hit"))
+    val matching = base.crossJoin(preds)
+      .filter(col("d") >= col("dlo") && col("d") < col("dhi") &&
+        col("cents") >= col("plo") && col("cents") < col("phi"))
+      .groupBy(col("pred"))
+      .agg(count(lit(1)).cast("long").as("rows_match"))
+    val totals = zones.groupBy(col("layout"))
+      .agg(count(lit(1)).cast("long").as("files_total"))
+    preds.select(col("pred")).crossJoin(totals)
+      .join(hit, Seq("layout", "pred"), "left")
+      .join(matching, Seq("pred"), "left")
+      .select(col("layout"), col("pred"), col("files_total"),
+        coalesce(col("files_hit"), lit(0L)).as("files_hit"),
+        coalesce(col("rows_in_hit"), lit(0L)).as("rows_in_hit"),
+        coalesce(col("rows_match"), lit(0L)).as("rows_match"))
+      .withColumn("skip_frac",
+        round(lit(1.0) - col("files_hit").cast("double") /
+          col("files_total").cast("double"), 6))
+      .withColumn("waste_frac",
+        when(col("rows_in_hit") === 0L, lit(0.0))
+          .otherwise(round((col("rows_in_hit") - col("rows_match"))
+            .cast("double") / col("rows_in_hit").cast("double"), 6)))
+      .orderBy(col("layout"), col("pred"))
+  }
+
+  /** Dedup-funnel token accounting — the pipeline-composition report a
+    * training-data run ends with: how many documents/tokens survive
+    * each successive dedup stage (exact md5 → normalized-text md5 →
+    * MinHash-LSH near-dup clusters, q23/q44/q54's exact operators
+    * composed), with marginal removals attributed per stage. Each
+    * stage's removal set is computed on the full corpus (canonical =
+    * min doc_id), the funnel is the cumulative union, so attribution is
+    * order-deterministic and every number is an integer count. Scale
+    * shape: two content-hash groupBys + the q54 bucketed-capped LSH
+    * cluster pass; stage aggregation is anti-joins on doc_id sets —
+    * shuffles carry (hash, id) only, text never rides past its hash. */
+  def q342_dedup_funnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.MinHashLsh
+    import graft.transform.Dedup
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .localCheckpoint(true)
+    def nonCanonical(h: Column): DataFrame = {
+      val hashed = docs.select(col("doc_id"), h.as("h"))
+      hashed.join(hashed.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("keep")), "h")
+        .filter(col("doc_id") =!= col("keep")).select(col("doc_id"))
+    }
+    val rm1 = nonCanonical(md5(col("text")))
+    val rm2 = nonCanonical(md5(graft.text.TextOps.normalize(col("text"))))
+    val pairs = MinHashLsh.nearDuplicatePairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = Some(100))
+      .select(col("id_a"), col("id_b"))
+    val rm3 = Dedup.duplicateClusters(pairs, docs.select(col("doc_id")),
+        "doc_id")
+      .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+    val cums = Seq(
+      (0L, "0_raw", None),
+      (1L, "1_exact", Some(rm1)),
+      (2L, "2_normalized", Some(rm1.unionByName(rm2).distinct())),
+      (3L, "3_neardup",
+        Some(rm1.unionByName(rm2).unionByName(rm3).distinct())))
+    val stages = cums.map { case (i, name, rm) =>
+      val kept = rm.fold(docs)(r => docs.join(r, Seq("doc_id"), "left_anti"))
+      kept.agg(count(lit(1)).cast("long").as("docs_kept"),
+          sum(col("toks")).cast("long").as("tokens_kept"))
+        .select(lit(i).as("stage_id"), lit(name).as("stage"),
+          col("docs_kept"), col("tokens_kept"))
+    }.reduce(_ unionByName _)
+    val w = Window.orderBy(col("stage_id"))
+    stages
+      .withColumn("docs_removed",
+        coalesce(lag(col("docs_kept"), 1).over(w) - col("docs_kept"),
+          lit(0L)))
+      .withColumn("tok_frac",
+        round(col("tokens_kept").cast("double") /
+          first(col("tokens_kept")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"), 6))
+      .orderBy(col("stage_id"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

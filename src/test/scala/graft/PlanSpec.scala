@@ -1348,6 +1348,97 @@ class PlanSpec extends SparkSpec {
     rows.last.getAs[Double]("min_recall") shouldBe 1.0
   }
 
+  test("q339 Boruvka forest equals driver-side Prim on the same edges") {
+    import org.apache.spark.sql.functions.{abs => fabs, broadcast => bc, _}
+    val got = queries.EvalQueries.q339_boruvka_mst(spark, dir).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"), r.getAs[Long]("w")))
+      .toSet
+    // independent truth: collect the bounded nation-grain edge list and
+    // run Prim per component with the same wkey tie-break
+    val li = graft.tables.Tables.lineitem(spark, dir)
+    val edges = li
+      .join(graft.tables.Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(bc(graft.tables.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("cn"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(bc(graft.tables.Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey").cast("long").as("sn"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("cn") =!= col("sn"))
+      .select(least(col("cn"), col("sn")).as("u"),
+        greatest(col("cn"), col("sn")).as("v"),
+        (fabs(datediff(col("l_shipdate"), col("o_orderdate"))) + 1)
+          .cast("long").as("d"))
+      .groupBy("u", "v").agg(min(col("d")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = edges.flatMap { case (u, v, w) =>
+      val k = w * 10000L + u * 31L + v
+      Seq(u -> (k, u, v, w), v -> (k, u, v, w))
+    }.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSeq }
+    val visited = scala.collection.mutable.Set.empty[Long]
+    val prim = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for (start <- nodes.sorted if !visited.contains(start)) {
+      visited += start
+      val pq = scala.collection.mutable.PriorityQueue.empty[
+        (Long, Long, Long, Long)](Ordering.by(e => -e._1))
+      adj.getOrElse(start, Seq.empty[(Long, Long, Long, Long)])
+        .foreach(e => pq.enqueue(e))
+      while (pq.nonEmpty) {
+        val (_, u, v, w) = pq.dequeue()
+        val nxt = if (!visited.contains(u)) Some(u)
+          else if (!visited.contains(v)) Some(v) else None
+        nxt.foreach { n =>
+          visited += n; prim += ((u, v, w))
+          adj.getOrElse(n, Seq.empty[(Long, Long, Long, Long)])
+            .foreach(e => pq.enqueue(e))
+        }
+      }
+    }
+    got shouldBe prim.toSet // exact forest equality, not just total weight
+  }
+
+  test("q340 hilbert wins curve continuity; edge census is ordering-free") {
+    val rows = queries.EvalQueries.q340_hilbert_locality(spark, dir).collect()
+      .map(r => r.getAs[String]("ordering") -> r).toMap
+    rows.values.map(_.getAs[Long]("n_edges")).toSet.size shouldBe 1
+    val h = rows("hilbert").getAs[Double]("seq_avg_dist")
+    val m = rows("morton").getAs[Double]("seq_avg_dist")
+    val r = rows("row_major").getAs[Double]("seq_avg_dist")
+    h should be < m // the hilbert guarantee this advisor exists to surface
+    m should be < r
+  }
+
+  test("q341 zone maps are sound and clustering only improves date skip") {
+    val rows = queries.EvalQueries.q341_zonemap_advisor(spark, dir).collect()
+    rows.length shouldBe 32
+    rows.foreach { r =>
+      r.getAs[Long]("rows_match") should be <= r.getAs[Long]("rows_in_hit")
+      if (r.getAs[Long]("files_hit") == 0L)
+        r.getAs[Long]("rows_match") shouldBe 0L // never skip a matching row
+    }
+    val byKey = rows.map(r => (r.getAs[String]("layout"),
+      r.getAs[String]("pred")) -> r).toMap
+    byKey.keys.filter(_._2.startsWith("date_")).map(_._2).foreach { p =>
+      byKey(("date_clustered", p)).getAs[Double]("skip_frac") should be >=
+        byKey(("arrival", p)).getAs[Double]("skip_frac")
+    }
+  }
+
+  test("q342 funnel is monotone and removals reconcile") {
+    val rows = queries.EvalQueries.q342_dedup_funnel(spark, dir).collect()
+      .sortBy(_.getAs[Long]("stage_id"))
+    rows.length shouldBe 4
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getAs[Long]("docs_kept") should be <= a.getAs[Long]("docs_kept")
+      b.getAs[Long]("tokens_kept") should be <= a.getAs[Long]("tokens_kept")
+    }
+    rows.map(_.getAs[Long]("docs_removed")).sum shouldBe
+      rows.head.getAs[Long]("docs_kept") - rows.last.getAs[Long]("docs_kept")
+    rows.foreach(_.getAs[Double]("tok_frac") should (be > 0.0 and be <= 1.0))
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
