@@ -8535,6 +8535,109 @@ object Oracles {
         |  round(CAST(tokens_kept AS DOUBLE) / CAST(first_value(tokens_kept)
         |    OVER (ORDER BY stage_id) AS DOUBLE), 6) AS tok_frac
         |FROM stages ORDER BY stage_id""".stripMargin,
+
+    // q343: same jitter hash, one global running-max window — identical
+    // to the blockwise prefix decomposition because max is associative.
+    "q343_watermark_advisor" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS tus,
+        |    CAST(CAST(md5_number_upper(CAST(event_id AS VARCHAR))
+        |      AS HUGEINT) % 2305843009213693951 AS BIGINT) % 120000000
+        |      AS jit
+        |  FROM events
+        |), h AS (
+        |  SELECT tus,
+        |    max(tus) OVER (ORDER BY tus + jit, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tus
+        |      AS late_us
+        |  FROM e
+        |), d(delay_s) AS (VALUES (0), (5), (30), (60), (120))
+        |SELECT CAST(d.delay_s AS BIGINT) AS delay_s,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN h.late_us > d.delay_s * 1000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+        |  CAST(MAX(h.late_us) AS BIGINT) AS max_late_us,
+        |  round(CAST(SUM(CASE WHEN h.late_us > d.delay_s * 1000000
+        |      THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS drop_frac
+        |FROM h CROSS JOIN d
+        |GROUP BY d.delay_s ORDER BY delay_s""".stripMargin,
+
+    // q344: same 80/20 doc_id split, same (count desc, token asc)
+    // vocab order, integer counts throughout.
+    "q344_vocab_oov" -> {
+      val sizes = Seq(500, 2000, 8000)
+      val rows = sizes.map { n =>
+        s"""SELECT CAST($n AS BIGINT) AS vocab_requested,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM vr WHERE rn <= $n)
+           |    AS vocab_actual,
+           |  round((SELECT CAST(SUM(c) AS DOUBLE) FROM vr WHERE rn <= $n)
+           |    / (SELECT CAST(SUM(c) AS DOUBLE) FROM train), 6)
+           |    AS train_coverage,
+           |  round((SELECT CAST(SUM(ec) AS DOUBLE) FROM ev
+           |      WHERE tok NOT IN (SELECT tok FROM vr WHERE rn <= $n))
+           |    / (SELECT CAST(SUM(ec) AS DOUBLE) FROM ev), 6)
+           |    AS oov_inst_frac,
+           |  round((SELECT CAST(COUNT(*) AS DOUBLE) FROM ev
+           |      WHERE tok NOT IN (SELECT tok FROM vr WHERE rn <= $n))
+           |    / (SELECT CAST(COUNT(*) AS DOUBLE) FROM ev), 6)
+           |    AS oov_type_frac""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3
+         |), toks AS MATERIALIZED (
+         |  SELECT doc_id, a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS tok
+         |  FROM docs, unnest(range(1, len(a) - 1)) AS u(i)
+         |), train AS MATERIALIZED (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM toks WHERE doc_id % 10 < 8 GROUP BY 1
+         |), ev AS MATERIALIZED (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS ec
+         |  FROM toks WHERE doc_id % 10 >= 8 GROUP BY 1
+         |), vr AS MATERIALIZED (
+         |  SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok ASC)
+         |    AS rn
+         |  FROM train
+         |)
+         |SELECT * FROM ($rows) ORDER BY vocab_requested""".stripMargin
+    },
+
+    // q345: same redelivery model; global running-max window over event
+    // time in arrival order (associative ≡ the blockwise form).
+    "q345_dedup_ttl_advisor" ->
+      """WITH base AS (
+        |  SELECT event_id, epoch_us(ts) AS tus,
+        |    CAST(CAST(md5_number_upper(CAST(event_id AS VARCHAR))
+        |      AS HUGEINT) % 2305843009213693951 AS BIGINT) AS h
+        |  FROM events
+        |), d AS (
+        |  SELECT event_id, tus, tus + h % 120000000 AS arrival, 0 AS copy
+        |  FROM base
+        |  UNION ALL
+        |  SELECT event_id, tus,
+        |    tus + h % 120000000 + 1 + h % 600000000, 1
+        |  FROM base WHERE h % 7 = 0
+        |), g AS (
+        |  SELECT event_id, copy,
+        |    max(tus) OVER (ORDER BY arrival, event_id, copy
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tus
+        |      AS evict_gap
+        |  FROM d
+        |), gaps AS (SELECT event_id, evict_gap FROM g WHERE copy = 1
+        |), t(ttl_s) AS (VALUES (60), (180), (600), (1200))
+        |SELECT CAST(t.ttl_s AS BIGINT) AS ttl_s,
+        |  CAST(COUNT(*) AS BIGINT) AS n_redeliveries,
+        |  CAST(SUM(CASE WHEN gaps.evict_gap > t.ttl_s * 1000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS missed,
+        |  CAST(MAX(gaps.evict_gap) AS BIGINT) AS max_evict_gap_us,
+        |  CAST(COUNT(*) AS BIGINT) - CAST(SUM(CASE WHEN gaps.evict_gap
+        |    > t.ttl_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS caught,
+        |  round(CAST(SUM(CASE WHEN gaps.evict_gap > t.ttl_s * 1000000
+        |      THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS miss_frac
+        |FROM gaps CROSS JOIN t
+        |GROUP BY t.ttl_s ORDER BY ttl_s""".stripMargin,
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

@@ -2561,6 +2561,162 @@ object EvalQueries {
       .orderBy(col("stage_id"))
   }
 
+  /** Watermark-delay advisor — the number Structured Streaming's
+    * `withWatermark` asks for, measured instead of guessed: events are
+    * replayed in a deterministic arrival order (event time + md5-derived
+    * jitter ≤ 120 s, the replay harness for a corpus that is stored
+    * time-sorted), the high-water mark is the running max of event time
+    * over arrival, lateness = hwm − ts, and for each candidate delay the
+    * fraction of events a `withWatermark(delay)` pipeline would drop.
+    * All integer epoch-micros. Scale shape: the running max is
+    * ASSOCIATIVE, so it is computed blockwise — per-10-minute-block
+    * windows plus a prefix-max over the bounded block grain (the q266
+    * prefix-sum pattern) — never one global single-partition window; the
+    * oracle's global window is mathematically identical. */
+  def q343_watermark_advisor(spark: SparkSession, dir: String): DataFrame = {
+    val delays = Seq(0L, 5L, 30L, 60L, 120L) // seconds
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("jit", element_at(graft.functions.MinHashSig
+        .minhashSig(array(col("event_id").cast("string")), 1), 1)
+        % 120000000L)
+      .withColumn("arrival", col("tus") + col("jit"))
+      .withColumn("blk", expr("arrival div 600000000"))
+    val wIn = Window.partitionBy(col("blk"))
+      .orderBy(col("arrival"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blkMax = ev.groupBy(col("blk"))
+      .agg(max(col("tus")).as("bmax"))
+      .withColumn("pmax", max(col("bmax")).over(
+        Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    val late = ev.withColumn("wmax", max(col("tus")).over(wIn))
+      .join(broadcast(blkMax.select(col("blk"), col("pmax"))), "blk")
+      .withColumn("hwm", greatest(col("wmax"),
+        coalesce(col("pmax"), lit(Long.MinValue))))
+      .withColumn("late_us", col("hwm") - col("tus"))
+      .localCheckpoint(true)
+    val dl = broadcast(spark.createDataFrame(delays.map(Tuple1(_)))
+      .toDF("delay_s"))
+    late.crossJoin(dl)
+      .groupBy(col("delay_s"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(when(col("late_us") > col("delay_s") * 1000000L, 1L)
+          .otherwise(0L)).cast("long").as("dropped"),
+        max(col("late_us")).cast("long").as("max_late_us"))
+      .withColumn("drop_frac", round(col("dropped").cast("double") /
+        col("n_events").cast("double"), 6))
+      .orderBy(col("delay_s"))
+  }
+
+  /** Tokenizer vocabulary-size OOV curve — the vocab-budget decision:
+    * train a frequency vocabulary on the 80% doc_id-hash split, then for
+    * each candidate size N ∈ {500, 2000, 8000} measure held-out OOV at
+    * the token-INSTANCE and token-TYPE grain plus train-mass coverage.
+    * Vocab selection is (count desc, token asc) — total order, no ties.
+    * All integer counts, three exact divisions per row. Scale shape:
+    * one groupBy per split onto the token grain (map-side combinable);
+    * each vocab is a bounded top-N (TakeOrderedAndProject, never a full
+    * sort); OOV is a broadcast join of eval token counts against the
+    * ≤8000-row vocab. */
+  def q344_vocab_oov(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(500, 2000, 8000)
+    // units are word TRIGRAMS (the corpus' whitespace vocabulary is a
+    // closed 31-word set by construction — trigrams are the open-class
+    // unit a merge-based tokenizer would actually compete over)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
+          .as("tok"))
+    val train = toks.filter(col("doc_id") % 10 < 8)
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true)
+    val eval_ = toks.filter(col("doc_id") % 10 >= 8)
+      .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("ec"))
+      .localCheckpoint(true)
+    val trainTotal = train.agg(sum(col("c")).cast("long").as("train_total"))
+    val evalTotal = eval_.agg(sum(col("ec")).cast("long").as("eval_inst"),
+      count(lit(1)).cast("long").as("eval_types"))
+    sizes.map { n =>
+      val vocab = broadcast(train.orderBy(col("c").desc, col("tok").asc)
+        .limit(n))
+      val inVocab = eval_.join(vocab.select(col("tok")), Seq("tok"))
+        .agg(coalesce(sum(col("ec")), lit(0L)).cast("long").as("in_inst"),
+          count(lit(1)).cast("long").as("in_types"))
+      val vstats = vocab.agg(count(lit(1)).cast("long").as("vocab_actual"),
+        sum(col("c")).cast("long").as("vocab_mass"))
+      vstats.crossJoin(trainTotal).crossJoin(evalTotal).crossJoin(inVocab)
+        .select(lit(n.toLong).as("vocab_requested"), col("vocab_actual"),
+          round(col("vocab_mass").cast("double") /
+            col("train_total").cast("double"), 6).as("train_coverage"),
+          round((col("eval_inst") - col("in_inst")).cast("double") /
+            col("eval_inst").cast("double"), 6).as("oov_inst_frac"),
+          round((col("eval_types") - col("in_types")).cast("double") /
+            col("eval_types").cast("double"), 6).as("oov_type_frac"))
+    }.reduce(_ unionByName _).orderBy(col("vocab_requested"))
+  }
+
+  /** Exactly-once dedup state-TTL advisor — the
+    * `dropDuplicatesWithinWatermark` retention knob, measured: the q343
+    * replay harness is extended with at-least-once redeliveries (every
+    * h%7 event redelivered once, md5-jittered up to 10 min later), the
+    * stream's watermark is the running max arrival (same block-prefix
+    * associative decomposition), and a redelivery is CAUGHT iff at its
+    * arrival the first copy's state has not been evicted — watermark −
+    * TTL ≤ first arrival, the engine's exact eviction rule. Reported per
+    * candidate TTL: missed/caught redeliveries and the duplicate rate
+    * the sink would see. All integer epoch-micros. Scale shape: one
+    * union + the blockwise running max + a broadcast TTL cross on the
+    * redelivery grain; no global single-partition window. */
+  def q345_dedup_ttl_advisor(spark: SparkSession, dir: String): DataFrame = {
+    val ttls = Seq(60L, 180L, 600L, 1200L) // seconds
+    val base = Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("h", element_at(graft.functions.MinHashSig
+        .minhashSig(array(col("event_id").cast("string")), 1), 1))
+      .withColumn("arr1", col("tus") + col("h") % 120000000L)
+    val redeliv = base.filter(col("h") % 7 === 0)
+      .withColumn("arr2", col("arr1") + 1L + col("h") % 600000000L)
+    val deliveries = base.select(col("event_id"), col("tus"),
+        col("arr1").as("arrival"), lit(0).as("copy"))
+      .unionByName(redeliv.select(col("event_id"), col("tus"),
+        col("arr2").as("arrival"), lit(1).as("copy")))
+      .withColumn("blk", expr("arrival div 600000000"))
+    // watermark = running max EVENT time in ARRIVAL order (blockwise)
+    val wIn = Window.partitionBy(col("blk"))
+      .orderBy(col("arrival"), col("event_id"), col("copy"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blkMax = deliveries.groupBy(col("blk"))
+      .agg(max(col("tus")).as("bmax"))
+      .withColumn("pmax", max(col("bmax")).over(
+        Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    val gaps = deliveries
+      .withColumn("wmax", max(col("tus")).over(wIn))
+      .join(broadcast(blkMax.select(col("blk"), col("pmax"))), "blk")
+      .withColumn("hwm", greatest(col("wmax"),
+        coalesce(col("pmax"), lit(Long.MinValue))))
+      .filter(col("copy") === 1)
+      .select(col("event_id"), (col("hwm") - col("tus")).as("evict_gap"))
+      .localCheckpoint(true)
+    val tl = broadcast(spark.createDataFrame(ttls.map(Tuple1(_)))
+      .toDF("ttl_s"))
+    gaps.crossJoin(tl)
+      .groupBy(col("ttl_s"))
+      .agg(count(lit(1)).cast("long").as("n_redeliveries"),
+        sum(when(col("evict_gap") > col("ttl_s") * 1000000L, 1L)
+          .otherwise(0L)).cast("long").as("missed"),
+        max(col("evict_gap")).cast("long").as("max_evict_gap_us"))
+      .withColumn("caught", col("n_redeliveries") - col("missed"))
+      .withColumn("miss_frac", round(col("missed").cast("double") /
+        col("n_redeliveries").cast("double"), 6))
+      .orderBy(col("ttl_s"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

@@ -1439,6 +1439,47 @@ class PlanSpec extends SparkSpec {
     rows.foreach(_.getAs[Double]("tok_frac") should (be > 0.0 and be <= 1.0))
   }
 
+  test("q343 drop fraction is monotone in watermark delay, zero at cap") {
+    val rows = queries.EvalQueries.q343_watermark_advisor(spark, dir)
+      .collect().sortBy(_.getAs[Long]("delay_s"))
+    rows.length shouldBe 5
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getAs[Long]("dropped") should be <= a.getAs[Long]("dropped")
+    }
+    // jitter is bounded at 120s, so the 120s delay must drop nothing
+    rows.last.getAs[Long]("dropped") shouldBe 0L
+    rows.last.getAs[Long]("max_late_us") should be <= 120000000L
+  }
+
+  test("q345 TTL misses are monotone and caught+missed reconcile") {
+    val rows = queries.EvalQueries.q345_dedup_ttl_advisor(spark, dir)
+      .collect().sortBy(_.getAs[Long]("ttl_s"))
+    rows.length shouldBe 4
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getAs[Long]("missed") should be <= a.getAs[Long]("missed")
+    }
+    rows.foreach { r =>
+      r.getAs[Long]("caught") + r.getAs[Long]("missed") shouldBe
+        r.getAs[Long]("n_redeliveries")
+    }
+  }
+
+  test("q344 OOV falls and coverage rises with vocab size") {
+    val rows = queries.EvalQueries.q344_vocab_oov(spark, dir)
+      .collect().sortBy(_.getAs[Long]("vocab_requested"))
+    rows.length shouldBe 3
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getAs[Double]("oov_inst_frac") should be <=
+        a.getAs[Double]("oov_inst_frac")
+      b.getAs[Double]("train_coverage") should be >=
+        a.getAs[Double]("train_coverage")
+    }
+    rows.foreach { r =>
+      r.getAs[Long]("vocab_actual") should be <=
+        r.getAs[Long]("vocab_requested")
+    }
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
