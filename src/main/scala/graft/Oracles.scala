@@ -8638,6 +8638,75 @@ object Oracles {
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS miss_frac
         |FROM gaps CROSS JOIN t
         |GROUP BY t.ttl_s ORDER BY ttl_s""".stripMargin,
+
+    // q346: same fixed widths + measured string lengths, integer costs.
+    "q346_join_strategy" ->
+      """WITH li AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS rows_, CAST(COUNT(*) * 68
+        |    + SUM(len(l_returnflag) + len(l_linestatus)) AS BIGINT)
+        |    AS bytes_
+        |  FROM lineitem
+        |), ord AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS rows_, CAST(COUNT(*) * 32
+        |    + SUM(len(o_orderstatus) + len(o_orderpriority)) AS BIGINT)
+        |    AS bytes_
+        |  FROM orders
+        |), cust AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS rows_, CAST(COUNT(*) * 20
+        |    + SUM(len(c_name) + len(c_mktsegment)) AS BIGINT) AS bytes_
+        |  FROM customer
+        |), prt AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS rows_, CAST(COUNT(*) * 20
+        |    + SUM(len(p_name) + len(p_brand) + len(p_type)) AS BIGINT)
+        |    AS bytes_
+        |  FROM part
+        |), joins AS (
+        |  SELECT 'lineitem_orders' AS join_name, a.rows_ AS rows_a,
+        |    b.rows_ AS rows_b, a.bytes_ AS bytes_a, b.bytes_ AS bytes_b
+        |  FROM li a CROSS JOIN ord b
+        |  UNION ALL
+        |  SELECT 'orders_customer', a.rows_, b.rows_, a.bytes_, b.bytes_
+        |  FROM ord a CROSS JOIN cust b
+        |  UNION ALL
+        |  SELECT 'lineitem_part', a.rows_, b.rows_, a.bytes_, b.bytes_
+        |  FROM li a CROSS JOIN prt b
+        |)
+        |SELECT join_name, rows_a, rows_b, bytes_a, bytes_b,
+        |  bytes_a + bytes_b AS smj_shuffle_bytes,
+        |  least(bytes_a, bytes_b) * 1000 AS bc_replicated_bytes,
+        |  (bytes_a + bytes_b) // least(bytes_a, bytes_b)
+        |    AS breakeven_execs,
+        |  least(bytes_a, bytes_b) <= 10485760 AS default_would_broadcast,
+        |  CASE WHEN least(bytes_a, bytes_b) * 1000 < bytes_a + bytes_b
+        |    THEN 'broadcast' ELSE 'sort_merge' END AS recommended
+        |FROM joins ORDER BY join_name""".stripMargin,
+
+    // q347: same de Bruijn successor census, integer counts.
+    "q347_ngram_privacy" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS a
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+        |), tri AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    a[i] || ' ' || a[i + 1] AS pre, a[i + 2] AS nxt
+        |  FROM docs, unnest(range(1, len(a) - 1)) AS u(i)
+        |), br AS (
+        |  SELECT doc_id, lang, CAST(MAX(n_succ) AS BIGINT) AS max_branch
+        |  FROM (
+        |    SELECT doc_id, lang, pre, CAST(COUNT(*) AS BIGINT) AS n_succ
+        |    FROM tri GROUP BY 1, 2, 3
+        |  ) GROUP BY 1, 2
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN max_branch = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_reconstructible,
+        |  round(CAST(SUM(CASE WHEN max_branch = 1 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS reconstructible_frac,
+        |  CAST(MAX(max_branch) AS BIGINT) AS max_branch,
+        |  round(CAST(SUM(max_branch) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+        |    4) AS avg_max_branch
+        |FROM br GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

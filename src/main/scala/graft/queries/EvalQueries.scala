@@ -2717,6 +2717,100 @@ object EvalQueries {
       .orderBy(col("ttl_s"))
   }
 
+  /** Join-strategy cost advisor — the broadcast-vs-shuffle decision a
+    * 1000-executor plan hinges on, computed from EXACT table bytes
+    * (fixed column widths + measured string lengths, one combinable
+    * aggregate per table) rather than assumed: for each candidate join,
+    * the sort-merge shuffle cost (both sides move once), the broadcast
+    * replication cost (small side × executor count), the break-even
+    * executor count (below it broadcast wins), and whether Spark's
+    * default 10 MB autoBroadcastJoinThreshold would fire. Every number
+    * is an integer byte count; two integer divisions. Scale shape: the
+    * stats pass is one agg per table; the advisor itself is 3 rows. */
+  def q346_join_strategy(spark: SparkSession, dir: String): DataFrame = {
+    val nExec = 1000L
+    val bcThreshold = 10L * 1024 * 1024
+    def stats(df: DataFrame, name: String, fixed: Long,
+              strCols: Seq[String]): DataFrame = {
+      val strBytes = strCols.map(c => sum(length(col(c)).cast("long")))
+        .reduceOption(_ + _).getOrElse(lit(0L))
+      df.agg(count(lit(1)).cast("long").as("rows"),
+          (sum(lit(fixed)) + strBytes).cast("long").as("bytes"))
+        .select(lit(name).as("t"), col("rows"), col("bytes"))
+    }
+    val li = stats(Tables.lineitem(spark, dir), "lineitem",
+      8 * 5 + 4 + 8 * 3, Seq("l_returnflag", "l_linestatus"))
+    val ord = stats(Tables.orders(spark, dir), "orders",
+      8 * 2 + 8 + 8, Seq("o_orderstatus", "o_orderpriority"))
+    val cust = stats(Tables.customer(spark, dir), "customer",
+      8 + 4 + 8, Seq("c_name", "c_mktsegment"))
+    val part = stats(Tables.part(spark, dir), "part", 8 + 4 + 8,
+      Seq("p_name", "p_brand", "p_type"))
+    def advise(a: DataFrame, b: DataFrame, name: String): DataFrame =
+      a.select(col("rows").as("rows_a"), col("bytes").as("bytes_a"))
+        .crossJoin(b.select(col("rows").as("rows_b"),
+          col("bytes").as("bytes_b")))
+        .select(lit(name).as("join_name"), col("rows_a"), col("rows_b"),
+          col("bytes_a"), col("bytes_b"),
+          (col("bytes_a") + col("bytes_b")).as("smj_shuffle_bytes"),
+          (least(col("bytes_a"), col("bytes_b")) * nExec)
+            .as("bc_replicated_bytes"),
+          expr(s"(bytes_a + bytes_b) div least(bytes_a, bytes_b)")
+            .as("breakeven_execs"),
+          (least(col("bytes_a"), col("bytes_b")) <= bcThreshold)
+            .as("default_would_broadcast"))
+        .withColumn("recommended",
+          when(col("bc_replicated_bytes") < col("smj_shuffle_bytes"),
+            "broadcast").otherwise("sort_merge"))
+    advise(li, ord, "lineitem_orders")
+      .unionByName(advise(ord, cust, "orders_customer"))
+      .unionByName(advise(li, part, "lineitem_part"))
+      .orderBy(col("join_name"))
+  }
+
+  /** N-gram-release privacy audit — does publishing per-document
+    * trigram statistics leak the document verbatim? Each document's
+    * trigrams form a de Bruijn graph (bigram nodes, trigram edges); if
+    * every bigram node has exactly ONE distinct successor the greedy
+    * walk from the start bigram is forced and the text reconstructs
+    * uniquely. Reported per language: the fraction of walk-deterministic
+    * (= reconstructible) documents and branching-factor stats — the
+    * evidence behind "n-gram stats are not an anonymization". All
+    * integer counts. Scale shape: one explode to (doc, bigram,
+    * successor) hashes, two combinable groupBys; text never rides past
+    * its grams. */
+  def q347_ngram_privacy(spark: SparkSession, dir: String): DataFrame = {
+    val tri = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 2),
+          i => struct(
+            concat_ws(" ", element_at(col("tk"), i),
+              element_at(col("tk"), i + 1)).as("pre"),
+            element_at(col("tk"), i + 2).as("nxt")))).as("e"))
+      .select(col("doc_id"), col("lang"), col("e.pre").as("pre"),
+        col("e.nxt").as("nxt"))
+      .distinct()
+    val branching = tri.groupBy(col("doc_id"), col("lang"), col("pre"))
+      .agg(count(lit(1)).cast("long").as("n_succ"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max(col("n_succ")).cast("long").as("max_branch"))
+    branching.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("max_branch") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_reconstructible"),
+        max(col("max_branch")).as("max_branch"),
+        sum(col("max_branch")).cast("long").as("branch_sum"))
+      .select(col("lang"), col("n_docs"), col("n_reconstructible"),
+        round(col("n_reconstructible").cast("double") /
+          col("n_docs").cast("double"), 6).as("reconstructible_frac"),
+        col("max_branch"),
+        round(col("branch_sum").cast("double") /
+          col("n_docs").cast("double"), 4).as("avg_max_branch"))
+      .orderBy(col("lang"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

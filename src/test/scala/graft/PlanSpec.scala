@@ -1480,6 +1480,59 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q346 costs reconcile and breakeven is consistent with them") {
+    val rows = queries.EvalQueries.q346_join_strategy(spark, dir).collect()
+    rows.length shouldBe 3
+    rows.foreach { r =>
+      val a = r.getAs[Long]("bytes_a"); val b = r.getAs[Long]("bytes_b")
+      r.getAs[Long]("smj_shuffle_bytes") shouldBe a + b
+      r.getAs[Long]("bc_replicated_bytes") shouldBe math.min(a, b) * 1000L
+      r.getAs[Long]("breakeven_execs") shouldBe (a + b) / math.min(a, b)
+      val rec = r.getAs[String]("recommended")
+      rec shouldBe (if (math.min(a, b) * 1000L < a + b) "broadcast"
+        else "sort_merge")
+    }
+  }
+
+  test("q347 a walk-deterministic doc actually reconstructs verbatim") {
+    import org.apache.spark.sql.functions.{col, size => fsize, split => fsplit}
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .filter(fsize(fsplit(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // recompute per-doc branching driver-side and walk every
+    // deterministic doc back from its released trigram set
+    var checked = 0
+    docs.foreach { case (_, text) =>
+      val tk = text.split(" ")
+      val succ = tk.sliding(3).toSeq
+        .map(w => (w(0), w(1)) -> w(2)).distinct
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      if (succ.values.forall(_.size == 1) && checked < 25) {
+        checked += 1
+        val sb = scala.collection.mutable.ArrayBuffer(tk(0), tk(1))
+        var guard = 0
+        while (guard < tk.length &&
+          succ.contains((sb(sb.length - 2), sb(sb.length - 1))) &&
+          sb.length < tk.length) {
+          sb += succ((sb(sb.length - 2), sb(sb.length - 1))).head
+          guard += 1
+        }
+        sb.mkString(" ") shouldBe text // verbatim leak, proven
+      }
+    }
+    checked should be > 0
+    // and the query's census agrees with a driver-side recount
+    val q = queries.EvalQueries.q347_ngram_privacy(spark, dir).collect()
+    val detTotal = q.map(_.getAs[Long]("n_reconstructible")).sum
+    val driverDet = docs.values.count { text =>
+      val tk = text.split(" ")
+      tk.sliding(3).toSeq.map(w => (w(0), w(1)) -> w(2)).distinct
+        .groupBy(_._1).values.forall(_.map(_._2).size == 1)
+    }
+    detTotal shouldBe driverDet.toLong
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
