@@ -8707,6 +8707,60 @@ object Oracles {
         |  round(CAST(SUM(max_branch) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
         |    4) AS avg_max_branch
         |FROM br GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q348: the shared 64-hash signature re-banded three ways; same
+    // 100-cap, same exact truth as q292, integer pair counts.
+    "q348_lsh_sweep" -> {
+      def bandCtes(bands: Int, rows: Int): String = {
+        val sfx = s"${bands}_$rows"
+        s"""bands_$sfx AS (
+           |  SELECT doc_id, unnest([
+           |    ${(0 until bands).map(bi => s"'$bi|' || ${(0 until rows)
+                  .map(ri => s"sig[${bi * rows + ri + 1}]")
+                  .mkString(" || '|' || ")}").mkString(",\n    ")}
+           |  ]) AS band FROM mh
+           |), capped_$sfx AS (
+           |  SELECT doc_id, band FROM bands_$sfx
+           |  QUALIFY count(*) OVER (PARTITION BY band) <= 100
+           |), cand_$sfx AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM capped_$sfx a JOIN capped_$sfx b
+           |    ON a.band = b.band AND a.doc_id < b.doc_id
+           |)""".stripMargin
+      }
+      val cfgs = Seq((32, 2), (16, 4), (8, 8))
+      val rows = cfgs.map { case (b, r) =>
+        val sfx = s"${b}_$r"
+        s"""SELECT CAST($b AS BIGINT) AS bands,
+           |  CAST($r AS BIGINT) AS rows_per_band,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_$sfx)
+           |    AS n_candidates,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+           |   WHERE EXISTS (SELECT 1 FROM cand_$sfx c
+           |     WHERE c.id_a = t.id_a AND c.id_b = t.id_b)) AS n_hits,
+           |  (SELECT n_truth FROM nt) AS n_exact""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH ${Oracles.minhashPairCtes},
+         |tr0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM documents a JOIN documents b
+         |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |    AND abs(a.n_chars - b.n_chars) <= 16
+         |), truth AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM tr0
+         |  JOIN sh sa ON sa.doc_id = id_a
+         |  JOIN sh sb ON sb.doc_id = id_b
+         |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+         |    / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+         |), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+         |${cfgs.map { case (b, r) => bandCtes(b, r) }.mkString(",\n")}
+         |SELECT bands, rows_per_band, n_candidates, n_hits, n_exact,
+         |  round(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+         |    AS recall,
+         |  round(CAST(n_candidates AS DOUBLE) / CAST(n_exact AS DOUBLE), 4)
+         |    AS cost_ratio
+         |FROM ($rows) ORDER BY rows_per_band""".stripMargin
+    },
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

@@ -2811,6 +2811,57 @@ object EvalQueries {
       .orderBy(col("lang"))
   }
 
+  /** LSH banding S-curve, measured — the (bands × rows) design sweep
+    * behind every MinHash dedup config in this library: for (32×2),
+    * (16×4), (8×8) over the same 64-hash signatures, the candidate
+    * count (cost), verified ≥0.5-Jaccard pairs, and recall against the
+    * exact truth. More rows per band = sharper threshold = fewer
+    * false candidates but lower recall; this query turns that theory
+    * curve into data so q27/q54/q80 configs are chosen, not assumed.
+    * All integer pair counts. Scale shape: one signature pass feeds all
+    * three bandings; candidates stay bucket-capped per config. */
+  def q348_lsh_sweep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.MinHashLsh
+    val docs = Tables.documents(spark, dir)
+    val sets = MinHashLsh.fingerprints(docs, "doc_id", "text")
+      .localCheckpoint(true)
+    // exact ≥0.5 truth via the metric-implied length band (q292's shape)
+    val slim = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val a = slim.select(col("doc_id").as("id_a"), col("lang").as("la"),
+        col("n_chars").as("nca"))
+      .withColumn("nck", explode(array((-16 to 16).map(d =>
+        col("nca") + lit(d)): _*)))
+    val grams = docs.select(col("doc_id"),
+      array_sort(graft.text.TextOps.shingles(col("text"), 3)).as("sg"))
+    val truth = a.join(slim.select(col("doc_id").as("id_b"),
+        col("lang").as("lb"), col("n_chars").as("ncb")),
+        col("la") === col("lb") && col("nck") === col("ncb") &&
+          col("id_a") < col("id_b"))
+      .join(grams.select(col("doc_id").as("id_a"), col("sg").as("ga")),
+        "id_a")
+      .join(grams.select(col("doc_id").as("id_b"), col("sg").as("gb")),
+        "id_b")
+      .filter(graft.functions.JaccardSim.jaccardSimSorted(col("ga"),
+        col("gb")) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val nTruth = truth.agg(count(lit(1)).cast("long").as("n_exact"))
+    Seq((32, 2), (16, 4), (8, 8)).map { case (b, r) =>
+      val cand = MinHashLsh.candidatePairs(sets, "doc_id", b, r,
+        maxBucket = Some(100)).localCheckpoint(true)
+      val nCand = cand.agg(count(lit(1)).cast("long").as("n_candidates"))
+      val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_hits"))
+      nCand.crossJoin(broadcast(hits)).crossJoin(broadcast(nTruth))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_hits"), col("n_exact"),
+          round(col("n_hits").cast("double") /
+            col("n_exact").cast("double"), 6).as("recall"),
+          round(col("n_candidates").cast("double") /
+            col("n_exact").cast("double"), 4).as("cost_ratio"))
+    }.reduce(_ unionByName _).orderBy(col("rows_per_band"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

@@ -1533,6 +1533,23 @@ class PlanSpec extends SparkSpec {
     detTotal shouldBe driverDet.toLong
   }
 
+  test("q348 sharper bands never cost more and recall stays a fraction") {
+    val rows = queries.EvalQueries.q348_lsh_sweep(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rows_per_band"))
+    rows.length shouldBe 3
+    rows.sliding(2).foreach { case Array(a, b) =>
+      // higher rows-per-band = sharper S-curve = fewer candidates
+      b.getAs[Long]("n_candidates") should be <=
+        a.getAs[Long]("n_candidates")
+    }
+    rows.foreach { r =>
+      r.getAs[Long]("n_hits") should be <= r.getAs[Long]("n_exact")
+      r.getAs[Long]("n_hits") should be <= r.getAs[Long]("n_candidates")
+      val rc = r.getAs[Double]("recall")
+      rc should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
