@@ -8761,6 +8761,67 @@ object Oracles {
          |    AS cost_ratio
          |FROM ($rows) ORDER BY rows_per_band""".stripMargin
     },
+
+    // q349: same rarity-ordered prefixes (df asc, gram asc), integer
+    // prefix length, same exact truth and 16×4 LSH contrast.
+    "q349_prefix_filter_join" ->
+      s"""WITH ${Oracles.minhashPairCtes},
+         |grams AS (
+         |  SELECT doc_id, unnest(sg) AS g FROM sh
+         |), dfreq AS (
+         |  SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY 1
+         |), sizes AS (
+         |  SELECT doc_id, CAST(len(sg) AS BIGINT) AS sz FROM sh
+         |  WHERE len(sg) > 0
+         |), pref AS MATERIALIZED (
+         |  SELECT doc_id, g, sz FROM (
+         |    SELECT gr.doc_id, gr.g, s.sz,
+         |      row_number() OVER (PARTITION BY gr.doc_id
+         |        ORDER BY d.df, gr.g) AS rnk
+         |    FROM grams gr JOIN dfreq d ON gr.g = d.g
+         |    JOIN sizes s ON gr.doc_id = s.doc_id
+         |  ) WHERE rnk <= sz - ((sz + 1) // 2) + 1
+         |), pcand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  WHERE least(a.sz, b.sz) * 2 >= greatest(a.sz, b.sz)
+         |), pverified AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM pcand
+         |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+         |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+         |    / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+         |), tr0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM documents a JOIN documents b
+         |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |    AND abs(a.n_chars - b.n_chars) <= 16
+         |), truth AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM tr0
+         |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+         |  WHERE CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE)
+         |    / CAST(len(list_distinct(sa.sg || sb.sg)) AS DOUBLE) >= 0.5
+         |), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+         |res AS (
+         |  SELECT 'prefix_filter' AS blocker,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pcand) AS n_candidates,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+         |     WHERE EXISTS (SELECT 1 FROM pverified v
+         |       WHERE v.id_a = t.id_a AND v.id_b = t.id_b)) AS n_found,
+         |    (SELECT n_truth FROM nt) AS n_truth
+         |  UNION ALL
+         |  SELECT 'minhash_16x4',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand),
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+         |     WHERE EXISTS (SELECT 1 FROM cand c
+         |       WHERE c.id_a = t.id_a AND c.id_b = t.id_b)),
+         |    (SELECT n_truth FROM nt)
+         |)
+         |SELECT blocker, n_candidates, n_found, n_truth,
+         |  round(CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+         |    AS recall,
+         |  round(CAST(n_candidates AS DOUBLE) / CAST(n_truth AS DOUBLE), 4)
+         |    AS cost_ratio
+         |FROM res ORDER BY blocker""".stripMargin,
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

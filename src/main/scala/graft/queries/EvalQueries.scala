@@ -2862,6 +2862,91 @@ object EvalQueries {
     }.reduce(_ unionByName _).orderBy(col("rows_per_band"))
   }
 
+  /** Prefix-filtering similarity self-join (PPJoin family, Chaudhuri
+    * ICDE'06 / Xiao WWW'08) — the LOSSLESS blocking alternative to LSH:
+    * order each document's shingles by global rarity (df asc, gram asc),
+    * keep only the first |s| − ⌈t·|s|⌉ + 1 of them (integer form for
+    * t=0.5: sz − (sz+1) div 2 + 1), and any pair with Jaccard ≥ t MUST
+    * share a prefix gram — recall 1.0 by theorem, verified here against
+    * the exact truth and contrasted with the 16×4 MinHash blocker's
+    * cost. Length filter 2·min ≥ max prunes the rest. All integer pair
+    * counts. Scale shape: candidates come from an equi-join on PREFIX
+    * grams only (the rarest ones — bounded fan-out by construction);
+    * the df pass is one combinable aggregate; verification touches
+    * candidates only. */
+  def q349_prefix_filter_join(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.MinHashLsh
+    val docs = Tables.documents(spark, dir)
+    val sets = docs.select(col("doc_id"),
+        array_sort(graft.text.TextOps.shingles(col("text"), 3)).as("sg"))
+      .filter(size(col("sg")) > 0)
+      .localCheckpoint(true)
+    val grams = sets.select(col("doc_id"), explode(col("sg")).as("g"))
+    val dfreq = grams.groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val sizes = sets.select(col("doc_id"), size(col("sg")).cast("long")
+      .as("sz"))
+    val pref = grams.join(dfreq, "g").join(sizes, "doc_id")
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("g"))).cast("long"))
+      .filter(col("rnk") <= expr("sz - ((sz + 1) div 2) + 1"))
+      .select(col("doc_id"), col("g"), col("sz"))
+    val cand = pref.select(col("doc_id").as("id_a"), col("g"),
+        col("sz").as("sa"))
+      .join(pref.select(col("doc_id").as("id_b"), col("g"),
+        col("sz").as("sb")), "g")
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sa"), col("sb")) * 2 >= greatest(col("sa"), col("sb")))
+      .select(col("id_a"), col("id_b")).distinct()
+      .localCheckpoint(true)
+    val verified = cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sg").as("ga")),
+        "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sg").as("gb")),
+        "id_b")
+      .filter(graft.functions.JaccardSim.jaccardSimSorted(col("ga"),
+        col("gb")) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    // exact truth (q292's metric-implied length band) + the LSH contrast
+    val slim = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val a0 = slim.select(col("doc_id").as("id_a"), col("lang").as("la"),
+        col("n_chars").as("nca"))
+      .withColumn("nck", explode(array((-16 to 16).map(d =>
+        col("nca") + lit(d)): _*)))
+    val truth = a0.join(slim.select(col("doc_id").as("id_b"),
+        col("lang").as("lb"), col("n_chars").as("ncb")),
+        col("la") === col("lb") && col("nck") === col("ncb") &&
+          col("id_a") < col("id_b"))
+      .join(sets.select(col("doc_id").as("id_a"), col("sg").as("ga")),
+        "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sg").as("gb")),
+        "id_b")
+      .filter(graft.functions.JaccardSim.jaccardSimSorted(col("ga"),
+        col("gb")) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val lshCand = MinHashLsh.candidatePairs(
+      MinHashLsh.fingerprints(docs, "doc_id", "text"), "doc_id",
+      bands = 16, rowsPerBand = 4, maxBucket = Some(100))
+    def audit(c: DataFrame, v: DataFrame, name: String): DataFrame = {
+      val nC = c.agg(count(lit(1)).cast("long").as("n_candidates"))
+      val nV = truth.join(v, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_found"))
+      val nT = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+      nC.crossJoin(broadcast(nV)).crossJoin(broadcast(nT))
+        .select(lit(name).as("blocker"), col("n_candidates"),
+          col("n_found"), col("n_truth"),
+          round(col("n_found").cast("double") /
+            col("n_truth").cast("double"), 6).as("recall"),
+          round(col("n_candidates").cast("double") /
+            col("n_truth").cast("double"), 4).as("cost_ratio"))
+    }
+    audit(cand, verified, "prefix_filter")
+      .unionByName(audit(lshCand.select(col("id_a"), col("id_b")),
+        lshCand.select(col("id_a"), col("id_b")), "minhash_16x4"))
+      .orderBy(col("blocker"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

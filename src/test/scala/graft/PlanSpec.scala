@@ -1550,6 +1550,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q349 prefix filtering is lossless by theorem — recall exactly 1") {
+    val rows = queries.EvalQueries.q349_prefix_filter_join(spark, dir)
+      .collect().map(r => r.getAs[String]("blocker") -> r).toMap
+    val pf = rows("prefix_filter")
+    pf.getAs[Double]("recall") shouldBe 1.0 // not approximately: the theorem
+    pf.getAs[Long]("n_found") shouldBe pf.getAs[Long]("n_truth")
+    pf.getAs[Long]("n_candidates") should be >= pf.getAs[Long]("n_truth")
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
