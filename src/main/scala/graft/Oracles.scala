@@ -8822,6 +8822,96 @@ object Oracles {
          |  round(CAST(n_candidates AS DOUBLE) / CAST(n_truth AS DOUBLE), 4)
          |    AS cost_ratio
          |FROM res ORDER BY blocker""".stripMargin,
+
+    // q350: same cell grain, same three bucketings, same integer
+    // micro-unit estimate and error sums (order-free by construction).
+    "q350_histogram_bakeoff" -> {
+      val values = graft.queries.EvalQueries.histBakeoffPreds
+        .map { case (p, lo, hi) =>
+          s"('$p', CAST($lo AS BIGINT), CAST($hi AS BIGINT))"
+        }.mkString(",\n    ")
+      def scheme(src: String, name: String): String =
+        s"""SELECT '$name' AS histogram,
+           |  CAST(COUNT(*) AS BIGINT) AS n_preds,
+           |  round(CAST(SUM(relerr_micro) AS DOUBLE)
+           |    / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 4)
+           |    AS mean_rel_err,
+           |  round(CAST(MAX(relerr_micro) AS DOUBLE) / 1000000.0, 4)
+           |    AS max_rel_err
+           |FROM (
+           |  SELECT p.pred,
+           |    CAST(floor(abs(CAST(COALESCE(e.est_micro, 0) AS DOUBLE)
+           |        / 1000000.0 - CAST(COALESCE(x.exact, 0) AS DOUBLE))
+           |      / greatest(CAST(COALESCE(x.exact, 0) AS DOUBLE), 1.0)
+           |      * 1000000.0) AS BIGINT) AS relerr_micro
+           |  FROM preds p
+           |  LEFT JOIN (
+           |    SELECT pred, CAST(SUM((ov * bcnt * 1000000)
+           |      // (bmax - bmin + 1)) AS BIGINT) AS est_micro
+           |    FROM (
+           |      SELECT p2.pred, greatest(0, least(p2.phi, b.bmax)
+           |        - greatest(p2.plo, b.bmin) + 1) AS ov,
+           |        b.bcnt, b.bmax, b.bmin
+           |      FROM (
+           |        SELECT bkt, MIN(cell) AS bmin, MAX(cell) AS bmax,
+           |          CAST(SUM(cnt) AS BIGINT) AS bcnt
+           |        FROM $src GROUP BY 1
+           |      ) b CROSS JOIN preds p2
+           |    ) GROUP BY 1
+           |  ) e ON e.pred = p.pred
+           |  LEFT JOIN (
+           |    SELECT p3.pred, CAST(SUM(c.cnt) AS BIGINT) AS exact
+           |    FROM cells c JOIN preds p3
+           |      ON c.cell >= p3.plo AND c.cell <= p3.phi
+           |    GROUP BY 1
+           |  ) x ON x.pred = p.pred
+           |)""".stripMargin
+      s"""WITH cells AS MATERIALIZED (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |    AS BIGINT) // 1000000 AS cell,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM orders GROUP BY 1
+         |), bounds AS (
+         |  SELECT MIN(cell) AS minc, MAX(cell) AS maxc,
+         |    CAST(SUM(cnt) AS BIGINT) AS total
+         |  FROM cells
+         |), base AS MATERIALIZED (
+         |  SELECT c.cell, c.cnt, b.minc, b.maxc, b.total
+         |  FROM cells c CROSS JOIN bounds b
+         |), ew AS (
+         |  SELECT cell, cnt, ((cell - minc) * 8) // (maxc - minc + 1)
+         |    AS bkt
+         |  FROM base
+         |), ed AS (
+         |  SELECT cell, cnt, least((cumb * 8) // total, 7) AS bkt FROM (
+         |    SELECT cell, cnt, total, COALESCE(SUM(cnt) OVER (
+         |      ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS cumb
+         |    FROM base)
+         |), cuts AS MATERIALIZED (
+         |  SELECT cell AS cut FROM (
+         |    SELECT cell, lag(cnt) OVER (ORDER BY cell) AS prev,
+         |      abs(cnt - lag(cnt) OVER (ORDER BY cell)) AS ad
+         |    FROM base)
+         |  WHERE prev IS NOT NULL
+         |  ORDER BY ad DESC, cell ASC LIMIT 7
+         |), md AS (
+         |  SELECT b.cell, b.cnt,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cuts
+         |     WHERE cut <= b.cell) AS bkt
+         |  FROM base b
+         |), preds(pred, plo, phi) AS (
+         |  VALUES
+         |    $values
+         |)
+         |SELECT * FROM (
+         |  ${scheme("ew", "equi_width")}
+         |  UNION ALL
+         |  ${scheme("ed", "equi_depth")}
+         |  UNION ALL
+         |  ${scheme("md", "maxdiff")}
+         |) ORDER BY histogram""".stripMargin
+    },
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

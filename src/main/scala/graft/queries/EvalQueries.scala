@@ -2947,6 +2947,101 @@ object EvalQueries {
       .orderBy(col("blocker"))
   }
 
+  /** Optimizer-histogram bake-off — equi-width vs equi-depth vs
+    * maxdiff (Poosala VLDB'96), graded the only way that matters: range
+    * -selectivity estimation error over a fixed 16-predicate workload.
+    * Order prices reduce to a bounded $10k-cell grain (one combinable
+    * aggregate); each scheme buckets the SAME ~55 cells 8 ways
+    * (equi-width by index, equi-depth by integer cumulative rank,
+    * maxdiff splitting at the 7 largest adjacent-count drops with
+    * deterministic tie-break); estimates interpolate uniformly within
+    * buckets; predicates are cell-aligned so the exact side is an
+    * integer cell sum. Reported per scheme: mean/max absolute relative
+    * error — the q260/q331 design choice, decided by data. Scale shape:
+    * everything after the cell aggregate lives on the ≤55-cell grain. */
+  /** q350's fixed range workload on the $10k cell grain — [lo, hi]
+    * inclusive cell indices, shared verbatim with the oracle. */
+  private[graft] val histBakeoffPreds: Seq[(String, Long, Long)] =
+    (0 until 16).map(i => (s"p${"%02d".format(i)}",
+      i.toLong * 6L, i.toLong * 6L + 11L))
+
+  def q350_histogram_bakeoff(spark: SparkSession, dir: String): DataFrame = {
+    val cellW = 1000000L // $10k in cents
+    val nB = 8L
+    val cells = Tables.orders(spark, dir)
+      .select(expr(s"CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100" +
+        s" AS BIGINT) div $cellW").as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint(true)
+    val bounds = cells.agg(min(col("cell")).as("minc"),
+      max(col("cell")).as("maxc"), sum(col("cnt")).cast("long").as("total"))
+    val base = cells.crossJoin(broadcast(bounds))
+    // equi-width: bucket by cell index span
+    val ew = base.withColumn("bkt",
+      expr(s"((cell - minc) * $nB) div (maxc - minc + 1)"))
+    // equi-depth: bucket by integer cumulative rank (cells stay whole)
+    val ed = base.withColumn("cumb",
+        coalesce(sum(col("cnt")).over(Window.orderBy(col("cell"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bkt", expr(s"least((cumb * $nB) div total, ${nB - 1})"))
+    // maxdiff: boundaries at the 7 largest |Δcnt| between adjacent cells
+    val diffs = base.withColumn("prev",
+        lag(col("cnt"), 1).over(Window.orderBy(col("cell"))))
+      .filter(col("prev").isNotNull)
+      .withColumn("ad", abs(col("cnt") - col("prev")))
+    val cuts = broadcast(diffs
+      .orderBy(col("ad").desc, col("cell").asc)
+      .limit((nB - 1).toInt).select(col("cell").as("cut")))
+    val md = base.join(cuts.groupBy().agg(collect_list(col("cut"))
+        .as("cutList")))
+      .withColumn("bkt", size(filter(col("cutList"),
+        c => c <= col("cell"))).cast("long"))
+    // shared audit: bucket stats -> uniform-interpolation estimates
+    val preds = broadcast(spark.createDataFrame(histBakeoffPreds)
+      .toDF("pred", "plo", "phi"))
+    // ALL sums are order-free integers: per-bucket estimate terms are
+    // (ov·bcnt·10⁶) div width micro-units, per-pred errors are floored
+    // micro-units — no double ever rides an aggregation.
+    def audit(h: DataFrame, name: String): DataFrame = {
+      val bstats = h.groupBy(col("bkt"))
+        .agg(min(col("cell")).as("bmin"), max(col("cell")).as("bmax"),
+          sum(col("cnt")).cast("long").as("bcnt"))
+      val est = bstats.crossJoin(preds)
+        .withColumn("ov", greatest(lit(0L),
+          least(col("phi"), col("bmax")) -
+            greatest(col("plo"), col("bmin")) + 1L))
+        .groupBy(col("pred"))
+        .agg(sum(expr("(ov * bcnt * 1000000) div (bmax - bmin + 1)"))
+          .cast("long").as("est_micro"))
+      val exact = cells.crossJoin(preds)
+        .filter(col("cell") >= col("plo") && col("cell") <= col("phi"))
+        .groupBy(col("pred"))
+        .agg(sum(col("cnt")).cast("long").as("exact"))
+      preds.select(col("pred")).join(est, Seq("pred"), "left")
+        .join(exact, Seq("pred"), "left")
+        .select(col("pred"),
+          coalesce(col("est_micro"), lit(0L)).as("est_micro"),
+          coalesce(col("exact"), lit(0L)).as("exact"))
+        .withColumn("relerr_micro", floor(
+          abs(col("est_micro").cast("double") / 1000000.0 -
+            col("exact").cast("double")) /
+          greatest(col("exact").cast("double"), lit(1.0)) * 1000000.0)
+          .cast("long"))
+        .agg(count(lit(1)).cast("long").as("n_preds"),
+          sum(col("relerr_micro")).cast("long").as("err_sum"),
+          max(col("relerr_micro")).cast("long").as("err_max"))
+        .select(lit(name).as("histogram"), col("n_preds"),
+          round(col("err_sum").cast("double") /
+            (col("n_preds").cast("double") * 1000000.0), 4)
+            .as("mean_rel_err"),
+          round(col("err_max").cast("double") / 1000000.0, 4)
+            .as("max_rel_err"))
+    }
+    audit(ew, "equi_width").unionByName(audit(ed, "equi_depth"))
+      .unionByName(audit(md, "maxdiff"))
+      .orderBy(col("histogram"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

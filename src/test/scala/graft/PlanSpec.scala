@@ -1559,6 +1559,19 @@ class PlanSpec extends SparkSpec {
     pf.getAs[Long]("n_candidates") should be >= pf.getAs[Long]("n_truth")
   }
 
+  test("q350 every scheme covers the workload and errors are coherent") {
+    val rows = queries.EvalQueries.q350_histogram_bakeoff(spark, dir)
+      .collect()
+    rows.length shouldBe 3
+    rows.foreach { r =>
+      r.getAs[Long]("n_preds") shouldBe 16L
+      val mean = r.getAs[Double]("mean_rel_err")
+      val mx = r.getAs[Double]("max_rel_err")
+      mean should be >= 0.0
+      mx should be >= mean - 1e-9 // mean of nonneg values never beats max
+    }
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
