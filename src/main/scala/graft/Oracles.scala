@@ -8912,6 +8912,85 @@ object Oracles {
          |  ${scheme("md", "maxdiff")}
          |) ORDER BY histogram""".stripMargin
     },
+
+    // q351: same path→transition build; 12 unrolled integer micro-unit
+    // rounds per variant (Σ T·p then one floor-div — exact mirror of
+    // the driver arithmetic).
+    "q351_markov_attribution" -> {
+      val channels = Seq("click", "error", "signup", "view")
+      def rounds(v: String): String = {
+        val tv = if (v == "base") "tm"
+          else s"(SELECT * FROM tm WHERE dst <> '$v')"
+        val chain = (1 to 12).map { k =>
+          s"""p_${v}_$k AS (
+             |  SELECT s.state, CASE WHEN s.state = 'purchase'
+             |    THEN CAST(1000000 AS BIGINT)
+             |    ELSE CAST(COALESCE((SELECT SUM(t.tmic * p.pmic)
+             |      FROM $tv t JOIN p_${v}_${k - 1} p ON t.dst = p.state
+             |      WHERE t.src = s.state), 0) // 1000000 AS BIGINT) END
+             |    AS pmic
+             |  FROM states s
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""p_${v}_0 AS (
+           |  SELECT state, CASE WHEN state = 'purchase'
+           |    THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+           |    AS pmic
+           |  FROM states
+           |),
+           |$chain""".stripMargin
+      }
+      val effRows = channels.map { c =>
+        s"""SELECT '$c' AS channel,
+           |  (SELECT pmic FROM p_base_12 WHERE state = 'START')
+           |    AS p_base_micro,
+           |  (SELECT pmic FROM p_${c}_12 WHERE state = 'START')
+           |    AS p_removed_micro""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events
+         |), fp AS (
+         |  SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+         |    OVER (PARTITION BY user_id) AS fpn
+         |  FROM ev
+         |), kept AS (
+         |  SELECT *, lead(event_type) OVER (PARTITION BY user_id
+         |    ORDER BY tus, event_id) AS nxt
+         |  FROM fp WHERE fpn IS NULL OR rn <= fpn
+         |), trans AS MATERIALIZED (
+         |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |    SELECT event_type AS src, COALESCE(nxt, 'null') AS dst
+         |    FROM kept WHERE event_type <> 'purchase'
+         |    UNION ALL
+         |    SELECT 'START', event_type FROM kept WHERE rn = 1
+         |  ) GROUP BY 1, 2
+         |), outc AS (
+         |  SELECT src, CAST(SUM(cnt) AS BIGINT) AS outn
+         |  FROM trans GROUP BY 1
+         |), tm AS MATERIALIZED (
+         |  SELECT t.src, t.dst, (t.cnt * 1000000) // o.outn AS tmic
+         |  FROM trans t JOIN outc o ON t.src = o.src
+         |), states AS MATERIALIZED (
+         |  SELECT DISTINCT src AS state FROM tm
+         |  UNION SELECT 'purchase'
+         |),
+         |${(Seq("base") ++ channels).map(rounds).mkString(",\n")},
+         |effs AS ($effRows)
+         |SELECT channel, p_base_micro, p_removed_micro,
+         |  round(CASE WHEN p_base_micro = 0 THEN 0.0
+         |    ELSE CAST(p_base_micro - p_removed_micro AS DOUBLE)
+         |      / CAST(p_base_micro AS DOUBLE) END, 6) AS removal_effect,
+         |  round(CASE WHEN (SELECT SUM(e2.p_base_micro - e2.p_removed_micro)
+         |      FROM effs e2) = 0 THEN 0.0
+         |    ELSE CAST(p_base_micro - p_removed_micro AS DOUBLE)
+         |      / CAST((SELECT SUM(e2.p_base_micro - e2.p_removed_micro)
+         |        FROM effs e2) AS DOUBLE)
+         |    END, 6) AS attribution_share
+         |FROM effs ORDER BY channel""".stripMargin
+    },
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

@@ -3042,6 +3042,79 @@ object EvalQueries {
       .orderBy(col("histogram"))
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * channel-attribution model that beats last-touch (q147) and
+    * complements Shapley (q220): user event paths up to first purchase
+    * become a Markov chain (START → … → purchase | null), conversion
+    * probability is 12 unrolled integer micro-unit iterations (Σ T·p
+    * then one floor-div per state — order-free, bit-portable), and each
+    * channel's removal effect is the conversion drop when transitions
+    * INTO it are deleted. Shares normalize the effects. The distributed
+    * work is the per-user path → transition-count aggregate; the chain
+    * itself is a ≤7-state bounded grain evaluated with exact integer
+    * math driver-side, mirrored by the oracle's unrolled SQL rounds. */
+  def q351_markov_attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("fp", min(when(col("event_type") === "purchase",
+        col("rn"))).over(Window.partitionBy(col("user_id"))))
+    val kept = ev.filter(col("fp").isNull || col("rn") <= col("fp"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+    val trans = kept.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("src"),
+        coalesce(col("nxt"), lit("null")).as("dst"))
+      .unionByName(kept.filter(col("rn") === 1)
+        .select(lit("START").as("src"), col("event_type").as("dst")))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .collect() // bounded: ≤ 7×7 transition cells
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val outN = trans.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val tMic = trans.map { case (s, t, c) => (s, t, c * 1000000L / outN(s)) }
+    val states = (trans.map(_._1) ++ Seq("purchase")).distinct.sorted
+    def converge(removed: Option[String]): Long = {
+      val tt = removed.fold(tMic)(c => tMic.filter(_._2 != c))
+      var p = states.map(s =>
+        s -> (if (s == "purchase") 1000000L else 0L)).toMap
+      for (_ <- 1 to 12) {
+        p = states.map { s =>
+          s -> (if (s == "purchase") 1000000L
+          else tt.filter(_._1 == s)
+            .map { case (_, t, m) => m * p.getOrElse(t, 0L) }
+            .sum / 1000000L)
+        }.toMap
+      }
+      p.getOrElse("START", 0L)
+    }
+    val base = converge(None)
+    val channels = states.filter(s => s != "purchase" && s != "START")
+    val effects = channels.map { c =>
+      val pc = converge(Some(c))
+      val eff = if (base == 0) 0.0
+        else (base - pc).toDouble / base.toDouble
+      (c, pc, eff)
+    }
+    // shares as exact integer ratios: the /base factor cancels, so
+    // share = (base − pc) / Σ(base − pc) — no double summation anywhere
+    val dropSum = effects.map { case (_, pc, _) => base - pc }.sum
+    val rows = effects.map { case (c, pc, eff) =>
+      (c, base, pc,
+        BigDecimal(eff).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        BigDecimal(if (dropSum == 0L) 0.0
+          else (base - pc).toDouble / dropSum.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    spark.createDataFrame(rows)
+      .toDF("channel", "p_base_micro", "p_removed_micro",
+        "removal_effect", "attribution_share")
+      .orderBy(col("channel"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

@@ -1572,6 +1572,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q351 removal never helps and shares form a distribution") {
+    val rows = queries.EvalQueries.q351_markov_attribution(spark, dir)
+      .collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      r.getAs[Long]("p_removed_micro") should be <=
+        r.getAs[Long]("p_base_micro") // removing a channel can't add paths
+      val e = r.getAs[Double]("removal_effect")
+      e should (be >= 0.0 and be <= 1.0)
+    }
+    val shareSum = rows.map(_.getAs[Double]("attribution_share")).sum
+    shareSum shouldBe 1.0 +- 1e-4
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
