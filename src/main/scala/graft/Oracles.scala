@@ -8991,6 +8991,82 @@ object Oracles {
          |    END, 6) AS attribution_share
          |FROM effs ORDER BY channel""".stripMargin
     },
+
+    // q352: identical per-supplier replay recurrences as recursive
+    // CTEs; pure integer/list ops.
+    "q352_cache_replay" -> {
+      val configs = Seq(("lru", 4), ("lru", 16), ("fifo", 4), ("fifo", 16))
+      def rec(policy: String, cap: Int): String = {
+        val sfx = s"${policy}_$cap"
+        val hit =
+          if (policy == "lru")
+            s"list_prepend(a[idx + 1], list_filter(q, e -> e <> a[idx + 1]))"
+          else "q"
+        s"""rec_$sfx(s, a, idx, q, h) AS (
+           |  SELECT s, a, 0, CAST([] AS BIGINT[]), CAST(0 AS BIGINT)
+           |  FROM accs
+           |  UNION ALL
+           |  SELECT s, a, idx + 1,
+           |    CASE WHEN list_contains(q, a[idx + 1]) THEN $hit
+           |      ELSE (list_prepend(a[idx + 1], q))[1:$cap] END,
+           |    CASE WHEN list_contains(q, a[idx + 1]) THEN h + 1
+           |      ELSE h END
+           |  FROM rec_$sfx WHERE idx < len(a)
+           |), res_$sfx AS (
+           |  SELECT CAST(SUM(len(a)) AS BIGINT) AS n_accesses,
+           |    CAST(SUM(h) AS BIGINT) AS hits
+           |  FROM rec_$sfx WHERE idx = len(a)
+           |)""".stripMargin
+      }
+      val rows = configs.map { case (p, c) =>
+        s"""SELECT '$p' AS policy, CAST($c AS BIGINT) AS cache_size,
+           |  n_accesses, hits,
+           |  round(CAST(hits AS DOUBLE) / CAST(n_accesses AS DOUBLE), 6)
+           |    AS hit_rate
+           |FROM res_${p}_$c""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH RECURSIVE accs AS MATERIALIZED (
+         |  SELECT l_suppkey AS s,
+         |    (list(l_partkey ORDER BY l_orderkey, l_linenumber, l_partkey))[1:512]
+         |      AS a
+         |  FROM lineitem GROUP BY 1
+         |),
+         |${configs.map { case (p, c) => rec(p, c) }.mkString(",\n")}
+         |SELECT * FROM ($rows)
+         |ORDER BY policy, cache_size""".stripMargin
+    },
+
+    // q353: same +1/−1 sweep, one global running-sum window per bound
+    // (associative ≡ the blockwise form), expiry-first tie order.
+    "q353_join_state_advisor" -> {
+      val stanzas = Seq(60L, 600L, 3600L).map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS bound_s,
+           |  CAST(COUNT(*) AS BIGINT) AS n_events,
+           |  CAST(MAX(state) AS BIGINT) AS peak_state,
+           |  round(CAST(SUM(state) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+           |    4) AS avg_state
+           |FROM (
+           |  SELECT d, SUM(d) OVER (ORDER BY pt, d, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+           |  FROM (
+           |    SELECT arrival AS pt, CAST(1 AS BIGINT) AS d, event_id
+           |    FROM arr
+           |    UNION ALL
+           |    SELECT arrival + CAST($t AS BIGINT) * 1000000,
+           |      CAST(-1 AS BIGINT), event_id
+           |    FROM arr
+           |  )
+           |) WHERE d = 1""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH arr AS MATERIALIZED (
+         |  SELECT event_id, epoch_us(ts)
+         |    + CAST(CAST(md5_number_upper(CAST(event_id AS VARCHAR))
+         |      AS HUGEINT) % 2305843009213693951 AS BIGINT) % 120000000
+         |    AS arrival
+         |  FROM events
+         |)
+         |SELECT * FROM ($stanzas) ORDER BY bound_s""".stripMargin
+    },
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

@@ -3115,6 +3115,105 @@ object EvalQueries {
       .orderBy(col("channel"))
   }
 
+  /** Cache-policy replay advisor — LRU vs FIFO hit rates at two cache
+    * sizes, replayed over each supplier's part-access stream (lineitem
+    * in order, first 512 accesses per supplier — the bounded replay
+    * sample a buffer-pool/shuffle-fetch-cache decision needs). Each
+    * (policy, size) is ONE codegen HOF fold per supplier (state =
+    * recency/arrival queue + hit counter, pure array ops), suppliers
+    * fold in parallel, and hits aggregate as integers. The oracle
+    * replays the identical recurrence as recursive CTEs. Scale shape:
+    * per-key sequential replay is the algorithm's nature; the bound is
+    * the per-key sample, the parallelism is across keys. */
+  def q352_cache_replay(spark: SparkSession, dir: String): DataFrame = {
+    val configs = Seq(("lru", 4), ("lru", 16), ("fifo", 4), ("fifo", 16))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val acc = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 512)
+      .groupBy(col("l_suppkey"))
+      .agg(expr("sort_array(collect_list(struct(l_orderkey," +
+        " l_linenumber, l_partkey)))").as("st"))
+      .select(col("l_suppkey"),
+        expr("transform(st, e -> e.l_partkey)").as("accs"))
+      .localCheckpoint(true)
+    def fold(policy: String, cap: Int): String = {
+      val onHit =
+        if (policy == "lru")
+          s"named_struct('q', concat(array(x), filter(st.q," +
+            s" e -> e != x)), 'h', st.h + CAST(1 AS BIGINT))"
+        else s"named_struct('q', st.q, 'h', st.h + CAST(1 AS BIGINT))"
+      s"""aggregate(accs,
+         |  named_struct('q', CAST(array() AS ARRAY<BIGINT>),
+         |    'h', CAST(0 AS BIGINT)),
+         |  (st, x) -> IF(array_contains(st.q, x), $onHit,
+         |    named_struct('q', slice(concat(array(x), st.q), 1, $cap),
+         |      'h', st.h)),
+         |  st -> st.h)""".stripMargin
+    }
+    configs.map { case (p, c) =>
+      acc.select(size(col("accs")).cast("long").as("n"),
+          expr(fold(p, c)).as("hits"))
+        .agg(sum(col("n")).cast("long").as("n_accesses"),
+          sum(col("hits")).cast("long").as("hits"))
+        .select(lit(p).as("policy"), lit(c.toLong).as("cache_size"),
+          col("n_accesses"), col("hits"),
+          round(col("hits").cast("double") /
+            col("n_accesses").cast("double"), 6).as("hit_rate"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("policy"), col("cache_size"))
+  }
+
+  /** Stream-stream join state-size advisor — the memory number behind
+    * an interval join's time bound: for each candidate bound T, the
+    * concurrent state (events retained within the trailing T window) is
+    * replayed exactly with a +1/−1 sweep — (arrival, +1) and
+    * (arrival+T, −1) points, expiry-before-admission tie order, running
+    * sum — reporting peak and average state. The running sum is
+    * associative, so it runs blockwise + prefix over the bounded block
+    * grain (the q343 pattern); arrivals reuse the deterministic jitter
+    * replay. All integers. */
+  def q353_join_state_advisor(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Seq(60L, 600L, 3600L) // seconds
+    val arr = Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("arrival", col("tus") +
+        element_at(graft.functions.MinHashSig
+          .minhashSig(array(col("event_id").cast("string")), 1), 1)
+          % 120000000L)
+      .select(col("event_id"), col("arrival"))
+      .localCheckpoint(true)
+    bounds.map { t =>
+      val pts = arr.select(col("arrival").as("pt"), lit(1L).as("d"),
+          col("event_id"))
+        .unionByName(arr.select((col("arrival") + t * 1000000L).as("pt"),
+          lit(-1L).as("d"), col("event_id")))
+        .withColumn("blk", expr("pt div 600000000"))
+      val wIn = Window.partitionBy(col("blk"))
+        .orderBy(col("pt"), col("d"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blkSum = pts.groupBy(col("blk"))
+        .agg(sum(col("d")).cast("long").as("bs"))
+        .withColumn("ps", coalesce(
+          sum(col("bs")).over(Window.orderBy(col("blk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("blk"), col("ps"))
+      pts.withColumn("run_in", sum(col("d")).over(wIn))
+        .join(broadcast(blkSum), "blk")
+        .withColumn("state", col("run_in") + col("ps"))
+        .filter(col("d") === 1L)
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          max(col("state")).cast("long").as("peak_state"),
+          sum(col("state")).cast("long").as("state_sum"))
+        .select(lit(t).as("bound_s"), col("n_events"), col("peak_state"),
+          round(col("state_sum").cast("double") /
+            col("n_events").cast("double"), 4).as("avg_state"))
+    }.reduce(_ unionByName _).orderBy(col("bound_s"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

@@ -1586,6 +1586,35 @@ class PlanSpec extends SparkSpec {
     shareSum shouldBe 1.0 +- 1e-4
   }
 
+  test("q352 bigger caches never hurt and LRU>=FIFO is reported as-is") {
+    val rows = queries.EvalQueries.q352_cache_replay(spark, dir).collect()
+      .map(r => (r.getAs[String]("policy"), r.getAs[Long]("cache_size")) -> r)
+      .toMap
+    rows.size shouldBe 4
+    Seq("lru", "fifo").foreach { p =>
+      rows((p, 16L)).getAs[Long]("hits") should be >=
+        rows((p, 4L)).getAs[Long]("hits") // inclusion property at work
+    }
+    rows.values.foreach { r =>
+      r.getAs[Long]("hits") should be <= r.getAs[Long]("n_accesses")
+    }
+  }
+
+  test("q353 state grows with the bound and peak bounds the average") {
+    val rows = queries.EvalQueries.q353_join_state_advisor(spark, dir)
+      .collect().sortBy(_.getAs[Long]("bound_s"))
+    rows.length shouldBe 3
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getAs[Long]("peak_state") should be >= a.getAs[Long]("peak_state")
+      b.getAs[Double]("avg_state") should be >= a.getAs[Double]("avg_state")
+    }
+    rows.foreach { r =>
+      r.getAs[Double]("avg_state") should be <=
+        r.getAs[Long]("peak_state").toDouble
+      r.getAs[Long]("peak_state") should be >= 1L // an event is its own state
+    }
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
