@@ -9067,6 +9067,81 @@ object Oracles {
          |)
          |SELECT * FROM ($stanzas) ORDER BY bound_s""".stripMargin
     },
+
+    // q354: same chunking, same exact run census, same cost minimums.
+    "q354_roaring_advisor" ->
+      """WITH posts AS (
+        |  SELECT DISTINCT c.c_mktsegment AS segment, o.o_orderkey AS k
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |), ch AS (
+        |  SELECT segment, k // 4096 AS chunk, k,
+        |    lag(k) OVER (PARTITION BY segment, k // 4096 ORDER BY k)
+        |      AS prev
+        |  FROM posts
+        |), agg AS (
+        |  SELECT segment, chunk, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> k - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        |  FROM ch GROUP BY 1, 2
+        |), cost AS (
+        |  SELECT segment, chunk, n, n * 2 AS c_array,
+        |    CAST(512 AS BIGINT) AS c_bitmap, runs * 4 + 2 AS c_run
+        |  FROM agg
+        |), typed AS (
+        |  SELECT *, least(c_array, c_bitmap, c_run) AS best,
+        |    CASE WHEN c_run <= c_array AND c_run <= c_bitmap THEN 'run'
+        |      WHEN c_array <= c_bitmap THEN 'array'
+        |      ELSE 'bitmap' END AS ctype
+        |  FROM cost
+        |)
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(n) AS BIGINT) AS n_values,
+        |  CAST(SUM(best) AS BIGINT) AS bytes_roaring,
+        |  CAST(SUM(c_array) AS BIGINT) AS bytes_array_only,
+        |  CAST(SUM(c_bitmap) AS BIGINT) AS bytes_bitmap_only,
+        |  CAST(SUM(CASE WHEN ctype = 'run' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_run_containers,
+        |  CAST(SUM(CASE WHEN ctype = 'array' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_array_containers,
+        |  CAST(SUM(n) * 4 AS BIGINT) AS bytes_raw,
+        |  round(CAST(SUM(n) * 4 AS DOUBLE) / CAST(SUM(best) AS DOUBLE), 4)
+        |    AS compression
+        |FROM typed GROUP BY segment ORDER BY segment""".stripMargin,
+
+    // q355: same dense ranks, same endpoint interpolation, same
+    // floored micro-unit mean.
+    "q355_learned_index_audit" ->
+      """WITH keys AS (
+        |  SELECT k, CAST(row_number() OVER (ORDER BY k) - 1 AS BIGINT)
+        |    AS r
+        |  FROM (SELECT DISTINCT CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |    * 100 AS BIGINT) AS k FROM orders)
+        |), seg AS (
+        |  SELECT k, r, r // 256 AS seg FROM keys
+        |), ends AS (
+        |  SELECT seg, MIN(k) AS k0, MAX(k) AS k1, MIN(r) AS r0,
+        |    MAX(r) AS r1
+        |  FROM seg GROUP BY 1
+        |), eps AS (
+        |  SELECT s.seg,
+        |    MAX(abs(CASE WHEN e.k1 = e.k0 THEN CAST(e.r0 AS DOUBLE)
+        |      ELSE CAST(e.r0 AS DOUBLE) + CAST(s.k - e.k0 AS DOUBLE)
+        |        * CAST(e.r1 - e.r0 AS DOUBLE)
+        |        / CAST(e.k1 - e.k0 AS DOUBLE) END
+        |      - CAST(s.r AS DOUBLE))) AS seg_eps,
+        |    CAST(COUNT(*) AS BIGINT) AS seg_n
+        |  FROM seg s JOIN ends e ON s.seg = e.seg
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(SUM(seg_n) AS BIGINT) AS n_keys,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  round(MAX(seg_eps), 4) AS max_eps,
+        |  round(CAST(SUM(CAST(floor(seg_eps * 1000000.0) AS BIGINT))
+        |      AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 4)
+        |    AS mean_seg_eps,
+        |  round(CAST(SUM(CASE WHEN seg_eps <= 8.0 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS frac_eps_le_8
+        |FROM eps""".stripMargin,
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

@@ -3214,6 +3214,112 @@ object EvalQueries {
     }.reduce(_ unionByName _).orderBy(col("bound_s"))
   }
 
+  /** Roaring-bitmap container advisor (Chambi et al. 2016) — the
+    * per-chunk array/bitmap/run decision that makes compressed postings
+    * work, applied to per-segment orderkey posting lists on a
+    * 4096-value chunk universe: array costs 2n bytes, bitmap a flat
+    * 512, run 4·runs+2 (runs counted exactly via presence of the
+    * predecessor integer) — each chunk takes its minimum, and the
+    * report compares roaring bytes against array-only, bitmap-only and
+    * raw-int encodings. Pure integer arithmetic. Scale shape: one
+    * sorted-adjacency pass per (segment, chunk) partition — the chunk
+    * grain is value-domain bounded, never corpus bounded. */
+  def q354_roaring_advisor(spark: SparkSession, dir: String): DataFrame = {
+    val u = 4096L
+    val posts = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("segment"), col("o_orderkey").as("k")).distinct()
+      .withColumn("chunk", expr(s"k div $u"))
+    val wc = Window.partitionBy(col("segment"), col("chunk"))
+      .orderBy(col("k"))
+    val chunks = posts
+      .withColumn("prev", lag(col("k"), 1).over(wc))
+      .withColumn("runStart",
+        when(col("prev").isNull || col("prev") =!= col("k") - 1, 1L)
+          .otherwise(0L))
+      .groupBy(col("segment"), col("chunk"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("runStart")).cast("long").as("runs"))
+      .withColumn("c_array", col("n") * 2L)
+      .withColumn("c_bitmap", lit(u / 8L))
+      .withColumn("c_run", col("runs") * 4L + 2L)
+      .withColumn("best", least(col("c_array"), col("c_bitmap"),
+        col("c_run")))
+      .withColumn("ctype",
+        when(col("c_run") <= col("c_array") &&
+          col("c_run") <= col("c_bitmap"), "run")
+          .when(col("c_array") <= col("c_bitmap"), "array")
+          .otherwise("bitmap"))
+    chunks.groupBy(col("segment"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(col("n")).cast("long").as("n_values"),
+        sum(col("best")).cast("long").as("bytes_roaring"),
+        sum(col("c_array")).cast("long").as("bytes_array_only"),
+        sum(col("c_bitmap")).cast("long").as("bytes_bitmap_only"),
+        sum(when(col("ctype") === "run", 1L).otherwise(0L)).cast("long")
+          .as("n_run_containers"),
+        sum(when(col("ctype") === "array", 1L).otherwise(0L)).cast("long")
+          .as("n_array_containers"))
+      .withColumn("bytes_raw", col("n_values") * 4L)
+      .withColumn("compression",
+        round(col("bytes_raw").cast("double") /
+          col("bytes_roaring").cast("double"), 4))
+      .orderBy(col("segment"))
+  }
+
+  /** Learned-index feasibility audit (Kraska SIGMOD'18 / PGM-index) —
+    * how learnable is the key→rank CDF: distinct price-cents keys get
+    * dense ranks, 256-key segments interpolate linearly between their
+    * endpoint (key, rank) pairs, and ε = max |predicted − actual rank|
+    * per segment is the search-window a learned index would need (vs
+    * the fixed fanout a B-tree pays regardless). Per-row predictions
+    * are single IEEE expressions; segment maxima are order-free; the
+    * mean of per-segment maxima rides as floored micro-units. Scale
+    * shape: the grain is DISTINCT key values — value-domain bounded —
+    * and everything is one window pass plus a segment aggregate. */
+  def q355_learned_index_audit(spark: SparkSession, dir: String): DataFrame = {
+    val segLen = 256L
+    val keys = Tables.orders(spark, dir)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("k"))
+      .distinct()
+      .withColumn("r", (row_number().over(Window.orderBy(col("k"))) - 1)
+        .cast("long"))
+      .withColumn("seg", expr(s"r div $segLen"))
+      .localCheckpoint(true)
+    val ends = keys.groupBy(col("seg"))
+      .agg(min(col("k")).as("k0"), max(col("k")).as("k1"),
+        min(col("r")).as("r0"), max(col("r")).as("r1"))
+    val eps = keys.join(broadcast(ends), "seg")
+      .withColumn("pred", when(col("k1") === col("k0"),
+        col("r0").cast("double"))
+        .otherwise(col("r0").cast("double") +
+          (col("k") - col("k0")).cast("double") *
+          (col("r1") - col("r0")).cast("double") /
+          (col("k1") - col("k0")).cast("double")))
+      .withColumn("err", abs(col("pred") - col("r").cast("double")))
+      .groupBy(col("seg"))
+      .agg(max(col("err")).as("seg_eps"),
+        count(lit(1)).cast("long").as("seg_n"))
+      .localCheckpoint(true)
+    eps.agg(sum(col("seg_n")).cast("long").as("n_keys"),
+        count(lit(1)).cast("long").as("n_segments"),
+        max(col("seg_eps")).as("max_eps_d"),
+        sum(floor(col("seg_eps") * 1000000.0).cast("long")).cast("long")
+          .as("eps_micro_sum"),
+        sum(when(col("seg_eps") <= 8.0, 1L).otherwise(0L)).cast("long")
+          .as("n_small_eps"))
+      .select(col("n_keys"), col("n_segments"),
+        round(col("max_eps_d"), 4).as("max_eps"),
+        round(col("eps_micro_sum").cast("double") /
+          (col("n_segments").cast("double") * 1000000.0), 4)
+          .as("mean_seg_eps"),
+        round(col("n_small_eps").cast("double") /
+          col("n_segments").cast("double"), 6).as("frac_eps_le_8"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

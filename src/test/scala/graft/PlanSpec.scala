@@ -1615,6 +1615,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q354 roaring never loses to either pure encoding") {
+    val rows = queries.EvalQueries.q354_roaring_advisor(spark, dir).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val ro = r.getAs[Long]("bytes_roaring")
+      ro should be <= r.getAs[Long]("bytes_array_only")
+      ro should be <= r.getAs[Long]("bytes_bitmap_only")
+      r.getAs[Double]("compression") should be >= 1.0 // vs 4-byte raw
+      r.getAs[Long]("n_run_containers") +
+        r.getAs[Long]("n_array_containers") should be <=
+        r.getAs[Long]("n_chunks")
+    }
+  }
+
+  test("q355 epsilon stats are coherent and segments cover all keys") {
+    val r = queries.EvalQueries.q355_learned_index_audit(spark, dir)
+      .collect().head
+    r.getAs[Long]("n_segments") shouldBe
+      (r.getAs[Long]("n_keys") + 255L) / 256L
+    r.getAs[Double]("mean_seg_eps") should be <= r.getAs[Double]("max_eps")
+    // endpoints are exact by construction, so eps < segment length
+    r.getAs[Double]("max_eps") should be < 256.0
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
