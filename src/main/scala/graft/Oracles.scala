@@ -9142,6 +9142,46 @@ object Oracles {
         |  round(CAST(SUM(CASE WHEN seg_eps <= 8.0 THEN 1 ELSE 0 END)
         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS frac_eps_le_8
         |FROM eps""".stripMargin,
+
+    // q356: q330's frame slicing with positions kept; same rarity
+    // filters, same offset voting and tie order.
+    "q356_clip_alignment" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |), fr AS (
+        |  SELECT DISTINCT media_id, CAST(i AS BIGINT) AS idx,
+        |    md5(substring(text, i * 16 + 1, 16)) AS fh
+        |  FROM media, unnest(range(0,
+        |    greatest(CAST(floor(len(text) / 16.0) AS INT) - 1, 0) + 1))
+        |    u(i)
+        |), hstats AS (
+        |  SELECT fh FROM fr GROUP BY fh
+        |  HAVING COUNT(DISTINCT media_id) <= 100
+        |), mstats AS (
+        |  SELECT fh, media_id FROM fr GROUP BY fh, media_id
+        |  HAVING COUNT(*) <= 4
+        |), rare AS MATERIALIZED (
+        |  SELECT f.media_id, f.idx, f.fh
+        |  FROM fr f
+        |  JOIN hstats h ON f.fh = h.fh
+        |  JOIN mstats m ON f.fh = m.fh AND f.media_id = m.media_id
+        |), votes AS (
+        |  SELECT a.media_id AS a, b.media_id AS b,
+        |    a.idx - b.idx AS "offset", CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM rare a JOIN rare b
+        |    ON a.fh = b.fh AND a.media_id < b.media_id
+        |  GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY a, b
+        |      ORDER BY v DESC, "offset" ASC) AS rn,
+        |    CAST(SUM(v) OVER (PARTITION BY a, b) AS BIGINT) AS total
+        |  FROM votes
+        |)
+        |SELECT a, b, "offset", v AS votes, total AS total_votes,
+        |  round(CAST(v AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS align_share
+        |FROM ranked WHERE rn = 1 AND v >= 8
+        |ORDER BY a, b""".stripMargin,
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

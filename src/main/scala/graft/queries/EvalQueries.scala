@@ -3320,6 +3320,58 @@ object EvalQueries {
           col("n_segments").cast("double"), 6).as("frac_eps_le_8"))
   }
 
+  /** Clip temporal alignment — the audio/video "is B a shifted clip of
+    * A" primitive (Wang'03 constellation voting, frame-hash form): for
+    * candidate media pairs sharing rare frame hashes (≤100 media per
+    * hash — the q330 cap — and ≤4 positions per media, the
+    * distinctive-peak rule), every co-occurrence votes for offset
+    * idx_a − idx_b; the winning offset and its vote share quantify the
+    * alignment. Pairs need ≥8 top-offset votes to report. All integer
+    * positions/counts. Scale shape: shuffles carry (hash, id, idx);
+    * votes aggregate on the candidate-pair grain; payload bytes never
+    * leave their executor. PlanSpec plants a shifted clip and recovers
+    * its exact offset. */
+  def q356_clip_alignment(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.packBinary(
+      Tables.documents(spark, dir), "doc_id", "text", "video", "source")
+    val frames = Multimodal.sampleFrames(media, "payload",
+        frameBytes = 16, stride = 1)
+      .select(col("media_id"), col("frame_idx").cast("long").as("idx"),
+        md5(col("frame")).as("fh"))
+      .distinct()
+      .localCheckpoint(true)
+    val rare = frames
+      .join(frames.groupBy(col("fh"))
+        .agg(countDistinct(col("media_id")).as("dfm"),
+          count(lit(1)).cast("long").as("occ"))
+        .filter(col("dfm") <= 100), "fh")
+      .join(frames.groupBy(col("fh"), col("media_id"))
+        .agg(count(lit(1)).cast("long").as("perMedia"))
+        .filter(col("perMedia") <= 4)
+        .select(col("fh"), col("media_id")), Seq("fh", "media_id"))
+      .select(col("media_id"), col("idx"), col("fh"))
+    val votes = rare.select(col("media_id").as("a"), col("idx").as("ia"),
+        col("fh"))
+      .join(rare.select(col("media_id").as("b"), col("idx").as("ib"),
+        col("fh")), "fh")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), (col("ia") - col("ib")).as("offset"))
+      .agg(count(lit(1)).cast("long").as("v"))
+    val w = Window.partitionBy(col("a"), col("b"))
+      .orderBy(col("v").desc, col("offset").asc)
+    votes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("total", sum(col("v")).over(
+        Window.partitionBy(col("a"), col("b"))))
+      .filter(col("rn") === 1 && col("v") >= 8)
+      .select(col("a"), col("b"), col("offset"), col("v").as("votes"),
+        col("total").cast("long").as("total_votes"),
+        round(col("v").cast("double") / col("total").cast("double"), 6)
+          .as("align_share"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

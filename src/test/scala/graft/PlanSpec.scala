@@ -1639,6 +1639,44 @@ class PlanSpec extends SparkSpec {
     r.getAs[Double]("max_eps") should be < 256.0
   }
 
+  test("q356 offset voting recovers a planted shifted clip exactly") {
+    import org.apache.spark.sql.functions.{col, lit, md5, expr, count => fcount, row_number => frownum}
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits._
+    // media 1 = 40 distinct frames; media 2 = the same content shifted
+    // by exactly 3 frames (48 bytes cut from the front)
+    val content = (0 until 40).map(i => f"FRAME_${i}%04d_PAYLOAD").mkString
+    val planted = Seq((1L, content), (2L, content.substring(48)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", expr("length(text)"))
+    val media = graft.multimodal.Multimodal.packBinary(
+      planted, "doc_id", "text", "video", "source")
+    val fr = graft.multimodal.Multimodal
+      .sampleFrames(media, "payload", frameBytes = 16, stride = 1)
+      .select(col("media_id"), col("frame_idx").cast("long").as("idx"),
+        md5(col("frame")).as("fh")).distinct()
+    val votes = fr.select(col("media_id").as("a"), col("idx").as("ia"),
+        col("fh"))
+      .join(fr.select(col("media_id").as("b"), col("idx").as("ib"),
+        col("fh")), "fh")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), (col("ia") - col("ib")).as("offset"))
+      .agg(fcount(lit(1)).as("v"))
+    val top = votes.withColumn("rn", frownum().over(
+        W.partitionBy(col("a"), col("b"))
+          .orderBy(col("v").desc, col("offset").asc)))
+      .filter(col("rn") === 1).collect().head
+    top.getAs[Long]("offset") shouldBe 3L // 48 bytes = exactly 3 frames
+    // and the shipped query's own output is coherent on real data
+    val rows = queries.EvalQueries.q356_clip_alignment(spark, dir).collect()
+    rows.foreach { r =>
+      r.getAs[Long]("votes") should be <= r.getAs[Long]("total_votes")
+      val sh = r.getAs[Double]("align_share")
+      sh should (be > 0.0 and be <= 1.0)
+    }
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
