@@ -9182,6 +9182,128 @@ object Oracles {
         |    AS align_share
         |FROM ranked WHERE rn = 1 AND v >= 8
         |ORDER BY a, b""".stripMargin,
+
+    // q357: same piece split + q333's recursive FFD fold at cap 512;
+    // crossings from the same doc_id-ordered integer prefix sums.
+    "q357_packing_tradeoff" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS len
+        |  FROM documents
+        |), con AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(CASE WHEN (e - 1) // 512 > (e - len) // 512
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS docs_cut,
+        |    CAST(SUM((e - 1) // 512 - (e - len) // 512) AS BIGINT)
+        |      AS n_crossings
+        |  FROM (
+        |    SELECT source, len, SUM(len) OVER (PARTITION BY source
+        |      ORDER BY doc_id) AS e
+        |    FROM d
+        |  ) GROUP BY 1
+        |), s AS (
+        |  SELECT source, CAST(SUM(len // 512) AS BIGINT) AS full_bins,
+        |    list(len % 512 ORDER BY len % 512 DESC)
+        |      FILTER (len % 512 > 0) AS sizes
+        |  FROM d GROUP BY 1
+        |), rec AS (
+        |  SELECT source, full_bins, sizes, CAST(0 AS BIGINT) AS idx,
+        |    CAST([] AS BIGINT[]) AS bins
+        |  FROM s
+        |  UNION ALL
+        |  SELECT source, full_bins, sizes, idx + 1,
+        |    CASE WHEN list_position(
+        |        list_transform(bins, r -> r >= sizes[idx + 1]), true) > 0
+        |      THEN list_transform(range(1, 1 + len(bins)),
+        |        i -> CASE WHEN i = list_position(
+        |            list_transform(bins, r -> r >= sizes[idx + 1]), true)
+        |          THEN bins[i] - sizes[idx + 1] ELSE bins[i] END)
+        |      ELSE list_append(bins, 512 - sizes[idx + 1]) END
+        |  FROM rec WHERE idx < len(sizes)
+        |), done AS (
+        |  SELECT source,
+        |    full_bins + CAST(len(bins) AS BIGINT) AS ffd_bins,
+        |    CAST(list_sum(bins) AS BIGINT) AS pad_tokens
+        |  FROM rec WHERE idx = len(sizes)
+        |)
+        |SELECT c.source, c.n_docs, c.total_tokens, f.ffd_bins,
+        |  COALESCE(f.pad_tokens, 0) AS pad_tokens,
+        |  round(CAST(COALESCE(f.pad_tokens, 0) AS DOUBLE)
+        |    / CAST(f.ffd_bins * 512 AS DOUBLE), 6) AS ffd_pad_frac,
+        |  (c.total_tokens + 511) // 512 AS concat_windows,
+        |  c.n_crossings, c.docs_cut,
+        |  round(CAST(c.docs_cut AS DOUBLE) / CAST(c.n_docs AS DOUBLE), 6)
+        |    AS cut_frac
+        |FROM con c JOIN done f ON c.source = f.source
+        |ORDER BY c.source""".stripMargin,
+
+    // q358: same md5-mod-32 partition model, same median order
+    // statistic and ceil-split arithmetic.
+    "q358_aqe_skew_sim" -> {
+      def mdh(x: String): String =
+        s"CAST(CAST(md5_number_upper($x) AS HUGEINT)" +
+          s" % 2305843009213693951 AS BIGINT)"
+      val scen = Seq(
+        ("uniform_suppkey",
+          s"SELECT ${mdh("CAST(l_suppkey AS VARCHAR)")} AS kh FROM lineitem"),
+        ("lowcard_quantity",
+          s"SELECT ${mdh("CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)")}" +
+            " AS kh FROM lineitem"),
+        ("planted_hot",
+          s"""SELECT CASE WHEN ${mdh("CAST(event_id AS VARCHAR)")} % 10 < 3
+             |  THEN ${mdh("'0'")}
+             |  ELSE ${mdh("CAST(event_id AS VARCHAR)")} END AS kh
+             |FROM events""".stripMargin))
+      val stanzas = scen.map { case (name, keySql) =>
+        s"""SELECT '$name' AS scenario, m.np AS n_nonempty,
+           |  m.median AS median_load, x.max_before, x.n_skewed,
+           |  x.max_after, x.n_after,
+           |  round(CAST(x.max_before AS DOUBLE) * CAST(m.np AS DOUBLE)
+           |    / CAST(m.total AS DOUBLE), 4) AS balance_before,
+           |  round(CAST(x.max_after AS DOUBLE) * CAST(x.n_after AS DOUBLE)
+           |    / CAST(m.total AS DOUBLE), 4) AS balance_after
+           |FROM (
+           |  SELECT l.load AS median, s.np, s.total FROM (
+           |    SELECT load, row_number() OVER (ORDER BY load, p) AS rn
+           |    FROM (SELECT kh % 32 AS p, CAST(COUNT(*) AS BIGINT)
+           |      AS load FROM ($keySql) GROUP BY 1) ld0
+           |  ) l CROSS JOIN (
+           |    SELECT CAST(COUNT(*) AS BIGINT) AS np,
+           |      CAST(SUM(load) AS BIGINT) AS total
+           |    FROM (SELECT kh % 32 AS p, CAST(COUNT(*) AS BIGINT)
+           |      AS load FROM ($keySql) GROUP BY 1) ld1
+           |  ) s
+           |  WHERE l.rn = (s.np + 1) // 2
+           |) m CROSS JOIN (
+           |  SELECT CAST(MAX(load) AS BIGINT) AS max_before,
+           |    CAST(SUM(CASE WHEN skewed THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_skewed,
+           |    CAST(MAX((load + k - 1) // k) AS BIGINT) AS max_after,
+           |    CAST(SUM(k) AS BIGINT) AS n_after
+           |  FROM (
+           |    SELECT load, load > median * 5 AS skewed,
+           |      CASE WHEN load > median * 5
+           |        THEN (load + median - 1) // median ELSE 1 END AS k
+           |    FROM (SELECT kh % 32 AS p, CAST(COUNT(*) AS BIGINT)
+           |      AS load FROM ($keySql) GROUP BY 1) ld2
+           |    CROSS JOIN (
+           |      SELECT l2.load AS median FROM (
+           |        SELECT load, row_number() OVER (ORDER BY load, p) AS rn
+           |        FROM (SELECT kh % 32 AS p, CAST(COUNT(*) AS BIGINT)
+           |          AS load FROM ($keySql) GROUP BY 1) ld3
+           |      ) l2 CROSS JOIN (
+           |        SELECT CAST(COUNT(*) AS BIGINT) AS np
+           |        FROM (SELECT kh % 32 AS p FROM ($keySql) GROUP BY 1) ld4
+           |      ) s2
+           |      WHERE l2.rn = (s2.np + 1) // 2
+           |    ) mm
+           |  )
+           |) x""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""SELECT * FROM (
+         |$stanzas
+         |) ORDER BY scenario""".stripMargin
+    },
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

@@ -3372,6 +3372,132 @@ object EvalQueries {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Sequence-packing trade-off audit — the two ways training runs fill
+    * fixed 512-token windows, quantified against each other per source:
+    * greedy FFD packing (q333's fold, whole documents per bin) pays
+    * PADDING but never splits a document; concat-and-split pays ZERO
+    * padding but cuts documents at window boundaries (attention
+    * contamination + truncated docs). Reported per source: FFD bins and
+    * pad fraction vs concat windows, boundary-crossing count, and the
+    * fraction of documents damaged by a cut. Crossings come from exact
+    * integer prefix sums of doc lengths in doc_id order (blockwise
+    * associative — q266 pattern). All integer token counts (n_chars as
+    * the token proxy). */
+  def q357_packing_tradeoff(spark: SparkSession, dir: String): DataFrame = {
+    val win = 512L
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long")
+        .as("len"))
+    // concat-and-split: exact prefix sums per source in doc_id order
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val concat = docs
+      .withColumn("end", sum(col("len")).over(wSrc))
+      .withColumn("start", col("end") - col("len"))
+      // a doc is cut iff a window boundary falls strictly inside it
+      .withColumn("cut",
+        when(expr(s"(end - 1) div $win") > expr(s"start div $win"), 1L)
+          .otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("len")).cast("long").as("total_tokens"),
+        sum(col("cut")).cast("long").as("docs_cut"),
+        sum(expr(s"(end - 1) div $win - start div $win")).cast("long")
+          .as("n_crossings"))
+      .withColumn("concat_windows",
+        expr(s"(total_tokens + $win - 1) div $win"))
+    // FFD packing: oversized docs take len div 512 full windows plus a
+    // packable remainder piece; q333's fold packs the pieces
+    val ffd = docs
+      .withColumn("fullw", expr(s"len div $win"))
+      .withColumn("piece", expr(s"len % $win"))
+      .groupBy(col("source"))
+      .agg(sum(col("fullw")).cast("long").as("full_bins"),
+        sort_array(collect_list(when(col("piece") > 0, col("piece"))),
+          asc = false).as("sizes"))
+      .selectExpr("source", "full_bins",
+        s"""aggregate(sizes, CAST(array() AS ARRAY<BIGINT>),
+              (bins, sz) -> IF(
+                array_position(transform(bins, r -> r >= sz), true) > 0,
+                zip_with(bins, sequence(1L, CAST(size(bins) AS BIGINT)),
+                  (r, i) -> IF(i = array_position(
+                    transform(bins, r2 -> r2 >= sz), true), r - sz, r)),
+                array_append(bins, $win - sz))) AS residuals""")
+      .selectExpr("source",
+        "full_bins + CAST(size(residuals) AS BIGINT) AS ffd_bins",
+        "CAST(aggregate(residuals, CAST(0 AS BIGINT), (a, r) -> a + r)" +
+          " AS BIGINT) AS pad_tokens")
+    concat.join(ffd, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("ffd_bins"), col("pad_tokens"),
+        round(col("pad_tokens").cast("double") /
+          (col("ffd_bins") * win).cast("double"), 6).as("ffd_pad_frac"),
+        col("concat_windows"), col("n_crossings"), col("docs_cut"),
+        round(col("docs_cut").cast("double") /
+          col("n_docs").cast("double"), 6).as("cut_frac"))
+      .orderBy(col("source"))
+  }
+
+  /** AQE skew-split simulation — Spark's OptimizeSkewedJoin rule
+    * (split a shuffle partition when its load exceeds 5× the median,
+    * into ⌈load/median⌉ chunks) replayed exactly over three key
+    * scenarios: the uniform l_suppkey shuffle, the low-cardinality
+    * l_quantity shuffle, and a 30%-hot planted key — so the report
+    * shows both "no split needed" on healthy keys and the rebalance
+    * arithmetic on a genuinely skewed one. Partitions use the portable
+    * md5 hash mod 32 (the model's hash, not Murmur); every load,
+    * median (lower order statistic on the bounded partition grain),
+    * chunk count and balance ratio is integer-exact. */
+  def q358_aqe_skew_sim(spark: SparkSession, dir: String): DataFrame = {
+    val nPart = 32L
+    def h(c: Column): Column = element_at(graft.functions.MinHashSig
+      .minhashSig(array(c.cast("string")), 1), 1)
+    val li = Tables.lineitem(spark, dir)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), h(col("event_id")).as("eh"))
+    val scen = Seq(
+      ("uniform_suppkey", li.select(h(col("l_suppkey")).as("kh"))),
+      ("lowcard_quantity",
+        li.select(h(col("l_quantity").cast("long")).as("kh"))),
+      ("planted_hot", ev.select(
+        when(col("eh") % 10 < 3, h(lit(0L))).otherwise(col("eh"))
+          .as("kh"))))
+    scen.map { case (name, keys) =>
+      val loads = keys.select(pmod(col("kh"), lit(nPart)).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).cast("long").as("load"))
+        .localCheckpoint(true)
+      // median = lower order statistic over the ≤32 non-empty loads
+      val med = loads
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("load"), col("p"))))
+        .crossJoin(broadcast(loads.agg(count(lit(1)).cast("long")
+          .as("np"), sum(col("load")).cast("long").as("total"))))
+        .filter(col("rn") === expr("(np + 1) div 2"))
+        .select(col("load").as("median"), col("np"), col("total"))
+      loads.crossJoin(broadcast(med))
+        .withColumn("skewed", col("load") > col("median") * 5L)
+        .withColumn("k", when(col("skewed"),
+          expr("(load + median - 1) div median")).otherwise(1L))
+        .withColumn("chunk", expr("(load + k - 1) div k"))
+        .agg(max(col("np")).as("n_nonempty"),
+          max(col("median")).as("median_load"),
+          max(col("load")).cast("long").as("max_before"),
+          sum(when(col("skewed"), 1L).otherwise(0L)).cast("long")
+            .as("n_skewed"),
+          max(col("chunk")).cast("long").as("max_after"),
+          sum(col("k")).cast("long").as("n_after"),
+          max(col("total")).as("total"))
+        .select(lit(name).as("scenario"), col("n_nonempty"),
+          col("median_load"), col("max_before"), col("n_skewed"),
+          col("max_after"), col("n_after"),
+          round(col("max_before").cast("double") * col("n_nonempty")
+            .cast("double") / col("total").cast("double"), 4)
+            .as("balance_before"),
+          round(col("max_after").cast("double") * col("n_after")
+            .cast("double") / col("total").cast("double"), 4)
+            .as("balance_after"))
+    }.reduce(_ unionByName _).orderBy(col("scenario"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

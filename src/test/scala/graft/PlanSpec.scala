@@ -1677,6 +1677,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q357 packing accountancy balances and FFD beats naive one-per-doc") {
+    val rows = queries.EvalQueries.q357_packing_tradeoff(spark, dir)
+      .collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val bins = r.getAs[Long]("ffd_bins")
+      val total = r.getAs[Long]("total_tokens")
+      // tokens + padding exactly fill the bins
+      r.getAs[Long]("pad_tokens") shouldBe bins * 512L - total
+      bins should be >= r.getAs[Long]("concat_windows") // concat is optimal-density
+      r.getAs[Long]("docs_cut") should be <= r.getAs[Long]("n_docs")
+      r.getAs[Long]("n_crossings") should be >= r.getAs[Long]("docs_cut")
+    }
+  }
+
+  test("q358 splitting only helps and healthy keys are untouched") {
+    val rows = queries.EvalQueries.q358_aqe_skew_sim(spark, dir).collect()
+      .map(r => r.getAs[String]("scenario") -> r).toMap
+    rows.size shouldBe 3
+    rows.values.foreach { r =>
+      r.getAs[Long]("max_after") should be <= r.getAs[Long]("max_before")
+      r.getAs[Double]("balance_after") should be <=
+        r.getAs[Double]("balance_before") + 1e-9
+      if (r.getAs[Long]("n_skewed") == 0L)
+        r.getAs[Long]("n_after") shouldBe r.getAs[Long]("n_nonempty")
+    }
+    val hot = rows("planted_hot")
+    hot.getAs[Long]("n_skewed") should be >= 1L // the plant must trigger
+    hot.getAs[Long]("max_after") should be <=
+      hot.getAs[Long]("median_load") * 2L // chunks land near the median
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
