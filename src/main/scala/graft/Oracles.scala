@@ -9304,6 +9304,65 @@ object Oracles {
          |$stanzas
          |) ORDER BY scenario""".stripMargin
     },
+
+    // q359: same filters, same exact intermediate counts.
+    "q359_join_order" ->
+      """WITH li AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |), ord AS (SELECT o_orderkey, o_custkey FROM orders),
+        |cust AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |), lo AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_lo
+        |  FROM li JOIN ord ON l_orderkey = o_orderkey
+        |), oc AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_oc
+        |  FROM ord JOIN cust ON o_custkey = c_custkey
+        |), loc AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_final
+        |  FROM li JOIN ord ON l_orderkey = o_orderkey
+        |  JOIN cust ON o_custkey = c_custkey
+        |)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM li) AS n_li,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ord) AS n_ord,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cust) AS n_cust,
+        |  lo.n_lo AS inter_lo_first, oc.n_oc AS inter_oc_first,
+        |  loc.n_final,
+        |  CASE WHEN lo.n_lo <= oc.n_oc THEN '(lineitem_orders)_customer'
+        |    ELSE 'lineitem_(orders_customer)' END AS recommended,
+        |  round(CAST(abs(lo.n_lo - oc.n_oc) AS DOUBLE)
+        |    / CAST(greatest(least(lo.n_lo, oc.n_oc), 1) AS DOUBLE), 4)
+        |    AS cost_gap_ratio
+        |FROM lo CROSS JOIN oc CROSS JOIN loc""".stripMargin,
+
+    // q360: same 2000-orderkey blocks, same distinct-key census.
+    "q360_partial_agg_advisor" -> {
+      val gs = Seq(
+        ("suppkey", "l_suppkey"),
+        ("order_line", "l_orderkey * 10 + l_linenumber"),
+        ("ship_month",
+          "CAST(strftime(CAST(l_shipdate AS TIMESTAMP), '%Y%m') AS BIGINT)"))
+      val stanzas = gs.map { case (name, keyExpr) =>
+        s"""SELECT '$name' AS grouping,
+           |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           |  CAST(SUM(rows_) AS BIGINT) AS n_rows,
+           |  CAST(SUM(keys_) AS BIGINT) AS shuffled_after_partial,
+           |  round(CAST(SUM(keys_) AS DOUBLE) / CAST(SUM(rows_) AS DOUBLE),
+           |    6) AS reduction_ratio,
+           |  CAST(SUM(keys_) AS BIGINT) * 10
+           |    > CAST(SUM(rows_) AS BIGINT) * 8 AS skip_partial
+           |FROM (
+           |  SELECT l_orderkey // 2000 AS blk,
+           |    CAST(COUNT(*) AS BIGINT) AS rows_,
+           |    CAST(COUNT(DISTINCT $keyExpr) AS BIGINT) AS keys_
+           |  FROM lineitem GROUP BY 1
+           |)""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""SELECT * FROM (
+         |$stanzas
+         |) ORDER BY grouping""".stripMargin
+    },
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

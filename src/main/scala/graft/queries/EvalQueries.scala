@@ -3498,6 +3498,81 @@ object EvalQueries {
     }.reduce(_ unionByName _).orderBy(col("scenario"))
   }
 
+  /** Join-order enumeration with EXACT intermediates — the CBO decision
+    * on the filtered chain σ(lineitem) ⋈ σ(orders) ⋈ σ(customer)
+    * (ship ≥ 1997, BUILDING segment): both linear orders' intermediate
+    * cardinalities are measured, cost = intermediate rows (the classic
+    * Selinger objective), and the cheaper order is named. Also reports
+    * each filter's selectivity — the inputs a real optimizer estimates,
+    * here exact. All integer counts. Scale shape: three filtered
+    * counts + two join counts, each one aggregate. */
+  def q359_join_order(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >=
+        lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .select(col("l_orderkey"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val lo = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).cast("long").as("n_lo"))
+    val oc = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).cast("long").as("n_oc"))
+    val loc = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).cast("long").as("n_final"))
+    val sizes = li.agg(count(lit(1)).cast("long").as("n_li"))
+      .crossJoin(ord.agg(count(lit(1)).cast("long").as("n_ord")))
+      .crossJoin(cust.agg(count(lit(1)).cast("long").as("n_cust")))
+    sizes.crossJoin(broadcast(lo)).crossJoin(broadcast(oc))
+      .crossJoin(broadcast(loc))
+      .select(col("n_li"), col("n_ord"), col("n_cust"),
+        col("n_lo").as("inter_lo_first"),
+        col("n_oc").as("inter_oc_first"), col("n_final"),
+        when(col("n_lo") <= col("n_oc"), "(lineitem_orders)_customer")
+          .otherwise("lineitem_(orders_customer)").as("recommended"),
+        round(abs(col("n_lo") - col("n_oc")).cast("double") /
+          greatest(least(col("n_lo"), col("n_oc")), lit(1L))
+            .cast("double"), 4).as("cost_gap_ratio"))
+  }
+
+  /** Partial-aggregation benefit advisor — Spark's runtime
+    * skip-partial-aggregation call, measured ahead of time: for three
+    * candidate groupings (low-cardinality supplier, near-unique
+    * orderkey×linenumber, calendar month), the map-side reduction each
+    * shuffle block (2000-orderkey ranges) would achieve — Σ per-block
+    * distinct keys / Σ rows — and the skip recommendation when the
+    * ratio clears 0.8 (combining buys <20%). All integer counts.
+    * Scale shape: one (block, key)-distinct aggregate per grouping. */
+  def q360_partial_agg_advisor(spark: SparkSession,
+                               dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("blk", expr("l_orderkey div 2000"))
+    val groupings = Seq(
+      ("suppkey", li.select(col("blk"), col("l_suppkey").as("k"))),
+      ("order_line", li.select(col("blk"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("k"))),
+      ("ship_month", li.select(col("blk"),
+        expr("CAST(date_format(l_shipdate, 'yyyyMM') AS BIGINT)")
+          .as("k"))))
+    groupings.map { case (name, df) =>
+      df.groupBy(col("blk"))
+        .agg(count(lit(1)).cast("long").as("rows"),
+          countDistinct(col("k")).cast("long").as("keys"))
+        .agg(count(lit(1)).cast("long").as("n_blocks"),
+          sum(col("rows")).cast("long").as("n_rows"),
+          sum(col("keys")).cast("long").as("shuffled_after_partial"))
+        .select(lit(name).as("grouping"), col("n_blocks"), col("n_rows"),
+          col("shuffled_after_partial"),
+          round(col("shuffled_after_partial").cast("double") /
+            col("n_rows").cast("double"), 6).as("reduction_ratio"),
+          (col("shuffled_after_partial") * 10L >
+            col("n_rows") * 8L).as("skip_partial"))
+    }.reduce(_ unionByName _).orderBy(col("grouping"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

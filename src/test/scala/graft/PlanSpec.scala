@@ -1709,6 +1709,29 @@ class PlanSpec extends SparkSpec {
       hot.getAs[Long]("median_load") * 2L // chunks land near the median
   }
 
+  test("q359 recommendation matches the cheaper measured intermediate") {
+    val r = queries.EvalQueries.q359_join_order(spark, dir).collect().head
+    val lo = r.getAs[Long]("inter_lo_first")
+    val oc = r.getAs[Long]("inter_oc_first")
+    r.getAs[String]("recommended") shouldBe
+      (if (lo <= oc) "(lineitem_orders)_customer"
+       else "lineitem_(orders_customer)")
+    // both orders end at the same final result
+    r.getAs[Long]("n_final") should be <= lo.max(oc)
+  }
+
+  test("q360 reduction ratios are fractions and skip flags match them") {
+    val rows = queries.EvalQueries.q360_partial_agg_advisor(spark, dir)
+      .collect()
+    rows.length shouldBe 3
+    rows.foreach { r =>
+      val keys = r.getAs[Long]("shuffled_after_partial")
+      val n = r.getAs[Long]("n_rows")
+      keys should be <= n
+      r.getAs[Boolean]("skip_partial") shouldBe (keys * 10L > n * 8L)
+    }
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
