@@ -9363,6 +9363,56 @@ object Oracles {
          |$stanzas
          |) ORDER BY grouping""".stripMargin
     },
+
+    // q361: same blockwise adjacent census with (o, v) composite order.
+    "q361_sortedness_audit" -> {
+      def stanza(name: String, from: String, o: String, v: String):
+          String =
+        s"""SELECT '$name' AS sequence,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ($from)) AS n,
+           |  w.desc_w + b.desc_b + 1 AS n_runs,
+           |  round(1.0 - CAST(w.desc_w + b.desc_b AS DOUBLE)
+           |    / CAST(w.n_adj_w + b.n_adj_b AS DOUBLE), 6)
+           |    AS sorted_frac,
+           |  CASE WHEN w.desc_w + b.desc_b + 1 = 1 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST(length(printf('%b', w.desc_w + b.desc_b))
+           |      AS BIGINT) END AS merge_passes
+           |FROM (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_adj_w,
+           |    CAST(SUM(CASE WHEN v < pv THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS desc_w
+           |  FROM (
+           |    SELECT v, lag(v) OVER (PARTITION BY o // 4096
+           |      ORDER BY o, v) AS pv
+           |    FROM (SELECT $o AS o, $v AS v FROM ($from) z0)
+           |  ) WHERE pv IS NOT NULL
+           |) w CROSS JOIN (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_adj_b,
+           |    CAST(COALESCE(SUM(CASE WHEN nf < lastv THEN 1 ELSE 0 END),
+           |      0) AS BIGINT) AS desc_b
+           |  FROM (
+           |    SELECT blk, lastv, lead(firstv) OVER (ORDER BY blk) AS nf,
+           |      lead(blk) OVER (ORDER BY blk) AS nblk
+           |    FROM (
+           |      SELECT o // 4096 AS blk,
+           |        first(v ORDER BY o, v) AS firstv,
+           |        last(v ORDER BY o, v) AS lastv
+           |      FROM (SELECT $o AS o, $v AS v FROM ($from) z1)
+           |      GROUP BY 1
+           |    )
+           |  ) WHERE nblk = blk + 1
+           |) b""".stripMargin
+      val s1 = stanza("orders_price", "SELECT * FROM orders",
+        "o_orderkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val s2 = stanza("orders_date", "SELECT * FROM orders",
+        "o_orderkey", "epoch_us(o_orderdate)")
+      val s3 = stanza("lineitem_shipdate", "SELECT * FROM lineitem",
+        "l_orderkey * 10 + l_linenumber", "epoch_us(l_shipdate)")
+      s"""SELECT * FROM (
+         |$s1 UNION ALL $s2 UNION ALL $s3
+         |) ORDER BY sequence""".stripMargin
+    },
   )
 
   /** Shared vocabulary CTE for the q295/q296 linkage wave: distinct word

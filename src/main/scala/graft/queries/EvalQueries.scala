@@ -3573,6 +3573,63 @@ object EvalQueries {
     }.reduce(_ unionByName _).orderBy(col("grouping"))
   }
 
+  /** Presortedness audit (Knuth runs / Timsort cost) — is the table
+    * already nearly sorted in storage order, i.e. can the sort before a
+    * sorted write be skipped or merged cheaply: for three (order, value)
+    * sequences, the count of maximal nondecreasing runs (1 + descents),
+    * the adjacent-sorted fraction, and the k-way merge passes
+    * ⌈log₂(runs)⌉ a Timsort-style writer would pay. Descents are an
+    * adjacent-pair census: within-block windows plus the bounded
+    * block-boundary pairs — never one global window. All integers (bit
+    * length via bin()). */
+  def q361_sortedness_audit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, ord: Column, value: Column,
+              name: String): DataFrame = {
+      val base = df.select(ord.as("o"), value.as("v"))
+        .withColumn("blk", expr("o div 4096"))
+      // composite (o, v) order: duplicate storage keys tie-break on the
+      // value so the adjacent census is deterministic in both engines
+      val wB = Window.partitionBy(col("blk")).orderBy(col("o"), col("v"))
+      val within = base
+        .withColumn("pv", lag(col("v"), 1).over(wB))
+        .filter(col("pv").isNotNull)
+        .agg(count(lit(1)).cast("long").as("n_adj_w"),
+          sum(when(col("v") < col("pv"), 1L).otherwise(0L)).cast("long")
+            .as("desc_w"))
+      val edges = base.groupBy(col("blk"))
+        .agg(min_by(col("v"), struct(col("o"), col("v"))).as("firstv"),
+          max_by(col("v"), struct(col("o"), col("v"))).as("lastv"))
+      val boundary = edges
+        .join(edges.select((col("blk") - 1).as("blk"),
+          col("firstv").as("nextFirst")), "blk")
+        .agg(count(lit(1)).cast("long").as("n_adj_b"),
+          coalesce(sum(when(col("nextFirst") < col("lastv"), 1L)
+            .otherwise(0L)), lit(0L)).cast("long").as("desc_b"))
+      val n = base.agg(count(lit(1)).cast("long").as("n"))
+      n.crossJoin(broadcast(within)).crossJoin(broadcast(boundary))
+        .select(lit(name).as("sequence"), col("n"),
+          (col("desc_w") + col("desc_b") + 1L).as("n_runs"),
+          round(lit(1.0) - (col("desc_w") + col("desc_b")).cast("double") /
+            (col("n_adj_w") + col("n_adj_b")).cast("double"), 6)
+            .as("sorted_frac"))
+        .withColumn("merge_passes",
+          when(col("n_runs") === 1L, 0L)
+            .otherwise(length(bin(col("n_runs") - 1)).cast("long")))
+    }
+    val ords = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    audit(ords, col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        "orders_price")
+      .unionByName(audit(ords, col("o_orderkey"),
+        unix_micros(col("o_orderdate")), "orders_date"))
+      .unionByName(audit(
+        li.select((col("l_orderkey") * 10 + col("l_linenumber")).as("seq"),
+          unix_micros(col("l_shipdate")).as("sd")),
+        col("seq"), col("sd"), "lineitem_shipdate"))
+      .orderBy(col("sequence"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

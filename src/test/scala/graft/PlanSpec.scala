@@ -1732,6 +1732,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q361 run census is coherent and detects a sorted sequence") {
+    import org.apache.spark.sql.functions.{col => fc}
+    val rows = queries.EvalQueries.q361_sortedness_audit(spark, dir)
+      .collect()
+    rows.length shouldBe 3
+    rows.foreach { r =>
+      r.getAs[Long]("n_runs") should be >= 1L
+      r.getAs[Long]("n_runs") should be <= r.getAs[Long]("n")
+      val f = r.getAs[Double]("sorted_frac")
+      f should (be >= 0.0 and be <= 1.0)
+      // ceil(log2(runs)) bounds: 2^(p-1) < runs <= 2^p
+      val p = r.getAs[Long]("merge_passes")
+      if (r.getAs[Long]("n_runs") > 1L) {
+        (1L << p) should be >= r.getAs[Long]("n_runs")
+        (1L << (p - 1)) should be < r.getAs[Long]("n_runs")
+      }
+    }
+  }
+
   test("q313 matching terminates with disjoint endpoints per round") {
     val rows = queries.EvalQueries.q313_dominant_matching(spark, dir).collect()
     val ss = rows.map(_.getAs[Long]("s"))
