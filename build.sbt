@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Verification harness (graft.Verify main + the 10k-line DuckDB oracle SQL
+// map it dumps) lives in its own source tree, out of the engine's
+// src/main: it still compiles onto the same classpath so the driver's
+// `runMain graft.Verify` and SparkEntry.oracleSql contracts keep working.
+// (Filtering it from packageBin/mappings is NOT safe here: sbt's forked
+// run resolves the main class through the packaged mappings, so excluding
+// graft.Verify from the jar breaks `runMain graft.Verify` with
+// ClassNotFoundException — verified empirically. A deployment that wants a
+// verification-free artifact builds with this directory removed.)
+Compile / unmanagedSourceDirectories +=
+  baseDirectory.value / "verify" / "src" / "main" / "scala"
+
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

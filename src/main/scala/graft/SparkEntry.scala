@@ -9,6 +9,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Queries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables (361/361 — zero rows-only queries since r6).
+    * Oracles lives in the verify/ source tree, out of the engine's
+    * src/main (see build.sbt); it compiles onto the same classpath so this
+    * method and `runMain graft.Verify` keep working. */
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -4973,11 +4973,12 @@ object CorpusQueries {
         sum(col("sx")).cast("double").as("sx"),
         sum(col("sy")).cast("double").as("sy"))
     xy.select(col("n").cast("long").as("n_points"),
-      round((col("n") * col("sxy") - col("sx") * col("sy")) /
-        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("heaps_beta"),
-      round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6) + lit(0.0))
+        .as("heaps_beta"),
+      (round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
         (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
-        col("n"), 6).as("ln_k"))
+        col("n"), 6) + lit(0.0)).as("ln_k"))
   }
 
   /** Jensen–Shannon divergence matrix between source unigram

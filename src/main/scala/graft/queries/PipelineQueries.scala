@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.text.{LangId, TextOps}
@@ -68,13 +69,26 @@ object PipelineQueries {
         threshold = 0.5, maxBucket = Some(100))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash fingerprints via the custom Catalyst expression (no oracle —
-    * native expression; driver records rows-only). */
-  def q28_simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** SimHash fingerprints via the custom Catalyst expression, emitted in
+    * the two bit-permutation-invariant projections the oracle CAN pin
+    * per-doc (raw u64s differ between engines only by a fixed bit
+    * permutation — see [[q84_simhash_quality]]): popcount of each doc's
+    * fingerprint, and Hamming distance to the deterministic partner doc
+    * `doc_id + 37`. Every vote bit of every fingerprint participates in
+    * the output, so a SimHash regression hash-mismatches — this closed the
+    * last rows-only gap (r5 verdict task 4). */
+  def q28_simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sx = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        SimHash64.simhash64(TextOps.tokens(col("text"))).as("simhash"))
+        SimHash64.simhash64(TextOps.tokens(col("text"))).as("sh"))
+    val partner = sx.select((col("doc_id") - 37).as("doc_id"),
+      col("sh").as("sh_b"))
+    sx.join(partner, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        bit_count(col("sh")).cast("long").as("sh_bits"),
+        bit_count(col("sh").bitwiseXOR(col("sh_b"))).cast("long").as("ham_fwd"))
       .orderBy(col("doc_id"))
+  }
 
   /** Character n-gram Jaccard similarity over banded candidates (same-lang,
     * length within +-8) — a band-join + verify shape.
@@ -124,15 +138,45 @@ object PipelineQueries {
         queryPredicate = col("id") < 50, k = 3, nBits = 8)
       .orderBy(col("query_id"), col("rank"))
 
-  /** IVF ANN — KMeans inverted lists, probed search (no oracle: cluster
-    * assignments are model-derived; rows-only check — but see
-    * [[q49_ivf_recall]], which gates this exact configuration's recall
-    * against the brute-force truth). */
-  def q38_ann_ivf(spark: SparkSession, dir: String): DataFrame =
-    graft.similarity.IvfAnn.topKProbed(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", queryPredicate = col("id") < 50, k = 3,
-        nLists = 16, nProbe = 4)
-      .orderBy(col("query_id"), col("rank"))
+  /** IVF ANN probed search, emitted as its oracle-checkable recall curve
+    * (closed the last rows-only gap — r5 verdict task 4): one row per
+    * nProbe in {1, 4, 16} against the brute-force truth. Pinnable because
+    * (a) n_exact is structural (50 queries x k=3), (b) hits are monotone
+    * in nProbe — candidate cells only grow, and the global top-k is closed
+    * downward under "better", so topk(C) ∩ truth = C ∩ truth — and (c) at
+    * nProbe = nLists the probed candidate set IS the corpus and both paths
+    * share the same cosine fold + (cosine desc, id) tie-break, so recall
+    * at full probe is EXACTLY 1.0, not approximately. Floors at partial
+    * probes gate real recall (q49 pins the production nProbe=4 config at
+    * 0.6; the 0.5 here leaves cross-SF headroom). */
+  def q38_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = CosineKnn.topK(emb, "vec_id", "embedding", col("id") < 50, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val exactN = exact.agg(count(lit(1)).cast("long").as("n_exact"))
+    val curve = Seq(1, 4, 16).map { p =>
+      val approx = graft.similarity.IvfAnn.topKProbed(emb, "vec_id",
+          "embedding", queryPredicate = col("id") < 50, k = 3,
+          nLists = 16, nProbe = p)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_hits"))
+        .crossJoin(exactN)
+        .select(lit(p.toLong).as("n_probe"), col("n_hits"), col("n_exact"))
+    }.reduce(_ unionByName _)
+    val floor = when(col("n_probe") === 1, 0.2)
+      .when(col("n_probe") === 4, 0.5)
+      .otherwise(1.0)
+    val w = Window.orderBy(col("n_probe"))
+    curve
+      .withColumn("recall_floor_ok",
+        col("n_hits").cast("double") / col("n_exact") >= floor)
+      .withColumn("monotone_ok",
+        col("n_hits") >= coalesce(lag(col("n_hits"), 1).over(w), lit(0L)))
+      .select(col("n_probe"), col("n_exact"), col("recall_floor_ok"),
+        col("monotone_ok"))
+      .orderBy(col("n_probe"))
+  }
 
   /** Driver-checkable quality gate for the IVF path: recall@3 of q38's
     * exact configuration vs the [[q30_ann_cosine]]-style brute-force truth,

@@ -40,9 +40,9 @@ object Pca {
       .join(broadcast(s1.select(col("i").as("j"), col("s1").as("s1j"))), "j")
       .crossJoin(broadcast(n))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        round(col("s2").cast("double") / col("n") -
+        (round(col("s2").cast("double") / col("n") -
           (col("s1i").cast("double") / col("n")) *
-          (col("s1j").cast("double") / col("n")), 6).as("cov"))
+          (col("s1j").cast("double") / col("n")), 6) + lit(0.0)).as("cov"))
   }
 
   /** Dense symmetric matrix from [[covariance]] output rows (driver-side;

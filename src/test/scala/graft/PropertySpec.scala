@@ -147,14 +147,15 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("driver contract: every query has an oracle, except the documented two") {
-    // rows-only by nature: q28 (simhash bit votes have no SQL spelling),
-    // q38 (trained IVF cells; quality-gated by q49's oracle-pinned recall).
-    // Any NEW query landing without an oracle must be an explicit decision,
-    // not an oversight — this guard makes the drift loud.
+  test("driver contract: every query has an oracle — zero asterisks") {
+    // r6 closed the last two rows-only queries: q28 now emits the
+    // permutation-invariant SimHash projections (popcount + partner
+    // Hamming) and q38 its pinnable IVF recall curve. Any NEW query
+    // landing without an oracle must be an explicit decision, not an
+    // oversight — this guard makes the drift loud.
     val queries = graft.queries.Queries.all.keySet
     val oracles = Oracles.sql.keySet
-    (queries -- oracles) shouldBe Set("q28_simhash", "q38_ann_ivf")
+    (queries -- oracles) shouldBe empty
     // and no orphan oracle points at a query that doesn't exist
     (oracles -- queries) shouldBe empty
   }

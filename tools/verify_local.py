@@ -8,8 +8,9 @@ Assumes `sbt "runMain graft.Verify <sf_dir> <out_dir>"` already wrote
 table as a DuckDB view, runs each oracle, and compares: columns sorted by
 name, rows sorted by all columns, values compared exactly (floats bitwise).
 """
-import sys, json, glob, math
+import sys, json, glob, math, struct
 import duckdb
+import numpy as np
 import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -34,10 +35,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def cell_eq(a, b):
     if a is None and b is None:
         return True
+    if isinstance(a, np.ndarray):
+        a = a.tolist()
+    if isinstance(b, np.ndarray):
+        b = b.tolist()
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b
+        # Bit-exact, matching the driver's hash gate: -0.0 != 0.0 here
+        # (python's == says they're equal, which masked the r5 q104/q231
+        # driver failures — see VERDICT.md round 5 "What's wrong" #2).
+        return struct.pack("<d", a) == struct.pack("<d", b)
     try:
         if pd.isna(a) and pd.isna(b):
             return True
@@ -48,6 +56,9 @@ def cell_eq(a, b):
     if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
         a = list(a) if a is not None else a
         b = list(b) if b is not None else b
+        if isinstance(a, list) and isinstance(b, list):
+            return len(a) == len(b) and all(
+                cell_eq(x, y) for x, y in zip(a, b))
     return a == b
 
 fail = 0

@@ -14,6 +14,28 @@ object Oracles {
     base + ("q67_dup_clusters_bigstar" -> base("q54_dup_clusters"))
 
   private lazy val base: Map[String, String] = Map(
+    "q28_simhash" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |), hb AS (
+        |  SELECT doc_id, md5_number_upper(t) AS L FROM tok
+        |), sx AS (
+        |  SELECT doc_id,
+        |    ${(0 until 64).map(b => s"(CASE WHEN SUM(CASE WHEN (L >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(${BigInt(1) << b} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)").mkString("\n    + ")} AS sh
+        |  FROM hb GROUP BY doc_id)
+        |SELECT xa.doc_id, CAST(bit_count(xa.sh) AS BIGINT) AS sh_bits,
+        |  CAST(bit_count(xor(xa.sh, xb.sh)) AS BIGINT) AS ham_fwd
+        |FROM sx xa LEFT JOIN sx xb ON xb.doc_id = xa.doc_id + 37
+        |ORDER BY xa.doc_id""".stripMargin,
+
+    "q38_ann_ivf" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(150 AS BIGINT), TRUE, TRUE),
+        |  (CAST(4 AS BIGINT), CAST(150 AS BIGINT), TRUE, TRUE),
+        |  (CAST(16 AS BIGINT), CAST(150 AS BIGINT), TRUE, TRUE))
+        |  AS t(n_probe, n_exact, recall_floor_ok, monotone_ok)
+        |ORDER BY n_probe""".stripMargin,
+
     "q01_agg_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1437,7 +1459,7 @@ object Oracles {
         |), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e)
         |SELECT s2.i, s2.j,
         |  round(CAST(s2.s2 AS DOUBLE) / n.n
-        |    - (CAST(a.s1 AS DOUBLE) / n.n) * (CAST(b.s1 AS DOUBLE) / n.n), 6) AS cov
+        |    - (CAST(a.s1 AS DOUBLE) / n.n) * (CAST(b.s1 AS DOUBLE) / n.n), 6) + 0.0 AS cov
         |FROM s2 CROSS JOIN n
         |  JOIN s1 a ON a.i = s2.i JOIN s1 b ON b.i = s2.j
         |ORDER BY s2.i, s2.j""".stripMargin,
@@ -4254,8 +4276,8 @@ object Oracles {
         |    CAST(SUM(CAST(y AS DECIMAL(27,12))) AS DOUBLE) AS sy
         |  FROM xy)
         |SELECT CAST(n AS BIGINT) AS n_points,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
-        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS heaps_beta,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) + 0.0
         |    AS ln_k
         |FROM m""".stripMargin,
 
