@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 
 import graft.GraftSession
 import graft.config._
-import graft.io.{FileReader, JdbcReader, KafkaReader, SourceReader}
+import graft.io.{FileReader, JdbcReader, KafkaReader, KinesisReader, SourceReader}
 import graft.lakehouse._
 import graft.schema.SchemaRegistry
 
@@ -161,6 +161,46 @@ object IngestionRunner {
           schema.getOrElse(throw new IllegalArgumentException(
             "kafka source needs a registry schema for payload parsing")),
           s.streaming, options = s.options)
+      case "kinesis" =>
+        // streaming-only connector: an unset/false streaming flag would
+        // otherwise silently come back as a stream (the inverse of the
+        // reference's always-readStream Kafka bug) — demand explicitness
+        require(s.streaming,
+          "kinesis source is streaming-only — set source.streaming = true")
+        KinesisReader(
+          need(s.options.get("streamName").orElse(s.topic), "streamName"),
+          need(s.options.get("region"), "region in options"),
+          schema.getOrElse(throw new IllegalArgumentException(
+            "kinesis source needs a registry schema for payload parsing")),
+          startingPosition =
+            s.options.getOrElse("startingPosition", "TRIM_HORIZON"),
+          endpointUrl = s.options.get("endpointUrl"),
+          options = s.options -- Seq("streamName", "region",
+            "startingPosition", "endpointUrl"))
+      case "api" =>
+        // url = page template ({page} placeholder → parallel page-number
+        // mode) or the first page of a cursor chain (options.nextField)
+        val u = need(s.url, "url")
+        val pagination =
+          if (u.contains("{page}"))
+            graft.io.Pagination.PageNumber(u,
+              start = s.lowerBound.getOrElse(0L),
+              maxPages = s.options.get("maxPages").map(_.toInt).getOrElse(1000))
+          else
+            graft.io.Pagination.Cursor(u,
+              nextField = s.options.getOrElse("nextField", "next"),
+              maxPages = s.options.get("maxPages").map(_.toInt).getOrElse(10000))
+        graft.io.ApiReader(pagination,
+          schema.getOrElse(throw new IllegalArgumentException(
+            "api source needs a registry schema for record parsing")),
+          recordsField = s.options.get("recordsField"),
+          fetcher = s.options.get("fetcher") match {
+            case Some("file") => graft.io.FileFetcher()
+            case _            => graft.io.HttpFetcher()
+          },
+          parallelism = s.numPartitions.getOrElse(8),
+          requestDelayMs =
+            s.options.get("requestDelayMs").map(_.toLong).getOrElse(0L))
       case other => throw new IllegalArgumentException(s"unknown source type '$other'")
     }
   }

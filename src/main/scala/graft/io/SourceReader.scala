@@ -129,6 +129,48 @@ final case class KafkaReader(bootstrapServers: String, topic: String,
   }
 }
 
+/** Kinesis source, implemented to the public AWS connector contract
+  * (`spark-streaming-sql-kinesis-connector`: format `aws-kinesis`, options
+  * `streamName`/`region`/`endpointUrl`/`startingPosition`, record payload
+  * in a binary `data` column) — the reference lists Kinesis as a planned
+  * source (`/root/reference/docs/00-architecture-overview.md:380`,
+  * `docs/01-problem-statement.md:24`) and ships nothing. Same status as
+  * Delta/Iceberg/Kafka here: exact format-string + option + parse contract,
+  * spec-tested; e2e needs the connector jar this sandbox lacks.
+  *
+  * Kinesis has no batch read in the connector, so this reader is
+  * streaming-only; the config factory rejects a non-streaming kinesis
+  * source instead of silently going streaming (the inverse of the
+  * reference's always-readStream Kafka bug). */
+final case class KinesisReader(streamName: String, region: String,
+                               payloadSchema: StructType,
+                               startingPosition: String = "TRIM_HORIZON",
+                               endpointUrl: Option[String] = None,
+                               options: Map[String, String] = Map.empty)
+    extends SourceReader {
+
+  def readerOptions: Map[String, String] =
+    options ++ Map(
+      "streamName" -> streamName,
+      "region" -> region,
+      "startingPosition" -> startingPosition) ++
+      endpointUrl.map("endpointUrl" -> _)
+
+  override def read(spark: SparkSession): DataFrame =
+    KinesisReader.parsePayload(
+      spark.readStream.format("aws-kinesis").options(readerOptions).load(),
+      payloadSchema)
+}
+
+object KinesisReader {
+  /** Kinesis records carry the payload in `data` (binary); reuse the
+    * Kafka JSON-parse stage on that column — one corrupt-record policy
+    * across every payload-bearing source. */
+  def parsePayload(raw: DataFrame, schema: StructType): DataFrame =
+    KafkaReader.parseJsonPayload(
+      raw.withColumn("value", col("data")), schema)
+}
+
 object KafkaReader {
   /** binary `value` -> string -> `from_json` against the registry schema ->
     * flattened columns, plus `_corrupt_record` holding the raw payload when

@@ -1078,4 +1078,47 @@ object PipelineQueries {
         max(col("h")).cast("long").as("max_h"))
       .orderBy(col("source"))
   }
+
+  /** API-dump source round-trip (the q85-lifecycle pattern for the io
+    * layer): the documents table is materialized as an on-disk paginated
+    * JSON API dump ({"data": [...]} pages of ≤500 records), then read back
+    * through the FULL ApiReader path — parallel page-number fetch across
+    * executors, from_json with the explicit record schema, corrupt-record
+    * policy — and aggregated per language. The oracle computes the same
+    * aggregate straight off the documents table, so any record the source
+    * drops, duplicates, or fails to parse (a corrupt page would surface as
+    * a null-lang group) hash-mismatches.
+    *
+    * Scale shape: page bodies are BUILT distributed (groupBy page →
+    * collect_list → to_json); only the ~N/500 page strings land on the
+    * driver to become files — fixture scaffolding, not the operator under
+    * test. The read side fans 4096 candidate pages across 8 partitions;
+    * absent pages return None and cost one stat call. */
+  def q362_api_ingest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.{ApiReader, FileFetcher, Pagination}
+    val docs = Tables.documents(spark, dir)
+    val fixture = java.nio.file.Files.createTempDirectory("graft-api-dump")
+    val pages = docs.select(
+        (col("doc_id") / lit(500)).cast("long").as("pg"),
+        to_json(struct(col("doc_id").as("id"), col("lang"),
+          col("n_chars").as("n"))).as("rec"))
+      .groupBy(col("pg"))
+      .agg(concat(lit("{\"data\":["),
+        concat_ws(",", collect_list(col("rec"))), lit("]}")).as("body"))
+    pages.collect().foreach { r =>
+      java.nio.file.Files.writeString(
+        fixture.resolve(s"page-${r.getLong(0)}.json"), r.getString(1))
+    }
+    val recSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("lang", "string").add("n", "long")
+    ApiReader(
+        Pagination.PageNumber(s"$fixture/page-{page}.json", maxPages = 4096),
+        recSchema, recordsField = Some("data"), fetcher = FileFetcher(),
+        parallelism = 8)
+      .read(spark)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n")).cast("long").as("sum_chars"))
+      .orderBy(col("lang"))
+  }
 }

@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.config.{JobConfig, SourceConfig, TargetConfig}
+import graft.core.IngestionRunner
+import graft.io.{ApiReader, FileFetcher, KinesisReader, Pagination}
+
+/** API-dump + Kinesis sources (the last open §2B row): pagination modes,
+  * corrupt-record policy, cursor chaining, and the config factory wiring —
+  * all e2e against on-disk API dumps via FileFetcher. */
+class ApiReaderSpec extends SparkSpec {
+
+  private val recSchema = new StructType()
+    .add("id", LongType).add("lang", StringType).add("n", LongType)
+
+  private def writePage(dir: String, name: String, content: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, name), content)
+  }
+
+  test("page-number mode fans pages across partitions and stops at the end") {
+    val dir = tmpDir("api-pages")
+    for (p <- 0 until 4)
+      writePage(dir, s"page-$p.json",
+        s"""{"data": [{"id": ${p * 2}, "lang": "en", "n": 1},
+           |          {"id": ${p * 2 + 1}, "lang": "de", "n": 2}]}""".stripMargin)
+    val df = ApiReader(
+      Pagination.PageNumber(s"$dir/page-{page}.json", maxPages = 50),
+      recSchema, recordsField = Some("data"), fetcher = FileFetcher(),
+      parallelism = 4).read(spark)
+    df.count() shouldBe 8 // maxPages=50 but only 4 pages exist
+    df.filter(col("_corrupt_record").isNotNull).count() shouldBe 0
+    df.agg(sum(col("id"))).head.getLong(0) shouldBe (0 until 8).sum
+  }
+
+  test("a malformed page surfaces as _corrupt_record, not a silent drop") {
+    val dir = tmpDir("api-corrupt")
+    writePage(dir, "page-0.json", """{"data": [{"id": 1, "lang": "en", "n": 1}]}""")
+    writePage(dir, "page-1.json", """this is not json {{{""")
+    val df = ApiReader(
+      Pagination.PageNumber(s"$dir/page-{page}.json", maxPages = 10),
+      recSchema, recordsField = Some("data"), fetcher = FileFetcher()).read(spark)
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    good.count() shouldBe 1
+    bad.count() shouldBe 1
+    bad.head.getAs[String]("_corrupt_record") should include("not json")
+  }
+
+  test("bare-array bodies parse without a records field") {
+    val dir = tmpDir("api-bare")
+    writePage(dir, "page-0.json", """[{"id": 7, "lang": "fr", "n": 3}]""")
+    val df = ApiReader(
+      Pagination.PageNumber(s"$dir/page-{page}.json", maxPages = 5),
+      recSchema, recordsField = None, fetcher = FileFetcher()).read(spark)
+    df.select("id", "lang", "n").head shouldBe
+      org.apache.spark.sql.Row(7L, "fr", 3L)
+  }
+
+  test("cursor mode walks the next-field chain sequentially and honors maxPages") {
+    val dir = tmpDir("api-cursor")
+    writePage(dir, "a.json",
+      s"""{"items": [{"id": 1, "lang": "en", "n": 1}], "next": "$dir/b.json"}""")
+    writePage(dir, "b.json",
+      s"""{"items": [{"id": 2, "lang": "en", "n": 1}], "next": "$dir/c.json"}""")
+    writePage(dir, "c.json",
+      """{"items": [{"id": 3, "lang": "en", "n": 1}]}""")
+    val all = ApiReader(
+      Pagination.Cursor(s"$dir/a.json", nextField = "next"),
+      recSchema, recordsField = Some("items"), fetcher = FileFetcher(),
+      spoolDir = Some(tmpDir("api-spool-all"))).read(spark)
+    all.select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted shouldBe Array(1L, 2L, 3L)
+    val capped = ApiReader(
+      Pagination.Cursor(s"$dir/a.json", nextField = "next", maxPages = 2),
+      recSchema, recordsField = Some("items"), fetcher = FileFetcher(),
+      spoolDir = Some(tmpDir("api-spool-cap"))).read(spark)
+    capped.count() shouldBe 2
+  }
+
+  test("dotted next-field paths resolve through nested objects") {
+    ApiReader.extractField(
+      """{"meta": {"paging": {"next": "u2"}}, "data": []}""",
+      "meta.paging.next") shouldBe Some("u2")
+    ApiReader.extractField("""{"meta": {}}""", "meta.paging.next") shouldBe None
+    ApiReader.extractField("""{"next": ""}""", "next") shouldBe None
+  }
+
+  test("config factory builds the api reader for both pagination modes") {
+    def job(src: SourceConfig) = JobConfig("d", "ds", "bronze", src,
+      TargetConfig("parquet", "t"))
+    val paged = IngestionRunner.buildReader(
+      job(SourceConfig("api", url = Some("http://x/items?page={page}"),
+        options = Map("recordsField" -> "data", "maxPages" -> "7"))),
+      Some(recSchema))
+    paged shouldBe a[ApiReader]
+    paged.asInstanceOf[ApiReader].pagination shouldBe
+      Pagination.PageNumber("http://x/items?page={page}", 0, 7)
+    val cursor = IngestionRunner.buildReader(
+      job(SourceConfig("api", url = Some("http://x/items"),
+        options = Map("nextField" -> "meta.next", "fetcher" -> "file"))),
+      Some(recSchema))
+    cursor.asInstanceOf[ApiReader].pagination shouldBe
+      Pagination.Cursor("http://x/items", "meta.next", 10000)
+    cursor.asInstanceOf[ApiReader].fetcher shouldBe FileFetcher()
+    an[IllegalArgumentException] should be thrownBy IngestionRunner
+      .buildReader(job(SourceConfig("api", url = Some("http://x"))), None)
+  }
+
+  test("kinesis reader maps the aws-kinesis connector option contract") {
+    val r = KinesisReader("events", "us-east-1", recSchema,
+      startingPosition = "LATEST",
+      endpointUrl = Some("https://kinesis.local"),
+      options = Map("kinesis.consumerType" -> "GetRecords"))
+    r.readerOptions shouldBe Map(
+      "streamName" -> "events", "region" -> "us-east-1",
+      "startingPosition" -> "LATEST",
+      "endpointUrl" -> "https://kinesis.local",
+      "kinesis.consumerType" -> "GetRecords")
+    val viaConfig = IngestionRunner.buildReader(
+      JobConfig("d", "ds", "bronze",
+        SourceConfig("kinesis", streaming = true, options = Map(
+          "streamName" -> "events", "region" -> "eu-west-1")),
+        TargetConfig("parquet", "t")),
+      Some(recSchema))
+    viaConfig.asInstanceOf[KinesisReader].readerOptions("region") shouldBe "eu-west-1"
+    // streaming-only: a batch kinesis config is rejected, not silently
+    // turned into a stream
+    an[IllegalArgumentException] should be thrownBy IngestionRunner
+      .buildReader(JobConfig("d", "ds", "bronze",
+        SourceConfig("kinesis", options = Map(
+          "streamName" -> "events", "region" -> "eu-west-1")),
+        TargetConfig("parquet", "t")), Some(recSchema))
+  }
+
+  test("http fetcher: 200 body, 404 end-of-pagination, 5xx retry, 4xx fail-fast") {
+    import com.sun.net.httpserver.HttpServer
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val flaky = new java.util.concurrent.atomic.AtomicInteger(0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/ok", ex => respond(ex, 200, """{"fine": true}"""))
+    server.createContext("/gone", ex => respond(ex, 404, ""))
+    server.createContext("/flaky", ex =>
+      if (flaky.incrementAndGet() <= 2) respond(ex, 500, "boom")
+      else respond(ex, 200, "recovered"))
+    server.createContext("/bad", ex => respond(ex, 400, "bad request"))
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val f = graft.io.HttpFetcher(maxRetries = 3, backoffMs = 1)
+      f.fetch(s"$base/ok") shouldBe Some("""{"fine": true}""")
+      f.fetch(s"$base/gone") shouldBe None
+      f.fetch(s"$base/flaky") shouldBe Some("recovered") // two 500s then 200
+      flaky.get() shouldBe 3
+      // 4xx is a caller bug: no retry budget burned, immediate failure
+      an[java.io.IOException] should be thrownBy f.fetch(s"$base/bad")
+      // retry budget exhausts into a pointed error
+      val f0 = graft.io.HttpFetcher(maxRetries = 1, backoffMs = 1)
+      flaky.set(0)
+      the[java.io.IOException] thrownBy
+        f0.fetch(s"$base/flaky") should have message
+        s"API request failed after 1 retries: HTTP 500 for $base/flaky"
+    } finally server.stop(0)
+  }
+
+  test("kinesis payload parse shares the kafka corrupt-record policy") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"id": 5, "lang": "en", "n": 9}""",
+      "broken {"
+    ).toDF("s").select(col("s").cast("binary").as("data"))
+    val parsed = KinesisReader.parsePayload(raw, recSchema)
+    parsed.columns should contain("_corrupt_record")
+    parsed.filter(col("_corrupt_record").isNull)
+      .select("id", "n").head shouldBe org.apache.spark.sql.Row(5L, 9L)
+    parsed.filter(col("_corrupt_record").isNotNull).count() shouldBe 1
+  }
+}

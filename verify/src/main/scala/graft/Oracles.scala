@@ -28,6 +28,11 @@ object Oracles {
         |FROM sx xa LEFT JOIN sx xb ON xb.doc_id = xa.doc_id + 37
         |ORDER BY xa.doc_id""".stripMargin,
 
+    "q362_api_ingest" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q38_ann_ivf" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(150 AS BIGINT), TRUE, TRUE),
