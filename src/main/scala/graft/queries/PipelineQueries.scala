@@ -1079,6 +1079,78 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** TRAINED Naive-Bayes target-distribution filter — closes q121's
+    * missing half: q121 scores with stand-in weights; here the weights are
+    * LEARNED distributed from a deterministic train split and applied to
+    * the held-out split, the CCNet/GPT-3 "does this look like the target
+    * corpus" filter end to end. The synthetic corpus is lexically
+    * class-uniform (all five langs share one 31-token vocabulary at
+    * uniform frequencies — a lang target is unlearnable by construction),
+    * so the audit follows q356's planted-signal discipline: class 1
+    * (doc_id parity) gets three planted marker tokens appended, and the
+    * gate verifies the trained filter RECOVERS the plant on held-out docs
+    * — near-perfect separation expected, exact confusion counts pinned by
+    * the oracle. Mechanics: StableHash 80/20 split (engine-portable),
+    * token → 256 hashed features, class-conditional counts DENSIFIED over
+    * the full grid so add-1 smoothing is exact for absent buckets (q232's
+    * discipline), per-bucket log-likelihood-ratio weights via
+    * round(ln(int), 9) terms (q231's libm-parity discipline) folded per
+    * test doc through DECIMAL(27,12) (order-immune), plus the log-prior;
+    * the decision boundary is an exact DECIMAL compare. Output is pure
+    * integers — nothing float-hashable at all. Scale shape: training is
+    * ONE combinable (y, bucket) count aggregate; the 512-row weight table
+    * broadcasts; scoring is a map-side join + one aggregate per doc; the
+    * summary is 2 rows. */
+  def q363_nb_filter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val nF = 256
+    val plant = array(lit("q363sig"), lit("q363sig"), lit("q363sig"))
+    val docs = Tables.documents(spark, dir)
+      .withColumn("is_train", StableHash.bucket(col("doc_id"), 1000) < 800)
+      .withColumn("y", (col("doc_id") % 2).cast("int"))
+    val tok = docs
+      .select(col("doc_id"), col("is_train"), col("y"),
+        explode(when(col("y") === 1,
+            concat(TextOps.tokens(col("text")), plant))
+          .otherwise(TextOps.tokens(col("text")))).as("t"))
+      .withColumn("b", StableHash.bucket(col("t"), nF))
+    val counts = tok.filter(col("is_train"))
+      .groupBy(col("y"), col("b")).agg(count(lit(1)).cast("long").as("c"))
+    val grid = spark.range(nF).select(col("id").as("b"))
+      .crossJoin(spark.range(2).select(col("id").cast("int").as("y")))
+    val dense = grid.join(counts, Seq("y", "b"), "left")
+      .select(col("y"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val totals = dense.groupBy(col("y"))
+      .agg(sum(col("c")).cast("long").as("tot"))
+    val lw = dense.join(broadcast(totals), "y")
+      .select(col("y"), col("b"),
+        (round(log(col("c") + 1), 9) -
+          round(log(col("tot") + nF), 9)).as("lw"))
+    val wb = lw.filter(col("y") === 1)
+      .select(col("b"), col("lw").as("lwp"))
+      .join(lw.filter(col("y") === 0)
+        .select(col("b"), col("lw").as("lwn")), "b")
+      .select(col("b"),
+        (col("lwp") - col("lwn")).cast("decimal(27,12)").as("w"))
+    val prior = docs.filter(col("is_train")).groupBy(col("y"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .agg((max(when(col("y") === 1, round(log(col("n")), 9))) -
+        max(when(col("y") === 0, round(log(col("n")), 9))))
+        .cast("decimal(27,12)").as("prior"))
+    tok.filter(!col("is_train"))
+      .join(broadcast(wb), "b")
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("w")).as("s"))
+      .crossJoin(broadcast(prior))
+      .groupBy(col("y"))
+      .agg(count(lit(1)).cast("long").as("n_test"),
+        sum(when(col("s") + col("prior") > 0, 1L).otherwise(0L))
+          .cast("long").as("n_pred_pos"))
+      .select(col("y").cast("long").as("y"), col("n_test"),
+        col("n_pred_pos"))
+      .orderBy(col("y"))
+  }
+
   /** API-dump source round-trip (the q85-lifecycle pattern for the io
     * layer): the documents table is materialized as an on-disk paginated
     * JSON API dump ({"data": [...]} pages of ≤500 records), then read back

@@ -28,6 +28,56 @@ object Oracles {
         |FROM sx xa LEFT JOIN sx xb ON xb.doc_id = xa.doc_id + 37
         |ORDER BY xa.doc_id""".stripMargin,
 
+    "q363_nb_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST((CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT)
+        |      % 2305843009213693951) % 1000 AS BIGINT) < 800 AS is_train,
+        |    CAST(doc_id % 2 AS INTEGER) AS y
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, is_train, y,
+        |    CAST((CAST(md5_number_upper(t) AS HUGEINT)
+        |      % 2305843009213693951) % 256 AS BIGINT) AS b
+        |  FROM (SELECT doc_id, is_train, y,
+        |          unnest(string_split(text, ' ') ||
+        |            CASE WHEN y = 1
+        |              THEN ['q363sig', 'q363sig', 'q363sig']
+        |              ELSE [] END) AS t FROM d)
+        |), counts AS (
+        |  SELECT y, b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok WHERE is_train GROUP BY y, b
+        |), grid AS (
+        |  SELECT yy.y, r.b FROM (VALUES (0), (1)) yy(y), range(0, 256) r(b)
+        |), dense AS (
+        |  SELECT g.y, g.b, COALESCE(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN counts c ON c.y = g.y AND c.b = g.b
+        |), tot AS (SELECT y, SUM(c) AS tot FROM dense GROUP BY y
+        |), w AS (
+        |  SELECT dn.b,
+        |    CAST(MAX(CASE WHEN dn.y = 1 THEN
+        |        round(ln(CAST(dn.c + 1 AS DOUBLE)), 9)
+        |          - round(ln(CAST(t.tot + 256 AS DOUBLE)), 9) END)
+        |      - MAX(CASE WHEN dn.y = 0 THEN
+        |        round(ln(CAST(dn.c + 1 AS DOUBLE)), 9)
+        |          - round(ln(CAST(t.tot + 256 AS DOUBLE)), 9) END)
+        |      AS DECIMAL(27,12)) AS w
+        |  FROM dense dn JOIN tot t USING (y) GROUP BY dn.b
+        |), prior AS (
+        |  SELECT CAST(MAX(CASE WHEN y = 1 THEN round(ln(CAST(n AS DOUBLE)), 9) END)
+        |      - MAX(CASE WHEN y = 0 THEN round(ln(CAST(n AS DOUBLE)), 9) END)
+        |      AS DECIMAL(27,12)) AS prior
+        |  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM d WHERE is_train GROUP BY y)
+        |), sc AS (
+        |  SELECT tok.doc_id, tok.y, SUM(w.w) AS s
+        |  FROM tok JOIN w USING (b) WHERE NOT tok.is_train
+        |  GROUP BY tok.doc_id, tok.y)
+        |SELECT CAST(y AS BIGINT) AS y, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN sc.s + prior.prior > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_pred_pos
+        |FROM sc, prior GROUP BY y ORDER BY y""".stripMargin,
+
     "q362_api_ingest" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
