@@ -31,7 +31,8 @@ import graft.schema.{SchemaCompat, SchemaRegistry}
 object SchemaGen {
 
   /** Infer a schema from a bounded sample file. `json`/`csv` run Spark's
-    * inference over the sample; `parquet` reads the exact embedded schema. */
+    * inference over the sample; `parquet`/`orc` read the exact embedded
+    * schema. */
   def infer(spark: SparkSession, format: String, samplePath: String): StructType =
     format match {
       case "json" =>
@@ -41,9 +42,11 @@ object SchemaGen {
           .csv(samplePath).schema
       case "parquet" =>
         spark.read.parquet(samplePath).schema
+      case "orc" =>
+        spark.read.orc(samplePath).schema
       case other =>
         throw new IllegalArgumentException(
-          s"unsupported sample type '$other' (json, csv, parquet)")
+          s"unsupported sample type '$other' (json, csv, parquet, orc)")
     }
 
   /** Registry metadata scaffolding: every field (recursively) gets a

@@ -189,7 +189,8 @@ object IngestionRunner {
           else
             graft.io.Pagination.Cursor(u,
               nextField = s.options.getOrElse("nextField", "next"),
-              maxPages = s.options.get("maxPages").map(_.toInt).getOrElse(10000))
+              maxPages = s.options.get("maxPages").map(_.toInt).getOrElse(10000),
+              firstCursor = s.options.getOrElse("firstCursor", ""))
         graft.io.ApiReader(pagination,
           schema.getOrElse(throw new IllegalArgumentException(
             "api source needs a registry schema for record parsing")),

@@ -14,13 +14,16 @@ trait ApiFetcher extends Serializable {
 }
 
 /** Production fetcher over the JDK HTTP client. 404/410 → None (end of
-  * pagination); 5xx and connection errors retry with exponential backoff;
-  * other 4xx fail fast (a misconfigured request never burns the retry
-  * budget). One client per JVM (lazy, transient). */
+  * pagination); 5xx, 429, and connection errors retry with exponential
+  * backoff — a 429 carrying a `Retry-After: <seconds>` header waits that
+  * long instead (capped at `maxRetryAfterMs`, so a hostile header can't
+  * park an executor); other 4xx fail fast (a misconfigured request never
+  * burns the retry budget). One client per JVM (lazy, transient). */
 final case class HttpFetcher(headers: Map[String, String] = Map.empty,
                              maxRetries: Int = 3,
                              backoffMs: Long = 500,
-                             timeoutMs: Long = 30000) extends ApiFetcher {
+                             timeoutMs: Long = 30000,
+                             maxRetryAfterMs: Long = 60000) extends ApiFetcher {
   @transient private lazy val client =
     java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
@@ -38,23 +41,29 @@ final case class HttpFetcher(headers: Map[String, String] = Map.empty,
           resp.statusCode() match {
             case 200 | 206          => Right(Some(resp.body()))
             case 404 | 410          => Right(None)
-            case s if s >= 500      => Left(s"HTTP $s")
-            case 429                => Left("HTTP 429")
+            case s if s >= 500      => Left((s"HTTP $s", None))
+            case 429 =>
+              val ra = resp.headers().firstValue("Retry-After")
+              val retryAfter =
+                if (ra.isPresent) ra.get.toLongOption.map(_ * 1000L) else None
+              Left(("HTTP 429", retryAfter))
             case s                  => throw new java.io.IOException(
               s"API request failed: HTTP $s for $url")
           }
         } catch {
           case e: java.io.IOException if e.getMessage == null ||
               !e.getMessage.startsWith("API request failed") =>
-            Left(e.toString)
+            Left((e.toString, None))
         }
       outcome match {
         case Right(r) => return r
-        case Left(err) =>
+        case Left((err, retryAfterMs)) =>
           attempt += 1
           if (attempt > maxRetries) throw new java.io.IOException(
             s"API request failed after $maxRetries retries: $err for $url")
-          Thread.sleep(backoffMs * (1L << (attempt - 1)))
+          Thread.sleep(retryAfterMs
+            .map(ms => math.min(ms, maxRetryAfterMs))
+            .getOrElse(backoffMs * (1L << (attempt - 1))))
       }
     }
     None // unreachable
@@ -86,9 +95,15 @@ object Pagination {
     * the driver walks the chain and spools each raw body to disk, then
     * Spark parses the spool in parallel. Driver memory stays O(one page).
     * `nextField` is a dotted path to the next-page url/token in the body;
-    * chain ends when absent/null/empty. */
+    * chain ends when absent/null/empty. Two API styles:
+    *   - `firstUrl` without `{cursor}`: `nextField` holds a COMPLETE url
+    *     for the next page (HATEOAS-style `next` links).
+    *   - `firstUrl` with `{cursor}`: `nextField` holds an opaque TOKEN,
+    *     substituted into the template each hop (offset/token APIs);
+    *     the first request substitutes `firstCursor` (default empty). */
   final case class Cursor(firstUrl: String, nextField: String,
-                          maxPages: Int = 10000) extends Pagination
+                          maxPages: Int = 10000,
+                          firstCursor: String = "") extends Pagination
 }
 
 /** API-dump source — the reference declares API sources in its
@@ -138,17 +153,22 @@ final case class ApiReader(pagination: Pagination,
           }
           .toDF("_page", "_body")
 
-      case Pagination.Cursor(firstUrl, nextField, maxPages) =>
+      case Pagination.Cursor(firstUrl, nextField, maxPages, firstCursor) =>
         val dir = spoolDir.map(Paths.get(_)).getOrElse(
           Files.createTempDirectory("graft-api-spool"))
         Files.createDirectories(dir)
-        var url = Option(firstUrl)
+        val tokenMode = firstUrl.contains("{cursor}")
+        var url = Option(
+          if (tokenMode) firstUrl.replace("{cursor}", firstCursor)
+          else firstUrl)
         var n = 0
         while (url.isDefined && n < maxPages) {
           fetcher.fetch(url.get) match {
             case Some(body) =>
               Files.writeString(dir.resolve(f"page-$n%06d.body"), body)
-              url = ApiReader.extractField(body, nextField)
+              url = ApiReader.extractField(body, nextField).map { next =>
+                if (tokenMode) firstUrl.replace("{cursor}", next) else next
+              }
               n += 1
             case None => url = None
           }

@@ -82,6 +82,21 @@ class ApiReaderSpec extends SparkSpec {
     capped.count() shouldBe 2
   }
 
+  test("cursor token mode substitutes the next token into the url template") {
+    val dir = tmpDir("api-token")
+    writePage(dir, "tok-start.json",
+      """{"items": [{"id": 10, "lang": "en", "n": 1}], "cursor": "t2"}""")
+    writePage(dir, "tok-t2.json",
+      """{"items": [{"id": 11, "lang": "en", "n": 1}], "cursor": null}""")
+    val df = ApiReader(
+      Pagination.Cursor(s"$dir/tok-{cursor}.json", nextField = "cursor",
+        firstCursor = "start"),
+      recSchema, recordsField = Some("items"), fetcher = FileFetcher(),
+      spoolDir = Some(tmpDir("api-token-spool"))).read(spark)
+    df.select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted shouldBe Array(10L, 11L)
+  }
+
   test("dotted next-field paths resolve through nested objects") {
     ApiReader.extractField(
       """{"meta": {"paging": {"next": "u2"}}, "data": []}""",
@@ -169,6 +184,35 @@ class ApiReaderSpec extends SparkSpec {
       the[java.io.IOException] thrownBy
         f0.fetch(s"$base/flaky") should have message
         s"API request failed after 1 retries: HTTP 500 for $base/flaky"
+    } finally server.stop(0)
+  }
+
+  test("http fetcher honors 429 Retry-After (capped), then succeeds") {
+    import com.sun.net.httpserver.HttpServer
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/limited", ex => {
+      if (hits.incrementAndGet() == 1) {
+        ex.getResponseHeaders.add("Retry-After", "1") // 1s, capped to 50ms below
+        ex.sendResponseHeaders(429, -1)
+      } else {
+        val b = "ok".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val f = graft.io.HttpFetcher(maxRetries = 2, backoffMs = 1,
+        maxRetryAfterMs = 50)
+      val t0 = System.nanoTime()
+      f.fetch(s"$base/limited") shouldBe Some("ok")
+      val ms = (System.nanoTime() - t0) / 1e6
+      hits.get() shouldBe 2
+      ms should be >= 45.0  // waited the capped Retry-After
+      ms should be < 900.0  // NOT the full 1s header value
     } finally server.stop(0)
   }
 

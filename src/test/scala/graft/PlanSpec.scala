@@ -1758,4 +1758,22 @@ class PlanSpec extends SparkSpec {
     ss.distinct.length shouldBe ss.length // a supplier matches at most once
     cs.distinct.length shouldBe cs.length // a customer matches at most once
   }
+
+  test("q363 NB scoring joins the weight table by broadcast, never sort-merge") {
+    // the 256-row learned weight table and the 1-row prior must ride to the
+    // token stream as broadcasts — a sort-merge here would shuffle the full
+    // token relation against a table that fits in one packet
+    val plan = planString(queries.PipelineQueries.q363_nb_filter(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q362 API ingest parses pages with codegen from_json, no driver loop") {
+    val plan = planString(queries.PipelineQueries.q362_api_ingest(spark, dir))
+    // fetch fans out as a partitioned compute (MapPartitions over the page
+    // range), parse stays declarative (from_json in the plan, codegen'd)
+    plan should include("MapPartitions")
+    plan.toLowerCase should include("from_json")
+    plan should not include "CartesianProduct"
+  }
 }

@@ -70,6 +70,18 @@ class SchemaGenSpec extends SparkSpec {
     got("label").dataType shouldBe StringType
   }
 
+  test("orc samples use the exact embedded schema") {
+    import spark.implicits._
+    val dir = tmpDir("schemagen-orc")
+    Seq((1L, 2.5), (2L, 3.5)).toDF("id", "score")
+      .write.orc(s"$dir/sample.orc")
+    SchemaGen.generate(spark, "orc", s"$dir/sample.orc", s"$dir/reg",
+      "d", "t") shouldBe 1
+    val got = new SchemaRegistry(s"$dir/reg").getSchema("d", "t")
+    got("id").dataType shouldBe LongType
+    got("score").dataType shouldBe org.apache.spark.sql.types.DoubleType
+  }
+
   test("an empty sample never publishes") {
     val dir = tmpDir("schemagen-empty")
     val empty = write(s"$dir/empty.json", "\n")
