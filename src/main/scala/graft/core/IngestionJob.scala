@@ -44,6 +44,12 @@ final case class IngestionJob(domain: String, dataset: String,
                               piiMask: Option[graft.dq.PiiMask.Strategy] = None,
                               // (store, watermark column, store key)
                               watermarkAdvance: Option[(graft.io.WatermarkStore, String, String)] = None,
+                              // run after every successful batch write —
+                              // e.g. ApiReader.commitCursor persists the
+                              // API cursor only once its pages are durably
+                              // in a sink (crash before this refetches,
+                              // never loses)
+                              postCommit: Seq[() => Unit] = Seq.empty,
                               // (time column, retention_days) — rows older
                               // than the cutoff are dropped before DQ/write
                               retention: Option[(String, Long)] = None) {
@@ -99,6 +105,7 @@ final case class IngestionJob(domain: String, dataset: String,
       watermarkAdvance.foreach { case (store, column, key) =>
         store.advance(markSource, column, key)
       }
+      postCommit.foreach(_.apply())
       summary
     } finally {
       if (multiUse) { input.unpersist(); () }

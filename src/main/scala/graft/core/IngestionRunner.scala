@@ -118,6 +118,13 @@ object IngestionRunner {
         store <- watermarks
         column <- j.source.watermarkColumn
       } yield (store, column, s"${j.domain}.${j.dataset}"),
+      // API cursor loop: the reader resumed from the stored cursor (see
+      // buildReader); persist its new cursor only after the write lands
+      postCommit = reader match {
+        case a: graft.io.ApiReader if a.cursorStore.nonEmpty =>
+          Seq(() => a.commitCursor())
+        case _ => Seq.empty
+      },
       // retention_days comes from the registry schema's field metadata —
       // config names only WHICH time column governs the table
       retention = for {
@@ -201,7 +208,11 @@ object IngestionRunner {
           },
           parallelism = s.numPartitions.getOrElse(8),
           requestDelayMs =
-            s.options.get("requestDelayMs").map(_.toLong).getOrElse(0L))
+            s.options.get("requestDelayMs").map(_.toLong).getOrElse(0L),
+          // cursor APIs resume from the stored cursor; commit happens
+          // post-write via IngestionJob.postCommit
+          cursorStore = watermarks.map(st =>
+            (st, s"${j.domain}.${j.dataset}.cursor")))
       case other => throw new IllegalArgumentException(s"unknown source type '$other'")
     }
   }

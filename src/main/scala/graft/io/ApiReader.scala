@@ -130,8 +130,23 @@ final case class ApiReader(pagination: Pagination,
                            fetcher: ApiFetcher = HttpFetcher(),
                            parallelism: Int = 8,
                            requestDelayMs: Long = 0,
-                           spoolDir: Option[String] = None)
+                           spoolDir: Option[String] = None,
+                           cursorStore: Option[(WatermarkStore, String)] = None)
     extends SourceReader {
+
+  /** Cursor-mode incremental state (the WatermarkStore loop the JDBC
+    * reader has, for APIs): `read` resumes from the stored cursor when
+    * one exists, and records — but does NOT persist — the cursor of the
+    * last successfully fetched page. [[commitCursor]] persists it; the
+    * job calls that only AFTER the sink write succeeds, so a crash
+    * between read and write refetches instead of losing pages. The
+    * resume point is the final page's own cursor (that page is re-read
+    * next run — it may have grown), so delivery is at-least-once;
+    * downstream exact dedup makes it effectively-once. */
+  @transient private var pendingCursor: Option[String] = None
+
+  def commitCursor(): Unit =
+    for ((store, key) <- cursorStore; c <- pendingCursor) store.put(key, c)
 
   override def read(spark: SparkSession): DataFrame = {
     val bodies: DataFrame = pagination match {
@@ -158,19 +173,22 @@ final case class ApiReader(pagination: Pagination,
           Files.createTempDirectory("graft-api-spool"))
         Files.createDirectories(dir)
         val tokenMode = firstUrl.contains("{cursor}")
-        var url = Option(
-          if (tokenMode) firstUrl.replace("{cursor}", firstCursor)
-          else firstUrl)
+        // resume from the committed cursor when a store is wired; the
+        // stored value is a token (token mode) or a full url
+        val start = cursorStore.flatMap { case (st, k) => st.get(k) }
+        var ref = Option(start.getOrElse(
+          if (tokenMode) firstCursor else firstUrl))
         var n = 0
-        while (url.isDefined && n < maxPages) {
-          fetcher.fetch(url.get) match {
+        while (ref.isDefined && n < maxPages) {
+          val url =
+            if (tokenMode) firstUrl.replace("{cursor}", ref.get) else ref.get
+          fetcher.fetch(url) match {
             case Some(body) =>
               Files.writeString(dir.resolve(f"page-$n%06d.body"), body)
-              url = ApiReader.extractField(body, nextField).map { next =>
-                if (tokenMode) firstUrl.replace("{cursor}", next) else next
-              }
+              pendingCursor = ref
+              ref = ApiReader.extractField(body, nextField)
               n += 1
-            case None => url = None
+            case None => ref = None
           }
         }
         // wholetext: one spooled body per row, so the parse stage below is

@@ -97,6 +97,57 @@ class ApiReaderSpec extends SparkSpec {
       .collect().sorted shouldBe Array(10L, 11L)
   }
 
+  test("cursor store closes the incremental loop: resume, at-least-once, " +
+       "commit only after the caller says so") {
+    val dir = tmpDir("api-incr")
+    writePage(dir, "a.json",
+      s"""{"items": [{"id": 1, "lang": "en", "n": 1}], "next": "$dir/b.json"}""")
+    writePage(dir, "b.json",
+      """{"items": [{"id": 2, "lang": "en", "n": 1}]}""")
+    val store = new graft.io.WatermarkStore(s"$dir/marks.json")
+    def reader(spool: String) = ApiReader(
+      Pagination.Cursor(s"$dir/a.json", nextField = "next"),
+      recSchema, recordsField = Some("items"), fetcher = FileFetcher(),
+      spoolDir = Some(spool), cursorStore = Some((store, "k")))
+    val r1 = reader(tmpDir("api-incr-s1"))
+    r1.read(spark).count() shouldBe 2
+    store.get("k") shouldBe None // nothing persisted before commit
+    r1.commitCursor()
+    store.get("k") shouldBe Some(s"$dir/b.json") // final page's own cursor
+    // the API grows: page b gains a successor
+    writePage(dir, "b.json",
+      s"""{"items": [{"id": 2, "lang": "en", "n": 1}], "next": "$dir/c.json"}""")
+    writePage(dir, "c.json",
+      """{"items": [{"id": 3, "lang": "en", "n": 1}]}""")
+    val r2 = reader(tmpDir("api-incr-s2"))
+    // resumes AT the stored page (b refetched — at-least-once), walks to c,
+    // and never refetches page a
+    r2.read(spark).select("id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted shouldBe Array(2L, 3L)
+    r2.commitCursor()
+    store.get("k") shouldBe Some(s"$dir/c.json")
+  }
+
+  test("config-built api job commits the cursor only after the sink write") {
+    val dir = tmpDir("api-job")
+    writePage(dir, "p.json", """{"items": [{"id": 9, "lang": "en", "n": 4}]}""")
+    val reg = s"$dir/registry"
+    new graft.schema.SchemaRegistry(reg).publish("d", "ds", recSchema)
+    val store = new graft.io.WatermarkStore(s"$dir/marks.json")
+    val job = IngestionRunner.buildJob(
+      JobConfig("d", "ds", "bronze",
+        SourceConfig("api", url = Some(s"$dir/p.json"),
+          options = Map("recordsField" -> "items", "fetcher" -> "file")),
+        TargetConfig("parquet", s"$dir/out")),
+      Some(new graft.schema.SchemaRegistry(reg)),
+      watermarks = Some(store))
+    job.postCommit should have size 1
+    job.run(spark)
+    spark.read.parquet(s"$dir/out").count() shouldBe 1
+    store.get("d.ds.cursor") shouldBe Some(s"$dir/p.json")
+  }
+
   test("dotted next-field paths resolve through nested objects") {
     ApiReader.extractField(
       """{"meta": {"paging": {"next": "u2"}}, "data": []}""",
