@@ -1151,6 +1151,31 @@ object PipelineQueries {
       .orderBy(col("y"))
   }
 
+  /** Incremental profile maintenance (the DedupIndex lifecycle for
+    * METRICS): the corpus arrives as three batches, each profiled ONCE
+    * (one aggregate pass per batch) into a parquet state dir; the
+    * current table profile is then a monoid fold over #batches×#columns
+    * metadata rows — the data is never re-read. The oracle computes the
+    * same statistics directly over the whole table, so the gate proves
+    * the merge law exactly: counts and integral sums add, min/max fold
+    * in native type (a "10" < "9" string trap would hash-mismatch on
+    * doc_id's min/max). HLL distinct sketches union too but are
+    * sketch-typed, so they're spec-gated (MetricsSpec) rather than
+    * oracle-gated. */
+  def q364_incremental_profile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.metrics.ProfileStore
+    val docs = Tables.documents(spark, dir)
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-profile-state").toString
+    val cols = Seq("doc_id", "lang", "n_chars")
+    (0 until 3).foreach(b =>
+      ProfileStore.append(docs.filter(col("doc_id") % 3 === b), cols, state))
+    ProfileStore.summary(ProfileStore.current(spark, state))
+      .select(col("column"), col("dtype"), col("n_rows"), col("n_null"),
+        col("min_s"), col("max_s"), col("sum_l"))
+      .orderBy(col("column"))
+  }
+
   /** API-dump source round-trip (the q85-lifecycle pattern for the io
     * layer): the documents table is materialized as an on-disk paginated
     * JSON API dump ({"data": [...]} pages of ≤500 records), then read back

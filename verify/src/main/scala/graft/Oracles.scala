@@ -78,6 +78,29 @@ object Oracles {
         |    AS BIGINT) AS n_pred_pos
         |FROM sc, prior GROUP BY y ORDER BY y""".stripMargin,
 
+    "q364_incremental_profile" ->
+      """WITH p AS (
+        |  SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(MIN(doc_id) AS VARCHAR) AS min_s,
+        |    CAST(MAX(doc_id) AS VARCHAR) AS max_s,
+        |    CAST(SUM(doc_id) AS BIGINT) AS sum_l
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', 'string', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR),
+        |    CAST(NULL AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', 'bigint', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR),
+        |    CAST(SUM(n_chars) AS BIGINT)
+        |  FROM documents)
+        |SELECT * FROM p ORDER BY "column"""".stripMargin,
+
     "q362_api_ingest" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
