@@ -1218,4 +1218,47 @@ object PipelineQueries {
         sum(col("n")).cast("long").as("sum_chars"))
       .orderBy(col("lang"))
   }
+
+  /** Incremental view maintenance under DELETES (the group-aggregate
+    * family [[graft.transform.Ivm]]): the revenue-by-nation gold view is
+    * maintained from four signed change batches — three insert waves plus
+    * a retraction wave that removes every o_orderkey % 5 == 0 order — and
+    * the final fold must equal a full recompute over the surviving
+    * orders, which is exactly what the oracle computes. Count and sum
+    * have inverses, so fold(deltas) = recompute is an algebraic identity,
+    * not an approximation; a fully-retracted group would vanish (the
+    * n_rows=0 drop), and a sign error anywhere would hash-mismatch every
+    * revenue cell.
+    *
+    * Scale shape: each batch costs one scan of the batch + broadcast
+    * dimension joins + a partial aggregate to #nations rows; the fold
+    * input is 4 x #nations metadata rows. The view's base table is never
+    * re-scanned — the property that replaces a nightly full refresh of a
+    * 100 TB fact table with O(|delta|) per-batch work. */
+  def q365_ivm_gold(spark: SparkSession, dir: String): DataFrame = {
+    import graft.transform.Ivm
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-ivm-state").toString
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    def delta(batch: DataFrame): DataFrame =
+      Ivm.viewDelta(
+        batch.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey")),
+        Seq("n_name"),
+        Seq("revenue" -> col("o_totalprice").cast("decimal(18,2)")))
+    val orders = Tables.orders(spark, dir)
+    (0 until 3).foreach(b => Ivm.append(
+      delta(Ivm.inserts(orders.filter(col("o_orderkey") % 3 === b))), state))
+    Ivm.append(
+      delta(Ivm.retracts(orders.filter(col("o_orderkey") % 5 === 0))), state)
+    Ivm.current(spark, state, Seq("n_name"))
+      .select(col("n_name"), col("n_rows").as("n_orders"),
+        // exact decimal fold, ONE deterministic cast to double at the edge
+        // (the q01 sumMoney pattern — sum order can't perturb bits)
+        col("revenue").cast("double").as("revenue"))
+      .orderBy(col("n_name"))
+  }
 }

@@ -1,0 +1,78 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of join-aggregate views via signed deltas
+  * (z-sets): every change batch is a relation of rows tagged with a
+  * multiplicity `_m` (+1 insert, -1 retraction), the view delta is the
+  * SAME aggregate query run over just the batch with every measure
+  * weighted by `_m`, and the stored view folds deltas by key. Because
+  * count and sum are commutative-group aggregates (they have inverses),
+  * fold(state, delta(batch)) equals a full recompute EXACTLY — deletes
+  * included — which is the algebraic fact the reference's gold-layer
+  * "aggregations and roll-ups" roadmap (docs/00-architecture-overview.md:237-245)
+  * needs to avoid full refreshes.
+  *
+  * The 100 TB property: maintaining a view over a year of ingest costs
+  * O(|batch|) per batch — one scan of the batch, broadcast joins to
+  * dimensions, one partial aggregate — and the fold input is
+  * #batches x #groups metadata rows. The base table is never re-read;
+  * contrast a nightly full refresh that re-shuffles the whole fact
+  * table. Min/max are NOT maintained here: they are monoid-only (no
+  * inverse), so a retraction can invalidate them — [[graft.metrics.ProfileStore]]
+  * covers the insert-only monoid family; this covers the group family
+  * under deletes.
+  *
+  * State lifecycle mirrors [[graft.similarity.DedupIndex]] /
+  * [[graft.metrics.ProfileStore]]: `append` writes tiny per-batch delta
+  * parquet into a state dir; `current` folds all stored deltas and
+  * drops groups whose net multiplicity reached zero (a fully-retracted
+  * group must VANISH from the view, not linger as a zero row).
+  */
+object Ivm {
+
+  /** Multiplicity column carried by signed change batches. */
+  val MultCol = "_m"
+
+  /** Tag a batch of new rows as inserts (+1). */
+  def inserts(df: DataFrame): DataFrame = df.withColumn(MultCol, lit(1L))
+
+  /** Tag a batch of removed rows as retractions (-1). The rows must be
+    * the full previously-inserted rows (z-set deletion is by value). */
+  def retracts(df: DataFrame): DataFrame = df.withColumn(MultCol, lit(-1L))
+
+  /** The view-delta query: the view's own group-aggregate evaluated over
+    * ONE signed batch, with `n_rows` = SUM(_m) and each measure summed
+    * pre-weighted by `_m`. Joins to dimension tables (to reach the group
+    * keys) should be applied to the batch BEFORE calling this — the
+    * delta rule d(R ⋈ D) = dR ⋈ D holds when dimensions are static.
+    */
+  def viewDelta(batch: DataFrame, keys: Seq[String],
+      measures: Seq[(String, Column)]): DataFrame = {
+    val m = col(MultCol)
+    val aggs = sum(m).cast("long").as("n_rows") +:
+      measures.map { case (name, c) => sum(c * m).as(name) }
+    batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Persist one view delta into the state dir (tiny metadata write). */
+  def append(delta: DataFrame, stateDir: String): Unit =
+    delta.write.mode("append").parquet(stateDir)
+
+  /** Fold stored deltas into the current view. Sums add by key; groups
+    * with net multiplicity 0 are dropped. One #batches x #groups-row
+    * aggregate — the base data is never re-read. */
+  def current(spark: SparkSession, stateDir: String, keys: Seq[String]): DataFrame =
+    merge(spark.read.parquet(stateDir), keys)
+
+  /** Merge delta rows (any number of batches, any order) by key. */
+  def merge(deltas: DataFrame, keys: Seq[String]): DataFrame = {
+    val sumCols = deltas.columns.filterNot(keys.contains)
+    val aggs = sumCols.map(c =>
+      (if (c == "n_rows") sum(col(c)).cast("long") else sum(col(c))).as(c))
+    deltas.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_rows") =!= 0L)
+  }
+}

@@ -106,6 +106,15 @@ object Oracles {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q365_ivm_gold" ->
+      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderkey % 5 <> 0
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
     "q38_ann_ivf" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(150 AS BIGINT), TRUE, TRUE),
