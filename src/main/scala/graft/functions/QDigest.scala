@@ -78,9 +78,8 @@ object QDigest {
         }
         i += 1
       }
-      // odd-id singletons whose even sibling is absent from `ids` capture:
-      // handled above because rightEnd pairing keys on the EVEN id — an
-      // odd id with no even sibling still folds via cv=0 path? No: cover it.
+      // pairs are keyed on the even id above, so an odd-id node whose even
+      // sibling is absent never got considered — fold those singletons too
       val odd = m.keysIterator.filter(id => depth(id) == d && (id & 1L) == 1L
         && !m.contains(id ^ 1L)).toArray
       var j = 0

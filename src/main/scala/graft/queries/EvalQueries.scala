@@ -3630,6 +3630,42 @@ object EvalQueries {
       .orderBy(col("sequence"))
   }
 
+  /** Q-digest quantile-sketch accuracy gate (the deterministic member of
+    * the sketch family — q335 HLL / q217 KMV / q108 CMS / q306 AMS):
+    * sketch lineitem prices-in-cents with [[graft.functions.QDigest]]
+    * (one scan, ≤~3k-node partial aggregates across the shuffle), read
+    * five quantiles off the merged digest, then measure each estimate's
+    * EXACT rank in a second one-pass aggregate and gate |rank − target|
+    * against the L·(n/k) q-digest bound plus the sketch-size cap. The
+    * oracle pins n_rows to the table count (ties the sketch's n to data)
+    * and the gates to true — any compression bug that over-coarsens
+    * nodes breaks rank_ok, any that under-compresses breaks size_ok.
+    *
+    * Both collects are bounded: the merged digest (≤3k+L nodes) and two
+    * 1-row aggregate heads — the q38-IVF bounded-collect class. */
+  def q366_qdigest_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QDigest
+    import spark.implicits._
+    val cents = Tables.lineitem(spark, dir)
+      .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("v"))
+    val digest = cents.agg(QDigest.sketch(col("v")).as("d")).head().getStruct(0)
+    val n = digest.getLong(0)
+    val nodes = digest.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val targets = Seq(1L, 25L, 50L, 75L, 99L)
+    val ests = targets.map(p => p -> QDigest.quantile(nodes, n, p / 100.0)).toMap
+    val rankAggs = targets.map(p =>
+      sum(when(col("v") <= ests(p), 1L).otherwise(0L)).cast("long").as(s"r$p"))
+    val ranks = cents.agg(rankAggs.head, rankAggs.tail: _*).head()
+    val bound = QDigest.rankBound(n)
+    val sizeOk = nodes.size <= 3 * QDigest.K + QDigest.L
+    targets.zipWithIndex.map { case (p, i) =>
+      val target = math.max(1L, math.ceil(p / 100.0 * n).toLong)
+      (p, n, sizeOk, math.abs(ranks.getLong(i) - target) <= bound)
+    }.toDF("q_pct", "n_rows", "size_ok", "rank_ok").orderBy(col("q_pct"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

@@ -220,6 +220,33 @@ class ExpressionsSpec extends SparkSpec {
     (hot._2 - hot._3) should be <= 500L // count - maxError <= true count
   }
 
+  test("QDigest: mass conserved, size capped, rank error within bound") {
+    import graft.functions.QDigest
+    // skewed multi-partition data: quadratic values repeat unevenly
+    val vals: Seq[Long] = (1 to 20000).map(i => ((i % 140) * (i % 140)).toLong)
+    val digest = vals.toDF("v").repartition(8)
+      .agg(QDigest.sketch(col("v"))).collect()(0).getStruct(0)
+    val n = digest.getLong(0)
+    n shouldBe vals.size.toLong
+    val nodes = digest.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    nodes.map(_._2).sum shouldBe n // compression moves counts, never drops
+    nodes.size should be <= 3 * QDigest.K + QDigest.L
+    val sorted = vals.sorted
+    for (q <- Seq(0.01, 0.25, 0.5, 0.9, 0.99)) {
+      val est = QDigest.quantile(nodes, n, q)
+      val rank = sorted.count(_ <= est).toLong
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      math.abs(rank - target) should be <= QDigest.rankBound(n)
+    }
+    // degenerate distribution: every quantile is the constant itself
+    val const = Seq.fill(100)(7L).toDF("v")
+      .agg(QDigest.sketch(col("v"))).collect()(0).getStruct(0)
+    val cn = const.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    QDigest.quantile(cn, 100L, 0.5) shouldBe 7L
+  }
+
   test("SimHash64: identical token sets collide, disjoint ones differ") {
     val df = Seq(
       ("x", Seq("spark", "scala", "engine")),

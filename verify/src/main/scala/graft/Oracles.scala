@@ -106,6 +106,13 @@ object Oracles {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q366_qdigest_quantiles" ->
+      """SELECT CAST(q_pct AS BIGINT) AS q_pct,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+        |  TRUE AS size_ok, TRUE AS rank_ok
+        |FROM (VALUES (1),(25),(50),(75),(99)) t(q_pct)
+        |ORDER BY q_pct""".stripMargin,
+
     "q365_ivm_gold" ->
       """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
