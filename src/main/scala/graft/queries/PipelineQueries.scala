@@ -1219,6 +1219,76 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** BPE tokenizer APPLY — closes the train→apply loop that q93 (merge
+    * mining) and q344 (OOV curves) left open: mine the top-8 char-pair
+    * merge rules from the corpus (occurrence-weighted, deterministic
+    * count-desc/pair-asc ranks), then ENCODE every word by the greedy
+    * BPE rule — repeatedly merge the lowest-rank, leftmost adjacent pair
+    * until none applies. Because the mined rules are all (char,char) —
+    * one BPE generation — merging never creates a new candidate pair, so
+    * the iterative algorithm collapses to one pass over the word's
+    * candidate pairs sorted by (rank, pos) with a consumed-position
+    * bitmask: that fold runs as codegen'd higher-order functions
+    * (transform/filter/aggregate), no UDF, no loop. The oracle replays
+    * the textbook iterative form as a recursive CTE with a
+    * lowest-rank-leftmost lateral pick, so the gate proves the two
+    * formulations equal on every word — enc strings and all.
+    *
+    * Scale shape: encoding runs on the DISTINCT-WORD dictionary (≪
+    * corpus — the dictionary-encode trick), one shuffle at dictionary
+    * grain; mining is one combinable aggregate over dictionary char
+    * pairs; the 8-rule table broadcasts. Nothing collects. */
+  def q367_bpe_encode(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val words = tok.groupBy("w").agg(count(lit(1)).cast("long").as("n_occ"))
+    val pairRows = words.filter(length(col("w")) >= 2)
+      .select(col("w"), col("n_occ"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => struct(i.as("pos"),
+            col("w").substr(i, lit(1)).as("l"),
+            col("w").substr(i + lit(1), lit(1)).as("r")))).as("p"))
+      .select(col("w"), col("n_occ"),
+        col("p.pos").as("pos"), col("p.l").as("l"), col("p.r").as("r"))
+    val merges = pairRows.groupBy("l", "r")
+      .agg(sum(col("n_occ")).cast("long").as("c"))
+      .orderBy(col("c").desc, col("l"), col("r")).limit(8)
+      .withColumn("rank",
+        (row_number().over(Window.orderBy(col("c").desc, col("l"), col("r")))
+          - 1).cast("int")) // 8-row table: the single-partition window is free
+    val cands = pairRows
+      .join(broadcast(merges.select(col("l"), col("r"), col("rank"))),
+        Seq("l", "r"))
+      .groupBy("w")
+      .agg(array_sort(collect_list(struct(col("rank"), col("pos"))))
+        .as("cand"))
+    words.join(cands, Seq("w"), "left")
+      .withColumn("cand", coalesce(col("cand"),
+        array().cast("array<struct<rank:int,pos:int>>")))
+      // consumed-position fold: accept a pair iff both its positions are
+      // free; bits pos and pos+1 mark consumption, starts marks the left
+      .withColumn("st", expr(
+        """aggregate(cand,
+          |  named_struct('mask', CAST(0 AS BIGINT), 'starts', CAST(0 AS BIGINT)),
+          |  (acc, c) -> IF((acc.mask & shiftleft(CAST(3 AS BIGINT), c.pos)) = 0,
+          |    named_struct(
+          |      'mask', acc.mask | shiftleft(CAST(3 AS BIGINT), c.pos),
+          |      'starts', acc.starts | shiftleft(CAST(1 AS BIGINT), c.pos)),
+          |    acc))""".stripMargin))
+      .withColumn("syms", expr(
+        """transform(
+          |  filter(sequence(1, length(w)), i ->
+          |    NOT ((shiftright(st.mask, i) & 1) = 1
+          |      AND (shiftright(st.starts, i) & 1) = 0)),
+          |  i -> IF((shiftright(st.starts, i) & 1) = 1,
+          |    substr(w, i, 2), substr(w, i, 1)))""".stripMargin))
+      .select(col("w"), col("n_occ"),
+        size(col("syms")).cast("long").as("n_syms"),
+        array_join(col("syms"), "|").as("enc"))
+      .orderBy(col("w"))
+  }
+
   /** Incremental view maintenance under DELETES (the group-aggregate
     * family [[graft.transform.Ivm]]): the revenue-by-nation gold view is
     * maintained from four signed change batches — three insert waves plus

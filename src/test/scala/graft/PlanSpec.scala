@@ -1768,6 +1768,17 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("q367 BPE encode broadcasts the rule table and folds without UDFs") {
+    // the 8-rule merge table must broadcast to the dictionary pair rows,
+    // and the greedy consumption fold must stay declarative (codegen'd
+    // higher-order aggregate) — no ScalaUDF, no cartesian anywhere
+    val plan = planString(queries.PipelineQueries.q367_bpe_encode(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan.toLowerCase should not include "scalaudf"
+    plan.toLowerCase should include("aggregate(coalesce(cand")
+  }
+
   test("q362 API ingest parses pages with codegen from_json, no driver loop") {
     val plan = planString(queries.PipelineQueries.q362_api_ingest(spark, dir))
     // fetch fans out as a partitioned compute (MapPartitions over the page

@@ -106,6 +106,49 @@ object Oracles {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q367_bpe_encode" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |), words AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occ FROM tok
+        |  WHERE length(w) > 0 GROUP BY w
+        |), pr AS (
+        |  SELECT substr(w.w, CAST(t.i AS INTEGER), 1) AS l,
+        |         substr(w.w, CAST(t.i AS INTEGER) + 1, 1) AS r,
+        |         w.n_occ
+        |  FROM words w, unnest(generate_series(1, length(w.w) - 1)) AS t(i)
+        |  WHERE length(w.w) >= 2
+        |), merges AS (
+        |  SELECT l, r,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY SUM(n_occ) DESC, l, r) - 1
+        |      AS INTEGER) AS rank
+        |  FROM pr GROUP BY l, r
+        |  ORDER BY SUM(n_occ) DESC, l, r LIMIT 8
+        |), init AS (
+        |  SELECT w, list_transform(generate_series(1, length(w)),
+        |    i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
+        |  FROM words
+        |), rec AS (
+        |  SELECT w, syms FROM init
+        |  UNION ALL
+        |  SELECT r.w,
+        |    list_concat(list_concat(r.syms[1:b.i-1],
+        |      [r.syms[b.i] || r.syms[b.i+1]]), r.syms[b.i+2:]) AS syms
+        |  FROM rec r, LATERAL (
+        |    SELECT CAST(t.i AS INTEGER) AS i
+        |    FROM unnest(generate_series(1, len(r.syms) - 1)) AS t(i)
+        |    JOIN merges m ON m.l = r.syms[CAST(t.i AS INTEGER)]
+        |      AND m.r = r.syms[CAST(t.i AS INTEGER) + 1]
+        |    ORDER BY m.rank, t.i LIMIT 1
+        |  ) b
+        |), fin AS (
+        |  SELECT w, syms FROM rec
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY w ORDER BY len(syms)) = 1
+        |)
+        |SELECT wd.w AS w, wd.n_occ, CAST(len(f.syms) AS BIGINT) AS n_syms,
+        |  array_to_string(f.syms, '|') AS enc
+        |FROM words wd JOIN fin f ON wd.w = f.w ORDER BY wd.w""".stripMargin,
+
     "q366_qdigest_quantiles" ->
       """SELECT CAST(q_pct AS BIGINT) AS q_pct,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
