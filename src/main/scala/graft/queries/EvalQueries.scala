@@ -3666,6 +3666,82 @@ object EvalQueries {
     }.toDF("q_pct", "n_rows", "size_ok", "rank_ok").orderBy(col("q_pct"))
   }
 
+  /** ALS matrix factorization (implicit customer×part quantity ratings,
+    * rank 2, ridge λ=0.1, two unrolled iterations) — the model-based
+    * recommender counterpart of q283's neighborhood item-CF. Each half-
+    * iteration is the closed-form 2×2 ridge solve per key: one equi-join
+    * of the ratings to the other side's factor table plus one combinable
+    * aggregate building the normal equations (ΣqqT, Σqr) in EXACT
+    * decimals; the division happens once per key in doubles and the
+    * result is nano-quantized (floor(x·1e9+0.5)) back into decimals, so
+    * every number either engine touches is either an exact decimal or a
+    * double derived from identical exact decimals by identical IEEE ops
+    * — the oracle replays all four solves and both SSE evaluations as
+    * CTEs and must match bit-for-bit. SSE is reported in squared
+    * milli-units (exact BIGINT).
+    *
+    * Scale shape: per iteration two shuffles of the ratings relation
+    * (by user, by item) — the canonical distributed-ALS cost — plus
+    * factor tables of #users/#items rows that AQE broadcasts; rank is a
+    * constant so the normal-equation payload is O(k²)=O(1) per row.
+    * Nothing collects; iterations are data-independent plan unrolls. */
+  def q368_als_factorization(spark: SparkSession, dir: String): DataFrame = {
+    val nano = lit(new java.math.BigDecimal("0.000000001"))
+    val tenth = lit(new java.math.BigDecimal("0.1"))
+    def quant9(x: Column): Column =
+      (floor(x * lit(1e9) + lit(0.5)).cast("decimal(18,0)") * nano)
+        .cast("decimal(18,9)")
+    val ratings = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(sum(col("l_quantity").cast("long")).cast("decimal(9,0)").as("r"))
+    val qInit = ratings.select(col("i")).distinct()
+      .select(col("i"),
+        ((lit(10) + col("i") % 7).cast("decimal(18,0)") * tenth)
+          .cast("decimal(18,9)").as("f0"),
+        ((lit(5) - col("i") % 5).cast("decimal(18,0)") * tenth)
+          .cast("decimal(18,9)").as("f1"))
+    def solve(joinKey: String, outKey: String, factors: DataFrame): DataFrame = {
+      val det = (col("a11") + lit(0.1)) * (col("a22") + lit(0.1)) -
+        col("a12") * col("a12")
+      ratings.join(factors, joinKey)
+        .groupBy(col(outKey))
+        .agg(sum(col("f0") * col("f0")).cast("double").as("a11"),
+          sum(col("f0") * col("f1")).cast("double").as("a12"),
+          sum(col("f1") * col("f1")).cast("double").as("a22"),
+          sum(col("f0") * col("r")).cast("double").as("b0"),
+          sum(col("f1") * col("r")).cast("double").as("b1"))
+        .select(col(outKey),
+          quant9(((col("a22") + lit(0.1)) * col("b0") -
+            col("a12") * col("b1")) / det).as("f0"),
+          quant9(((col("a11") + lit(0.1)) * col("b1") -
+            col("a12") * col("b0")) / det).as("f1"))
+    }
+    def sse(p: DataFrame, q: DataFrame): DataFrame = {
+      val em = floor((col("r") -
+          (col("p0") * col("q0") + col("p1") * col("q1"))).cast("double")
+        * lit(1000.0) + lit(0.5)).cast("long")
+      ratings
+        .join(p.select(col("u"), col("f0").as("p0"), col("f1").as("p1")), "u")
+        .join(q.select(col("i"), col("f0").as("q0"), col("f1").as("q1")), "i")
+        .select(em.as("em"))
+        .agg(sum(col("em") * col("em")).cast("long").as("sse_m2"))
+    }
+    val p1 = solve("i", "u", qInit)
+    val qa = solve("u", "i", p1)
+    val p2 = solve("i", "u", qa)
+    val qb = solve("u", "i", p2)
+    val counts = ratings.agg(
+      countDistinct(col("u")).cast("long").as("n_users"),
+      countDistinct(col("i")).cast("long").as("n_items"))
+    sse(p1, qa).select(lit(1L).as("iter"), col("sse_m2"))
+      .unionByName(sse(p2, qb).select(lit(2L).as("iter"), col("sse_m2")))
+      .crossJoin(broadcast(counts))
+      .select(col("iter"), col("n_users"), col("n_items"), col("sse_m2"))
+      .orderBy(col("iter"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

@@ -1768,6 +1768,15 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("q368 ALS normal equations build as hash aggregates, no cartesian") {
+    // each half-iteration must be equi-join + combinable aggregate; the
+    // only nested-loop allowed is the 1-row counts broadcast at the edge
+    val plan = planString(queries.EvalQueries.q368_als_factorization(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should include("HashAggregate")
+    plan.toLowerCase should not include "scalaudf"
+  }
+
   test("q367 BPE encode broadcasts the rule table and folds without UDFs") {
     // the 8-rule merge table must broadcast to the dictionary pair rows,
     // and the greedy consumption fold must stay declarative (codegen'd

@@ -106,6 +106,40 @@ object Oracles {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q368_als_factorization" ->
+      s"""WITH ratings AS (
+        |  SELECT o_custkey AS u, l_partkey AS i,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DECIMAL(9,0)) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey, l_partkey
+        |), q0 AS (
+        |  SELECT i,
+        |    CAST(CAST(10 + i % 7 AS DECIMAL(18,0)) * 0.1 AS DECIMAL(18,9)) AS f0,
+        |    CAST(CAST(5 - i % 5 AS DECIMAL(18,0)) * 0.1 AS DECIMAL(18,9)) AS f1
+        |  FROM (SELECT DISTINCT i FROM ratings)
+        |), p1 AS (
+        |  ${Oracles.alsSolve("u", "i", "q0")}
+        |), qa AS (
+        |  ${Oracles.alsSolve("i", "u", "p1")}
+        |), p2 AS (
+        |  ${Oracles.alsSolve("u", "i", "qa")}
+        |), qb AS (
+        |  ${Oracles.alsSolve("i", "u", "p2")}
+        |), sse1 AS (
+        |  ${Oracles.alsSse("p1", "qa")}
+        |), sse2 AS (
+        |  ${Oracles.alsSse("p2", "qb")}
+        |), cnt AS (
+        |  SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+        |    CAST(COUNT(DISTINCT i) AS BIGINT) AS n_items FROM ratings
+        |)
+        |SELECT CAST(1 AS BIGINT) AS iter, n_users, n_items,
+        |  (SELECT sse_m2 FROM sse1) AS sse_m2 FROM cnt
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), n_users, n_items,
+        |  (SELECT sse_m2 FROM sse2) FROM cnt
+        |ORDER BY iter""".stripMargin,
+
     "q367_bpe_encode" ->
       """WITH RECURSIVE tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -9929,6 +9963,36 @@ object Oracles {
       |FROM fin CROSS JOIN cr
       |LEFT JOIN llrp lp ON lp.t = first_cross_t""".stripMargin
   }
+
+  /** q368 ALS helpers, mirrored textually against the Spark expressions:
+    * nano-quantizer floor(x·1e9+0.5) → DECIMAL(18,9), and the per-key
+    * closed-form 2×2 ridge solve over exact-decimal normal equations. */
+  private def alsQuant(x: String): String =
+    s"CAST(CAST(FLOOR(($x) * 1e9 + CAST(0.5 AS DOUBLE)) AS DECIMAL(18,0))" +
+      " * 0.000000001 AS DECIMAL(18,9))"
+
+  private def alsSolve(outKey: String, joinKey: String, from: String): String = {
+    val lam = "CAST(0.1 AS DOUBLE)"
+    val det = s"((a11 + $lam) * (a22 + $lam) - a12 * a12)"
+    s"""SELECT $outKey,
+       |    ${alsQuant(s"((a22 + $lam) * b0 - a12 * b1) / $det")} AS f0,
+       |    ${alsQuant(s"((a11 + $lam) * b1 - a12 * b0) / $det")} AS f1
+       |  FROM (
+       |    SELECT rt.$outKey,
+       |      CAST(SUM(f.f0 * f.f0) AS DOUBLE) AS a11,
+       |      CAST(SUM(f.f0 * f.f1) AS DOUBLE) AS a12,
+       |      CAST(SUM(f.f1 * f.f1) AS DOUBLE) AS a22,
+       |      CAST(SUM(f.f0 * rt.r) AS DOUBLE) AS b0,
+       |      CAST(SUM(f.f1 * rt.r) AS DOUBLE) AS b1
+       |    FROM ratings rt JOIN $from f USING ($joinKey)
+       |    GROUP BY rt.$outKey)""".stripMargin
+  }
+
+  private def alsSse(p: String, q: String): String =
+    s"""SELECT CAST(SUM(em * em) AS BIGINT) AS sse_m2 FROM (
+       |    SELECT CAST(FLOOR(CAST(rt.r - (p.f0 * q.f0 + p.f1 * q.f1) AS DOUBLE)
+       |      * CAST(1000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS em
+       |    FROM ratings rt JOIN $p p USING (u) JOIN $q q USING (i))""".stripMargin
 
   private def minhashPairCtes: String =
     s"""t AS (
