@@ -1219,6 +1219,47 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Two-sided incremental JOIN-view maintenance (the bilinear delta
+    * rule, completing q365's unary case): revenue-by-priority over
+    * orders ⋈ lineitem is maintained through a batch where only both-new
+    * rows exist, a batch where BOTH sides grow (so the dR⋈dS cross term
+    * must land exactly once), and a lineitem-only retraction wave —
+    * multiplicities multiply through [[graft.transform.Ivm.zJoin]], so a
+    * retraction cancels precisely the joined rows it created. The oracle
+    * recomputes the view from the surviving rows; any double-counted
+    * cross term or sign slip shifts every revenue cell.
+    *
+    * Scale shape: each batch costs dR ⋈ S_new plus R_old ⋈ dS — equi-
+    * joins whose probe sides are delta-sized — plus a partial aggregate
+    * to #priorities rows; the view itself is never recomputed and the
+    * fold input is #batches × #groups metadata rows. */
+  def q369_ivm_join(spark: SparkSession, dir: String): DataFrame = {
+    import graft.transform.Ivm
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-ivm-join-state").toString
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("ok"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_quantity"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("rev"))
+    val (r1, r2) = (ord.filter(col("ok") % 2 === 0), ord.filter(col("ok") % 2 === 1))
+    val (s1, s2) = (li.filter(col("ok") % 3 === 0), li.filter(col("ok") % 3 =!= 0))
+    def step(d: DataFrame): Unit = Ivm.append(
+      Ivm.viewDelta(d, Seq("o_orderpriority"), Seq("revenue" -> col("rev"))),
+      state)
+    val empty = Ivm.inserts(ord.limit(0))
+    step(Ivm.joinDelta(ord.limit(0), Ivm.inserts(r1), li.limit(0), Ivm.inserts(s1), Seq("ok")))
+    step(Ivm.joinDelta(r1, Ivm.inserts(r2), s1, Ivm.inserts(s2), Seq("ok")))
+    step(Ivm.joinDelta(ord, empty, li,
+      Ivm.retracts(li.filter(col("l_quantity") >= 45)), Seq("ok")))
+    Ivm.current(spark, state, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_rows"),
+        col("revenue").cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** BPE tokenizer APPLY — closes the train→apply loop that q93 (merge
     * mining) and q344 (OOV curves) left open: mine the top-8 char-pair
     * merge rules from the corpus (occurrence-weighted, deterministic

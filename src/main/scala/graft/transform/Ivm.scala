@@ -66,6 +66,32 @@ object Ivm {
   def current(spark: SparkSession, stateDir: String, keys: Seq[String]): DataFrame =
     merge(spark.read.parquet(stateDir), keys)
 
+  /** Lift an unsigned (plain) relation into the z-set view: every stored
+    * row has multiplicity +1. */
+  def asZ(df: DataFrame): DataFrame =
+    if (df.columns.contains(MultCol)) df else inserts(df)
+
+  /** Z-set join: multiplicities MULTIPLY, so an insert joining an insert
+    * contributes +1, an insert joining a retraction contributes −1 —
+    * exactly the algebra that makes two-sided deltas cancel correctly. */
+  def zJoin(a: DataFrame, b: DataFrame, on: Seq[String]): DataFrame =
+    a.withColumnRenamed(MultCol, "_ma")
+      .join(b.withColumnRenamed(MultCol, "_mb"), on)
+      .withColumn(MultCol, col("_ma") * col("_mb"))
+      .drop("_ma", "_mb")
+
+  /** The bilinear join-delta rule: when BOTH join sides change in one
+    * batch, d(R ⋈ S) = dR ⋈ S_new + R_old ⋈ dS (the dR ⋈ dS cross term
+    * lands exactly once, inside the first join). `rOld`/`sOld` are the
+    * relations as accumulated BEFORE this batch — in a lakehouse these
+    * are the bronze tables the deltas append to, so the per-batch cost
+    * is two equi-joins touching only delta-sized probe sides, never a
+    * recompute of R ⋈ S. */
+  def joinDelta(rOld: DataFrame, dR: DataFrame, sOld: DataFrame,
+      dS: DataFrame, on: Seq[String]): DataFrame =
+    zJoin(dR, asZ(sOld).unionByName(dS), on)
+      .unionByName(zJoin(asZ(rOld), dS, on))
+
   /** Merge delta rows (any number of batches, any order) by key. */
   def merge(deltas: DataFrame, keys: Seq[String]): DataFrame = {
     val sumCols = deltas.columns.filterNot(keys.contains)

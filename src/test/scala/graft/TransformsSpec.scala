@@ -381,6 +381,24 @@ class TransformsSpec extends SparkSpec {
     reread shouldBe out
   }
 
+  test("Ivm.zJoin multiplies multiplicities; joinDelta counts cross terms once") {
+    import org.apache.spark.sql.functions._
+    val r1 = Seq((1L, "x")).toDF("k", "rv")
+    val dR = Ivm.inserts(Seq((2L, "y")).toDF("k", "rv"))
+    val s1 = Seq((1L, 10L)).toDF("k", "sv")
+    val dS = Ivm.inserts(Seq((1L, 20L), (2L, 30L)).toDF("k", "sv"))
+    // d(R⋈S) after both-sides growth: r1⋈dS(1,20) + dR⋈s_new(2,30)
+    val d = Ivm.joinDelta(r1, dR, s1, dS, Seq("k"))
+      .select($"k", $"sv", $"_m").as[(Long, Long, Long)].collect().toSet
+    d shouldBe Set((1L, 20L, 1L), (2L, 30L, 1L))
+    // retraction through a join cancels exactly the rows it created
+    val retr = Ivm.joinDelta(r1.union(dR.drop("_m")), Ivm.inserts(r1.limit(0)),
+      s1.union(dS.drop("_m")), Ivm.retracts(Seq((2L, 30L)).toDF("k", "sv")),
+      Seq("k"))
+      .select($"k", $"sv", $"_m").as[(Long, Long, Long)].collect().toSet
+    retr shouldBe Set((2L, 30L, -1L))
+  }
+
   test("Multimodal.sampleFrames slices strided fixed-size frames") {
     import graft.multimodal.Multimodal
     import org.apache.spark.sql.functions._

@@ -106,6 +106,15 @@ object Oracles {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q369_ivm_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_quantity < 45
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q368_als_factorization" ->
       s"""WITH ratings AS (
         |  SELECT o_custkey AS u, l_partkey AS i,
