@@ -289,6 +289,45 @@ object StreamOps {
     }
   }
 
+  /** Per-micro-batch incremental gold-view maintenance — the streaming
+    * twin of q365/q369: the batch's signed view delta (built by the
+    * caller's delta query — typically broadcast dimension joins then
+    * [[graft.transform.Ivm.viewDelta]]) lands as one `micro_batch_id`
+    * partition of the state dir. Replay idempotency comes free from
+    * dynamic partition overwrite: a re-run batch REPLACES its own delta
+    * partition rather than double-counting — exactly the property the
+    * group-fold needs to stay exactly-once on top of at-least-once batch
+    * replays. State stays #batches × #groups metadata rows; the view's
+    * base data is never re-read. */
+  def ivmBatch(delta: DataFrame, batchId: Long, statePath: String): Unit = {
+    val spark = delta.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try delta.withColumn("micro_batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("micro_batch_id").parquet(statePath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Continuous view maintenance over a stream via [[ivmBatch]]. */
+  def ivmSink(df: DataFrame, toDelta: DataFrame => DataFrame,
+              statePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivmBatch(toDelta(batch), batchId, statePath)
+      }
+      .start()
+
+  /** The current view: fold every stored per-batch delta partition. */
+  def ivmView(spark: org.apache.spark.sql.SparkSession, statePath: String,
+              keys: Seq[String]): DataFrame =
+    graft.transform.Ivm.merge(
+      spark.read.parquet(statePath).drop("micro_batch_id"), keys)
+
   /** Continuous CMS over a token stream via [[cmsBatch]]. */
   def cmsSink(tokens: DataFrame, tokenCol: String, cmsPath: String,
               checkpoint: String, depth: Int = 4, width: Int = 256)

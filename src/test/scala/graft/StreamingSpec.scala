@@ -215,6 +215,31 @@ class StreamingSpec extends SparkSpec {
     StreamOps.cmsRead(spark, path).agg(sum("cnt")).as[Long].collect().head shouldBe 4L * 5L
   }
 
+  test("ivmSink: streamed deltas fold to the view; replay overwrites, never doubles") {
+    import graft.transform.Ivm
+    val root = tmpDir("ivm-stream")
+    val (path, cp) = (root + "/state", root + "/cp")
+    val in = MemoryStream[(String, Long)](spark)
+    def toDelta(b: org.apache.spark.sql.DataFrame) =
+      Ivm.viewDelta(Ivm.inserts(b.toDF("k", "v")), Seq("k"),
+        Seq("sv" -> col("v")))
+    val q = StreamOps.ivmSink(in.toDF().toDF("k", "v"), toDelta, path, cp)
+    try {
+      in.addData(("a", 1L), ("b", 5L)); q.processAllAvailable()
+      in.addData(("a", 2L)); q.processAllAvailable()
+    } finally q.stop()
+    val view = StreamOps.ivmView(spark, path, Seq("k"))
+      .select($"k", $"n_rows", $"sv").as[(String, Long, Long)].collect().toSet
+    view shouldBe Set(("a", 2L, 3L), ("b", 1L, 5L))
+    // replay micro-batch 1 (same delta, same id): its partition is
+    // REPLACED, so the folded view is unchanged — exactly-once semantics
+    // on top of an at-least-once replay
+    StreamOps.ivmBatch(toDelta(Seq(("a", 2L)).toDF("k", "v")), 1L, path)
+    StreamOps.ivmView(spark, path, Seq("k"))
+      .select($"k", $"n_rows", $"sv").as[(String, Long, Long)]
+      .collect().toSet shouldBe view
+  }
+
   test("driftSink: in-distribution batch scores near zero, skewed batch higher; replay idempotent") {
     val root = tmpDir("drift")
     val (basep, metrics, cp) = (root + "/base", root + "/metrics", root + "/cp")
