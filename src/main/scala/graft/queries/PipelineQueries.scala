@@ -1219,6 +1219,40 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Incremental MIN maintenance under deletes — the aggregate family
+    * without an inverse, completing the IVM trio (q365 group sums, q369
+    * join views): per-group price minima fold monoidally through two
+    * insert waves, then a retraction wave deletes every cheap 'R'-flag
+    * row, which HITS that group's stored minimum — so the maintainer
+    * must take the repair path (re-aggregate only the affected group
+    * from the post-delete base) while the untouched groups just
+    * decrement counts. The oracle recomputes the view AND the
+    * per-group recomputed flag (a group repairs iff its deleted set
+    * contains its minimum), so both the values and the repair-path
+    * decision are gated.
+    *
+    * Scale shape: insert waves are delta-sized aggregates; the repair
+    * scan is a semi join pruned to affected groups — on a flag-
+    * partitioned base that is partition pruning, not a table scan. */
+  def q370_ivm_min(spark: SparkSession, dir: String): DataFrame = {
+    import graft.transform.Ivm
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"),
+      col("l_orderkey").as("ok"))
+    val keys = Seq("l_returnflag")
+    val deleted = col("l_returnflag") === "R" && col("cents") < 200000L
+    val empty = li.limit(0).groupBy(keys.map(col): _*)
+      .agg(min(col("cents")).as("min_v"),
+        count(lit(1)).cast("long").as("n_rows"))
+    val s1 = Ivm.minInsert(empty, li.filter(col("ok") % 2 === 0), keys, "cents")
+    val s2 = Ivm.minInsert(s1, li.filter(col("ok") % 2 === 1), keys, "cents")
+    Ivm.minRetract(s2, li.filter(deleted), li.filter(!deleted), keys, "cents")
+      .select(col("l_returnflag"), col("n_rows"),
+        col("min_v").as("min_cents"), col("recomputed"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Two-sided incremental JOIN-view maintenance (the bilinear delta
     * rule, completing q365's unary case): revenue-by-priority over
     * orders ⋈ lineitem is maintained through a batch where only both-new

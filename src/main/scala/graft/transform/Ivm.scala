@@ -92,6 +92,53 @@ object Ivm {
     zJoin(dR, asZ(sOld).unionByName(dS), on)
       .unionByName(zJoin(asZ(rOld), dS, on))
 
+  /** MIN maintenance, insert side: min is a monoid (no inverse needed
+    * going up), so an insert batch folds as one delta aggregate. State
+    * rows: keys, min_v, n_rows. */
+  def minInsert(state: DataFrame, ins: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame = {
+    val d = ins.groupBy(keys.map(col): _*)
+      .agg(min(col(valueCol)).as("min_v"),
+        count(lit(1)).cast("long").as("n_rows"))
+    state.select((keys.map(col) :+ col("min_v") :+ col("n_rows")): _*)
+      .unionByName(d)
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("min_v")).as("min_v"),
+        sum(col("n_rows")).cast("long").as("n_rows"))
+  }
+
+  /** MIN maintenance, delete side — the aggregate family WITHOUT an
+    * inverse, where z-set subtraction can't help: a retraction batch is
+    * split per group into (a) deletes that miss the stored minimum —
+    * counts decrement, min stands, no data touched — and (b) deletes
+    * that hit it, where ONLY those groups are re-aggregated from the
+    * post-delete base via a semi join. Per-batch cost is O(|delta|)
+    * plus a scan pruned to the affected groups (partition/file pruning
+    * applies on a key-partitioned base) — the standard "repair, don't
+    * refresh" treatment (DBSP/Materialize do the same) instead of the
+    * nightly full recompute. Fully-deleted groups vanish (repair finds
+    * no rows). Output carries a `recomputed` flag per group so audits
+    * can price the repair path. */
+  def minRetract(state: DataFrame, rets: DataFrame, base: DataFrame,
+      keys: Seq[String], valueCol: String): DataFrame = {
+    val k = keys.map(col)
+    val r = rets.groupBy(k: _*)
+      .agg(min(col(valueCol)).as("rmin"),
+        count(lit(1)).cast("long").as("rn"))
+    val j = state.join(r, keys, "left")
+    val untouched = j.filter(col("rmin").isNull || col("rmin") > col("min_v"))
+      .select((k :+ col("min_v") :+
+        (col("n_rows") - coalesce(col("rn"), lit(0L))).cast("long").as("n_rows") :+
+        lit(false).as("recomputed")): _*)
+    val repaired = base
+      .join(j.filter(col("rmin") <= col("min_v")).select(k: _*), keys, "left_semi")
+      .groupBy(k: _*)
+      .agg(min(col(valueCol)).as("min_v"),
+        count(lit(1)).cast("long").as("n_rows"))
+      .withColumn("recomputed", lit(true))
+    untouched.unionByName(repaired).filter(col("n_rows") > 0L)
+  }
+
   /** Merge delta rows (any number of batches, any order) by key. */
   def merge(deltas: DataFrame, keys: Seq[String]): DataFrame = {
     val sumCols = deltas.columns.filterNot(keys.contains)

@@ -399,6 +399,21 @@ class TransformsSpec extends SparkSpec {
     retr shouldBe Set((2L, 30L, -1L))
   }
 
+  test("Ivm.minRetract repairs only min-hit groups; fully-deleted groups vanish") {
+    import org.apache.spark.sql.functions._
+    val base0 = Seq(("a", 1L), ("a", 5L), ("b", 3L), ("c", 9L)).toDF("k", "v")
+    val empty = base0.limit(0).groupBy("k")
+      .agg(min($"v").as("min_v"), count(lit(1)).cast("long").as("n_rows"))
+    val s = Ivm.minInsert(empty, base0, Seq("k"), "v")
+    // delete a's minimum (repair), all of c (vanish); b untouched
+    val dels = Seq(("a", 1L), ("c", 9L)).toDF("k", "v")
+    val post = Seq(("a", 5L), ("b", 3L)).toDF("k", "v")
+    val out = Ivm.minRetract(s, dels, post, Seq("k"), "v")
+      .select($"k", $"n_rows", $"min_v", $"recomputed")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    out shouldBe Set(("a", 1L, 5L, true), ("b", 1L, 3L, false))
+  }
+
   test("Multimodal.sampleFrames slices strided fixed-size frames") {
     import graft.multimodal.Multimodal
     import org.apache.spark.sql.functions._

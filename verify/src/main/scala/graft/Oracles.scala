@@ -106,6 +106,27 @@ object Oracles {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q370_ivm_min" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem
+        |), aff AS (
+        |  SELECT l_returnflag,
+        |    MIN(CASE WHEN l_returnflag = 'R' AND cents < 200000
+        |      THEN cents END) AS dmin,
+        |    MIN(cents) AS amin
+        |  FROM li GROUP BY l_returnflag
+        |)
+        |SELECT k.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(k.cents) AS BIGINT) AS min_cents,
+        |  COALESCE(a.dmin = a.amin, FALSE) AS recomputed
+        |FROM (SELECT * FROM li
+        |      WHERE NOT (l_returnflag = 'R' AND cents < 200000)) k
+        |JOIN aff a USING (l_returnflag)
+        |GROUP BY k.l_returnflag, a.dmin, a.amin
+        |ORDER BY k.l_returnflag""".stripMargin,
+
     "q369_ivm_join" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
