@@ -3742,6 +3742,62 @@ object EvalQueries {
       .orderBy(col("iter"))
   }
 
+  /** Greedy cube-view materialization advisor (Harinarayan–Rajaraman–
+    * Ullman): over the 3-dim lattice (returnflag, linestatus,
+    * ship-month) with every view's cost = its exact group count
+    * (measured in ONE cube pass — grouping_id rows counted per set, no
+    * 8 separate scans), pick the two views whose materialization saves
+    * the most rows across the 8-subset workload, re-pricing benefits
+    * after each pick the way the greedy algorithm requires. Row 0
+    * carries all 8 measured costs; rows 1–2 carry the picks and their
+    * exact benefits, so the oracle (same costs via GROUPING SETS, same
+    * greedy unrolled through CTEs over a literal subset lattice) gates
+    * both the measurement and the decision. The follow-through for the
+    * picked views is q365's incremental maintenance.
+    *
+    * Scale shape: one cube aggregate over the fact table (map-side
+    * combinable), then an 8-row bounded collect for the lattice greedy
+    * — the q38-IVF bounded-collect class. */
+  def q371_view_selection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dims = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("f"), col("l_linestatus").as("s"),
+      date_format(col("l_shipdate"), "yyyy-MM").as("d"))
+    val gidCost = dims.cube(col("f"), col("s"), col("d"))
+      .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("cnt"))
+      .groupBy(col("gid")).agg(count(lit(1)).cast("long").as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // gid bit order (f,s,d): leftmost dim = MSB, bit set = aggregated away
+    def label(gid: Int): String = {
+      val l = Seq(("f", 4), ("s", 2), ("d", 1))
+        .collect { case (n, b) if (gid & b) == 0 => n }.mkString
+      if (l.isEmpty) "()" else l
+    }
+    val cost: Map[String, Long] = gidCost.map { case (g, c) => label(g) -> c }
+    val views = cost.keys.toSeq.sorted
+    def subOf(w: String, v: String): Boolean = {
+      val (cw, cv) = (w.replace("()", "").toSet, v.replace("()", "").toSet)
+      cw.subsetOf(cv)
+    }
+    val base = "fsd"
+    var ans: Map[String, Long] = views.map(w => w -> cost(base)).toMap
+    var picked = List.empty[(String, Long)]
+    (1 to 2).foreach { _ =>
+      val (v, b) = views
+        .filter(v => v != base && !picked.exists(_._1 == v))
+        .map(v => v -> views.filter(subOf(_, v))
+          .map(w => math.max(0L, ans(w) - cost(v))).sum)
+        .minBy { case (v, b) => (-b, v) }
+      picked :+= (v -> b)
+      ans = ans.map { case (w, a) =>
+        w -> (if (subOf(w, v)) math.min(a, cost(v)) else a) }
+    }
+    (views.map(v => (0L, v, cost(v))) ++
+      picked.zipWithIndex.map { case ((v, b), i) => (i + 1L, v, b) })
+      .toDF("round", "view", "value")
+      .orderBy(col("round"), col("view"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

@@ -106,6 +106,55 @@ object Oracles {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q371_view_selection" ->
+      """WITH dims AS (
+        |  SELECT l_returnflag AS f, l_linestatus AS s,
+        |    strftime(l_shipdate, '%Y-%m') AS d
+        |  FROM lineitem
+        |), grp AS (
+        |  SELECT CASE WHEN GROUPING(f) = 0 THEN 'f' ELSE '' END ||
+        |         CASE WHEN GROUPING(s) = 0 THEN 's' ELSE '' END ||
+        |         CASE WHEN GROUPING(d) = 0 THEN 'd' ELSE '' END AS v
+        |  FROM dims
+        |  GROUP BY GROUPING SETS ((f,s,d),(f,s),(f,d),(s,d),(f),(s),(d),())
+        |), costs AS (
+        |  SELECT CASE WHEN v = '' THEN '()' ELSE v END AS view,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM grp GROUP BY 1
+        |), pairs(view, sub) AS (
+        |  VALUES ('fsd','fsd'),('fsd','fs'),('fsd','fd'),('fsd','sd'),
+        |    ('fsd','f'),('fsd','s'),('fsd','d'),('fsd','()'),
+        |    ('fs','fs'),('fs','f'),('fs','s'),('fs','()'),
+        |    ('fd','fd'),('fd','f'),('fd','d'),('fd','()'),
+        |    ('sd','sd'),('sd','s'),('sd','d'),('sd','()'),
+        |    ('f','f'),('f','()'),('s','s'),('s','()'),
+        |    ('d','d'),('d','()'),('()','()')
+        |), cbase AS (SELECT c FROM costs WHERE view = 'fsd'),
+        |pick1 AS (
+        |  SELECT p.view, CAST(SUM(GREATEST(0, (SELECT c FROM cbase) - c2.c))
+        |    AS BIGINT) AS benefit
+        |  FROM pairs p JOIN costs c2 ON c2.view = p.view
+        |  WHERE p.view <> 'fsd'
+        |  GROUP BY p.view, c2.c
+        |  ORDER BY benefit DESC, p.view LIMIT 1
+        |), ans1 AS (
+        |  SELECT p.sub AS w, MIN(c.c) AS ac
+        |  FROM pairs p JOIN costs c ON c.view = p.view
+        |  WHERE p.view = 'fsd' OR p.view = (SELECT view FROM pick1)
+        |  GROUP BY p.sub
+        |), pick2 AS (
+        |  SELECT p.view, CAST(SUM(GREATEST(0, a.ac - c2.c)) AS BIGINT) AS benefit
+        |  FROM pairs p JOIN ans1 a ON a.w = p.sub
+        |  JOIN costs c2 ON c2.view = p.view
+        |  WHERE p.view <> 'fsd' AND p.view <> (SELECT view FROM pick1)
+        |  GROUP BY p.view, c2.c
+        |  ORDER BY benefit DESC, p.view LIMIT 1
+        |)
+        |SELECT CAST(0 AS BIGINT) AS round, view, c AS value FROM costs
+        |UNION ALL SELECT 1, view, benefit FROM pick1
+        |UNION ALL SELECT 2, view, benefit FROM pick2
+        |ORDER BY round, view""".stripMargin,
+
     "q370_ivm_min" ->
       """WITH li AS (
         |  SELECT l_returnflag,
