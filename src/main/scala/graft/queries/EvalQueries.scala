@@ -3686,60 +3686,70 @@ object EvalQueries {
     * constant so the normal-equation payload is O(k²)=O(1) per row.
     * Nothing collects; iterations are data-independent plan unrolls. */
   def q368_als_factorization(spark: SparkSession, dir: String): DataFrame = {
-    val nano = lit(new java.math.BigDecimal("0.000000001"))
-    val tenth = lit(new java.math.BigDecimal("0.1"))
-    def quant9(x: Column): Column =
-      (floor(x * lit(1e9) + lit(0.5)).cast("decimal(18,0)") * nano)
-        .cast("decimal(18,9)")
-    val ratings = Tables.lineitem(spark, dir)
+    import graft.similarity.Als
+    val ratings = alsRatings(spark, dir)
+    val qInit = Als.initFactors(ratings.select(col("i")).distinct(), "i")
+    val p1 = Als.solve(ratings, "i", "u", qInit)
+    val qa = Als.solve(ratings, "u", "i", p1)
+    val p2 = Als.solve(ratings, "i", "u", qa)
+    val qb = Als.solve(ratings, "u", "i", p2)
+    val counts = ratings.agg(
+      countDistinct(col("u")).cast("long").as("n_users"),
+      countDistinct(col("i")).cast("long").as("n_items"))
+    Als.sseMilli2(ratings, p1, qa).select(lit(1L).as("iter"), col("sse_m2"))
+      .unionByName(
+        Als.sseMilli2(ratings, p2, qb).select(lit(2L).as("iter"), col("sse_m2")))
+      .crossJoin(broadcast(counts))
+      .select(col("iter"), col("n_users"), col("n_items"), col("sse_m2"))
+      .orderBy(col("iter"))
+  }
+
+  /** Implicit customer×part quantity ratings shared by q368/q372. */
+  private def alsRatings(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
       .agg(sum(col("l_quantity").cast("long")).cast("decimal(9,0)").as("r"))
-    val qInit = ratings.select(col("i")).distinct()
-      .select(col("i"),
-        ((lit(10) + col("i") % 7).cast("decimal(18,0)") * tenth)
-          .cast("decimal(18,9)").as("f0"),
-        ((lit(5) - col("i") % 5).cast("decimal(18,0)") * tenth)
-          .cast("decimal(18,9)").as("f1"))
-    def solve(joinKey: String, outKey: String, factors: DataFrame): DataFrame = {
-      val det = (col("a11") + lit(0.1)) * (col("a22") + lit(0.1)) -
-        col("a12") * col("a12")
-      ratings.join(factors, joinKey)
-        .groupBy(col(outKey))
-        .agg(sum(col("f0") * col("f0")).cast("double").as("a11"),
-          sum(col("f0") * col("f1")).cast("double").as("a12"),
-          sum(col("f1") * col("f1")).cast("double").as("a22"),
-          sum(col("f0") * col("r")).cast("double").as("b0"),
-          sum(col("f1") * col("r")).cast("double").as("b1"))
-        .select(col(outKey),
-          quant9(((col("a22") + lit(0.1)) * col("b0") -
-            col("a12") * col("b1")) / det).as("f0"),
-          quant9(((col("a11") + lit(0.1)) * col("b1") -
-            col("a12") * col("b0")) / det).as("f1"))
+
+  /** ALS FOLD-IN — the serving path that makes q368 deployable: new
+    * users (the held-out StableHash 20% of customers) get factors from
+    * ONE closed-form solve against the FROZEN trained item factors — no
+    * retraining, cost O(|new ratings|) — exactly how a production
+    * recommender onboards users between training runs. Ratings on items
+    * unseen in training are unservable and drop out of the inner joins
+    * (the cold-start boundary, made explicit by n_ratings). The oracle
+    * replays training AND the fold-in solve, so the frozen-factor
+    * contract (fold-in must not perturb item factors) is what's gated:
+    * any leakage of held-out data into training shifts every cell.
+    *
+    * Scale shape: training touches only the 80% split; fold-in is one
+    * delta-sized equi-join + aggregate — the q365-IVM cost model applied
+    * to model serving. */
+  def q372_als_foldin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableHash
+    import graft.similarity.Als
+    val ratings = alsRatings(spark, dir)
+      .withColumn("is_train", StableHash.bucket(col("u"), 1000) < 800)
+    val train = ratings.filter(col("is_train")).drop("is_train")
+    val hold = ratings.filter(!col("is_train")).drop("is_train")
+    val qInit = Als.initFactors(train.select(col("i")).distinct(), "i")
+    val p1 = Als.solve(train, "i", "u", qInit)
+    val qa = Als.solve(train, "u", "i", p1)
+    val p2 = Als.solve(train, "i", "u", qa)
+    val qb = Als.solve(train, "u", "i", p2)
+    val foldP = Als.solve(hold, "i", "u", qb)
+    def cohort(name: String, rats: DataFrame, p: DataFrame): DataFrame = {
+      val servable = rats.join(qb.select(col("i")), Seq("i"), "left_semi")
+      Als.sseMilli2(rats, p, qb).crossJoin(broadcast(
+          servable.agg(countDistinct(col("u")).cast("long").as("n_users"),
+            count(lit(1)).cast("long").as("n_ratings"))))
+        .select(lit(name).as("cohort"), col("n_users"), col("n_ratings"),
+          col("sse_m2"))
     }
-    def sse(p: DataFrame, q: DataFrame): DataFrame = {
-      val em = floor((col("r") -
-          (col("p0") * col("q0") + col("p1") * col("q1"))).cast("double")
-        * lit(1000.0) + lit(0.5)).cast("long")
-      ratings
-        .join(p.select(col("u"), col("f0").as("p0"), col("f1").as("p1")), "u")
-        .join(q.select(col("i"), col("f0").as("q0"), col("f1").as("q1")), "i")
-        .select(em.as("em"))
-        .agg(sum(col("em") * col("em")).cast("long").as("sse_m2"))
-    }
-    val p1 = solve("i", "u", qInit)
-    val qa = solve("u", "i", p1)
-    val p2 = solve("i", "u", qa)
-    val qb = solve("u", "i", p2)
-    val counts = ratings.agg(
-      countDistinct(col("u")).cast("long").as("n_users"),
-      countDistinct(col("i")).cast("long").as("n_items"))
-    sse(p1, qa).select(lit(1L).as("iter"), col("sse_m2"))
-      .unionByName(sse(p2, qb).select(lit(2L).as("iter"), col("sse_m2")))
-      .crossJoin(broadcast(counts))
-      .select(col("iter"), col("n_users"), col("n_items"), col("sse_m2"))
-      .orderBy(col("iter"))
+    cohort("foldin", hold, foldP)
+      .unionByName(cohort("train", train, p2))
+      .orderBy(col("cohort"))
   }
 
   /** Greedy cube-view materialization advisor (Harinarayan–Rajaraman–

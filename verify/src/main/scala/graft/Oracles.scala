@@ -185,6 +185,51 @@ object Oracles {
         |WHERE l_quantity < 45
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    "q372_als_foldin" ->
+      s"""WITH base AS (
+        |  SELECT o_custkey AS u, l_partkey AS i,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DECIMAL(9,0)) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey, l_partkey
+        |), split AS (
+        |  SELECT u, i, r,
+        |    CAST((CAST(md5_number_upper(CAST(u AS VARCHAR)) AS HUGEINT)
+        |      % 2305843009213693951) % 1000 AS BIGINT) < 800 AS is_train
+        |  FROM base
+        |), train AS (SELECT u, i, r FROM split WHERE is_train
+        |), hold AS (SELECT u, i, r FROM split WHERE NOT is_train
+        |), q0 AS (
+        |  SELECT i,
+        |    CAST(CAST(10 + i % 7 AS DECIMAL(18,0)) * 0.1 AS DECIMAL(18,9)) AS f0,
+        |    CAST(CAST(5 - i % 5 AS DECIMAL(18,0)) * 0.1 AS DECIMAL(18,9)) AS f1
+        |  FROM (SELECT DISTINCT i FROM train)
+        |), p1 AS (
+        |  ${Oracles.alsSolve("u", "i", "q0", "train")}
+        |), qa AS (
+        |  ${Oracles.alsSolve("i", "u", "p1", "train")}
+        |), p2 AS (
+        |  ${Oracles.alsSolve("u", "i", "qa", "train")}
+        |), qb AS (
+        |  ${Oracles.alsSolve("i", "u", "p2", "train")}
+        |), fp AS (
+        |  ${Oracles.alsSolve("u", "i", "qb", "hold")}
+        |), hs AS (SELECT u, i, r FROM hold WHERE i IN (SELECT i FROM qb)
+        |), sseh AS (
+        |  ${Oracles.alsSse("fp", "qb", "hold")}
+        |), sset AS (
+        |  ${Oracles.alsSse("p2", "qb", "train")}
+        |)
+        |SELECT 'foldin' AS cohort,
+        |  (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) FROM hs) AS n_users,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hs) AS n_ratings,
+        |  (SELECT sse_m2 FROM sseh) AS sse_m2
+        |UNION ALL
+        |SELECT 'train',
+        |  (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) FROM train),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM train),
+        |  (SELECT sse_m2 FROM sset)
+        |ORDER BY cohort""".stripMargin,
+
     "q368_als_factorization" ->
       s"""WITH ratings AS (
         |  SELECT o_custkey AS u, l_partkey AS i,
@@ -10050,7 +10095,8 @@ object Oracles {
     s"CAST(CAST(FLOOR(($x) * 1e9 + CAST(0.5 AS DOUBLE)) AS DECIMAL(18,0))" +
       " * 0.000000001 AS DECIMAL(18,9))"
 
-  private def alsSolve(outKey: String, joinKey: String, from: String): String = {
+  private def alsSolve(outKey: String, joinKey: String, from: String,
+      rel: String = "ratings"): String = {
     val lam = "CAST(0.1 AS DOUBLE)"
     val det = s"((a11 + $lam) * (a22 + $lam) - a12 * a12)"
     s"""SELECT $outKey,
@@ -10063,15 +10109,15 @@ object Oracles {
        |      CAST(SUM(f.f1 * f.f1) AS DOUBLE) AS a22,
        |      CAST(SUM(f.f0 * rt.r) AS DOUBLE) AS b0,
        |      CAST(SUM(f.f1 * rt.r) AS DOUBLE) AS b1
-       |    FROM ratings rt JOIN $from f USING ($joinKey)
+       |    FROM $rel rt JOIN $from f USING ($joinKey)
        |    GROUP BY rt.$outKey)""".stripMargin
   }
 
-  private def alsSse(p: String, q: String): String =
+  private def alsSse(p: String, q: String, rel: String = "ratings"): String =
     s"""SELECT CAST(SUM(em * em) AS BIGINT) AS sse_m2 FROM (
        |    SELECT CAST(FLOOR(CAST(rt.r - (p.f0 * q.f0 + p.f1 * q.f1) AS DOUBLE)
        |      * CAST(1000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS em
-       |    FROM ratings rt JOIN $p p USING (u) JOIN $q q USING (i))""".stripMargin
+       |    FROM $rel rt JOIN $p p USING (u) JOIN $q q USING (i))""".stripMargin
 
   private def minhashPairCtes: String =
     s"""t AS (
