@@ -3808,6 +3808,43 @@ object EvalQueries {
       .orderBy(col("round"), col("view"))
   }
 
+  /** Sketch-driven equi-depth range partitioner — the q366 q-digest put
+    * to WORK for shuffle planning (the sketch-to-plan loop, next to
+    * q126's skew profiler and q207's shuffle planner): boundaries are
+    * the digest's k/8 quantiles, every row is bucketed through the
+    * compiled SearchSorted expression, and the MEASURED bucket sizes are
+    * gated against n/8 ± the two-boundary rank-error bound. This is how
+    * a 100 TB range-partitioned write picks split points without a
+    * global sort: one sketch pass, 7 numbers to the planner, balance
+    * guaranteed by the sketch's rank bound rather than hoped for.
+    * The oracle pins n_rows to the table count and every balance gate
+    * to true; an over-coarsened digest or an off-by-one bucketer breaks
+    * a gate at some scale factor. */
+  def q373_range_partitioner(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{QDigest, SearchSortedDouble}
+    val parts = 8
+    val v = Tables.lineitem(spark, dir).select(col("l_orderkey").as("v"))
+    val digest = v.agg(QDigest.sketch(col("v")).as("d")).head().getStruct(0)
+    val n = digest.getLong(0)
+    val nodes = digest.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bounds = (1 until parts)
+      .map(k => QDigest.quantile(nodes, n, k.toDouble / parts).toDouble)
+      .toArray
+    // each of a bucket's two boundaries may sit rankBound off its target
+    val slack = 2 * QDigest.rankBound(n) + parts
+    val counts = v
+      .groupBy(SearchSortedDouble.searchSorted(col("v"), bounds)
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    spark.range(parts).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), lit(n).as("n_rows"),
+        (abs(coalesce(col("cnt"), lit(0L)) - lit(n / parts)) <= lit(slack))
+          .as("balanced"))
+      .orderBy(col("bucket"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

@@ -185,6 +185,13 @@ object Oracles {
         |WHERE l_quantity < 45
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    "q373_range_partitioner" ->
+      """SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+        |  TRUE AS balanced
+        |FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(bucket)
+        |ORDER BY bucket""".stripMargin,
+
     "q372_als_foldin" ->
       s"""WITH base AS (
         |  SELECT o_custkey AS u, l_partkey AS i,
