@@ -1219,6 +1219,39 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Incremental TOP-K maintenance — the bounded-holistic member of the
+    * IVM family (q365 sums, q369 joins, q370 min-with-repair): top-k per
+    * key is a monoid under "union, then re-truncate" (top3(A∪B) =
+    * top3(top3(A) ∪ top3(B)), exactly, for any total order), so a
+    * leaderboard over a year of ingest folds batch-by-batch through the
+    * heap TopKPerKey operator at O(|batch|) per batch with k×#keys state
+    * — never a re-sort of history. The order is a total order (cents
+    * desc, orderkey, linenumber), so ties cannot make the fold diverge
+    * from the oracle's window recompute. Deletes would need q370-style
+    * repair (no inverse); this is the insert-only path.
+    *
+    * Scale shape: per batch one TopKPerKey pass over the batch plus a
+    * fold over 2k×#keys rows; the heap exec spills past
+    * spark.graft.topk.spillThreshold, so degenerate key cardinality
+    * cannot OOM it. */
+  def q374_ivm_topk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.TopKPerKey.topKPerKey
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("rf"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"),
+      col("l_orderkey").as("ok"), col("l_linenumber").cast("long").as("ln"))
+    val keys = Seq(col("rf"))
+    val order = Seq(col("cents").desc, col("ok").asc, col("ln").asc)
+    def fold(state: DataFrame, batch: DataFrame): DataFrame =
+      topKPerKey(state.unionByName(topKPerKey(batch, keys, order, 3)),
+        keys, order, 3)
+    val folded = (0 until 3)
+      .map(b => li.filter(col("ok") % 3 === b))
+      .foldLeft(li.limit(0))(fold)
+    folded.orderBy(col("rf") +: order: _*)
+  }
+
   /** Incremental MIN maintenance under deletes — the aggregate family
     * without an inverse, completing the IVM trio (q365 group sums, q369
     * join views): per-group price minima fold monoidally through two

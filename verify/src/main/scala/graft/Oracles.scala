@@ -185,6 +185,15 @@ object Oracles {
         |WHERE l_quantity < 45
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    "q374_ivm_topk" ->
+      """SELECT l_returnflag AS rf,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln
+        |FROM lineitem
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |  ORDER BY cents DESC, l_orderkey, l_linenumber) <= 3
+        |ORDER BY rf, cents DESC, ok, ln""".stripMargin,
+
     "q373_range_partitioner" ->
       """SELECT CAST(bucket AS BIGINT) AS bucket,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
