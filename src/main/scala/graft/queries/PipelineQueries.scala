@@ -1219,6 +1219,50 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Late-arriving-dimension ingest (the CDC pattern the reference's RI
+    * check only detects, never resolves): orders and customers arrive in
+    * interleaved waves, and an order whose customer hasn't landed yet
+    * parks in an ORPHAN buffer that drains the moment its parent
+    * arrives — semi-join admits, anti-join re-parks, so every order
+    * lands in exactly one cohort exactly once no matter the arrival
+    * order. Customers with c_custkey % 3 == 0 never arrive, so their
+    * orders must still be orphans at the end; the oracle computes both
+    * cohorts from the final membership rule, and any double-join (an
+    * admitted order left in the buffer) or drop (an orphan lost while
+    * re-parking) shifts the counts and revenue.
+    *
+    * Scale shape: each wave costs one semi + one anti join of
+    * (orphans ∪ new orders) against the dimension accumulated so far —
+    * delta-sized probe sides; the orphan buffer is bounded by the
+    * unresolved backlog, the quantity a real pipeline must monitor
+    * anyway (its size is this query's orphan row). */
+  def q375_late_dims(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+      col("o_totalprice").cast("decimal(18,2)").as("rev"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey").as("ck"))
+    val custWaves = Seq(cust.filter(col("ck") % 3 === 1),
+      cust.filter(col("ck") % 3 === 2))
+    val ordWaves = Seq(ord.filter(col("ok") % 2 === 0),
+      ord.filter(col("ok") % 2 === 1))
+    var custSoFar = cust.limit(0)
+    var orphans = ord.limit(0)
+    var joined = ord.limit(0)
+    (0 until 2).foreach { i =>
+      custSoFar = custSoFar.unionByName(custWaves(i))
+      val pending = orphans.unionByName(ordWaves(i))
+      joined = joined.unionByName(
+        pending.join(custSoFar, Seq("ck"), "left_semi"))
+      orphans = pending.join(custSoFar, Seq("ck"), "left_anti")
+    }
+    def cohort(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .select(lit(name).as("cohort"), col("n_orders"), col("revenue"))
+    cohort("joined", joined).unionByName(cohort("orphan", orphans))
+      .orderBy(col("cohort"))
+  }
+
   /** Incremental TOP-K maintenance — the bounded-holistic member of the
     * IVM family (q365 sums, q369 joins, q370 min-with-repair): top-k per
     * key is a monoid under "union, then re-truncate" (top3(A∪B) =

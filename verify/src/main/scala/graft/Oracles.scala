@@ -185,6 +185,16 @@ object Oracles {
         |WHERE l_quantity < 45
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    "q375_late_dims" ->
+      """SELECT 'joined' AS cohort, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_custkey % 3 <> 0
+        |UNION ALL
+        |SELECT 'orphan', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_custkey % 3 = 0
+        |ORDER BY cohort""".stripMargin,
+
     "q374_ivm_topk" ->
       """SELECT l_returnflag AS rf,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
