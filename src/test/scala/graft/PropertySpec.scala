@@ -147,6 +147,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Ivm: folded signed batches equal recompute for any waves and deletes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.transform.Ivm
+    // (key, value, insert wave 0-2, retracted afterwards?)
+    val gen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0, 5), Gen.choose(1L, 100L), Gen.choose(0, 2),
+      Gen.oneOf(true, false)))
+    samples(gen, 5, seed = 11L).foreach { rows =>
+      def delta(rs: Seq[(Int, Long)], sign: org.apache.spark.sql.DataFrame
+          => org.apache.spark.sql.DataFrame) =
+        Ivm.viewDelta(sign(rs.toDF("k", "v")), Seq("k"), Seq("sv" -> col("v")))
+      val deltas = (0 until 3).map(w =>
+        delta(rows.filter(_._3 == w).map(r => (r._1, r._2)), Ivm.inserts)) :+
+        delta(rows.filter(_._4).map(r => (r._1, r._2)), Ivm.retracts)
+      val folded = Ivm.merge(deltas.reduce(_ unionByName _), Seq("k"))
+        .select($"k", $"n_rows", $"sv".cast("long"))
+        .as[(Int, Long, Long)].collect().toSet
+      val kept = rows.filterNot(_._4)
+      val expect = kept.groupBy(_._1).map { case (k, vs) =>
+        (k, vs.size.toLong, vs.map(_._2).sum) }.toSet
+      folded shouldBe expect
+    }
+  }
+
+  test("QDigest: rank bound and mass conservation on arbitrary distributions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.QDigest
+    val gen = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.choose(0L, 50L), Gen.choose(0L, 1000000L), Gen.const(7L)))
+    samples(gen, 4, seed = 23L).foreach { vs =>
+      val digest = vs.toDF("v").repartition(5)
+        .agg(QDigest.sketch(col("v"))).collect()(0).getStruct(0)
+      val n = digest.getLong(0)
+      n shouldBe vs.size.toLong
+      val nodes = digest.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      nodes.map(_._2).sum shouldBe n
+      val sorted = vs.sorted
+      for (q <- Seq(0.1, 0.5, 0.9)) {
+        val est = QDigest.quantile(nodes, n, q)
+        val rank = sorted.count(_ <= est).toLong
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        math.abs(rank - target) should be <= QDigest.rankBound(n)
+      }
+    }
+  }
+
   test("driver contract: every query has an oracle — zero asterisks") {
     // r6 closed the last two rows-only queries: q28 now emits the
     // permutation-invariant SimHash projections (popcount + partner
