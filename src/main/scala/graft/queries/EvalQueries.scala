@@ -3845,6 +3845,42 @@ object EvalQueries {
       .orderBy(col("bucket"))
   }
 
+  /** GROUPED quantile sketches — the q366 q-digest composed with groupBy,
+    * which is the form a 100 TB job actually needs (per-tenant /
+    * per-partition percentiles in ONE combinable aggregate instead of a
+    * window sort per group): one pass builds a digest per returnflag,
+    * and every group's 25/50/75 estimates are rank-checked exactly in a
+    * second single-pass aggregate (9 conditional sums). The oracle pins
+    * each group's row count and every rank gate. */
+  def q376_grouped_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QDigest
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag").as("rf"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("v"))
+    val groups = li.groupBy(col("rf"))
+      .agg(QDigest.sketch(col("v")).as("d"))
+      .collect() // #groups rows of ≤3k-node digests — bounded
+      .map { r =>
+        val d = r.getStruct(1)
+        (r.getString(0), d.getLong(0),
+          d.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getLong(0), x.getLong(1))))
+      }.sortBy(_._1)
+    val targets = Seq(25L, 50L, 75L)
+    val cells = for ((rf, n, nodes) <- groups; p <- targets)
+      yield (rf, p, n, QDigest.quantile(nodes, n, p / 100.0))
+    val rankAggs = cells.map { case (rf, p, _, est) =>
+      sum(when(col("rf") === rf && col("v") <= est, 1L).otherwise(0L))
+        .cast("long").as(s"r_${rf}_$p") }
+    val ranks = li.agg(rankAggs.head, rankAggs.tail: _*).head()
+    cells.zipWithIndex.map { case ((rf, p, n, _), i) =>
+      val target = math.max(1L, math.ceil(p / 100.0 * n).toLong)
+      (rf, p, n, math.abs(ranks.getLong(i) - target) <= QDigest.rankBound(n))
+    }.toSeq.toDF("rf", "q_pct", "n_rows", "rank_ok")
+      .orderBy(col("rf"), col("q_pct"))
+  }
+
   /** Acklam 2003 rational approximation to the standard normal
     * quantile (|err| < 1.2e-9); evaluated driver-side only, with the
     * resulting constants interpolated verbatim into both engines. */

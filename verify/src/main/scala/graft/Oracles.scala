@@ -185,6 +185,12 @@ object Oracles {
         |WHERE l_quantity < 45
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    "q376_grouped_quantiles" ->
+      """SELECT l_returnflag AS rf, CAST(q_pct AS BIGINT) AS q_pct,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS rank_ok
+        |FROM lineitem, (VALUES (25),(50),(75)) t(q_pct)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q375_late_dims" ->
       """SELECT 'joined' AS cohort, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
