@@ -1768,6 +1768,14 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("q374 incremental top-k plans the custom TopKPerKey exec, no window") {
+    // the fold must run through the heap operator at every stage — a
+    // regression to the window form would reintroduce the per-key sort
+    val plan = planString(queries.PipelineQueries.q374_ivm_topk(spark, dir))
+    plan should include("TopKPerKey")
+    plan should not include "Window"
+  }
+
   test("q368 ALS normal equations build as hash aggregates, no cartesian") {
     // each half-iteration must be equi-join + combinable aggregate; the
     // only nested-loop allowed is the 1-row counts broadcast at the edge

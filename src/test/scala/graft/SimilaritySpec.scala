@@ -9,6 +9,26 @@ class SimilaritySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("Als.solve matches the Sherman-Morrison closed form for a single rating") {
+    import org.apache.spark.sql.functions._
+    import graft.similarity.Als
+    // one user, one rating: (qq^T + λI)^{-1} q r  ==  q r / (|q|² + λ),
+    // an independent derivation of the same solve (rank-1 update identity)
+    val q0 = BigDecimal("1.200000000"); val q1 = BigDecimal("0.700000000")
+    val r = 5L
+    val ratings = Seq((1L, 10L)).toDF("u", "i")
+      .select($"u", $"i", lit(r).cast("decimal(9,0)").as("r"))
+    val factors = Seq((10L, q0, q1)).toDF("i", "f0", "f1")
+      .select($"i", $"f0".cast("decimal(18,9)").as("f0"),
+        $"f1".cast("decimal(18,9)").as("f1"))
+    val got = Als.solve(ratings, "i", "u", factors)
+      .select($"f0".cast("double"), $"f1".cast("double"))
+      .as[(Double, Double)].collect().head
+    val scale = r.toDouble / ((q0 * q0 + q1 * q1).toDouble + Als.Lambda)
+    got._1 shouldBe (q0.toDouble * scale) +- 1e-8 // nano-quantized
+    got._2 shouldBe (q1.toDouble * scale) +- 1e-8
+  }
+
   test("MinHashLsh candidates superset the high-jaccard pairs it reports") {
     val docs = graft.tables.Tables.documents(spark, dir)
     val pairs = MinHashLsh.nearDuplicatePairs(docs, "doc_id", "text",
