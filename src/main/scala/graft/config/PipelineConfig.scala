@@ -31,14 +31,23 @@ final case class PipelineConfig(env: String,
 /** One maintenance task over a parquet table path — the OPTIMIZE /
   * rewrite_data_files chore as pipeline config instead of an ad-hoc
   * notebook job. `type` = "compact" (small-file rewrite, optionally per
-  * partition directory) or "zorder" (Morton-order rewrite on `columns`
-  * so min/max stats prune scans filtered on any of them). */
+  * partition directory), "zorder" (Morton-order rewrite on `columns` so
+  * min/max stats prune scans filtered on any of them), or "ivm"
+  * (incremental view maintenance: fold the signed delta batch at
+  * `source` into the [[graft.transform.Ivm]] state at `path` — grouped
+  * by `keys`, summing `sums` — and, when `view_path` is set, publish
+  * the folded current view there; the view's base data is never
+  * re-read). */
 final case class MaintenanceConfig(`type`: String, path: String,
                                    columns: Seq[String] = Seq.empty,
                                    targetFileMb: Int = 128,
                                    partitioned: Boolean = false,
                                    minFiles: Int = 2,
-                                   bits: Int = 8) {
+                                   bits: Int = 8,
+                                   source: Option[String] = None,
+                                   keys: Seq[String] = Seq.empty,
+                                   sums: Seq[String] = Seq.empty,
+                                   viewPath: Option[String] = None) {
   def targetFileBytes: Long = targetFileMb.toLong * 1024 * 1024
 }
 
@@ -340,7 +349,11 @@ object HoconConfigLoader {
     partitioned = bool(m, "partitioned").getOrElse(false),
     minFiles = num(m, "minFiles").orElse(num(m, "min_files"))
       .map(_.intValue).getOrElse(2),
-    bits = num(m, "bits").map(_.intValue).getOrElse(8))
+    bits = num(m, "bits").map(_.intValue).getOrElse(8),
+    source = str(m, "source"),
+    keys = arr(m, "keys").map(Hocon.render),
+    sums = arr(m, "sums").map(Hocon.render),
+    viewPath = str(m, "viewPath").orElse(str(m, "view_path")))
 
   private def toDq(d: Obj): DQConfig = DQConfig(
     policy = str(d, "policy").orElse(str(d, "on_fail"))

@@ -61,8 +61,21 @@ object IngestionRunner {
         Compaction.compact(spark, m.path, m.targetFileBytes); ()
       case "zorder" =>
         ZOrder.rewrite(spark, m.path, m.columns, m.targetFileBytes, m.bits); ()
+      case "ivm" =>
+        import org.apache.spark.sql.functions.col
+        import graft.transform.Ivm
+        val src = m.source.getOrElse(throw new IllegalArgumentException(
+          "ivm maintenance task needs a source (signed delta batch path)"))
+        if (m.keys.isEmpty) throw new IllegalArgumentException(
+          "ivm maintenance task needs keys")
+        val batch = Ivm.asZ(spark.read.parquet(src))
+        Ivm.append(
+          Ivm.viewDelta(batch, m.keys, m.sums.map(c => c -> col(c))), m.path)
+        m.viewPath.foreach(v =>
+          Ivm.current(spark, m.path, m.keys)
+            .write.mode("overwrite").parquet(v))
       case other => throw new IllegalArgumentException(
-        s"unknown maintenance type '$other' (compact/zorder)")
+        s"unknown maintenance type '$other' (compact/zorder/ivm)")
     }
   }
 

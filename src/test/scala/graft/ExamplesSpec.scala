@@ -97,7 +97,7 @@ class ExamplesSpec extends SparkSpec {
       .repartition(8).write.mode("overwrite").parquet("/tmp/graft-maint/gold")
     val cfg = ConfigLoader.loadFromFile("examples/maintenance-pipeline.conf",
       schemaBasePath = "examples/schemas")
-    cfg.maintenance.map(_.`type`) shouldBe Seq("compact", "zorder")
+    cfg.maintenance.map(_.`type`) shouldBe Seq("compact", "zorder", "ivm")
     cfg.maintenance.head.targetFileMb shouldBe 128
     IngestionRunner.runPipeline(spark, cfg)
     // the ingest job appended the 24 input splits; compaction rewrote the
@@ -110,6 +110,17 @@ class ExamplesSpec extends SparkSpec {
     val gold = spark.read.parquet("/tmp/graft-maint/gold")
     gold.count() shouldBe orders.count()
     gold.schema.fieldNames.toSeq shouldBe Seq("o_orderkey", "o_custkey", "o_totalprice")
+    // the ivm task folded the ingested batch into the view state and
+    // published the current view: it must equal a direct recompute
+    val view = spark.read.parquet("/tmp/graft-maint/view")
+      .select(col("o_orderstatus"), col("n_rows"),
+        round(col("o_totalprice"), 2).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = orders.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(
+        col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    view shouldBe direct
   }
 
   test("registry schema resolves and yields metadata-derived checks") {
