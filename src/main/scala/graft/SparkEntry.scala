@@ -9,7 +9,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Queries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (361/361 — zero rows-only queries since r6).
+    * the same parquet tables — every query has an oracle (PropertySpec
+    * pins queries.keySet == oracleSql.keySet, so the sets can't drift).
     * Oracles lives in the verify/ source tree, out of the engine's
     * src/main (see build.sbt); it compiles onto the same classpath so this
     * method and `runMain graft.Verify` keep working. */

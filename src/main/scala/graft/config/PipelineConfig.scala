@@ -47,7 +47,10 @@ final case class MaintenanceConfig(`type`: String, path: String,
                                    source: Option[String] = None,
                                    keys: Seq[String] = Seq.empty,
                                    sums: Seq[String] = Seq.empty,
-                                   viewPath: Option[String] = None) {
+                                   viewPath: Option[String] = None,
+                                   agg: String = "group",
+                                   base: Option[String] = None,
+                                   k: Int = 10) {
   def targetFileBytes: Long = targetFileMb.toLong * 1024 * 1024
 }
 
@@ -353,7 +356,10 @@ object HoconConfigLoader {
     source = str(m, "source"),
     keys = arr(m, "keys").map(Hocon.render),
     sums = arr(m, "sums").map(Hocon.render),
-    viewPath = str(m, "viewPath").orElse(str(m, "view_path")))
+    viewPath = str(m, "viewPath").orElse(str(m, "view_path")),
+    agg = str(m, "agg").map(_.toLowerCase).getOrElse("group"),
+    base = str(m, "base"),
+    k = num(m, "k").map(_.intValue).getOrElse(10))
 
   private def toDq(d: Obj): DQConfig = DQConfig(
     policy = str(d, "policy").orElse(str(d, "on_fail"))

@@ -62,18 +62,98 @@ object IngestionRunner {
       case "zorder" =>
         ZOrder.rewrite(spark, m.path, m.columns, m.targetFileBytes, m.bits); ()
       case "ivm" =>
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, count, lit, min}
         import graft.transform.Ivm
         val src = m.source.getOrElse(throw new IllegalArgumentException(
           "ivm maintenance task needs a source (signed delta batch path)"))
         if (m.keys.isEmpty) throw new IllegalArgumentException(
           "ivm maintenance task needs keys")
+        // batch identity derived from the source path: re-running the same
+        // pipeline folds the same batch into the view exactly ONCE
+        // (mirrors StreamOps.ivmBatch's micro-batch-id partitions)
+        val batchKey = src.replaceAll("[^A-Za-z0-9._-]", "_")
         val batch = Ivm.asZ(spark.read.parquet(src))
-        Ivm.append(
-          Ivm.viewDelta(batch, m.keys, m.sums.map(c => c -> col(c))), m.path)
-        m.viewPath.foreach(v =>
-          Ivm.current(spark, m.path, m.keys)
-            .write.mode("overwrite").parquet(v))
+        def publish(view: org.apache.spark.sql.DataFrame): Unit =
+          m.viewPath.foreach(v =>
+            view.write.mode("overwrite").parquet(v))
+        m.agg match {
+          case "group" =>
+            // invertible aggregates: idempotency via partition overwrite
+            Ivm.appendIdempotent(
+              Ivm.viewDelta(batch, m.keys, m.sums.map(c => c -> col(c))),
+              m.path, batchKey)
+            publish(Ivm.current(spark, m.path, m.keys))
+          case "min" =>
+            // non-invertible: fold inserts monoidally, repair retractions
+            // from `base`; idempotency via an applied-batch marker because
+            // a stateful fold can't be replayed by overwriting a partition
+            val value = m.columns.headOption.getOrElse(
+              throw new IllegalArgumentException(
+                "ivm agg=min needs columns=[<valueColumn>]"))
+            val stateDir = s"${m.path}/state"
+            val marker = java.nio.file.Paths.get(m.path, "_applied", batchKey)
+            if (!java.nio.file.Files.exists(marker)) {
+              val kcols = m.keys.map(col)
+              val state0 =
+                if (java.nio.file.Files.exists(
+                    java.nio.file.Paths.get(stateDir)))
+                  spark.read.parquet(stateDir)
+                else batch.limit(0).groupBy(kcols: _*)
+                  .agg(min(col(value)).as("min_v"),
+                    count(lit(1)).cast("long").as("n_rows"))
+              val ins = batch.filter(col(Ivm.MultCol) > 0)
+              val rets = batch.filter(col(Ivm.MultCol) < 0)
+              val afterIns = Ivm.minInsert(state0, ins, m.keys, value)
+              val next =
+                if (rets.isEmpty) afterIns
+                else {
+                  val basePath = m.base.getOrElse(
+                    throw new IllegalArgumentException(
+                      "ivm agg=min with retractions needs base=<post-delete" +
+                        " base table path> for the repair scan"))
+                  Ivm.minRetract(afterIns, rets,
+                    spark.read.parquet(basePath), m.keys, value)
+                    .drop("recomputed")
+                }
+              // state is read above and rewritten below: pin the fold
+              // result before overwriting its own input
+              next.localCheckpoint(true)
+                .write.mode("overwrite").parquet(stateDir)
+              java.nio.file.Files.createDirectories(marker.getParent)
+              java.nio.file.Files.createFile(marker)
+            }
+            publish(spark.read.parquet(stateDir))
+          case "topk" =>
+            // per-key leaderboard: union-then-truncate monoid fold over
+            // the spilling heap TopKPerKey (insert-only, like q374)
+            val orderCol = m.columns.headOption.getOrElse(
+              throw new IllegalArgumentException(
+                "ivm agg=topk needs columns=[<orderColumn>, <tiebreak>...]"))
+            val stateDir = s"${m.path}/state"
+            val marker = java.nio.file.Paths.get(m.path, "_applied", batchKey)
+            if (!java.nio.file.Files.exists(marker)) {
+              val rows = batch.filter(col(Ivm.MultCol) > 0).drop(Ivm.MultCol)
+              val order = col(orderCol).desc +:
+                m.columns.tail.map(c => col(c).asc)
+              val kcols = m.keys.map(col)
+              val topBatch = graft.plans.TopKPerKey.topKPerKey(
+                rows, kcols, order, m.k)
+              val next =
+                if (java.nio.file.Files.exists(
+                    java.nio.file.Paths.get(stateDir)))
+                  graft.plans.TopKPerKey.topKPerKey(
+                    spark.read.parquet(stateDir).unionByName(topBatch),
+                    kcols, order, m.k)
+                else topBatch
+              next.localCheckpoint(true)
+                .write.mode("overwrite").parquet(stateDir)
+              java.nio.file.Files.createDirectories(marker.getParent)
+              java.nio.file.Files.createFile(marker)
+            }
+            publish(spark.read.parquet(stateDir))
+          case other => throw new IllegalArgumentException(
+            s"unknown ivm agg '$other' (group/min/topk)")
+        }
       case other => throw new IllegalArgumentException(
         s"unknown maintenance type '$other' (compact/zorder/ivm)")
     }

@@ -4,24 +4,32 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.{floor, lit, udaf}
 
 /** Q-digest (Shrivastava et al.) mergeable quantile sketch as a typed
   * `Aggregator` — the deterministic, bounded-rank-error member of the
   * sketch family next to HLL (q335), KMV (q217), CMS (q108), AMS (q306)
   * and SpaceSaving ([[HeavyHitters]]).
   *
-  * Values live in a fixed dyadic universe [0, 2^L). The sketch is a
+  * Values live in a fixed dyadic universe [0, 2^levels). The sketch is a
   * count map over binary-tree nodes (root id 1, children 2v/2v+1, leaf
-  * for value x at id 2^L + x). Compression folds any child pair whose
+  * for value x at id 2^levels + x). Compression folds any child pair whose
   * pair+parent count is ≤ t = n/k into the parent, which (a) caps the
   * sketch at ~3k nodes regardless of n and (b) moves each folded count
-  * at most L levels up, so any quantile read off the compressed tree is
-  * within ~L·t ranks of exact. Everything is integer arithmetic on
-  * counts — no randomness — so the sketch is bit-reproducible, and
-  * merge (add maps, add n, recompress) is associative up to the same
-  * error bound, which makes it a valid partial aggregate: map-side
-  * combine applies, only O(k)-node sketches cross the shuffle.
+  * at most `levels` levels up, so any quantile read off the compressed
+  * tree is within ~levels·t ranks of exact. Everything is integer
+  * arithmetic on counts — no randomness — so the sketch is
+  * bit-reproducible, and merge (add maps, add n, recompress) is
+  * associative up to the same error bound, which makes it a valid partial
+  * aggregate: map-side combine applies, only O(k)-node sketches cross the
+  * shuffle.
+  *
+  * INPUT CONTRACT: values must already lie in [0, 2^levels). Out-of-range
+  * input FAILS the job with a clear message — a silent clamp would
+  * saturate quantile boundaries with no diagnostic (the r6-advice bug:
+  * l_orderkey overflows the default 24-level universe above ~sf2).
+  * Callers with negative / fractional / wide domains either raise
+  * `levels` (≤ 62) or pre-map through [[affine]].
   *
   * 100 TB story: an exact percentile needs a global sort (q55) or a
   * two-pass select; this answers any quantile with one scan and a
@@ -33,11 +41,11 @@ import org.apache.spark.sql.functions.udaf
   */
 object QDigest {
 
-  /** Universe depth: values must lie in [0, 2^L). 24 covers money-in-
-    * cents up to ~167M cents. */
+  /** Default universe depth: values in [0, 2^24) — covers money-in-cents
+    * up to ~167M cents. Raise per sketch for wider domains. */
   val L = 24
 
-  /** Compression factor: sketch ≤ ~3k nodes, rank error ≤ ~L·(n/k). */
+  /** Compression factor: sketch ≤ ~3k nodes, rank error ≤ ~levels·(n/k). */
   val K = 4096
 
   final case class Sketch(nodes: Map[Long, Long], n: Long)
@@ -54,15 +62,24 @@ object QDigest {
     (id - (1L << d) + 1) * width - 1
   }
 
+  /** Affine pre-map into the dyadic universe for negative / fractional
+    * domains: x → floor((x − offset) · scale) as BIGINT. E.g. doubles in
+    * [−50, 50) at 3-decimal resolution: `affine(c, -50.0, 1000.0)` needs
+    * 17 levels. The map is monotone, so quantiles of the mapped values
+    * are the mapped quantiles; invert reads with q/scale + offset. */
+  def affine(c: Column, offset: Double, scale: Double): Column =
+    floor((c.cast("double") - lit(offset)) * lit(scale)).cast("long")
+
   /** Bottom-up q-digest compression, in place. Child pairs at each level
     * fold into their parent while pair+parent ≤ t; pairs are independent
     * (each parent has exactly one child pair), so iteration order within
     * a level cannot change the result — the sketch stays deterministic.
     */
-  private def compress(m: mutable.HashMap[Long, Long], n: Long): Unit = {
+  private def compress(m: mutable.HashMap[Long, Long], n: Long,
+                       levels: Int): Unit = {
     val t = n / K
     if (t <= 0L) return
-    var d = L
+    var d = levels
     while (d >= 1) {
       val ids = m.keysIterator.filter(id => depth(id) == d && (id & 1L) == 0L)
         .toArray
@@ -102,19 +119,25 @@ object QDigest {
     m
   }
 
-  val aggregator: Aggregator[Long, Sketch, Digest] =
+  def aggregator(levels: Int = L): Aggregator[Long, Sketch, Digest] = {
+    require(levels >= 1 && levels <= 62,
+      s"qdigest levels must be in [1, 62], got $levels")
     new Aggregator[Long, Sketch, Digest] {
       def zero: Sketch = Sketch(Map.empty, 0L)
 
       def reduce(b: Sketch, value: Long): Sketch = {
-        val v = math.min(math.max(value, 0L), (1L << L) - 1)
-        val leaf = (1L << L) + v
+        if (value < 0L || value >= (1L << levels))
+          throw new IllegalArgumentException(
+            s"qdigest input $value outside the dyadic universe " +
+              s"[0, 2^$levels) — raise `levels` or pre-map the column " +
+              "through QDigest.affine(offset, scale)")
+        val leaf = (1L << levels) + value
         val nodes = b.nodes.updated(leaf, b.nodes.getOrElse(leaf, 0L) + 1L)
         val n = b.n + 1
         if (nodes.size > 8 * K) {
           val m = new mutable.HashMap[Long, Long](nodes.size * 2, 0.75)
           nodes.foreach { case (k, c) => m.update(k, c) }
-          compress(m, n)
+          compress(m, n, levels)
           Sketch(m.toMap, n)
         } else Sketch(nodes, n)
       }
@@ -123,13 +146,13 @@ object QDigest {
         val m = toMutable(a)
         b.nodes.foreach { case (k, c) => m.update(k, m.getOrElse(k, 0L) + c) }
         val n = a.n + b.n
-        compress(m, n)
+        compress(m, n, levels)
         Sketch(m.toMap, n)
       }
 
       def finish(s: Sketch): Digest = {
         val m = toMutable(s)
-        compress(m, s.n)
+        compress(m, s.n, levels)
         Digest(s.n,
           m.toArray.sortBy(_._1).map { case (id, c) => Node(id, c) })
       }
@@ -138,28 +161,34 @@ object QDigest {
       def outputEncoder: Encoder[Digest] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Digest]()
     }
+  }
 
-  /** Column entry point: qdigest(longCol) -> struct(n, nodes). */
-  def sketch(c: Column): Column = udaf(aggregator).apply(c)
+  /** Column entry point: qdigest(longCol) -> struct(n, nodes). Values
+    * must lie in [0, 2^levels) — see the input contract above. */
+  def sketch(c: Column, levels: Int = L): Column =
+    udaf(aggregator(levels)).apply(c)
 
   /** Quantile read: nodes ordered by (right endpoint asc, deeper-first);
     * the reported value is the right endpoint of the node where the
-    * cumulative count first reaches ceil(q·n). */
-  def quantile(digest: Seq[(Long, Long)], n: Long, q: Double): Long = {
-    val sorted = digest.sortBy { case (id, _) => (rightEnd(id), -id) }
+    * cumulative count first reaches ceil(q·n). `levels` must match the
+    * sketch's. */
+  def quantile(digest: Seq[(Long, Long)], n: Long, q: Double,
+               levels: Int = L): Long = {
+    val sorted = digest.sortBy { case (id, _) => (rightEnd(id, levels), -id) }
     val target = math.max(1L, math.ceil(q * n).toLong)
     var cum = 0L
     var i = 0
     while (i < sorted.length) {
       cum += sorted(i)._2
-      if (cum >= target) return rightEnd(sorted(i)._1)
+      if (cum >= target) return rightEnd(sorted(i)._1, levels)
       i += 1
     }
-    if (sorted.nonEmpty) rightEnd(sorted.last._1) else 0L
+    if (sorted.nonEmpty) rightEnd(sorted.last._1, levels) else 0L
   }
 
   /** Worst-case rank slack for a sketch built-and-merged over n values:
-    * each of ≤2 compression generations moves counts ≤ L levels at ≤ t
-    * per level. */
-  def rankBound(n: Long): Long = 2L * L * math.max(1L, n / K) + L
+    * each of ≤2 compression generations moves counts ≤ `levels` levels
+    * at ≤ t per level. */
+  def rankBound(n: Long, levels: Int = L): Long =
+    2L * levels * math.max(1L, n / K) + levels
 }

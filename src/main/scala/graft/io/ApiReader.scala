@@ -169,9 +169,17 @@ final case class ApiReader(pagination: Pagination,
           .toDF("_page", "_body")
 
       case Pagination.Cursor(firstUrl, nextField, maxPages, firstCursor) =>
-        val dir = spoolDir.map(Paths.get(_)).getOrElse(
-          Files.createTempDirectory("graft-api-spool"))
-        Files.createDirectories(dir)
+        // spool into a FRESH unique subdirectory per read(): a reused
+        // caller-supplied spoolDir would otherwise leave page files from
+        // a prior (longer) run behind, and spark.read.text(dir) would
+        // resurrect them as duplicate records on rerun/resume
+        val dir = spoolDir match {
+          case Some(d) =>
+            val base = Paths.get(d)
+            Files.createDirectories(base)
+            Files.createTempDirectory(base, "run-")
+          case None => Files.createTempDirectory("graft-api-spool")
+        }
         val tokenMode = firstUrl.contains("{cursor}")
         // resume from the committed cursor when a store is wired; the
         // stored value is a token (token mode) or a full url

@@ -1,6 +1,6 @@
 package graft.metrics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
@@ -64,18 +64,27 @@ object ProfileStore {
     * compare in the recorded native type; integral sums add exactly. */
   def merge(profiles: DataFrame): DataFrame = {
     val numeric = col("dtype").isin("bigint", "int", "smallint", "tinyint")
-    // fold comparables in native type: integral columns via long cast,
+    val floatish = col("dtype").isin("double", "float")
+      .or(col("dtype").like("decimal%"))
+    // fold comparables in native type: integral columns via long cast;
+    // float/double/decimal ordered by their double value but KEEPING the
+    // recorded string (a struct min/max orders by the numeric key first,
+    // so decimal renderings like "10.50" survive the fold un-rewritten
+    // and min("10.5","9.5") can never resolve lexicographically);
     // everything else lexicographically (correct for strings; dates and
     // timestamps rendered ISO-style also order lexicographically). The
-    // dtype guard sits INSIDE the aggregate so the long cast only ever
-    // touches numeric rows (ANSI cast of 'de' would throw otherwise);
+    // dtype guard sits INSIDE the aggregate so the casts only ever
+    // touch matching rows (ANSI cast of 'de' would throw otherwise);
     // a group is single-dtype, so exactly one branch is non-null.
+    def keyed(c: Column) = struct(c.cast("double").as("k"), c.as("s"))
     val minNative = coalesce(
       min(when(numeric, col("min_s").cast("long"))).cast("string"),
-      min(when(!numeric, col("min_s"))))
+      min(when(floatish, keyed(col("min_s")))).getField("s"),
+      min(when(!numeric && !floatish, col("min_s"))))
     val maxNative = coalesce(
       max(when(numeric, col("max_s").cast("long"))).cast("string"),
-      max(when(!numeric, col("max_s"))))
+      max(when(floatish, keyed(col("max_s")))).getField("s"),
+      max(when(!numeric && !floatish, col("max_s"))))
     profiles.groupBy(col("column"), col("dtype"))
       .agg(sum(col("n_rows")).cast("long").as("n_rows"),
         sum(col("n_null")).cast("long").as("n_null"),

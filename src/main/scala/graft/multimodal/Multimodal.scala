@@ -4,13 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` payloads + typed
-  * metadata, with decode/feature steps stubbed deterministically.
+  * metadata.
   *
-  * The Spark-side contract is real — schema, partitioning, batch shape —
-  * while the actual codec work is a clearly-marked stub (image/audio codec
-  * libraries are not available in this environment). A production deploy
-  * swaps [[DecodeStub.decodeImage]] for a real decoder inside the same
-  * mapPartitions signature; nothing else changes.
+  * IMAGE decode is REAL — [[DecodeStub.decodeImage]] runs the JDK's
+  * `javax.imageio` (PNG/JPEG/BMP/GIF, zero extra dependencies) inside a
+  * partition-batched mapPartitions; [[encodePng]] produces genuine PNG
+  * bytes for fixtures. Model-inference feature extraction
+  * ([[DecodeStub.extractFeatures]]) remains a clearly-marked deterministic
+  * stub (no inference runtime in this environment) behind the production
+  * signature.
   *
   * Scale notes: payloads stay columnar (parquet binary) end-to-end; decode
   * runs once per partition batch via mapPartitions (codec init amortized,
@@ -35,9 +37,33 @@ object Multimodal {
       lit(mediaType).as("media_type"),
       col(sourceCol).as("source"))
 
-  /** Pure-column deterministic "decode": pseudo-dimensions derived from the
+  /** Encode a deterministic solid-pattern PNG of the given dimensions —
+    * REAL codec work (JDK `javax.imageio`), used by fixtures so
+    * [[DecodeStub.decodeImage]] has genuine image bytes to decode. Pixel
+    * values derive from (seed, x, y) only; Java's PNG writer emits no
+    * timestamp chunks, so the bytes are reproducible. */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y,
+          (((seed * 2654435761L) + x * 31L + y * 131L) & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Pure-column deterministic PSEUDO-decode: dimensions derived from the
     * payload hash. Engine-portable (ascii/md5 only) so it can be
-    * oracle-checked; the mapPartitions variant below is the real plumbing. */
+    * oracle-checked column-for-column; [[DecodeStub.decodeImage]] is the
+    * real decoder. */
   def fakeDimensions(payload: Column): (Column, Column) = {
     val h = md5(payload)
     val w = (ascii(substring(h, 1, 1)) * lit(256) + ascii(substring(h, 2, 1))) % lit(1857) + lit(64)
@@ -100,22 +126,29 @@ object DecodeStub {
     }
   }
 
-  /** STUB — deterministic fake image decode. A real deployment replaces the
-    * body (e.g. TwelveMonkeys/ImageIO) behind the identical signature; the
-    * partition-batched dataflow is the part under test. */
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF —
+    * no external codec dependency): width/height/band-count come from the
+    * actual decoded raster, partition-batched so codec state (and the
+    * in-executor disk-cache opt-out) initializes once per partition.
+    * Payloads ImageIO cannot decode are dropped — callers audit counts
+    * (a training pipeline quarantines them the same way). */
   def decodeImage(records: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
     val spark: SparkSession = records.sparkSession
     import spark.implicits._
     records.mapPartitions { it =>
-      // per-partition codec init would happen here (amortized, like
-      // mapInPandas batch init)
+      // per-partition codec init (amortized, like mapInPandas batch init)
+      javax.imageio.ImageIO.setUseCache(false)
       val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { r =>
-        md.reset()
-        val d = md.digest(r.payload)
-        val w = (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 1857 + 64
-        val h = (((d(2) & 0xff) << 8) | (d(3) & 0xff)) % 1017 + 64
-        ImageFeatures(r.media_id, w, h, 3, d.map("%02x".format(_)).mkString)
+      it.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        if (img == null) None
+        else {
+          md.reset()
+          val d = md.digest(r.payload)
+          Some(ImageFeatures(r.media_id, img.getWidth, img.getHeight,
+            img.getRaster.getNumBands, d.map("%02x".format(_)).mkString))
+        }
       }
     }
   }

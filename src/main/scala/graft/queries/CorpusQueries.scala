@@ -4360,12 +4360,13 @@ object CorpusQueries {
     * return flag — the order-statistic q55's exact quantiles don't cover
     * (every row counts `weight` times, the shape behind weighted SLA and
     * per-unit price reporting). Scale shape: rows collapse to the
-    * (flag, price) grain FIRST (one combinable decimal agg), so the
-    * cumulative-weight window runs over the bounded distinct-price table,
-    * not the raw rows; the half-total comparison is `2*cum >= total` in
+    * (flag, price) grain FIRST (one combinable decimal agg); the
+    * cumulative weight comes from [[graft.transform.PrefixSum]]'s
+    * range-partitioned two-pass scan — a `partitionBy(flag)` window would
+    * funnel each of the 3 flags' whole price grain through ONE task at
+    * 100 TB; the half-total comparison is `2*cum >= total` in
     * exact decimal — no division, no float boundary. */
   def q216_weighted_median(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pw = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag").as("flag"),
         col("l_extendedprice").as("price"))
@@ -4373,10 +4374,8 @@ object CorpusQueries {
     val tot = pw.groupBy(col("flag"))
       .agg(sum(col("wd")).as("wt"),
         count(lit(1)).cast("long").as("n_prices"))
-    val cum = pw.withColumn("cw",
-      sum(col("wd")).over(Window.partitionBy(col("flag"))
-        .orderBy(col("price"))
-        .rowsBetween(Window.unboundedPreceding, 0)))
+    val cum = graft.transform.PrefixSum.groupedRunningAggs(pw, Seq("flag"),
+      Seq(col("price")), Seq("wd" -> "cw"))
     val med = cum.join(tot, "flag")
       .filter(col("cw") * 2 >= col("wt"))
       .groupBy(col("flag")).agg(min(col("price")).as("w_median"))
@@ -4473,26 +4472,27 @@ object CorpusQueries {
     * tokens per source with the level L chosen so allocations exactly
     * exhaust the budget (the classic fair-share cap that stops one giant
     * crawl from eating the whole training mix). Scale shape: the corpus
-    * collapses to ONE combinable per-source count; everything after —
-    * ranking, prefix sums, the pivot search — runs on the ≤|sources| row
-    * table, so the "global" windows are bounded by the source catalog,
-    * never by data volume. The level search is closed-form: the first
+    * collapses to ONE combinable per-source count; rank and exclusive
+    * prefix both come from a single [[graft.transform.PrefixSum]] pass,
+    * so even a web-scale source catalog (every crawl domain) never
+    * funnels through one task. The level search is closed-form: the first
     * rank (ascending by count) whose candidate level
     * (budget − prefix) / (remaining) undershoots its own count. */
   def q219_water_filling(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = Tables.documents(spark, dir)
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("source")).agg(count(lit(1)).cast("long").as("t"))
+      .withColumn("one", lit(1L))
     val tot = counts.agg(sum(col("t")).cast("long").as("total"),
         count(lit(1)).cast("long").as("n"))
       .withColumn("budget",
         floor(col("total").cast("double") / 2.0d).cast("long"))
-    val w = Window.orderBy(col("t"), col("source"))
-    val ranked = counts
-      .withColumn("r", row_number().over(w).cast("long"))
-      .withColumn("p", coalesce(sum(col("t"))
-        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // rank + exclusive prefix in ONE range-partitioned PrefixSum pass
+    // (running count == row_number because (t, source) is unique)
+    val ranked = graft.transform.PrefixSum.groupedRunningAggs(counts, Nil,
+        Seq(col("t"), col("source")), Seq("one" -> "r", "t" -> "ct"))
+      .withColumn("p", col("ct") - col("t"))
+      .drop("one", "ct")
       .crossJoin(broadcast(tot))
       .withColumn("cand", (col("budget") - col("p")).cast("double") /
         (col("n") - col("r") + 1).cast("double"))
@@ -4560,17 +4560,19 @@ object CorpusQueries {
     * (q129) and the two-sample tests (q154): AUC =
     * (2·R⁺ − P(P+1)) / (2PN) where R⁺ sums average ranks of positives.
     * Scale shape: rows collapse to the VALUE grain first (one combinable
-    * agg), so the single global rank window runs over distinct scores —
-    * the q55 exact-order-statistics trade, with doubled ranks kept in
+    * agg); the cumulative rank over distinct scores is the
+    * range-partitioned [[graft.transform.PrefixSum]], with doubled ranks kept in
     * exact integer arithmetic (DECIMAL(38,0) products) until the final
     * division; all five AUCs share the ONE pooled rank table. */
   def q221_roc_auc(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
     val vg = ev.groupBy(col("value")).agg(count(lit(1)).cast("long").as("nv"))
-    val vgc = vg.withColumn("cb", coalesce(sum(col("nv"))
-      .over(Window.orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // exclusive prefix over the distinct-score grain — distinct doubles
+    // grow ~linearly with data, so this must be the range-partitioned
+    // two-pass PrefixSum, never a single-partition global window
+    val vgc = graft.transform.PrefixSum.runningSums(vg, Seq(col("value")),
+        Seq("nv" -> "cnv"))
+      .withColumn("cb", col("cnv") - col("nv")).drop("cnv")
     val tv = ev.groupBy(col("event_type"), col("value"))
       .agg(count(lit(1)).cast("long").as("np"))
     val tot = vg.agg(sum(col("nv")).cast("long").as("ntot"))
@@ -5046,10 +5048,9 @@ object CorpusQueries {
       .select(col("g"))
     val tot = gaps.agg(count(lit(1)).cast("long").as("n"),
       sum(col("g")).cast("long").as("s"))
-    val grain = gaps.groupBy(col("g"))
-      .agg(count(lit(1)).cast("long").as("ng"))
-      .withColumn("cum", sum(col("ng")).over(Window.orderBy(col("g"))
-        .rowsBetween(Window.unboundedPreceding, 0)))
+    val grain = graft.transform.PrefixSum.runningSums(
+      gaps.groupBy(col("g")).agg(count(lit(1)).cast("long").as("ng")),
+      Seq(col("g")), Seq("ng" -> "cum"))
     val lam = col("n").cast("double") / col("s").cast("double")
     val model = lit(1.0d) - exp(-lam * col("g").cast("double"))
     grain.crossJoin(broadcast(tot))
@@ -5116,10 +5117,9 @@ object CorpusQueries {
   def q235_fd_binning(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir).select(col("value"))
-    val grain = ev.groupBy(col("value"))
-      .agg(count(lit(1)).cast("long").as("nv"))
-      .withColumn("cum", sum(col("nv")).over(Window.orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, 0)))
+    val grain = graft.transform.PrefixSum.runningSums(
+        ev.groupBy(col("value")).agg(count(lit(1)).cast("long").as("nv")),
+        Seq(col("value")), Seq("nv" -> "cum"))
       .localCheckpoint(true)
     val tot = grain.agg(sum(col("nv")).cast("long").as("n"),
       min(col("value")).as("vmin"), max(col("value")).as("vmax"))
@@ -5192,11 +5192,11 @@ object CorpusQueries {
       .filter(col("event_type").isin("purchase", "click"))
       .select(col("value"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("isa"))
-    val grain = ev.groupBy(col("value"))
-      .agg(count(lit(1)).cast("long").as("n"),
-        sum(col("isa")).cast("long").as("na"))
-      .withColumn("cum", sum(col("n")).over(Window.orderBy(col("value"))
-        .rowsBetween(Window.unboundedPreceding, 0)))
+    val grain = graft.transform.PrefixSum.runningSums(
+        ev.groupBy(col("value"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("isa")).cast("long").as("na")),
+        Seq(col("value")), Seq("n" -> "cum"))
       .localCheckpoint(true)
     val s = grain.agg(
       sum(col("na")).cast("long").as("n_a"),
@@ -5300,10 +5300,8 @@ object CorpusQueries {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
     val pv = ev.groupBy(col("v")).agg(count(lit(1)).cast("long").as("n_v"))
-    val cumt = pv.withColumn("cum",
-      sum(col("n_v")).over(Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"))
+    val cumt = graft.transform.PrefixSum.runningSums(pv, Seq(col("v")),
+      Seq("n_v" -> "cum"))
     val gv = ev.groupBy(col("event_type"), col("v"))
       .agg(count(lit(1)).cast("long").as("n_gv"))
     val g = gv.join(cumt, "v")
@@ -5509,9 +5507,10 @@ object CorpusQueries {
     * stopword-list sizing. Ranking and cumulative mass are exact
     * integers on the vocabulary grain (count-desc with lexical
     * tiebreak); the coverage ratio is the only FP, rounded at 6. Scale
-    * shape: one combinable token-count agg; the ordered rank window runs
-    * on the vocabulary grain, and only the 1000-row head ever reaches
-    * the explode — row-scale data never sees a window. */
+    * shape: one combinable token-count agg; the heap TopKPerKey cuts the
+    * vocabulary to its 1000-row head before any ordered pass, and only
+    * that head ever reaches the explode — neither row-scale data nor the
+    * full vocab grain ever sees a window. */
   def q245_head_coverage(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = Tables.documents(spark, dir)
@@ -5519,10 +5518,15 @@ object CorpusQueries {
       .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("cnt"))
     val tot = counts.agg(sum(col("cnt")).cast("long").as("total_mass"),
       count(lit(1)).cast("long").as("vocab_size"))
-    val ranked = counts.withColumn("rnk",
-        row_number().over(Window.orderBy(col("cnt").desc, col("tok")))
-          .cast("long"))
-      .filter(col("rnk") <= 1000)
+    // cut the vocab to its 1000-row head with the spilling heap TopKPerKey
+    // FIRST, then rank the head with PrefixSum — the vocabulary grain
+    // (100M+ types at web scale) never funnels through one task
+    val head = graft.plans.TopKPerKey.topKPerKey(
+        counts.withColumn("g", lit(1)), keys = Seq(col("g")),
+        order = Seq(col("cnt").desc, col("tok").asc), k = 1000)
+      .drop("g")
+    val ranked = graft.transform.PrefixSum.rowNumber(head, Nil,
+      Seq(col("cnt").desc, col("tok")), "rnk")
     val ks = ranked.select(col("cnt"), col("rnk"),
         explode(array(lit(10L), lit(100L), lit(1000L))).as("k"))
       .filter(col("rnk") <= col("k"))
@@ -6043,12 +6047,13 @@ object CorpusQueries {
     * one range-partitioned sort + rank-offset self-join on (rank+d) keys;
     * shingle arrays join back by id for candidates only. */
   def q258_sorted_neighborhood(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val keyed = docs.select(col("doc_id"),
-        substring(TextOps.normalize(col("text")), 1, 24).as("sk"))
-      .withColumn("rnk", row_number()
-        .over(Window.orderBy(col("sk"), col("doc_id"))).cast("long"))
+    // sort-order position via the range-partitioned PrefixSum — the rank
+    // is over the full DOC grain, the one window no partitioning bounds
+    val keyed = graft.transform.PrefixSum.rowNumber(
+      docs.select(col("doc_id"),
+        substring(TextOps.normalize(col("text")), 1, 24).as("sk")),
+      Nil, Seq(col("sk"), col("doc_id")), "rnk")
     val a = keyed.select(col("doc_id").as("id_a"), col("rnk").as("ra"))
       .withColumn("d", explode(array(lit(1L), lit(2L), lit(3L))))
       .withColumn("rb", col("d") + col("ra"))
@@ -6103,15 +6108,12 @@ object CorpusQueries {
     * convention can diverge. Scale shape: one grain agg + one prefix sum
     * on the bounded price domain. */
   def q260_equidepth_histogram(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grain = Tables.lineitem(spark, dir)
       .select(col("l_extendedprice").cast("decimal(18,2)").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).cast("long").as("n"))
     val tot = grain.agg(sum(col("n")).cast("long").as("n_tot"))
-    val cum = grain.withColumn("cum",
-      sum(col("n")).over(Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"))
+    val cum = graft.transform.PrefixSum.runningSums(grain, Seq(col("v")),
+      Seq("n" -> "cum"))
     cum.crossJoin(broadcast(tot))
       .withColumn("bucket",
         (floor(((col("cum") - lit(1L)) * lit(8L)).cast("double") /
@@ -6174,18 +6176,15 @@ object CorpusQueries {
     * computed doubles. Scale shape: one grain agg + one ordered prefix
     * window on the bounded money domain — same discipline as q221. */
   def q262_pr_curve(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)
       .select(col("value").cast("decimal(18,2)").as("v"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
     val grain = ev.groupBy(col("v"))
       .agg(count(lit(1)).cast("long").as("n_v"),
         sum(col("pos")).cast("long").as("p_v"))
-    val w = Window.orderBy(col("v").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = grain
-      .withColumn("cumn", sum(col("n_v")).over(w).cast("long"))
-      .withColumn("cump", sum(col("p_v")).over(w).cast("long"))
+    // DESCENDING threshold sweep: both cumulatives share one PrefixSum pass
+    val cum = graft.transform.PrefixSum.runningSums(grain,
+      Seq(col("v").desc), Seq("n_v" -> "cumn", "p_v" -> "cump"))
     val tot = grain.agg(sum(col("p_v")).cast("long").as("n_pos"),
       (sum(col("n_v")) - sum(col("p_v"))).cast("long").as("n_neg"))
     val prec = col("cump").cast("double") / col("cumn").cast("double")
@@ -6518,25 +6517,28 @@ object CorpusQueries {
   /** Skyline (Pareto frontier) of parts on (retail price ↓, size ↑) —
     * the preference-query operator (Börzsönyi's SKYLINE OF): a part
     * survives iff no other part is cheaper-or-equal AND bigger-or-equal
-    * with one strict. Computed sort-free of n² via two window maxima:
-    * the best size among STRICTLY cheaper parts (a RANGE frame on the
-    * cents grain — the value-based frame this query exists to exercise)
-    * and the best size among equal-priced parts; both comparisons are
-    * pure integers. Scale shape: one sort by price + two windows — the
-    * classic O(n log n) 2-D skyline, never the quadratic dominance
-    * join. */
+    * with one strict. Computed sort-free of n² via two running maxima on
+    * the price grain: best size among STRICTLY cheaper parts (an
+    * EXCLUSIVE [[graft.transform.PrefixSum]] running max) and best size
+    * among equal-priced parts (the grain max itself); both comparisons
+    * are pure integers. Scale shape: one grain agg + one range-partitioned
+    * prefix scan + one grain join-back — the classic O(n log n) 2-D
+    * skyline, never the quadratic dominance join and never a
+    * single-partition window. */
   def q269_skyline(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val parts = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_size").cast("long").as("size"),
         (col("p_retailprice").cast("decimal(18,2)") * 100)
           .cast("long").as("cents"))
-    val wLt = Window.orderBy(col("cents"))
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val wEq = Window.partitionBy(col("cents"))
-    val flagged = parts
-      .withColumn("best_lt", max(col("size")).over(wLt))
-      .withColumn("best_eq", max(col("size")).over(wEq))
+    // collapse to the price grain first (best_eq = the grain max), then a
+    // range-partitioned EXCLUSIVE running max gives best-among-strictly-
+    // cheaper — no single-partition RANGE window over the parts table
+    val grain = parts.groupBy(col("cents"))
+      .agg(max(col("size")).as("best_eq"))
+    val bl = graft.transform.PrefixSum.groupedRunningAggs(grain, Nil,
+      Seq(col("cents")), Seq("best_eq" -> "best_lt"),
+      graft.transform.PrefixSum.RunMax, exclusive = true)
+    val flagged = parts.join(bl, "cents")
     flagged
       .filter((col("best_lt").isNull || col("best_lt") < col("size")) &&
         col("best_eq") === col("size"))
@@ -6563,20 +6565,22 @@ object CorpusQueries {
           .as("n0v"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long")
           .as("n1v"))
-    val cumW = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = grain
-      .withColumn("c0", sum(col("n0v")).over(cumW).cast("long"))
-      .withColumn("c1", sum(col("n1v")).over(cumW).cast("long"))
+    // both arms' cumulatives share one range-partitioned PrefixSum pass
+    val cum = graft.transform.PrefixSum.runningSums(grain, Seq(col("v")),
+      Seq("n0v" -> "c0", "n1v" -> "c1"))
     val tot = grain.agg(sum(col("n0v")).cast("long").as("n0"),
       sum(col("n1v")).cast("long").as("n1"))
     val gap = abs(col("c0") * col("n1") - col("c1") * col("n0"))
     val scored = cum.crossJoin(broadcast(tot))
       .select(col("v"), col("n0"), col("n1"), gap.as("gap_num"))
+    // argmax (largest gap, then smallest v) as ONE combinable struct-max
+    // — no global ordered window over the value grain
     scored
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("gap_num").desc, col("v"))))
-      .filter(col("rn") === 1)
+      .agg(max(struct(col("gap_num"), (col("v") * lit(-1)).as("negv"),
+        col("n0"), col("n1"))).as("m"))
+      .select(col("m.n0").as("n0"), col("m.n1").as("n1"),
+        col("m.gap_num").as("gap_num"),
+        (col("m.negv") * lit(-1)).as("v"))
       .select(col("n0"), col("n1"), col("gap_num"),
         col("v").cast("double").as("at_value"),
         round(col("gap_num").cast("double") /
@@ -7193,12 +7197,13 @@ object CorpusQueries {
       .filter(col("event_type") === "purchase")
       .select(unix_micros(col("ts")).as("us"), col("event_id"),
         when(col("value") >= 100, 1L).otherwise(0L).as("conv"))
-    val w = Window.orderBy(col("us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val path = obs
-      .withColumn("t", row_number().over(
-        Window.orderBy(col("us"), col("event_id"))).cast("long"))
-      .withColumn("conv_t", sum(col("conv")).over(w).cast("long"))
+    // t and conv_t over the raw purchase STREAM (row grain, unbounded):
+    // one range-partitioned PrefixSum pass carries both folds
+    val path = graft.transform.PrefixSum.groupedRunningAggs(
+        obs.withColumn("one", lit(1L)), Nil,
+        Seq(col("us"), col("event_id")),
+        Seq("one" -> "t", "conv" -> "conv_t"))
+      .drop("one")
       .withColumn("llr", lit(k1) * col("conv_t").cast("double") +
         lit(k2) * (col("t") - col("conv_t")).cast("double"))
     val crossings = path
@@ -7402,10 +7407,8 @@ object CorpusQueries {
       .groupBy(col("v"))
       .agg(count(lit(1)).cast("long").as("n_v"),
         sum(col("pos")).cast("long").as("p_v"))
-    val cum = grain.withColumn("cum",
-      sum(col("n_v")).over(Window.orderBy(col("v").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"))
+    val cum = graft.transform.PrefixSum.runningSums(grain,
+      Seq(col("v").desc), Seq("n_v" -> "cum"))
     val tot = grain.agg(sum(col("n_v")).cast("long").as("n_tot"),
       sum(col("p_v")).cast("long").as("p_tot"))
     val dec = cum.crossJoin(broadcast(tot))
@@ -7514,12 +7517,12 @@ object CorpusQueries {
     val lshCand = graft.similarity.MinHashLsh.candidatePairs(sets,
         "doc_id", bands = 16, rowsPerBand = 4, maxBucket = Some(100))
       .select(col("id_a"), col("id_b"))
-    // blocker 2: sorted-neighborhood window (the q258 construction, w=4)
-    import org.apache.spark.sql.expressions.Window
-    val keyed = docs.select(col("doc_id"),
-        substring(TextOps.normalize(col("text")), 1, 24).as("sk"))
-      .withColumn("rnk", row_number()
-        .over(Window.orderBy(col("sk"), col("doc_id"))).cast("long"))
+    // blocker 2: sorted-neighborhood rank (the q258 construction, w=4),
+    // doc-grain position via the range-partitioned PrefixSum
+    val keyed = graft.transform.PrefixSum.rowNumber(
+      docs.select(col("doc_id"),
+        substring(TextOps.normalize(col("text")), 1, 24).as("sk")),
+      Nil, Seq(col("sk"), col("doc_id")), "rnk")
     val sn = keyed.select(col("doc_id").as("id_x"), col("rnk").as("ra"))
       .withColumn("dd", explode(array(lit(1L), lit(2L), lit(3L))))
       .withColumn("rb", col("dd") + col("ra"))

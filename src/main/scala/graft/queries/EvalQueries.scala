@@ -46,12 +46,12 @@ object EvalQueries {
       .agg(min(coalesce(col("c_merged") === col("c_direct"), lit(false)))
         .as("merged_ok"))
     val n = vals.agg(count(lit(1)).cast("long").as("n"))
-    // exact rank-φ order statistics on the distinct-cents grain
-    val byVal = vals.groupBy(col("cents"))
-      .agg(count(lit(1)).cast("long").as("cv"))
-      .withColumn("cum", sum(col("cv")).over(
-        Window.orderBy(col("cents"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
+    // exact rank-φ order statistics on the distinct-cents grain — the
+    // cumulative comes from the range-partitioned PrefixSum, never a
+    // single-partition window over the (unbounded) value grain
+    val byVal = graft.transform.PrefixSum.runningSums(
+      vals.groupBy(col("cents")).agg(count(lit(1)).cast("long").as("cv")),
+      Seq(col("cents")), Seq("cv" -> "cum"))
     val cumB = direct.withColumn("cumb", sum(col("c_direct")).over(
       Window.orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, 0)))
@@ -3281,12 +3281,13 @@ object EvalQueries {
     * and everything is one window pass plus a segment aggregate. */
   def q355_learned_index_audit(spark: SparkSession, dir: String): DataFrame = {
     val segLen = 256L
-    val keys = Tables.orders(spark, dir)
-      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long").as("k"))
-      .distinct()
-      .withColumn("r", (row_number().over(Window.orderBy(col("k"))) - 1)
-        .cast("long"))
+    val keys = graft.transform.PrefixSum.rowNumber(
+        Tables.orders(spark, dir)
+          .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("k"))
+          .distinct(),
+        Nil, Seq(col("k")), "rn1")
+      .withColumn("r", col("rn1") - 1).drop("rn1")
       .withColumn("seg", expr(s"r div $segLen"))
       .localCheckpoint(true)
     val ends = keys.groupBy(col("seg"))
@@ -3823,16 +3824,20 @@ object EvalQueries {
   def q373_range_partitioner(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{QDigest, SearchSortedDouble}
     val parts = 8
+    // l_orderkey outgrows the default 24-level universe above ~sf2
+    // (6e9 keys at 100 TB) — size the dyadic universe to the domain
+    val lv = 40
     val v = Tables.lineitem(spark, dir).select(col("l_orderkey").as("v"))
-    val digest = v.agg(QDigest.sketch(col("v")).as("d")).head().getStruct(0)
+    val digest = v.agg(QDigest.sketch(col("v"), levels = lv).as("d"))
+      .head().getStruct(0)
     val n = digest.getLong(0)
     val nodes = digest.getSeq[org.apache.spark.sql.Row](1)
       .map(r => (r.getLong(0), r.getLong(1)))
     val bounds = (1 until parts)
-      .map(k => QDigest.quantile(nodes, n, k.toDouble / parts).toDouble)
+      .map(k => QDigest.quantile(nodes, n, k.toDouble / parts, lv).toDouble)
       .toArray
     // each of a bucket's two boundaries may sit rankBound off its target
-    val slack = 2 * QDigest.rankBound(n) + parts
+    val slack = 2 * QDigest.rankBound(n, lv) + parts
     val counts = v
       .groupBy(SearchSortedDouble.searchSorted(col("v"), bounds)
         .cast("long").as("bucket"))

@@ -1202,9 +1202,16 @@ object PipelineQueries {
       .groupBy(col("pg"))
       .agg(concat(lit("{\"data\":["),
         concat_ws(",", collect_list(col("rec"))), lit("]}")).as("body"))
-    pages.collect().foreach { r =>
-      java.nio.file.Files.writeString(
-        fixture.resolve(s"page-${r.getLong(0)}.json"), r.getString(1))
+    // distributed fixture write: executors write their own page files
+    // (O(1) driver memory — a .collect() here would be O(table) on the
+    // driver; on a real cluster the fixture dir is a shared filesystem)
+    val fixturePath = fixture.toString
+    pages.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      it.foreach { r =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(fixturePath, s"page-${r.getLong(0)}.json"),
+          r.getString(1))
+      }
     }
     val recSchema = new org.apache.spark.sql.types.StructType()
       .add("id", "long").add("lang", "string").add("n", "long")
@@ -1482,5 +1489,36 @@ object PipelineQueries {
         // (the q01 sumMoney pattern — sum order can't perturb bits)
         col("revenue").cast("double").as("revenue"))
       .orderBy(col("n_name"))
+  }
+
+  /** REAL image decode, oracle-gated end-to-end: every document plants a
+    * genuine PNG whose dimensions are pure arithmetic in doc_id
+    * (w = 1 + id mod 13, h = 1 + id mod 7), executors ENCODE it with the
+    * JDK PNG writer and DECODE it back with `ImageIO.read`
+    * ([[graft.multimodal.DecodeStub.decodeImage]]), and the grouped output
+    * must reproduce the planted arithmetic exactly — the gate fails unless
+    * real codec work ran on both sides. Upgrades q33/q114's pseudo-decode
+    * rows: those pin the column plumbing; this pins actual bytes→raster
+    * decoding. Scale shape: encode+decode run in ONE partition-batched
+    * narrow mapPartitions chain (codec init amortized per partition);
+    * payload bytes never cross a shuffle — only the tiny (w, h, bands)
+    * grain reaches the aggregate. */
+  def q377_image_decode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val recs = ids.mapPartitions { it =>
+      it.map { id =>
+        Multimodal.MediaRecord(id,
+          Multimodal.encodePng((1 + id % 13).toInt, (1 + id % 7).toInt, id),
+          "image/png", "synth")
+      }
+    }
+    graft.multimodal.DecodeStub.decodeImage(recs).toDF()
+      .groupBy(col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"))
+      .agg(count(lit(1)).cast("long").as("n_images"),
+        sum(col("media_id")).cast("long").as("id_sum"))
+      .orderBy(col("width"), col("height"))
   }
 }

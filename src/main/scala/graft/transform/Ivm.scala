@@ -60,6 +60,30 @@ object Ivm {
   def append(delta: DataFrame, stateDir: String): Unit =
     delta.write.mode("append").parquet(stateDir)
 
+  /** Batch-identity partition column written by [[appendIdempotent]]. */
+  val BatchCol = "_batch_key"
+
+  /** Persist one view delta under an explicit batch identity, REPLACING
+    * any previously stored delta with the same identity (dynamic
+    * partition overwrite — the batch-mode twin of
+    * [[graft.streaming.StreamOps.ivmBatch]]'s micro-batch partitions).
+    * This is what makes a re-run pipeline idempotent: the same source
+    * path folds into the view once, however many times the job runs. */
+  def appendIdempotent(delta: DataFrame, stateDir: String,
+      batchKey: String): Unit = {
+    val spark = delta.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try delta.withColumn(BatchCol, lit(batchKey))
+      .write.mode("overwrite").partitionBy(BatchCol).parquet(stateDir)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Fold stored deltas into the current view. Sums add by key; groups
     * with net multiplicity 0 are dropped. One #batches x #groups-row
     * aggregate — the base data is never re-read. */
@@ -142,6 +166,7 @@ object Ivm {
   /** Merge delta rows (any number of batches, any order) by key. */
   def merge(deltas: DataFrame, keys: Seq[String]): DataFrame = {
     val sumCols = deltas.columns.filterNot(keys.contains)
+      .filterNot(_ == BatchCol)
     val aggs = sumCols.map(c =>
       (if (c == "n_rows") sum(col(c)).cast("long") else sum(col(c))).as(c))
     deltas.groupBy(keys.map(col): _*)

@@ -1,26 +1,27 @@
 package graft.transform
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Distributed prefix sum (running total) — the scale-safe replacement for
+/** Distributed prefix aggregation (running total / running max) — the
+  * scale-safe replacement for
   * `sum(...).over(Window.partitionBy(group).orderBy(order))`.
   *
-  * A window partitioned by a low-cardinality group (e.g. language) funnels
-  * every row of each group through ONE task: at 100 TB that is a single
-  * executor sorting terabytes. This operator is the classic two-pass
-  * distributed prefix sum instead:
+  * A window partitioned by a low-cardinality group (e.g. language) — or not
+  * partitioned at all — funnels every row of each group through ONE task: at
+  * 100 TB that is a single executor sorting terabytes. This operator is the
+  * classic two-pass distributed prefix scan instead:
   *
-  *   1. range-partition the rows on (group..., order) — contiguous key
+  *   1. range-partition the rows on (group..., order...) — contiguous key
   *      ranges, parallelism = the full shuffle-partition count, never one
   *      task per group;
   *   2. aggregate per-(partition, group) value totals — a tiny frame
   *      (#partitions x #groups rows);
   *   3. turn the totals into per-partition starting offsets with an
-  *      exclusive cumsum over that tiny frame (per group, in partition
+  *      exclusive scan over that tiny frame (per group, in partition
   *      order);
-  *   4. broadcast the offsets back and finish with a cumsum WITHIN each
+  *   4. broadcast the offsets back and finish with a scan WITHIN each
   *      range partition (window on (partition-id, group) — each window
   *      group is one range-partition's slice, bounded by partition size,
   *      not by group size).
@@ -29,38 +30,99 @@ import org.apache.spark.sql.functions._
   * executes it once and the `spark_partition_id()` tag is consistent across
   * the two consumers (single query execution, one shuffle materialization).
   *
-  * `orderCol` must be unique within each group (ties could straddle a range
-  * boundary and make the running total among tied rows partition-dependent).
+  * The composite `orderCols` key must be unique within each group (ties
+  * could straddle a range boundary and make the running total among tied
+  * rows partition-dependent).
   */
 object PrefixSum {
+
+  /** The fold carried by the scan: ordinary running sum, or running max
+    * (any commutative semigroup whose per-partition combine is the same
+    * operator works with the identical two-pass shape). */
+  sealed trait RunKind
+  case object RunSum extends RunKind
+  case object RunMax extends RunKind
 
   /** Adds `cumCol` = running sum of `valueCol` per `groupCols` group in
     * `orderCol` order (inclusive of the current row). Column order of `df`
     * is preserved; `cumCol` is appended. */
   def groupedRunningSum(df: DataFrame, groupCols: Seq[String], orderCol: String,
-                        valueCol: String, cumCol: String): DataFrame = {
+                        valueCol: String, cumCol: String): DataFrame =
+    groupedRunningAggs(df, groupCols, Seq(col(orderCol)),
+      Seq(valueCol -> cumCol), RunSum)
+
+  /** Ungrouped (corpus-global) running sums over one ordered pass:
+    * each `(valueCol, cumCol)` pair appends an inclusive running total. */
+  def runningSums(df: DataFrame, orderCols: Seq[Column],
+                  values: Seq[(String, String)]): DataFrame =
+    groupedRunningAggs(df, Nil, orderCols, values, RunSum)
+
+  /** Appends `rnCol` = 1-based dense position of each row in `orderCols`
+    * order within its `groupCols` group (== `row_number()` because the
+    * order key is required unique) as BIGINT — without a single-partition
+    * global sort. */
+  def rowNumber(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+                rnCol: String): DataFrame = {
+    requireNamespace(df)
+    val one = "__psum_one"
+    groupedRunningAggsImpl(df.withColumn(one, lit(1L)), groupCols, orderCols,
+      Seq(one -> rnCol), RunSum)
+      .drop(one)
+  }
+
+  /** General form: appends, for every `(valueCol, cumCol)` pair, the
+    * running `kind`-fold of `valueCol` per `groupCols` group in
+    * `orderCols` order. All folds share ONE range exchange and one tiny
+    * offsets frame — adding value columns is free. `exclusive = true`
+    * folds strictly-preceding rows only (sum: 0 for the first row;
+    * max: NULL for the first row — matching a
+    * `rangeBetween(unboundedPreceding, -1)` window). */
+  def groupedRunningAggs(df: DataFrame, groupCols: Seq[String],
+                         orderCols: Seq[Column], values: Seq[(String, String)],
+                         kind: RunKind = RunSum,
+                         exclusive: Boolean = false): DataFrame = {
+    requireNamespace(df)
+    groupedRunningAggsImpl(df, groupCols, orderCols, values, kind, exclusive)
+  }
+
+  private def requireNamespace(df: DataFrame): Unit =
     require(!df.columns.exists(_.startsWith("__psum")),
-      "groupedRunningSum reserves the __psum* column namespace")
+      "PrefixSum reserves the __psum* column namespace")
+
+  private def groupedRunningAggsImpl(df: DataFrame, groupCols: Seq[String],
+                                     orderCols: Seq[Column],
+                                     values: Seq[(String, String)],
+                                     kind: RunKind,
+                                     exclusive: Boolean = false): DataFrame = {
+    require(values.nonEmpty, "at least one (valueCol, cumCol) pair")
+    require(orderCols.nonEmpty, "at least one order column")
+    val outCols = df.columns.filterNot(_ == "__psum_one").map(col)
     val gcols = groupCols.map(col)
     val ranged = df
-      .repartitionByRange((gcols :+ col(orderCol)): _*)
+      .repartitionByRange((gcols ++ orderCols): _*)
       .withColumn("__psum_pid", spark_partition_id())
+    def fold(c: Column): Column = kind match {
+      case RunSum => sum(c)
+      case RunMax => max(c)
+    }
     // pass 1: per-(range-partition, group) totals — #partitions x #groups rows
+    val totalAggs = values.zipWithIndex.map { case ((v, _), i) =>
+      fold(col(v)).as(s"__psum_t$i")
+    }
     val partTotals = ranged
       .groupBy((col("__psum_pid") +: gcols): _*)
-      .agg(sum(col(valueCol)).as("__psum_total"))
-    // exclusive cumsum over the tiny totals frame = each partition's offset
+      .agg(totalAggs.head, totalAggs.tail: _*)
+    // exclusive scan over the tiny totals frame = each partition's offset
     val wOff = Window.partitionBy(gcols: _*).orderBy(col("__psum_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = partTotals
-      .withColumn("__psum_off",
-        coalesce(sum(col("__psum_total")).over(wOff), lit(0L).cast("bigint")))
-      .drop("__psum_total")
-    // pass 2: within-partition cumsum + broadcast offset = global running sum
+    val offsets = values.indices.foldLeft(partTotals) { (d, i) =>
+      d.withColumn(s"__psum_o$i", fold(col(s"__psum_t$i")).over(wOff))
+    }.drop(values.indices.map(i => s"__psum_t$i"): _*)
+    // pass 2: within-partition scan + broadcast offset = global running fold
     val wIn = Window
       .partitionBy((col("__psum_pid") +: gcols): _*)
-      .orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, if (exclusive) -1 else 0)
     // NULL-SAFE join back on the group keys: a plain equi-join would drop
     // every row whose group key is NULL, whereas the windows above (and
     // the single-pass Window this replaces) treat NULL as its own group.
@@ -71,9 +133,25 @@ object PrefixSum {
     val cond = groupCols
       .map(c => col(c) <=> col(s"__psum_g_$c"))
       .foldLeft(col("__psum_pid") === col("__psum_pid_r"))(_ && _)
-    ranged
-      .join(broadcast(offR), cond)
-      .withColumn(cumCol, sum(col(valueCol)).over(wIn) + col("__psum_off"))
-      .select((df.columns.map(col) :+ col(cumCol)): _*)
+    val joined = ranged.join(broadcast(offR), cond)
+    val withCums = values.zipWithIndex.foldLeft(joined) {
+      case (d, ((v, cumCol), i)) =>
+        val off = col(s"__psum_o$i")
+        val within = fold(col(v)).over(wIn)
+        val cum = kind match {
+          case RunSum =>
+            // type of the preceding-partitions offset == type of a plain
+            // windowed sum; cast the (within + off) widening back to it so
+            // the output dtype matches the single-pass Window it replaces
+            val sumType = offR.schema(s"__psum_o$i").dataType
+            (coalesce(within, lit(0).cast(sumType)) +
+              coalesce(off, lit(0).cast(sumType))).cast(sumType)
+          case RunMax =>
+            greatest(within, off) // greatest skips NULLs (first offset,
+                                  // and the first row's exclusive frame)
+        }
+        d.withColumn(cumCol, cum)
+    }
+    withCums.select((outCols ++ values.map(p => col(p._2))): _*)
   }
 }

@@ -97,6 +97,26 @@ class ApiReaderSpec extends SparkSpec {
       .collect().sorted shouldBe Array(10L, 11L)
   }
 
+  test("a reused spoolDir never resurrects a prior (longer) run's pages") {
+    val dir = tmpDir("api-stale")
+    writePage(dir, "a.json",
+      s"""{"items": [{"id": 1, "lang": "en", "n": 1}], "next": "$dir/b.json"}""")
+    writePage(dir, "b.json",
+      """{"items": [{"id": 2, "lang": "en", "n": 1}]}""")
+    val spool = tmpDir("api-stale-spool")
+    def reader() = ApiReader(
+      Pagination.Cursor(s"$dir/a.json", nextField = "next"),
+      recSchema, recordsField = Some("items"), fetcher = FileFetcher(),
+      spoolDir = Some(spool))
+    reader().read(spark).count() shouldBe 2
+    // the chain SHRINKS to one page; the stale page-000001 from run 1
+    // must not be re-read as a phantom record
+    writePage(dir, "a.json", """{"items": [{"id": 7, "lang": "en", "n": 1}]}""")
+    val r2 = reader().read(spark)
+    r2.count() shouldBe 1
+    r2.select("id").head.getLong(0) shouldBe 7L
+  }
+
   test("cursor store closes the incremental loop: resume, at-least-once, " +
        "commit only after the caller says so") {
     val dir = tmpDir("api-incr")

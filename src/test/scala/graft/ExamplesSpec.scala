@@ -95,9 +95,20 @@ class ExamplesSpec extends SparkSpec {
       .parquet("/tmp/graft-maint/in")
     orders.select("o_orderkey", "o_custkey", "o_totalprice")
       .repartition(8).write.mode("overwrite").parquet("/tmp/graft-maint/gold")
+    // min-task fixture: a signed batch whose delete wave removes every
+    // cheap 'F' order — that HITS the stored group minimum, forcing the
+    // repair path — plus the post-delete base the repair scans
+    val deleted = col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0
+    graft.transform.Ivm.inserts(orders)
+      .unionByName(graft.transform.Ivm.retracts(orders.filter(deleted)))
+      .write.mode("overwrite").parquet("/tmp/graft-maint/min-batch")
+    orders.filter(!deleted).write.mode("overwrite")
+      .parquet("/tmp/graft-maint/min-base")
     val cfg = ConfigLoader.loadFromFile("examples/maintenance-pipeline.conf",
       schemaBasePath = "examples/schemas")
-    cfg.maintenance.map(_.`type`) shouldBe Seq("compact", "zorder", "ivm")
+    cfg.maintenance.map(_.`type`) shouldBe
+      Seq("compact", "zorder", "ivm", "ivm", "ivm")
+    cfg.maintenance.map(_.agg).drop(2) shouldBe Seq("group", "min", "topk")
     cfg.maintenance.head.targetFileMb shouldBe 128
     IngestionRunner.runPipeline(spark, cfg)
     // the ingest job appended the 24 input splits; compaction rewrote the
@@ -121,6 +132,45 @@ class ExamplesSpec extends SparkSpec {
         col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("s"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     view shouldBe direct
+    // the MIN view equals a recompute over the post-delete base (the
+    // delete wave hit the 'F' minimum → repair path exercised)
+    val deletedRows = col("o_orderstatus") === "F" &&
+      col("o_totalprice") < 100000.0
+    def minSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[String]("o_orderstatus"),
+        r.getAs[Double]("min_v"), r.getAs[Long]("n_rows"))).toSet
+    minSet(spark.read.parquet("/tmp/graft-maint/min-view")) shouldBe
+      minSet(orders.filter(!deletedRows).groupBy(col("o_orderstatus"))
+        .agg(min(col("o_totalprice")).as("min_v"),
+          count(lit(1)).cast("long").as("n_rows")))
+    // the TOP-K view is the per-status top-2 by (price desc, orderkey)
+    import org.apache.spark.sql.expressions.Window
+    val topDirect = orders
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+      .filter(col("rn") <= 2).drop("rn")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    spark.read.parquet("/tmp/graft-maint/topk-view")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .collect().map(_.toSeq).toSet shouldBe topDirect
+    // RERUN the whole pipeline: every ivm task must be idempotent — the
+    // group fold replaces its batch partition, min/topk skip via the
+    // applied marker; all three views unchanged
+    IngestionRunner.runPipeline(spark, cfg)
+    spark.read.parquet("/tmp/graft-maint/view")
+      .select(col("o_orderstatus"), col("n_rows"),
+        round(col("o_totalprice"), 2).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet shouldBe direct
+    minSet(spark.read.parquet("/tmp/graft-maint/min-view")) shouldBe
+      minSet(orders.filter(!deletedRows).groupBy(col("o_orderstatus"))
+        .agg(min(col("o_totalprice")).as("min_v"),
+          count(lit(1)).cast("long").as("n_rows")))
+    spark.read.parquet("/tmp/graft-maint/topk-view")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .collect().map(_.toSeq).toSet shouldBe topDirect
   }
 
   test("registry schema resolves and yields metadata-derived checks") {

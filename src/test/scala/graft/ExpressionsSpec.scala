@@ -247,6 +247,45 @@ class ExpressionsSpec extends SparkSpec {
     QDigest.quantile(cn, 100L, 0.5) shouldBe 7L
   }
 
+  test("QDigest input contract: loud out-of-range failure, levels widen " +
+       "the universe, affine maps negative/fractional domains") {
+    import graft.functions.QDigest
+    def chain(t: Throwable): String =
+      Option(t).map(x => Option(x.getMessage).getOrElse("") + "|" +
+        chain(x.getCause)).getOrElse("")
+    // negative input fails the job with the contract message — no clamp
+    val neg = intercept[Throwable] {
+      Seq(-1L, 5L).toDF("v").agg(QDigest.sketch(col("v"))).collect()
+    }
+    chain(neg) should include("dyadic universe")
+    // overflow past 2^24 fails the same way at default levels...
+    val big = intercept[Throwable] {
+      Seq(1L << 24, 5L).toDF("v").agg(QDigest.sketch(col("v"))).collect()
+    }
+    chain(big) should include("dyadic universe")
+    // ...and is accepted when the sketch's universe is sized to the domain
+    val wide = Seq(1L << 24, 5L, (1L << 30) - 1).toDF("v")
+      .agg(QDigest.sketch(col("v"), levels = 30)).collect()(0).getStruct(0)
+    wide.getLong(0) shouldBe 3L
+    val wn = wide.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // n=3 → t=0 → no compression → quantiles are exact leaves
+    QDigest.quantile(wn, 3L, 0.5, levels = 30) shouldBe (1L << 24)
+    // affine pre-map: monotone, so quantiles commute with the map
+    val xs = Seq(-49.5, -1.25, 0.0, 3.75, 49.999)
+    val mapped = xs.toDF("x")
+      .select(QDigest.affine(col("x"), -50.0, 1000.0).as("v"))
+    mapped.agg(org.apache.spark.sql.functions.min(col("v"))).head.getLong(0)
+      .should(be >= 0L)
+    val md = mapped.agg(QDigest.sketch(col("v"), levels = 17))
+      .collect()(0).getStruct(0)
+    val mn = md.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    QDigest.quantile(mn, 5L, 0.5, levels = 17) shouldBe 50000L // x = 0.0
+    // invalid depth rejected at construction
+    an[IllegalArgumentException] should be thrownBy QDigest.aggregator(63)
+  }
+
   test("SimHash64: identical token sets collide, disjoint ones differ") {
     val df = Seq(
       ("x", Seq("spark", "scala", "engine")),

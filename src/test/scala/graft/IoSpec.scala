@@ -205,6 +205,20 @@ class IoSpec extends SparkSpec {
       FileReader("avro", tmpDir("avro")).read(spark).collect()
     }
     e.getMessage.toLowerCase should include("avro")
+    // streaming leg resolves through the same builder path
+    val s = intercept[Exception] {
+      FileReader("avro", tmpDir("avro-stream"), streaming = true).read(spark)
+    }
+    s.getMessage.toLowerCase should include("avro")
+    // binary formats never get the PERMISSIVE corrupt-record column bolted
+    // onto their schema (that contract is csv/json-only)
+    val withCorrupt = intercept[Exception] {
+      FileReader("avro", tmpDir("avro-c"),
+        schema = Some(new org.apache.spark.sql.types.StructType()
+          .add("id", "long")),
+        corruptColumn = Some("_corrupt")).read(spark).collect()
+    }
+    withCorrupt.getMessage.toLowerCase should include("avro")
   }
 
   test("Retention: metadata cutoff drops expired rows; predicate prunes partitions") {

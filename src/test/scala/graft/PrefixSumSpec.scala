@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PrefixSumSpec extends SparkSpec {
+
+  test("PrefixSum.runningSums multi-value matches single-pass window") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ((i * 37) % 501L, (i % 13).toLong,
+      (i % 5).toLong)).toDF("k", "a", "b")
+    val got = graft.transform.PrefixSum.runningSums(df, Seq(col("k")),
+        Seq("a" -> "ca", "b" -> "cb"))
+      .orderBy("k").collect().toSeq
+    val w = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, 0)
+    val ref = df.withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .orderBy("k").collect().toSeq
+    assert(got == ref)
+  }
+
+  test("PrefixSum.runningSums desc order matches window desc") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => ((i * 91) % 301L, 1L)).toDF("k", "one")
+    val got = graft.transform.PrefixSum.runningSums(df, Seq(col("k").desc),
+        Seq("one" -> "c"))
+      .orderBy("k").collect().toSeq
+    val w = Window.orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ref = df.withColumn("c", sum(col("one")).over(w))
+      .orderBy("k").collect().toSeq
+    assert(got == ref)
+  }
+
+  test("PrefixSum.rowNumber matches row_number over unique keys") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => ((i * 173) % 401L, s"s${i % 3}"))
+      .toDF("k", "g")
+    val got = graft.transform.PrefixSum.rowNumber(df, Seq("g"),
+        Seq(col("k")), "rn")
+      .orderBy("g", "k").collect().toSeq
+    val w = Window.partitionBy(col("g")).orderBy(col("k"))
+    val ref = df.withColumn("rn", row_number().over(w).cast("long"))
+      .orderBy("g", "k").collect().toSeq
+    assert(got == ref)
+  }
+
+  test("PrefixSum RunMax running max matches window max") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => ((i * 173) % 401L, ((i * 29) % 97).toLong))
+      .toDF("k", "v")
+    val got = graft.transform.PrefixSum.groupedRunningAggs(df, Nil,
+        Seq(col("k")), Seq("v" -> "m"), graft.transform.PrefixSum.RunMax)
+      .orderBy("k").collect().toSeq
+    val w = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, 0)
+    val ref = df.withColumn("m", max(col("v")).over(w))
+      .orderBy("k").collect().toSeq
+    assert(got == ref)
+  }
+
+  test("PrefixSum decimal running sum matches window sum values") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => ((i * 57) % 201L, BigDecimal(i) / 100))
+      .toDF("k", "v")
+      .select(col("k"), col("v").cast("decimal(18,2)").as("v"))
+    val got = graft.transform.PrefixSum.runningSums(df, Seq(col("k")),
+        Seq("v" -> "c"))
+      .select(col("k"), col("c").cast("decimal(38,2)"))
+      .orderBy("k").collect().toSeq
+    val w = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, 0)
+    val ref = df.withColumn("c", sum(col("v")).over(w))
+      .select(col("k"), col("c").cast("decimal(38,2)"))
+      .orderBy("k").collect().toSeq
+    assert(got == ref)
+  }
+}

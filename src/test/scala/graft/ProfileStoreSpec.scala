@@ -44,6 +44,41 @@ class ProfileStoreSpec extends SparkSpec {
     m.getAs[String]("max_s") shouldBe "10"
   }
 
+  test("double/decimal/date min/max fold numerically, not lexicographically") {
+    import spark.implicits._
+    // lexicographic min of {"10.5", "9.5"} is "10.5" — the r6 advice bug
+    val a = ProfileStore.profile(Seq(10.5d).toDF("v"), Seq("v"))
+    val b = ProfileStore.profile(Seq(9.5d).toDF("v"), Seq("v"))
+    val m = ProfileStore.merge(a.unionByName(b)).collect()(0)
+    m.getAs[String]("min_s") shouldBe "9.5"
+    m.getAs[String]("max_s") shouldBe "10.5"
+    // decimal keeps its recorded rendering (scale intact) through the fold
+    val da = ProfileStore.profile(
+      Seq(BigDecimal("10.50")).toDF("v")
+        .select(col("v").cast("decimal(18,2)").as("v")), Seq("v"))
+    val db = ProfileStore.profile(
+      Seq(BigDecimal("9.50")).toDF("v")
+        .select(col("v").cast("decimal(18,2)").as("v")), Seq("v"))
+    val dm = ProfileStore.merge(da.unionByName(db)).collect()(0)
+    dm.getAs[String]("min_s") shouldBe "9.50"
+    dm.getAs[String]("max_s") shouldBe "10.50"
+    // float goes through the same numeric branch
+    val fa = ProfileStore.profile(Seq(10.5f).toDF("v"), Seq("v"))
+    val fb = ProfileStore.profile(Seq(9.5f).toDF("v"), Seq("v"))
+    val fm = ProfileStore.merge(fa.unionByName(fb)).collect()(0)
+    fm.getAs[String]("min_s") shouldBe "9.5"
+    // ISO dates order lexicographically — the string branch is correct
+    val ta = ProfileStore.profile(
+      Seq("2024-01-02").toDF("v").select(col("v").cast("date").as("v")),
+      Seq("v"))
+    val tb = ProfileStore.profile(
+      Seq("2023-12-31").toDF("v").select(col("v").cast("date").as("v")),
+      Seq("v"))
+    val tm = ProfileStore.merge(ta.unionByName(tb)).collect()(0)
+    tm.getAs[String]("min_s") shouldBe "2023-12-31"
+    tm.getAs[String]("max_s") shouldBe "2024-01-02"
+  }
+
   test("state-dir round trip: append batches, fold, distinct estimate sane") {
     val docs = graft.tables.Tables.documents(spark, dir)
     val state = tmpDir("profile-state")

@@ -309,18 +309,30 @@ class TransformsSpec extends SparkSpec {
     out shouldBe Seq((1L, 10L))
   }
 
-  test("Multimodal decode stub preserves partition-batched dataflow") {
+  test("Multimodal.decodeImage really decodes PNG bytes (javax.imageio) " +
+       "and drops undecodable payloads") {
     import graft.multimodal.{DecodeStub, Multimodal}
-    val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
-    val packed = Multimodal.packBinary(docs, "doc_id", "text", "image/png", "text")
-      .as[Multimodal.MediaRecord]
-    val feats = DecodeStub.decodeImage(packed).collect()
-    feats.length shouldBe 2
-    feats.foreach { f =>
-      f.width should (be >= 64 and be < 1921)
-      f.height should (be >= 64 and be < 1081)
-      f.sha.length shouldBe 32
-    }
+    // genuine PNG payloads with planted dimensions, plus one text payload
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.encodePng(17, 5, 1L),
+        "image/png", "synth"),
+      Multimodal.MediaRecord(2L, Multimodal.encodePng(3, 9, 2L),
+        "image/png", "synth"),
+      Multimodal.MediaRecord(3L, "not an image".getBytes("UTF-8"),
+        "image/png", "synth")).toDS()
+    val feats = DecodeStub.decodeImage(recs).collect()
+      .map(f => f.media_id -> f).toMap
+    feats.keySet shouldBe Set(1L, 2L) // text payload dropped, not crashed
+    feats(1L).width shouldBe 17
+    feats(1L).height shouldBe 5
+    feats(1L).channels shouldBe 3
+    feats(2L).width shouldBe 3
+    feats(2L).height shouldBe 9
+    feats(1L).sha.length shouldBe 32
+    // decode is deterministic: same planted image → same digest
+    val again = DecodeStub.decodeImage(recs.repartition(4)).collect()
+      .map(f => f.media_id -> f.sha).toMap
+    again(1L) shouldBe feats(1L).sha
   }
 
   test("Multimodal.resizeDims pins the long side and preserves aspect within rounding") {

@@ -191,6 +191,17 @@ object Oracles {
         |FROM lineitem, (VALUES (25),(50),(75)) t(q_pct)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // q377: the engine really encodes + decodes PNG bytes per document;
+    // the oracle replays only the PLANTED dimension arithmetic — equality
+    // proves the decoded rasters carried the planted dims through
+    "q377_image_decode" ->
+      """SELECT CAST(1 + doc_id % 13 AS BIGINT) AS width,
+        |  CAST(1 + doc_id % 7 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(COUNT(*) AS BIGINT) AS n_images,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1, 2, 3""".stripMargin,
+
     "q375_late_dims" ->
       """SELECT 'joined' AS cohort, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
