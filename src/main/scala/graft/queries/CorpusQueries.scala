@@ -2623,18 +2623,19 @@ object CorpusQueries {
     * both engines walk the same permutation. Everything up to the
     * final formula is exact decimal (rank·revenue products included).
     * Scale shape: the corpus collapses to per-customer revenue (one
-    * combinable aggregate) before the rank window — which therefore
-    * sorts the customer DIMENSION, not lineitem; the decile-binned
-    * Lorenz curve (SearchSorted against broadcast cuts, q78-style) is
-    * the documented swap when even the dimension outgrows a sort. */
+    * combinable aggregate); ranks come from the range-partitioned
+    * [[graft.transform.PrefixSum]] running count, so even a
+    * hundreds-of-millions-row customer dimension never funnels through
+    * one task. */
   def q166_revenue_gini(spark: SparkSession, dir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     val cr = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
-    cr.withColumn("rnk",
-        row_number().over(W.orderBy(col("rev"), col("o_custkey")))
-          .cast("long"))
+    // rank over the CUSTOMER dimension — hundreds of millions of rows at
+    // 100 TB, so the position comes from the range-partitioned PrefixSum,
+    // never a single-partition sort
+    graft.transform.PrefixSum.rowNumber(cr, Nil,
+        Seq(col("rev"), col("o_custkey")), "rnk")
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("rev")).as("tot"),
         sum(col("rnk").cast("decimal(18,0)") * col("rev")).as("wsum"))
