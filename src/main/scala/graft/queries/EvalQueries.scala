@@ -2512,7 +2512,11 @@ object EvalQueries {
     * order-deterministic and every number is an integer count. Scale
     * shape: two content-hash groupBys + the q54 bucketed-capped LSH
     * cluster pass; stage aggregation is anti-joins on doc_id sets —
-    * shuffles carry (hash, id) only, text never rides past its hash. */
+    * shuffles carry (hash, id) only, text never rides past its hash.
+    * Bench note (r6→r7): slower than r5 at sf0.1 because stage 3 runs
+    * the full bucket-capped LSH cluster pass — deliberate: the funnel
+    * must price the SAME skew-guarded operator the production dedup
+    * runs, not a cheaper uncapped shadow of it. */
   def q342_dedup_funnel(spark: SparkSession, dir: String): DataFrame = {
     import graft.similarity.MinHashLsh
     import graft.transform.Dedup

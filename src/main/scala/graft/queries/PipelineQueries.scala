@@ -947,7 +947,14 @@ object PipelineQueries {
     * no direct a~c — exactly what pairwise semantic dedup misses), one
     * representative kept per cluster. CC runs the whale-safe large-star/
     * small-star contraction; cluster sizes are the groupBy+join (never a
-    * window over cluster_id). The embedding-space sibling of q54. */
+    * window over cluster_id). The embedding-space sibling of q54.
+    *
+    * Bench note (r6→r7): the bucket-cap stage added in r6 costs ~1 s at
+    * sf0.1 on top of the r5 shape — deliberate, it is the skew guard
+    * that keeps a dup-heavy degenerate bucket from going quadratic at
+    * 100 TB; the band keys themselves now come from the fused
+    * [[graft.functions.HyperplaneBits]] expression (one plan node per
+    * table instead of nBits dot/when subtrees). */
   def q82_semantic_clusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val pairs = LshAnn.pairsAbove(emb, "vec_id", "embedding", threshold = 0.35,
@@ -1008,7 +1015,10 @@ object PipelineQueries {
     * batch 2 (which must now also see batch-1 docs as corpus). The indexed
     * corpus is never re-read or re-shingled; each batch costs O(batch).
     * The bucket cap spans the combined (index + batch) sides per stage,
-    * and the oracle replicates both per-stage cap scopes exactly. */
+    * and the oracle replicates both per-stage cap scopes exactly.
+    * Bench note (r6→r7): the per-stage combined-cap pass added ~0.7 s at
+    * sf0.1 over r5 — deliberate; capping only the batch side would let a
+    * degenerate INDEX bucket go quadratic as the corpus accretes. */
   def q85_index_lifecycle(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val m10 = col("doc_id") % 10

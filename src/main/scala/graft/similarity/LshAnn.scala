@@ -35,13 +35,12 @@ object LshAnn {
     Array.fill(nBits)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
   }
 
-  /** Bucket key: one '0'/'1' char per hyperplane sign. The plane arrays are
-    * literal columns, so Catalyst constant-folds them once per plan. */
+  /** Bucket key: one '0'/'1' char per hyperplane sign, computed by the
+    * fused [[graft.functions.HyperplaneBits]] expression — one plan node
+    * and one cached constant matrix instead of nBits dot/when/concat
+    * subtrees (whose Janino compilation dominated band-key wall time). */
   def bitString(vec: Column, planes: Array[Array[Double]]): Column =
-    concat(planes.map { p =>
-      when(CosineKnn.dot(vec, array(p.map(lit): _*)) >= 0, lit("1"))
-        .otherwise(lit("0"))
-    }: _*)
+    graft.functions.HyperplaneBits.bits(vec, planes)
 
   /** DuckDB spelling of [[bitString]] over the same plane constants —
     * used by the oracle generator so both engines bucket identically. */

@@ -286,6 +286,36 @@ class ExpressionsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy QDigest.aggregator(63)
   }
 
+  test("HyperplaneBits: fused sign-bits equal the per-plane when/dot " +
+       "spelling, including null propagation") {
+    import graft.functions.HyperplaneBits
+    import graft.similarity.{CosineKnn, LshAnn}
+    val planes = LshAnn.hyperplanes(dim = 8, nBits = 6, seed = 7L)
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)(Seq.fill(8)(rnd.nextDouble() * 2 - 1)) ++
+      Seq(Seq.fill(8)(0.0)) // all-zero vec: every dot == 0.0 → all '1'
+    val df = rows.toDF("v")
+      .select(col("v").cast("array<double>").as("v"))
+    val reference = fn.concat(planes.map { p =>
+      fn.when(CosineKnn.dot(col("v"), fn.array(p.map(lit): _*)) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }: _*)
+    val both = df.select(HyperplaneBits.bits(col("v"), planes).as("fused"),
+      reference.as("ref")).collect()
+    both.foreach(r => r.getString(0) shouldBe r.getString(1))
+    // null vector → all zeros (the when() otherwise-branch), not null
+    val nullRow = Seq(Tuple1(null: Seq[java.lang.Double])).toDF("v")
+      .select(col("v").cast("array<double>").as("v"))
+      .select(HyperplaneBits.bits(col("v"), planes).as("fused"))
+      .head.getString(0)
+    nullRow shouldBe "000000"
+    // length-mismatched vector → null dots → all zeros, same as when()
+    val shortRow = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
+      .select(HyperplaneBits.bits(col("v").cast("array<double>"), planes))
+      .head.getString(0)
+    shortRow shouldBe "000000"
+  }
+
   test("SimHash64: identical token sets collide, disjoint ones differ") {
     val df = Seq(
       ("x", Seq("spark", "scala", "engine")),
