@@ -3924,6 +3924,138 @@ object EvalQueries {
     }
   }
 
+  /** Exact median absolute deviation of event values — the robust scale
+    * estimator (the σ that outliers can't poison) behind robust z-scores
+    * and Hampel filters. Two exact lower-medians via the q216 integer
+    * rank rule (`2·cum ≥ n`), each over a DISTINCT-value grain whose
+    * cumulative is [[graft.transform.PrefixSum]] — the deviation grain is
+    * data-dependent (|v − med| re-grains per run), so neither pass may
+    * assume a bounded domain. All arithmetic before the final display
+    * casts is exact decimal. Scale shape: two grain aggregates + two
+    * range-partitioned prefix scans + two one-row broadcasts. */
+  def q378_exact_mad(spark: SparkSession, dir: String): DataFrame = {
+    import graft.transform.PrefixSum
+    val ev = Tables.events(spark, dir)
+      .select(col("value").cast("decimal(18,2)").as("v"))
+    val grain = ev.groupBy(col("v")).agg(count(lit(1)).cast("long").as("n"))
+    val tot = grain.agg(sum(col("n")).cast("long").as("nt"))
+    val med = PrefixSum.runningSums(grain, Seq(col("v")), Seq("n" -> "cum"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 2 >= col("nt"))
+      .agg(min(col("v")).as("med"))
+    val dgrain = ev.crossJoin(broadcast(med))
+      .select(abs(col("v") - col("med")).as("dv"))
+      .groupBy(col("dv")).agg(count(lit(1)).cast("long").as("n"))
+    PrefixSum.runningSums(dgrain, Seq(col("dv")), Seq("n" -> "cum"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 2 >= col("nt"))
+      .agg(min(col("dv")).as("mad_d"), max(col("nt")).as("n_rows"))
+      .crossJoin(broadcast(med))
+      .select(col("n_rows"), col("med").cast("double").as("median"),
+        col("mad_d").cast("double").as("mad"))
+  }
+
+  /** Exact 10%-trimmed mean of extended price — the outlier-robust mean
+    * computed WITHOUT sorting rows: on the value grain, a value whose
+    * occurrences span ranks (cum−n, cum] contributes
+    * `overlap((lo, nt−lo], ranks)` copies, so the trim is pure integer
+    * interval arithmetic per grain row (ties straddling a trim boundary
+    * contribute exactly their surviving copies — no interpolation
+    * convention to disagree on). The weighted sum folds decimal-exact;
+    * ONE double division at the edge. Scale shape: one grain aggregate +
+    * one PrefixSum + one combinable weighted fold. */
+  def q379_trimmed_mean(spark: SparkSession, dir: String): DataFrame = {
+    import graft.transform.PrefixSum
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").cast("decimal(18,2)").as("v"))
+    val grain = li.groupBy(col("v")).agg(count(lit(1)).cast("long").as("n"))
+    val tot = grain.agg(sum(col("n")).cast("long").as("nt"))
+    val cum = PrefixSum.runningSums(grain, Seq(col("v")), Seq("n" -> "cum"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lo", expr("nt div 10"))
+    val weight = greatest(lit(0L),
+      least(col("cum"), col("nt") - col("lo")) -
+        greatest(col("cum") - col("n"), col("lo")))
+    cum.select(col("nt"), col("lo"),
+        (col("v") * weight.cast("decimal(15,0)")).as("wv"))
+      .groupBy(col("nt"), col("lo"))
+      .agg(sum(col("wv")).cast("decimal(38,2)").as("s"))
+      .select(col("nt").as("n_rows"), col("lo").as("n_trimmed_each"),
+        // floor-quantize, not round(): both engines floor IDENTICAL
+        // doubles, while round(x, 6) can split a .5 boundary
+        (floor(col("s").cast("double") /
+          (col("nt") - lit(2L) * col("lo")).cast("double") * lit(1e6d) +
+          lit(0.5d)) / lit(1e6d)).as("trimmed_mean"))
+  }
+
+  /** Exact 5%-winsorized mean of extended price — the clamp-don't-drop
+    * robust mean: the p05/p95 order statistics come off the value grain
+    * (integer rank rule `cum ≥ ⌈φ·n⌉`, ceil spelled `(k·nt + 99) div
+    * 100` in pure integers), then every grain row contributes
+    * n · clamp(v, p05, p95) in exact decimal. Scale shape: one grain
+    * aggregate + one PrefixSum + a one-row broadcast of the two cut
+    * values + one combinable fold. */
+  def q380_winsorized_mean(spark: SparkSession, dir: String): DataFrame = {
+    import graft.transform.PrefixSum
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").cast("decimal(18,2)").as("v"))
+    val grain = li.groupBy(col("v")).agg(count(lit(1)).cast("long").as("n"))
+    val tot = grain.agg(sum(col("n")).cast("long").as("nt"))
+    val cum = PrefixSum.runningSums(grain, Seq(col("v")), Seq("n" -> "cum"))
+      .crossJoin(broadcast(tot))
+      .localCheckpoint(true)
+    val cuts = cum
+      .agg(min(when(col("cum") >= expr("(5 * nt + 99) div 100"), col("v")))
+          .as("p05"),
+        min(when(col("cum") >= expr("(95 * nt + 99) div 100"), col("v")))
+          .as("p95"))
+    cum.crossJoin(broadcast(cuts))
+      .select(col("nt"), col("p05"), col("p95"),
+        (col("n").cast("decimal(15,0)") *
+          least(greatest(col("v"), col("p05")), col("p95"))).as("wv"))
+      .groupBy(col("nt"), col("p05"), col("p95"))
+      .agg(sum(col("wv")).cast("decimal(38,2)").as("s"))
+      .select(col("nt").as("n_rows"),
+        col("p05").cast("double").as("p05"),
+        col("p95").cast("double").as("p95"),
+        (floor(col("s").cast("double") / col("nt").cast("double") *
+          lit(1e6d) + lit(0.5d)) / lit(1e6d)).as("winsorized_mean"))
+  }
+
+  /** Lorenz decile table over per-customer revenue — q166's Gini
+    * expanded into the curve itself: customers ranked by (revenue,
+    * custkey) via the distributed [[graft.transform.PrefixSum.rowNumber]]
+    * (the customer dimension is hundreds of millions of rows at 100 TB),
+    * binned into 10 equal-count deciles by integer rank arithmetic, each
+    * decile's revenue share and the cumulative share reported. Revenue
+    * folds decimal-exact; shares are one double division each, rounded.
+    * Scale shape: one customer-grain aggregate + one PrefixSum rank pass
+    * + a 10-row decile aggregate (its cumulative is a second PrefixSum —
+    * tiny, but keeps the no-unpartitioned-window invariant). */
+  def q381_lorenz_deciles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.transform.PrefixSum
+    val cr = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val tot = cr.agg(count(lit(1)).cast("long").as("nc"),
+      sum(col("rev")).cast("decimal(38,2)").as("s"))
+    val dec = PrefixSum.rowNumber(cr, Nil,
+        Seq(col("rev"), col("o_custkey")), "rn")
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((rn - 1) * 10) div nc + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        sum(col("rev")).cast("decimal(38,2)").as("drev"),
+        max(col("s")).as("s"))
+    PrefixSum.runningSums(dec, Seq(col("decile")), Seq("drev" -> "crev"))
+      .select(col("decile"), col("n_customers"),
+        (floor(col("drev").cast("double") / col("s").cast("double") *
+          lit(1e6d) + lit(0.5d)) / lit(1e6d)).as("rev_share"),
+        (floor(col("crev").cast("double") / col("s").cast("double") *
+          lit(1e6d) + lit(0.5d)) / lit(1e6d)).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
   /** BH z-scale thresholds Φ⁻¹(1 − iα/(2m)) for α=0.1, every m ≤ 25 and
     * i ≤ m — evaluated once on the driver and interpolated verbatim into
     * both engines, so the BH pass itself is pure comparisons. */

@@ -54,6 +54,16 @@ class PlanSpec extends SparkSpec {
     plan should include regex "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"
   }
 
+  test("q216's cumulative weight rides a RANGE exchange (PrefixSum), " +
+       "never a per-flag window partition") {
+    // a partitionBy(flag) window would funnel each of 3 flags' whole price
+    // grain through ONE task at 100 TB; the two-pass PrefixSum plans a
+    // range repartition whose width is the shuffle-partition count
+    val plan = planString(
+      queries.CorpusQueries.q216_weighted_median(spark, dir))
+    plan.toLowerCase should include("rangepartitioning")
+  }
+
   test("map-only pipeline (q02) has zero shuffles before its sort") {
     // cast/project is narrow; the only exchange allowed is the final orderBy
     val df = queries.TransformQueries.q02_cast_project(spark, dir)

@@ -191,6 +191,74 @@ object Oracles {
         |FROM lineitem, (VALUES (25),(50),(75)) t(q_pct)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q378_exact_mad" ->
+      """WITH g AS (SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g),
+        |c AS (SELECT v, CAST(SUM(n) OVER (ORDER BY v) AS BIGINT) AS cum FROM g),
+        |m AS (SELECT MIN(v) AS med FROM c, t WHERE cum * 2 >= nt),
+        |dg AS (SELECT ABS(CAST(value AS DECIMAL(18,2)) - (SELECT med FROM m))
+        |    AS dv, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |dc AS (SELECT dv, CAST(SUM(n) OVER (ORDER BY dv) AS BIGINT) AS cum
+        |    FROM dg)
+        |SELECT (SELECT nt FROM t) AS n_rows,
+        |  CAST((SELECT med FROM m) AS DOUBLE) AS median,
+        |  CAST(MIN(dv) AS DOUBLE) AS mad
+        |FROM dc, t WHERE cum * 2 >= nt""".stripMargin,
+
+    "q379_trimmed_mean" ->
+      """WITH g AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g),
+        |c AS (SELECT v, n, CAST(SUM(n) OVER (ORDER BY v) AS BIGINT) AS cum
+        |    FROM g)
+        |SELECT nt AS n_rows, nt // 10 AS n_trimmed_each,
+        |  FLOOR(CAST(SUM(v * CAST(GREATEST(0, LEAST(cum, nt - nt // 10)
+        |      - GREATEST(cum - n, nt // 10)) AS DECIMAL(15,0))) AS DOUBLE)
+        |    / CAST(nt - 2 * (nt // 10) AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS trimmed_mean
+        |FROM c, t GROUP BY nt""".stripMargin,
+
+    "q380_winsorized_mean" ->
+      """WITH g AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g),
+        |c AS (SELECT v, n, CAST(SUM(n) OVER (ORDER BY v) AS BIGINT) AS cum
+        |    FROM g),
+        |cuts AS (SELECT
+        |    MIN(CASE WHEN cum >= (5 * nt + 99) // 100 THEN v END) AS p05,
+        |    MIN(CASE WHEN cum >= (95 * nt + 99) // 100 THEN v END) AS p95
+        |  FROM c, t)
+        |SELECT nt AS n_rows, CAST(p05 AS DOUBLE) AS p05,
+        |  CAST(p95 AS DOUBLE) AS p95,
+        |  -- CASE, not LEAST/GREATEST: duckdb's least/greatest promote
+        |  -- DECIMAL to DOUBLE, silently breaking the exact fold
+        |  FLOOR(CAST(SUM(CAST(n AS DECIMAL(15,0)) *
+        |      (CASE WHEN v < p05 THEN p05
+        |            WHEN v > p95 THEN p95 ELSE v END)) AS DOUBLE)
+        |    / CAST(nt AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |    AS winsorized_mean
+        |FROM c, t, cuts GROUP BY nt, p05, p95""".stripMargin,
+
+    "q381_lorenz_deciles" ->
+      """WITH cr AS (SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+        |    CAST(SUM(rev) AS DECIMAL(38,2)) AS s FROM cr),
+        |r AS (SELECT rev, CAST(ROW_NUMBER() OVER (ORDER BY rev, o_custkey)
+        |    AS BIGINT) AS rn FROM cr),
+        |d AS (SELECT ((rn - 1) * 10) // nc + 1 AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    CAST(SUM(rev) AS DECIMAL(38,2)) AS drev, MAX(s) AS s
+        |  FROM r, t GROUP BY 1)
+        |SELECT decile, n_customers,
+        |  FLOOR(CAST(drev AS DOUBLE) / CAST(s AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS rev_share,
+        |  FLOOR(CAST(SUM(drev) OVER (ORDER BY decile) AS DOUBLE)
+        |    / CAST(s AS DOUBLE) * 1000000 + 0.5) / 1000000 AS cum_share
+        |FROM d ORDER BY decile""".stripMargin,
+
     // q377: the engine really encodes + decodes PNG bytes per document;
     // the oracle replays only the PLANTED dimension arithmetic — equality
     // proves the decoded rasters carried the planted dims through
