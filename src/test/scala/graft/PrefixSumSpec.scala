@@ -58,6 +58,51 @@ class PrefixSumSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("PrefixSum NULL group keys form their own group (null-safe join-back)") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (if (i % 5 == 0) None else Some(s"g${i % 3}"),
+      (i * 37L) % 301L, 1L)).toDF("g", "k", "one")
+    val got = graft.transform.PrefixSum.groupedRunningAggs(df, Seq("g"),
+        Seq(col("k")), Seq("one" -> "c"))
+      .orderBy(col("g"), col("k")).collect().toSeq
+    val w = Window.partitionBy(col("g")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ref = df.withColumn("c", sum(col("one")).over(w))
+      .orderBy(col("g"), col("k")).collect().toSeq
+    assert(got == ref)
+  }
+
+  test("PrefixSum's two passes share ONE range exchange (reuse, not re-shuffle)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val df = (1 to 2000).map(i => ((i * 37L) % 2001L, 1L)).toDF("k", "one")
+    val out = graft.transform.PrefixSum.runningSums(df, Seq(col("k")),
+      Seq("one" -> "c"))
+    out.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val nodes = flatten(out.queryExecution.executedPlan)
+    val rangeExchanges = nodes.count {
+      case s: ShuffleExchangeExec =>
+        s.outputPartitioning.isInstanceOf[RangePartitioning]
+      case _ => false
+    }
+    val reused = nodes.count(_.isInstanceOf[ReusedExchangeExec])
+    assert(rangeExchanges == 1,
+      s"expected exactly one materialized range exchange, got $rangeExchanges")
+    assert(reused >= 1, "second consumer should reuse the range exchange")
+  }
+
   test("PrefixSum decimal running sum matches window sum values") {
     import spark.implicits._
     val df = (1 to 200).map(i => ((i * 57) % 201L, BigDecimal(i) / 100))
