@@ -521,25 +521,24 @@ object CorpusQueries {
     * training sequences the corpus yields, the padding paid on each
     * shard's final partial sequence, and how many documents a chunk
     * boundary cuts in half (the cross-document-attention contamination
-    * the packing papers measure). Scale shape: the running token total is
-    * a window over (lang, shard) with shard = [[graft.functions.StableHash]]
-    * of doc_id — at 100 TB the shard count scales with the corpus so every
-    * window partition stays executor-sized; real pipelines pack within
-    * output shards anyway, and the per-shard stats fold through one
-    * combinable aggregate. Integer token arithmetic end-to-end; the only
-    * division is the final fill ratio. */
+    * the packing papers measure). Scale shape: the running token total
+    * per (lang, [[graft.functions.StableHash]] shard) stratum is the
+    * range-partitioned [[graft.transform.PrefixSum]] — the 40 strata are
+    * each a corpus-sized slice, so no window may own one; per-shard stats
+    * fold through one combinable aggregate. Integer token arithmetic
+    * end-to-end; the only division is the final fill ratio. */
   def q103_seq_pack(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.StableHash
     val budget = 512L
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         TextOps.tokenCount(col("text")).as("n_tok"),
         StableHash.bucket(col("doc_id"), 8).as("shard"))
-    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = docs
-      .withColumn("cum", sum(col("n_tok")).over(w))
+    // running token totals per (lang, shard) — 40 fixed strata, each a
+    // corpus-sized slice, so the scan is PrefixSum's range-partitioned
+    // two-pass, never a window that owns a whole stratum
+    val packed = graft.transform.PrefixSum.groupedRunningAggs(docs,
+        Seq("lang", "shard"), Seq(col("doc_id")), Seq("n_tok" -> "cum"))
       .select(col("lang"), col("shard"), col("n_tok"),
         (floor((col("cum") - col("n_tok")).cast("double") / budget.toDouble) =!=
           floor((col("cum") - 1).cast("double") / budget.toDouble)).as("straddles"))
@@ -619,11 +618,12 @@ object CorpusQueries {
     * other engines draw the identical rows — `rand()` never appears).
     * Contrast with q75 (expected-rate mixture) and q101 (global weighted):
     * this is the guaranteed-count-per-cell variant quota evaluation sets
-    * need. The rank window runs per stratum (bounded groups), quotas come
-    * from one combinable count aggregate broadcast back, and the output
-    * pins n_sampled = quota per cell as the exactness evidence. */
+    * need. Per-stratum positions come from the range-partitioned
+    * [[graft.transform.PrefixSum.rowNumber]] (a stratum is corpus/|strata|
+    * rows — unbounded), quotas from one combinable count aggregate
+    * broadcast back, and the output pins n_sampled = quota per cell as
+    * the exactness evidence. */
   def q106_stratified_sample(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.StableHash
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
@@ -633,9 +633,11 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_stratum"))
       .select(col("lang"), col("source"), col("n_stratum"),
         ceil(col("n_stratum").cast("double") / 10.0).cast("long").as("quota"))
-    val w = Window.partitionBy(col("lang"), col("source"))
-      .orderBy(col("ord"), col("doc_id"))
-    docs.withColumn("rn", row_number().over(w))
+    // per-stratum position via PrefixSum.rowNumber: a (lang, source)
+    // stratum is corpus/|strata| rows — unbounded — so the rank must be
+    // the range-partitioned scan, never one window task per stratum
+    graft.transform.PrefixSum.rowNumber(docs, Seq("lang", "source"),
+        Seq(col("ord"), col("doc_id")), "rn")
       .join(broadcast(quotas), Seq("lang", "source"))
       .filter(col("rn") <= col("quota"))
       .groupBy(col("lang"), col("source"))
@@ -868,20 +870,21 @@ object CorpusQueries {
     * broken by doc_id so every engine draws the same prefix) inside their
     * source, and a doc is kept while the budget wasn't exhausted BEFORE it
     * (greedy prefix fill — at least one doc per source always survives).
-    * Rank + running-token windows are per-source (bounded strata, the
-    * q106 shape); everything else is one combinable aggregate. */
+    * The per-source running-token scan is [[graft.transform.PrefixSum]]
+    * (a source's docs are unbounded); everything else is one combinable
+    * aggregate. */
   def q115_budget_select(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val budget = 2000L
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         TextOps.tokenCount(col("text")).as("n_tok"),
         (size(array_distinct(TextOps.tokens(col("text")))).cast("double") /
           size(TextOps.tokens(col("text"))).cast("double")).as("q"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("q").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("cum", sum(col("n_tok")).over(w))
+    // greedy per-source prefix fill: the running-token scan per source is
+    // PrefixSum (a source's docs are unbounded — one window task per
+    // source would own a whole crawl at 100 TB)
+    graft.transform.PrefixSum.groupedRunningAggs(docs, Seq("source"),
+        Seq(col("q").desc, col("doc_id")), Seq("n_tok" -> "cum"))
       .filter(col("cum") - col("n_tok") < budget)
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_kept"),
@@ -5946,14 +5949,17 @@ object CorpusQueries {
     val occ = m1.join(m2, Seq("phrase", "doc_id", "pos"))
       .groupBy(col("phrase"), col("doc_id"))
       .agg(count(lit(1)).cast("long").as("occ"))
-    val w = Window.partitionBy(col("phrase"))
-      .orderBy(col("occ").desc, col("doc_id"))
-    occ.withColumn("rn", row_number().over(w))
-      .groupBy(col("phrase"))
+    // top document per phrase as ONE combinable struct-argmax (max occ,
+    // then min doc_id via negation) — a per-phrase rank window would own
+    // every matching doc of a common phrase in one task
+    occ.groupBy(col("phrase"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("occ")).cast("long").as("n_occ"),
-        max(when(col("rn") === 1, col("doc_id"))).as("top_doc_id"),
-        max(when(col("rn") === 1, col("occ"))).as("top_doc_occ"))
+        max(struct(col("occ"), (col("doc_id") * lit(-1L)).as("negid")))
+          .as("top"))
+      .select(col("phrase"), col("n_docs"), col("n_occ"),
+        (col("top.negid") * lit(-1L)).as("top_doc_id"),
+        col("top.occ").as("top_doc_occ"))
       .orderBy(col("phrase"))
   }
 

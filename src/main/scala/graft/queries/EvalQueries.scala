@@ -3388,18 +3388,19 @@ object EvalQueries {
     * contamination + truncated docs). Reported per source: FFD bins and
     * pad fraction vs concat windows, boundary-crossing count, and the
     * fraction of documents damaged by a cut. Crossings come from exact
-    * integer prefix sums of doc lengths in doc_id order (blockwise
-    * associative — q266 pattern). All integer token counts (n_chars as
-    * the token proxy). */
+    * integer prefix sums of doc lengths in doc_id order via the
+    * range-partitioned [[graft.transform.PrefixSum]]. All integer token
+    * counts (n_chars as the token proxy). */
   def q357_packing_tradeoff(spark: SparkSession, dir: String): DataFrame = {
     val win = 512L
     val docs = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"), col("n_chars").cast("long")
         .as("len"))
-    // concat-and-split: exact prefix sums per source in doc_id order
-    val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    val concat = docs
-      .withColumn("end", sum(col("len")).over(wSrc))
+    // concat-and-split: exact prefix sums per source in doc_id order —
+    // PrefixSum, because a source's document stream is unbounded and a
+    // per-source window would funnel a whole crawl through one task
+    val concat = graft.transform.PrefixSum.groupedRunningAggs(docs,
+        Seq("source"), Seq(col("doc_id")), Seq("len" -> "end"))
       .withColumn("start", col("end") - col("len"))
       // a doc is cut iff a window boundary falls strictly inside it
       .withColumn("cut",
