@@ -103,6 +103,41 @@ class PrefixSumSpec extends SparkSpec {
     assert(reused >= 1, "second consumer should reuse the range exchange")
   }
 
+  test("PrefixSum randomized property: grouped/desc/exclusive/max all " +
+       "match single-pass windows on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3) {
+      val n = 200 + rnd.nextInt(400)
+      // unique order key k per group; values include negatives
+      val rows = (0 until n).map { i =>
+        (if (rnd.nextInt(7) == 0) None else Some(s"g${rnd.nextInt(4)}"),
+          i.toLong, rnd.nextInt(1000) - 500L)
+      }
+      val df = rnd.shuffle(rows).toDF("g", "k", "v").repartition(5)
+      val dir = if (trial % 2 == 0) col("k").desc else col("k").asc
+      val wDir = if (trial % 2 == 0) col("k").desc else col("k").asc
+      // inclusive sum
+      val gotS = graft.transform.PrefixSum.groupedRunningAggs(df, Seq("g"),
+          Seq(dir), Seq("v" -> "c")).orderBy(col("g"), col("k"))
+        .collect().toSeq
+      val w = Window.partitionBy(col("g")).orderBy(wDir)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val refS = df.withColumn("c", sum(col("v")).over(w))
+        .orderBy(col("g"), col("k")).collect().toSeq
+      assert(gotS == refS, s"inclusive sum trial $trial")
+      // exclusive max (null first frame)
+      val gotM = graft.transform.PrefixSum.groupedRunningAggs(df, Seq("g"),
+          Seq(dir), Seq("v" -> "m"), graft.transform.PrefixSum.RunMax,
+          exclusive = true).orderBy(col("g"), col("k")).collect().toSeq
+      val wx = Window.partitionBy(col("g")).orderBy(wDir)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val refM = df.withColumn("m", max(col("v")).over(wx))
+        .orderBy(col("g"), col("k")).collect().toSeq
+      assert(gotM == refM, s"exclusive max trial $trial")
+    }
+  }
+
   test("PrefixSum decimal running sum matches window sum values") {
     import spark.implicits._
     val df = (1 to 200).map(i => ((i * 57) % 201L, BigDecimal(i) / 100))

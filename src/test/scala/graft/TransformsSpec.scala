@@ -393,6 +393,29 @@ class TransformsSpec extends SparkSpec {
     reread shouldBe out
   }
 
+  test("Ivm.appendIdempotent: re-writing the same batch key replaces its " +
+       "delta partition instead of double-counting") {
+    import org.apache.spark.sql.functions._
+    val state = tmpDir("ivm-idem")
+    def d(rows: Seq[(String, Long)]) =
+      Ivm.viewDelta(Ivm.inserts(rows.toDF("k", "v")), Seq("k"),
+        Seq("sv" -> col("v")))
+    Ivm.appendIdempotent(d(Seq(("a", 1L), ("b", 5L))), state, "batch-1")
+    Ivm.appendIdempotent(d(Seq(("a", 2L))), state, "batch-2")
+    // replay batch-1 (same key) — must REPLACE, never re-append
+    Ivm.appendIdempotent(d(Seq(("a", 1L), ("b", 5L))), state, "batch-1")
+    val out = Ivm.current(spark, state, Seq("k"))
+      .select($"k", $"n_rows", $"sv".cast("long"))
+      .as[(String, Long, Long)].collect().toSet
+    out shouldBe Set(("a", 2L, 3L), ("b", 1L, 5L))
+    // a corrected replay of batch-2 supersedes its first version
+    Ivm.appendIdempotent(d(Seq(("a", 7L))), state, "batch-2")
+    Ivm.current(spark, state, Seq("k"))
+      .select($"k", $"n_rows", $"sv".cast("long"))
+      .as[(String, Long, Long)].collect().toSet shouldBe
+      Set(("a", 2L, 8L), ("b", 1L, 5L))
+  }
+
   test("Ivm.zJoin multiplies multiplicities; joinDelta counts cross terms once") {
     import org.apache.spark.sql.functions._
     val r1 = Seq((1L, "x")).toDF("k", "rv")
