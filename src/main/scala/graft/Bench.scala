@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
 import scala.util.{Failure, Success, Try}
 
 object Bench {
@@ -14,6 +16,45 @@ object Bench {
       case c => c.toString
     }
 
+  /** Accumulates per-task shuffle read/write and spill bytes across the
+    * whole app; per-query numbers are deltas between snapshots. Wall-time
+    * at sf0.1 swings up to 4x run-to-run on a shared box; bytes are
+    * deterministic, so they are the signal a plan-regression gate can
+    * actually trust (tools/bench_compare.py fails a round on a >1.5x
+    * shuffle-bytes regression). */
+  private final class BytesListener extends SparkListener {
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val spillMem = new AtomicLong
+    val spillDisk = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snapshot(): Seq[Long] =
+      Seq(shuffleRead.get, shuffleWrite.get, spillMem.get, spillDisk.get)
+    /** Listener events post asynchronously; after an action returns, poll
+      * until the counters are stable across two 50ms windows (bounded) so
+      * the delta attributes to the query that just ran. */
+    def drainedSnapshot(): Seq[Long] = {
+      var prev = snapshot()
+      var i = 0
+      while (i < 40) {
+        Thread.sleep(50)
+        val cur = snapshot()
+        if (cur == prev) return cur
+        prev = cur
+        i += 1
+      }
+      prev
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,6 +64,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val bytes = new BytesListener
+    spark.sparkContext.addSparkListener(bytes)
     // Untimed warmup: JIT/codegen/session init + parquet footers, so the
     // first measured query isn't charged for cold-start. Goes through the
     // Tables loaders (not raw spark.read) because events.parquet has shipped
@@ -50,12 +93,13 @@ object Bench {
           Window.partitionBy(col("c")).orderBy(col("doc_id"))))
         .orderBy(col("doc_id")).count()
     }
-    // best-of-2 normally: the first execution pays one-off plan compilation
-    // + JIT (constant at any data scale); the min approximates steady-state
-    // cost. When the two runs disagree >3x, one slot was machine noise
-    // (another tenant on the box) — take a third run so a single noisy slot
-    // can't dominate the reported number. Per-query run spread (max/min) is
-    // recorded so a noisy session is visible in the output itself.
+    // median-of-3: the first execution pays one-off plan compilation + JIT
+    // (constant at any data scale) and a single noisy slot (another tenant
+    // on the box) can swing one run 4x — the median ignores one outlier in
+    // either direction, which best-of-N cannot. min/max are kept in the
+    // full artifact so a noisy session is visible in the record itself.
+    // Shuffle/spill BYTES are measured on the last run only (they are
+    // plan-deterministic, identical across runs).
     // A query that throws is recorded as an error entry — never as a time.
     // SPARK_GRAFT_ONLY=q226,q283 restricts the timed set — dev-loop
     // convenience mirroring Verify; the driver leaves it unset.
@@ -63,7 +107,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
-    val results: Seq[(String, Either[String, (Double, Double)])] =
+    // per query: Right((median, min, max, Seq(sr, sw, spillMem, spillDisk)))
+    val results: Seq[(String, Either[String, (Double, Double, Double, Seq[Long])])] =
       SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
         .map { case (name, fn) =>
         def once(): Either[String, Double] = {
@@ -73,26 +118,27 @@ object Bench {
             case Failure(ex) => Left(s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}")
           }
         }
-        val two = Seq(once(), once())
-        val noisy = two.collect { case Right(t) => t } match {
-          case ts if ts.size == 2 => ts.max / ts.min > 3.0
-          case _                  => false
-        }
-        val runs = if (noisy) two :+ once() else two
-        val ok = runs.collect { case Right(t) => t }
-        name -> (if (ok.nonEmpty) Right((ok.min, ok.max / ok.min))
+        val firstTwo = Seq(once(), once())
+        val before = bytes.snapshot()
+        val lastRun = once()
+        val byteDelta = bytes.drainedSnapshot().zip(before).map(p => p._1 - p._2)
+        val runs = firstTwo :+ lastRun
+        val ok = runs.collect { case Right(t) => t }.sorted
+        name -> (if (ok.size == 3) Right((ok(1), ok.head, ok.last, byteDelta))
+                 else if (ok.nonEmpty) Right((ok(ok.size / 2), ok.head, ok.last, byteDelta))
                  else Left(runs.collectFirst { case Left(e) => e }.getOrElse("unknown")))
       }
     val qs = results.map {
-      case (k, Right((t, _))) => s"\"$k\":$t"
-      case (k, Left(e))       => s"\"$k\":{\"error\":\"${jsonEscape(e)}\"}"
+      case (k, Right((med, mn, mx, b))) =>
+        s"""\"$k\":{"t":$med,"min":$mn,"max":$mx,"shuffle_read":${b(0)},"shuffle_write":${b(1)},"spill_mem":${b(2)},"spill_disk":${b(3)}}"""
+      case (k, Left(e)) => s"\"$k\":{\"error\":\"${jsonEscape(e)}\"}"
     }.mkString("{", ",", "}")
-    val spreads = results.collect { case (k, Right((_, s))) =>
-      s"\"$k\":${math.round(s * 100) / 100.0}" }.mkString("{", ",", "}")
     val errors = results.collect { case (k, Left(e)) => k -> e }
-    val total = results.collect { case (_, Right((t, _))) => t }.sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"run_spread":$spreads,"n_errors":${errors.size},"sf":"$sfDir"}"""
-    // The full per-query JSON (361 queries) overflows what the driver's
+    val total = results.collect { case (_, Right((med, _, _, _))) => med }.sum
+    val totalBytes = results.collect { case (_, Right((_, _, _, b))) => b }
+      .foldLeft(Seq(0L, 0L, 0L, 0L))((a, b) => a.zip(b).map(p => p._1 + p._2))
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","timing":"median_of_3","queries":$qs,"shuffle_read_total":${totalBytes(0)},"shuffle_write_total":${totalBytes(1)},"spill_mem_total":${totalBytes(2)},"spill_disk_total":${totalBytes(3)},"n_errors":${errors.size},"sf":"$sfDir"}"""
+    // The full per-query JSON (381 queries) overflows what the driver's
     // stdout capture retains (r5 recorded "parsed": null with only the tail
     // ~80 timings) — so the complete record goes to a FILE artifact, and
     // stdout carries one short parseable line: totals + the slowest 25
@@ -102,12 +148,12 @@ object Bench {
     val artifact = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(artifact.getParent)
     java.nio.file.Files.writeString(artifact, full + "\n")
-    val slowest = results.collect { case (k, Right((t, _))) => k -> t }
+    val slowest = results.collect { case (k, Right((med, _, _, _))) => k -> med }
       .sortBy(-_._2).take(25)
       .map { case (k, t) => s"\"$k\":$t" }.mkString("{", ",", "}")
     val errJson = errors.take(10)
       .map { case (k, e) => s"\"$k\":\"${jsonEscape(e)}\"" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir","full_json":"target/bench_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"median_of_3","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"shuffle_write_total":${totalBytes(1)},"spill_disk_total":${totalBytes(3)},"sf":"$sfDir","full_json":"target/bench_full.json"}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (k, e) => System.err.println(s"[bench] FAILED $k: $e") }

@@ -48,13 +48,12 @@ object EvalQueries {
     val n = vals.agg(count(lit(1)).cast("long").as("n"))
     // exact rank-φ order statistics on the distinct-cents grain — the
     // cumulative comes from the range-partitioned PrefixSum, never a
-    // single-partition window over the (unbounded) value grain; pinned
-    // once because all three φ branches read it (re-planning the scan
-    // 3x tripled this query's wall time in the r7 bench)
+    // single-partition window over the (unbounded) value grain; the three
+    // φ branches below all fan off this result, which is safe because
+    // PrefixSum pins its ranged frame internally (no per-query pin needed)
     val byVal = graft.transform.PrefixSum.runningSums(
         vals.groupBy(col("cents")).agg(count(lit(1)).cast("long").as("cv")),
         Seq(col("cents")), Seq("cv" -> "cum"))
-      .localCheckpoint(true)
     val cumB = direct.withColumn("cumb", sum(col("c_direct")).over(
       Window.orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, 0)))

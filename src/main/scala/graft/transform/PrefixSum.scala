@@ -26,13 +26,27 @@ import org.apache.spark.sql.functions._
   *      group is one range-partition's slice, bounded by partition size,
   *      not by group size).
   *
-  * Both passes reference the same range exchange, so Spark's exchange reuse
-  * executes it once and the `spark_partition_id()` tag is consistent across
-  * the two consumers (single query execution, one shuffle materialization).
+  * The ranged, partition-tagged frame is pinned with a lazy
+  * `localCheckpoint` INSIDE the operator: the `spark_partition_id()` tag is
+  * materialized into the cached rows exactly once, so every consumer — the
+  * two internal passes, and any number of downstream branches fanning off
+  * the result — reads the same frozen tag as plain data. Without the pin,
+  * correctness silently depended on Catalyst exchange reuse: two separately
+  * planned instances of the range exchange (different column pruning, AQE
+  * re-planning) could in principle disagree on partition ids, and r7's q298
+  * showed three downstream branches re-running the upstream scan 3x. A lost
+  * cached block fails the job rather than silently recomputing — exactly
+  * the failure mode we want for a nondeterministic tag.
   *
   * The composite `orderCols` key must be unique within each group (ties
   * could straddle a range boundary and make the running total among tied
   * rows partition-dependent).
+  *
+  * NULL semantics match the single-pass window exactly: a running sum whose
+  * whole preceding frame is empty (first row under `exclusive = true`) or
+  * all-NULL yields NULL, not 0; running max likewise. Output dtype is the
+  * dtype of `sum(valueCol)` over the input (for decimals: input precision
+  * +10 capped at 38), identical to the window it replaces.
   */
 object PrefixSum {
 
@@ -74,9 +88,9 @@ object PrefixSum {
     * running `kind`-fold of `valueCol` per `groupCols` group in
     * `orderCols` order. All folds share ONE range exchange and one tiny
     * offsets frame — adding value columns is free. `exclusive = true`
-    * folds strictly-preceding rows only (sum: 0 for the first row;
-    * max: NULL for the first row — matching a
-    * `rangeBetween(unboundedPreceding, -1)` window). */
+    * folds strictly-preceding rows only (sum AND max: NULL for each
+    * group's first row — matching a
+    * `rowsBetween(unboundedPreceding, -1)` window exactly). */
   def groupedRunningAggs(df: DataFrame, groupCols: Seq[String],
                          orderCols: Seq[Column], values: Seq[(String, String)],
                          kind: RunKind = RunSum,
@@ -98,9 +112,13 @@ object PrefixSum {
     require(orderCols.nonEmpty, "at least one order column")
     val outCols = df.columns.filterNot(_ == "__psum_one").map(col)
     val gcols = groupCols.map(col)
+    // Lazy checkpoint = the partition tag is computed once and frozen as
+    // data; every consumer (both passes here, any downstream fan-out)
+    // reads the same materialization. See the class scaladoc.
     val ranged = df
       .repartitionByRange((gcols ++ orderCols): _*)
       .withColumn("__psum_pid", spark_partition_id())
+      .localCheckpoint(eager = false)
     def fold(c: Column): Column = kind match {
       case RunSum => sum(c)
       case RunMax => max(c)
@@ -140,12 +158,18 @@ object PrefixSum {
         val within = fold(col(v)).over(wIn)
         val cum = kind match {
           case RunSum =>
-            // type of the preceding-partitions offset == type of a plain
-            // windowed sum; cast the (within + off) widening back to it so
-            // the output dtype matches the single-pass Window it replaces
-            val sumType = offR.schema(s"__psum_o$i").dataType
-            (coalesce(within, lit(0).cast(sumType)) +
-              coalesce(off, lit(0).cast(sumType))).cast(sumType)
+            // dtype of a plain windowed sum over the INPUT column — not the
+            // offsets frame's sum-of-sums, which widens narrow decimals a
+            // second time (+20 digits instead of the window's +10)
+            val sumType =
+              df.select(sum(col(v)).as("__psum_s")).schema("__psum_s").dataType
+            val zero = lit(0).cast(sumType)
+            // window semantics: NULL only when the whole frame is empty
+            // (exclusive first row) or all-NULL; otherwise a NULL-skipping
+            // sum of the two halves
+            when(within.isNull && off.isNull, lit(null).cast(sumType))
+              .otherwise((coalesce(within, zero) + coalesce(off, zero))
+                .cast(sumType))
           case RunMax =>
             greatest(within, off) // greatest skips NULLs (first offset,
                                   // and the first row's exclusive frame)

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Plan-regression gate over two bench_full artifacts.
+
+Wall-time at sf0.1 swings up to 4x run-to-run on a shared box (r7: q58
+1.75s vs 7.42s for the same plan), so this gate compares the
+DETERMINISTIC per-query byte counters instead: shuffle read/write and
+spill. A query whose shuffle bytes grew >1.5x (above a 16 MiB noise
+floor) almost certainly changed plan shape — fail the round recording
+until it is adjudicated.
+
+Usage: tools/bench_compare.py OLD.json NEW.json
+  exit 0 = no regression; exit 1 = regressions listed on stdout.
+
+OLD may be a pre-r8 artifact (plain  name->seconds  map); byte checks
+then skip (nothing to compare) and only error-count is gated.
+"""
+import json
+import sys
+
+RATIO = 1.5
+FLOOR = 16 * 1024 * 1024  # ignore moves below 16 MiB — codegen/broadcast jitter
+
+BYTE_KEYS = ("shuffle_read", "shuffle_write", "spill_disk")
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main(old_path, new_path):
+    old, new = load(old_path), load(new_path)
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    failures = []
+
+    n_err_old = old.get("n_errors", 0)
+    n_err_new = new.get("n_errors", 0)
+    if n_err_new > n_err_old:
+        failures.append(f"error count grew {n_err_old} -> {n_err_new}")
+
+    for name, rec in sorted(nq.items()):
+        if not isinstance(rec, dict) or "error" in rec:
+            continue
+        old_rec = oq.get(name)
+        if not isinstance(old_rec, dict) or "error" in (old_rec or {}):
+            continue  # new query or old format: nothing to compare
+        for key in BYTE_KEYS:
+            if key not in rec or key not in old_rec:
+                continue
+            o, n = old_rec[key], rec[key]
+            if n > FLOOR and n > o * RATIO:
+                failures.append(
+                    f"{name}: {key} {o:,} -> {n:,} bytes "
+                    f"({n / max(o, 1):.2f}x)")
+
+    if failures:
+        print(f"BENCH REGRESSION ({len(failures)}):")
+        for f in failures:
+            print(f"  {f}")
+        return 1
+    print(f"bench_compare OK: {len(nq)} queries, no byte regressions "
+          f"vs {old_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        print(__doc__)
+        sys.exit(2)
+    sys.exit(main(sys.argv[1], sys.argv[2]))
