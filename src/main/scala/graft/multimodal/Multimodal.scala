@@ -42,15 +42,26 @@ object Multimodal {
     * [[DecodeStub.decodeImage]] has genuine image bytes to decode. Pixel
     * values derive from (seed, x, y) only; Java's PNG writer emits no
     * timestamp chunks, so the bytes are reproducible. */
-  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] =
+    encodePngPerturbed(width, height, seed, perturb = false)
+
+  /** [[encodePng]] with an optional 1-bit pixel perturbation: every pixel
+    * where `(x + y)` is even gets the low bit of each channel flipped
+    * (`rgb ^ 0x010101`, so grayscale moves by at most ±1). Same seed +
+    * perturb = a genuine NEAR-duplicate image (tiny Hamming distance under
+    * a perceptual hash) whose bytes differ — the fixture shape for image
+    * dedup (q382). */
+  def encodePngPerturbed(width: Int, height: Int, seed: Long,
+                         perturb: Boolean): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
-        img.setRGB(x, y,
-          (((seed * 2654435761L) + x * 31L + y * 131L) & 0xffffffL).toInt)
+        val base = (((seed * 2654435761L) + x * 31L + y * 131L) & 0xffffffL).toInt
+        val v = if (perturb && (x + y) % 2 == 0) base ^ 0x010101 else base
+        img.setRGB(x, y, v)
         x += 1
       }
       y += 1
@@ -122,6 +133,59 @@ object DecodeStub {
         val d = md.digest(r.payload)
         val f = Array.tabulate(dim)(i => ((d(i % 16) & 0xff) - 128) / 128.0f)
         MediaFeatures(r.media_id, f)
+      }
+    }
+  }
+
+  final case class ImageHash(media_id: Long, dhash: Long)
+
+  /** REAL perceptual hash over decoded rasters: difference-hash (dHash) on
+    * a 9x8 point-sampled integer-grayscale grid. Decode runs through the
+    * same partition-batched `javax.imageio` path as [[decodeImage]]; the
+    * downsample is nearest-neighbor point sampling and the grayscale is
+    * exact integer arithmetic (`(299r + 587g + 114b) / 1000`), so an
+    * oracle can replay the hash bit-for-bit from planted pixel functions.
+    * Bit `j*8 + i` is set iff `gray(i, j) > gray(i+1, j)`. A 1-bit pixel
+    * perturbation moves each sampled gray by at most ±1, so near-dup
+    * variants land within a few Hamming bits — the image analogue of
+    * SimHash text dedup. Undecodable payloads are dropped (same audit
+    * contract as [[decodeImage]]). */
+  def dHash(records: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    val spark: SparkSession = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val gray = Array.ofDim[Int](9, 8)
+          var i = 0
+          while (i < 9) {
+            var j = 0
+            while (j < 8) {
+              val v = img.getRGB(i * w / 9, j * h / 8)
+              gray(i)(j) = (((v >> 16) & 0xff) * 299 +
+                ((v >> 8) & 0xff) * 587 + (v & 0xff) * 114) / 1000
+              j += 1
+            }
+            i += 1
+          }
+          var hash = 0L
+          var j = 0
+          while (j < 8) {
+            var k = 0
+            while (k < 8) {
+              if (gray(k)(j) > gray(k + 1)(j)) hash |= 1L << (j * 8 + k)
+              k += 1
+            }
+            j += 1
+          }
+          Some(ImageHash(r.media_id, hash))
+        }
       }
     }
   }

@@ -1531,4 +1531,53 @@ object PipelineQueries {
         sum(col("media_id")).cast("long").as("id_sum"))
       .orderBy(col("width"), col("height"))
   }
+
+  /** Perceptual-hash IMAGE dedup — the eighth dedup modality, over real
+    * decoded rasters. Every adjacent doc pair (2g, 2g+1) plants the SAME
+    * seeded PNG, the odd twin with a 1-bit pixel perturbation
+    * ([[graft.multimodal.Multimodal.encodePngPerturbed]]) — genuine
+    * near-duplicate bytes. Executors decode with `ImageIO` and compute a
+    * 64-bit dHash ([[graft.multimodal.DecodeStub.dHash]]); candidate pairs
+    * come from a 4x16-bit band equi-join (the SimHash banding shape, never
+    * all-pairs) and are verified on Hamming distance <= 6. The oracle
+    * replays the ENTIRE chain — sampled pixels, integer grayscale,
+    * comparison bits, band keys, Hamming — arithmetically from doc_id, so
+    * the gate fails unless real encode→decode→hash work ran. Scale shape:
+    * payload bytes never cross a shuffle (narrow mapPartitions chain);
+    * only (media_id, dhash) is banded, and verification touches band
+    * candidates only. */
+  def q382_phash_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val recs = ids.mapPartitions { it =>
+      it.map { id =>
+        val grp = id / 2
+        Multimodal.MediaRecord(id,
+          Multimodal.encodePngPerturbed((16 + grp % 17).toInt,
+            (16 + grp % 13).toInt, grp, perturb = id % 2 == 1),
+          "image/png", "synth")
+      }
+    }
+    val hashes = graft.multimodal.DecodeStub.dHash(recs).toDF()
+    val bands = hashes.select(col("media_id"), col("dhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("dhash"), 16 * b)
+              .bitwiseAND(lit(0xffffL)).as("bkey"))): _*)).as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 6)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -273,4 +273,33 @@ class SimilaritySpec extends SparkSpec {
       .select("id", "leaf").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     a shouldBe b
   }
+
+  test("DecodeStub.dHash: near-dup PNGs (same seed, 1-bit perturbation) land " +
+       "within Hamming 6; distinct seeds are far; bits replay arithmetically") {
+    import graft.multimodal.{DecodeStub, Multimodal}
+    // encode real PNGs on the driver, hash them distributed
+    val recs = Seq(
+      Multimodal.MediaRecord(0L, Multimodal.encodePngPerturbed(25, 20, 7L, perturb = false), "image/png", "t"),
+      Multimodal.MediaRecord(1L, Multimodal.encodePngPerturbed(25, 20, 7L, perturb = true), "image/png", "t"),
+      Multimodal.MediaRecord(2L, Multimodal.encodePngPerturbed(25, 20, 8L, perturb = false), "image/png", "t"),
+      Multimodal.MediaRecord(3L, Array[Byte](1, 2, 3), "image/png", "t")).toDS()
+    val hs = DecodeStub.dHash(recs).collect().map(h => h.media_id -> h.dhash).toMap
+    assert(hs.size == 3, "undecodable payload dropped")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0L), hs(1L)) <= 6, s"near-dup pair too far: ${ham(hs(0L), hs(1L))}")
+    assert(ham(hs(0L), hs(2L)) > 6, s"distinct seeds too close: ${ham(hs(0L), hs(2L))}")
+    // replay the pristine image's dHash from the planted pixel function —
+    // proves the decode→sample→grayscale→compare chain is the documented
+    // arithmetic, not incidental codec behavior
+    val (w, h, seed) = (25, 20, 7L)
+    def gray(i: Int, j: Int): Int = {
+      val x = i * w / 9; val y = j * h / 8
+      val v = (((seed * 2654435761L) + x * 31L + y * 131L) & 0xffffffL).toInt
+      (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 + (v & 0xff) * 114) / 1000
+    }
+    var expected = 0L
+    for (j <- 0 until 8; i <- 0 until 8)
+      if (gray(i, j) > gray(i + 1, j)) expected |= 1L << (j * 8 + i)
+    assert(hs(0L) == expected, "dHash must equal the arithmetic replay")
+  }
 }

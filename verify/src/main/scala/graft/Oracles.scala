@@ -14,6 +14,56 @@ object Oracles {
     base + ("q67_dup_clusters_bigstar" -> base("q54_dup_clusters"))
 
   private lazy val base: Map[String, String] = Map(
+    // q382: the engine really encodes, DECODES (ImageIO) and dHashes PNG
+    // rasters; the oracle replays the full planted arithmetic — sampled
+    // pixel values, 1-bit perturbation, integer grayscale, dHash bits,
+    // 4x16-bit band keys, candidate join, Hamming verify — so equality
+    // proves real codec + perceptual-hash work ran end-to-end
+    "q382_phash_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 2 AS grp, doc_id % 2 AS p,
+        |    16 + (doc_id // 2) % 17 AS w, 16 + (doc_id // 2) % 13 AS h
+        |  FROM documents),
+        |g AS (SELECT i, j FROM range(9) t1(i), range(8) t2(j)),
+        |pix AS (
+        |  SELECT d.doc_id, g.i, g.j,
+        |    CASE WHEN d.p = 1
+        |        AND (((g.i * d.w) // 9) + ((g.j * d.h) // 8)) % 2 = 0
+        |      THEN xor((d.grp * 2654435761 + ((g.i * d.w) // 9) * 31
+        |        + ((g.j * d.h) // 8) * 131) & 16777215, 65793)
+        |      ELSE (d.grp * 2654435761 + ((g.i * d.w) // 9) * 31
+        |        + ((g.j * d.h) // 8) * 131) & 16777215
+        |    END AS v
+        |  FROM d, g),
+        |gray AS (
+        |  SELECT doc_id, i, j,
+        |    (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+        |      + (v & 255) * 114) // 1000 AS gy
+        |  FROM pix),
+        |bits AS (
+        |  SELECT a.doc_id, (a.j * 8 + a.i) AS bitpos,
+        |    CASE WHEN a.gy > b.gy THEN 1 ELSE 0 END AS bit
+        |  FROM gray a JOIN gray b
+        |    ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+        |  WHERE a.i < 8),
+        |bands AS (
+        |  SELECT doc_id, bitpos // 16 AS band,
+        |    SUM(bit << (bitpos % 16)) AS bkey
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.id_a, c.id_b,
+        |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN bits x ON x.doc_id = c.id_a
+        |  JOIN bits y ON y.doc_id = c.id_b AND y.bitpos = x.bitpos
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+
     "q28_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
