@@ -50,7 +50,7 @@ object IngestionRunner {
     results
   }
 
-  /** Execute one config-declared maintenance task (compact / zorder). */
+  /** Execute one config-declared maintenance task (compact / zorder / ivm / dedup-index / profile). */
   def runMaintenance(spark: SparkSession,
                      m: graft.config.MaintenanceConfig): Unit = {
     import graft.lakehouse.{Compaction, ZOrder}
@@ -71,11 +71,70 @@ object IngestionRunner {
         // batch identity derived from the source path: re-running the same
         // pipeline folds the same batch into the view exactly ONCE
         // (mirrors StreamOps.ivmBatch's micro-batch-id partitions)
-        val batchKey = src.replaceAll("[^A-Za-z0-9._-]", "_")
+        val batchKey = batchKeyFor(src)
         val batch = Ivm.asZ(spark.read.parquet(src))
         def publish(view: org.apache.spark.sql.DataFrame): Unit =
           m.viewPath.foreach(v =>
             view.write.mode("overwrite").parquet(v))
+        // Crash-safe snapshot protocol for the stateful (non-invertible)
+        // folds: each applied batch publishes a COMPLETE next-state
+        // directory `state-<n>` holding the fold output plus a
+        // `_batch_key` file, moved into place with ONE atomic rename.
+        // There is no window where state is updated but the applied
+        // record missing — the record travels inside the renamed unit, so
+        // a crash either leaves the old state fully current (rerun
+        // refolds from it) or the new state fully applied (rerun skips).
+        // Runs through Hadoop FileSystem, so the protocol holds anywhere
+        // directory rename is atomic (POSIX, HDFS); object stores without
+        // atomic rename need a manifest-pointer variant.
+        val viewRoot = new org.apache.hadoop.fs.Path(m.path)
+        lazy val fs =
+          viewRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def stateSnapshots(): Seq[(Int, org.apache.hadoop.fs.Path)] =
+          if (!fs.exists(viewRoot)) Seq.empty
+          else fs.listStatus(viewRoot).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("state-"))
+            .flatMap(s => scala.util.Try(
+                s.getPath.getName.stripPrefix("state-").toInt).toOption
+              .map(_ -> s.getPath))
+        def batchKeyOf(p: org.apache.hadoop.fs.Path): Option[String] = {
+          val f = new org.apache.hadoop.fs.Path(p, "_batch_key")
+          if (!fs.exists(f)) None
+          else {
+            val in = fs.open(f)
+            try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+          }
+        }
+        // legacy flat `state` dir (pre-snapshot layout) reads as the base
+        def currentState(): Option[org.apache.hadoop.fs.Path] = {
+          val snaps = stateSnapshots()
+          if (snaps.nonEmpty) Some(snaps.maxBy(_._1)._2)
+          else {
+            val legacy = new org.apache.hadoop.fs.Path(viewRoot, "state")
+            if (fs.exists(legacy)) Some(legacy) else None
+          }
+        }
+        def alreadyApplied(key: String): Boolean =
+          stateSnapshots().exists(s => batchKeyOf(s._2).contains(key)) ||
+            fs.exists(new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(viewRoot, "_applied"), key))
+        def publishState(next: org.apache.spark.sql.DataFrame,
+                         key: String): Unit = {
+          val n1 = stateSnapshots().map(_._1).maxOption.getOrElse(0) + 1
+          val tmp = new org.apache.hadoop.fs.Path(viewRoot, s".state-tmp-$key")
+          fs.delete(tmp, true)
+          next.write.mode("overwrite").parquet(tmp.toString)
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(tmp, "_batch_key"), true)
+          try out.write(key.getBytes("UTF-8")) finally out.close()
+          val dest = new org.apache.hadoop.fs.Path(viewRoot, f"state-$n1%06d")
+          if (!fs.rename(tmp, dest)) throw new IllegalStateException(
+            s"atomic state publish failed: $tmp -> $dest")
+        }
+        def readState(): org.apache.spark.sql.DataFrame =
+          spark.read.parquet(currentState().getOrElse(
+            throw new IllegalStateException(
+              s"no state under ${m.path} after fold")).toString)
         m.agg match {
           case "group" =>
             // invertible aggregates: idempotency via partition overwrite
@@ -85,22 +144,19 @@ object IngestionRunner {
             publish(Ivm.current(spark, m.path, m.keys))
           case "min" =>
             // non-invertible: fold inserts monoidally, repair retractions
-            // from `base`; idempotency via an applied-batch marker because
-            // a stateful fold can't be replayed by overwriting a partition
+            // from `base`; idempotency + crash safety via the atomic
+            // snapshot protocol (a stateful fold can't be replayed by
+            // overwriting a partition)
             val value = m.columns.headOption.getOrElse(
               throw new IllegalArgumentException(
                 "ivm agg=min needs columns=[<valueColumn>]"))
-            val stateDir = s"${m.path}/state"
-            val marker = java.nio.file.Paths.get(m.path, "_applied", batchKey)
-            if (!java.nio.file.Files.exists(marker)) {
+            if (!alreadyApplied(batchKey)) {
               val kcols = m.keys.map(col)
-              val state0 =
-                if (java.nio.file.Files.exists(
-                    java.nio.file.Paths.get(stateDir)))
-                  spark.read.parquet(stateDir)
-                else batch.limit(0).groupBy(kcols: _*)
+              val state0 = currentState()
+                .map(p => spark.read.parquet(p.toString))
+                .getOrElse(batch.limit(0).groupBy(kcols: _*)
                   .agg(min(col(value)).as("min_v"),
-                    count(lit(1)).cast("long").as("n_rows"))
+                    count(lit(1)).cast("long").as("n_rows")))
               val ins = batch.filter(col(Ivm.MultCol) > 0)
               val rets = batch.filter(col(Ivm.MultCol) < 0)
               val afterIns = Ivm.minInsert(state0, ins, m.keys, value)
@@ -115,47 +171,94 @@ object IngestionRunner {
                     spark.read.parquet(basePath), m.keys, value)
                     .drop("recomputed")
                 }
-              // state is read above and rewritten below: pin the fold
-              // result before overwriting its own input
-              next.localCheckpoint(true)
-                .write.mode("overwrite").parquet(stateDir)
-              java.nio.file.Files.createDirectories(marker.getParent)
-              java.nio.file.Files.createFile(marker)
+              publishState(next, batchKey)
             }
-            publish(spark.read.parquet(stateDir))
+            publish(readState())
           case "topk" =>
             // per-key leaderboard: union-then-truncate monoid fold over
             // the spilling heap TopKPerKey (insert-only, like q374)
             val orderCol = m.columns.headOption.getOrElse(
               throw new IllegalArgumentException(
                 "ivm agg=topk needs columns=[<orderColumn>, <tiebreak>...]"))
-            val stateDir = s"${m.path}/state"
-            val marker = java.nio.file.Paths.get(m.path, "_applied", batchKey)
-            if (!java.nio.file.Files.exists(marker)) {
+            if (!alreadyApplied(batchKey)) {
               val rows = batch.filter(col(Ivm.MultCol) > 0).drop(Ivm.MultCol)
               val order = col(orderCol).desc +:
                 m.columns.tail.map(c => col(c).asc)
               val kcols = m.keys.map(col)
               val topBatch = graft.plans.TopKPerKey.topKPerKey(
                 rows, kcols, order, m.k)
-              val next =
-                if (java.nio.file.Files.exists(
-                    java.nio.file.Paths.get(stateDir)))
-                  graft.plans.TopKPerKey.topKPerKey(
-                    spark.read.parquet(stateDir).unionByName(topBatch),
-                    kcols, order, m.k)
-                else topBatch
-              next.localCheckpoint(true)
-                .write.mode("overwrite").parquet(stateDir)
-              java.nio.file.Files.createDirectories(marker.getParent)
-              java.nio.file.Files.createFile(marker)
+              val next = currentState() match {
+                case Some(p) => graft.plans.TopKPerKey.topKPerKey(
+                  spark.read.parquet(p.toString).unionByName(topBatch),
+                  kcols, order, m.k)
+                case None => topBatch
+              }
+              publishState(next, batchKey)
             }
-            publish(spark.read.parquet(stateDir))
+            publish(readState())
           case other => throw new IllegalArgumentException(
             s"unknown ivm agg '$other' (group/min/topk)")
         }
+      case "dedup-index" =>
+        // build-or-append a document batch into a persistent MinHash-LSH
+        // dedup index (the batch twin of StreamOps.dedupIndexSink) —
+        // per-batch cost O(batch), never O(corpus)
+        val src = m.source.getOrElse(throw new IllegalArgumentException(
+          "dedup-index maintenance task needs a source (document batch path)"))
+        if (m.columns.length < 2) throw new IllegalArgumentException(
+          "dedup-index needs columns=[<idColumn>, <textColumn>]")
+        val (idCol, textCol) = (m.columns(0), m.columns(1))
+        ifNotApplied(spark, m.path, src) {
+          val batch = spark.read.parquet(src)
+          if (graft.similarity.DedupIndex.exists(spark, m.path))
+            graft.similarity.DedupIndex.append(batch, idCol, textCol, m.path)
+          else
+            graft.similarity.DedupIndex.build(batch, idCol, textCol, m.path)
+        }
+      case "profile" =>
+        // fold a batch's per-column profile into the monoid profile store
+        // (one aggregate pass over the batch; the store itself is tiny
+        // metadata, merged on read — the data is never re-scanned)
+        val src = m.source.getOrElse(throw new IllegalArgumentException(
+          "profile maintenance task needs a source (batch path)"))
+        if (m.columns.isEmpty) throw new IllegalArgumentException(
+          "profile needs columns=[<col>, ...]")
+        ifNotApplied(spark, m.path, src) {
+          graft.metrics.ProfileStore.append(
+            spark.read.parquet(src), m.columns, m.path)
+        }
       case other => throw new IllegalArgumentException(
-        s"unknown maintenance type '$other' (compact/zorder/ivm)")
+        s"unknown maintenance type '$other' " +
+          "(compact/zorder/ivm/dedup-index/profile)")
+    }
+  }
+
+  /** Injective batch key for idempotent maintenance folds: sanitized
+    * source path + a hash of the RAW path (sanitizing alone can collide —
+    * `/a/b` vs `/a_b` — which would silently replace or skip a batch). */
+  private def batchKeyFor(src: String): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(src.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"${src.replaceAll("[^A-Za-z0-9._-]", "_")}-$sha"
+  }
+
+  /** Re-RUN idempotency for append-style maintenance folds: `body` runs
+    * once per (store, source batch); a marker under `<path>/_applied/`
+    * skips replays (pipeline reruns, retry loops). Unlike the ivm
+    * snapshot protocol this is NOT crash-atomic — a crash between the
+    * append and the marker re-appends on retry — acceptable for the
+    * dedup index (duplicate fingerprints only widen candidate sets) and
+    * profile store (one duplicate batch profile row); the ivm state fold,
+    * where a replay corrupts the view, uses the atomic snapshot rename. */
+  private def ifNotApplied(spark: SparkSession, path: String, src: String)
+                          (body: => Unit): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path, "_applied"), batchKeyFor(src))
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      body
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
     }
   }
 

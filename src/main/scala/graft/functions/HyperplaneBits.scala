@@ -76,16 +76,21 @@ object HyperplaneBits {
   import org.apache.spark.sql.graft.bridge
 
   /** One byte per plane: '1' iff the strict sequential dot is non-null and
-    * >= 0 (NULL dot → '0', like `when(dot >= 0, "1").otherwise("0")`).
+    * >= 0 (any NULL dot — NULL vec, NULL vec element, or a NULL plane row
+    * in the matrix — renders '0', like
+    * `when(dot >= 0, "1").otherwise("0")`). [[bits]] always passes a
+    * dense literal matrix, but the case class is public, so a null inner
+    * plane row is guarded here rather than left to NPE in DotProduct.
     * Public because generated code calls it. */
   def compute(vec: ArrayData, planes: ArrayData): UTF8String = {
     val nb = planes.numElements()
     val bits = new Array[Byte](nb)
     var i = 0
     while (i < nb) {
+      val plane = if (planes.isNullAt(i)) null else planes.getArray(i)
       val d =
-        if (vec == null) null
-        else DotProduct.compute(vec, planes.getArray(i))
+        if (vec == null || plane == null) null
+        else DotProduct.compute(vec, plane)
       bits(i) = if (d != null && d.doubleValue() >= 0) '1' else '0'
       i += 1
     }

@@ -38,6 +38,12 @@ object DedupIndex {
     finally out.close()
   }
 
+  /** True iff an index (manifest) is already present at `path`. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = manifestPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Read the band constants the index was built with. */
   def manifest(spark: SparkSession, path: String): Manifest = {
     val p = manifestPath(path)
