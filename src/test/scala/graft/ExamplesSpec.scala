@@ -35,7 +35,7 @@ class ExamplesSpec extends SparkSpec {
   test("every shipped .conf example loads with eager schema validation") {
     val confs = new java.io.File("examples").listFiles()
       .filter(_.getName.endsWith(".conf")).map(_.getPath).sorted
-    confs.length shouldBe 8
+    confs.length shouldBe 9
     val byName = confs.map { p =>
       p -> ConfigLoader.loadFromFile(p, schemaBasePath = "examples/schemas")
     }.toMap
@@ -171,6 +171,96 @@ class ExamplesSpec extends SparkSpec {
     spark.read.parquet("/tmp/graft-maint/topk-view")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .collect().map(_.toSeq).toSet shouldBe topDirect
+  }
+
+  test("full-engine pipeline composes ingest + metadata DQ/quarantine + " +
+       "PII mask + dedup-index + IVM + profile + compact from one HOCON") {
+    import org.apache.spark.sql.functions._
+    rmrf(new java.io.File("/tmp/graft-full"))
+    Files.createDirectories(Paths.get("/tmp/graft-full/in"))
+    // 8 clean docs (two of them near-duplicates), plus three violators the
+    // metadata-derived checks must quarantine: a null doc_id (notnull), a
+    // disallowed lang (allowed_values), an out-of-range score (max_value)
+    val base = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew strong potions under a pale winter moon near the old mill"
+    def doc(id: String, text: String, email: String, lang: String,
+            score: String): String =
+      s"""{"doc_id": $id, "text": "$text", "author_email": "$email", """ +
+        s""""lang": "$lang", "score": $score}"""
+    Files.writeString(Paths.get("/tmp/graft-full/in/docs.json"), Seq(
+      doc("1", base, "a@example.com", "en", "0.9"),
+      doc("2", base.replace("winter", "summer"), "b@example.com", "en", "0.8"),
+      doc("3", "ein ganz anderes dokument ohne gemeinsame woerter im text",
+        "c@example.com", "de", "0.7"),
+      doc("4", "une phrase differente pour le corpus francophone du test",
+        "d@example.com", "fr", "0.6"),
+      doc("5", "independent article about distributed query engines at scale",
+        "e@example.com", "en", "0.5"),
+      doc("6", "another unrelated piece of writing for the profile store",
+        "f@example.com", "de", "0.4"),
+      doc("7", "short note on incremental view maintenance with z sets",
+        "g@example.com", "en", "0.3"),
+      doc("8", "final clean document closing out the ingest fixture batch",
+        "h@example.com", "fr", "0.2"),
+      doc("null", base, "x@example.com", "en", "0.5"),
+      doc("10", "bad language row that must be quarantined by the checks",
+        "y@example.com", "xx", "0.5"),
+      doc("11", "bad score row that must be quarantined by the checks",
+        "z@example.com", "en", "1.5")).mkString("\n"))
+    val cfg = ConfigLoader.loadFromFile("examples/full-engine-pipeline.conf",
+      schemaBasePath = "examples/schemas")
+    cfg.maintenance.map(_.`type`) shouldBe
+      Seq("dedup-index", "ivm", "profile", "compact")
+    IngestionRunner.runPipeline(spark, cfg)
+    // 1. governance: 8 clean rows landed, 3 quarantined, emails masked
+    val bronze = spark.read.parquet("/tmp/graft-full/bronze")
+    bronze.count() shouldBe 8
+    spark.read.parquet("/tmp/graft-full/quarantine").count() shouldBe 3
+    bronze.select("author_email").as[String].collect()
+      .foreach(e => assert(!e.contains("@"), s"unmasked email: $e"))
+    // 2. dedup index: the batch is fingerprinted; a NEW near-dup crawl doc
+    // matches doc 1/2 against the stored corpus at O(batch) cost
+    graft.similarity.DedupIndex.exists(spark, "/tmp/graft-full/dedup-index")
+      .shouldBe(true)
+    val crawl = Seq((100L, base.replace("pale", "bright")))
+      .toDF("doc_id", "text")
+    val matches = graft.similarity.DedupIndex.dedupBatch(spark,
+      "/tmp/graft-full/dedup-index", crawl, "doc_id", "text")
+    matches.count() should be >= 1L
+    // 3. ivm view: per-lang counts + score sums equal a direct recompute
+    val view = spark.read.parquet("/tmp/graft-full/view")
+      .select(col("lang"), col("n_rows"), round(col("score"), 6).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = bronze.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("score")), 6).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    view shouldBe direct
+    // 4. profile store: folded per-column stats match the landed bronze
+    val prof = graft.metrics.ProfileStore
+      .current(spark, "/tmp/graft-full/profiles")
+    val byCol = prof.collect().map(r => r.getAs[String]("column") -> r).toMap
+    byCol.keySet shouldBe Set("doc_id", "lang", "score")
+    byCol("score").getAs[Long]("n_rows") shouldBe 8L
+    byCol("score").getAs[String]("min_s").toDouble shouldBe 0.2
+    byCol("score").getAs[String]("max_s").toDouble shouldBe 0.9
+    byCol("doc_id").getAs[Long]("n_null") shouldBe 0L
+    // 5. compaction converged the ingest splits to one file
+    graft.lakehouse.Compaction.parquetFileCount(
+      spark, "/tmp/graft-full/bronze") shouldBe 1
+    // 6. RERUN: every stateful stage is idempotent — view, profile store,
+    // and index fingerprint count all unchanged
+    val fpCount = spark.read
+      .parquet("/tmp/graft-full/dedup-index/fingerprints").count()
+    IngestionRunner.runPipeline(spark, cfg)
+    spark.read.parquet("/tmp/graft-full/view")
+      .select(col("lang"), col("n_rows"), round(col("score"), 6).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet shouldBe view
+    graft.metrics.ProfileStore.current(spark, "/tmp/graft-full/profiles")
+      .filter(col("column") === "score").collect()
+      .head.getAs[Long]("n_rows") shouldBe 8L
+    spark.read.parquet("/tmp/graft-full/dedup-index/fingerprints")
+      .count() shouldBe fpCount
   }
 
   test("registry schema resolves and yields metadata-derived checks") {
