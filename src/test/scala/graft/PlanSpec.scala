@@ -122,15 +122,16 @@ class PlanSpec extends SparkSpec {
   test("q59 packing range-partitions on (lang, doc_id), no per-lang window") {
     val df = queries.PipelineQueries.q59_sequence_packing(spark, dir)
     val plan = planString(df)
-    // two-pass prefix sum: the wide exchange is RANGE on (lang, doc_id)...
-    plan should include regex "rangepartitioning\\(lang.+doc_id"
+    // two-pass prefix sum: since r8 the RANGE exchange on (lang, doc_id)
+    // is PINNED inside PrefixSum's checkpoint — the consumer plan reads
+    // the materialized frame as an RDD scan and must NOT re-shuffle it
+    // (the one visible rangepartitioning is the final orderBy)
+    plan should include("Scan ExistingRDD")
+    plan should not include regex("rangepartitioning\\(lang.+doc_id")
     // ...and every Window partitions on (partition-id, lang), never lang
     // alone — no single task ever owns a whole language
     plan should include("__psum_pid")
     plan should not include regex("Window .*partitionBy.*\\[lang#")
-    // the range shuffle materializes ONCE: both passes read the same
-    // exchange, which also makes spark_partition_id consistent between them
-    plan should include("ReusedExchange")
   }
 
   test("q53 vocab top-k plans the heap TopKPerKeyExec, not a window sort") {
