@@ -50,7 +50,19 @@ object Multimodal {
     * (`rgb ^ 0x010101`, so grayscale moves by at most ±1). Same seed +
     * perturb = a genuine NEAR-duplicate image (tiny Hamming distance under
     * a perceptual hash) whose bytes differ — the fixture shape for image
-    * dedup (q382). */
+    * dedup (q382/q383).
+    *
+    * Pixel values are a NONLINEARLY mixed pseudo-random function of
+    * (seed, x, y): `u² mod p` with `u = (seed·2654435761 + 31x + 131y)
+    * mod p` and `p = 16777213` (prime, < 2²⁴; every intermediate fits a
+    * signed 64-bit, so DuckDB replays it exactly). The mix must be
+    * nonlinear IN u: any affine map leaves two seeds' pixel values
+    * differing by a constant, whose grayscales stay correlated — at sf0.1
+    * an affine plant produced ~14 cross-seed Hamming-≤6 pairs per image
+    * (superlinear pair growth and long-chain dup components), where the
+    * square keeps non-planted pairs at the random-64-bit coincidence
+    * level, so the pair count scales with the PLANTED duplicates, like a
+    * real corpus. */
   def encodePngPerturbed(width: Int, height: Int, seed: Long,
                          perturb: Boolean): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
@@ -59,7 +71,8 @@ object Multimodal {
     while (y < height) {
       var x = 0
       while (x < width) {
-        val base = (((seed * 2654435761L) + x * 31L + y * 131L) & 0xffffffL).toInt
+        val u = (seed * 2654435761L + x * 31L + y * 131L) % 16777213L
+        val base = ((u * u) % 16777213L).toInt
         val v = if (perturb && (x + y) % 2 == 0) base ^ 0x010101 else base
         img.setRGB(x, y, v)
         x += 1

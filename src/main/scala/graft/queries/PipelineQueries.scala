@@ -1546,7 +1546,12 @@ object PipelineQueries {
     * payload bytes never cross a shuffle (narrow mapPartitions chain);
     * only (media_id, dhash) is banded, and verification touches band
     * candidates only. */
-  def q382_phash_dedup(spark: SparkSession, dir: String): DataFrame = {
+  def q382_phash_dedup(spark: SparkSession, dir: String): DataFrame =
+    phashPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
+
+  /** Shared by q382/q383: planted-PNG decode → dHash → banded candidate
+    * join → Hamming-verified pairs (id_a, id_b, hamming). */
+  private def phashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
     val recs = ids.mapPartitions { it =>
@@ -1578,6 +1583,22 @@ object PipelineQueries {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= 6)
       .select(col("id_a"), col("id_b"), col("hamming"))
-      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Image duplicate CLUSTERS: q382's Hamming-verified perceptual-hash
+    * pairs composed with the SAME distributed connected-components
+    * operator the text modalities use ([[graft.transform.Dedup
+    * .duplicateClusters]], min-label propagation over edge-touching nodes
+    * only) — visually-near-duplicate images collapse to one representative
+    * per component, the keep/drop view a training pipeline consumes.
+    * Pairwise dedup under-deletes (a~b, b~c keeps a AND c); the cluster
+    * closure is what actually bounds a near-dup family to one survivor.
+    * The oracle recomputes the pairs arithmetically (the q382 replay) and
+    * closes them with a recursive CTE (the q54 discipline). */
+  def q383_phash_clusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = phashPairs(spark, dir).select(col("id_a"), col("id_b"))
+    clusterView(Dedup.duplicateClusters(pairs, docs.select(col("doc_id")),
+      "doc_id"))
   }
 }

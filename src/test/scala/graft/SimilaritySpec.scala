@@ -294,7 +294,8 @@ class SimilaritySpec extends SparkSpec {
     val (w, h, seed) = (25, 20, 7L)
     def gray(i: Int, j: Int): Int = {
       val x = i * w / 9; val y = j * h / 8
-      val v = (((seed * 2654435761L) + x * 31L + y * 131L) & 0xffffffL).toInt
+      val u = (seed * 2654435761L + x * 31L + y * 131L) % 16777213L
+      val v = ((u * u) % 16777213L).toInt
       (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 + (v & 0xff) * 114) / 1000
     }
     var expected = 0L

@@ -20,49 +20,33 @@ object Oracles {
     // 4x16-bit band keys, candidate join, Hamming verify — so equality
     // proves real codec + perceptual-hash work ran end-to-end
     "q382_phash_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id, doc_id // 2 AS grp, doc_id % 2 AS p,
-        |    16 + (doc_id // 2) % 17 AS w, 16 + (doc_id // 2) % 13 AS h
-        |  FROM documents),
-        |g AS (SELECT i, j FROM range(9) t1(i), range(8) t2(j)),
-        |pix AS (
-        |  SELECT d.doc_id, g.i, g.j,
-        |    CASE WHEN d.p = 1
-        |        AND (((g.i * d.w) // 9) + ((g.j * d.h) // 8)) % 2 = 0
-        |      THEN xor((d.grp * 2654435761 + ((g.i * d.w) // 9) * 31
-        |        + ((g.j * d.h) // 8) * 131) & 16777215, 65793)
-        |      ELSE (d.grp * 2654435761 + ((g.i * d.w) // 9) * 31
-        |        + ((g.j * d.h) // 8) * 131) & 16777215
-        |    END AS v
-        |  FROM d, g),
-        |gray AS (
-        |  SELECT doc_id, i, j,
-        |    (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
-        |      + (v & 255) * 114) // 1000 AS gy
-        |  FROM pix),
-        |bits AS (
-        |  SELECT a.doc_id, (a.j * 8 + a.i) AS bitpos,
-        |    CASE WHEN a.gy > b.gy THEN 1 ELSE 0 END AS bit
-        |  FROM gray a JOIN gray b
-        |    ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
-        |  WHERE a.i < 8),
-        |bands AS (
-        |  SELECT doc_id, bitpos // 16 AS band,
-        |    SUM(bit << (bitpos % 16)) AS bkey
-        |  FROM bits GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        |ham AS (
-        |  SELECT c.id_a, c.id_b,
-        |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
-        |  FROM cand c
-        |  JOIN bits x ON x.doc_id = c.id_a
-        |  JOIN bits y ON y.doc_id = c.id_b AND y.bitpos = x.bitpos
-        |  GROUP BY 1, 2)
+      s"""WITH ${Oracles.phashPairCtes}
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
         |FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    // q383: q382's arithmetically replayed pairs closed into connected
+    // components (the q54 recursive-CTE discipline) — one representative
+    // (min id) per visually-near-duplicate image family
+    "q383_phash_clusters" ->
+      s"""WITH RECURSIVE ${Oracles.phashPairCtes},
+        |pairs AS (SELECT id_a, id_b FROM ham WHERE hamming <= 6),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.node = e.b
+        |), comp AS (
+        |  SELECT node, min(r) AS comp FROM reach GROUP BY node
+        |), allc AS (
+        |  SELECT doc.doc_id, COALESCE(c.comp, doc.doc_id) AS cluster_id
+        |  FROM documents doc LEFT JOIN comp c ON c.node = doc.doc_id
+        |)
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |  doc_id = cluster_id AS keep
+        |FROM allc ORDER BY doc_id""".stripMargin,
 
     "q28_simhash" ->
       s"""WITH tok AS (
@@ -10279,6 +10263,59 @@ object Oracles {
        |    SELECT CAST(FLOOR(CAST(rt.r - (p.f0 * q.f0 + p.f1 * q.f1) AS DOUBLE)
        |      * CAST(1000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS em
        |    FROM $rel rt JOIN $p p USING (u) JOIN $q q USING (i))""".stripMargin
+
+  /** The q382 perceptual-hash replay as shareable CTEs (ends in `ham`):
+    * planted pixel arithmetic → integer grayscale → dHash bits → 4×16-bit
+    * band keys → candidate pairs → Hamming. The 64-bit hash is kept as
+    * per-bit ROWS, never assembled into one BIGINT (bit 63 would overflow
+    * a signed shift). */
+  private def phashPairCtes: String =
+    """d AS (
+      |  SELECT doc_id, doc_id // 2 AS grp, doc_id % 2 AS p,
+      |    16 + (doc_id // 2) % 17 AS w, 16 + (doc_id // 2) % 13 AS h
+      |  FROM documents),
+      |g AS (SELECT i, j FROM range(9) t1(i), range(8) t2(j)),
+      |px AS (
+      |  SELECT d.doc_id, d.grp, d.p, g.i, g.j,
+      |    (g.i * d.w) // 9 AS x, (g.j * d.h) // 8 AS y
+      |  FROM d, g),
+      |tt AS (
+      |  SELECT doc_id, p, i, j, x, y,
+      |    ((grp * 2654435761 + x * 31 + y * 131) % 16777213)
+      |      * ((grp * 2654435761 + x * 31 + y * 131) % 16777213)
+      |      % 16777213 AS base
+      |  FROM px),
+      |pix AS (
+      |  SELECT doc_id, i, j,
+      |    CASE WHEN p = 1 AND (x + y) % 2 = 0
+      |      THEN xor(base, 65793) ELSE base END AS v
+      |  FROM tt),
+      |gray AS (
+      |  SELECT doc_id, i, j,
+      |    (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+      |      + (v & 255) * 114) // 1000 AS gy
+      |  FROM pix),
+      |bits AS (
+      |  SELECT a.doc_id, (a.j * 8 + a.i) AS bitpos,
+      |    CASE WHEN a.gy > b.gy THEN 1 ELSE 0 END AS bit
+      |  FROM gray a JOIN gray b
+      |    ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+      |  WHERE a.i < 8),
+      |bands AS (
+      |  SELECT doc_id, bitpos // 16 AS band,
+      |    SUM(bit << (bitpos % 16)) AS bkey
+      |  FROM bits GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |ham AS (
+      |  SELECT c.id_a, c.id_b,
+      |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+      |  FROM cand c
+      |  JOIN bits x ON x.doc_id = c.id_a
+      |  JOIN bits y ON y.doc_id = c.id_b AND y.bitpos = x.bitpos
+      |  GROUP BY 1, 2)""".stripMargin
 
   private def minhashPairCtes: String =
     s"""t AS (
