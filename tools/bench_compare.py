@@ -38,6 +38,11 @@ def main(old_path, new_path):
     if n_err_new > n_err_old:
         failures.append(f"error count grew {n_err_old} -> {n_err_new}")
 
+    gone = sorted(set(oq) - set(nq))
+    if gone:
+        failures.append(f"queries disappeared: {', '.join(gone[:10])}"
+                        + (f" (+{len(gone) - 10} more)" if len(gone) > 10 else ""))
+
     for name, rec in sorted(nq.items()):
         if not isinstance(rec, dict) or "error" in rec:
             continue
