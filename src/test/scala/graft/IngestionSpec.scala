@@ -273,4 +273,41 @@ class IngestionSpec extends SparkSpec {
       LakehouseTable("/y", MedallionLayer.Gold))
       .defaultCheckpoint shouldBe "/tmp/checkpoints/d/s/gold"
   }
+
+  test("ivm batch keys are injective: sources that SANITIZE identically " +
+       "fold as distinct batches (no silent replace or skip)") {
+    import org.apache.spark.sql.functions._
+    // /deltas/b1 and /deltas_b1 both sanitize to _deltas_b1 — before the
+    // raw-path hash suffix, the second group-fold silently REPLACED the
+    // first one's partition and min/topk skipped the second batch entirely
+    val root = tmpDir("graft-ivm-inj")
+    val a = s"$root/deltas/b1"
+    val b = s"$root/deltas_b1"
+    Seq(("x", 10L), ("y", 5L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(a)
+    Seq(("x", 7L), ("z", 2L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(b)
+    def task(src: String, agg: String) = graft.config.MaintenanceConfig(
+      `type` = "ivm", path = s"$root/state-$agg", source = Some(src),
+      keys = Seq("k"), sums = if (agg == "group") Seq("v") else Seq.empty,
+      columns = if (agg == "group") Seq.empty else Seq("v"), agg = agg,
+      viewPath = Some(s"$root/view-$agg"))
+    for (agg <- Seq("group", "min")) {
+      IngestionRunner.runMaintenance(spark, task(a, agg))
+      IngestionRunner.runMaintenance(spark, task(b, agg))
+    }
+    val grp = spark.read.parquet(s"$root/view-group")
+      .collect().map(r => r.getAs[String]("k") ->
+        r.getAs[Number]("v").longValue()).toMap
+    grp shouldBe Map("x" -> 17L, "y" -> 5L, "z" -> 2L)
+    val mn = spark.read.parquet(s"$root/view-min")
+      .collect().map(r => r.getAs[String]("k") ->
+        r.getAs[Number]("min_v").longValue()).toMap
+    mn shouldBe Map("x" -> 7L, "y" -> 5L, "z" -> 2L)
+    // replaying either batch is still a no-op
+    IngestionRunner.runMaintenance(spark, task(a, "min"))
+    spark.read.parquet(s"$root/view-min").collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Number]("min_v").longValue())
+      .toMap shouldBe mn
+  }
 }
