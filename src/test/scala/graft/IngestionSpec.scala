@@ -310,4 +310,44 @@ class IngestionSpec extends SparkSpec {
       .map(r => r.getAs[String]("k") -> r.getAs[Number]("min_v").longValue())
       .toMap shouldBe mn
   }
+
+  test("ivm snapshot protocol heals every crash window: leftover tmp dirs " +
+       "are ignored, a published snapshot is never refolded, a lost view " +
+       "re-publishes from state") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("graft-ivm-crash")
+    val src = s"$root/batch"
+    Seq(("x", 10L), ("y", 5L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(src)
+    val cfg = graft.config.MaintenanceConfig(
+      `type` = "ivm", path = s"$root/st", source = Some(src),
+      keys = Seq("k"), columns = Seq("v"), agg = "min",
+      viewPath = Some(s"$root/view"))
+    // crash BEFORE the atomic rename: a fully-written tmp dir exists but
+    // no snapshot — the rerun must refold from nothing and publish once
+    val tmp = new java.io.File(s"$root/st/.state-tmp-stale")
+    tmp.mkdirs()
+    java.nio.file.Files.writeString(tmp.toPath.resolve("junk"), "partial")
+    IngestionRunner.runMaintenance(spark, cfg)
+    val snaps = new java.io.File(s"$root/st").listFiles()
+      .filter(_.getName.startsWith("state-")).map(_.getName).sorted
+    snaps shouldBe Array("state-000001")
+    def view() = spark.read.parquet(s"$root/view").collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Number]("min_v").longValue())
+      .toMap
+    view() shouldBe Map("x" -> 10L, "y" -> 5L)
+    // crash AFTER snapshot + marker but BEFORE the view write: rerun must
+    // NOT refold (no state-000002), yet must re-publish the view
+    rmrfDir(new java.io.File(s"$root/view"))
+    IngestionRunner.runMaintenance(spark, cfg)
+    new java.io.File(s"$root/st").listFiles()
+      .filter(_.getName.startsWith("state-"))
+      .map(_.getName).sorted shouldBe Array("state-000001")
+    view() shouldBe Map("x" -> 10L, "y" -> 5L)
+  }
+
+  private def rmrfDir(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles.foreach(rmrfDir)
+    p.delete(); ()
+  }
 }
