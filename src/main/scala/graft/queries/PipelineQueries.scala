@@ -1550,7 +1550,14 @@ object PipelineQueries {
     phashPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
 
   /** Shared by q382/q383: planted-PNG decode → dHash → banded candidate
-    * join → Hamming-verified pairs (id_a, id_b, hamming). */
+    * join → Hamming-verified pairs (id_a, id_b, hamming). Degenerate
+    * buckets (a solid-color corpus hashing thousands of images to one
+    * band key — s²/2 candidate pairs) are dropped by the same
+    * combinable-count cap the MinHash banding uses; on this corpus no
+    * bucket comes near the cap, so it is pure scale armor, and the
+    * oracle replicates the cap semantics exactly. */
+  private val phashMaxBucket = 100
+
   private def phashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
@@ -1571,8 +1578,13 @@ object PipelineQueries {
               .bitwiseAND(lit(0xffffL)).as("bkey"))): _*)).as("bk"))
       .select(col("media_id"), col("dhash"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    val okBuckets = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= phashMaxBucket)
+      .select(col("band"), col("bkey"))
+    val capped = bands.join(okBuckets, Seq("band", "bkey"))
+    val cand = capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),

@@ -10305,9 +10305,14 @@ object Oracles {
       |  SELECT doc_id, bitpos // 16 AS band,
       |    SUM(bit << (bitpos % 16)) AS bkey
       |  FROM bits GROUP BY 1, 2),
+      |bsz AS (
+      |  SELECT band, bkey FROM bands
+      |  GROUP BY band, bkey HAVING COUNT(*) <= 100),
+      |capped AS (
+      |  SELECT b.* FROM bands b JOIN bsz USING (band, bkey)),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM bands a JOIN bands b
+      |  FROM capped a JOIN capped b
       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
       |ham AS (
       |  SELECT c.id_a, c.id_b,
