@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL — [[DecodeStub.decodeImage]] runs the JDK's
   * `javax.imageio` (PNG/JPEG/BMP/GIF, zero extra dependencies) inside a
   * partition-batched mapPartitions; [[encodePng]] produces genuine PNG
-  * bytes for fixtures. Model-inference feature extraction
+  * bytes for fixtures. AUDIO decode is REAL the same way —
+  * [[DecodeStub.decodeAudio]] parses WAV containers through
+  * `javax.sound.sampled.AudioSystem` and [[encodeWav]] writes them, both
+  * JDK codecs. Model-inference feature extraction
   * ([[DecodeStub.extractFeatures]]) remains a clearly-marked deterministic
   * stub (no inference runtime in this environment) behind the production
   * signature.
@@ -82,6 +85,46 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Encode 16-bit signed little-endian mono PCM samples as a genuine WAV
+    * container through the JDK codec (`javax.sound.sampled.AudioSystem
+    * .write`, zero extra dependencies) — the audio twin of [[encodePng]]:
+    * fixtures plant real RIFF/WAVE bytes so [[DecodeStub.decodeAudio]] has
+    * an actual container to parse. The writer emits no timestamps, so the
+    * bytes are reproducible. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The deterministic planted PCM sample: nonlinearly mixed in
+    * (seed, t) — `((u·u) mod 65533) − 32766` with `u = (seed·2654435761 +
+    * t·9176) mod 16777213` — for the same reason [[encodePngPerturbed]]'s
+    * pixel mix is nonlinear: an affine plant leaves two seeds' samples
+    * differing by a constant, whose window ENERGIES stay rank-correlated,
+    * so distinct-seed clips would collide under the energy-delta
+    * fingerprint; the square keeps cross-seed fingerprints at the
+    * random-bit coincidence level. Range [-32766, 32766] leaves headroom
+    * so the near-dup +1 perturbation can never overflow int16. Every
+    * intermediate fits a signed 64-bit, so DuckDB replays it exactly. */
+  def plantedSample(seed: Long, t: Int, perturb: Boolean): Short = {
+    val u = (seed * 2654435761L + t * 9176L) % 16777213L
+    val s = ((u * u) % 65533L - 32766L).toInt
+    (if (perturb && t % 2 == 0) s + 1 else s).toShort
   }
 
   /** Pure-column deterministic PSEUDO-decode: dimensions derived from the
@@ -198,6 +241,104 @@ object DecodeStub {
             j += 1
           }
           Some(ImageHash(r.media_id, hash))
+        }
+      }
+    }
+  }
+
+  final case class AudioFeatures(media_id: Long, sample_rate: Int,
+                                 n_samples: Long, abs_sum: Long,
+                                 sq_sum: Long, zero_crossings: Long)
+  final case class AudioPrint(media_id: Long, fp: Long)
+
+  /** Parse a WAV payload through the REAL JDK audio codec
+    * (`javax.sound.sampled.AudioSystem` — RIFF/WAVE + AIFF/AU, no external
+    * dependency) into signed 16-bit samples. Returns None for payloads the
+    * codec rejects (same drop-and-audit contract as [[decodeImage]]). */
+  private def readWavSamples(payload: Array[Byte]): Option[(Int, Array[Int])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian) None
+      else {
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff))
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, out))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException => None
+    }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` — the audio
+    * twin of [[decodeImage]]: sample rate and sample values come from the
+    * actual parsed container, partition-batched so codec probing
+    * initializes once per partition. Features are EXACT INTEGER
+    * arithmetic over the decoded int16 stream (|s| sum, s² energy, strict
+    * sign-flip zero crossings), so an oracle can replay them
+    * bit-for-bit from a planted sample function — no float in the path.
+    * Undecodable / non-16-bit-mono payloads are dropped for the caller to
+    * audit, the quarantine shape a training pipeline uses. */
+  def decodeAudio(records: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    val spark: SparkSession = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        readWavSamples(r.payload).map { case (rate, s) =>
+          var abs = 0L; var sq = 0L; var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            abs += math.abs(s(i).toLong)
+            sq += s(i).toLong * s(i)
+            if (i > 0 && s(i).toLong * s(i - 1) < 0) zc += 1
+            i += 1
+          }
+          AudioFeatures(r.media_id, rate, s.length.toLong, abs, sq, zc)
+        }
+      }
+    }
+  }
+
+  /** REAL acoustic fingerprint over decoded samples — the audio analogue
+    * of [[dHash]] (the simplified Chromaprint/Shazam shape): split the
+    * decoded stream into 33 contiguous windows (sample t → window
+    * `t·33 / n`, integer division — exactly the dHash point-sampling
+    * discipline), per-window energy `Σ s²` in exact int64, and bit `w` of
+    * the 32-bit fingerprint is set iff `E(w+1) > E(w)`. Energy DELTAS are
+    * robust to small amplitude perturbations (a ±1-per-sample near-dup
+    * moves each window energy by O(Σ|s|) ≪ the inter-window spread), so
+    * near-duplicate clips land within a few Hamming bits while
+    * distinct-seed clips differ in ~16 — the property the banded
+    * candidate join (q385) exploits. Clips shorter than 33 samples are
+    * dropped (no stable windowing). */
+  def audioFingerprint(records: Dataset[MediaRecord]): Dataset[AudioPrint] = {
+    val spark: SparkSession = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        readWavSamples(r.payload).collect {
+          case (_, s) if s.length >= 33 =>
+            val e = new Array[Long](33)
+            var i = 0
+            while (i < s.length) {
+              e(i * 33 / s.length) += s(i).toLong * s(i)
+              i += 1
+            }
+            var fp = 0L
+            var w = 0
+            while (w < 32) {
+              if (e(w + 1) > e(w)) fp |= 1L << w
+              w += 1
+            }
+            AudioPrint(r.media_id, fp)
         }
       }
     }

@@ -1613,4 +1613,94 @@ object PipelineQueries {
     clusterView(Dedup.duplicateClusters(pairs, docs.select(col("doc_id")),
       "doc_id"))
   }
+
+  /** REAL audio decode, oracle-gated end-to-end — the audio twin of
+    * [[q377_image_decode]]: every document plants a genuine WAV clip
+    * (16-bit mono PCM, `n = 50 + id mod 97` samples at
+    * `rate = 8000 + (id mod 5)·1000` Hz, sample values the nonlinear
+    * [[graft.multimodal.Multimodal.plantedSample]] arithmetic), executors
+    * ENCODE it with `javax.sound.sampled.AudioSystem.write` and DECODE it
+    * back with `AudioSystem.getAudioInputStream`
+    * ([[graft.multimodal.DecodeStub.decodeAudio]]), and the per-clip
+    * integer features — |s| sum, s² energy, strict sign-flip zero
+    * crossings — must reproduce the planted arithmetic exactly, so the
+    * gate fails unless real container work ran on both sides. Scale
+    * shape: encode+decode is ONE narrow partition-batched mapPartitions
+    * chain; payload bytes never cross a shuffle — only the 6-column
+    * integer feature grain is ever exchanged (for the final sort). */
+  def q384_audio_decode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val recs = ids.mapPartitions { it =>
+      it.map { id =>
+        val n = (50 + id % 97).toInt
+        val samples = Array.tabulate(n)(t =>
+          Multimodal.plantedSample(id, t, perturb = false))
+        Multimodal.MediaRecord(id,
+          Multimodal.encodeWav((8000 + (id % 5) * 1000).toInt, samples),
+          "audio/wav", "synth")
+      }
+    }
+    graft.multimodal.DecodeStub.decodeAudio(recs).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"), col("abs_sum"), col("sq_sum"),
+        col("zero_crossings"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Acoustic-fingerprint AUDIO dedup — the NINTH dedup modality, over
+    * really-decoded WAV streams. Every adjacent doc pair (2g, 2g+1)
+    * plants the SAME seeded clip, the odd twin with a +1 amplitude
+    * perturbation on even samples — a genuine near-duplicate whose bytes
+    * differ. Executors decode with `AudioSystem` and compute a 32-bit
+    * energy-delta fingerprint
+    * ([[graft.multimodal.DecodeStub.audioFingerprint]], the simplified
+    * Chromaprint shape); candidates come from a 2x16-bit band equi-join
+    * (never all-pairs, same degenerate-bucket cap as the image/text
+    * banding) and are verified on Hamming distance <= 4. The oracle
+    * replays the ENTIRE chain — planted samples, window energies,
+    * comparison bits, band keys, Hamming — arithmetically from doc_id.
+    * Scale shape: payload bytes never cross a shuffle; only
+    * (media_id, fp) is banded, and verification touches band candidates
+    * only. */
+  def q385_audio_fp_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val recs = ids.mapPartitions { it =>
+      it.map { id =>
+        val grp = id / 2
+        val n = (64 + grp % 53).toInt
+        val samples = Array.tabulate(n)(t =>
+          Multimodal.plantedSample(grp, t, perturb = id % 2 == 1))
+        Multimodal.MediaRecord(id, Multimodal.encodeWav(8000, samples),
+          "audio/wav", "synth")
+      }
+    }
+    val prints = graft.multimodal.DecodeStub.audioFingerprint(recs).toDF()
+    val bands = prints.select(col("media_id"), col("fp"),
+        explode(array((0 until 2).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("fp"), 16 * b)
+              .bitwiseAND(lit(0xffffL)).as("bkey"))): _*)).as("bk"))
+      .select(col("media_id"), col("fp"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val okBuckets = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= phashMaxBucket)
+      .select(col("band"), col("bkey"))
+    val capped = bands.join(okBuckets, Seq("band", "bkey"))
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.fp").as("fa"), col("b.fp").as("fb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+      .filter(col("hamming") <= 4)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

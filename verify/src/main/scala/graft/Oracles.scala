@@ -293,6 +293,83 @@ object Oracles {
         |    / CAST(s AS DOUBLE) * 1000000 + 0.5) / 1000000 AS cum_share
         |FROM d ORDER BY decile""".stripMargin,
 
+    // q384: the engine really encodes + decodes WAV containers
+    // (javax.sound.sampled) per document; the oracle replays the planted
+    // PCM arithmetic — sample values, |s|/s² sums, sign-flip zero
+    // crossings — so equality proves real container work ran both ways
+    "q384_audio_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 50 + doc_id % 97 AS n,
+        |    8000 + (doc_id % 5) * 1000 AS rate
+        |  FROM documents),
+        |s AS (SELECT doc_id, n, rate, unnest(range(n)) AS t FROM d),
+        |sv AS (
+        |  SELECT doc_id, n, rate, t,
+        |    ((doc_id * 2654435761 + t * 9176) % 16777213)
+        |      * ((doc_id * 2654435761 + t * 9176) % 16777213)
+        |      % 65533 - 32766 AS v
+        |  FROM s),
+        |fl AS (
+        |  SELECT doc_id, n, rate, v,
+        |    v * lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS flip
+        |  FROM sv)
+        |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum,
+        |  CAST(SUM(v * v) AS BIGINT) AS sq_sum,
+        |  CAST(SUM(CASE WHEN flip < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_crossings
+        |FROM fl GROUP BY doc_id, rate, n ORDER BY doc_id""".stripMargin,
+
+    // q385: acoustic-fingerprint dedup (9th modality) — the oracle
+    // replays planted PCM -> 33 window energies -> 32 comparison bits ->
+    // 2x16-bit band keys -> capped candidate join -> Hamming, exactly
+    // the engine's decode -> fingerprint -> band -> verify chain
+    "q385_audio_fp_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 2 AS grp, doc_id % 2 AS p,
+        |    64 + (doc_id // 2) % 53 AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, grp, p, n, unnest(range(n)) AS t FROM d),
+        |sv AS (
+        |  SELECT doc_id, n, t,
+        |    ((grp * 2654435761 + t * 9176) % 16777213)
+        |      * ((grp * 2654435761 + t * 9176) % 16777213)
+        |      % 65533 - 32766
+        |      + CASE WHEN p = 1 AND t % 2 = 0 THEN 1 ELSE 0 END AS v
+        |  FROM s),
+        |win AS (
+        |  SELECT doc_id, (t * 33) // n AS w, SUM(v * v) AS e
+        |  FROM sv GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT a.doc_id, a.w AS bitpos,
+        |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM win a JOIN win b
+        |    ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 32),
+        |bands AS (
+        |  SELECT doc_id, bitpos // 16 AS band,
+        |    SUM(bit << (bitpos % 16)) AS bkey
+        |  FROM bits GROUP BY 1, 2),
+        |bsz AS (
+        |  SELECT band, bkey FROM bands
+        |  GROUP BY band, bkey HAVING COUNT(*) <= 100),
+        |capped AS (
+        |  SELECT b.* FROM bands b JOIN bsz USING (band, bkey)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.id_a, c.id_b,
+        |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN bits x ON x.doc_id = c.id_a
+        |  JOIN bits y ON y.doc_id = c.id_b AND y.bitpos = x.bitpos
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin,
+
     // q377: the engine really encodes + decodes PNG bytes per document;
     // the oracle replays only the PLANTED dimension arithmetic — equality
     // proves the decoded rasters carried the planted dims through
