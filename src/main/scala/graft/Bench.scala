@@ -55,8 +55,37 @@ object Bench {
     }
   }
 
+  /** 1-minute load average from /proc/loadavg (NaN where unavailable) —
+    * recorded into the bench JSON so a co-tenant-contaminated wall-clock
+    * record is visibly contaminated (r8: the driver recorded 41.6 s for a
+    * query that measures 1.68 s on the same HEAD; bytes were identical,
+    * so only box load could explain it — now the record says so itself). */
+  private def loadAvg1m(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Exception => Double.NaN }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadBefore = loadAvg1m()
+    // sample the max 1-min load DURING the run (daemon thread, 5s cadence):
+    // the before/after points can both miss a mid-run co-tenant spike
+    val loadMax = new java.util.concurrent.atomic.AtomicLong(
+      java.lang.Double.doubleToLongBits(loadBefore))
+    val sampler = new Thread(() => {
+      while (true) {
+        Thread.sleep(5000)
+        val l = loadAvg1m()
+        var done = false
+        while (!done) {
+          val cur = loadMax.get()
+          done = !(l > java.lang.Double.longBitsToDouble(cur)) ||
+            loadMax.compareAndSet(cur, java.lang.Double.doubleToLongBits(l))
+        }
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -107,8 +136,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
-    // per query: Right((median, min, max, Seq(sr, sw, spillMem, spillDisk)))
-    val results: Seq[(String, Either[String, (Double, Double, Double, Seq[Long])])] =
+    // per query: Right((median, min, max, nRuns, Seq(sr, sw, spillMem, spillDisk)))
+    val results: Seq[(String, Either[String, (Double, Double, Double, Int, Seq[Long])])] =
       SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
         .map { case (name, fn) =>
         def once(): Either[String, Double] = {
@@ -119,25 +148,38 @@ object Bench {
           }
         }
         val firstTwo = Seq(once(), once())
-        val before = bytes.snapshot()
+        // drain the listener queue BEFORE the bracketed run too: task-end
+        // events still in flight from run 2 would otherwise inflate run
+        // 3's byte delta (up to ~2x one run's bytes — enough to falsely
+        // trip bench_compare's 1.5x gate)
+        val before = bytes.drainedSnapshot()
         val lastRun = once()
         val byteDelta = bytes.drainedSnapshot().zip(before).map(p => p._1 - p._2)
         val runs = firstTwo :+ lastRun
         val ok = runs.collect { case Right(t) => t }.sorted
-        name -> (if (ok.size == 3) Right((ok(1), ok.head, ok.last, byteDelta))
-                 else if (ok.nonEmpty) Right((ok(ok.size / 2), ok.head, ok.last, byteDelta))
+        // 3 successes -> true median; 2 -> the MIN (median-of-2 has no
+        // middle, and picking ok(1) would report the max — the one number
+        // a noise-robust summary must never pick); 1 -> that run. n_runs
+        // in the artifact records what the number actually is.
+        name -> (if (ok.nonEmpty)
+                   Right((if (ok.size == 3) ok(1) else ok.head,
+                     ok.head, ok.last, ok.size, byteDelta))
                  else Left(runs.collectFirst { case Left(e) => e }.getOrElse("unknown")))
       }
     val qs = results.map {
-      case (k, Right((med, mn, mx, b))) =>
-        s"""\"$k\":{"t":$med,"min":$mn,"max":$mx,"shuffle_read":${b(0)},"shuffle_write":${b(1)},"spill_mem":${b(2)},"spill_disk":${b(3)}}"""
+      case (k, Right((med, mn, mx, n, b))) =>
+        s"""\"$k\":{"t":$med,"min":$mn,"max":$mx,"n_runs":$n,"shuffle_read":${b(0)},"shuffle_write":${b(1)},"spill_mem":${b(2)},"spill_disk":${b(3)}}"""
       case (k, Left(e)) => s"\"$k\":{\"error\":\"${jsonEscape(e)}\"}"
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, Left(e)) => k -> e }
-    val total = results.collect { case (_, Right((med, _, _, _))) => med }.sum
-    val totalBytes = results.collect { case (_, Right((_, _, _, b))) => b }
+    val total = results.collect { case (_, Right((med, _, _, _, _))) => med }.sum
+    val totalBytes = results.collect { case (_, Right((_, _, _, _, b))) => b }
       .foldLeft(Seq(0L, 0L, 0L, 0L))((a, b) => a.zip(b).map(p => p._1 + p._2))
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","timing":"median_of_3","queries":$qs,"shuffle_read_total":${totalBytes(0)},"shuffle_write_total":${totalBytes(1)},"spill_mem_total":${totalBytes(2)},"spill_disk_total":${totalBytes(3)},"n_errors":${errors.size},"sf":"$sfDir"}"""
+    val loadAfter = loadAvg1m()
+    val loadPeak = java.lang.Double.longBitsToDouble(loadMax.get())
+    def jn(d: Double): String = if (d.isNaN) "null" else d.toString
+    val loadJson = s""""load_1m_before":${jn(loadBefore)},"load_1m_after":${jn(loadAfter)},"load_1m_max":${jn(loadPeak)}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","timing":"median_of_3","queries":$qs,"shuffle_read_total":${totalBytes(0)},"shuffle_write_total":${totalBytes(1)},"spill_mem_total":${totalBytes(2)},"spill_disk_total":${totalBytes(3)},"n_errors":${errors.size},$loadJson,"sf":"$sfDir"}"""
     // The full per-query JSON (381 queries) overflows what the driver's
     // stdout capture retains (r5 recorded "parsed": null with only the tail
     // ~80 timings) — so the complete record goes to a FILE artifact, and
@@ -148,12 +190,12 @@ object Bench {
     val artifact = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(artifact.getParent)
     java.nio.file.Files.writeString(artifact, full + "\n")
-    val slowest = results.collect { case (k, Right((med, _, _, _))) => k -> med }
+    val slowest = results.collect { case (k, Right((med, _, _, _, _))) => k -> med }
       .sortBy(-_._2).take(25)
       .map { case (k, t) => s"\"$k\":$t" }.mkString("{", ",", "}")
     val errJson = errors.take(10)
       .map { case (k, e) => s"\"$k\":\"${jsonEscape(e)}\"" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"median_of_3","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"shuffle_write_total":${totalBytes(1)},"spill_disk_total":${totalBytes(3)},"sf":"$sfDir","full_json":"target/bench_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"median_of_3","queries":$slowest,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"shuffle_write_total":${totalBytes(1)},"spill_disk_total":${totalBytes(3)},$loadJson,"sf":"$sfDir","full_json":"target/bench_full.json"}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (k, e) => System.err.println(s"[bench] FAILED $k: $e") }

@@ -114,10 +114,17 @@ object IngestionRunner {
             if (fs.exists(legacy)) Some(legacy) else None
           }
         }
-        def alreadyApplied(key: String): Boolean =
-          stateSnapshots().exists(s => batchKeyOf(s._2).contains(key)) ||
-            fs.exists(new org.apache.hadoop.fs.Path(
-              new org.apache.hadoop.fs.Path(viewRoot, "_applied"), key))
+        // Accept the pre-r8 UNSUFFIXED key too: legacy markers/snapshots
+        // were written without the sha suffix, and ignoring them would
+        // re-fold already-applied batches over pre-existing state (min
+        // double-counts n_rows, topk duplicates leaderboard rows).
+        def alreadyApplied(key: String): Boolean = {
+          val legacy = legacyBatchKeyFor(src)
+          stateSnapshots().exists(s => batchKeyOf(s._2)
+            .exists(k => k == key || k == legacy)) ||
+            Seq(key, legacy).exists(k => fs.exists(new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(viewRoot, "_applied"), k)))
+        }
         def publishState(next: org.apache.spark.sql.DataFrame,
                          key: String): Unit = {
           val n1 = stateSnapshots().map(_._1).maxOption.getOrElse(0) + 1
@@ -137,10 +144,19 @@ object IngestionRunner {
               s"no state under ${m.path} after fold")).toString)
         m.agg match {
           case "group" =>
-            // invertible aggregates: idempotency via partition overwrite
+            // invertible aggregates: idempotency via partition overwrite.
+            // If this source's delta was stored pre-r8 under the
+            // UNSUFFIXED key, reuse that key so the dynamic overwrite
+            // REPLACES the legacy partition instead of writing a second
+            // one (which would double-count the batch in the fold).
+            val legacy = legacyBatchKeyFor(src)
+            val groupKey =
+              if (legacy != batchKey && fs.exists(new org.apache.hadoop.fs.Path(
+                  viewRoot, s"${Ivm.BatchCol}=$legacy"))) legacy
+              else batchKey
             Ivm.appendIdempotent(
               Ivm.viewDelta(batch, m.keys, m.sums.map(c => c -> col(c))),
-              m.path, batchKey)
+              m.path, groupKey)
             publish(Ivm.current(spark, m.path, m.keys))
           case "min" =>
             // non-invertible: fold inserts monoidally, repair retractions
@@ -239,8 +255,14 @@ object IngestionRunner {
   private def batchKeyFor(src: String): String = {
     val sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(src.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    s"${src.replaceAll("[^A-Za-z0-9._-]", "_")}-$sha"
+    s"${legacyBatchKeyFor(src)}-$sha"
   }
+
+  /** The pre-r8 key format (sanitized path, no hash suffix) — still
+    * ACCEPTED when checking applied-ness so stores written before the
+    * injective-key change don't re-fold their batches; never written. */
+  private def legacyBatchKeyFor(src: String): String =
+    src.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Re-RUN idempotency for append-style maintenance folds: `body` runs
     * once per (store, source batch); a marker under `<path>/_applied/`
@@ -252,10 +274,13 @@ object IngestionRunner {
     * where a replay corrupts the view, uses the atomic snapshot rename. */
   private def ifNotApplied(spark: SparkSession, path: String, src: String)
                           (body: => Unit): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(path, "_applied"), batchKeyFor(src))
+    val applied = new org.apache.hadoop.fs.Path(path, "_applied")
+    val marker = new org.apache.hadoop.fs.Path(applied, batchKeyFor(src))
+    // pre-r8 stores wrote the marker under the unsuffixed key — accept it
+    val legacyMarker = new org.apache.hadoop.fs.Path(
+      applied, legacyBatchKeyFor(src))
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    if (!fs.exists(marker) && !fs.exists(legacyMarker)) {
       body
       fs.mkdirs(marker.getParent)
       fs.create(marker, true).close()

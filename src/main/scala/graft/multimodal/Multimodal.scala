@@ -329,7 +329,9 @@ object DecodeStub {
             val e = new Array[Long](33)
             var i = 0
             while (i < s.length) {
-              e(i * 33 / s.length) += s(i).toLong * s(i)
+              // window index in Long: i * 33 overflows Int past ~65M
+              // samples (2.3h at 8kHz) and would index negative
+              e((i.toLong * 33 / s.length).toInt) += s(i).toLong * s(i)
               i += 1
             }
             var fp = 0L

@@ -346,6 +346,65 @@ class IngestionSpec extends SparkSpec {
     view() shouldBe Map("x" -> 10L, "y" -> 5L)
   }
 
+  test("pre-r8 stores (unsuffixed batch keys) are not refolded: legacy " +
+       "group partitions overwrite in place, legacy min snapshots and " +
+       "_applied markers still count as applied") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("graft-ivm-legacy")
+    val src = s"$root/deltas/b1"
+    val legacyKey = src.replaceAll("[^A-Za-z0-9._-]", "_") // pre-r8 format
+    Seq(("x", 10L), ("y", 5L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(src)
+    // --- group: a legacy partition exists for this source; the rerun must
+    // REPLACE it (same key), not write a second sha-suffixed partition
+    // that double-counts the batch in the fold
+    graft.transform.Ivm.appendIdempotent(
+      graft.transform.Ivm.viewDelta(
+        graft.transform.Ivm.asZ(spark.read.parquet(src)),
+        Seq("k"), Seq("v" -> col("v"))),
+      s"$root/stg", legacyKey)
+    IngestionRunner.runMaintenance(spark, graft.config.MaintenanceConfig(
+      `type` = "ivm", path = s"$root/stg", source = Some(src),
+      keys = Seq("k"), sums = Seq("v"), agg = "group",
+      viewPath = Some(s"$root/view-g")))
+    spark.read.parquet(s"$root/view-g").collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Number]("v").longValue())
+      .toMap shouldBe Map("x" -> 10L, "y" -> 5L)
+    new java.io.File(s"$root/stg").listFiles()
+      .count(_.getName.startsWith("_batch_key=")) shouldBe 1
+    // --- min: a legacy snapshot whose _batch_key holds the UNSUFFIXED key
+    // must read as already-applied (no state-000002, no double-counted
+    // n_rows), and the view must re-publish from it
+    val snap = s"$root/stm/state-000001"
+    Seq(("x", 10L, 1L), ("y", 5L, 1L)).toDF("k", "min_v", "n_rows")
+      .write.mode("overwrite").parquet(snap)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(snap, "_batch_key"), legacyKey)
+    IngestionRunner.runMaintenance(spark, graft.config.MaintenanceConfig(
+      `type` = "ivm", path = s"$root/stm", source = Some(src),
+      keys = Seq("k"), columns = Seq("v"), agg = "min",
+      viewPath = Some(s"$root/view-m")))
+    new java.io.File(s"$root/stm").listFiles()
+      .filter(_.getName.startsWith("state-"))
+      .map(_.getName).sorted shouldBe Array("state-000001")
+    spark.read.parquet(s"$root/view-m").collect()
+      .map(r => r.getAs[String]("k") ->
+        (r.getAs[Number]("min_v").longValue(),
+          r.getAs[Number]("n_rows").longValue()))
+      .toMap shouldBe Map("x" -> (10L, 1L), "y" -> (5L, 1L))
+    // --- profile (ifNotApplied): a legacy marker must skip the append
+    val store = s"$root/prof"
+    new java.io.File(s"$store/_applied").mkdirs()
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(store, "_applied", legacyKey))
+    IngestionRunner.runMaintenance(spark, graft.config.MaintenanceConfig(
+      `type` = "profile", path = store, source = Some(src),
+      columns = Seq("k", "v")))
+    // skipped: no profile data landed beyond the marker dir
+    new java.io.File(store).listFiles().map(_.getName).toSet shouldBe
+      Set("_applied")
+  }
+
   private def rmrfDir(p: java.io.File): Unit = {
     if (p.isDirectory) p.listFiles.foreach(rmrfDir)
     p.delete(); ()

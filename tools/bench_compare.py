@@ -43,20 +43,44 @@ def main(old_path, new_path):
         failures.append(f"queries disappeared: {', '.join(gone[:10])}"
                         + (f" (+{len(gone) - 10} more)" if len(gone) > 10 else ""))
 
+    suspicious_walltime = []
     for name, rec in sorted(nq.items()):
         if not isinstance(rec, dict) or "error" in rec:
             continue
         old_rec = oq.get(name)
         if not isinstance(old_rec, dict) or "error" in (old_rec or {}):
             continue  # new query or old format: nothing to compare
+        bytes_moved = False
         for key in BYTE_KEYS:
             if key not in rec or key not in old_rec:
                 continue
             o, n = old_rec[key], rec[key]
+            if n > o * RATIO or o > n * RATIO:
+                bytes_moved = True
             if n > FLOOR and n > o * RATIO:
                 failures.append(
                     f"{name}: {key} {o:,} -> {n:,} bytes "
                     f"({n / max(o, 1):.2f}x)")
+        # wall-time moved >2x with NO byte movement = the co-tenancy
+        # signature (r8: driver recorded 41.6s for a 1.68s query, bytes
+        # identical) — report it with the run's load so the record
+        # self-diagnoses; never fail on wall-time alone
+        ot, nt = old_rec.get("t"), rec.get("t")
+        if (not bytes_moved and isinstance(ot, (int, float))
+                and isinstance(nt, (int, float)) and ot > 0
+                and nt > 1.0 and nt > 2 * ot):
+            suspicious_walltime.append(f"{name}: {ot:.2f}s -> {nt:.2f}s "
+                                       f"({nt / ot:.1f}x, bytes unchanged)")
+
+    if suspicious_walltime:
+        load = {k: new.get(k) for k in
+                ("load_1m_before", "load_1m_after", "load_1m_max")
+                if new.get(k) is not None}
+        print(f"WALL-TIME OUTLIERS WITHOUT BYTE MOVEMENT "
+              f"({len(suspicious_walltime)}) — likely box co-tenancy; "
+              f"new-run load: {load or 'not recorded'}")
+        for s in suspicious_walltime[:20]:
+            print(f"  {s}")
 
     if failures:
         print(f"BENCH REGRESSION ({len(failures)}):")
