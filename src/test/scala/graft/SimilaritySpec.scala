@@ -303,4 +303,40 @@ class SimilaritySpec extends SparkSpec {
       if (gray(i, j) > gray(i + 1, j)) expected |= 1L << (j * 8 + i)
     assert(hs(0L) == expected, "dHash must equal the arithmetic replay")
   }
+
+  test("DecodeStub.audioFingerprint: near-dup clips (same seed, +1 even-" +
+       "sample perturbation) land within Hamming 4; distinct seeds are " +
+       "far; sub-33-sample clips drop; bits replay arithmetically") {
+    import graft.multimodal.{DecodeStub, Multimodal}
+    def clip(seed: Long, n: Int, perturb: Boolean) =
+      Multimodal.encodeWav(8000,
+        Array.tabulate(n)(t => Multimodal.plantedSample(seed, t, perturb)))
+    val recs = Seq(
+      Multimodal.MediaRecord(0L, clip(11L, 90, perturb = false), "audio/wav", "t"),
+      Multimodal.MediaRecord(1L, clip(11L, 90, perturb = true), "audio/wav", "t"),
+      Multimodal.MediaRecord(2L, clip(12L, 90, perturb = false), "audio/wav", "t"),
+      Multimodal.MediaRecord(3L, clip(13L, 32, perturb = false), "audio/wav", "t"),
+      Multimodal.MediaRecord(4L, "junk".getBytes("UTF-8"), "audio/wav", "t")).toDS()
+    val fps = DecodeStub.audioFingerprint(recs).collect()
+      .map(p => p.media_id -> p.fp).toMap
+    // <33 samples (no stable windowing) and undecodable both dropped
+    fps.keySet shouldBe Set(0L, 1L, 2L)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(0L), fps(1L)) <= 4,
+      s"near-dup clip too far: ${ham(fps(0L), fps(1L))}")
+    assert(ham(fps(0L), fps(2L)) >= 8,
+      s"distinct seeds too close: ${ham(fps(0L), fps(2L))}")
+    // replay the pristine clip's fingerprint from the planted sample
+    // function — proves decode→window→energy→compare is the documented
+    // arithmetic (the q385 oracle's replay, in miniature)
+    val n = 90
+    val e = new Array[Long](33)
+    for (t <- 0 until n) {
+      val s = Multimodal.plantedSample(11L, t, perturb = false).toLong
+      e((t.toLong * 33 / n).toInt) += s * s
+    }
+    var expected = 0L
+    for (w <- 0 until 32) if (e(w + 1) > e(w)) expected |= 1L << w
+    assert(fps(0L) == expected, "fingerprint must equal the arithmetic replay")
+  }
 }

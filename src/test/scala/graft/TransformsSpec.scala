@@ -335,6 +335,60 @@ class TransformsSpec extends SparkSpec {
     again(1L) shouldBe feats(1L).sha
   }
 
+  test("Multimodal.encodeWav/decodeAudio round-trip the planted PCM " +
+       "arithmetic and drop undecodable or non-16-bit-mono payloads") {
+    import graft.multimodal.{DecodeStub, Multimodal}
+    val n = 147
+    val samples = Array.tabulate(n)(t =>
+      Multimodal.plantedSample(9L, t, perturb = false))
+    // the planted features computed directly (what the decode must equal)
+    val absSum = samples.map(s => math.abs(s.toLong)).sum
+    val sqSum = samples.map(s => s.toLong * s).sum
+    val zc = (1 until n).count(i => samples(i).toLong * samples(i - 1) < 0)
+    // stereo payload through the SAME JDK codec — a real container the
+    // decoder must REJECT (non-mono), not misparse
+    val stereoFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val stereoRaw = new Array[Byte](4 * 50)
+    val stereo = {
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(stereoRaw), stereoFmt, 50L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val wav = Multimodal.encodeWav(11000, samples)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, wav, "audio/wav", "synth"),
+      Multimodal.MediaRecord(2L, "not audio".getBytes("UTF-8"), "audio/wav", "synth"),
+      Multimodal.MediaRecord(3L, stereo, "audio/wav", "synth"),
+      // truncated container: header promises more bytes than present —
+      // must not crash the partition (drop or short-read, never throw)
+      Multimodal.MediaRecord(4L, wav.take(wav.length / 2), "audio/wav", "synth")
+    ).toDS()
+    val feats = DecodeStub.decodeAudio(recs).collect()
+      .map(f => f.media_id -> f).toMap
+    // text + stereo dropped; the truncated one may drop or short-read
+    feats.keySet - 4L shouldBe Set(1L)
+    feats(1L).sample_rate shouldBe 11000
+    feats(1L).n_samples shouldBe n.toLong
+    feats(1L).abs_sum shouldBe absSum
+    feats(1L).sq_sum shouldBe sqSum
+    feats(1L).zero_crossings shouldBe zc.toLong
+    feats.get(4L).foreach(_.n_samples should be < n.toLong)
+    // decode is deterministic on any partitioning
+    val again = DecodeStub.decodeAudio(recs.repartition(4)).collect()
+      .map(f => f.media_id -> f.sq_sum).toMap
+    again(1L) shouldBe sqSum
+    // the near-dup perturbation (+1 on even t) changes bytes but stays
+    // in int16 range by construction of the planted range
+    val pert = Array.tabulate(n)(t =>
+      Multimodal.plantedSample(9L, t, perturb = true))
+    pert.zipWithIndex.foreach { case (v, t) =>
+      v.toLong shouldBe samples(t).toLong + (if (t % 2 == 0) 1L else 0L)
+    }
+  }
+
   test("Multimodal.resizeDims pins the long side and preserves aspect within rounding") {
     import graft.multimodal.Multimodal
     import org.apache.spark.sql.functions._
