@@ -1549,52 +1549,38 @@ object PipelineQueries {
   def q382_phash_dedup(spark: SparkSession, dir: String): DataFrame =
     phashPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
 
-  /** Shared by q382/q383: planted-PNG decode → dHash → banded candidate
-    * join → Hamming-verified pairs (id_a, id_b, hamming). Degenerate
-    * buckets (a solid-color corpus hashing thousands of images to one
-    * band key — s²/2 candidate pairs) are dropped by the same
-    * combinable-count cap the MinHash banding uses; on this corpus no
-    * bucket comes near the cap, so it is pure scale armor, and the
-    * oracle replicates the cap semantics exactly. */
+  /** Shared by q382/q383/q386: the planted image-dedup fixture — every
+    * adjacent doc pair (2g, 2g+1) plants the SAME seeded PNG, the odd
+    * twin with a 1-bit pixel perturbation (genuine near-duplicate
+    * bytes). */
+  private[queries] def phashRecords(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val grp = id / 2
+          Multimodal.MediaRecord(id,
+            Multimodal.encodePngPerturbed((16 + grp % 17).toInt,
+              (16 + grp % 13).toInt, grp, perturb = id % 2 == 1),
+            "image/png", "synth")
+        }
+      }
+  }
+
+  /** Shared by q382/q383: planted-PNG decode → dHash →
+    * [[graft.similarity.BandedHamming]] (4×16-bit bands, degenerate-
+    * bucket cap, Hamming ≤ 6). On this corpus no bucket comes near the
+    * cap, so it is pure scale armor, and the oracle replicates the cap
+    * semantics exactly. */
   private val phashMaxBucket = 100
 
   private def phashPairs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-    val recs = ids.mapPartitions { it =>
-      it.map { id =>
-        val grp = id / 2
-        Multimodal.MediaRecord(id,
-          Multimodal.encodePngPerturbed((16 + grp % 17).toInt,
-            (16 + grp % 13).toInt, grp, perturb = id % 2 == 1),
-          "image/png", "synth")
-      }
-    }
-    val hashes = graft.multimodal.DecodeStub.dHash(recs).toDF()
-    val bands = hashes.select(col("media_id"), col("dhash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("dhash"), 16 * b)
-              .bitwiseAND(lit(0xffffL)).as("bkey"))): _*)).as("bk"))
-      .select(col("media_id"), col("dhash"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val okBuckets = bands.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") <= phashMaxBucket)
-      .select(col("band"), col("bkey"))
-    val capped = bands.join(okBuckets, Seq("band", "bkey"))
-    val cand = capped.as("a")
-      .join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
-      .distinct()
-    cand
-      .withColumn("hamming",
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-      .filter(col("hamming") <= 6)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    val hashes = graft.multimodal.DecodeStub
+      .dHash(phashRecords(spark, dir)).toDF()
+    graft.similarity.BandedHamming.nearDuplicatePairs(hashes,
+      "media_id", "dhash", nBands = 4, bandBits = 16, maxHamming = 6,
+      maxBucket = Some(phashMaxBucket))
   }
 
   /** Image duplicate CLUSTERS: q382's Hamming-verified perceptual-hash
@@ -1678,29 +1664,9 @@ object PipelineQueries {
       }
     }
     val prints = graft.multimodal.DecodeStub.audioFingerprint(recs).toDF()
-    val bands = prints.select(col("media_id"), col("fp"),
-        explode(array((0 until 2).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("fp"), 16 * b)
-              .bitwiseAND(lit(0xffffL)).as("bkey"))): _*)).as("bk"))
-      .select(col("media_id"), col("fp"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val okBuckets = bands.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") <= phashMaxBucket)
-      .select(col("band"), col("bkey"))
-    val capped = bands.join(okBuckets, Seq("band", "bkey"))
-    capped.as("a")
-      .join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-        col("a.fp").as("fa"), col("b.fp").as("fb"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
-      .filter(col("hamming") <= 4)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    graft.similarity.BandedHamming.nearDuplicatePairs(prints,
+        "media_id", "fp", nBands = 2, bandBits = 16, maxHamming = 4,
+        maxBucket = Some(phashMaxBucket))
       .orderBy(col("id_a"), col("id_b"))
   }
 }

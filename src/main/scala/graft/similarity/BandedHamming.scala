@@ -1,0 +1,119 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Banded Hamming-distance near-duplicate join over integer fingerprint
+  * codes (dHash, SimHash, acoustic fingerprints — any ≤64-bit code where
+  * "near-duplicate" means small Hamming distance).
+  *
+  * ONE implementation of the banding discipline the perceptual-hash image
+  * dedup (q382/q383), the acoustic-fingerprint audio dedup (q385) and any
+  * future code-valued modality share — previously each query re-spelled
+  * explode-bands → degenerate-bucket cap → self-join → `bit_count(xor)`
+  * inline, and the cap semantics had to stay mirrored across every copy
+  * (r8 verdict task 3: drift in one spelling is the bug class the oracle
+  * catches late and painfully).
+  *
+  * The pigeonhole guarantee: splitting a code into `nBands` contiguous
+  * bands means any pair within Hamming distance `< nBands` shares at
+  * least one unchanged band — so for `maxHamming ≤ nBands - 1` the band
+  * equi-join has PERFECT recall (q382: 4 bands, ≤6 Hamming keeps ≥98% of
+  * planted pairs because perturbations concentrate; q385: 2×16 over a
+  * 32-bit code, ≤4 needs 3+ bits to split across both bands to miss).
+  *
+  * Scale shape (100 TB): candidates come ONLY from an equi-join on
+  * (band, bandKey) — never all-pairs; `maxBucket` drops degenerate
+  * buckets (a solid-color/silent corpus hashing thousands of items to one
+  * band key contributes s²/2 candidate pairs) via a combinable
+  * `groupBy.count` joined back, never a window over the band (a window
+  * would buffer the whole degenerate bucket in ONE task before the cap
+  * could drop it — same reasoning as [[MinHashLsh.candidatePairs]]);
+  * Hamming verification touches band candidates only.
+  */
+object BandedHamming {
+
+  /** Exploded (id, code, band, bkey) band-key rows: band `b` is bits
+    * `[b·bandBits, (b+1)·bandBits)` of the code, extracted unsigned so
+    * bit 63 can't sign-smear into the key. */
+  def bandKeys(df: DataFrame, idCol: String, codeCol: String,
+               nBands: Int, bandBits: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    df.select(col(idCol).as("id"), col(codeCol).as("code"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col(codeCol), bandBits * b)
+              .bitwiseAND(lit(mask)).as("bkey"))): _*)).as("bk"))
+      .select(col("id"), col("code"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Drop rows in (band, bkey) buckets larger than `cap` — the skew guard
+    * for degenerate corpora. Combinable count, joined back. */
+  private def capBuckets(banded: DataFrame, maxBucket: Option[Int]): DataFrame =
+    maxBucket match {
+      case Some(cap) =>
+        val ok = banded.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= cap)
+          .select(col("band"), col("bkey"))
+        banded.join(ok, Seq("band", "bkey"))
+      case None => banded
+    }
+
+  /** Verified near-duplicate pairs `(id_a, id_b, hamming)` with
+    * `id_a < id_b` and `hamming ≤ maxHamming`, candidates restricted to
+    * pairs sharing at least one capped band key. */
+  def nearDuplicatePairs(df: DataFrame, idCol: String, codeCol: String,
+                         nBands: Int, bandBits: Int, maxHamming: Int,
+                         maxBucket: Option[Int] = None): DataFrame = {
+    val capped = capBuckets(bandKeys(df, idCol, codeCol, nBands, bandBits),
+      maxBucket)
+    val cand = capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.code").as("__ca"), col("b.code").as("__cb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("__ca").bitwiseXOR(col("__cb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Near-duplicates of `batch` codes against a prebuilt corpus band
+    * index — the incremental/streaming shape (per-batch cost O(batch),
+    * never O(corpus); the media twin of
+    * [[MinHashLsh.nearDuplicatesAgainstIndex]]). `corpusBands` is a
+    * persisted [[bandKeys]] frame (id, code, band, bkey) built with the
+    * SAME nBands/bandBits; the bucket cap applies to the COMBINED
+    * (index + batch) bucket — a degenerate band is quadratic regardless
+    * of which side fills it. Returns `(corpus_id, batch_id, hamming)`
+    * with `hamming ≤ maxHamming`. */
+  def pairsAgainstIndex(corpusBands: DataFrame, batch: DataFrame,
+                        idCol: String, codeCol: String,
+                        nBands: Int, bandBits: Int, maxHamming: Int,
+                        maxBucket: Option[Int] = None): DataFrame = {
+    val batchBands = bandKeys(batch, idCol, codeCol, nBands, bandBits)
+    val combined = corpusBands.select(col("id"), col("code"),
+        col("band"), col("bkey"))
+      .withColumn("__side", lit("c"))
+      .unionByName(batchBands.withColumn("__side", lit("b")))
+    val capped = capBuckets(combined, maxBucket)
+    val ci = capped.filter(col("__side") === "c")
+      .select(col("id").as("corpus_id"), col("code").as("__ca"),
+        col("band"), col("bkey"))
+    val bi = capped.filter(col("__side") === "b")
+      .select(col("id").as("batch_id"), col("code").as("__cb"),
+        col("band"), col("bkey"))
+    ci.join(bi, Seq("band", "bkey"))
+      .select(col("corpus_id"), col("batch_id"), col("__ca"), col("__cb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("__ca").bitwiseXOR(col("__cb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("corpus_id"), col("batch_id"), col("hamming"))
+  }
+}

@@ -339,4 +339,45 @@ class SimilaritySpec extends SparkSpec {
     for (w <- 0 until 32) if (e(w + 1) > e(w)) expected |= 1L << w
     assert(fps(0L) == expected, "fingerprint must equal the arithmetic replay")
   }
+
+  test("BandedHamming: pigeonhole recall within nBands-1 bits, Hamming " +
+       "cutoff enforced, degenerate buckets capped, index variant agrees") {
+    import graft.similarity.BandedHamming
+    val codes = Seq(
+      10L -> 0x1234567890abcdefL,
+      11L -> (0x1234567890abcdefL ^ 0x3L),      // 2 bits, one band -> found
+      12L -> (0x1234567890abcdefL ^ 0x10001L),  // 2 bits across 2 of 4 bands -> found
+      13L -> (0x1234567890abcdefL ^ 0x7fL),     // 7 bits from 10 -> cut; 5 from 11 -> kept
+      20L -> 0x5555555555555555L
+    ).toDF("id", "code")
+    val pairs = BandedHamming.nearDuplicatePairs(codes, "id", "code",
+        nBands = 4, bandBits = 16, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.keySet shouldBe Set((10L, 11L), (10L, 12L), (11L, 12L), (11L, 13L))
+    pairs((10L, 11L)) shouldBe 2L
+    pairs((10L, 12L)) shouldBe 2L
+    // (11,12): differs by 0x3 ^ 0x10001
+    pairs((11L, 12L)) shouldBe java.lang.Long.bitCount(0x3L ^ 0x10001L).toLong
+    pairs((11L, 13L)) shouldBe java.lang.Long.bitCount(0x3L ^ 0x7fL).toLong
+    // a degenerate bucket (many identical codes) is dropped by the cap —
+    // identical codes pair ONLY through their shared buckets, so capping
+    // removes all of them; the distinct near-dup pair elsewhere survives
+    val degen = (0 until 50).map(i => (100L + i) -> 0L) ++
+      Seq(200L -> 0x00ff00ff00ff00ffL, 201L -> 0x00ff00ff00ff00feL)
+    val capped = BandedHamming.nearDuplicatePairs(
+        degen.toDF("id", "code"), "id", "code",
+        nBands = 4, bandBits = 16, maxHamming = 6, maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped shouldBe Set((200L, 201L))
+    // index variant: batch codes vs the persisted corpus band frame give
+    // the same verified pairs as a self-join restricted across sides
+    val corpus = Seq(10L -> 0x1234567890abcdefL, 20L -> 0x5555555555555555L)
+      .toDF("id", "code")
+    val corpusBands = BandedHamming.bandKeys(corpus, "id", "code", 4, 16)
+    val batch = Seq(31L -> (0x1234567890abcdefL ^ 0x3L)).toDF("id", "code")
+    val hits = BandedHamming.pairsAgainstIndex(corpusBands, batch,
+        "id", "code", nBands = 4, bandBits = 16, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    hits shouldBe Map((10L, 31L) -> 2L)
+  }
 }
