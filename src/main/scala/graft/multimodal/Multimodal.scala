@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * bytes for fixtures. AUDIO decode is REAL the same way —
   * [[DecodeStub.decodeAudio]] parses WAV containers through
   * `javax.sound.sampled.AudioSystem` and [[encodeWav]] writes them, both
-  * JDK codecs. Model-inference feature extraction
-  * ([[DecodeStub.extractFeatures]]) remains a clearly-marked deterministic
-  * stub (no inference runtime in this environment) behind the production
-  * signature.
+  * JDK codecs. Feature extraction is REAL too — [[DecodeStub
+  * .imageEmbedding]] (4×4 centered-luma vector from the decoded raster)
+  * and [[DecodeStub.audioEmbedding]] (33-window energy vector from the
+  * decoded stream) embed actual media bytes; a model forward pass slots
+  * behind the same `Dataset[MediaEmbedding]` signature when an inference
+  * runtime is available.
   *
   * Scale notes: payloads stay columnar (parquet binary) end-to-end; decode
   * runs once per partition batch via mapPartitions (codec init amortized,
@@ -170,25 +172,79 @@ object DecodeStub {
   import Multimodal._
   import org.apache.spark.sql.{Dataset, SparkSession}
 
-  final case class MediaFeatures(media_id: Long, features: Array[Float])
+  final case class MediaEmbedding(media_id: Long, embedding: Array[Double])
 
-  /** STUB — deterministic fake feature extraction (the embed-the-image
-    * batch shape): fixed-length float vector per payload, partition-
-    * batched so a real model session initializes once per partition
-    * (exactly the mapInPandas contract). A real deployment swaps the
-    * digest for an ONNX/JNI forward pass behind the same signature. */
-  def extractFeatures(records: Dataset[MediaRecord], dim: Int = 8)
-      : Dataset[MediaFeatures] = {
+  /** REAL image embedding from decoded pixels — a 4×4 point-sampled
+    * integer-luma vector, MEAN-CENTERED in exact integer arithmetic
+    * (`e_k = 16·g_k − Σg`, so the vector sums to zero without a division
+    * and every value stays an exact integer any engine replays
+    * bit-for-bit). Sampling and grayscale follow the [[dHash]]
+    * discipline — `gray(i·w/4, j·h/4)`, element order `k = j·4 + i` —
+    * so the embedding is pure arithmetic over the planted raster and an
+    * oracle can replay it. Centering is what makes the vectors usable
+    * downstream: raw luma is all-positive (random pairs' cosine ≈ 0.75,
+    * no contrast), centered luma puts unrelated rasters near cosine 0
+    * while a ±1-per-pixel near-duplicate stays above 0.999 — the
+    * separation SemDeDup-style clustering ([[graft.similarity.LshAnn]],
+    * `KMeansCosine`) needs. A real deployment swaps this for a model
+    * forward pass behind the same `Dataset[MediaEmbedding]` signature;
+    * the Spark shape — partition-batched decode, fixed-dim vector,
+    * payload bytes never crossing a shuffle — is identical.
+    * Undecodable payloads drop (the [[decodeImage]] audit contract). */
+  def imageEmbedding(records: Dataset[MediaRecord]): Dataset[MediaEmbedding] = {
     val spark: SparkSession = records.sparkSession
     import spark.implicits._
     records.mapPartitions { it =>
-      // per-partition model init would happen here (amortized batch cost)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { r =>
-        md.reset()
-        val d = md.digest(r.payload)
-        val f = Array.tabulate(dim)(i => ((d(i % 16) & 0xff) - 128) / 128.0f)
-        MediaFeatures(r.media_id, f)
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val g = new Array[Long](16)
+          var k = 0
+          var sum = 0L
+          while (k < 16) {
+            val v = img.getRGB((k % 4) * w / 4, (k / 4) * h / 4)
+            g(k) = (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 +
+              (v & 0xff) * 114) / 1000
+            sum += g(k)
+            k += 1
+          }
+          Some(MediaEmbedding(r.media_id,
+            Array.tabulate(16)(k => (16L * g(k) - sum).toDouble)))
+        }
+      }
+    }
+  }
+
+  /** REAL audio embedding from decoded samples — the 33-window exact
+    * int64 energy vector [[audioFingerprint]] computes, surfaced as the
+    * embedding itself (values are exact integers in float64; cosine is
+    * scale-invariant, so no lossy normalization is applied — callers
+    * that need unit vectors divide by the norm downstream). Near-dup
+    * clips (±1-per-sample) move each window energy by O(Σ|s|), far under
+    * the inter-window spread, so they stay near cosine 1 while
+    * distinct-seed clips decorrelate — the audio twin of
+    * [[imageEmbedding]]. Undecodable / non-16-bit-mono / <33-sample
+    * payloads drop. */
+  def audioEmbedding(records: Dataset[MediaRecord]): Dataset[MediaEmbedding] = {
+    val spark: SparkSession = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        readWavSamples(r.payload).collect {
+          case (_, s) if s.length >= 33 =>
+            val e = new Array[Long](33)
+            var i = 0
+            while (i < s.length) {
+              e((i.toLong * 33 / s.length).toInt) += s(i).toLong * s(i)
+              i += 1
+            }
+            MediaEmbedding(r.media_id, e.map(_.toDouble))
+        }
       }
     }
   }

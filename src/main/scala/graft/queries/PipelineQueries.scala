@@ -1669,4 +1669,40 @@ object PipelineQueries {
         maxBucket = Some(phashMaxBucket))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** SEMANTIC image clusters FROM PIXELS — multimodal similarity search
+    * end-to-end on real media bytes: executors decode the planted PNGs
+    * (the q382 fixture) with `ImageIO`, embed each raster as a 4×4
+    * mean-centered integer-luma vector
+    * ([[graft.multimodal.DecodeStub.imageEmbedding]] — exact integer
+    * arithmetic, so the oracle replays it from the planted pixel
+    * function), and the EXISTING SemDeDup stack does the rest: LSH-
+    * bucketed cosine pairs ([[graft.similarity.LshAnn.pairsAbove]], never
+    * all-pairs, degenerate buckets capped) closed into connected
+    * components by the whale-safe large-star/small-star operator — the
+    * q82 shape with embeddings that came from actual decoded rasters
+    * instead of a parquet column. Near-dup twins sit above cosine 0.999
+    * while unrelated rasters top out near 0.93 (measured at sf0.1), so
+    * the 0.95 threshold recovers the planted families with margin on
+    * both sides. The float path is bit-exact across engines because
+    * every embedding value is an exact integer in float64 and both
+    * engines fold dot products strictly left-to-right. Scale shape:
+    * payload bytes never cross a shuffle (narrow decode→embed chain);
+    * only 16-dim vectors are banded and joined. */
+  def q386_image_semantic_clusters(spark: SparkSession,
+                                   dir: String): DataFrame = {
+    val emb = graft.multimodal.DecodeStub
+      .imageEmbedding(phashRecords(spark, dir)).toDF()
+      // zero vectors (a perfectly flat raster) have no direction — drop
+      // them before the cosine stage in BOTH engines (armor: the planted
+      // corpus never produces one)
+      .filter(CosineKnn.dot(col("embedding"), col("embedding")) > 0)
+    val pairs = LshAnn.pairsAbove(emb, "media_id", "embedding",
+        threshold = 0.95, nTables = 4, nBits = 12, dim = 16,
+        maxBucket = Some(200))
+      .select(col("id_a"), col("id_b"))
+    val docs = Tables.documents(spark, dir)
+    clusterView(Dedup.duplicateClustersBigStar(pairs,
+      docs.select(col("doc_id")), "doc_id"))
+  }
 }

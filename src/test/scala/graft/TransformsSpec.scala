@@ -409,19 +409,69 @@ class TransformsSpec extends SparkSpec {
     }
   }
 
-  test("Multimodal.extractFeatures: fixed-dim, deterministic, partition-batched") {
+  test("Multimodal.imageEmbedding: centered-luma vector replays the " +
+       "planted raster arithmetic; near-dups stay near cosine 1") {
     import graft.multimodal.{DecodeStub, Multimodal}
-    val docs = Seq((1L, "hello"), (2L, "world"), (3L, "hello")).toDF("doc_id", "text")
-    val packed = Multimodal.packBinary(docs, "doc_id", "text", "image/png", "text")
-      .as[Multimodal.MediaRecord]
-    val a = DecodeStub.extractFeatures(packed, dim = 8).collect()
-      .map(f => f.media_id -> f.features.toSeq).toMap
-    a.values.foreach(_.length shouldBe 8)
-    // deterministic: same payload -> identical vector, on any partitioning
-    a(1L) shouldBe a(3L)
-    val b = DecodeStub.extractFeatures(packed.repartition(7), dim = 8)
-      .collect().map(f => f.media_id -> f.features.toSeq).toMap
-    b shouldBe a
+    val recs = Seq(
+      Multimodal.MediaRecord(0L, Multimodal.encodePngPerturbed(21, 18, 5L, perturb = false), "image/png", "t"),
+      Multimodal.MediaRecord(1L, Multimodal.encodePngPerturbed(21, 18, 5L, perturb = true), "image/png", "t"),
+      Multimodal.MediaRecord(2L, Multimodal.encodePngPerturbed(21, 18, 6L, perturb = false), "image/png", "t"),
+      Multimodal.MediaRecord(3L, "not an image".getBytes("UTF-8"), "image/png", "t")).toDS()
+    val em = DecodeStub.imageEmbedding(recs).collect()
+      .map(e => e.media_id -> e.embedding).toMap
+    em.keySet shouldBe Set(0L, 1L, 2L) // undecodable dropped
+    em.values.foreach { v =>
+      v.length shouldBe 16
+      v.sum shouldBe 0.0 // exact-integer mean centering
+      v.foreach(x => x shouldBe math.rint(x)) // every value an exact integer
+    }
+    // replay the pristine embedding from the planted pixel function
+    val (w, h, seed) = (21, 18, 5L)
+    val g = Array.tabulate(16) { k =>
+      val x = (k % 4) * w / 4; val y = (k / 4) * h / 4
+      val u = (seed * 2654435761L + x * 31L + y * 131L) % 16777213L
+      val v = ((u * u) % 16777213L).toInt
+      ((((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 + (v & 0xff) * 114) / 1000).toLong
+    }
+    val sum = g.sum
+    em(0L).toSeq shouldBe g.map(gi => (16L * gi - sum).toDouble).toSeq
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    cos(em(0L), em(1L)) should be > 0.999 // planted near-dup
+    cos(em(0L), em(2L)) should be < 0.95 // distinct seed decorrelates
+  }
+
+  test("Multimodal.audioEmbedding: 33-window energy vector replays the " +
+       "planted PCM arithmetic; short/undecodable clips drop") {
+    import graft.multimodal.{DecodeStub, Multimodal}
+    val n = 99
+    def clip(seed: Long, perturb: Boolean) = Multimodal.encodeWav(8000,
+      Array.tabulate(n)(t => Multimodal.plantedSample(seed, t, perturb)))
+    val recs = Seq(
+      Multimodal.MediaRecord(0L, clip(3L, perturb = false), "audio/wav", "t"),
+      Multimodal.MediaRecord(1L, clip(3L, perturb = true), "audio/wav", "t"),
+      Multimodal.MediaRecord(2L, Multimodal.encodeWav(8000,
+        Array.tabulate(20)(t => Multimodal.plantedSample(4L, t, perturb = false))),
+        "audio/wav", "t"),
+      Multimodal.MediaRecord(3L, "junk".getBytes("UTF-8"), "audio/wav", "t")).toDS()
+    val em = DecodeStub.audioEmbedding(recs).collect()
+      .map(e => e.media_id -> e.embedding).toMap
+    em.keySet shouldBe Set(0L, 1L) // <33 samples and undecodable dropped
+    em(0L).length shouldBe 33
+    // replay window energies from the planted sample function
+    val e = new Array[Long](33)
+    for (t <- 0 until n) {
+      val s = Multimodal.plantedSample(3L, t, perturb = false).toLong
+      e((t.toLong * 33 / n).toInt) += s * s
+    }
+    em(0L).toSeq shouldBe e.map(_.toDouble).toSeq
+    // near-dup clip stays near cosine 1
+    val d = em(0L).zip(em(1L)).map(p => p._1 * p._2).sum
+    val c = d / (math.sqrt(em(0L).map(x => x * x).sum) *
+      math.sqrt(em(1L).map(x => x * x).sum))
+    c should be > 0.999
   }
 
   test("Ivm fold equals recompute under deletes; zero groups vanish") {

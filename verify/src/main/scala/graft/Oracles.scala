@@ -48,6 +48,80 @@ object Oracles {
         |  doc_id = cluster_id AS keep
         |FROM allc ORDER BY doc_id""".stripMargin,
 
+    // q386: semantic image clusters from PIXELS — the oracle replays the
+    // planted raster arithmetic (4×4 sampled integer luma, exact-integer
+    // mean centering), the SAME inlined hyperplane band keys the engine
+    // uses (LshAnn.sqlBandKeys), the bucket cap, the left-to-right
+    // float64 cosine, and the recursive-CTE component closure — equality
+    // proves real decode → embed → LSH → CC work ran end-to-end
+    "q386_image_semantic_clusters" ->
+      s"""WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id // 2 AS grp, doc_id % 2 AS p,
+        |    16 + (doc_id // 2) % 17 AS w, 16 + (doc_id // 2) % 13 AS h
+        |  FROM documents),
+        |g AS (SELECT k, k % 4 AS i, k // 4 AS j FROM range(16) t(k)),
+        |px AS (
+        |  SELECT d.doc_id, d.grp, d.p, g.k,
+        |    (g.i * d.w) // 4 AS x, (g.j * d.h) // 4 AS y
+        |  FROM d, g),
+        |tt AS (
+        |  SELECT doc_id, p, k, x, y,
+        |    ((grp * 2654435761 + x * 31 + y * 131) % 16777213)
+        |      * ((grp * 2654435761 + x * 31 + y * 131) % 16777213)
+        |      % 16777213 AS base
+        |  FROM px),
+        |pix AS (
+        |  SELECT doc_id, k,
+        |    CASE WHEN p = 1 AND (x + y) % 2 = 0
+        |      THEN xor(base, 65793) ELSE base END AS v
+        |  FROM tt),
+        |gray AS (
+        |  SELECT doc_id, k,
+        |    (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+        |      + (v & 255) * 114) // 1000 AS gy
+        |  FROM pix),
+        |cent AS (
+        |  SELECT doc_id, k,
+        |    16 * gy - SUM(gy) OVER (PARTITION BY doc_id) AS e
+        |  FROM gray),
+        |vec AS (
+        |  SELECT doc_id, list(CAST(e AS DOUBLE) ORDER BY k) AS v
+        |  FROM cent GROUP BY doc_id HAVING SUM(e * e) > 0),
+        |bands AS (
+        |  SELECT doc_id, unnest([
+        |    ${graft.similarity.LshAnn.sqlBandKeys("v", nTables = 4, nBits = 12, dim = 16, seed = 42L).mkString(",\n    ")}
+        |  ]) AS bkey FROM vec),
+        |bsz AS (SELECT bkey FROM bands GROUP BY bkey HAVING COUNT(*) <= 200),
+        |capped AS (SELECT b.* FROM bands b JOIN bsz USING (bkey)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM capped a JOIN capped b
+        |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |cos AS (
+        |  SELECT c.id_a, c.id_b FROM cand c
+        |  JOIN vec va ON va.doc_id = c.id_a
+        |  JOIN vec vb ON vb.doc_id = c.id_b
+        |  WHERE list_dot_product(va.v, vb.v)
+        |    / (sqrt(list_dot_product(va.v, va.v))
+        |       * sqrt(list_dot_product(vb.v, vb.v))) >= 0.95),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM cos
+        |  UNION SELECT id_b, id_a FROM cos
+        |), reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.node = e.b
+        |), comp AS (
+        |  SELECT node, min(r) AS comp FROM reach GROUP BY node
+        |), allc AS (
+        |  SELECT doc.doc_id, COALESCE(c.comp, doc.doc_id) AS cluster_id
+        |  FROM documents doc LEFT JOIN comp c ON c.node = doc.doc_id
+        |)
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |  doc_id = cluster_id AS keep
+        |FROM allc ORDER BY doc_id""".stripMargin,
+
     "q28_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
