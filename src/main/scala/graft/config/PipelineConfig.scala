@@ -50,7 +50,8 @@ final case class MaintenanceConfig(`type`: String, path: String,
                                    viewPath: Option[String] = None,
                                    agg: String = "group",
                                    base: Option[String] = None,
-                                   k: Int = 10) {
+                                   k: Int = 10,
+                                   publish: String = "rename") {
   def targetFileBytes: Long = targetFileMb.toLong * 1024 * 1024
 }
 
@@ -359,7 +360,8 @@ object HoconConfigLoader {
     viewPath = str(m, "viewPath").orElse(str(m, "view_path")),
     agg = str(m, "agg").map(_.toLowerCase).getOrElse("group"),
     base = str(m, "base"),
-    k = num(m, "k").map(_.intValue).getOrElse(10))
+    k = num(m, "k").map(_.intValue).getOrElse(10),
+    publish = str(m, "publish").map(_.toLowerCase).getOrElse("rename"))
 
   private def toDq(d: Obj): DQConfig = DQConfig(
     policy = str(d, "policy").orElse(str(d, "on_fail"))

@@ -78,25 +78,51 @@ object IngestionRunner {
             view.write.mode("overwrite").parquet(v))
         // Crash-safe snapshot protocol for the stateful (non-invertible)
         // folds: each applied batch publishes a COMPLETE next-state
-        // directory `state-<n>` holding the fold output plus a
-        // `_batch_key` file, moved into place with ONE atomic rename.
-        // There is no window where state is updated but the applied
-        // record missing — the record travels inside the renamed unit, so
-        // a crash either leaves the old state fully current (rerun
-        // refolds from it) or the new state fully applied (rerun skips).
-        // Runs through Hadoop FileSystem, so the protocol holds anywhere
-        // directory rename is atomic (POSIX, HDFS); object stores without
-        // atomic rename need a manifest-pointer variant.
+        // directory holding the fold output plus a `_batch_key` file,
+        // made visible by ONE atomic step. There is no window where
+        // state is updated but the applied record missing — the record
+        // travels inside the published unit, so a crash either leaves
+        // the old state fully current (rerun refolds from it) or the new
+        // state fully applied (rerun skips). Two publish modes
+        // (config `publish`):
+        //  - "rename" (default): the unit is `state-<n>`, moved into
+        //    place with one directory rename — atomic on POSIX/HDFS.
+        //  - "pointer": for object stores WITHOUT atomic directory
+        //    rename. The unit is written under a unique name
+        //    (`state-p-<n>-<keyhash>`, never renamed), then published by
+        //    creating a tiny `_commits/<n>` pointer file
+        //    create-no-overwrite (one conditional PUT on S3-like
+        //    stores); readers resolve pointers and ignore un-pointed
+        //    data dirs, so a crash mid-write leaves only an invisible
+        //    orphan that the deterministic rerun overwrites in place.
         val viewRoot = new org.apache.hadoop.fs.Path(m.path)
         lazy val fs =
           viewRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        def stateSnapshots(): Seq[(Int, org.apache.hadoop.fs.Path)] =
+        val commitsDir = new org.apache.hadoop.fs.Path(viewRoot, "_commits")
+        // rename-protocol snapshots: `state-<n>` directories
+        def renameSnapshots(): Seq[(Int, org.apache.hadoop.fs.Path)] =
           if (!fs.exists(viewRoot)) Seq.empty
           else fs.listStatus(viewRoot).toSeq
             .filter(s => s.isDirectory && s.getPath.getName.startsWith("state-"))
             .flatMap(s => scala.util.Try(
                 s.getPath.getName.stripPrefix("state-").toInt).toOption
               .map(_ -> s.getPath))
+        // pointer-protocol snapshots: `_commits/<n>` -> data dir name
+        def pointerSnapshots(): Seq[(Int, org.apache.hadoop.fs.Path)] =
+          if (!fs.exists(commitsDir)) Seq.empty
+          else fs.listStatus(commitsDir).toSeq
+            .flatMap(s => scala.util.Try(s.getPath.getName.toInt).toOption
+              .map(_ -> s.getPath))
+            .flatMap { case (n, commit) =>
+              val in = fs.open(commit)
+              val name =
+                try new String(in.readAllBytes(), "UTF-8").trim
+                finally in.close()
+              val data = new org.apache.hadoop.fs.Path(viewRoot, name)
+              if (fs.exists(data)) Some(n -> data) else None
+            }
+        def stateSnapshots(): Seq[(Int, org.apache.hadoop.fs.Path)] =
+          renameSnapshots() ++ pointerSnapshots()
         def batchKeyOf(p: org.apache.hadoop.fs.Path): Option[String] = {
           val f = new org.apache.hadoop.fs.Path(p, "_batch_key")
           if (!fs.exists(f)) None
@@ -125,18 +151,57 @@ object IngestionRunner {
             Seq(key, legacy).exists(k => fs.exists(new org.apache.hadoop.fs.Path(
               new org.apache.hadoop.fs.Path(viewRoot, "_applied"), k)))
         }
-        def publishState(next: org.apache.spark.sql.DataFrame,
-                         key: String): Unit = {
-          val n1 = stateSnapshots().map(_._1).maxOption.getOrElse(0) + 1
-          val tmp = new org.apache.hadoop.fs.Path(viewRoot, s".state-tmp-$key")
-          fs.delete(tmp, true)
-          next.write.mode("overwrite").parquet(tmp.toString)
+        def writeBatchKey(dir: org.apache.hadoop.fs.Path, key: String): Unit = {
           val out = fs.create(
-            new org.apache.hadoop.fs.Path(tmp, "_batch_key"), true)
+            new org.apache.hadoop.fs.Path(dir, "_batch_key"), true)
           try out.write(key.getBytes("UTF-8")) finally out.close()
-          val dest = new org.apache.hadoop.fs.Path(viewRoot, f"state-$n1%06d")
-          if (!fs.rename(tmp, dest)) throw new IllegalStateException(
-            s"atomic state publish failed: $tmp -> $dest")
+        }
+        def publishState(next: org.apache.spark.sql.DataFrame,
+                         key: String): Unit = m.publish match {
+          case "rename" =>
+            val n1 = stateSnapshots().map(_._1).maxOption.getOrElse(0) + 1
+            val tmp = new org.apache.hadoop.fs.Path(viewRoot, s".state-tmp-$key")
+            fs.delete(tmp, true)
+            next.write.mode("overwrite").parquet(tmp.toString)
+            writeBatchKey(tmp, key)
+            val dest = new org.apache.hadoop.fs.Path(viewRoot, f"state-$n1%06d")
+            if (!fs.rename(tmp, dest)) throw new IllegalStateException(
+              s"atomic state publish failed: $tmp -> $dest")
+          case "pointer" =>
+            // unique data-dir name per (n, batch): a crashed attempt left
+            // the SAME name un-pointed, so the deterministic rerun
+            // overwrites it in place and nothing dangles
+            val keySha = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(key.getBytes("UTF-8")).take(6)
+              .map("%02x".format(_)).mkString
+            val n1 = stateSnapshots().map(_._1).maxOption.getOrElse(0) + 1
+            val data =
+              new org.apache.hadoop.fs.Path(viewRoot, f"state-p-$n1%06d-$keySha")
+            fs.delete(data, true)
+            next.write.mode("overwrite").parquet(data.toString)
+            writeBatchKey(data, key)
+            fs.mkdirs(commitsDir)
+            val commit = new org.apache.hadoop.fs.Path(commitsDir, f"$n1%06d")
+            try {
+              // overwrite = false: the create FAILS if another writer
+              // committed this n first (conditional-PUT semantics). A
+              // lost race means our fold read state that is no longer
+              // current — retrying would silently drop the other
+              // writer's batch, so surface it instead (stateful folds
+              // are single-writer; the pointer's job is detection).
+              val out = fs.create(commit, false)
+              try out.write(data.getName.getBytes("UTF-8"))
+              finally out.close()
+            } catch {
+              case e: java.io.IOException if fs.exists(commit) =>
+                fs.delete(data, true)
+                throw new IllegalStateException(
+                  s"pointer publish lost a commit race at $commit — " +
+                    "another writer folded concurrently; rerun to fold " +
+                    "from the new current state", e)
+            }
+          case other => throw new IllegalArgumentException(
+            s"unknown ivm publish mode '$other' (rename/pointer)")
         }
         def readState(): org.apache.spark.sql.DataFrame =
           spark.read.parquet(currentState().getOrElse(
@@ -218,31 +283,34 @@ object IngestionRunner {
       case "dedup-index" =>
         // build-or-append a document batch into a persistent MinHash-LSH
         // dedup index (the batch twin of StreamOps.dedupIndexSink) —
-        // per-batch cost O(batch), never O(corpus)
+        // per-batch cost O(batch), never O(corpus). CRASH-ATOMIC since
+        // r9: the batch publishes as one renamed `batch-<key>` unit per
+        // table, appliedness travels inside it (DedupIndex.appendAtomic);
+        // pre-r9 `_applied/` markers still honored.
         val src = m.source.getOrElse(throw new IllegalArgumentException(
           "dedup-index maintenance task needs a source (document batch path)"))
         if (m.columns.length < 2) throw new IllegalArgumentException(
           "dedup-index needs columns=[<idColumn>, <textColumn>]")
         val (idCol, textCol) = (m.columns(0), m.columns(1))
-        ifNotApplied(spark, m.path, src) {
-          val batch = spark.read.parquet(src)
-          if (graft.similarity.DedupIndex.exists(spark, m.path))
-            graft.similarity.DedupIndex.append(batch, idCol, textCol, m.path)
-          else
-            graft.similarity.DedupIndex.build(batch, idCol, textCol, m.path)
-        }
+        val key = batchKeyFor(src)
+        if (!legacyMarkerApplied(spark, m.path, src) &&
+            !graft.similarity.DedupIndex.batchApplied(spark, m.path, key))
+          graft.similarity.DedupIndex.appendAtomic(
+            spark.read.parquet(src), idCol, textCol, m.path, key)
       case "profile" =>
         // fold a batch's per-column profile into the monoid profile store
         // (one aggregate pass over the batch; the store itself is tiny
-        // metadata, merged on read — the data is never re-scanned)
+        // metadata, merged on read — the data is never re-scanned).
+        // CRASH-ATOMIC since r9, same one-renamed-unit protocol.
         val src = m.source.getOrElse(throw new IllegalArgumentException(
           "profile maintenance task needs a source (batch path)"))
         if (m.columns.isEmpty) throw new IllegalArgumentException(
           "profile needs columns=[<col>, ...]")
-        ifNotApplied(spark, m.path, src) {
-          graft.metrics.ProfileStore.append(
-            spark.read.parquet(src), m.columns, m.path)
-        }
+        val key = batchKeyFor(src)
+        if (!legacyMarkerApplied(spark, m.path, src) &&
+            !graft.metrics.ProfileStore.batchApplied(spark, m.path, key))
+          graft.metrics.ProfileStore.appendAtomic(
+            spark.read.parquet(src), m.columns, m.path, key)
       case other => throw new IllegalArgumentException(
         s"unknown maintenance type '$other' " +
           "(compact/zorder/ivm/dedup-index/profile)")
@@ -264,27 +332,17 @@ object IngestionRunner {
   private def legacyBatchKeyFor(src: String): String =
     src.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  /** Re-RUN idempotency for append-style maintenance folds: `body` runs
-    * once per (store, source batch); a marker under `<path>/_applied/`
-    * skips replays (pipeline reruns, retry loops). Unlike the ivm
-    * snapshot protocol this is NOT crash-atomic — a crash between the
-    * append and the marker re-appends on retry — acceptable for the
-    * dedup index (duplicate fingerprints only widen candidate sets) and
-    * profile store (one duplicate batch profile row); the ivm state fold,
-    * where a replay corrupts the view, uses the atomic snapshot rename. */
-  private def ifNotApplied(spark: SparkSession, path: String, src: String)
-                          (body: => Unit): Unit = {
+  /** Pre-r9 stores recorded appliedness as a SEPARATE `_applied/<key>`
+    * marker written after the append (not crash-atomic — the reason the
+    * protocol moved to appendAtomic's in-unit appliedness). Those markers
+    * stay honored on read, under both the sha-suffixed and the pre-r8
+    * unsuffixed key formats, so migrated stores never re-append. */
+  private def legacyMarkerApplied(spark: SparkSession, path: String,
+                                  src: String): Boolean = {
     val applied = new org.apache.hadoop.fs.Path(path, "_applied")
-    val marker = new org.apache.hadoop.fs.Path(applied, batchKeyFor(src))
-    // pre-r8 stores wrote the marker under the unsuffixed key — accept it
-    val legacyMarker = new org.apache.hadoop.fs.Path(
-      applied, legacyBatchKeyFor(src))
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker) && !fs.exists(legacyMarker)) {
-      body
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
-    }
+    val fs = applied.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(batchKeyFor(src), legacyBatchKeyFor(src)).exists(k =>
+      fs.exists(new org.apache.hadoop.fs.Path(applied, k)))
   }
 
   def buildJob(j: JobConfig, registry: Option[SchemaRegistry],

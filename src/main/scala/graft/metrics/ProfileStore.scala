@@ -54,11 +54,39 @@ object ProfileStore {
   def append(df: DataFrame, columns: Seq[String], stateDir: String): Unit =
     profile(df, columns).write.mode("append").parquet(stateDir)
 
+  /** True iff [[appendAtomic]] fully published batch `batchKey`. */
+  def batchApplied(spark: SparkSession, stateDir: String,
+                   batchKey: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/batch-$batchKey")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** CRASH-ATOMIC batch append: the batch's profile rows land as one
+    * `batch-<key>` directory moved into place with a single rename, so
+    * appliedness ([[batchApplied]]) travels inside the published unit —
+    * a crash leaves either nothing (the rerun re-profiles) or the whole
+    * batch (the rerun skips); no window duplicates a batch's rows in the
+    * fold. The maintenance-task twin of [[append]]. */
+  def appendAtomic(df: DataFrame, columns: Seq[String], stateDir: String,
+                   batchKey: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/.tmp-$batchKey")
+    val dest = new org.apache.hadoop.fs.Path(s"$stateDir/batch-$batchKey")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true)
+    profile(df, columns).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dest, true) // stale partial unit from a crashed attempt
+    if (!fs.rename(tmp, dest)) throw new IllegalStateException(
+      s"atomic profile publish failed: $tmp -> $dest")
+  }
+
   /** Fold all stored batch profiles into the current table profile.
     * Monoid fold: one #batches×#columns-row aggregate — the data itself
-    * is never re-read. */
+    * is never re-read. Recursive lookup covers both layouts: [[append]]
+    * writes files at the root, [[appendAtomic]] publishes `batch-<key>`
+    * subdirectories. */
   def current(spark: SparkSession, stateDir: String): DataFrame =
-    merge(spark.read.parquet(stateDir))
+    merge(spark.read.option("recursiveFileLookup", "true").parquet(stateDir))
 
   /** Merge profile rows (from any number of batches) by column. min/max
     * compare in the recorded native type; integral sums add exactly. */

@@ -72,10 +72,15 @@ object DedupIndex {
     writeManifest(spark, path, Manifest(shingleN, bands, rowsPerBand))
   }
 
-  /** Load the two index tables: (fingerprints, bands). */
+  /** Load the two index tables: (fingerprints, bands). Recursive lookup:
+    * [[build]]/[[append]] write files at each table root, while
+    * [[appendAtomic]] publishes per-batch `batch-<key>` subdirectories —
+    * one read covers both layouts. */
   def load(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/fingerprints"),
-      spark.read.parquet(s"$path/bands"))
+    (spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$path/fingerprints"),
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$path/bands"))
 
   /** Append a new batch to an existing index using ITS band constants —
     * the batch is shingled once, both tables gain only the batch's rows. */
@@ -86,6 +91,55 @@ object DedupIndex {
     fps.write.mode("append").parquet(s"$path/fingerprints")
     MinHashLsh.bandIndex(fps, idCol, m.bands, m.rowsPerBand)
       .write.mode("append").parquet(s"$path/bands")
+  }
+
+  /** True iff [[appendAtomic]] fully published batch `batchKey`: the
+    * bands batch directory is renamed LAST, so its presence (plus the
+    * manifest) certifies the whole batch — data and appliedness are one
+    * unit, the crash-atomicity [[append]]'s separate marker lacks. */
+  def batchApplied(spark: SparkSession, path: String, batchKey: String): Boolean = {
+    val bands = new org.apache.hadoop.fs.Path(s"$path/bands/batch-$batchKey")
+    val fs = bands.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(bands) && exists(spark, path)
+  }
+
+  /** CRASH-ATOMIC batch append: each table gains the batch's rows as one
+    * `batch-<key>` directory moved into place with a single rename
+    * (bands last, manifest last of all), so appliedness
+    * ([[batchApplied]]) travels inside the published unit — a crash at
+    * any point leaves a rerun that either completes the batch
+    * (deterministic content overwrites any partial unit in place) or
+    * skips it; there is no window that double-appends. Creates the index
+    * (manifest) on first use. The maintenance-task twin of [[append]]
+    * (which stays the cheap plain-append for callers with their own
+    * exactly-once envelope, e.g. streaming foreachBatch). */
+  def appendAtomic(batch: DataFrame, idCol: String, textCol: String,
+                   path: String, batchKey: String,
+                   shingleN: Int = 3, bands: Int = 16,
+                   rowsPerBand: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    val m = if (exists(spark, path)) manifest(spark, path)
+            else Manifest(shingleN, bands, rowsPerBand)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def publish(df: DataFrame, table: String): org.apache.hadoop.fs.Path = {
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/$table/.tmp-$batchKey")
+      val dest = new org.apache.hadoop.fs.Path(s"$path/$table/batch-$batchKey")
+      fs.delete(tmp, true)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dest, true) // stale partial unit from a crashed attempt
+      if (!fs.rename(tmp, dest)) throw new IllegalStateException(
+        s"atomic index publish failed: $tmp -> $dest")
+      dest
+    }
+    val fpsDir = publish(
+      MinHashLsh.fingerprints(batch, idCol, textCol, m.shingleN),
+      "fingerprints")
+    // band keys from the PUBLISHED fingerprints (no re-shingle via lineage)
+    val stored = spark.read.parquet(fpsDir.toString)
+    publish(MinHashLsh.bandIndex(stored, idCol, m.bands, m.rowsPerBand),
+      "bands")
+    if (!exists(spark, path)) writeManifest(spark, path, m)
   }
 
   /** Near-duplicates of `batch` against the stored index (never re-reads

@@ -249,7 +249,8 @@ class ExamplesSpec extends SparkSpec {
       spark, "/tmp/graft-full/bronze") shouldBe 1
     // 6. RERUN: every stateful stage is idempotent — view, profile store,
     // and index fingerprint count all unchanged
-    val fpCount = spark.read
+    // appendAtomic publishes per-batch subdirs -> recursive lookup
+    val fpCount = spark.read.option("recursiveFileLookup", "true")
       .parquet("/tmp/graft-full/dedup-index/fingerprints").count()
     IngestionRunner.runPipeline(spark, cfg)
     spark.read.parquet("/tmp/graft-full/view")
@@ -259,7 +260,8 @@ class ExamplesSpec extends SparkSpec {
     graft.metrics.ProfileStore.current(spark, "/tmp/graft-full/profiles")
       .filter(col("column") === "score").collect()
       .head.getAs[Long]("n_rows") shouldBe 8L
-    spark.read.parquet("/tmp/graft-full/dedup-index/fingerprints")
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet("/tmp/graft-full/dedup-index/fingerprints")
       .count() shouldBe fpCount
   }
 

@@ -346,6 +346,115 @@ class IngestionSpec extends SparkSpec {
     view() shouldBe Map("x" -> 10L, "y" -> 5L)
   }
 
+  test("pointer-publish ivm heals every crash window without a directory " +
+       "rename: orphan data dirs are invisible, a committed pointer is " +
+       "never refolded, rename-published history still reads") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("graft-ivm-ptr")
+    val src1 = s"$root/b1"
+    val src2 = s"$root/b2"
+    Seq(("x", 10L), ("y", 5L)).toDF("k", "v").write.parquet(src1)
+    Seq(("x", 7L), ("z", 2L)).toDF("k", "v").write.parquet(src2)
+    def cfg(src: String) = graft.config.MaintenanceConfig(
+      `type` = "ivm", path = s"$root/st", source = Some(src),
+      keys = Seq("k"), columns = Seq("v"), agg = "min",
+      viewPath = Some(s"$root/view"), publish = "pointer")
+    // crash BEFORE the commit pointer: a fully-written data dir exists
+    // but no _commits entry — it must stay invisible and the rerun must
+    // overwrite it in place (same deterministic name) and commit once
+    val orphan = new java.io.File(s"$root/st/state-p-000001-deadbe")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(orphan.toPath.resolve("junk"), "partial")
+    IngestionRunner.runMaintenance(spark, cfg(src1))
+    def view() = spark.read.parquet(s"$root/view").collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Number]("min_v").longValue())
+      .toMap
+    view() shouldBe Map("x" -> 10L, "y" -> 5L)
+    val commits1 = new java.io.File(s"$root/st/_commits").list()
+      .filterNot(_.startsWith(".")).sorted
+    commits1 shouldBe Array("000001")
+    // the orphan name was unrelated (different key hash) — still exactly
+    // one POINTED snapshot; the orphan is ignored by readers
+    // crash AFTER commit but BEFORE the view write: rerun must NOT refold
+    // (no second commit), yet must re-publish the view
+    rmrfDir(new java.io.File(s"$root/view"))
+    IngestionRunner.runMaintenance(spark, cfg(src1))
+    new java.io.File(s"$root/st/_commits").list().filterNot(_.startsWith(".")).sorted shouldBe Array("000001")
+    view() shouldBe Map("x" -> 10L, "y" -> 5L)
+    // a second batch folds on top as commit 000002
+    IngestionRunner.runMaintenance(spark, cfg(src2))
+    new java.io.File(s"$root/st/_commits").list()
+      .filterNot(_.startsWith(".")).sorted shouldBe
+      Array("000001", "000002")
+    view() shouldBe Map("x" -> 7L, "y" -> 5L, "z" -> 2L)
+    // mixed-protocol history: a store with a rename-published snapshot
+    // continues under pointer publish, reading the rename snapshot as base
+    val root2 = tmpDir("graft-ivm-ptr2")
+    Seq(("x", 10L), ("y", 5L)).toDF("k", "v").write.parquet(s"$root2/b1")
+    Seq(("x", 7L), ("z", 2L)).toDF("k", "v").write.parquet(s"$root2/b2")
+    def cfg2(src: String, publish: String) = graft.config.MaintenanceConfig(
+      `type` = "ivm", path = s"$root2/st", source = Some(src),
+      keys = Seq("k"), columns = Seq("v"), agg = "min",
+      viewPath = Some(s"$root2/view"), publish = publish)
+    IngestionRunner.runMaintenance(spark, cfg2(s"$root2/b1", "rename"))
+    IngestionRunner.runMaintenance(spark, cfg2(s"$root2/b2", "pointer"))
+    spark.read.parquet(s"$root2/view").collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Number]("min_v").longValue())
+      .toMap shouldBe Map("x" -> 7L, "y" -> 5L, "z" -> 2L)
+    new java.io.File(s"$root2/st").list().count(_ == "state-000001") shouldBe 1
+    new java.io.File(s"$root2/st/_commits").list().filterNot(_.startsWith(".")).sorted shouldBe Array("000002")
+  }
+
+  test("dedup-index and profile maintenance are crash-atomic: appliedness " +
+       "travels inside the renamed batch unit, partial units heal, " +
+       "replays skip, legacy root-file stores still fold") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("graft-atomic-append")
+    val src = s"$root/docs"
+    Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+      .toDF("doc_id", "text").write.parquet(src)
+    // --- dedup-index: crash AFTER fingerprints but BEFORE bands — the
+    // batch reads as not-applied, the rerun overwrites the partial unit
+    val idx = s"$root/idx"
+    val partial = new java.io.File(s"$idx/fingerprints/batch-garbage")
+    partial.mkdirs() // unrelated partial unit must not block anything
+    def idxTask = graft.config.MaintenanceConfig(
+      `type` = "dedup-index", path = idx, source = Some(src),
+      columns = Seq("doc_id", "text"))
+    IngestionRunner.runMaintenance(spark, idxTask)
+    graft.similarity.DedupIndex.exists(spark, idx) shouldBe true
+    val (fps, bands) = graft.similarity.DedupIndex.load(spark, idx)
+    fps.count() shouldBe 2
+    val bandCount = bands.count()
+    // replay: nothing re-appended (appliedness is the bands batch dir)
+    IngestionRunner.runMaintenance(spark, idxTask)
+    val (fps2, bands2) = graft.similarity.DedupIndex.load(spark, idx)
+    fps2.count() shouldBe 2
+    bands2.count() shouldBe bandCount
+    // crash window: bands unit missing -> not applied -> rerun completes
+    rmrfDir(new java.io.File(s"$idx/bands"))
+    IngestionRunner.runMaintenance(spark, idxTask)
+    graft.similarity.DedupIndex.load(spark, idx)._2.count() shouldBe bandCount
+    // --- profile: batch unit is atomic, replay skips, legacy root files
+    // (pre-r9 plain append) still participate in the fold
+    val store = s"$root/prof"
+    graft.metrics.ProfileStore.append(
+      Seq((9L, "legacy")).toDF("doc_id", "text"), Seq("doc_id"), store)
+    def profTask = graft.config.MaintenanceConfig(
+      `type` = "profile", path = store, source = Some(src),
+      columns = Seq("doc_id"))
+    IngestionRunner.runMaintenance(spark, profTask)
+    def nRows() = graft.metrics.ProfileStore.current(spark, store)
+      .filter(col("column") === "doc_id").collect()
+      .head.getAs[Number]("n_rows").longValue()
+    nRows() shouldBe 3 // 1 legacy + 2 batch rows folded together
+    IngestionRunner.runMaintenance(spark, profTask) // replay: no change
+    nRows() shouldBe 3
+    // leftover tmp dir from a crashed attempt is invisible to the fold
+    new java.io.File(s"$store/.tmp-stale").mkdirs()
+    nRows() shouldBe 3
+  }
+
   test("pre-r8 stores (unsuffixed batch keys) are not refolded: legacy " +
        "group partitions overwrite in place, legacy min snapshots and " +
        "_applied markers still count as applied") {
