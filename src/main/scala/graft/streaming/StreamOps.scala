@@ -266,6 +266,73 @@ object StreamOps {
       }
       .start()
 
+  /** One micro-batch of continuous MEDIA dedup-index maintenance — the
+    * multimodal twin of [[dedupIndexBatch]] (same replay contract,
+    * callable directly so the semantics are unit-testable): `batch`
+    * carries (id, code) fingerprint rows — an image dHash or acoustic
+    * fingerprint computed upstream by the narrow decode chain
+    * ([[graft.multimodal.DecodeStub]]; media BYTES never reach this
+    * operator or the index). The batch is Hamming-matched against the
+    * persistent [[graft.similarity.MediaDedupIndex]], matches land
+    * EXACTLY-ONCE in a `micro_batch_id` partition (dynamic overwrite —
+    * a replayed batch overwrites its own output), and only
+    * not-yet-indexed ids are appended (anti-join on the column-pruned id
+    * column), so checkpoint-recovery replays cannot double-index a
+    * fingerprint. Creates the index on the first batch. */
+  def mediaDedupIndexBatch(batch: DataFrame, batchId: Long, idCol: String,
+                           codeCol: String, indexPath: String,
+                           matchesPath: String, maxHamming: Int,
+                           nBands: Int = 4, bandBits: Int = 16,
+                           maxBucket: Option[Int] = None): Unit = {
+    import graft.similarity.MediaDedupIndex
+    val spark = batch.sparkSession
+    if (!MediaDedupIndex.exists(spark, indexPath)) {
+      MediaDedupIndex.build(batch.limit(0), idCol, codeCol, indexPath,
+        nBands, bandBits)
+    }
+    // corpus_id =!= batch_id: on replay the batch's own codes are already
+    // indexed, and an item must not match itself — with the guard a
+    // replayed batch reproduces its original match set exactly
+    val matches = MediaDedupIndex.dedupBatch(spark, indexPath, batch,
+        idCol, codeCol, maxHamming, maxBucket)
+      .filter(col("corpus_id") =!= col("batch_id"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      matches.withColumn("micro_batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("micro_batch_id")
+        .parquet(matchesPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val fresh = batch.join(
+      MediaDedupIndex.indexedIds(spark, indexPath)
+        .withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+    MediaDedupIndex.append(fresh, idCol, codeCol, indexPath)
+  }
+
+  /** Continuous multimodal ingestion dedup: every micro-batch of media
+    * fingerprints is Hamming-checked against the persistent banded index
+    * and then becomes part of it — the streaming twin of q382/q385's
+    * batch dedup (per-batch cost O(batch); the corpus is never
+    * re-decoded or re-hashed). Match output is exactly-once; index
+    * appends are idempotent (see [[mediaDedupIndexBatch]]). */
+  def mediaDedupIndexSink(codes: DataFrame, idCol: String, codeCol: String,
+                          indexPath: String, matchesPath: String,
+                          checkpoint: String, maxHamming: Int,
+                          nBands: Int = 4, bandBits: Int = 16,
+                          maxBucket: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    codes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mediaDedupIndexBatch(batch, batchId, idCol, codeCol, indexPath,
+          matchesPath, maxHamming, nBands, bandBits, maxBucket)
+      }
+      .start()
+
   /** Per-micro-batch count-min-sketch maintenance — the streaming twin of
     * q108: each batch's token counters land as one `micro_batch_id`
     * partition of the sketch table (depth × width rows per batch, so even

@@ -165,6 +165,48 @@ class StreamingSpec extends SparkSpec {
       .filter(col("id") === 10L).count() shouldBe 1L
   }
 
+  test("mediaDedupIndexBatch: near-dup image in batch 2 matches batch 1's " +
+       "index; replay is exactly-once and never double-indexes") {
+    import graft.multimodal.{DecodeStub, Multimodal}
+    val root = tmpDir("mdix")
+    val (index, matches) = (root + "/index", root + "/matches")
+    def codes(recs: (Long, Long, Boolean)*) = DecodeStub.dHash(
+      recs.map { case (id, seed, pert) =>
+        Multimodal.MediaRecord(id,
+          Multimodal.encodePngPerturbed(24, 19, seed, perturb = pert),
+          "image/png", "t")
+      }.toDS()).toDF()
+    // batch 1: two distinct images — no matches, both indexed
+    StreamOps.mediaDedupIndexBatch(codes((1L, 7L, false), (2L, 8L, false)),
+      0L, "media_id", "dhash", index, matches, maxHamming = 6)
+    // explicit schema: a first batch with zero matches legitimately
+    // leaves no schema-bearing parquet part under the matches path
+    def matchPairs() = spark.read
+      .schema("corpus_id LONG, batch_id LONG, hamming LONG, micro_batch_id LONG")
+      .parquet(matches)
+      .select("corpus_id", "batch_id").as[(Long, Long)].collect().toSet
+    matchPairs() shouldBe Set.empty
+    // batch 2: a near-dup of batch 1's seed-7 image (1-bit perturbation,
+    // genuinely different bytes) plus a fresh image
+    val b2 = codes((10L, 7L, true), (11L, 9L, false))
+    StreamOps.mediaDedupIndexBatch(b2, 1L, "media_id", "dhash", index,
+      matches, maxHamming = 6)
+    matchPairs() shouldBe Set((1L, 10L))
+    // replay batch 2 (checkpoint-recovery shape): id 10 is already
+    // indexed — the match set must be reproduced exactly (no self-match,
+    // no duplicates) and the index must not gain duplicate codes
+    StreamOps.mediaDedupIndexBatch(b2, 1L, "media_id", "dhash", index,
+      matches, maxHamming = 6)
+    matchPairs() shouldBe Set((1L, 10L))
+    spark.read.parquet(index + "/codes")
+      .filter(col("id") === 10L).count() shouldBe 1L
+    // ...and a batch-3 near-dup of a batch-2 image proves batch 2 joined
+    // the corpus: matches point at BOTH the original and its batch-2 twin
+    StreamOps.mediaDedupIndexBatch(codes((20L, 7L, false)), 2L,
+      "media_id", "dhash", index, matches, maxHamming = 6)
+    matchPairs() shouldBe Set((1L, 10L), (1L, 20L), (10L, 20L))
+  }
+
   test("dedupIndexSink: each micro-batch joins the index for the next") {
     val root = tmpDir("dixs")
     val (index, matches, cp) = (root + "/index", root + "/matches", root + "/cp")
