@@ -160,7 +160,8 @@ final case class CheckConfig(`type`: String,
                              minRows: Option[Long] = None,
                              name: Option[String] = None,
                              sql: Option[String] = None,
-                             exact: Boolean = true) {
+                             exact: Boolean = true,
+                             typeColumn: Option[String] = None) {
 
   private def req[A](o: Option[A], what: String): A =
     o.getOrElse(throw new IllegalArgumentException(
@@ -181,6 +182,8 @@ final case class CheckConfig(`type`: String,
     case "unique_key"     => UniqueKeyCheck(if (columns.nonEmpty) columns else Seq(req(column, "column or columns")), exact)
     case "row_count_min"  => RowCountCheck(req(asLong(minRows), "minRows"))
     case "predicate"      => PredicateCheck(req(name, "name"), req(sql, "sql"))
+    case "media_decodable" => MediaDecodableCheck(req(column, "column"),
+      req(typeColumn, "typeColumn"), asDouble(min).getOrElse(1.0))
     case other => throw new IllegalArgumentException(s"unknown check type '$other'")
   }
 }
@@ -386,5 +389,6 @@ object HoconConfigLoader {
     minRows = num(c, "minRows").map(_.longValue),
     name = str(c, "name"),
     sql = str(c, "sql"),
-    exact = bool(c, "exact").getOrElse(true))
+    exact = bool(c, "exact").getOrElse(true),
+    typeColumn = str(c, "typeColumn").orElse(str(c, "type_column")))
 }

@@ -122,6 +122,31 @@ final case class UniqueKeyCheck(columns: Seq[String], exact: Boolean = true)
     rowCount - super.violations(metric, rowCount)
 }
 
+/** Binary media payloads must actually decode as their declared
+  * container (REAL JDK codec probe per row —
+  * [[graft.functions.DecodableMedia]]): the "≥99% of payloads decode"
+  * gate a training-data pipeline puts in front of its decode chain.
+  * Tolerates up to `1 − minDecodableFraction` undecodable rows; row
+  * predicate quarantines exactly the payloads the codecs reject (null
+  * payloads/types count as undecodable — nothing to decode). Like every
+  * check, contributes ONE aggregate expression to the single DQ pass;
+  * the probe is the only stage that touches the payload bytes. */
+final case class MediaDecodableCheck(payloadColumn: String,
+                                     mediaTypeColumn: String,
+                                     minDecodableFraction: Double = 1.0)
+    extends DQCheck {
+  val name = s"media_$payloadColumn"
+  private def pred = !coalesce(
+    graft.functions.DecodableMedia.decodableMedia(
+      col(payloadColumn), col(mediaTypeColumn)), lit(false))
+  def aggExpr: Column =
+    coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).cast("long").as(name)
+  def rowPredicate: Option[Column] = Some(pred)
+  override def passes(violations: Long, rowCount: Long): Boolean =
+    if (rowCount <= 0L) violations == 0L
+    else violations.toDouble / rowCount.toDouble <= 1.0 - minDecodableFraction
+}
+
 /** Total row count must be >= minRows. */
 final case class RowCountCheck(minRows: Long) extends DQCheck {
   val name = "row_count_min"

@@ -27,7 +27,13 @@ object MetadataChecks {
         else Seq.empty
       val pattern = Try(m.getString("pattern")).toOption
         .map(p => RegexCheck(f.name, p)).toSeq
-      notNull ++ allowed ++ range ++ pattern
+      // media_type_column on a binary field: the payload must decode as
+      // the container that column declares (min_decodable_fraction
+      // tolerance, default all rows) — the multimodal DQ gate
+      val media = Try(m.getString("media_type_column")).toOption
+        .map(tc => MediaDecodableCheck(f.name, tc,
+          numeric(m, "min_decodable_fraction").getOrElse(1.0))).toSeq
+      notNull ++ allowed ++ range ++ pattern ++ media
     }
 
   private def numeric(m: Metadata, key: String): Option[Double] =

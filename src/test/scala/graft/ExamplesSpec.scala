@@ -304,6 +304,46 @@ class ExamplesSpec extends SparkSpec {
     spark.read.parquet("/tmp/graft-meta/quarantine").count() shouldBe 2
   }
 
+  test("registry media metadata drives a decodable-fraction DQ gate " +
+       "(e2e: corrupt payload quarantined, real codec probe)") {
+    import graft.config._
+    import graft.multimodal.Multimodal
+    rmrf(new java.io.File("/tmp/graft-media-dq"))
+    // three genuine media payloads (real PNG + WAV bytes) and one corrupt
+    // one declared as PNG — the constraint lives ONLY in the registry
+    // schema's field metadata (media_type_column + min_decodable_fraction
+    // on content/media_assets), not in the job config
+    Seq(
+      (1L, Multimodal.encodePng(9, 7, 1L), "image/png", "crawl"),
+      (2L, Multimodal.encodePng(5, 5, 2L), "image/png", "crawl"),
+      (3L, Multimodal.encodeWav(8000,
+        Array.tabulate(40)(t => Multimodal.plantedSample(3L, t, perturb = false))),
+        "audio/wav", "crawl"),
+      (4L, "truncated garbage".getBytes("UTF-8"), "image/png", "crawl"))
+      .toDF("media_id", "payload", "media_type", "source")
+      .write.mode("overwrite").parquet("/tmp/graft-media-dq/in")
+    val job = JobConfig(
+      domain = "content", dataset = "media_assets", layer = "bronze",
+      source = SourceConfig("parquet", path = Some("/tmp/graft-media-dq/in")),
+      target = TargetConfig("parquet", "/tmp/graft-media-dq/bronze", mode = "overwrite"),
+      dq = Some(DQConfig(policy = "quarantine",
+        quarantine = Some("/tmp/graft-media-dq/quarantine"),
+        metadataChecks = true)))
+    val result = IngestionRunner.buildJob(job,
+      Some(new SchemaRegistry("examples/schemas"))).run(spark)
+    spark.read.parquet("/tmp/graft-media-dq/bronze")
+      .select("media_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L)
+    val quarantined = spark.read.parquet("/tmp/graft-media-dq/quarantine")
+    quarantined.select("media_id").as[Long].collect() shouldBe Array(4L)
+    quarantined.select("dq_reasons").as[String].collect()
+      .head should include("media_payload")
+    // the check itself failed the batch: 25% undecodable > the 1% allowance
+    val media = result.batchSummary.get.results
+      .find(_.check == "media_payload").get
+    media.violations shouldBe 1L
+    media.status shouldBe graft.dq.DQStatus.Fail
+  }
+
   test("registry pii flags drive masking on write (e2e: masked in the sink)") {
     import graft.config._
     rmrf(new java.io.File("/tmp/graft-pii"))

@@ -519,4 +519,31 @@ class ExpressionsSpec extends SparkSpec {
       r.getLong(r.fieldIndex("dtw")) should be <= r.getLong(r.fieldIndex("l1"))
     }
   }
+
+  test("DecodableMedia: real codec probe per declared type, null semantics") {
+    import graft.functions.DecodableMedia
+    import graft.multimodal.Multimodal
+    val png = Multimodal.encodePng(6, 4, 1L)
+    val wav = Multimodal.encodeWav(8000,
+      Array.tabulate(40)(t => Multimodal.plantedSample(2L, t, perturb = false)))
+    val junk = "not media at all".getBytes("UTF-8")
+    val rows = Seq(
+      (1L, png, "image/png"), (2L, wav, "audio/wav"),
+      (3L, junk, "image/png"), (4L, junk, "audio/wav"),
+      (5L, png, "video/mp4"), // unverifiable declared type -> false
+      (6L, wav, "image/png"), // wrong declared type -> false
+      (7L, null.asInstanceOf[Array[Byte]], "image/png"))
+      .toDF("id", "payload", "mt")
+      .select(col("id"),
+        DecodableMedia.decodableMedia(col("payload"), col("mt")).as("ok"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    rows(1L) shouldBe Some(true)
+    rows(2L) shouldBe Some(true)
+    rows(3L) shouldBe Some(false)
+    rows(4L) shouldBe Some(false)
+    rows(5L) shouldBe Some(false)
+    rows(6L) shouldBe Some(false)
+    rows(7L) shouldBe None // null payload propagates null
+  }
 }
