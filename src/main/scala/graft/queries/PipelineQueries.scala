@@ -1650,20 +1650,29 @@ object PipelineQueries {
     * Scale shape: payload bytes never cross a shuffle; only
     * (media_id, fp) is banded, and verification touches band candidates
     * only. */
-  def q385_audio_fp_dedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared by q385/q387: the planted audio-dedup fixture — every
+    * adjacent doc pair (2g, 2g+1) plants the SAME seeded WAV clip, the
+    * odd twin with a +1 amplitude perturbation on even samples (genuine
+    * near-duplicate bytes). */
+  private def audioRecords(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
     import spark.implicits._
-    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-    val recs = ids.mapPartitions { it =>
-      it.map { id =>
-        val grp = id / 2
-        val n = (64 + grp % 53).toInt
-        val samples = Array.tabulate(n)(t =>
-          Multimodal.plantedSample(grp, t, perturb = id % 2 == 1))
-        Multimodal.MediaRecord(id, Multimodal.encodeWav(8000, samples),
-          "audio/wav", "synth")
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val grp = id / 2
+          val n = (64 + grp % 53).toInt
+          val samples = Array.tabulate(n)(t =>
+            Multimodal.plantedSample(grp, t, perturb = id % 2 == 1))
+          Multimodal.MediaRecord(id, Multimodal.encodeWav(8000, samples),
+            "audio/wav", "synth")
+        }
       }
-    }
-    val prints = graft.multimodal.DecodeStub.audioFingerprint(recs).toDF()
+  }
+
+  def q385_audio_fp_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val prints = graft.multimodal.DecodeStub
+      .audioFingerprint(audioRecords(spark, dir)).toDF()
     graft.similarity.BandedHamming.nearDuplicatePairs(prints,
         "media_id", "fp", nBands = 2, bandBits = 16, maxHamming = 4,
         maxBucket = Some(phashMaxBucket))
@@ -1699,6 +1708,33 @@ object PipelineQueries {
       .filter(CosineKnn.dot(col("embedding"), col("embedding")) > 0)
     val pairs = LshAnn.pairsAbove(emb, "media_id", "embedding",
         threshold = 0.95, nTables = 4, nBits = 12, dim = 16,
+        maxBucket = Some(200))
+      .select(col("id_a"), col("id_b"))
+    val docs = Tables.documents(spark, dir)
+    clusterView(Dedup.duplicateClustersBigStar(pairs,
+      docs.select(col("doc_id")), "doc_id"))
+  }
+
+  /** SEMANTIC audio clusters FROM SAMPLES — the audio twin of [[q386]]:
+    * executors decode the planted WAV clips (the q385 fixture) with the
+    * JDK audio codec, embed each as a mean-centered 33-window energy
+    * vector ([[graft.multimodal.DecodeStub.audioEmbedding]] — exact
+    * integer arithmetic the oracle replays), and the existing SemDeDup
+    * stack clusters them: LSH-bucketed cosine pairs → whale-safe CC.
+    * Near-dup twins sit above cosine 0.9999 while unrelated clips top
+    * out near 0.972 at sf0.1 (centering removes the window-count
+    * pattern correlation that pushed RAW energy cosines to 0.996 —
+    * see [[graft.multimodal.DecodeStub.audioEmbedding]]), so the 0.985
+    * threshold recovers the planted families with margin. Scale shape:
+    * payload bytes never cross a shuffle; only 33-dim vectors are
+    * banded and joined. */
+  def q387_audio_semantic_clusters(spark: SparkSession,
+                                   dir: String): DataFrame = {
+    val emb = graft.multimodal.DecodeStub
+      .audioEmbedding(audioRecords(spark, dir)).toDF()
+      .filter(CosineKnn.dot(col("embedding"), col("embedding")) > 0)
+    val pairs = LshAnn.pairsAbove(emb, "media_id", "embedding",
+        threshold = 0.985, nTables = 4, nBits = 12, dim = 33,
         maxBucket = Some(200))
       .select(col("id_a"), col("id_b"))
     val docs = Tables.documents(spark, dir)

@@ -460,13 +460,15 @@ class TransformsSpec extends SparkSpec {
       .map(e => e.media_id -> e.embedding).toMap
     em.keySet shouldBe Set(0L, 1L) // <33 samples and undecodable dropped
     em(0L).length shouldBe 33
-    // replay window energies from the planted sample function
+    em(0L).sum shouldBe 0.0 // exact-integer mean centering
+    // replay centered window energies from the planted sample function
     val e = new Array[Long](33)
     for (t <- 0 until n) {
       val s = Multimodal.plantedSample(3L, t, perturb = false).toLong
       e((t.toLong * 33 / n).toInt) += s * s
     }
-    em(0L).toSeq shouldBe e.map(_.toDouble).toSeq
+    val sum = e.sum
+    em(0L).toSeq shouldBe e.map(x => (33L * x - sum).toDouble).toSeq
     // near-dup clip stays near cosine 1
     val d = em(0L).zip(em(1L)).map(p => p._1 * p._2).sum
     val c = d / (math.sqrt(em(0L).map(x => x * x).sum) *

@@ -122,6 +122,68 @@ object Oracles {
         |  doc_id = cluster_id AS keep
         |FROM allc ORDER BY doc_id""".stripMargin,
 
+    // q387: semantic audio clusters from SAMPLES — the q386 replay
+    // discipline over the planted PCM arithmetic: window energies,
+    // exact-integer mean centering, the same inlined hyperplane band
+    // keys, bucket cap, float64 cosine, recursive-CTE closure
+    "q387_audio_semantic_clusters" ->
+      s"""WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id // 2 AS grp, doc_id % 2 AS p,
+        |    64 + (doc_id // 2) % 53 AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, grp, p, n, unnest(range(n)) AS t FROM d),
+        |sv AS (
+        |  SELECT doc_id, n, t,
+        |    ((grp * 2654435761 + t * 9176) % 16777213)
+        |      * ((grp * 2654435761 + t * 9176) % 16777213)
+        |      % 65533 - 32766
+        |      + CASE WHEN p = 1 AND t % 2 = 0 THEN 1 ELSE 0 END AS v
+        |  FROM s),
+        |win AS (
+        |  SELECT doc_id, (t * 33) // n AS w, SUM(v * v) AS e
+        |  FROM sv GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT doc_id, w,
+        |    33 * e - SUM(e) OVER (PARTITION BY doc_id) AS ec
+        |  FROM win),
+        |vec AS (
+        |  SELECT doc_id, list(CAST(ec AS DOUBLE) ORDER BY w) AS v
+        |  FROM cent GROUP BY doc_id HAVING SUM(ec * ec) > 0),
+        |bands AS (
+        |  SELECT doc_id, unnest([
+        |    ${graft.similarity.LshAnn.sqlBandKeys("v", nTables = 4, nBits = 12, dim = 33, seed = 42L).mkString(",\n    ")}
+        |  ]) AS bkey FROM vec),
+        |bsz AS (SELECT bkey FROM bands GROUP BY bkey HAVING COUNT(*) <= 200),
+        |capped AS (SELECT b.* FROM bands b JOIN bsz USING (bkey)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM capped a JOIN capped b
+        |    ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |cos AS (
+        |  SELECT c.id_a, c.id_b FROM cand c
+        |  JOIN vec va ON va.doc_id = c.id_a
+        |  JOIN vec vb ON vb.doc_id = c.id_b
+        |  WHERE list_dot_product(va.v, vb.v)
+        |    / (sqrt(list_dot_product(va.v, va.v))
+        |       * sqrt(list_dot_product(vb.v, vb.v))) >= 0.985),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM cos
+        |  UNION SELECT id_b, id_a FROM cos
+        |), reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.node = e.b
+        |), comp AS (
+        |  SELECT node, min(r) AS comp FROM reach GROUP BY node
+        |), allc AS (
+        |  SELECT doc.doc_id, COALESCE(c.comp, doc.doc_id) AS cluster_id
+        |  FROM documents doc LEFT JOIN comp c ON c.node = doc.doc_id
+        |)
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |  doc_id = cluster_id AS keep
+        |FROM allc ORDER BY doc_id""".stripMargin,
+
     "q28_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
