@@ -149,6 +149,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("winnow", "winnow(gram_hashes, w) - distinct sliding-window minima (MOSS fingerprints)") {
       args => graft.functions.Winnow(args(0), intLit(args(1), "w"))
     },
+    fn("decodable_media", "decodable_media(payload, media_type) - does the binary payload parse as its declared container (real JDK codec probe)") {
+      args => graft.functions.DecodableMedia(args(0), args(1))
+    },
     fn("search_sorted", "search_sorted(v, array(...)) - upper-bound index into sorted literal boundaries") {
       args =>
         val bounds = args(1) match {

@@ -66,6 +66,7 @@ class RewriteSpec extends SparkSpec {
         |  size(minhash_sig(array('s1','s2'), 4)) AS ms,
         |  winnow(array(5L, 3L, 8L, 1L), 2) AS wn,
         |  search_sorted(15.0d, array(10.0d, 20.0d, 30.0d)) AS ss,
+        |  decodable_media(CAST('junk' AS BINARY), 'image/png') AS dm,
         |  stable_bucket(42, 1000) AS sb,
         |  modal_count(array('a','b','a','a')) AS mc,
         |  CAST(entropy_term_sum(array('a','a','b')) AS DOUBLE) AS ets
@@ -78,13 +79,14 @@ class RewriteSpec extends SparkSpec {
     row.getInt(4) shouldBe 4
     row.getSeq[Long](5) shouldBe Seq(3L, 1L)
     row.getInt(6) shouldBe 1
+    row.getBoolean(7) shouldBe false // junk bytes don't decode as PNG
     // stable_bucket must agree with the Column API (same md5-derived hash)
     val viaColumn = spark.range(1).select(
       graft.functions.StableHash.bucket(org.apache.spark.sql.functions.lit(42), 1000))
       .collect()(0).getLong(0)
-    row.getLong(7) shouldBe viaColumn
-    row.getLong(8) shouldBe 3L
-    row.getDouble(9) shouldBe (2.0 * math.log(2.0) +- 1e-9)
+    row.getLong(8) shouldBe viaColumn
+    row.getLong(9) shouldBe 3L
+    row.getDouble(10) shouldBe (2.0 * math.log(2.0) +- 1e-9)
   }
 
   test("search_sorted accepts plain SQL decimal and integer literal bounds") {
