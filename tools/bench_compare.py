@@ -73,12 +73,12 @@ def main(old_path, new_path):
                                        f"({nt / ot:.1f}x, bytes unchanged)")
 
     if suspicious_walltime:
-        load = {k: new.get(k) for k in
-                ("load_1m_before", "load_1m_after", "load_1m_max")
-                if new.get(k) is not None}
+        load_rec = {k: new.get(k) for k in
+                    ("load_1m_before", "load_1m_after", "load_1m_max")
+                    if new.get(k) is not None}
         print(f"WALL-TIME OUTLIERS WITHOUT BYTE MOVEMENT "
               f"({len(suspicious_walltime)}) — likely box co-tenancy; "
-              f"new-run load: {load or 'not recorded'}")
+              f"new-run load: {load_rec or 'not recorded'}")
         for s in suspicious_walltime[:20]:
             print(f"  {s}")
 
