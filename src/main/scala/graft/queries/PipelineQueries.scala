@@ -1576,8 +1576,13 @@ object PipelineQueries {
   private val phashMaxBucket = 100
 
   private def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // pin the tiny (id, hash) frame: the banding plan consumes it from
+    // several subtrees (bucket-count aggregate, both self-join sides) and
+    // each unpinned reference would re-run the WHOLE encode→decode→hash
+    // chain — the expensive stage decode-once semantics exist to avoid
     val hashes = graft.multimodal.DecodeStub
       .dHash(phashRecords(spark, dir)).toDF()
+      .localCheckpoint(eager = false)
     graft.similarity.BandedHamming.nearDuplicatePairs(hashes,
       "media_id", "dhash", nBands = 4, bandBits = 16, maxHamming = 6,
       maxBucket = Some(phashMaxBucket))
@@ -1671,8 +1676,10 @@ object PipelineQueries {
   }
 
   def q385_audio_fp_dedup(spark: SparkSession, dir: String): DataFrame = {
+    // pinned for the same decode-once reason as phashPairs
     val prints = graft.multimodal.DecodeStub
       .audioFingerprint(audioRecords(spark, dir)).toDF()
+      .localCheckpoint(eager = false)
     graft.similarity.BandedHamming.nearDuplicatePairs(prints,
         "media_id", "fp", nBands = 2, bandBits = 16, maxHamming = 4,
         maxBucket = Some(phashMaxBucket))
@@ -1700,12 +1707,16 @@ object PipelineQueries {
     * only 16-dim vectors are banded and joined. */
   def q386_image_semantic_clusters(spark: SparkSession,
                                    dir: String): DataFrame = {
+    // pinned: the LSH plan consumes the embeddings from three subtrees
+    // (band explode + both vector re-joins) — unpinned, each reference
+    // re-runs the whole encode->decode->embed chain
     val emb = graft.multimodal.DecodeStub
       .imageEmbedding(phashRecords(spark, dir)).toDF()
       // zero vectors (a perfectly flat raster) have no direction — drop
       // them before the cosine stage in BOTH engines (armor: the planted
       // corpus never produces one)
       .filter(CosineKnn.dot(col("embedding"), col("embedding")) > 0)
+      .localCheckpoint(eager = false)
     val pairs = LshAnn.pairsAbove(emb, "media_id", "embedding",
         threshold = 0.95, nTables = 4, nBits = 12, dim = 16,
         maxBucket = Some(200))
@@ -1730,9 +1741,11 @@ object PipelineQueries {
     * banded and joined. */
   def q387_audio_semantic_clusters(spark: SparkSession,
                                    dir: String): DataFrame = {
+    // pinned for the same decode-once reason as q386
     val emb = graft.multimodal.DecodeStub
       .audioEmbedding(audioRecords(spark, dir)).toDF()
       .filter(CosineKnn.dot(col("embedding"), col("embedding")) > 0)
+      .localCheckpoint(eager = false)
     val pairs = LshAnn.pairsAbove(emb, "media_id", "embedding",
         threshold = 0.985, nTables = 4, nBits = 12, dim = 33,
         maxBucket = Some(200))
