@@ -499,6 +499,7 @@ object IngestionRunner {
   /** Writer factory by target format (reference `:105-116`). */
   def buildWriter(format: String): SinkWriter = format.toLowerCase match {
     case "parquet" | "s3-parquet"  => ParquetSink()
+    case "orc"                     => OrcSink()
     case "delta" | "deltalake"     => DeltaSink()
     case "iceberg"                 => IcebergSink()
     case other => throw new IllegalArgumentException(s"unknown lakehouse format '$other'")

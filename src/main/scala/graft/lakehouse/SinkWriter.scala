@@ -61,6 +61,15 @@ final case class ParquetSink() extends SinkWriter {
   val formatName = "parquet"
 }
 
+/** ORC lakehouse sink — the other columnar format Spark ships natively
+  * (vectorized reader, predicate pushdown, zstd). Unlike Delta/Iceberg/
+  * Kafka this one is fully e2e-testable in this sandbox (orc-core ships
+  * in /opt/spark/jars), so the batch path is oracle-gated end-to-end
+  * (q390) rather than contract-spec-only. */
+final case class OrcSink() extends SinkWriter {
+  val formatName = "orc"
+}
+
 /** Delta Lake sink — same `format("delta")` string contract as the reference
   * (`lakehouse/DeltaLakeWriter.scala:96-129`). Compiles against vanilla
   * spark-sql; runs only where delta jars + extensions are deployed, so local

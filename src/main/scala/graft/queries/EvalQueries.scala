@@ -4059,6 +4059,98 @@ object EvalQueries {
       .orderBy(col("decile"))
   }
 
+  /** Depth-2 CART decision tree, trained distributed — the missing
+    * supervised-induction family next to the fitted models (q322 NB,
+    * q323 ridge, q324 GMM): predict `l_returnflag = 'R'` from integer
+    * feature domains (quantity 1..50, discount cents 0..10). Each
+    * level's split search is ONE combinable (node, feature, value)
+    * aggregate — the corpus collapses to ≤ 2·61 cells per node — then
+    * keyed prefix sums over the value domain price every threshold, and
+    * the winner minimizes weighted Gini `Σ_c n_c − (pos_c²+neg_c²)/n_c`.
+    * The Gini is two exact-long ratios in IEEE double (division and one
+    * addition are correctly rounded in both engines — no libm, so the
+    * argmin is bit-portable), ties break on (feature, value). Emits the
+    * three split rows and the four leaf rows with majority votes.
+    *
+    * Scale shape: the per-level pass is map-side combinable to the
+    * value-domain grain (the q350 histogram discipline); node
+    * assignment is a 1-row broadcast join per level; windows partition
+    * by (node, feature) — bounded by the domain, never corpus-sized. */
+  def q391_cart_tree(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.lineitem(spark, dir).select(
+        (col("l_returnflag") === "R").cast("long").as("y"),
+        col("l_quantity").cast("long").as("f_qty"),
+        round(col("l_discount") * 100).cast("long").as("f_disc"))
+      .localCheckpoint(eager = false) // root pass + assignment + leaves
+    def bestSplits(assigned: DataFrame): DataFrame = {
+      val cells = assigned
+        .select(col("node"), lit("disc").as("feat"),
+          col("f_disc").as("v"), col("y"))
+        .unionByName(assigned.select(col("node"), lit("qty").as("feat"),
+          col("f_qty").as("v"), col("y")))
+        .groupBy("node", "feat", "v")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("y")).cast("long").as("pos"))
+      val cum = Window.partitionBy(col("node"), col("feat"))
+        .orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+      val all = Window.partitionBy(col("node"), col("feat"))
+      val cand = cells
+        .withColumn("nl", sum(col("n")).over(cum))
+        .withColumn("posl", sum(col("pos")).over(cum))
+        .withColumn("tn", sum(col("n")).over(all))
+        .withColumn("tp", sum(col("pos")).over(all))
+        .withColumn("nr", col("tn") - col("nl"))
+        .withColumn("posr", col("tp") - col("posl"))
+        .filter(col("nl") > 0 && col("nr") > 0)
+        .withColumn("g",
+          (col("nl") * col("nl") - col("posl") * col("posl")
+            - (col("nl") - col("posl")) * (col("nl") - col("posl")))
+            .cast("double") / col("nl").cast("double")
+          + (col("nr") * col("nr") - col("posr") * col("posr")
+            - (col("nr") - col("posr")) * (col("nr") - col("posr")))
+            .cast("double") / col("nr").cast("double"))
+      cand.withColumn("rk", row_number().over(Window.partitionBy(col("node"))
+          .orderBy(col("g"), col("feat"), col("v"))))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("feat"), col("v"), col("g"),
+          col("tn"), col("tp"))
+    }
+    val root = bestSplits(rows.withColumn("node", lit("root")))
+    def descend(assigned: DataFrame, splits: DataFrame): DataFrame =
+      // limit(2): there are at most 2 splits per level by construction;
+      // the explicit GlobalLimit makes the build side PLAN-PROVABLY
+      // bounded for JoinSweepSpec even when the root level's constant
+      // node key folds the equi-join into a nested loop
+      assigned.join(broadcast(splits.select(col("node"),
+          col("feat").as("s_feat"), col("v").as("s_v")).limit(2)),
+        Seq("node"))
+        .withColumn("node", concat(col("node"),
+          when(when(col("s_feat") === "qty", col("f_qty"))
+            .otherwise(col("f_disc")) <= col("s_v"), "L").otherwise("R")))
+        .select(col("node"), col("y"), col("f_qty"), col("f_disc"))
+    val level1 = descend(
+      rows.withColumn("node", lit("")), // root children named 'L'/'R'
+      root.select(lit("").as("node"), col("feat"), col("v")))
+    val children = bestSplits(level1)
+    val leaves = descend(level1, children)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("y")).cast("long").as("pos"))
+      .withColumn("majority",
+        when(col("pos") * 2 > col("n"), 1L).otherwise(0L))
+    root.unionByName(children)
+      .select(col("node"), lit("split").as("kind"),
+        col("feat").as("feature"), col("v").as("threshold"),
+        round(col("g"), 9).as("gini"), col("tn").as("n"),
+        col("tp").as("pos"), lit(null).cast("long").as("majority"))
+      .unionByName(leaves.select(col("node"), lit("leaf").as("kind"),
+        lit(null).cast("string").as("feature"),
+        lit(null).cast("long").as("threshold"),
+        lit(null).cast("double").as("gini"), col("n"), col("pos"),
+        col("majority")))
+      .orderBy(col("node"), col("kind"))
+  }
+
   /** BH z-scale thresholds Φ⁻¹(1 − iα/(2m)) for α=0.1, every m ≤ 25 and
     * i ≤ m — evaluated once on the driver and interpolated verbatim into
     * both engines, so the BH pass itself is pure comparisons. */

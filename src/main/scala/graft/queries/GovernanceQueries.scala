@@ -65,4 +65,50 @@ object GovernanceQueries {
       .agg(count(lit(1)).as("n_kept"),
         unix_micros(min(col("ts"))).as("min_kept_ts_us"))
       .orderBy(col("event_type"))
+
+  /** Local differential privacy via per-bit randomized response (the
+    * RAPPOR primitive, Erlingsson et al. CCS'14): each document reports
+    * a ONE-HOT language vector whose every bit flips with probability
+    * 1/4 — ε = ln(3) per bit — and the collector debiases the observed
+    * counts back to frequency estimates without ever trusting an
+    * individual row. The flip coins are [[graft.functions.StableHash]]
+    * buckets of (doc_id, bit), so the whole mechanism is a pure function
+    * of the data (engine-portable, rerun-stable) and the oracle replays
+    * it coin for coin; the debias `t̂ = (4·obs − n)/2` is exact integer
+    * arithmetic with one final /2.0. Reported per language: true count,
+    * observed ones, debiased estimate, absolute error — the
+    * privacy/utility trade the pipeline audits before shipping LDP
+    * telemetry.
+    *
+    * Scale shape: the bit table is corpus × #langs with the language
+    * list a plan-bounded broadcast (distinct → ordered limit 32 — the
+    * audit's language budget), folded by ONE combinable aggregate; no
+    * window, no per-doc state. */
+  def q392_randomized_response(spark: SparkSession,
+                               dir: String): DataFrame = {
+    import graft.functions.StableHash
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    val langs = docs.select(col("lang").as("k")).distinct()
+      .orderBy(col("k")).limit(32) // plan-provably-bounded build side
+    docs.crossJoin(broadcast(langs))
+      .select(col("k"),
+        (col("lang") === col("k")).cast("long").as("t"),
+        (StableHash.bucket(
+          concat_ws("#", col("doc_id"), lit("rr"), col("k")), 1000) < 250)
+          .cast("long").as("flip"))
+      .select(col("k"), col("t"),
+        ((col("t") + col("flip")) % 2).as("rep"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).cast("long").as("n_bits"),
+        sum(col("rep")).cast("long").as("reported_ones"),
+        sum(col("t")).cast("long").as("true_count"))
+      .select(col("k").as("lang"), col("true_count"),
+        col("reported_ones"),
+        ((lit(4L) * col("reported_ones") - col("n_bits")).cast("double")
+          / lit(2.0d)).as("est_count"))
+      .withColumn("abs_err",
+        abs(col("est_count") - col("true_count").cast("double")))
+      .orderBy(col("lang"))
+  }
 }

@@ -1754,4 +1754,163 @@ object PipelineQueries {
     clusterView(Dedup.duplicateClustersBigStar(pairs,
       docs.select(col("doc_id")), "doc_id"))
   }
+
+  /** Unigram-LM tokenizer training — ONE EM round of the SentencePiece
+    * unigram model (Kudo 2018), the likelihood-based counterpart of the
+    * greedy BPE pair (q93 mines merges, q367 applies them): seed a piece
+    * vocabulary from substring masses, E-step = Viterbi-segment every
+    * word under NLL piece costs, M-step = re-estimate piece masses from
+    * the winning segmentations, report the top-30 pieces by EM mass.
+    *
+    * Determinism discipline: piece costs are `round(ln(total)−ln(mass),
+    * 9)` DECIMAL(20,9) — exact-integer `ln` inputs plus 9-decimal
+    * rounding absorb any libm last-ulp split (the q363 NB rule) — and
+    * the Viterbi DP folds those DECIMALs exactly, breaking cost ties by
+    * the lexicographically smallest segmentation string, so the winning
+    * path is a pure function of the masses in BOTH engines. The oracle
+    * replays the DP as a recursive CTE with a lateral min-per-step (the
+    * q367 shape) — proving the HOF fold equals the textbook recurrence
+    * on every word, segmentation strings and all.
+    *
+    * Scale shape: the corpus collapses to the distinct-word dictionary
+    * in one combinable aggregate (the q93/q367 dictionary-encode trick);
+    * everything after — substring masses, the ≤64+Σ-piece vocab, the
+    * per-word DP (≤16 positions × ≤4 transitions, inside whole-stage
+    * codegen), the M-step — lives on dictionary or vocab grain. The
+    * vocab attaches to DP edges by an equi-join on the piece string; no
+    * window over corpus rows, nothing collects. */
+  def q388_unigram_em(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.UnigramLm
+    // corpus → dictionary → seed vocab → Viterbi E-step (all the heavy
+    // machinery lives in graft.text.UnigramLm — q389 applies the same
+    // trainer across a train/held-out split)
+    val words = UnigramLm.dictionary(Tables.documents(spark, dir))
+    val vocab = UnigramLm.seedVocab(words)
+    val dp = UnigramLm.viterbi(words, vocab)
+    // M-step: piece masses under the winning segmentations
+    val em = dp
+      .select(col("freq"), explode(split(col("seg"), "\\|")).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).cast("long").as("em_mass"),
+        count(lit(1)).cast("long").as("n_words"))
+    val emTot = em.agg(sum(col("em_mass")).as("t1")) // 1-row
+    em.join(vocab.select(col("piece"), col("seed_mass")), Seq("piece"))
+      .crossJoin(broadcast(emTot))
+      .select(col("piece"), col("seed_mass"), col("em_mass"),
+        col("n_words"),
+        round(expr("ln(CAST(t1 AS DOUBLE)) - ln(CAST(em_mass AS DOUBLE))"),
+          6).as("nll"))
+      .orderBy(col("em_mass").desc, col("piece")).limit(30)
+  }
+
+  /** Tokenizer fertility audit — the q388 trainer applied across a
+    * train/held-out split (the q56/q363 [[graft.functions.StableHash]]
+    * split discipline, buckets <800 train): the vocab and NLL costs come
+    * from TRAIN documents only, held-out words Viterbi-segment under
+    * them, and the report is per-language fertility (pieces emitted per
+    * corpus token) plus the unknown-piece exposure — the
+    * tokenizer-fairness measurement multilingual-pipeline audits run
+    * before committing to a vocab. Held-out characters the train split
+    * never saw enter the vocab as mass-1 unk pieces (cost = round(ln
+    * (total), 9)), so every held-out word still segments and the unk
+    * count is exact rather than a dropped-row artifact.
+    *
+    * Scale shape: identical to q388 (dictionary grain throughout) plus
+    * one (lang, word) aggregate — language count is bounded, so the
+    * final report is a handful of rows; the unk char table is a bounded
+    * anti-join on the piece string. */
+  def q389_unigram_fertility(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.UnigramLm
+    import graft.functions.StableHash
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket", StableHash.bucket(col("doc_id"), 1000))
+    val trainWords = UnigramLm.dictionary(docs.filter(col("bucket") < 800))
+    val vocab = UnigramLm.seedVocab(trainWords)
+    // held-out (lang, w) frequencies; the DP runs once per distinct word
+    val heldLang = docs.filter(col("bucket") >= 800)
+      .select(col("lang"),
+        explode(TextOps.tokens(TextOps.normalize(col("text")))).as("w"))
+      .filter(length(col("w")).between(1, UnigramLm.MaxWordLen))
+      .groupBy("lang", "w").agg(count(lit(1)).cast("long").as("freq"))
+      .localCheckpoint(eager = false)
+    val heldWords = heldLang.groupBy("w")
+      .agg(sum(col("freq")).cast("long").as("freq"))
+    // unseen held-out chars → mass-1 unk pieces (bounded: one row per
+    // novel character, anti-joined on the piece string)
+    val tot = vocab.agg(sum(col("seed_mass")).as("t")) // 1-row
+    val unk = heldWords
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
+        .as("piece")).distinct()
+      .join(vocab.select(col("piece")), Seq("piece"), "left_anti")
+      .crossJoin(broadcast(tot))
+      .select(col("piece"), UnigramLm.nllCost(col("t"), lit(1L)).as("cost"),
+        lit(true).as("is_unk"))
+    // NOT pinned: both consumers (DP edges, unk flags) sit above the
+    // already-pinned train vocab, and re-running the tiny anti-join +
+    // union is cheaper than materializing another vocab-grain frame
+    val fullVocab = vocab.select(col("piece"), col("cost"),
+        lit(false).as("is_unk"))
+      .unionByName(unk)
+    val dp = UnigramLm.viterbi(heldWords,
+      fullVocab.select(col("piece"), col("cost")))
+    // per-word piece/unk counts, then the bounded per-lang rollup
+    val perWord = dp
+      .select(col("w"), explode(split(col("seg"), "\\|")).as("piece"))
+      .join(fullVocab.select(col("piece"), col("is_unk")), Seq("piece"))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("n_pieces_w"),
+        sum(when(col("is_unk"), 1L).otherwise(0L)).as("n_unk_w"))
+    heldLang.join(perWord, Seq("w"))
+      .groupBy("lang").agg(
+        sum(col("freq")).cast("long").as("n_tokens"),
+        sum(col("freq") * col("n_pieces_w")).cast("long").as("n_pieces"),
+        sum(col("freq") * col("n_unk_w")).cast("long").as("n_unk_pieces"))
+      .withColumn("fertility", round(col("n_pieces").cast("double") /
+        col("n_tokens").cast("double"), 6))
+      .orderBy(col("lang"))
+  }
+
+  /** ORC round-trip — the one lakehouse format beyond parquet whose jars
+    * ship with Spark itself, so unlike the Delta/Iceberg/Kafka contracts
+    * (spec-tested, jars absent in this sandbox) the ORC path is
+    * oracle-gated END TO END: [[graft.lakehouse.OrcSink]] writes a
+    * returnflag-partitioned slice, [[graft.io.FileReader]] reads it back
+    * with an explicit registry-style schema (never inferred — the
+    * reference design tenet), and the q01-shape aggregate must match
+    * DuckDB reading the ORIGINAL parquet — proving the format conversion
+    * lost nothing: values, partition-column round-trip, DECIMAL math.
+    *
+    * Scale shape: the write is partitioned + columnar; the read-back
+    * scan gets the quantity predicate PUSHED into the ORC reader
+    * (PlanSpec pins PushedFilters) and prunes to the selected columns;
+    * the aggregate is one combinable pass. At 100 TB this is the
+    * bronze-tier format-migration job: one scan each way, no shuffle
+    * beyond the ≤8-group rollup. */
+  def q390_orc_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.types._
+    import graft.lakehouse.{LakehouseTable, OrcSink}
+    import graft.core.MedallionLayer
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-orc-roundtrip").toString
+    OrcSink().write(
+      Tables.lineitem(spark, dir).select(col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity"), col("l_extendedprice")),
+      LakehouseTable(tmp, MedallionLayer.Bronze,
+        partitions = Seq("l_returnflag")),
+      SaveMode.Overwrite)
+    val schema = StructType(Seq(
+      StructField("l_linestatus", StringType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_returnflag", StringType))) // partition col last
+    graft.io.FileReader("orc", tmp, schema = Some(schema)).read(spark)
+      .filter(col("l_quantity") >= 25.0) // pushed into the ORC scan
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 }

@@ -1,0 +1,137 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece, Kudo 2018) tokenizer primitives — the
+  * likelihood-based counterpart of the greedy BPE family (q93 merge
+  * mining / q367 apply). Three stages, every one on dictionary or vocab
+  * grain after a single corpus aggregate:
+  *
+  *  1. [[dictionary]] — corpus → distinct normalized words with
+  *     frequencies (the q93/q367 dictionary-encode trick: all later
+  *     character work is over word TYPES, never token occurrences).
+  *  2. [[seedVocab]] — substring seed masses → NLL piece costs. Costs
+  *     are `round(ln(total) − ln(mass), 9)` DECIMAL(20,9): exact-integer
+  *     `ln` inputs + 9-decimal rounding absorb any libm last-ulp split
+  *     (the q363 Naive-Bayes rule), so the downstream DP is an exact
+  *     DECIMAL fold in every engine.
+  *  3. [[viterbi]] — the E-step: per-word best segmentation under the
+  *     piece costs, as a codegen'd nested higher-order `aggregate` (no
+  *     UDF, no driver loop), ties broken by the lexicographically
+  *     smallest segmentation string — a pure function of the masses.
+  *
+  * The reference has no tokenizer surface at all; this implements the
+  * training loop its LLM-ingestion brief needs (compare
+  * `/root/reference/docs/02-tech-spec.md:45-46`, which stops at file
+  * readers). Oracle replays drive the same arithmetic as recursive CTEs
+  * with a lateral min-per-step (see `Oracles.q388/q389`).
+  */
+object UnigramLm {
+
+  /** Longest candidate piece, in characters. */
+  val MaxPiece = 4
+
+  /** Words longer than this are excluded from training and encoding (in
+    * both engines — keeps the DP bounded per row at any corpus scale). */
+  val MaxWordLen = 16
+
+  /** Corpus → (w, freq) dictionary over normalized whitespace tokens.
+    * Pinned ([[DataFrame.localCheckpoint]], lazy): every caller fans it
+    * into at least the substring pass, the edge pass and a weighting
+    * join — unpinned, each subtree would re-run the corpus scan. */
+  def dictionary(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(TextOps.tokens(TextOps.normalize(col(textCol))))
+        .as("w"))
+      .filter(length(col("w")).between(1, MaxWordLen))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("freq"))
+      .localCheckpoint(eager = false)
+
+  /** Substring seed masses over the dictionary: every 1..[[MaxPiece]]-char
+    * substring occurrence inside each word, frequency-weighted. */
+  def substringMasses(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), i ->
+           |  transform(sequence(1, least($MaxPiece, length(w) - i + 1)),
+           |    l -> substr(w, i, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).cast("long").as("seed_mass"))
+
+  /** Seed vocabulary with NLL costs: every single char (guarantees
+    * segmentability of in-alphabet words) plus the top-`keepMulti`
+    * multi-char pieces by (mass desc, piece asc) — a bounded
+    * TakeOrdered. Output: (piece, seed_mass, cost DECIMAL(20,9)).
+    * Pinned: consumed by the edge join and callers' reporting joins. */
+  def seedVocab(words: DataFrame, keepMulti: Int = 64): DataFrame = {
+    val subs = substringMasses(words)
+    val vocab0 = subs.filter(length(col("piece")) === 1)
+      .unionByName(subs.filter(length(col("piece")) >= 2)
+        .orderBy(col("seed_mass").desc, col("piece")).limit(keepMulti))
+    val tot = vocab0.agg(sum(col("seed_mass")).as("t")) // 1-row
+    vocab0.crossJoin(broadcast(tot))
+      .select(col("piece"), col("seed_mass"), nllCost(col("t"),
+        col("seed_mass")).as("cost"))
+      .localCheckpoint(eager = false)
+  }
+
+  /** `round(ln(total) − ln(mass), 9)` as DECIMAL(20,9) — the engine-
+    * portable NLL cost (see class doc). */
+  def nllCost(total: Column, mass: Column): Column =
+    round(ln(total.cast("double")) - ln(mass.cast("double")), 9)
+      .cast("decimal(20,9)")
+
+  /** Viterbi E-step: best segmentation of each dictionary word under
+    * `vocab`'s (piece, cost) table. Edges (span j→i whose substring is a
+    * vocab piece) attach by an equi-join on the piece string — at scale
+    * the heavy side hash-partitions on real keys; nothing broadcasts but
+    * 1-row totals upstream. Words with an out-of-vocab character (no
+    * complete path) are dropped — callers that must keep them union an
+    * unk char table into `vocab` first (see q389). Output: (w, seg)
+    * where `seg` joins the winning pieces with '|'. */
+  def viterbi(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val edges = words
+      .select(col("w"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), i ->
+           |  transform(sequence(1, least($MaxPiece, i)), l ->
+           |    named_struct('j', i - l, 'i', i,
+           |      'piece', substr(w, i - l + 1, l)))))""".stripMargin))
+        .as("e"))
+      .select(col("w"), col("e.j").as("j"), col("e.i").as("i"),
+        col("e.piece").as("piece"))
+      .join(vocab.select(col("piece"), col("cost")), Seq("piece"))
+      .groupBy("w").agg(sort_array(collect_list(struct(col("i"),
+        col("j"), col("piece"), col("cost")))).as("edges"))
+    // state[i+1] = best (cost, seg) into position i — min by exact
+    // DECIMAL cost then lexicographic segmentation, identical to the
+    // oracle's lateral ORDER BY cost, seg LIMIT 1
+    words.join(edges, Seq("w"))
+      .withColumn("st", expr(
+        """aggregate(sequence(1, length(w)),
+          |  array(named_struct('cost', CAST(0 AS DECIMAL(20,9)),
+          |                     'seg', '')),
+          |  (st, i) -> concat(st, array(
+          |    aggregate(filter(edges, e -> e.i = i),
+          |      named_struct('cost', CAST(NULL AS DECIMAL(20,9)),
+          |                   'seg', CAST(NULL AS STRING)),
+          |      (best, e) -> IF(best.cost IS NULL
+          |          OR CAST(element_at(st, e.j + 1).cost + e.cost
+          |               AS DECIMAL(20,9)) < best.cost
+          |          OR (CAST(element_at(st, e.j + 1).cost + e.cost
+          |                AS DECIMAL(20,9)) = best.cost
+          |              AND IF(e.j = 0, e.piece,
+          |                concat(element_at(st, e.j + 1).seg, '|',
+          |                  e.piece)) < best.seg),
+          |        named_struct(
+          |          'cost', CAST(element_at(st, e.j + 1).cost + e.cost
+          |            AS DECIMAL(20,9)),
+          |          'seg', IF(e.j = 0, e.piece,
+          |            concat(element_at(st, e.j + 1).seg, '|',
+          |              e.piece))),
+          |        best)))))""".stripMargin))
+      // an out-of-vocab char leaves a NULL hole some suffix can't bridge
+      .filter(expr("element_at(st, length(w) + 1).cost IS NOT NULL"))
+      .select(col("w"), col("freq"),
+        expr("element_at(st, length(w) + 1).seg").as("seg"))
+  }
+}

@@ -95,6 +95,34 @@ class IoSpec extends SparkSpec {
     IcebergSink().formatName shouldBe "iceberg"
   }
 
+  test("OrcSink -> FileReader round-trips values, partitions and an" +
+      " explicit schema (no inference)") {
+    val dir = tmpDir("orc-sink") + "/t"
+    val df = Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"))
+      .toDF("id", "v", "day")
+    OrcSink().write(df,
+      LakehouseTable(dir, MedallionLayer.Bronze, Seq("day")),
+      SaveMode.Overwrite)
+    Files.isDirectory(Paths.get(dir, "day=d1")) shouldBe true
+    val rtSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("day", StringType))) // partition col resolves by name
+    val back = FileReader("orc", dir, Some(rtSchema)).read(spark)
+    back.schema.fieldNames.toSeq shouldBe Seq("id", "v", "day")
+    back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq shouldBe
+      Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"))
+    // the ORC reader prunes partitions and pushes row-group predicates
+    val plan = back.filter($"day" === "d2" && $"id" >= 2L)
+      .queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("GreaterThanOrEqual(id,2)")
+  }
+
+  test("the runner's writer factory resolves orc like any lakehouse format") {
+    graft.core.IngestionRunner.buildWriter("orc") shouldBe OrcSink()
+  }
+
   test("WatermarkStore persists marks atomically and feeds the JDBC reader") {
     import graft.config._
     val storePath = tmpDir("wm") + "/marks.json"

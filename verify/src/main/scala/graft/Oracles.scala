@@ -184,6 +184,218 @@ object Oracles {
         |  doc_id = cluster_id AS keep
         |FROM allc ORDER BY doc_id""".stripMargin,
 
+    // q388: the Viterbi E-step replays as a recursive CTE advancing one
+    // position per step with a lateral (cost, seg) min — the q367
+    // recursive-replay discipline; costs are round(ln,9) DECIMALs so the
+    // DP folds exactly in both engines
+    "q388_unigram_em" ->
+      s"""WITH RECURSIVE ${Oracles.unigramTrainCtes("TRUE")},
+        |${Oracles.unigramDpCtes("words", "vocab")},
+        |m AS (
+        |  SELECT unnest(string_split(seg, '|')) AS piece, freq FROM fin
+        |), em AS (
+        |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS em_mass,
+        |    CAST(COUNT(*) AS BIGINT) AS n_words
+        |  FROM m GROUP BY piece
+        |), emtot AS (SELECT CAST(SUM(em_mass) AS BIGINT) AS t1 FROM em)
+        |SELECT e.piece, v.seed_mass, e.em_mass, e.n_words,
+        |  round(ln(CAST(t.t1 AS DOUBLE)) - ln(CAST(e.em_mass AS DOUBLE)),
+        |    6) AS nll
+        |FROM em e JOIN vocab v ON v.piece = e.piece, emtot t
+        |ORDER BY e.em_mass DESC, e.piece LIMIT 30""".stripMargin,
+
+    // q389: q388's trainer on the <800-bucket split, Viterbi-applied to
+    // held-out words with unseen chars entering as mass-1 unk pieces;
+    // fertility/unk per language
+    "q389_unigram_fertility" ->
+      s"""WITH RECURSIVE ${Oracles.unigramTrainCtes(
+            "(CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT)" +
+            " % 2305843009213693951) % 1000 < 800")},
+        |hnorm AS (
+        |  SELECT lang, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^\\p{L}\\p{Nd} ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents
+        |  WHERE (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT)
+        |    % 2305843009213693951) % 1000 >= 800
+        |), htok AS (
+        |  SELECT lang, unnest(string_split(t, ' ')) AS w FROM hnorm
+        |), hlang AS (
+        |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS freq FROM htok
+        |  WHERE length(w) BETWEEN 1 AND 16 GROUP BY 1, 2
+        |), hwords AS (
+        |  SELECT w, CAST(SUM(freq) AS BIGINT) AS freq FROM hlang GROUP BY w
+        |), unk AS (
+        |  SELECT u.piece,
+        |    CAST(round(ln(CAST(t.t AS DOUBLE)) - ln(CAST(1 AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9)) AS cost, TRUE AS is_unk
+        |  FROM (
+        |    SELECT DISTINCT substr(h.w, CAST(p.i AS INTEGER), 1) AS piece
+        |    FROM hwords h, unnest(generate_series(1, length(h.w))) AS p(i)
+        |  ) u, tot t
+        |  WHERE u.piece NOT IN (SELECT piece FROM vocab)
+        |), fullvocab AS (
+        |  SELECT piece, cost, FALSE AS is_unk FROM vocab
+        |  UNION ALL SELECT piece, cost, is_unk FROM unk
+        |),
+        |${Oracles.unigramDpCtes("hwords", "fullvocab")},
+        |pw AS (
+        |  SELECT f.w, s.piece
+        |  FROM fin f, unnest(string_split(f.seg, '|')) AS s(piece)
+        |), perword AS (
+        |  SELECT pw.w, CAST(COUNT(*) AS BIGINT) AS n_pieces_w,
+        |    CAST(SUM(CASE WHEN v.is_unk THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unk_w
+        |  FROM pw JOIN fullvocab v ON v.piece = pw.piece
+        |  GROUP BY pw.w
+        |)
+        |SELECT hl.lang, CAST(SUM(hl.freq) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(hl.freq * p.n_pieces_w) AS BIGINT) AS n_pieces,
+        |  CAST(SUM(hl.freq * p.n_unk_w) AS BIGINT) AS n_unk_pieces,
+        |  round(CAST(SUM(hl.freq * p.n_pieces_w) AS DOUBLE)
+        |    / CAST(SUM(hl.freq) AS DOUBLE), 6) AS fertility
+        |FROM hlang hl JOIN perword p ON p.w = hl.w
+        |GROUP BY hl.lang ORDER BY hl.lang""".stripMargin,
+
+    // q391: both CART levels replay as value-domain prefix sums + the
+    // same IEEE-double Gini argmin (division/addition are correctly
+    // rounded in both engines — no libm in the ordering key)
+    "q391_cart_tree" ->
+      """WITH rows0 AS (
+        |  SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        |      AS BIGINT) AS y,
+        |    CAST(l_quantity AS BIGINT) AS f_qty,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS f_disc
+        |  FROM lineitem
+        |), cells1 AS (
+        |  SELECT 'root' AS node, 'disc' AS feat, f_disc AS v, y FROM rows0
+        |  UNION ALL
+        |  SELECT 'root', 'qty', f_qty, y FROM rows0
+        |), agg1 AS (
+        |  SELECT node, feat, v, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM cells1 GROUP BY 1, 2, 3
+        |), cand1 AS (
+        |  SELECT node, feat, v,
+        |    CAST(SUM(n) OVER cum AS BIGINT) AS nl,
+        |    CAST(SUM(pos) OVER cum AS BIGINT) AS posl,
+        |    CAST(SUM(n) OVER al AS BIGINT) AS tn,
+        |    CAST(SUM(pos) OVER al AS BIGINT) AS tp
+        |  FROM agg1
+        |  WINDOW cum AS (PARTITION BY node, feat ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING),
+        |  al AS (PARTITION BY node, feat)
+        |), best1 AS (
+        |  SELECT node, feat, v,
+        |    CAST(nl*nl - posl*posl - (nl-posl)*(nl-posl) AS DOUBLE)
+        |      / CAST(nl AS DOUBLE)
+        |    + CAST((tn-nl)*(tn-nl) - (tp-posl)*(tp-posl)
+        |        - ((tn-nl)-(tp-posl))*((tn-nl)-(tp-posl)) AS DOUBLE)
+        |      / CAST(tn-nl AS DOUBLE) AS g,
+        |    tn, tp
+        |  FROM cand1 WHERE nl > 0 AND tn - nl > 0
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+        |    ORDER BY g, feat, v) = 1
+        |), lvl1 AS (
+        |  SELECT CASE WHEN (CASE WHEN b.feat = 'qty' THEN r.f_qty
+        |      ELSE r.f_disc END) <= b.v THEN 'L' ELSE 'R' END AS node,
+        |    r.y, r.f_qty, r.f_disc
+        |  FROM rows0 r, best1 b
+        |), cells2 AS (
+        |  SELECT node, 'disc' AS feat, f_disc AS v, y FROM lvl1
+        |  UNION ALL
+        |  SELECT node, 'qty', f_qty, y FROM lvl1
+        |), agg2 AS (
+        |  SELECT node, feat, v, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM cells2 GROUP BY 1, 2, 3
+        |), cand2 AS (
+        |  SELECT node, feat, v,
+        |    CAST(SUM(n) OVER cum AS BIGINT) AS nl,
+        |    CAST(SUM(pos) OVER cum AS BIGINT) AS posl,
+        |    CAST(SUM(n) OVER al AS BIGINT) AS tn,
+        |    CAST(SUM(pos) OVER al AS BIGINT) AS tp
+        |  FROM agg2
+        |  WINDOW cum AS (PARTITION BY node, feat ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING),
+        |  al AS (PARTITION BY node, feat)
+        |), best2 AS (
+        |  SELECT node, feat, v,
+        |    CAST(nl*nl - posl*posl - (nl-posl)*(nl-posl) AS DOUBLE)
+        |      / CAST(nl AS DOUBLE)
+        |    + CAST((tn-nl)*(tn-nl) - (tp-posl)*(tp-posl)
+        |        - ((tn-nl)-(tp-posl))*((tn-nl)-(tp-posl)) AS DOUBLE)
+        |      / CAST(tn-nl AS DOUBLE) AS g,
+        |    tn, tp
+        |  FROM cand2 WHERE nl > 0 AND tn - nl > 0
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+        |    ORDER BY g, feat, v) = 1
+        |), leaves AS (
+        |  SELECT l.node || CASE WHEN (CASE WHEN b.feat = 'qty'
+        |      THEN l.f_qty ELSE l.f_disc END) <= b.v
+        |      THEN 'L' ELSE 'R' END AS node,
+        |    l.y
+        |  FROM lvl1 l JOIN best2 b ON b.node = l.node
+        |), leafagg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM leaves GROUP BY node
+        |)
+        |SELECT node, 'split' AS kind, feat AS feature, v AS threshold,
+        |  round(g, 9) AS gini, tn AS n, tp AS pos,
+        |  CAST(NULL AS BIGINT) AS majority
+        |FROM best1
+        |UNION ALL
+        |SELECT node, 'split', feat, v, round(g, 9), tn, tp,
+        |  CAST(NULL AS BIGINT)
+        |FROM best2
+        |UNION ALL
+        |SELECT node, 'leaf', CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), n, pos,
+        |  CASE WHEN pos * 2 > n THEN 1 ELSE 0 END
+        |FROM leafagg
+        |ORDER BY node, kind""".stripMargin,
+
+    // q392: the LDP coins replay as the StableHash md5 formula; the
+    // debias is exact integer arithmetic with one final /2.0
+    "q392_randomized_response" ->
+      """WITH langs AS (
+        |  SELECT k FROM (SELECT DISTINCT lang AS k FROM documents)
+        |  ORDER BY k LIMIT 32
+        |), bits AS (
+        |  SELECT l.k,
+        |    CAST(CASE WHEN d.lang = l.k THEN 1 ELSE 0 END AS BIGINT) AS t,
+        |    CAST(CASE WHEN (CAST(md5_number_upper(
+        |        CAST(d.doc_id AS VARCHAR) || '#rr#' || l.k) AS HUGEINT)
+        |      % 2305843009213693951) % 1000 < 250
+        |      THEN 1 ELSE 0 END AS BIGINT) AS flip
+        |  FROM documents d, langs l
+        |), agg AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_bits,
+        |    CAST(SUM((t + flip) % 2) AS BIGINT) AS reported_ones,
+        |    CAST(SUM(t) AS BIGINT) AS true_count
+        |  FROM bits GROUP BY k
+        |)
+        |SELECT k AS lang, true_count, reported_ones,
+        |  CAST(4 * reported_ones - n_bits AS DOUBLE) / 2.0 AS est_count,
+        |  abs(CAST(4 * reported_ones - n_bits AS DOUBLE) / 2.0
+        |    - CAST(true_count AS DOUBLE)) AS abs_err
+        |FROM agg ORDER BY lang""".stripMargin,
+
+    // q390: the engine's result came through an ORC write + read-back;
+    // the oracle aggregates the ORIGINAL parquet — equality proves the
+    // format round-trip (values, partition column, decimal math) is
+    // lossless
+    "q390_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem WHERE l_quantity >= 25.0
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q28_simhash" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
@@ -10564,6 +10776,83 @@ object Oracles {
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  /** Shared unigram-LM trainer CTEs (q388/q389): normalized words of
+    * documents matching `docPred` → frequency-weighted substring masses →
+    * seed vocab (all single chars + top-64 multi-char) with
+    * round(ln,9)-DECIMAL(20,9) NLL costs. Emits CTEs: norm, tok, words,
+    * subs, vocab0, tot, vocab. */
+  private def unigramTrainCtes(docPred: String): String =
+    s"""norm AS (
+      |  SELECT trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^\\p{L}\\p{Nd} ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+      |  FROM documents WHERE $docPred
+      |), tok AS (
+      |  SELECT unnest(string_split(t, ' ')) AS w FROM norm
+      |), words AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
+      |  WHERE length(w) BETWEEN 1 AND 16 GROUP BY w
+      |), subs AS (
+      |  SELECT substr(w.w, CAST(p.i AS INTEGER), CAST(l.l AS INTEGER))
+      |      AS piece,
+      |    CAST(SUM(w.freq) AS BIGINT) AS seed_mass
+      |  FROM words w,
+      |    unnest(generate_series(1, length(w.w))) AS p(i),
+      |    unnest(generate_series(1,
+      |      least(4, length(w.w) - CAST(p.i AS INTEGER) + 1))) AS l(l)
+      |  GROUP BY 1
+      |), vocab0 AS (
+      |  SELECT piece, seed_mass FROM subs WHERE length(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, seed_mass FROM (
+      |    SELECT piece, seed_mass FROM subs WHERE length(piece) >= 2
+      |    ORDER BY seed_mass DESC, piece LIMIT 64)
+      |), tot AS (SELECT CAST(SUM(seed_mass) AS BIGINT) AS t FROM vocab0),
+      |vocab AS (
+      |  SELECT piece, seed_mass,
+      |    CAST(round(ln(CAST(t.t AS DOUBLE))
+      |      - ln(CAST(seed_mass AS DOUBLE)), 9) AS DECIMAL(20,9)) AS cost
+      |  FROM vocab0, tot t
+      |)""".stripMargin
+
+  /** The Viterbi DP replay over `$words` (w, freq) with `$vocab`
+    * (piece, cost): a recursive CTE advancing one position per step,
+    * each step appending the lateral (cost, seg) minimum — exact
+    * DECIMAL(20,9) folds, lexicographic tie-break, identical to
+    * [[graft.text.UnigramLm.viterbi]]'s HOF fold when every single char
+    * of every word is in `$vocab` (both callers guarantee it). Emits
+    * CTEs: edges, rec, fin (w, freq, seg). */
+  private def unigramDpCtes(words: String, vocab: String): String =
+    s"""edges AS (
+      |  SELECT w.w, CAST(p.i AS INTEGER) - CAST(l.l AS INTEGER) AS j,
+      |    CAST(p.i AS INTEGER) AS i, v.piece, v.cost
+      |  FROM $words w,
+      |    unnest(generate_series(1, length(w.w))) AS p(i),
+      |    unnest(generate_series(1, least(4, CAST(p.i AS INTEGER))))
+      |      AS l(l)
+      |  JOIN $vocab v ON v.piece = substr(w.w,
+      |    CAST(p.i AS INTEGER) - CAST(l.l AS INTEGER) + 1,
+      |    CAST(l.l AS INTEGER))
+      |), rec AS (
+      |  SELECT w, 0 AS i, [CAST(0 AS DECIMAL(20,9))] AS costs,
+      |    [''] AS segs
+      |  FROM $words
+      |  UNION ALL
+      |  SELECT r.w, r.i + 1, list_append(r.costs, b.cost),
+      |    list_append(r.segs, b.seg)
+      |  FROM rec r
+      |  JOIN $words wd ON wd.w = r.w AND r.i < length(wd.w),
+      |  LATERAL (
+      |    SELECT CAST(r.costs[e.j + 1] + e.cost AS DECIMAL(20,9))
+      |        AS cost,
+      |      CASE WHEN e.j = 0 THEN e.piece
+      |           ELSE r.segs[e.j + 1] || '|' || e.piece END AS seg
+      |    FROM edges e WHERE e.w = r.w AND e.i = r.i + 1
+      |    ORDER BY 1, 2 LIMIT 1) b
+      |), fin AS (
+      |  SELECT r.w, wd.freq, r.segs[r.i + 1] AS seg
+      |  FROM rec r JOIN $words wd ON wd.w = r.w AND r.i = length(wd.w)
       |)""".stripMargin
 }
 
