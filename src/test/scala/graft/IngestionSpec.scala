@@ -55,6 +55,28 @@ class IngestionSpec extends SparkSpec {
     spark.read.parquet(out).count() shouldBe 4
   }
 
+  test("config-driven runner ingests to ORC: format string -> OrcSink ->" +
+      " real .orc files") {
+    val src = tmpDir("orc-run") + "/src"
+    val out = tmpDir("orc-run") + "/out"
+    writeSource(src)
+    val cfgJson =
+      s"""{"env": "test", "jobs": [{
+         |  "domain": "payments", "dataset": "tx", "layer": "bronze",
+         |  "validateSchema": false,
+         |  "source": {"type": "parquet", "path": "$src"},
+         |  "target": {"format": "orc", "identifier": "$out", "mode": "overwrite"}
+         |}]}""".stripMargin
+    val f = Paths.get(tmpDir("orc-runcfg"), "p.json")
+    Files.writeString(f, cfgJson)
+    IngestionRunner.runPipeline(spark, ConfigLoader.loadFromFile(f.toString))
+      .length shouldBe 1
+    val back = spark.read.orc(out)
+    back.count() shouldBe 4
+    new java.io.File(out).listFiles().map(_.getName)
+      .count(_.endsWith(".orc")) should be >= 1
+  }
+
   test("config-driven runner executes a pipeline end to end") {
     val src = tmpDir("runner") + "/src"
     val out = tmpDir("runner") + "/out"

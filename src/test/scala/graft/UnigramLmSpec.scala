@@ -98,6 +98,42 @@ class UnigramLmSpec extends SparkSpec {
       Seq(("cat", 3L), ("the", 2L))
   }
 
+  test("property: the DP equals brute-force min over ALL segmentations" +
+      " (cost, then lexicographic seg) on generated words") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gWord = for {
+      n <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val words = (0 until 40)
+      .flatMap(i => gWord(Gen.Parameters.default, Seed(1234L + i)))
+      .distinct
+    // vocab: all chars + a few multi-char pieces with assorted masses
+    val vocab = vocabOf("a" -> 3L, "b" -> 5L, "c" -> 2L,
+      "ab" -> 7L, "bc" -> 7L, "ca" -> 1L, "abc" -> 4L, "bb" -> 6L)
+    val costs = vocab.collect()
+      .map(r => r.getString(0) -> BigDecimal(r.getDecimal(2))).toMap
+    def segmentations(w: String): Seq[List[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to math.min(UnigramLm.MaxPiece, w.length)).flatMap { l =>
+        val p = w.take(l)
+        if (costs.contains(p)) segmentations(w.drop(l)).map(p :: _)
+        else Seq.empty
+      }
+    val expected = words.flatMap { w =>
+      val segs = segmentations(w)
+      if (segs.isEmpty) None
+      else Some(w -> segs
+        .map(s => (s.map(costs).sum, s.mkString("|")))
+        .minBy(identity)._2)
+    }.toMap
+    val got = UnigramLm.viterbi(
+        words.map(w => (w, 1L)).toDF("w", "freq"), vocab)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    got shouldBe expected
+  }
+
   test("seedVocab keeps every single char and caps multi-char pieces" +
       " deterministically") {
     val words = Seq(("aab", 10L), ("ba", 3L)).toDF("w", "freq")
