@@ -84,30 +84,33 @@ object BandedHamming {
   }
 
   /** Near-duplicates of `batch` codes against a prebuilt corpus band
-    * index — the incremental/streaming shape (per-batch cost O(batch),
-    * never O(corpus); the media twin of
-    * [[MinHashLsh.nearDuplicatesAgainstIndex]]). `corpusBands` is a
-    * persisted [[bandKeys]] frame (id, code, band, bkey) built with the
-    * SAME nBands/bandBits; the bucket cap applies to the COMBINED
-    * (index + batch) bucket — a degenerate band is quadratic regardless
-    * of which side fills it. Returns `(corpus_id, batch_id, hamming)`
-    * with `hamming ≤ maxHamming`. */
+    * index — the incremental/streaming shape (per-batch SHUFFLE cost
+    * O(batch) when `corpusBands` is a table bucketed by (band, bkey),
+    * the [[MediaDedupIndex]] layout — only the batch side is exchanged;
+    * the media twin of [[MinHashLsh.nearDuplicatesAgainstIndex]]).
+    * `corpusBands` is a persisted [[bandKeys]] frame
+    * (id, code, band, bkey) built with the SAME nBands/bandBits; the
+    * bucket cap applies to the COMBINED (index + batch) bucket size — a
+    * degenerate band is quadratic regardless of which side fills it —
+    * enforced on the batch side only (pair-equivalent, see [[CapFold]]),
+    * with the corpus half of the size read from `corpusBandSizes`
+    * ((band, bkey, n) delta rows the persistent index maintains) or
+    * counted from `corpusBands` for one-shot callers. Returns
+    * `(corpus_id, batch_id, hamming)` with `hamming ≤ maxHamming`. */
   def pairsAgainstIndex(corpusBands: DataFrame, batch: DataFrame,
                         idCol: String, codeCol: String,
                         nBands: Int, bandBits: Int, maxHamming: Int,
-                        maxBucket: Option[Int] = None): DataFrame = {
+                        maxBucket: Option[Int] = None,
+                        corpusBandSizes: Option[DataFrame] = None): DataFrame = {
     val batchBands = bandKeys(batch, idCol, codeCol, nBands, bandBits)
-    val combined = corpusBands.select(col("id"), col("code"),
-        col("band"), col("bkey"))
-      .withColumn("__side", lit("c"))
-      .unionByName(batchBands.withColumn("__side", lit("b")))
-    val capped = capBuckets(combined, maxBucket)
-    val ci = capped.filter(col("__side") === "c")
-      .select(col("id").as("corpus_id"), col("code").as("__ca"),
-        col("band"), col("bkey"))
-    val bi = capped.filter(col("__side") === "b")
+    val sizes = corpusBandSizes.getOrElse(
+      corpusBands.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("n")))
+    val bi = CapFold.applyCap(batchBands, Seq("band", "bkey"), maxBucket, sizes)
       .select(col("id").as("batch_id"), col("code").as("__cb"),
         col("band"), col("bkey"))
+    val ci = corpusBands.select(col("id").as("corpus_id"),
+      col("code").as("__ca"), col("band"), col("bkey"))
     ci.join(bi, Seq("band", "bkey"))
       .select(col("corpus_id"), col("batch_id"), col("__ca"), col("__cb"))
       .distinct()

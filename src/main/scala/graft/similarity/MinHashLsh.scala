@@ -101,9 +101,16 @@ object MinHashLsh {
   // The production shape for continuous ingestion: fingerprint the corpus
   // ONCE (two small tables you persist — shingle sets and exploded band
   // keys), then each incoming batch computes only ITS OWN signatures and
-  // equi-joins the band index. Per batch the cost is O(batch), not
-  // O(corpus + batch); the corpus is never re-read, re-shingled, or
-  // re-hashed. Streaming twin: streaming/StreamOps.nearDupCollisions
+  // equi-joins the band index. The corpus is never re-read, re-shingled,
+  // or re-hashed, and when the index tables are BUCKETED on their join
+  // keys (the [[DedupIndex]] layout: bands by `band`, fingerprints by the
+  // id column) the corpus side is never re-SHUFFLED either — the batch
+  // side alone is exchanged to the bucket layout, so per-batch shuffle
+  // cost is O(batch). The corpus-side scan of the band index within the
+  // candidate join is still O(corpus-index) I/O per batch (the index is a
+  // few percent of corpus text size); the cap fold avoids even that for
+  // its half by reading the small precomputed bucket-size deltas instead
+  // ([[CapFold]]). Streaming twin: streaming/StreamOps.nearDupCollisions
   // (same banding constants, FlatMapGroupsWithState band state).
 
   /** The verify-side index: one row per document, its distinct shingle
@@ -122,24 +129,33 @@ object MinHashLsh {
   /** Near-duplicates of `batch` against a prebuilt corpus index:
     * `(corpus_id, batch_id, jaccard)` for exact shingle-Jaccard >=
     * `threshold`. The bucket cap applies to the COMBINED (index + batch)
-    * bucket — a boilerplate band is degenerate regardless of which side
-    * it comes from. Band constants must match the ones the index was
-    * built with. */
+    * bucket size — a boilerplate band is degenerate regardless of which
+    * side fills it — but is ENFORCED on the batch side only, which is
+    * pair-equivalent (a pair needs a row from each side; see [[CapFold]])
+    * and keeps the corpus index out of the cap's groupBy entirely.
+    * `corpusBandSizes` is the precomputed (band, n) bucket-size frame the
+    * persistent [[DedupIndex]] maintains (delta rows, summed in the
+    * fold); one-shot callers omit it and the sizes are counted from
+    * `corpusBands` — still a map-side-combined aggregate, but a corpus
+    * scan the stored index avoids. Band constants must match the ones
+    * the index was built with. When `corpusBands`/`corpusFps` come from
+    * bucketed tables, neither corpus side is shuffled: the candidate
+    * join co-locates on `band`, the verify join on the id bucket layout
+    * (ProjectExec rewrites the partitioning through the `corpus_id`
+    * alias). */
   def nearDuplicatesAgainstIndex(corpusFps: DataFrame, corpusBands: DataFrame,
                                  batch: DataFrame, idCol: String, textCol: String,
                                  shingleN: Int = 3, bands: Int = 16,
                                  rowsPerBand: Int = 4, threshold: Double = 0.5,
-                                 maxBucket: Option[Int] = None): DataFrame = {
+                                 maxBucket: Option[Int] = None,
+                                 corpusBandSizes: Option[DataFrame] = None): DataFrame = {
     val batchFps = fingerprints(batch, idCol, textCol, shingleN)
     val batchBands = bandIndex(batchFps, idCol, bands, rowsPerBand)
-    val combined = corpusBands.select(col(idCol), col("band"))
-      .withColumn("__side", lit("c"))
-      .unionByName(batchBands.withColumn("__side", lit("b")))
-    val capped = capBuckets(combined, maxBucket)
-    val ci = capped.filter(col("__side") === "c")
-      .select(col(idCol).as("corpus_id"), col("band"))
-    val bi = capped.filter(col("__side") === "b")
+    val sizes = corpusBandSizes.getOrElse(
+      corpusBands.groupBy(col("band")).agg(count(lit(1)).as("n")))
+    val bi = CapFold.applyCap(batchBands, Seq("band"), maxBucket, sizes)
       .select(col(idCol).as("batch_id"), col("band"))
+    val ci = corpusBands.select(col(idCol).as("corpus_id"), col("band"))
     val cands = ci.join(bi, "band")
       .select(col("corpus_id"), col("batch_id")).distinct()
     val sa = corpusFps.select(col(idCol).as("corpus_id"),

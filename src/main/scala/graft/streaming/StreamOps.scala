@@ -242,9 +242,10 @@ object StreamOps {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    val indexedIds = spark.read.parquet(s"$indexPath/fingerprints")
-      .select(col(idCol)) // column-pruned: reads only the id column
-    val fresh = batch.join(indexedIds, Seq(idCol), "left_anti")
+    // column-pruned AND bucketed by id: the anti-join exchanges only the
+    // incoming batch, never the stored corpus
+    val fresh = batch.join(DedupIndex.indexedIds(spark, indexPath),
+      Seq(idCol), "left_anti")
     DedupIndex.append(fresh, idCol, textCol, indexPath)
   }
 

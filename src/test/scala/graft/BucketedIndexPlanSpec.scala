@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+/** THE machine gate for the bucketed persistent dedup indexes (r9
+  * verdict task 1): `dedupBatch` against a stored
+  * [[graft.similarity.DedupIndex]]/[[graft.similarity.MediaDedupIndex]]
+  * must never exchange the CORPUS side of its joins — the band-key
+  * candidate join and the fingerprint verify join read the bucketed
+  * tables in place and only the batch side is shuffled to the bucket
+  * layout. This is the property that makes per-micro-batch dedup
+  * O(batch) shuffle at 100 TB; before bucketing, the full corpus band
+  * index was repartitioned on every batch.
+  *
+  * AQE and auto-broadcast are disabled inside these tests so the pinned
+  * plan is the deterministic non-broadcast shape (the hard case: a batch
+  * too big to broadcast still must not move the corpus). The explicit
+  * `broadcast()` hints inside the cap fold are unaffected by the
+  * threshold — only the tiny batch-derived frames are ever broadcast.
+  */
+class BucketedIndexPlanSpec extends SparkSpec {
+
+  private def withStaticPlan[A](body: => A): A = {
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled")
+    val thr = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    }
+  }
+
+  /** Root-to-node path to the first node matching `pred` (depth-first). */
+  private def pathTo(plan: SparkPlan,
+                     pred: SparkPlan => Boolean): Option[List[SparkPlan]] =
+    if (pred(plan)) Some(List(plan))
+    else plan.children.view.flatMap(c => pathTo(c, pred)).headOption
+      .map(plan :: _)
+
+  private def isJoin(p: SparkPlan): Boolean = p match {
+    case _: SortMergeJoinExec | _: ShuffledHashJoinExec |
+         _: BroadcastHashJoinExec => true
+    case _ => false
+  }
+
+  /** Assert: the scan of the corpus table whose location contains
+    * `locPart` is bucketed, and NO exchange (shuffle or broadcast) sits
+    * between it and its nearest enclosing join. Exchanges ABOVE the join
+    * (the batch side's repartition to the bucket layout, the candidate
+    * distinct) are the O(batch) part and are allowed. */
+  private def assertCorpusSideUnshuffled(df: DataFrame, locPart: String): Unit = {
+    val plan = df.queryExecution.executedPlan
+    val path = pathTo(plan, {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(locPart))
+      case _ => false
+    }).getOrElse(fail(s"no file scan of $locPart in plan:\n$plan"))
+    val scan = path.last.asInstanceOf[FileSourceScanExec]
+    withClue(s"scan of $locPart must be a bucketed table scan:\n$scan\n") {
+      scan.relation.bucketSpec.isDefined shouldBe true
+      scan.toString should include("Bucketed: true")
+    }
+    val joinIdx = path.lastIndexWhere(isJoin)
+    withClue(s"no join above the $locPart scan:\n$plan\n") {
+      joinIdx should be >= 0
+    }
+    val between = path.drop(joinIdx + 1)
+    withClue(s"corpus side of $locPart join must carry no exchange:\n" +
+      between.mkString("\n---\n") + "\n") {
+      between.exists {
+        case _: ShuffleExchangeExec | _: BroadcastExchangeExec => true
+        case _ => false
+      } shouldBe false
+    }
+  }
+
+  test("DedupIndex.dedupBatch: bucketed corpus bands + fingerprints are " +
+       "never exchanged; only the batch side shuffles") {
+    import spark.implicits._
+    val path = tmpDir("bidx-text")
+    val corpus = (0L until 200L)
+      .map(i => (i, s"alpha beta gamma delta epsilon zeta eta theta doc $i " +
+        s"unique ${i * 37} filler ${i % 7}"))
+      .toDF("doc_id", "text")
+    graft.similarity.DedupIndex.build(corpus, "doc_id", "text", path)
+    val batch = (1000L until 1020L)
+      .map(i => (i, s"alpha beta gamma delta epsilon zeta eta theta doc ${i - 1000} " +
+        s"unique ${(i - 1000) * 37} filler ${i % 7}"))
+      .toDF("doc_id", "text")
+    withStaticPlan {
+      val df = graft.similarity.DedupIndex.dedupBatch(spark, path, batch,
+        "doc_id", "text", threshold = 0.3, maxBucket = Some(100))
+      assertCorpusSideUnshuffled(df, "/bands")
+      assertCorpusSideUnshuffled(df, "/fingerprints")
+      // and the plan is not a paper tiger: it finds the near-dups
+      df.count() should be >= 10L
+    }
+  }
+
+  test("MediaDedupIndex.dedupBatch: bucketed corpus band table is never " +
+       "exchanged; only the batch side shuffles") {
+    import spark.implicits._
+    val path = tmpDir("bidx-media")
+    val corpus = (0L until 200L).map(i => (i, i * 1024L + (i % 13)))
+      .toDF("media_id", "dhash")
+    graft.similarity.MediaDedupIndex.build(corpus, "media_id", "dhash", path)
+    val batch = (1000L until 1010L)
+      .map(i => (i, (i - 1000L) * 1024L + ((i - 1000L) % 13) ^ 1L))
+      .toDF("media_id", "dhash")
+    withStaticPlan {
+      val df = graft.similarity.MediaDedupIndex.dedupBatch(spark, path, batch,
+        "media_id", "dhash", maxHamming = 2, maxBucket = Some(100))
+      assertCorpusSideUnshuffled(df, "/bands")
+      df.count() should be >= 1L
+    }
+  }
+
+  test("indexedIds anti-join side is the bucketed codes/fingerprints scan") {
+    import spark.implicits._
+    val path = tmpDir("bidx-anti")
+    val corpus = (0L until 100L).map(i => (i, i * 7L)).toDF("media_id", "dhash")
+    graft.similarity.MediaDedupIndex.build(corpus, "media_id", "dhash", path)
+    val batch = (50L until 150L).map(i => (i, i * 7L)).toDF("media_id", "dhash")
+    withStaticPlan {
+      val fresh = batch.join(
+        graft.similarity.MediaDedupIndex.indexedIds(spark, path)
+          .withColumnRenamed("id", "media_id"),
+        Seq("media_id"), "left_anti")
+      assertCorpusSideUnshuffled(fresh, "/codes")
+      fresh.count() shouldBe 50L
+    }
+  }
+}
