@@ -67,6 +67,22 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Pre-flight co-tenancy guard: wall-clock medians are only
+    // trustworthy from a quiet box (r9: a 6.7 load turned a 1.96s query
+    // into an 8.6s record with byte-identical plans). If the 1-min load
+    // is above the gate, wait — bounded — for it to drain before
+    // measuring; the record carries the gate, how long it waited, and
+    // the load the run actually started at, so a still-contaminated
+    // record indicts itself. Override via SPARK_GRAFT_LOAD_GATE /
+    // SPARK_GRAFT_LOAD_WAIT_S; gate <= 0 disables.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "4.0").toDouble
+    val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_S", "300").toLong
+    val waitStart = System.nanoTime()
+    while (loadGate > 0 && loadAvg1m() > loadGate &&
+           (System.nanoTime() - waitStart) / 1e9 < maxWaitS)
+      Thread.sleep(10000)
+    val preflightWaitS =
+      math.rint((System.nanoTime() - waitStart) / 1e9 * 10) / 10
     val loadBefore = loadAvg1m()
     // sample the max 1-min load DURING the run (daemon thread, 5s cadence):
     // the before/after points can both miss a mid-run co-tenant spike
@@ -178,7 +194,12 @@ object Bench {
     val loadAfter = loadAvg1m()
     val loadPeak = java.lang.Double.longBitsToDouble(loadMax.get())
     def jn(d: Double): String = if (d.isNaN) "null" else d.toString
-    val loadJson = s""""load_1m_before":${jn(loadBefore)},"load_1m_after":${jn(loadAfter)},"load_1m_max":${jn(loadPeak)}"""
+    // contaminated = the guard gave up waiting AND the run still started
+    // (or ran) above the gate — wall-clock numbers in this record are
+    // suspect; byte counters remain trustworthy
+    val contaminated = loadGate > 0 &&
+      (loadBefore > loadGate || loadPeak > loadGate * 2)
+    val loadJson = s""""load_1m_before":${jn(loadBefore)},"load_1m_after":${jn(loadAfter)},"load_1m_max":${jn(loadPeak)},"load_gate":${jn(loadGate)},"preflight_wait_s":$preflightWaitS,"contaminated":$contaminated"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","timing":"median_of_3","queries":$qs,"shuffle_read_total":${totalBytes(0)},"shuffle_write_total":${totalBytes(1)},"spill_mem_total":${totalBytes(2)},"spill_disk_total":${totalBytes(3)},"n_errors":${errors.size},$loadJson,"sf":"$sfDir"}"""
     // The full per-query JSON (381 queries) overflows what the driver's
     // stdout capture retains (r5 recorded "parsed": null with only the tail

@@ -286,7 +286,8 @@ object IngestionRunner {
         // per-batch cost O(batch), never O(corpus). CRASH-ATOMIC since
         // r9: the batch publishes as one renamed `batch-<key>` unit per
         // table, appliedness travels inside it (DedupIndex.appendAtomic);
-        // pre-r9 `_applied/` markers still honored.
+        // pre-r9 `_applied/` markers still honored. publish="pointer"
+        // switches to the object-store-safe _commits protocol (r10).
         val src = m.source.getOrElse(throw new IllegalArgumentException(
           "dedup-index maintenance task needs a source (document batch path)"))
         if (m.columns.length < 2) throw new IllegalArgumentException(
@@ -296,12 +297,14 @@ object IngestionRunner {
         if (!legacyMarkerApplied(spark, m.path, src) &&
             !graft.similarity.DedupIndex.batchApplied(spark, m.path, key))
           graft.similarity.DedupIndex.appendAtomic(
-            spark.read.parquet(src), idCol, textCol, m.path, key)
+            spark.read.parquet(src), idCol, textCol, m.path, key,
+            publish = m.publish)
       case "profile" =>
         // fold a batch's per-column profile into the monoid profile store
         // (one aggregate pass over the batch; the store itself is tiny
         // metadata, merged on read — the data is never re-scanned).
-        // CRASH-ATOMIC since r9, same one-renamed-unit protocol.
+        // CRASH-ATOMIC since r9, same one-renamed-unit protocol;
+        // publish="pointer" switches to the _commits protocol (r10).
         val src = m.source.getOrElse(throw new IllegalArgumentException(
           "profile maintenance task needs a source (batch path)"))
         if (m.columns.isEmpty) throw new IllegalArgumentException(
@@ -310,7 +313,8 @@ object IngestionRunner {
         if (!legacyMarkerApplied(spark, m.path, src) &&
             !graft.metrics.ProfileStore.batchApplied(spark, m.path, key))
           graft.metrics.ProfileStore.appendAtomic(
-            spark.read.parquet(src), m.columns, m.path, key)
+            spark.read.parquet(src), m.columns, m.path, key,
+            publish = m.publish)
       case other => throw new IllegalArgumentException(
         s"unknown maintenance type '$other' " +
           "(compact/zorder/ivm/dedup-index/profile)")

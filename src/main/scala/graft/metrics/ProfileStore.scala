@@ -54,39 +54,67 @@ object ProfileStore {
   def append(df: DataFrame, columns: Seq[String], stateDir: String): Unit =
     profile(df, columns).write.mode("append").parquet(stateDir)
 
-  /** True iff [[appendAtomic]] fully published batch `batchKey`. */
+  /** True iff [[appendAtomic]] fully published batch `batchKey` — the
+    * rename-published `batch-<key>` unit exists, or the pointer-mode
+    * `_commits/<key>` file does. */
   def batchApplied(spark: SparkSession, stateDir: String,
                    batchKey: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$stateDir/batch-$batchKey")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/batch-$batchKey")) ||
+      graft.core.AppendCommits.isCommitted(fs, root, batchKey)
   }
 
-  /** CRASH-ATOMIC batch append: the batch's profile rows land as one
-    * `batch-<key>` directory moved into place with a single rename, so
-    * appliedness ([[batchApplied]]) travels inside the published unit —
-    * a crash leaves either nothing (the rerun re-profiles) or the whole
-    * batch (the rerun skips); no window duplicates a batch's rows in the
-    * fold. The maintenance-task twin of [[append]]. */
+  /** CRASH-ATOMIC batch append. `publish = "rename"` (POSIX default):
+    * the batch's profile rows land as one `batch-<key>` directory moved
+    * into place with a single rename, so appliedness ([[batchApplied]])
+    * travels inside the published unit. `publish = "pointer"` (object
+    * stores without atomic rename): rows land under a deterministic
+    * `batch-p-<key>` directory a rerun overwrites in place, and ONE
+    * create-no-overwrite `_commits/<key>` file makes them visible —
+    * [[current]] never reads an uncommitted pointer unit (see
+    * [[graft.core.AppendCommits]]). Either way a crash leaves either
+    * nothing visible (the rerun re-profiles) or the whole batch (the
+    * rerun skips); no window duplicates a batch's rows in the fold. The
+    * maintenance-task twin of [[append]]. */
   def appendAtomic(df: DataFrame, columns: Seq[String], stateDir: String,
-                   batchKey: String): Unit = {
+                   batchKey: String, publish: String = "rename"): Unit = {
     val spark = df.sparkSession
-    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/.tmp-$batchKey")
-    val dest = new org.apache.hadoop.fs.Path(s"$stateDir/batch-$batchKey")
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(tmp, true)
-    profile(df, columns).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dest, true) // stale partial unit from a crashed attempt
-    if (!fs.rename(tmp, dest)) throw new IllegalStateException(
-      s"atomic profile publish failed: $tmp -> $dest")
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    publish match {
+      case "rename" =>
+        val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/.tmp-$batchKey")
+        val dest = new org.apache.hadoop.fs.Path(s"$stateDir/batch-$batchKey")
+        fs.delete(tmp, true)
+        profile(df, columns).write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(dest, true) // stale partial unit from a crashed attempt
+        if (!fs.rename(tmp, dest)) throw new IllegalStateException(
+          s"atomic profile publish failed: $tmp -> $dest")
+      case "pointer" =>
+        val data = s"$stateDir/${graft.core.AppendCommits.PointerPrefix}$batchKey"
+        profile(df, columns).write.mode("overwrite").parquet(data)
+        graft.core.AppendCommits.commit(fs, root, batchKey)
+      case other => throw new IllegalArgumentException(
+        s"unknown profile publish mode '$other' (rename/pointer)")
+    }
   }
 
   /** Fold all stored batch profiles into the current table profile.
     * Monoid fold: one #batches×#columns-row aggregate — the data itself
-    * is never re-read. Recursive lookup covers both layouts: [[append]]
-    * writes files at the root, [[appendAtomic]] publishes `batch-<key>`
-    * subdirectories. */
-  def current(spark: SparkSession, stateDir: String): DataFrame =
-    merge(spark.read.option("recursiveFileLookup", "true").parquet(stateDir))
+    * is never re-read. Published-unit enumeration covers every layout:
+    * [[append]]'s root files, [[appendAtomic]]'s rename-published
+    * `batch-<key>` units, and COMMITTED pointer units (an uncommitted or
+    * torn `batch-p-*` directory is never read). */
+  def current(spark: SparkSession, stateDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = graft.core.AppendCommits.readablePaths(fs, root,
+      graft.core.AppendCommits.committedKeys(fs, root)).map(_.toString)
+    if (paths.isEmpty) throw new IllegalStateException(
+      s"no published profile batches under $stateDir")
+    merge(spark.read.parquet(paths: _*))
+  }
 
   /** Merge profile rows (from any number of batches) by column. min/max
     * compare in the recorded native type; integral sums add exactly. */

@@ -6,15 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` payloads + typed
   * metadata.
   *
-  * IMAGE decode is REAL — [[DecodeStub.decodeImage]] runs the JDK's
+  * IMAGE decode is REAL — [[MediaCodec.decodeImage]] runs the JDK's
   * `javax.imageio` (PNG/JPEG/BMP/GIF, zero extra dependencies) inside a
   * partition-batched mapPartitions; [[encodePng]] produces genuine PNG
   * bytes for fixtures. AUDIO decode is REAL the same way —
-  * [[DecodeStub.decodeAudio]] parses WAV containers through
+  * [[MediaCodec.decodeAudio]] parses WAV containers through
   * `javax.sound.sampled.AudioSystem` and [[encodeWav]] writes them, both
-  * JDK codecs. Feature extraction is REAL too — [[DecodeStub
+  * JDK codecs. Feature extraction is REAL too — [[MediaCodec
   * .imageEmbedding]] (4×4 centered-luma vector from the decoded raster)
-  * and [[DecodeStub.audioEmbedding]] (33-window energy vector from the
+  * and [[MediaCodec.audioEmbedding]] (33-window energy vector from the
   * decoded stream) embed actual media bytes; a model forward pass slots
   * behind the same `Dataset[MediaEmbedding]` signature when an inference
   * runtime is available.
@@ -44,7 +44,7 @@ object Multimodal {
 
   /** Encode a deterministic solid-pattern PNG of the given dimensions —
     * REAL codec work (JDK `javax.imageio`), used by fixtures so
-    * [[DecodeStub.decodeImage]] has genuine image bytes to decode. Pixel
+    * [[MediaCodec.decodeImage]] has genuine image bytes to decode. Pixel
     * values derive from (seed, x, y) only; Java's PNG writer emits no
     * timestamp chunks, so the bytes are reproducible. */
   def encodePng(width: Int, height: Int, seed: Long): Array[Byte] =
@@ -92,7 +92,7 @@ object Multimodal {
   /** Encode 16-bit signed little-endian mono PCM samples as a genuine WAV
     * container through the JDK codec (`javax.sound.sampled.AudioSystem
     * .write`, zero extra dependencies) — the audio twin of [[encodePng]]:
-    * fixtures plant real RIFF/WAVE bytes so [[DecodeStub.decodeAudio]] has
+    * fixtures plant real RIFF/WAVE bytes so [[MediaCodec.decodeAudio]] has
     * an actual container to parse. The writer emits no timestamps, so the
     * bytes are reproducible. */
   def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
@@ -129,9 +129,63 @@ object Multimodal {
     (if (perturb && t % 2 == 0) s + 1 else s).toShort
   }
 
+  /** 256-entry grayscale palette (r=g=b=k). Animated-GIF fixtures encode
+    * through an explicit IndexColorModel so the round-trip is LOSSLESS
+    * and engine-portable: the GIF writer adopts the index palette
+    * verbatim (no quantization), and `getRGB` on the decoded frame
+    * returns exactly (k, k, k) — whereas TYPE_BYTE_GRAY would pass
+    * through a gray→sRGB colorspace conversion that is NOT the identity
+    * ramp, breaking bit-exact oracle replay. */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate[Byte](256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Encode `frames` grayscale frames (pixel value `gray(x, y, f)` in
+    * 0..255) as a genuine multi-frame animated GIF through the JDK codec
+    * (`ImageIO` gif writer, `writeToSequence` — zero extra dependencies):
+    * the video twin of [[encodePng]]/[[encodeWav]]. Each frame is written
+    * FULL-SIZE (the writer does no inter-frame delta optimization), so
+    * [[MediaCodec.frameHashes]] reads each frame back standalone. The
+    * writer emits no timestamps and the palette is the fixed gray ramp,
+    * so the bytes are reproducible. */
+  def encodeGif(width: Int, height: Int, frames: Int,
+                gray: (Int, Int, Int) => Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0, gray(x, y, f))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** Pure-column deterministic PSEUDO-decode: dimensions derived from the
     * payload hash. Engine-portable (ascii/md5 only) so it can be
-    * oracle-checked column-for-column; [[DecodeStub.decodeImage]] is the
+    * oracle-checked column-for-column; [[MediaCodec.decodeImage]] is the
     * real decoder. */
   def fakeDimensions(payload: Column): (Column, Column) = {
     val h = md5(payload)
@@ -154,7 +208,7 @@ object Multimodal {
   /** Aspect-preserving resize arithmetic — the longer side becomes
     * `target`, the shorter scales by the same ratio (round-half-up via
     * cross-multiplied integers, so every engine agrees exactly; a real
-    * deployment feeds these dims to the codec in [[DecodeStub]]).
+    * deployment feeds these dims to the codec in [[MediaCodec]]).
     * Returns (out_w, out_h). */
   def resizeDims(w: Column, h: Column, target: Int): (Column, Column) = {
     val t = lit(target)
@@ -168,7 +222,7 @@ object Multimodal {
   }
 }
 
-object DecodeStub {
+object MediaCodec {
   import Multimodal._
   import org.apache.spark.sql.{Dataset, SparkSession}
 
@@ -276,32 +330,88 @@ object DecodeStub {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload))
         if (img == null) None
-        else {
-          val w = img.getWidth
-          val h = img.getHeight
-          val gray = Array.ofDim[Int](9, 8)
-          var i = 0
-          while (i < 9) {
-            var j = 0
-            while (j < 8) {
-              val v = img.getRGB(i * w / 9, j * h / 8)
-              gray(i)(j) = (((v >> 16) & 0xff) * 299 +
-                ((v >> 8) & 0xff) * 587 + (v & 0xff) * 114) / 1000
-              j += 1
+        else Some(ImageHash(r.media_id, dHashOf(img)))
+      }
+    }
+  }
+
+  /** The dHash core over one decoded raster — shared by the single-image
+    * [[dHash]] and the per-frame [[frameHashes]], so the sampling grid,
+    * integer grayscale and bit layout exist in exactly one place. */
+  private[multimodal] def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = Array.ofDim[Int](9, 8)
+    var i = 0
+    while (i < 9) {
+      var j = 0
+      while (j < 8) {
+        val v = img.getRGB(i * w / 9, j * h / 8)
+        gray(i)(j) = (((v >> 16) & 0xff) * 299 +
+          ((v >> 8) & 0xff) * 587 + (v & 0xff) * 114) / 1000
+        j += 1
+      }
+      i += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      var k = 0
+      while (k < 8) {
+        if (gray(k)(j) > gray(k + 1)(j)) hash |= 1L << (j * 8 + k)
+        k += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  final case class FrameHash(media_id: Long, frame_idx: Int, dhash: Long)
+
+  /** Decode a multi-frame GIF payload into its frames via the JDK's
+    * `ImageIO` GIF reader (`getNumImages(true)` + per-index `read` — zero
+    * extra dependencies). Single-frame GIFs come back as one frame;
+    * payloads the reader rejects (non-GIF, truncated mid-stream) return
+    * None — the same drop-and-audit contract as [[decodeImage]]. */
+  def readGifFrames(payload: Array[Byte])
+      : Option[IndexedSeq[java.awt.image.BufferedImage]] = {
+    val reader = javax.imageio.ImageIO
+      .getImageReadersByFormatName("gif").next()
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      reader.setInput(iis, false, true)
+      // allowSearch=true forces a full stream scan, so a truncated
+      // payload fails HERE (one exception) rather than on a later read
+      val n = reader.getNumImages(true)
+      if (n <= 0) None
+      else Some((0 until n).map(reader.read(_)))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally reader.dispose()
+  }
+
+  /** REAL multi-frame video-style decode: each GIF payload's frames →
+    * per-frame perceptual hashes `(media_id, frame_idx, dhash)` — the
+    * temporal fingerprint [[graft.similarity.BandedHamming
+    * .frameSequencePairs]] dedups on. Decode and hashing run in one
+    * narrow partition-batched pass ([[dHash]]'s discipline): payload
+    * bytes never cross a shuffle, only (id, frame_idx, 8-byte hash) rows
+    * leave the scan — at 100 TB of video the downstream dedup is
+    * corpus-size-bounded by hashes, not media bytes. Undecodable or
+    * truncated payloads drop whole (callers audit counts). */
+  def frameHashes(records: Dataset[MediaRecord]): Dataset[FrameHash] = {
+    val spark: SparkSession = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        readGifFrames(r.payload) match {
+          case Some(frames) =>
+            frames.iterator.zipWithIndex.map { case (img, f) =>
+              FrameHash(r.media_id, f, dHashOf(img))
             }
-            i += 1
-          }
-          var hash = 0L
-          var j = 0
-          while (j < 8) {
-            var k = 0
-            while (k < 8) {
-              if (gray(k)(j) > gray(k + 1)(j)) hash |= 1L << (j * 8 + k)
-              k += 1
-            }
-            j += 1
-          }
-          Some(ImageHash(r.media_id, hash))
+          case None => Iterator.empty
         }
       }
     }

@@ -218,6 +218,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("entropy_term_sum", "entropy_term_sum(arr) - sum of c*ln(c) over element counts as DECIMAL(27,12)") {
       args => graft.functions.EntropyTermSum(args(0))
     },
+    fn("hyperplane_bits", "hyperplane_bits(vec, array(array(...))) - LSH sign-bit string of vec against a constant hyperplane matrix") {
+      args => graft.functions.HyperplaneBits(args(0), args(1))
+    },
   )
 
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -1022,8 +1022,7 @@ object PipelineQueries {
   def q85_index_lifecycle(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val m10 = col("doc_id") % 10
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-dedup-index").toString
+    val path = graft.core.Scratch.dir("graft-dedup-index")
     graft.similarity.DedupIndex.build(
       docs.filter(m10 =!= 0 && m10 =!= 5), "doc_id", "text", path)
     // materialize batch-1 matches BEFORE the append mutates the index dirs
@@ -1061,7 +1060,7 @@ object PipelineQueries {
     * schema exercised as the full video-prep chain. Every step here is
     * engine-portable arithmetic over payload hash/length, so the WHOLE
     * chain is oracle-pinned; the partition-batched
-    * [[graft.multimodal.DecodeStub]] decode/feature stubs carry the same
+    * [[graft.multimodal.MediaCodec]] decode/feature stubs carry the same
     * dataflow when a real codec replaces the arithmetic. Frames explode
     * only into a per-media count (codegen pipelines generate→aggregate —
     * frame bytes never shuffle). */
@@ -1175,8 +1174,7 @@ object PipelineQueries {
   def q364_incremental_profile(spark: SparkSession, dir: String): DataFrame = {
     import graft.metrics.ProfileStore
     val docs = Tables.documents(spark, dir)
-    val state = java.nio.file.Files
-      .createTempDirectory("graft-profile-state").toString
+    val state = graft.core.Scratch.dir("graft-profile-state")
     val cols = Seq("doc_id", "lang", "n_chars")
     (0 until 3).foreach(b =>
       ProfileStore.append(docs.filter(col("doc_id") % 3 === b), cols, state))
@@ -1204,7 +1202,7 @@ object PipelineQueries {
   def q362_api_ingest(spark: SparkSession, dir: String): DataFrame = {
     import graft.io.{ApiReader, FileFetcher, Pagination}
     val docs = Tables.documents(spark, dir)
-    val fixture = java.nio.file.Files.createTempDirectory("graft-api-dump")
+    val fixture = java.nio.file.Paths.get(graft.core.Scratch.dir("graft-api-dump"))
     val pages = docs.select(
         (col("doc_id") / lit(500)).cast("long").as("pg"),
         to_json(struct(col("doc_id").as("id"), col("lang"),
@@ -1363,8 +1361,7 @@ object PipelineQueries {
     * fold input is #batches × #groups metadata rows. */
   def q369_ivm_join(spark: SparkSession, dir: String): DataFrame = {
     import graft.transform.Ivm
-    val state = java.nio.file.Files
-      .createTempDirectory("graft-ivm-join-state").toString
+    val state = graft.core.Scratch.dir("graft-ivm-join-state")
     val ord = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("ok"), col("o_orderpriority"))
     val li = Tables.lineitem(spark, dir)
@@ -1476,8 +1473,7 @@ object PipelineQueries {
     * 100 TB fact table with O(|delta|) per-batch work. */
   def q365_ivm_gold(spark: SparkSession, dir: String): DataFrame = {
     import graft.transform.Ivm
-    val state = java.nio.file.Files
-      .createTempDirectory("graft-ivm-state").toString
+    val state = graft.core.Scratch.dir("graft-ivm-state")
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"))
     val nat = Tables.nation(spark, dir)
@@ -1505,7 +1501,7 @@ object PipelineQueries {
     * genuine PNG whose dimensions are pure arithmetic in doc_id
     * (w = 1 + id mod 13, h = 1 + id mod 7), executors ENCODE it with the
     * JDK PNG writer and DECODE it back with `ImageIO.read`
-    * ([[graft.multimodal.DecodeStub.decodeImage]]), and the grouped output
+    * ([[graft.multimodal.MediaCodec.decodeImage]]), and the grouped output
     * must reproduce the planted arithmetic exactly — the gate fails unless
     * real codec work ran on both sides. Upgrades q33/q114's pseudo-decode
     * rows: those pin the column plumbing; this pins actual bytes→raster
@@ -1523,7 +1519,7 @@ object PipelineQueries {
           "image/png", "synth")
       }
     }
-    graft.multimodal.DecodeStub.decodeImage(recs).toDF()
+    graft.multimodal.MediaCodec.decodeImage(recs).toDF()
       .groupBy(col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         col("channels").cast("long").as("channels"))
@@ -1537,7 +1533,7 @@ object PipelineQueries {
     * seeded PNG, the odd twin with a 1-bit pixel perturbation
     * ([[graft.multimodal.Multimodal.encodePngPerturbed]]) — genuine
     * near-duplicate bytes. Executors decode with `ImageIO` and compute a
-    * 64-bit dHash ([[graft.multimodal.DecodeStub.dHash]]); candidate pairs
+    * 64-bit dHash ([[graft.multimodal.MediaCodec.dHash]]); candidate pairs
     * come from a 4x16-bit band equi-join (the SimHash banding shape, never
     * all-pairs) and are verified on Hamming distance <= 6. The oracle
     * replays the ENTIRE chain — sampled pixels, integer grayscale,
@@ -1580,7 +1576,7 @@ object PipelineQueries {
     // several subtrees (bucket-count aggregate, both self-join sides) and
     // each unpinned reference would re-run the WHOLE encode→decode→hash
     // chain — the expensive stage decode-once semantics exist to avoid
-    val hashes = graft.multimodal.DecodeStub
+    val hashes = graft.multimodal.MediaCodec
       .dHash(phashRecords(spark, dir)).toDF()
       .localCheckpoint(eager = false)
     graft.similarity.BandedHamming.nearDuplicatePairs(hashes,
@@ -1605,6 +1601,80 @@ object PipelineQueries {
       "doc_id"))
   }
 
+  /** Shared q393/q394 fixture: every adjacent doc pair (2g, 2g+1) plants
+    * the SAME seeded multi-frame grayscale GIF clip (4–6 frames, 12–20 ×
+    * 12–18 px), the odd twin perturbed in EXACTLY ONE frame (gray low
+    * bit flipped where (x+y) is even) — a genuine temporal near-duplicate
+    * whose bytes differ in one frame, the "re-encoded clip with a
+    * retouched frame" shape. Pixel values use the q382 nonlinear
+    * `u² mod p` mix (plus an `f·8191` frame term) so cross-seed frames
+    * stay at the random-coincidence level; every intermediate fits a
+    * signed 64-bit, so DuckDB replays the rasters exactly. */
+  private[queries] def videoRecords(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val grp = id / 2
+          val w = (12 + grp % 9).toInt
+          val h = (12 + grp % 7).toInt
+          val nf = (4 + grp % 3).toInt
+          val pf = (grp % nf).toInt
+          val perturb = id % 2 == 1
+          Multimodal.MediaRecord(id,
+            Multimodal.encodeGif(w, h, nf, (x, y, f) => {
+              val u = (grp * 2654435761L + x * 31L + y * 131L +
+                f * 8191L) % 16777213L
+              val g = (((u * u) % 16777213L) % 256L).toInt
+              if (perturb && f == pf && (x + y) % 2 == 0) g ^ 1 else g
+            }), "image/gif", "synth")
+        }
+      }
+  }
+
+  private val videoMaxBucket = 100
+
+  /** Shared q393/q394 pair stage: real GIF decode → per-frame dHash →
+    * [[graft.similarity.BandedHamming.frameSequencePairs]] (per-frame
+    * 4×16-bit bands keyed by frame index, degenerate-bucket cap, per-
+    * frame Hamming ≤ 6, clips near-dup at ≥4/5 close aligned frames).
+    * The hash frame is pinned for the same reason as q382's: the banding
+    * plan consumes it from several subtrees and each unpinned reference
+    * would re-run the whole encode→decode→hash chain. */
+  private def videoPairs(spark: SparkSession, dir: String): DataFrame = {
+    val frames = graft.multimodal.MediaCodec
+      .frameHashes(videoRecords(spark, dir)).toDF()
+      .localCheckpoint(eager = false)
+    graft.similarity.BandedHamming.frameSequencePairs(frames,
+      "media_id", "frame_idx", "dhash", nBands = 4, bandBits = 16,
+      maxHamming = 6, minCloseNum = 4, minCloseDen = 5,
+      maxBucket = Some(videoMaxBucket))
+  }
+
+  /** Frame-sequence (video-style) near-duplicate PAIRS — the tenth dedup
+    * modality: the engine really encodes multi-frame GIFs, DECODES them
+    * (ImageIO frame iterator), per-frame dHashes the rasters, and joins
+    * clips on per-frame band keys; the oracle replays the whole planted
+    * arithmetic (frame rasters → grayscale → per-frame dHash bits → band
+    * keys → cap → aligned-frame Hamming → the 4/5-close integer
+    * threshold), so equality proves real multi-frame codec + temporal
+    * fingerprint work ran end-to-end. */
+  def q393_video_neardup_pairs(spark: SparkSession, dir: String): DataFrame =
+    videoPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
+
+  /** Video duplicate CLUSTERS: q393's temporally-verified pairs closed
+    * with the SAME distributed connected-components operator every other
+    * modality uses — near-duplicate clip families collapse to one
+    * representative, the keep/drop view a training pipeline consumes.
+    * Oracle: the q393 replay closed by a recursive CTE (q54 discipline). */
+  def q394_video_clusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = videoPairs(spark, dir).select(col("id_a"), col("id_b"))
+    clusterView(Dedup.duplicateClusters(pairs, docs.select(col("doc_id")),
+      "doc_id"))
+  }
+
   /** REAL audio decode, oracle-gated end-to-end — the audio twin of
     * [[q377_image_decode]]: every document plants a genuine WAV clip
     * (16-bit mono PCM, `n = 50 + id mod 97` samples at
@@ -1612,7 +1682,7 @@ object PipelineQueries {
     * [[graft.multimodal.Multimodal.plantedSample]] arithmetic), executors
     * ENCODE it with `javax.sound.sampled.AudioSystem.write` and DECODE it
     * back with `AudioSystem.getAudioInputStream`
-    * ([[graft.multimodal.DecodeStub.decodeAudio]]), and the per-clip
+    * ([[graft.multimodal.MediaCodec.decodeAudio]]), and the per-clip
     * integer features — |s| sum, s² energy, strict sign-flip zero
     * crossings — must reproduce the planted arithmetic exactly, so the
     * gate fails unless real container work ran on both sides. Scale
@@ -1632,7 +1702,7 @@ object PipelineQueries {
           "audio/wav", "synth")
       }
     }
-    graft.multimodal.DecodeStub.decodeAudio(recs).toDF()
+    graft.multimodal.MediaCodec.decodeAudio(recs).toDF()
       .select(col("media_id").as("doc_id"),
         col("sample_rate").cast("long").as("sample_rate"),
         col("n_samples"), col("abs_sum"), col("sq_sum"),
@@ -1646,7 +1716,7 @@ object PipelineQueries {
     * perturbation on even samples — a genuine near-duplicate whose bytes
     * differ. Executors decode with `AudioSystem` and compute a 32-bit
     * energy-delta fingerprint
-    * ([[graft.multimodal.DecodeStub.audioFingerprint]], the simplified
+    * ([[graft.multimodal.MediaCodec.audioFingerprint]], the simplified
     * Chromaprint shape); candidates come from a 2x16-bit band equi-join
     * (never all-pairs, same degenerate-bucket cap as the image/text
     * banding) and are verified on Hamming distance <= 4. The oracle
@@ -1677,7 +1747,7 @@ object PipelineQueries {
 
   def q385_audio_fp_dedup(spark: SparkSession, dir: String): DataFrame = {
     // pinned for the same decode-once reason as phashPairs
-    val prints = graft.multimodal.DecodeStub
+    val prints = graft.multimodal.MediaCodec
       .audioFingerprint(audioRecords(spark, dir)).toDF()
       .localCheckpoint(eager = false)
     graft.similarity.BandedHamming.nearDuplicatePairs(prints,
@@ -1690,7 +1760,7 @@ object PipelineQueries {
     * end-to-end on real media bytes: executors decode the planted PNGs
     * (the q382 fixture) with `ImageIO`, embed each raster as a 4×4
     * mean-centered integer-luma vector
-    * ([[graft.multimodal.DecodeStub.imageEmbedding]] — exact integer
+    * ([[graft.multimodal.MediaCodec.imageEmbedding]] — exact integer
     * arithmetic, so the oracle replays it from the planted pixel
     * function), and the EXISTING SemDeDup stack does the rest: LSH-
     * bucketed cosine pairs ([[graft.similarity.LshAnn.pairsAbove]], never
@@ -1710,7 +1780,7 @@ object PipelineQueries {
     // pinned: the LSH plan consumes the embeddings from three subtrees
     // (band explode + both vector re-joins) — unpinned, each reference
     // re-runs the whole encode->decode->embed chain
-    val emb = graft.multimodal.DecodeStub
+    val emb = graft.multimodal.MediaCodec
       .imageEmbedding(phashRecords(spark, dir)).toDF()
       // zero vectors (a perfectly flat raster) have no direction — drop
       // them before the cosine stage in BOTH engines (armor: the planted
@@ -1729,20 +1799,20 @@ object PipelineQueries {
   /** SEMANTIC audio clusters FROM SAMPLES — the audio twin of [[q386]]:
     * executors decode the planted WAV clips (the q385 fixture) with the
     * JDK audio codec, embed each as a mean-centered 33-window energy
-    * vector ([[graft.multimodal.DecodeStub.audioEmbedding]] — exact
+    * vector ([[graft.multimodal.MediaCodec.audioEmbedding]] — exact
     * integer arithmetic the oracle replays), and the existing SemDeDup
     * stack clusters them: LSH-bucketed cosine pairs → whale-safe CC.
     * Near-dup twins sit above cosine 0.9999 while unrelated clips top
     * out near 0.972 at sf0.1 (centering removes the window-count
     * pattern correlation that pushed RAW energy cosines to 0.996 —
-    * see [[graft.multimodal.DecodeStub.audioEmbedding]]), so the 0.985
+    * see [[graft.multimodal.MediaCodec.audioEmbedding]]), so the 0.985
     * threshold recovers the planted families with margin. Scale shape:
     * payload bytes never cross a shuffle; only 33-dim vectors are
     * banded and joined. */
   def q387_audio_semantic_clusters(spark: SparkSession,
                                    dir: String): DataFrame = {
     // pinned for the same decode-once reason as q386
-    val emb = graft.multimodal.DecodeStub
+    val emb = graft.multimodal.MediaCodec
       .audioEmbedding(audioRecords(spark, dir)).toDF()
       .filter(CosineKnn.dot(col("embedding"), col("embedding")) > 0)
       .localCheckpoint(eager = false)
@@ -1869,6 +1939,70 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Unigram-LM EM CONVERGENCE — q388's single E/M step closed into the
+    * full training loop (3 rounds of Viterbi hard-EM with loss-based
+    * vocab pruning, the SentencePiece schedule): round 1 segments under
+    * the seed costs, round 2 under the round-1 M-step's renormalized
+    * masses (unused pieces dropped, alphabet floored at mass 1 — see
+    * [[graft.text.UnigramLm.mStep]]), round 3 under a vocab with the 16
+    * lowest-mass multi-char pieces pruned and the rest renormalized.
+    * One row per round: vocab size, words segmented, exact-DECIMAL
+    * corpus NLL (Σ freq × best-path cost, rounded once at the end), how
+    * many pieces the round's vocab pruned, and the MONOTONE gate —
+    * `monotone_ok` is asserted for round 2 only (a pure EM step is
+    * provably non-increasing; round 3 crosses a prune, which
+    * legitimately trades likelihood for vocab size, so its flag is
+    * NULL by design, not a hedge). The oracle replays all three DP
+    * rounds as chained recursive CTEs.
+    *
+    * Scale shape: identical to q388 — every stage is dictionary or
+    * vocab grain after the one corpus aggregate; the per-round reports
+    * are single-row aggregates and the 3-row window is constant. */
+  def q395_unigram_em_rounds(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.UnigramLm
+    import org.apache.spark.sql.expressions.Window
+    val words = UnigramLm.dictionary(Tables.documents(spark, dir))
+    val v1 = UnigramLm.seedVocab(words)
+      .select(col("piece"), col("seed_mass").as("em_mass"), col("cost"))
+    val dp1 = UnigramLm.viterbi(words, v1).localCheckpoint(eager = false)
+    val v2 = UnigramLm.mStep(dp1, v1)
+    val dp2 = UnigramLm.viterbi(words, v2).localCheckpoint(eager = false)
+    val v3raw = UnigramLm.mStep(dp2, v2)
+    val v3 = UnigramLm.prune(v3raw, 16)
+    val dp3 = UnigramLm.viterbi(words, v3)
+    // freq ≤ corpus tokens fits DECIMAL(10,0); the product stays within
+    // DECIMAL(31,9) in Spark and DECIMAL(30,9) in DuckDB — both exact,
+    // so the single round(…, 6) at the end lands on the same double
+    def roundRow(r: Int, vocab: DataFrame, dp: DataFrame,
+                 prunedFrom: Option[DataFrame]): DataFrame = {
+      val pruned = prunedFrom match {
+        case Some(raw) => // actual drop count (≤ k at tiny vocab sizes)
+          raw.agg(count(lit(1)).as("__n0"))
+            .crossJoin(vocab.agg(count(lit(1)).as("__n1")))
+            .select((col("__n0") - col("__n1")).cast("long").as("n_pruned"))
+        case None => spark.range(1).select(lit(0L).as("n_pruned"))
+      }
+      dp.agg(count(lit(1)).cast("long").as("words_segmented"),
+          round(sum(col("freq").cast("decimal(10,0)") * col("cost")), 6)
+            .cast("double").as("corpus_nll"))
+        .crossJoin(vocab.agg(count(lit(1)).cast("long").as("vocab_size")))
+        .crossJoin(pruned)
+        .select(lit(r.toLong).as("round"), col("vocab_size"),
+          col("n_pruned"), col("words_segmented"), col("corpus_nll"))
+    }
+    val rows = roundRow(1, v1, dp1, None)
+      .unionByName(roundRow(2, v2, dp2, None))
+      .unionByName(roundRow(3, v3, dp3, Some(v3raw)))
+    rows // 3 rows: the unpartitioned lag window is constant-size
+      .withColumn("prev_nll",
+        lag(col("corpus_nll"), 1).over(Window.orderBy(col("round"))))
+      .withColumn("monotone_ok",
+        when(col("round") === 2, col("corpus_nll") <= col("prev_nll")))
+      .select(col("round"), col("vocab_size"), col("n_pruned"),
+        col("words_segmented"), col("corpus_nll"), col("monotone_ok"))
+      .orderBy(col("round"))
+  }
+
   /** ORC round-trip — the one lakehouse format beyond parquet whose jars
     * ship with Spark itself, so unlike the Delta/Iceberg/Kafka contracts
     * (spec-tested, jars absent in this sandbox) the ORC path is
@@ -1890,8 +2024,7 @@ object PipelineQueries {
     import org.apache.spark.sql.types._
     import graft.lakehouse.{LakehouseTable, OrcSink}
     import graft.core.MedallionLayer
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-orc-roundtrip").toString
+    val tmp = graft.core.Scratch.dir("graft-orc-roundtrip")
     OrcSink().write(
       Tables.lineitem(spark, dir).select(col("l_returnflag"),
         col("l_linestatus"), col("l_quantity"), col("l_extendedprice")),

@@ -33,31 +33,37 @@ import org.apache.spark.sql.functions._
   */
 object BandedHamming {
 
-  /** Exploded (id, code, band, bkey) band-key rows: band `b` is bits
-    * `[b·bandBits, (b+1)·bandBits)` of the code, extracted unsigned so
-    * bit 63 can't sign-smear into the key. */
+  /** Exploded (id, code, [carry...,] band, bkey) band-key rows: band `b`
+    * is bits `[b·bandBits, (b+1)·bandBits)` of the code, extracted
+    * unsigned so bit 63 can't sign-smear into the key. `carryCols` ride
+    * along unchanged (the frame index in [[frameSequencePairs]]). */
   def bandKeys(df: DataFrame, idCol: String, codeCol: String,
-               nBands: Int, bandBits: Int): DataFrame = {
+               nBands: Int, bandBits: Int,
+               carryCols: Seq[String] = Nil): DataFrame = {
     val mask = (1L << bandBits) - 1
-    df.select(col(idCol).as("id"), col(codeCol).as("code"),
+    val keep = Seq(col(idCol).as("id"), col(codeCol).as("code")) ++
+      carryCols.map(col)
+    df.select(keep :+
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"),
             shiftrightunsigned(col(codeCol), bandBits * b)
-              .bitwiseAND(lit(mask)).as("bkey"))): _*)).as("bk"))
-      .select(col("id"), col("code"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+              .bitwiseAND(lit(mask)).as("bkey"))): _*)).as("bk"): _*)
+      .select(Seq(col("id"), col("code")) ++ carryCols.map(col) ++
+        Seq(col("bk.band").as("band"), col("bk.bkey").as("bkey")): _*)
   }
 
-  /** Drop rows in (band, bkey) buckets larger than `cap` — the skew guard
+  /** Drop rows in `keyCols` buckets larger than `cap` — the skew guard
     * for degenerate corpora. Combinable count, joined back. */
-  private def capBuckets(banded: DataFrame, maxBucket: Option[Int]): DataFrame =
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String],
+                         maxBucket: Option[Int]): DataFrame =
     maxBucket match {
       case Some(cap) =>
-        val ok = banded.groupBy(col("band"), col("bkey"))
+        val keys = keyCols.map(col)
+        val ok = banded.groupBy(keys: _*)
           .agg(count(lit(1)).as("__bsz"))
           .filter(col("__bsz") <= cap)
-          .select(col("band"), col("bkey"))
-        banded.join(ok, Seq("band", "bkey"))
+          .select(keys: _*)
+        banded.join(ok, keyCols)
       case None => banded
     }
 
@@ -68,7 +74,7 @@ object BandedHamming {
                          nBands: Int, bandBits: Int, maxHamming: Int,
                          maxBucket: Option[Int] = None): DataFrame = {
     val capped = capBuckets(bandKeys(df, idCol, codeCol, nBands, bandBits),
-      maxBucket)
+      Seq("band", "bkey"), maxBucket)
     val cand = capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -118,5 +124,59 @@ object BandedHamming {
         bit_count(col("__ca").bitwiseXOR(col("__cb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("corpus_id"), col("batch_id"), col("hamming"))
+  }
+
+  /** Near-duplicate CLIP pairs over FRAME SEQUENCES — the temporal
+    * (video-style) modality: `frames` holds one row per
+    * (clip id, frame index, ≤64-bit per-frame code) and two clips are
+    * near-duplicates when at least `minCloseNum/minCloseDen` of their
+    * aligned frames (same frame index) are within `maxHamming` — the
+    * "same clip, one frame retouched" shape. Integer threshold
+    * arithmetic (`n_close·den ≥ n_total·num`, `n_total` = the LONGER
+    * clip's frame count) keeps the decision engine-portable for the
+    * oracle.
+    *
+    * Scale shape: candidates come ONLY from an equi-join on
+    * (frame_idx, band, bkey) — a pair is considered iff SOME aligned
+    * frame shares an unchanged band (the [[nearDuplicatePairs]]
+    * pigeonhole, per frame) — with the same degenerate-bucket cap
+    * (solid-color frames across a corpus land in one bucket; the cap
+    * keys include the frame index so a title-card frame common at one
+    * position caps independently per position). Per-frame Hamming
+    * verification touches candidate pairs' aligned frames only, and
+    * frame counts are a combinable groupBy — nothing is ever all-pairs
+    * and clip payload bytes never enter (only hashes arrive here).
+    * Returns `(id_a, id_b, n_close, n_total)` with `id_a < id_b`. */
+  def frameSequencePairs(frames: DataFrame, idCol: String, frameCol: String,
+                         codeCol: String, nBands: Int, bandBits: Int,
+                         maxHamming: Int, minCloseNum: Int, minCloseDen: Int,
+                         maxBucket: Option[Int] = None): DataFrame = {
+    val norm = frames.select(col(idCol).as("id"),
+      col(frameCol).as("fidx"), col(codeCol).as("code"))
+    val banded = bandKeys(norm, "id", "code", nBands, bandBits,
+      carryCols = Seq("fidx"))
+    val capped = capBuckets(banded, Seq("fidx", "band", "bkey"), maxBucket)
+    val cand = capped.as("a")
+      .join(capped.as("b"),
+        col("a.fidx") === col("b.fidx") && col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val fa = norm.select(col("id").as("id_a"), col("fidx"),
+      col("code").as("__ca"))
+    val fb = norm.select(col("id").as("id_b"), col("fidx"),
+      col("code").as("__cb"))
+    val perFrame = cand.join(fa, "id_a").join(fb, Seq("id_b", "fidx"))
+      .withColumn("__ham",
+        bit_count(col("__ca").bitwiseXOR(col("__cb"))).cast("long"))
+    val nf = norm.groupBy(col("id")).agg(count(lit(1)).as("__nf"))
+    perFrame.groupBy(col("id_a"), col("id_b"))
+      .agg(sum(when(col("__ham") <= maxHamming, 1L).otherwise(0L))
+        .as("n_close"))
+      .join(nf.select(col("id").as("id_a"), col("__nf").as("__na")), "id_a")
+      .join(nf.select(col("id").as("id_b"), col("__nf").as("__nb")), "id_b")
+      .withColumn("n_total", greatest(col("__na"), col("__nb")))
+      .filter(col("n_close") * minCloseDen >= col("n_total") * minCloseNum)
+      .select(col("id_a"), col("id_b"), col("n_close"), col("n_total"))
   }
 }

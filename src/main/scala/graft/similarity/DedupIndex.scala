@@ -115,10 +115,27 @@ object DedupIndex {
     writeManifest(spark, path, Manifest(shingleN, bands, rowsPerBand, numBuckets))
   }
 
+  /** The legacy layout's readable paths for one table: root-level files
+    * (pre-atomic plain appends), rename-published `batch-*` units, and
+    * COMMITTED pointer-published `batch-p-*` units — a crashed rename's
+    * `.tmp-*` or an uncommitted pointer directory is never read. */
+  private def legacyPaths(spark: SparkSession, path: String,
+                          table: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = graft.core.AppendCommits.committedKeys(fs, root)
+    val paths = graft.core.AppendCommits.readablePaths(fs,
+      new org.apache.hadoop.fs.Path(root, table), commits).map(_.toString)
+    if (paths.isEmpty) throw new IllegalStateException(
+      s"index at $path has no published $table batches")
+    paths
+  }
+
   /** Load the two index tables: (fingerprints, bands). Bucketed indexes
-    * come back as catalog tables (partitioning-aware); legacy indexes via
-    * recursive lookup — [[appendAtomic]] publishes per-batch
-    * `batch-<key>` subdirectories, one read covers both legacy shapes. */
+    * come back as catalog tables (partitioning-aware); legacy indexes by
+    * enumerating published units — [[appendAtomic]] publishes per-batch
+    * `batch-<key>` (rename) or committed `batch-p-<key>` (pointer)
+    * subdirectories, one read covers every legacy shape. */
   def load(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val m = manifest(spark, path)
     if (m.bucketed)
@@ -127,10 +144,8 @@ object DedupIndex {
         IndexCatalog.table(spark, bandsName(path), s"$path/bands",
           Seq("band"), m.numBuckets))
     else
-      (spark.read.option("recursiveFileLookup", "true")
-        .parquet(s"$path/fingerprints"),
-        spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$path/bands"))
+      (spark.read.parquet(legacyPaths(spark, path, "fingerprints"): _*),
+        spark.read.parquet(legacyPaths(spark, path, "bands"): _*))
   }
 
   /** Stored ids, column-pruned — the anti-join side for idempotent
@@ -175,14 +190,18 @@ object DedupIndex {
       .write.mode("append").parquet(s"$path/band_sizes")
   }
 
-  /** True iff [[appendAtomic]] fully published batch `batchKey`: the
-    * bands batch directory is renamed LAST, so its presence (plus the
-    * manifest) certifies the whole batch — data and appliedness are one
-    * unit, the crash-atomicity [[append]]'s separate marker lacks. */
+  /** True iff [[appendAtomic]] fully published batch `batchKey`: under
+    * rename publish, the bands batch directory is renamed LAST, so its
+    * presence (plus the manifest) certifies the whole batch; under
+    * pointer publish, the `_commits/<key>` file is created last and IS
+    * the appliedness. */
   def batchApplied(spark: SparkSession, path: String, batchKey: String): Boolean = {
-    val bands = new org.apache.hadoop.fs.Path(s"$path/bands/batch-$batchKey")
-    val fs = bands.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(bands) && exists(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val renamed = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/bands/batch-$batchKey"))
+    (renamed || graft.core.AppendCommits.isCommitted(fs, root, batchKey)) &&
+      exists(spark, path)
   }
 
   /** CRASH-ATOMIC batch append on the LEGACY (rename-published) layout:
@@ -199,33 +218,53 @@ object DedupIndex {
   def appendAtomic(batch: DataFrame, idCol: String, textCol: String,
                    path: String, batchKey: String,
                    shingleN: Int = 3, bands: Int = 16,
-                   rowsPerBand: Int = 4): Unit = {
+                   rowsPerBand: Int = 4, publish: String = "rename"): Unit = {
     val spark = batch.sparkSession
     val m = if (exists(spark, path)) manifest(spark, path)
             else Manifest(shingleN, bands, rowsPerBand)
     require(!m.bucketed,
       s"index at $path is bucketed; appendAtomic's rename-published batch " +
         "units would corrupt the bucket layout — append via append")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def publish(df: DataFrame, table: String): org.apache.hadoop.fs.Path = {
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/$table/.tmp-$batchKey")
-      val dest = new org.apache.hadoop.fs.Path(s"$path/$table/batch-$batchKey")
-      fs.delete(tmp, true)
-      df.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dest, true) // stale partial unit from a crashed attempt
-      if (!fs.rename(tmp, dest)) throw new IllegalStateException(
-        s"atomic index publish failed: $tmp -> $dest")
-      dest
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    publish match {
+      case "rename" =>
+        def publishUnit(df: DataFrame, table: String): org.apache.hadoop.fs.Path = {
+          val tmp = new org.apache.hadoop.fs.Path(s"$path/$table/.tmp-$batchKey")
+          val dest = new org.apache.hadoop.fs.Path(s"$path/$table/batch-$batchKey")
+          fs.delete(tmp, true)
+          df.write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(dest, true) // stale partial unit from a crashed attempt
+          if (!fs.rename(tmp, dest)) throw new IllegalStateException(
+            s"atomic index publish failed: $tmp -> $dest")
+          dest
+        }
+        val fpsDir = publishUnit(
+          MinHashLsh.fingerprints(batch, idCol, textCol, m.shingleN),
+          "fingerprints")
+        // band keys from the PUBLISHED fingerprints (no re-shingle via lineage)
+        val stored = spark.read.parquet(fpsDir.toString)
+        publishUnit(MinHashLsh.bandIndex(stored, idCol, m.bands, m.rowsPerBand),
+          "bands")
+        if (!exists(spark, path)) writeManifest(spark, path, m)
+      case "pointer" =>
+        // object-store-safe (no rename): data lands under deterministic
+        // batch-p-<key> dirs a rerun overwrites IN PLACE, then ONE
+        // create-no-overwrite _commits/<key> publishes both tables at
+        // once; readers ([[load]]) skip uncommitted pointer dirs, so a
+        // torn attempt is never read — see [[graft.core.AppendCommits]]
+        val prefix = graft.core.AppendCommits.PointerPrefix
+        val fpsDir = s"$path/fingerprints/$prefix$batchKey"
+        MinHashLsh.fingerprints(batch, idCol, textCol, m.shingleN)
+          .write.mode("overwrite").parquet(fpsDir)
+        val stored = spark.read.parquet(fpsDir)
+        MinHashLsh.bandIndex(stored, idCol, m.bands, m.rowsPerBand)
+          .write.mode("overwrite").parquet(s"$path/bands/$prefix$batchKey")
+        if (!exists(spark, path)) writeManifest(spark, path, m)
+        graft.core.AppendCommits.commit(fs, root, batchKey)
+      case other => throw new IllegalArgumentException(
+        s"unknown index publish mode '$other' (rename/pointer)")
     }
-    val fpsDir = publish(
-      MinHashLsh.fingerprints(batch, idCol, textCol, m.shingleN),
-      "fingerprints")
-    // band keys from the PUBLISHED fingerprints (no re-shingle via lineage)
-    val stored = spark.read.parquet(fpsDir.toString)
-    publish(MinHashLsh.bandIndex(stored, idCol, m.bands, m.rowsPerBand),
-      "bands")
-    if (!exists(spark, path)) writeManifest(spark, path, m)
   }
 
   /** Near-duplicates of `batch` against the stored index. Never re-reads

@@ -272,7 +272,7 @@ object StreamOps {
     * callable directly so the semantics are unit-testable): `batch`
     * carries (id, code) fingerprint rows — an image dHash or acoustic
     * fingerprint computed upstream by the narrow decode chain
-    * ([[graft.multimodal.DecodeStub]]; media BYTES never reach this
+    * ([[graft.multimodal.MediaCodec]]; media BYTES never reach this
     * operator or the index). The batch is Hamming-matched against the
     * persistent [[graft.similarity.MediaDedupIndex]], matches land
     * EXACTLY-ONCE in a `micro_batch_id` partition (dynamic overwrite —

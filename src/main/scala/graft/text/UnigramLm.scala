@@ -107,9 +107,15 @@ object UnigramLm {
     // oracle's lateral ORDER BY cost, seg LIMIT 1
     words.join(edges, Seq("w"))
       .withColumn("st", expr(
+        // the zero's fields are spelled NULLABLE via a non-foldable IF
+        // (always true): dead positions hold NULL cost/seg, and if the
+        // st array ever materializes in its own projection, a zero
+        // declared non-null would make the unsafe writer NPE on them
         """aggregate(sequence(1, length(w)),
-          |  array(named_struct('cost', CAST(0 AS DECIMAL(20,9)),
-          |                     'seg', '')),
+          |  array(named_struct(
+          |    'cost', IF(length(w) IS NOT NULL, CAST(0 AS DECIMAL(20,9)),
+          |               CAST(NULL AS DECIMAL(20,9))),
+          |    'seg',  IF(length(w) IS NOT NULL, '', CAST(NULL AS STRING)))),
           |  (st, i) -> concat(st, array(
           |    aggregate(filter(edges, e -> e.i = i),
           |      named_struct('cost', CAST(NULL AS DECIMAL(20,9)),
@@ -132,6 +138,66 @@ object UnigramLm {
       // an out-of-vocab char leaves a NULL hole some suffix can't bridge
       .filter(expr("element_at(st, length(w) + 1).cost IS NOT NULL"))
       .select(col("w"), col("freq"),
-        expr("element_at(st, length(w) + 1).seg").as("seg"))
+        expr("element_at(st, length(w) + 1).seg").as("seg"),
+        expr("element_at(st, length(w) + 1).cost").as("cost"))
+  }
+
+  /** M-step: piece masses under the winning segmentations, renormalized
+    * into the NEXT round's NLL costs — with [[viterbi]] this closes the
+    * hard-EM loop (Kudo 2018's Viterbi-EM variant). Two deliberate
+    * properties:
+    *
+    *  - pieces NO winning segmentation used drop out (their EM mass is
+    *    zero) — provably free for the NLL-monotone chain, since no
+    *    retained segmentation references them;
+    *  - single-char pieces of the previous vocab's alphabet are retained
+    *    with floor mass 1 (the q389 unk discipline) and INCLUDED in the
+    *    normalization total, so (a) every currently-segmentable word
+    *    stays segmentable in every later round and (b) the piece scores
+    *    remain a true probability distribution — the Gibbs-inequality
+    *    step of the monotonicity argument needs Σp ≤ 1.
+    *
+    * Monotonicity (the q395 gate): corpus NLL under round r+1's costs ≤
+    * corpus NLL under round r's, because the E-step is exact
+    * minimization per word and the M-step's renormalized masses minimize
+    * the cross-entropy of the round-r segmentation distribution (up to
+    * the ≤1e-9-per-piece cost rounding and the alphabet floor's
+    * ln(1+u/T) dilution, both orders of magnitude below a real EM
+    * improvement). Output: (piece, em_mass, cost), pinned. */
+  def mStep(dp: DataFrame, vocab: DataFrame): DataFrame = {
+    val em = dp
+      .select(col("freq"), explode(split(col("seg"), "\\|")).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).cast("long").as("em_mass"))
+    val floor = vocab.filter(length(col("piece")) === 1)
+      .select(col("piece"))
+      .join(em.select(col("piece")), Seq("piece"), "left_anti")
+      .withColumn("em_mass", lit(1L))
+    val all = em.unionByName(floor)
+    val tot = all.agg(sum(col("em_mass")).as("t")) // 1-row
+    all.crossJoin(broadcast(tot))
+      .select(col("piece"), col("em_mass"),
+        nllCost(col("t"), col("em_mass")).as("cost"))
+      .localCheckpoint(eager = false)
+  }
+
+  /** Vocab pruning between EM rounds: drop the bottom-`k` MULTI-char
+    * pieces by EM mass (mass asc, piece asc — deterministic; in hard-EM
+    * a piece's removal loss is proportional to its mass, the
+    * SentencePiece loss proxy), keep every single-char piece (the
+    * segmentability floor), and renormalize the survivors' masses into
+    * fresh costs. A bounded TakeOrdered — `k` rows cross the driver,
+    * never the vocab. NOTE: pruning a USED piece can legitimately raise
+    * the next round's corpus NLL (that is the vocab-size-for-likelihood
+    * trade SentencePiece makes), so the q395 monotone gate does not span
+    * a prune. */
+  def prune(vocab: DataFrame, k: Int): DataFrame = {
+    val drop = vocab.filter(length(col("piece")) >= 2)
+      .orderBy(col("em_mass").asc, col("piece")).limit(k)
+    val kept = vocab.join(drop.select(col("piece")), Seq("piece"), "left_anti")
+    val tot = kept.agg(sum(col("em_mass")).as("t")) // 1-row
+    kept.crossJoin(broadcast(tot))
+      .select(col("piece"), col("em_mass"),
+        nllCost(col("t"), col("em_mass")).as("cost"))
+      .localCheckpoint(eager = false)
   }
 }

@@ -122,6 +122,35 @@ class BucketedIndexPlanSpec extends SparkSpec {
     }
   }
 
+  test("a fresh session re-registers the bucketed tables over the " +
+       "existing files (schema from footers, bucket ids from file names) " +
+       "and keeps the shuffle-free plan") {
+    import spark.implicits._
+    val path = tmpDir("bidx-reregister")
+    val corpus = (0L until 80L)
+      .map(i => (i, s"kappa lambda mu nu xi omicron doc $i tail ${i * 13}"))
+      .toDF("doc_id", "text")
+    graft.similarity.DedupIndex.build(corpus, "doc_id", "text", path)
+    // simulate a NEW session: the in-memory catalog loses all table
+    // metadata across JVMs — drop every graft index table definition
+    spark.catalog.listTables().collect()
+      .filter(t => t.name.startsWith("graft_dedup_"))
+      .foreach(t => spark.sql(s"DROP TABLE `${t.name}`"))
+    val batch = Seq((900L, "kappa lambda mu nu xi omicron doc 3 tail 39"))
+      .toDF("doc_id", "text")
+    withStaticPlan {
+      val df = graft.similarity.DedupIndex.dedupBatch(spark, path, batch,
+        "doc_id", "text", threshold = 0.3, maxBucket = Some(100))
+      // re-registration restored BUCKETED scans, not plain file scans
+      assertCorpusSideUnshuffled(df, "/bands")
+      assertCorpusSideUnshuffled(df, "/fingerprints")
+      df.select("corpus_id").as[Long].collect() should contain(3L)
+    }
+    // append still validates against the re-registered spec
+    graft.similarity.DedupIndex.append(batch, "doc_id", "text", path)
+    graft.similarity.DedupIndex.load(spark, path)._1.count() shouldBe 81L
+  }
+
   test("indexedIds anti-join side is the bucketed codes/fingerprints scan") {
     import spark.implicits._
     val path = tmpDir("bidx-anti")

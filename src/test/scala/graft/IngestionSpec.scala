@@ -477,6 +477,81 @@ class IngestionSpec extends SparkSpec {
     nRows() shouldBe 3
   }
 
+  test("pointer-publish appends heal every crash window on dedup-index " +
+       "and profile stores: uncommitted units invisible, reruns complete, " +
+       "replays skip, lost commit races surface, modes mix on one store") {
+    import org.apache.spark.sql.functions._
+    import graft.similarity.DedupIndex
+    import graft.metrics.ProfileStore
+    val root = tmpDir("graft-pointer-append")
+    val idx = s"$root/idx"
+    val b1 = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    // --- dedup-index, pointer mode: publish, read, replay-skip
+    DedupIndex.appendAtomic(b1, "doc_id", "text", idx, "k1",
+      publish = "pointer")
+    DedupIndex.batchApplied(spark, idx, "k1") shouldBe true
+    DedupIndex.load(spark, idx)._1.count() shouldBe 2
+    // crash window: data dirs fully written but the commit file missing —
+    // the batch reads as NOT applied and its rows are INVISIBLE
+    val b2 = Seq((3L, "iota kappa lambda mu")).toDF("doc_id", "text")
+    DedupIndex.appendAtomic(b2, "doc_id", "text", idx, "k2",
+      publish = "pointer")
+    new java.io.File(s"$idx/_commits/k2").delete() shouldBe true
+    DedupIndex.batchApplied(spark, idx, "k2") shouldBe false
+    DedupIndex.load(spark, idx)._1.count() shouldBe 2
+    // the rerun overwrites the orphaned unit in place and commits it
+    DedupIndex.appendAtomic(b2, "doc_id", "text", idx, "k2",
+      publish = "pointer")
+    DedupIndex.batchApplied(spark, idx, "k2") shouldBe true
+    DedupIndex.load(spark, idx)._1.count() shouldBe 3
+    // lost commit race: someone else published this key concurrently
+    val marker = new java.io.File(s"$idx/_commits/k3")
+    marker.createNewFile() shouldBe true
+    val b3 = Seq((4L, "nu xi omicron pi")).toDF("doc_id", "text")
+    intercept[IllegalStateException] {
+      DedupIndex.appendAtomic(b3, "doc_id", "text", idx, "k3",
+        publish = "pointer")
+    }.getMessage should include("commit race")
+    // modes mix on one store: a rename-published unit reads alongside
+    // the committed pointer units (it is its own commit)
+    marker.delete() shouldBe true
+    DedupIndex.appendAtomic(b3, "doc_id", "text", idx, "k4")
+    DedupIndex.load(spark, idx)._1.count() shouldBe 4
+    // runMaintenance drives the pointer mode through config
+    val src = s"$root/docs"
+    Seq((9L, "rho sigma tau upsilon")).toDF("doc_id", "text")
+      .write.parquet(src)
+    val task = graft.config.MaintenanceConfig(
+      `type` = "dedup-index", path = idx, source = Some(src),
+      columns = Seq("doc_id", "text"), publish = "pointer")
+    IngestionRunner.runMaintenance(spark, task)
+    DedupIndex.load(spark, idx)._1.count() shouldBe 5
+    IngestionRunner.runMaintenance(spark, task) // replay: no change
+    DedupIndex.load(spark, idx)._1.count() shouldBe 5
+    // --- profile store, pointer mode: same three windows
+    val store = s"$root/prof"
+    ProfileStore.appendAtomic(b1, Seq("doc_id"), store, "p1",
+      publish = "pointer")
+    def nRows2() = ProfileStore.current(spark, store)
+      .filter(col("column") === "doc_id").collect()
+      .head.getAs[Number]("n_rows").longValue()
+    nRows2() shouldBe 2
+    ProfileStore.appendAtomic(b2, Seq("doc_id"), store, "p2",
+      publish = "pointer")
+    new java.io.File(s"$store/_commits/p2").delete() shouldBe true
+    ProfileStore.batchApplied(spark, store, "p2") shouldBe false
+    nRows2() shouldBe 2 // uncommitted unit invisible to the fold
+    ProfileStore.appendAtomic(b2, Seq("doc_id"), store, "p2",
+      publish = "pointer")
+    nRows2() shouldBe 3
+    new java.io.File(s"$store/_commits/p9").createNewFile() shouldBe true
+    intercept[IllegalStateException] {
+      ProfileStore.appendAtomic(b3, Seq("doc_id"), store, "p9",
+        publish = "pointer")
+    }.getMessage should include("commit race")
+  }
+
   test("pre-r8 stores (unsuffixed batch keys) are not refolded: legacy " +
        "group partitions overwrite in place, legacy min snapshots and " +
        "_applied markers still count as applied") {

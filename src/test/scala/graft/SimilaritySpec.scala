@@ -274,16 +274,16 @@ class SimilaritySpec extends SparkSpec {
     a shouldBe b
   }
 
-  test("DecodeStub.dHash: near-dup PNGs (same seed, 1-bit perturbation) land " +
+  test("MediaCodec.dHash: near-dup PNGs (same seed, 1-bit perturbation) land " +
        "within Hamming 6; distinct seeds are far; bits replay arithmetically") {
-    import graft.multimodal.{DecodeStub, Multimodal}
+    import graft.multimodal.{MediaCodec, Multimodal}
     // encode real PNGs on the driver, hash them distributed
     val recs = Seq(
       Multimodal.MediaRecord(0L, Multimodal.encodePngPerturbed(25, 20, 7L, perturb = false), "image/png", "t"),
       Multimodal.MediaRecord(1L, Multimodal.encodePngPerturbed(25, 20, 7L, perturb = true), "image/png", "t"),
       Multimodal.MediaRecord(2L, Multimodal.encodePngPerturbed(25, 20, 8L, perturb = false), "image/png", "t"),
       Multimodal.MediaRecord(3L, Array[Byte](1, 2, 3), "image/png", "t")).toDS()
-    val hs = DecodeStub.dHash(recs).collect().map(h => h.media_id -> h.dhash).toMap
+    val hs = MediaCodec.dHash(recs).collect().map(h => h.media_id -> h.dhash).toMap
     assert(hs.size == 3, "undecodable payload dropped")
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(hs(0L), hs(1L)) <= 6, s"near-dup pair too far: ${ham(hs(0L), hs(1L))}")
@@ -304,10 +304,10 @@ class SimilaritySpec extends SparkSpec {
     assert(hs(0L) == expected, "dHash must equal the arithmetic replay")
   }
 
-  test("DecodeStub.audioFingerprint: near-dup clips (same seed, +1 even-" +
+  test("MediaCodec.audioFingerprint: near-dup clips (same seed, +1 even-" +
        "sample perturbation) land within Hamming 4; distinct seeds are " +
        "far; sub-33-sample clips drop; bits replay arithmetically") {
-    import graft.multimodal.{DecodeStub, Multimodal}
+    import graft.multimodal.{MediaCodec, Multimodal}
     def clip(seed: Long, n: Int, perturb: Boolean) =
       Multimodal.encodeWav(8000,
         Array.tabulate(n)(t => Multimodal.plantedSample(seed, t, perturb)))
@@ -317,7 +317,7 @@ class SimilaritySpec extends SparkSpec {
       Multimodal.MediaRecord(2L, clip(12L, 90, perturb = false), "audio/wav", "t"),
       Multimodal.MediaRecord(3L, clip(13L, 32, perturb = false), "audio/wav", "t"),
       Multimodal.MediaRecord(4L, "junk".getBytes("UTF-8"), "audio/wav", "t")).toDS()
-    val fps = DecodeStub.audioFingerprint(recs).collect()
+    val fps = MediaCodec.audioFingerprint(recs).collect()
       .map(p => p.media_id -> p.fp).toMap
     // <33 samples (no stable windowing) and undecodable both dropped
     fps.keySet shouldBe Set(0L, 1L, 2L)

@@ -167,10 +167,10 @@ class StreamingSpec extends SparkSpec {
 
   test("mediaDedupIndexBatch: near-dup image in batch 2 matches batch 1's " +
        "index; replay is exactly-once and never double-indexes") {
-    import graft.multimodal.{DecodeStub, Multimodal}
+    import graft.multimodal.{MediaCodec, Multimodal}
     val root = tmpDir("mdix")
     val (index, matches) = (root + "/index", root + "/matches")
-    def codes(recs: (Long, Long, Boolean)*) = DecodeStub.dHash(
+    def codes(recs: (Long, Long, Boolean)*) = MediaCodec.dHash(
       recs.map { case (id, seed, pert) =>
         Multimodal.MediaRecord(id,
           Multimodal.encodePngPerturbed(24, 19, seed, perturb = pert),

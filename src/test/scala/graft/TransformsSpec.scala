@@ -311,7 +311,7 @@ class TransformsSpec extends SparkSpec {
 
   test("Multimodal.decodeImage really decodes PNG bytes (javax.imageio) " +
        "and drops undecodable payloads") {
-    import graft.multimodal.{DecodeStub, Multimodal}
+    import graft.multimodal.{MediaCodec, Multimodal}
     // genuine PNG payloads with planted dimensions, plus one text payload
     val recs = Seq(
       Multimodal.MediaRecord(1L, Multimodal.encodePng(17, 5, 1L),
@@ -320,7 +320,7 @@ class TransformsSpec extends SparkSpec {
         "image/png", "synth"),
       Multimodal.MediaRecord(3L, "not an image".getBytes("UTF-8"),
         "image/png", "synth")).toDS()
-    val feats = DecodeStub.decodeImage(recs).collect()
+    val feats = MediaCodec.decodeImage(recs).collect()
       .map(f => f.media_id -> f).toMap
     feats.keySet shouldBe Set(1L, 2L) // text payload dropped, not crashed
     feats(1L).width shouldBe 17
@@ -330,14 +330,14 @@ class TransformsSpec extends SparkSpec {
     feats(2L).height shouldBe 9
     feats(1L).sha.length shouldBe 32
     // decode is deterministic: same planted image → same digest
-    val again = DecodeStub.decodeImage(recs.repartition(4)).collect()
+    val again = MediaCodec.decodeImage(recs.repartition(4)).collect()
       .map(f => f.media_id -> f.sha).toMap
     again(1L) shouldBe feats(1L).sha
   }
 
   test("Multimodal.encodeWav/decodeAudio round-trip the planted PCM " +
        "arithmetic and drop undecodable or non-16-bit-mono payloads") {
-    import graft.multimodal.{DecodeStub, Multimodal}
+    import graft.multimodal.{MediaCodec, Multimodal}
     val n = 147
     val samples = Array.tabulate(n)(t =>
       Multimodal.plantedSample(9L, t, perturb = false))
@@ -366,7 +366,7 @@ class TransformsSpec extends SparkSpec {
       // must not crash the partition (drop or short-read, never throw)
       Multimodal.MediaRecord(4L, wav.take(wav.length / 2), "audio/wav", "synth")
     ).toDS()
-    val feats = DecodeStub.decodeAudio(recs).collect()
+    val feats = MediaCodec.decodeAudio(recs).collect()
       .map(f => f.media_id -> f).toMap
     // text + stereo dropped; the truncated one may drop or short-read
     feats.keySet - 4L shouldBe Set(1L)
@@ -377,7 +377,7 @@ class TransformsSpec extends SparkSpec {
     feats(1L).zero_crossings shouldBe zc.toLong
     feats.get(4L).foreach(_.n_samples should be < n.toLong)
     // decode is deterministic on any partitioning
-    val again = DecodeStub.decodeAudio(recs.repartition(4)).collect()
+    val again = MediaCodec.decodeAudio(recs.repartition(4)).collect()
       .map(f => f.media_id -> f.sq_sum).toMap
     again(1L) shouldBe sqSum
     // the near-dup perturbation (+1 on even t) changes bytes but stays
@@ -411,13 +411,13 @@ class TransformsSpec extends SparkSpec {
 
   test("Multimodal.imageEmbedding: centered-luma vector replays the " +
        "planted raster arithmetic; near-dups stay near cosine 1") {
-    import graft.multimodal.{DecodeStub, Multimodal}
+    import graft.multimodal.{MediaCodec, Multimodal}
     val recs = Seq(
       Multimodal.MediaRecord(0L, Multimodal.encodePngPerturbed(21, 18, 5L, perturb = false), "image/png", "t"),
       Multimodal.MediaRecord(1L, Multimodal.encodePngPerturbed(21, 18, 5L, perturb = true), "image/png", "t"),
       Multimodal.MediaRecord(2L, Multimodal.encodePngPerturbed(21, 18, 6L, perturb = false), "image/png", "t"),
       Multimodal.MediaRecord(3L, "not an image".getBytes("UTF-8"), "image/png", "t")).toDS()
-    val em = DecodeStub.imageEmbedding(recs).collect()
+    val em = MediaCodec.imageEmbedding(recs).collect()
       .map(e => e.media_id -> e.embedding).toMap
     em.keySet shouldBe Set(0L, 1L, 2L) // undecodable dropped
     em.values.foreach { v =>
@@ -445,7 +445,7 @@ class TransformsSpec extends SparkSpec {
 
   test("Multimodal.audioEmbedding: 33-window energy vector replays the " +
        "planted PCM arithmetic; short/undecodable clips drop") {
-    import graft.multimodal.{DecodeStub, Multimodal}
+    import graft.multimodal.{MediaCodec, Multimodal}
     val n = 99
     def clip(seed: Long, perturb: Boolean) = Multimodal.encodeWav(8000,
       Array.tabulate(n)(t => Multimodal.plantedSample(seed, t, perturb)))
@@ -456,7 +456,7 @@ class TransformsSpec extends SparkSpec {
         Array.tabulate(20)(t => Multimodal.plantedSample(4L, t, perturb = false))),
         "audio/wav", "t"),
       Multimodal.MediaRecord(3L, "junk".getBytes("UTF-8"), "audio/wav", "t")).toDS()
-    val em = DecodeStub.audioEmbedding(recs).collect()
+    val em = MediaCodec.audioEmbedding(recs).collect()
       .map(e => e.media_id -> e.embedding).toMap
     em.keySet shouldBe Set(0L, 1L) // <33 samples and undecodable dropped
     em(0L).length shouldBe 33
@@ -566,5 +566,88 @@ class TransformsSpec extends SparkSpec {
       .as[(Int, String)].collect().toSeq
     // frames of 3 bytes: idx 0 -> abc, idx 2 -> ghi (stride skips idx 1)
     frames shouldBe Seq((0, "abc"), (2, "ghi"))
+  }
+
+  test("Multimodal.encodeGif/readGifFrames round-trip the planted frame " +
+       "rasters losslessly (multi-frame, single-frame, truncated, non-GIF)") {
+    import graft.multimodal.{MediaCodec, Multimodal}
+    def gray(x: Int, y: Int, f: Int): Int =
+      ((x * 31 + y * 131 + f * 8191 + 7) % 256 + 256) % 256
+    val gif = Multimodal.encodeGif(14, 11, 3, gray)
+    // encode is deterministic byte-for-byte
+    Multimodal.encodeGif(14, 11, 3, gray).toSeq shouldBe gif.toSeq
+    val frames = MediaCodec.readGifFrames(gif).get
+    frames.size shouldBe 3
+    frames.zipWithIndex.foreach { case (img, f) =>
+      img.getWidth shouldBe 14
+      img.getHeight shouldBe 11
+      for (y <- 0 until 11; x <- 0 until 14) {
+        val v = img.getRGB(x, y)
+        val g = gray(x, y, f)
+        // lossless gray palette: every channel is exactly the planted gray
+        withClue(s"f=$f x=$x y=$y: ") {
+          ((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff) shouldBe ((g, g, g))
+        }
+      }
+    }
+    // single-frame clip decodes to exactly one frame
+    MediaCodec.readGifFrames(Multimodal.encodeGif(9, 8, 1, gray))
+      .get.size shouldBe 1
+    // truncated mid-stream and non-GIF payloads drop whole, never throw
+    MediaCodec.readGifFrames(gif.take(gif.length / 2)) shouldBe None
+    MediaCodec.readGifFrames("not a gif".getBytes("UTF-8")) shouldBe None
+    MediaCodec.readGifFrames(Array.emptyByteArray) shouldBe None
+    // the Dataset-level frame hasher: one row per decoded frame, bad
+    // payloads dropped, deterministic on any partitioning
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, gif, "image/gif", "synth"),
+      Multimodal.MediaRecord(2L, gif.take(gif.length / 2), "image/gif", "synth"),
+      Multimodal.MediaRecord(3L, Multimodal.encodeGif(9, 8, 1, gray),
+        "image/gif", "synth")).toDS()
+    val hashes = MediaCodec.frameHashes(recs).collect()
+      .map(h => (h.media_id, h.frame_idx) -> h.dhash).toMap
+    hashes.keySet shouldBe Set((1L, 0), (1L, 1), (1L, 2), (3L, 0))
+    val again = MediaCodec.frameHashes(recs.repartition(4)).collect()
+      .map(h => (h.media_id, h.frame_idx) -> h.dhash).toMap
+    again shouldBe hashes
+  }
+
+  test("frameSequencePairs: one-frame-perturbed twin is a near-dup clip, " +
+       "distinct seeds are not, and a fully-scrambled clip fails 4/5") {
+    import graft.multimodal.{MediaCodec, Multimodal}
+    import graft.similarity.BandedHamming
+    def clip(id: Long, seed: Long, nf: Int,
+             perturbFrames: Set[Int]): Multimodal.MediaRecord =
+      Multimodal.MediaRecord(id, Multimodal.encodeGif(16, 13, nf, (x, y, f) => {
+        val u = (seed * 2654435761L + x * 31L + y * 131L + f * 8191L) % 16777213L
+        val g = (((u * u) % 16777213L) % 256L).toInt
+        if (perturbFrames(f) && (x + y) % 2 == 0) g ^ 1 else g
+      }), "image/gif", "synth")
+    val recs = Seq(
+      clip(0L, 7L, 5, Set.empty),  // original
+      clip(1L, 7L, 5, Set(2)),     // one frame retouched -> near-dup
+      clip(2L, 8L, 5, Set.empty),  // different seed -> distinct
+      // same seed but >1/5 of frames heavily scrambled (different seed
+      // entirely on 3 of 5 frames) -> fails the 4/5-close threshold
+      Multimodal.MediaRecord(3L, Multimodal.encodeGif(16, 13, 5, (x, y, f) => {
+        val s = if (f >= 2) 99L else 7L
+        val u = (s * 2654435761L + x * 31L + y * 131L + f * 8191L) % 16777213L
+        (((u * u) % 16777213L) % 256L).toInt
+      }), "image/gif", "synth")).toDS()
+    val frames = MediaCodec.frameHashes(recs).toDF()
+    val pairs = BandedHamming.frameSequencePairs(frames, "media_id",
+      "frame_idx", "dhash", nBands = 4, bandBits = 16, maxHamming = 6,
+      minCloseNum = 4, minCloseDen = 5, maxBucket = Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // the retouched twin is found with >= 4 of 5 frames close
+    pairs.keySet should contain((0L, 1L))
+    val (nClose, nTotal) = pairs((0L, 1L))
+    nTotal shouldBe 5L
+    nClose should be >= 4L
+    // distinct seed never pairs with the original family
+    pairs.keySet.exists { case (a, b) => a == 2L || b == 2L } shouldBe false
+    // the 3/5-scrambled clip shares 2 close frames only -> filtered out
+    pairs.keySet.exists { case (a, b) => a == 3L || b == 3L } shouldBe false
   }
 }

@@ -150,4 +150,50 @@ class UnigramLmSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDecimal(2)).toMap
     byPiece("b").compareTo(byPiece("a")) should be > 0
   }
+
+  test("property: one EM round never increases corpus NLL (random corpora)") {
+    // the q395 monotone gate's mathematical core, pinned on seeded
+    // random corpora: E-step is exact per-word minimization, M-step's
+    // renormalized masses minimize the segmentation distribution's
+    // cross-entropy (Gibbs) — so NLL(round 2) <= NLL(round 1). mStep's
+    // alphabet floor and the 1e-9 cost rounding are orders of magnitude
+    // below any real EM improvement on corpora like these.
+    def corpusNll(dp: org.apache.spark.sql.DataFrame): BigDecimal =
+      dp.select(sum(col("freq").cast("decimal(10,0)") * col("cost"))
+          .as("nll"))
+        .collect().head.getDecimal(0)
+    (1 to 5).foreach { trial =>
+      val rnd = new scala.util.Random(7919L * trial)
+      val alphabet = "abcdef"
+      val words = Seq.fill(120) {
+        val len = 1 + rnd.nextInt(10)
+        (Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString,
+          1L + rnd.nextInt(20).toLong)
+      }.groupBy(_._1).map { case (w, fs) => (w, fs.map(_._2).sum) }
+        .toSeq.toDF("w", "freq").localCheckpoint(true)
+      val v1 = UnigramLm.seedVocab(words)
+        .select(col("piece"), col("seed_mass").as("em_mass"), col("cost"))
+      val dp1 = UnigramLm.viterbi(words, v1).localCheckpoint(true)
+      val v2 = UnigramLm.mStep(dp1, v1)
+      val dp2 = UnigramLm.viterbi(words, v2)
+      withClue(s"trial $trial: ") {
+        // every word stays segmentable (the mStep alphabet floor)
+        dp2.count() shouldBe dp1.count()
+        corpusNll(dp2) should be <= corpusNll(dp1)
+      }
+    }
+  }
+
+  test("prune drops exactly the bottom-k multi-char pieces and keeps " +
+      "every single char") {
+    val vocab = Seq(("a", 50L), ("b", 1L), ("ab", 9L), ("ba", 3L),
+      ("aab", 3L), ("bb", 30L))
+      .toDF("piece", "em_mass")
+      .withColumn("cost", UnigramLm.nllCost(lit(96L), col("em_mass")))
+    val kept = UnigramLm.prune(vocab, 2).collect()
+      .map(_.getString(0)).sorted.toSeq
+    // bottom-2 multi by (mass asc, piece asc): 'aab'(3), 'ba'(3) drop;
+    // singles survive regardless of mass
+    kept shouldBe Seq("a", "ab", "b", "bb")
+  }
 }

@@ -113,7 +113,10 @@ class WindowSweepSpec extends SparkSpec {
     "q353_join_state_advisor" -> (3, "calendar"),
     "q358_aqe_skew_sim" -> (3, "stages"),
     "q367_bpe_encode" -> (1, "stages"),
-    "q38_ann_ivf" -> (1, "catalog"))
+    "q38_ann_ivf" -> (1, "catalog"),
+    // r10: the EM-round report — lag(corpus_nll) over exactly 3
+    // one-row-per-round aggregates (constant-size stage list)
+    "q395_unigram_em_rounds" -> (1, "stages"))
 
   test("no query plans an unpartitioned window outside the audited " +
        "bounded-frame allowlist") {

@@ -72,9 +72,17 @@ def main(old_path, new_path):
             suspicious_walltime.append(f"{name}: {ot:.2f}s -> {nt:.2f}s "
                                        f"({nt / ot:.1f}x, bytes unchanged)")
 
+    if new.get("contaminated") is True:
+        print("NOTE: new record stamps contaminated=true — the pre-flight "
+              "load guard gave up waiting for a quiet box "
+              f"(gate {new.get('load_gate')}, waited "
+              f"{new.get('preflight_wait_s')}s, started at load "
+              f"{new.get('load_1m_before')}); trust bytes, not wall-time.")
+
     if suspicious_walltime:
         load_rec = {k: new.get(k) for k in
-                    ("load_1m_before", "load_1m_after", "load_1m_max")
+                    ("load_1m_before", "load_1m_after", "load_1m_max",
+                     "load_gate", "preflight_wait_s", "contaminated")
                     if new.get(k) is not None}
         print(f"WALL-TIME OUTLIERS WITHOUT BYTE MOVEMENT "
               f"({len(suspicious_walltime)}) — likely box co-tenancy; "

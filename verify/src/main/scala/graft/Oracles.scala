@@ -48,6 +48,40 @@ object Oracles {
         |  doc_id = cluster_id AS keep
         |FROM allc ORDER BY doc_id""".stripMargin,
 
+    // q393: the engine really encodes multi-frame GIFs, decodes each
+    // frame (ImageIO frame iterator) and per-frame dHashes the rasters;
+    // the oracle replays the full planted arithmetic per frame — rasters,
+    // one-frame perturbation, grayscale, dHash bits, per-frame band keys,
+    // cap, aligned-frame Hamming, the 4/5-close integer threshold — so
+    // equality proves real multi-frame codec + temporal fingerprint work
+    "q393_video_neardup_pairs" ->
+      s"""WITH ${Oracles.videoPairCtes}
+        |SELECT id_a, id_b, n_close, n_total FROM vp
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q394: q393's temporally verified pairs closed into connected
+    // components (the q54 recursive-CTE discipline) — one representative
+    // per near-duplicate clip family
+    "q394_video_clusters" ->
+      s"""WITH RECURSIVE ${Oracles.videoPairCtes},
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM vp
+        |  UNION SELECT id_b, id_a FROM vp
+        |), reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.node = e.b
+        |), comp AS (
+        |  SELECT node, min(r) AS comp FROM reach GROUP BY node
+        |), allc AS (
+        |  SELECT doc.doc_id, COALESCE(c.comp, doc.doc_id) AS cluster_id
+        |  FROM documents doc LEFT JOIN comp c ON c.node = doc.doc_id
+        |)
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |  doc_id = cluster_id AS keep
+        |FROM allc ORDER BY doc_id""".stripMargin,
+
     // q386: semantic image clusters from PIXELS — the oracle replays the
     // planted raster arithmetic (4×4 sampled integer luma, exact-integer
     // mean centering), the SAME inlined hyperplane band keys the engine
@@ -255,6 +289,62 @@ object Oracles {
         |    / CAST(SUM(hl.freq) AS DOUBLE), 6) AS fertility
         |FROM hlang hl JOIN perword p ON p.w = hl.w
         |GROUP BY hl.lang ORDER BY hl.lang""".stripMargin,
+
+    // q395: three chained Viterbi-EM rounds replayed end-to-end — the
+    // seed-vocab CTEs, then per round the full DP (recursive CTE +
+    // lateral min), the M-step renormalization (with the alphabet
+    // mass-1 floor), and between rounds 2→3 the bottom-16 multi-char
+    // prune; corpus NLL is the exact-DECIMAL Σ freq×best-cost rounded
+    // once, and the monotone flag spans exactly the pure EM step
+    "q395_unigram_em_rounds" ->
+      s"""WITH RECURSIVE ${Oracles.unigramTrainCtes("TRUE")},
+        |v1 AS (SELECT piece, seed_mass AS em_mass, cost FROM vocab),
+        |${Oracles.unigramDpCtes("words", "v1", "1")},
+        |${Oracles.unigramMStepCtes("fin1", "v1", "1", "v2")},
+        |${Oracles.unigramDpCtes("words", "v2", "2")},
+        |${Oracles.unigramMStepCtes("fin2", "v2", "2", "v3raw")},
+        |drop3 AS (
+        |  SELECT piece FROM v3raw WHERE length(piece) >= 2
+        |  ORDER BY em_mass, piece LIMIT 16),
+        |kept3 AS (
+        |  SELECT * FROM v3raw
+        |  WHERE piece NOT IN (SELECT piece FROM drop3)),
+        |t3 AS (SELECT SUM(em_mass) AS t FROM kept3),
+        |v3 AS (
+        |  SELECT k.piece, k.em_mass,
+        |    CAST(round(ln(CAST(t.t AS DOUBLE)) - ln(CAST(k.em_mass AS DOUBLE)),
+        |      9) AS DECIMAL(20,9)) AS cost
+        |  FROM kept3 k, t3 t),
+        |${Oracles.unigramDpCtes("words", "v3", "3")},
+        |rows AS (
+        |  SELECT CAST(1 AS BIGINT) AS round,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM v1) AS vocab_size,
+        |    CAST(0 AS BIGINT) AS n_pruned,
+        |    CAST(COUNT(*) AS BIGINT) AS words_segmented,
+        |    CAST(round(SUM(CAST(freq AS DECIMAL(10,0)) * cost), 6)
+        |      AS DOUBLE) AS corpus_nll
+        |  FROM fin1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM v2),
+        |    CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |    CAST(round(SUM(CAST(freq AS DECIMAL(10,0)) * cost), 6)
+        |      AS DOUBLE)
+        |  FROM fin2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM v3),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM v3raw)
+        |      - (SELECT CAST(COUNT(*) AS BIGINT) FROM v3),
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(round(SUM(CAST(freq AS DECIMAL(10,0)) * cost), 6)
+        |      AS DOUBLE)
+        |  FROM fin3)
+        |SELECT round, vocab_size, n_pruned, words_segmented, corpus_nll,
+        |  CASE WHEN round = 2
+        |    THEN corpus_nll <= lag(corpus_nll) OVER (ORDER BY round)
+        |    ELSE NULL END AS monotone_ok
+        |FROM rows ORDER BY round""".stripMargin,
 
     // q391: both CART levels replay as value-domain prefix sums + the
     // same IEEE-double Gini argmin (division/addition are correctly
@@ -10689,6 +10779,77 @@ object Oracles {
        |      * CAST(1000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS em
        |    FROM $rel rt JOIN $p p USING (u) JOIN $q q USING (i))""".stripMargin
 
+  /** The q393 frame-sequence replay as shareable CTEs (ends in `vp`, the
+    * verified near-dup clip pairs): planted per-frame rasters → integer
+    * grayscale → per-frame dHash bits → (frame, band, bkey) keys → cap →
+    * candidate pairs → aligned-frame Hamming → the 4/5-close integer
+    * threshold. Same per-bit-rows discipline as [[phashPairCtes]]. */
+  private def videoPairCtes: String =
+    """d AS (
+      |  SELECT doc_id, doc_id // 2 AS grp, doc_id % 2 AS p,
+      |    12 + (doc_id // 2) % 9 AS w, 12 + (doc_id // 2) % 7 AS h,
+      |    4 + (doc_id // 2) % 3 AS nf
+      |  FROM documents),
+      |dd AS (SELECT d.*, (grp % nf) AS pf FROM d),
+      |fr AS (SELECT dd.*, t.f FROM dd, range(6) t(f) WHERE t.f < dd.nf),
+      |g AS (SELECT i, j FROM range(9) t1(i), range(8) t2(j)),
+      |px AS (
+      |  SELECT fr.doc_id, fr.grp, fr.p, fr.pf, fr.f, g.i, g.j,
+      |    (g.i * fr.w) // 9 AS x, (g.j * fr.h) // 8 AS y
+      |  FROM fr, g),
+      |tt AS (
+      |  SELECT doc_id, p, pf, f, i, j, x, y,
+      |    ((grp * 2654435761 + x * 31 + y * 131 + f * 8191) % 16777213)
+      |      * ((grp * 2654435761 + x * 31 + y * 131 + f * 8191) % 16777213)
+      |      % 16777213 % 256 AS g0
+      |  FROM px),
+      |pix AS (
+      |  SELECT doc_id, f, i, j,
+      |    CASE WHEN p = 1 AND f = pf AND (x + y) % 2 = 0
+      |      THEN xor(g0, 1) ELSE g0 END AS gy
+      |  FROM tt),
+      |fbits AS (
+      |  SELECT a.doc_id, a.f, (a.j * 8 + a.i) AS bitpos,
+      |    CASE WHEN a.gy > b.gy THEN 1 ELSE 0 END AS bit
+      |  FROM pix a JOIN pix b
+      |    ON a.doc_id = b.doc_id AND a.f = b.f AND a.j = b.j
+      |      AND b.i = a.i + 1
+      |  WHERE a.i < 8),
+      |fbands AS (
+      |  SELECT doc_id, f, bitpos // 16 AS band,
+      |    SUM(bit << (bitpos % 16)) AS bkey
+      |  FROM fbits GROUP BY 1, 2, 3),
+      |fbsz AS (
+      |  SELECT f, band, bkey FROM fbands
+      |  GROUP BY f, band, bkey HAVING COUNT(*) <= 100),
+      |fcapped AS (
+      |  SELECT b.* FROM fbands b JOIN fbsz USING (f, band, bkey)),
+      |fcand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM fcapped a JOIN fcapped b
+      |    ON a.f = b.f AND a.band = b.band AND a.bkey = b.bkey
+      |      AND a.doc_id < b.doc_id),
+      |hamf AS (
+      |  SELECT c.id_a, c.id_b, x.f,
+      |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hf
+      |  FROM fcand c
+      |  JOIN fbits x ON x.doc_id = c.id_a
+      |  JOIN fbits y ON y.doc_id = c.id_b AND y.f = x.f
+      |    AND y.bitpos = x.bitpos
+      |  GROUP BY 1, 2, 3),
+      |nfr AS (SELECT doc_id, nf FROM dd),
+      |vp AS (
+      |  SELECT h.id_a, h.id_b,
+      |    CAST(SUM(CASE WHEN h.hf <= 6 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_close,
+      |    CAST(greatest(na.nf, nb.nf) AS BIGINT) AS n_total
+      |  FROM hamf h
+      |  JOIN nfr na ON na.doc_id = h.id_a
+      |  JOIN nfr nb ON nb.doc_id = h.id_b
+      |  GROUP BY h.id_a, h.id_b, na.nf, nb.nf
+      |  HAVING SUM(CASE WHEN h.hf <= 6 THEN 1 ELSE 0 END) * 5
+      |    >= greatest(na.nf, nb.nf) * 4)""".stripMargin
+
   /** The q382 perceptual-hash replay as shareable CTEs (ends in `ham`):
     * planted pixel arithmetic → integer grayscale → dHash bits → 4×16-bit
     * band keys → candidate pairs → Hamming. The 64-bit hash is kept as
@@ -10823,8 +10984,13 @@ object Oracles {
     * [[graft.text.UnigramLm.viterbi]]'s HOF fold when every single char
     * of every word is in `$vocab` (both callers guarantee it). Emits
     * CTEs: edges, rec, fin (w, freq, seg). */
-  private def unigramDpCtes(words: String, vocab: String): String =
-    s"""edges AS (
+  /** One Viterbi DP round as CTEs `edges$sfx`/`rec$sfx`/`fin$sfx` — the
+    * suffix lets q395 chain three EM rounds in one query. `fin$sfx`
+    * carries the best-path cost alongside the segmentation (the
+    * corpus-NLL input). */
+  private def unigramDpCtes(words: String, vocab: String,
+                            sfx: String = ""): String =
+    s"""edges$sfx AS (
       |  SELECT w.w, CAST(p.i AS INTEGER) - CAST(l.l AS INTEGER) AS j,
       |    CAST(p.i AS INTEGER) AS i, v.piece, v.cost
       |  FROM $words w,
@@ -10834,25 +11000,50 @@ object Oracles {
       |  JOIN $vocab v ON v.piece = substr(w.w,
       |    CAST(p.i AS INTEGER) - CAST(l.l AS INTEGER) + 1,
       |    CAST(l.l AS INTEGER))
-      |), rec AS (
+      |), rec$sfx AS (
       |  SELECT w, 0 AS i, [CAST(0 AS DECIMAL(20,9))] AS costs,
       |    [''] AS segs
       |  FROM $words
       |  UNION ALL
       |  SELECT r.w, r.i + 1, list_append(r.costs, b.cost),
       |    list_append(r.segs, b.seg)
-      |  FROM rec r
+      |  FROM rec$sfx r
       |  JOIN $words wd ON wd.w = r.w AND r.i < length(wd.w),
       |  LATERAL (
       |    SELECT CAST(r.costs[e.j + 1] + e.cost AS DECIMAL(20,9))
       |        AS cost,
       |      CASE WHEN e.j = 0 THEN e.piece
       |           ELSE r.segs[e.j + 1] || '|' || e.piece END AS seg
-      |    FROM edges e WHERE e.w = r.w AND e.i = r.i + 1
+      |    FROM edges$sfx e WHERE e.w = r.w AND e.i = r.i + 1
       |    ORDER BY 1, 2 LIMIT 1) b
-      |), fin AS (
-      |  SELECT r.w, wd.freq, r.segs[r.i + 1] AS seg
-      |  FROM rec r JOIN $words wd ON wd.w = r.w AND r.i = length(wd.w)
+      |), fin$sfx AS (
+      |  SELECT r.w, wd.freq, r.segs[r.i + 1] AS seg,
+      |    r.costs[r.i + 1] AS cost
+      |  FROM rec$sfx r JOIN $words wd ON wd.w = r.w AND r.i = length(wd.w)
+      |)""".stripMargin
+
+  /** q395's M-step as CTEs: EM masses of `fin`'s segmentations + the
+    * previous vocab's single-char alphabet floored at mass 1, re-costed
+    * over the combined total — mirrors [[graft.text.UnigramLm.mStep]].
+    * Emits `em$sfx`, `fl$sfx`, `a$sfx`, `t$sfx`, `$out`. */
+  private def unigramMStepCtes(fin: String, prevVocab: String, sfx: String,
+                               out: String): String =
+    s"""em$sfx AS (
+      |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS em_mass FROM (
+      |    SELECT unnest(string_split(seg, '|')) AS piece, freq FROM $fin)
+      |  GROUP BY piece
+      |), fl$sfx AS (
+      |  SELECT v.piece, CAST(1 AS BIGINT) AS em_mass FROM $prevVocab v
+      |  WHERE length(v.piece) = 1
+      |    AND v.piece NOT IN (SELECT piece FROM em$sfx)
+      |), a$sfx AS (
+      |  SELECT * FROM em$sfx UNION ALL SELECT * FROM fl$sfx
+      |), t$sfx AS (SELECT SUM(em_mass) AS t FROM a$sfx),
+      |$out AS (
+      |  SELECT a.piece, a.em_mass,
+      |    CAST(round(ln(CAST(t.t AS DOUBLE)) - ln(CAST(a.em_mass AS DOUBLE)),
+      |      9) AS DECIMAL(20,9)) AS cost
+      |  FROM a$sfx a, t$sfx t
       |)""".stripMargin
 }
 
