@@ -298,7 +298,7 @@ object Oracles {
     // once, and the monotone flag spans exactly the pure EM step
     "q395_unigram_em_rounds" ->
       s"""WITH RECURSIVE ${Oracles.unigramTrainCtes("TRUE")},
-        |v1 AS (SELECT piece, seed_mass AS em_mass, cost FROM vocab),
+        |v1 AS MATERIALIZED (SELECT piece, seed_mass AS em_mass, cost FROM vocab),
         |${Oracles.unigramDpCtes("words", "v1", "1")},
         |${Oracles.unigramMStepCtes("fin1", "v1", "1", "v2")},
         |${Oracles.unigramDpCtes("words", "v2", "2")},
@@ -306,11 +306,11 @@ object Oracles {
         |drop3 AS (
         |  SELECT piece FROM v3raw WHERE length(piece) >= 2
         |  ORDER BY em_mass, piece LIMIT 16),
-        |kept3 AS (
+        |kept3 AS MATERIALIZED (
         |  SELECT * FROM v3raw
         |  WHERE piece NOT IN (SELECT piece FROM drop3)),
         |t3 AS (SELECT SUM(em_mass) AS t FROM kept3),
-        |v3 AS (
+        |v3 AS MATERIALIZED (
         |  SELECT k.piece, k.em_mass,
         |    CAST(round(ln(CAST(t.t AS DOUBLE)) - ln(CAST(k.em_mass AS DOUBLE)),
         |      9) AS DECIMAL(20,9)) AS cost
@@ -10951,7 +10951,7 @@ object Oracles {
       |  FROM documents WHERE $docPred
       |), tok AS (
       |  SELECT unnest(string_split(t, ' ')) AS w FROM norm
-      |), words AS (
+      |), words AS MATERIALIZED (
       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
       |  WHERE length(w) BETWEEN 1 AND 16 GROUP BY w
       |), subs AS (
@@ -10970,7 +10970,7 @@ object Oracles {
       |    SELECT piece, seed_mass FROM subs WHERE length(piece) >= 2
       |    ORDER BY seed_mass DESC, piece LIMIT 64)
       |), tot AS (SELECT CAST(SUM(seed_mass) AS BIGINT) AS t FROM vocab0),
-      |vocab AS (
+      |vocab AS MATERIALIZED (
       |  SELECT piece, seed_mass,
       |    CAST(round(ln(CAST(t.t AS DOUBLE))
       |      - ln(CAST(seed_mass AS DOUBLE)), 9) AS DECIMAL(20,9)) AS cost
@@ -10984,10 +10984,20 @@ object Oracles {
     * [[graft.text.UnigramLm.viterbi]]'s HOF fold when every single char
     * of every word is in `$vocab` (both callers guarantee it). Emits
     * CTEs: edges, rec, fin (w, freq, seg). */
-  /** One Viterbi DP round as CTEs `edges$sfx`/`rec$sfx`/`fin$sfx` — the
-    * suffix lets q395 chain three EM rounds in one query. `fin$sfx`
-    * carries the best-path cost alongside the segmentation (the
-    * corpus-NLL input). */
+  /** One Viterbi DP round as CTEs `edges$sfx`/`ea$sfx`/`rec$sfx`/
+    * `fin$sfx` — the suffix lets q395 chain three EM rounds in one
+    * query. `fin$sfx` carries the best-path cost alongside the
+    * segmentation (the corpus-NLL input).
+    *
+    * The recursion CARRIES each word's full edge list (aggregated once
+    * in `ea$sfx`, ≤64 entries per word) instead of re-querying an edges
+    * CTE from the per-step LATERAL: a CTE referenced from inside the
+    * recursive part is re-evaluated on EVERY iteration, which made the
+    * chained q395 re-run round 1's whole DP per round-2 step (and rounds
+    * 1+2 per round-3 step) — ~600× blowup; and DuckDB 1.0 silently reads
+    * a MATERIALIZED CTE as empty when it is referenced from a recursive
+    * LATERAL, so materializing was not the fix. With the list carried,
+    * the recursive part references nothing but itself. */
   private def unigramDpCtes(words: String, vocab: String,
                             sfx: String = ""): String =
     s"""edges$sfx AS (
@@ -11000,26 +11010,31 @@ object Oracles {
       |  JOIN $vocab v ON v.piece = substr(w.w,
       |    CAST(p.i AS INTEGER) - CAST(l.l AS INTEGER) + 1,
       |    CAST(l.l AS INTEGER))
+      |), ea$sfx AS MATERIALIZED (
+      |  SELECT w, list(struct_pack(j := j, i := i, piece := piece,
+      |    cost := cost)) AS es
+      |  FROM edges$sfx GROUP BY w
       |), rec$sfx AS (
-      |  SELECT w, 0 AS i, [CAST(0 AS DECIMAL(20,9))] AS costs,
-      |    [''] AS segs
-      |  FROM $words
+      |  SELECT wd.w, length(wd.w) AS len, 0 AS i,
+      |    [CAST(0 AS DECIMAL(20,9))] AS costs, [''] AS segs, ea.es AS es
+      |  FROM $words wd JOIN ea$sfx ea USING (w)
       |  UNION ALL
-      |  SELECT r.w, r.i + 1, list_append(r.costs, b.cost),
-      |    list_append(r.segs, b.seg)
-      |  FROM rec$sfx r
-      |  JOIN $words wd ON wd.w = r.w AND r.i < length(wd.w),
+      |  SELECT r.w, r.len, r.i + 1, list_append(r.costs, b.cost),
+      |    list_append(r.segs, b.seg), r.es
+      |  FROM rec$sfx r,
       |  LATERAL (
       |    SELECT CAST(r.costs[e.j + 1] + e.cost AS DECIMAL(20,9))
       |        AS cost,
       |      CASE WHEN e.j = 0 THEN e.piece
       |           ELSE r.segs[e.j + 1] || '|' || e.piece END AS seg
-      |    FROM edges$sfx e WHERE e.w = r.w AND e.i = r.i + 1
+      |    FROM (SELECT unnest(r.es, recursive := true)) e
+      |    WHERE e.i = r.i + 1
       |    ORDER BY 1, 2 LIMIT 1) b
-      |), fin$sfx AS (
+      |  WHERE r.i < r.len
+      |), fin$sfx AS MATERIALIZED (
       |  SELECT r.w, wd.freq, r.segs[r.i + 1] AS seg,
       |    r.costs[r.i + 1] AS cost
-      |  FROM rec$sfx r JOIN $words wd ON wd.w = r.w AND r.i = length(wd.w)
+      |  FROM rec$sfx r JOIN $words wd ON wd.w = r.w AND r.i = r.len
       |)""".stripMargin
 
   /** q395's M-step as CTEs: EM masses of `fin`'s segmentations + the
@@ -11028,7 +11043,7 @@ object Oracles {
     * Emits `em$sfx`, `fl$sfx`, `a$sfx`, `t$sfx`, `$out`. */
   private def unigramMStepCtes(fin: String, prevVocab: String, sfx: String,
                                out: String): String =
-    s"""em$sfx AS (
+    s"""em$sfx AS MATERIALIZED (
       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS em_mass FROM (
       |    SELECT unnest(string_split(seg, '|')) AS piece, freq FROM $fin)
       |  GROUP BY piece
@@ -11036,10 +11051,10 @@ object Oracles {
       |  SELECT v.piece, CAST(1 AS BIGINT) AS em_mass FROM $prevVocab v
       |  WHERE length(v.piece) = 1
       |    AND v.piece NOT IN (SELECT piece FROM em$sfx)
-      |), a$sfx AS (
+      |), a$sfx AS MATERIALIZED (
       |  SELECT * FROM em$sfx UNION ALL SELECT * FROM fl$sfx
       |), t$sfx AS (SELECT SUM(em_mass) AS t FROM a$sfx),
-      |$out AS (
+      |$out AS MATERIALIZED (
       |  SELECT a.piece, a.em_mass,
       |    CAST(round(ln(CAST(t.t AS DOUBLE)) - ln(CAST(a.em_mass AS DOUBLE)),
       |      9) AS DECIMAL(20,9)) AS cost
