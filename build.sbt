@@ -38,5 +38,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Derby (IoSpec's embedded JDBC backend) writes derby.log into the cwd
+  // by default — point it at the git-ignored target/ instead
+  "-Dderby.stream.error.file=target/derby.log",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -152,44 +152,93 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
-    // per query: Right((median, min, max, nRuns, Seq(sr, sw, spillMem, spillDisk)))
-    val results: Seq[(String, Either[String, (Double, Double, Double, Int, Seq[Long])])] =
+    // Per-query record. `load1m` is the max 1-min loadavg sampled at each
+    // run's bracket (2 reads per run): the pre-flight guard only protects
+    // the START of the run, so a mid-run co-tenant (r10: scattered
+    // plan-uncorrelated wall inflation on byte-identical plans) must show
+    // up IN the per-query record, not in a post-hoc adjudication.
+    // `tRequiet`/`loadRequiet`: a second timing taken after the loaded
+    // queries were re-run behind a fresh quiet-wait — the original `t`
+    // stays untouched (first record kept), the re-run column is what
+    // makes a contaminated record's headline trustworthy.
+    final case class QRes(med: Double, mn: Double, mx: Double, n: Int,
+                          bytes: Seq[Long], load1m: Double,
+                          tRequiet: Option[Double] = None,
+                          loadRequiet: Option[Double] = None)
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Either[String, Double], Double) = {
+      val l0 = loadAvg1m()
+      val t0 = System.nanoTime()
+      val r = Try(fn(spark, sfDir).count()) match {
+        case Success(_)  => Right((System.nanoTime() - t0) / 1e9)
+        case Failure(ex) => Left(s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}")
+      }
+      val l1 = loadAvg1m()
+      (r, if (l0.isNaN) l1 else if (l1.isNaN) l0 else math.max(l0, l1))
+    }
+    val measured: Seq[(String, Either[String, QRes])] =
       SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
         .map { case (name, fn) =>
-        def once(): Either[String, Double] = {
-          val t0 = System.nanoTime()
-          Try(fn(spark, sfDir).count()) match {
-            case Success(_)  => Right((System.nanoTime() - t0) / 1e9)
-            case Failure(ex) => Left(s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}")
-          }
-        }
-        val firstTwo = Seq(once(), once())
+        val (r1, la1) = timeOnce(fn)
+        val (r2, la2) = timeOnce(fn)
         // drain the listener queue BEFORE the bracketed run too: task-end
         // events still in flight from run 2 would otherwise inflate run
         // 3's byte delta (up to ~2x one run's bytes — enough to falsely
         // trip bench_compare's 1.5x gate)
         val before = bytes.drainedSnapshot()
-        val lastRun = once()
+        val (r3, la3) = timeOnce(fn)
         val byteDelta = bytes.drainedSnapshot().zip(before).map(p => p._1 - p._2)
-        val runs = firstTwo :+ lastRun
+        val runs = Seq(r1, r2, r3)
         val ok = runs.collect { case Right(t) => t }.sorted
+        val load = Seq(la1, la2, la3).filterNot(_.isNaN)
+          .foldLeft(Double.NaN)((a, b) => if (a.isNaN) b else math.max(a, b))
         // 3 successes -> true median; 2 -> the MIN (median-of-2 has no
         // middle, and picking ok(1) would report the max — the one number
         // a noise-robust summary must never pick); 1 -> that run. n_runs
         // in the artifact records what the number actually is.
         name -> (if (ok.nonEmpty)
-                   Right((if (ok.size == 3) ok(1) else ok.head,
-                     ok.head, ok.last, ok.size, byteDelta))
+                   Right(QRes(if (ok.size == 3) ok(1) else ok.head,
+                     ok.head, ok.last, ok.size, byteDelta, load))
                  else Left(runs.collectFirst { case Left(e) => e }.getOrElse("unknown")))
       }
+    // Re-run pass: queries whose runs overlapped concurrent load above
+    // the gate get ONE more timing behind a fresh quiet-wait. Wall-only —
+    // bytes stay from the bracketed run (they are plan-deterministic).
+    val flagged = measured.collect {
+      case (k, Right(r)) if loadGate > 0 && !r.load1m.isNaN &&
+        r.load1m > loadGate => k
+    }.toSet
+    val results: Seq[(String, Either[String, QRes])] =
+      if (flagged.isEmpty) measured
+      else {
+        val w0 = System.nanoTime()
+        while (loadGate > 0 && loadAvg1m() > loadGate &&
+               (System.nanoTime() - w0) / 1e9 < maxWaitS)
+          Thread.sleep(10000)
+        measured.map {
+          case (k, Right(r)) if flagged(k) =>
+            val (rr, la) = timeOnce(SparkEntry.queries(k))
+            k -> Right(rr.fold(_ => r,
+              t => r.copy(tRequiet = Some(t), loadRequiet = Some(la))))
+          case other => other
+        }
+      }
+    def jd(d: Double): String = if (d.isNaN) "null" else d.toString
     val qs = results.map {
-      case (k, Right((med, mn, mx, n, b))) =>
-        s"""\"$k\":{"t":$med,"min":$mn,"max":$mx,"n_runs":$n,"shuffle_read":${b(0)},"shuffle_write":${b(1)},"spill_mem":${b(2)},"spill_disk":${b(3)}}"""
+      case (k, Right(r)) =>
+        val rq = r.tRequiet.map(t =>
+          s""","t_requiet":$t,"load_requiet":${jd(r.loadRequiet.get)}""")
+          .getOrElse("")
+        s"""\"$k\":{"t":${r.med},"min":${r.mn},"max":${r.mx},"n_runs":${r.n},"load_1m":${jd(r.load1m)}$rq,"shuffle_read":${r.bytes(0)},"shuffle_write":${r.bytes(1)},"spill_mem":${r.bytes(2)},"spill_disk":${r.bytes(3)}}"""
       case (k, Left(e)) => s"\"$k\":{\"error\":\"${jsonEscape(e)}\"}"
     }.mkString("{", ",", "}")
     val errors = results.collect { case (k, Left(e)) => k -> e }
-    val total = results.collect { case (_, Right((med, _, _, _, _))) => med }.sum
-    val totalBytes = results.collect { case (_, Right((_, _, _, _, b))) => b }
+    val total = results.collect { case (_, Right(r)) => r.med }.sum
+    // the headline with every loaded query's timing replaced by its
+    // quiet re-run — equals `value` exactly when nothing was flagged
+    val totalRequiet = results.collect {
+      case (_, Right(r)) => r.tRequiet.getOrElse(r.med) }.sum
+    val totalBytes = results.collect { case (_, Right(r)) => r.bytes }
       .foldLeft(Seq(0L, 0L, 0L, 0L))((a, b) => a.zip(b).map(p => p._1 + p._2))
     val loadAfter = loadAvg1m()
     val loadPeak = java.lang.Double.longBitsToDouble(loadMax.get())
@@ -199,7 +248,7 @@ object Bench {
     // suspect; byte counters remain trustworthy
     val contaminated = loadGate > 0 &&
       (loadBefore > loadGate || loadPeak > loadGate * 2)
-    val loadJson = s""""load_1m_before":${jn(loadBefore)},"load_1m_after":${jn(loadAfter)},"load_1m_max":${jn(loadPeak)},"load_gate":${jn(loadGate)},"preflight_wait_s":$preflightWaitS,"contaminated":$contaminated"""
+    val loadJson = s""""load_1m_before":${jn(loadBefore)},"load_1m_after":${jn(loadAfter)},"load_1m_max":${jn(loadPeak)},"load_gate":${jn(loadGate)},"preflight_wait_s":$preflightWaitS,"contaminated":$contaminated,"n_requiet":${flagged.size},"value_requiet":$totalRequiet"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","timing":"median_of_3","queries":$qs,"shuffle_read_total":${totalBytes(0)},"shuffle_write_total":${totalBytes(1)},"spill_mem_total":${totalBytes(2)},"spill_disk_total":${totalBytes(3)},"n_errors":${errors.size},$loadJson,"sf":"$sfDir"}"""
     // The full per-query JSON (381 queries) overflows what the driver's
     // stdout capture retains (r5 recorded "parsed": null with only the tail
@@ -211,7 +260,7 @@ object Bench {
     val artifact = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(artifact.getParent)
     java.nio.file.Files.writeString(artifact, full + "\n")
-    val slowest = results.collect { case (k, Right((med, _, _, _, _))) => k -> med }
+    val slowest = results.collect { case (k, Right(r)) => k -> r.med }
       .sortBy(-_._2).take(25)
       .map { case (k, t) => s"\"$k\":$t" }.mkString("{", ",", "}")
     val errJson = errors.take(10)

@@ -37,7 +37,11 @@ final case class PipelineConfig(env: String,
   * `source` into the [[graft.transform.Ivm]] state at `path` — grouped
   * by `keys`, summing `sums` — and, when `view_path` is set, publish
   * the folded current view there; the view's base data is never
-  * re-read). */
+  * re-read). Persistent-dedup-index maintenance:
+  * "dedup-index-compact" / "media-index-compact" (bucket-preserving
+  * small-file rewrite + band_sizes delta fold) and "dedup-index-rebucket"
+  * / "media-index-rebucket" (O(index) rewrite to `buckets` buckets when
+  * the corpus outgrows the build-time layout). */
 final case class MaintenanceConfig(`type`: String, path: String,
                                    columns: Seq[String] = Seq.empty,
                                    targetFileMb: Int = 128,
@@ -51,7 +55,8 @@ final case class MaintenanceConfig(`type`: String, path: String,
                                    agg: String = "group",
                                    base: Option[String] = None,
                                    k: Int = 10,
-                                   publish: String = "rename") {
+                                   publish: String = "rename",
+                                   buckets: Int = 0) {
   def targetFileBytes: Long = targetFileMb.toLong * 1024 * 1024
 }
 
@@ -364,7 +369,8 @@ object HoconConfigLoader {
     agg = str(m, "agg").map(_.toLowerCase).getOrElse("group"),
     base = str(m, "base"),
     k = num(m, "k").map(_.intValue).getOrElse(10),
-    publish = str(m, "publish").map(_.toLowerCase).getOrElse("rename"))
+    publish = str(m, "publish").map(_.toLowerCase).getOrElse("rename"),
+    buckets = num(m, "buckets").map(_.intValue).getOrElse(0))
 
   private def toDq(d: Obj): DQConfig = DQConfig(
     policy = str(d, "policy").orElse(str(d, "on_fail"))

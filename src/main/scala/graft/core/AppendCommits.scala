@@ -35,7 +35,15 @@ object AppendCommits {
   /** Publish batch `key`: create `_commits/<key>` with overwrite=false.
     * The create FAILS if another writer committed this key first — a
     * lost race is surfaced, not retried (the data directory is shared by
-    * key, so a concurrent writer may have interleaved with ours). */
+    * key, so a concurrent writer may have interleaved with ours).
+    *
+    * Atomicity caveat: `create(overwrite=false)` is a true conditional
+    * create on HDFS and local filesystems; on plain S3A (without
+    * conditional-create / If-None-Match support enabled) it degrades to
+    * check-then-act, so the lost-race DETECTION is best-effort there.
+    * The actual safety boundary is the single-writer-per-store contract
+    * this protocol assumes — the marker's job is to catch violations of
+    * it, not to serialize concurrent writers. */
   def commit(fs: FileSystem, root: Path, key: String): Unit = {
     fs.mkdirs(commitsDir(root))
     val marker = new Path(commitsDir(root), key)

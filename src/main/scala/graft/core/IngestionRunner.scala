@@ -299,6 +299,22 @@ object IngestionRunner {
           graft.similarity.DedupIndex.appendAtomic(
             spark.read.parquet(src), idCol, textCol, m.path, key,
             publish = m.publish)
+      case "dedup-index-compact" =>
+        // bucket-preserving small-file rewrite + band_sizes delta fold:
+        // the operational other half of the bucketed index layout — every
+        // batch append adds ≥1 file per bucket, forever, without this
+        graft.similarity.DedupIndex.compact(spark, m.path, m.targetFileBytes); ()
+      case "media-index-compact" =>
+        graft.similarity.MediaDedupIndex.compact(spark, m.path, m.targetFileBytes); ()
+      case "dedup-index-rebucket" =>
+        // O(index) rewrite to `buckets` buckets (never a corpus re-shingle)
+        if (m.buckets <= 0) throw new IllegalArgumentException(
+          "dedup-index-rebucket needs buckets > 0")
+        graft.similarity.DedupIndex.rebucket(spark, m.path, m.buckets)
+      case "media-index-rebucket" =>
+        if (m.buckets <= 0) throw new IllegalArgumentException(
+          "media-index-rebucket needs buckets > 0")
+        graft.similarity.MediaDedupIndex.rebucket(spark, m.path, m.buckets)
       case "profile" =>
         // fold a batch's per-column profile into the monoid profile store
         // (one aggregate pass over the batch; the store itself is tiny
@@ -317,7 +333,8 @@ object IngestionRunner {
             publish = m.publish)
       case other => throw new IllegalArgumentException(
         s"unknown maintenance type '$other' " +
-          "(compact/zorder/ivm/dedup-index/profile)")
+          "(compact/zorder/ivm/dedup-index/profile/dedup-index-compact/" +
+          "media-index-compact/dedup-index-rebucket/media-index-rebucket)")
     }
   }
 

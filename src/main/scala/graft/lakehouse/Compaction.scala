@@ -28,8 +28,8 @@ object Compaction {
   }
 
   /** Byte size → output file count against a target file size. */
-  private[lakehouse] def plannedFiles(spark: SparkSession, dir: String,
-                                      targetFileBytes: Long): (Long, Int) = {
+  private[graft] def plannedFiles(spark: SparkSession, dir: String,
+                                  targetFileBytes: Long): (Long, Int) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
@@ -39,9 +39,10 @@ object Compaction {
   /** Crash-safe in-place rewrite: `write` lands the new layout in a
     * sibling temp dir, then two renames publish it — the table is never
     * half-rewritten in place, and the pre-swap state survives any crash.
-    * Shared by [[compact]] and [[ZOrder.rewrite]]. */
-  private[lakehouse] def swapRewrite(spark: SparkSession, dir: String)
-                                    (write: String => Unit): Unit = {
+    * Shared by [[compact]], [[ZOrder.rewrite]] and the bucketed-index
+    * maintenance in [[graft.similarity.IndexCatalog]]. */
+  private[graft] def swapRewrite(spark: SparkSession, dir: String)
+                                (write: String => Unit): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir + "__rewrite_tmp")

@@ -377,8 +377,12 @@ object MediaCodec {
       : Option[IndexedSeq[java.awt.image.BufferedImage]] = {
     val reader = javax.imageio.ImageIO
       .getImageReadersByFormatName("gif").next()
+    // the stream must be closed explicitly — reader.dispose() does not
+    // close its input, and outside frameHashes' setUseCache(false) scope
+    // an unclosed FileCacheImageInputStream leaks a temp file until GC
+    var iis: javax.imageio.stream.ImageInputStream = null
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       reader.setInput(iis, false, true)
       // allowSearch=true forces a full stream scan, so a truncated
@@ -388,7 +392,10 @@ object MediaCodec {
       else Some((0 until n).map(reader.read(_)))
     } catch {
       case scala.util.control.NonFatal(_) => None
-    } finally reader.dispose()
+    } finally {
+      reader.dispose()
+      if (iis != null) iis.close()
+    }
   }
 
   /** REAL multi-frame video-style decode: each GIF payload's frames →

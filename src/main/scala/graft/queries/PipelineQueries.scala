@@ -2003,6 +2003,95 @@ object PipelineQueries {
       .orderBy(col("round"))
   }
 
+  /** Shared q396 fixture: every adjacent doc pair (2g, 2g+1) plants the
+    * SAME seeded multi-frame clip, the odd twin with the FIRST FRAME
+    * TRIMMED (its stored frame f replays the original frame f+1) and one
+    * surviving frame retouched (gray low bit flipped where (x+y) is even
+    * at original frame pf ∈ [1, nf−1]) — the "re-encoded clip with the
+    * head trimmed" shape, the commonest real-world video near-dup, which
+    * exact-index alignment (q393) misses entirely. Same nonlinear
+    * `u² mod p` pixel mix as [[videoRecords]] so DuckDB replays the
+    * rasters exactly and cross-seed frames stay at coincidence level. */
+  private[queries] def trimmedVideoRecords(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val grp = id / 2
+          val w = (12 + grp % 9).toInt
+          val h = (12 + grp % 7).toInt
+          val nf = (4 + grp % 3).toInt
+          val trim = (id % 2).toInt
+          val pf = (1 + grp % (nf - 1)).toInt // original-frame index ≥ 1
+          Multimodal.MediaRecord(id,
+            Multimodal.encodeGif(w, h, nf - trim, (x, y, f) => {
+              val o = f + trim // original frame this stored frame replays
+              val u = (grp * 2654435761L + x * 31L + y * 131L +
+                o * 8191L) % 16777213L
+              val g = (((u * u) % 16777213L) % 256L).toInt
+              if (trim == 1 && o == pf && (x + y) % 2 == 0) g ^ 1 else g
+            }), "image/gif", "synth")
+        }
+      }
+  }
+
+  /** OFFSET-TOLERANT video dedup — q393's temporal modality extended to
+    * trimmed/shifted clips ([[graft.similarity.BandedHamming
+    * .frameSequencePairsShifted]]): candidates from a (band, bkey)
+    * equi-join that deliberately drops the frame index from the key (a
+    * head-trimmed twin shares every unchanged band at index−1, which the
+    * exact-alignment join can never see), bounded to |Δ| ≤ 2, verified by
+    * the best passing alignment (per-(pair, Δ) aligned-frame Hamming, the
+    * 4/5-close integer threshold against `greatest(na,nb) − |Δ|`). The
+    * oracle replays the whole planted arithmetic — trimmed rasters, the
+    * retouch, per-frame dHash, band keys, cap, shift-windowed candidates,
+    * per-shift verify, arg-max — so equality proves the shift machinery
+    * end-to-end; a spec separately pins the maxShift=0 case equal to
+    * q393's operator. */
+  def q396_video_shifted_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val frames = graft.multimodal.MediaCodec
+      .frameHashes(trimmedVideoRecords(spark, dir)).toDF()
+      .localCheckpoint(eager = false)
+    graft.similarity.BandedHamming.frameSequencePairsShifted(frames,
+      "media_id", "frame_idx", "dhash", nBands = 4, bandBits = 16,
+      maxHamming = 6, minCloseNum = 4, minCloseDen = 5, maxShift = 2,
+      maxBucket = Some(videoMaxBucket))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Unigram-LM ENCODE (serving) — the piece the trainer chain (q388 one
+    * step, q395 full EM schedule) stops short of: train the q395 3-round
+    * vocab on the <800-bucket split (seed → EM → EM + bottom-16 prune),
+    * FREEZE it, and tokenize the held-out documents under it
+    * ([[graft.text.UnigramLm.encode]] — per-distinct-word Viterbi, q389
+    * unk discipline for never-seen characters, per-document reassembly in
+    * token order). One row per held-out document: token/piece/unk counts,
+    * the exact-DECIMAL corpus NLL contribution, and the piece string
+    * itself. The oracle replays all three training DP rounds AND the
+    * held-out encode DP as chained recursive CTEs — segmentation strings
+    * and all.
+    *
+    * Scale shape: identical to q395 for training (dictionary/vocab grain
+    * after one corpus aggregate); the encode side adds one (doc, pos,
+    * word) token stream joined per-word and one per-document aggregate —
+    * the same grain the raw text already occupies. */
+  def q397_unigram_encode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.UnigramLm
+    import graft.functions.StableHash
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket", StableHash.bucket(col("doc_id"), 1000))
+    val trainWords = UnigramLm.dictionary(docs.filter(col("bucket") < 800))
+    val v1 = UnigramLm.seedVocab(trainWords)
+      .select(col("piece"), col("seed_mass").as("em_mass"), col("cost"))
+    val dp1 = UnigramLm.viterbi(trainWords, v1).localCheckpoint(eager = false)
+    val v2 = UnigramLm.mStep(dp1, v1)
+    val dp2 = UnigramLm.viterbi(trainWords, v2).localCheckpoint(eager = false)
+    val v3 = UnigramLm.prune(UnigramLm.mStep(dp2, v2), 16)
+    UnigramLm.encode(docs.filter(col("bucket") >= 800), "doc_id", "text", v3)
+      .orderBy(col("doc_id"))
+  }
+
   /** ORC round-trip — the one lakehouse format beyond parquet whose jars
     * ship with Spark itself, so unlike the Delta/Iceberg/Kafka contracts
     * (spec-tested, jars absent in this sandbox) the ORC path is

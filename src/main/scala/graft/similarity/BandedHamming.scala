@@ -179,4 +179,78 @@ object BandedHamming {
       .filter(col("n_close") * minCloseDen >= col("n_total") * minCloseNum)
       .select(col("id_a"), col("id_b"), col("n_close"), col("n_total"))
   }
+
+  /** SHIFT-TOLERANT frame-sequence near-duplicate pairs — the trimmed/
+    * re-cut clip variant of [[frameSequencePairs]] (that operator aligns
+    * frames by exact index, so a clip with one frame trimmed from the
+    * head — the commonest real-world video near-dup after re-encoding —
+    * misses every alignment). Two clips match when, at the BEST frame
+    * alignment shift Δ with |Δ| ≤ `maxShift` (b's frame `f+Δ` compared
+    * against a's frame `f`), at least `minCloseNum/minCloseDen` of the
+    * expected aligned frames are within `maxHamming`. The expectation
+    * denominator is `n_total = greatest(na, nb) − |Δ|` — the aligned
+    * overlap length for equal-length clips and for head/tail trims — so
+    * at `maxShift = 0` the decision rule reduces EXACTLY to
+    * [[frameSequencePairs]]' (spec-pinned; the only residual difference
+    * is the cap key, which here drops the frame index — see below).
+    *
+    * A (pair, Δ) qualifies only if its own threshold passes; among
+    * qualifying shifts the reported one maximizes n_close (ties → the
+    * smallest Δ) — an arg-max by combinable `max(struct)`, no window.
+    *
+    * Scale shape: candidates come from an equi-join on (band, bkey) —
+    * the frame index deliberately NOT in the key (a shifted twin shares
+    * the unchanged band at a DIFFERENT index), with the |Δ| ≤ S bound as
+    * a join-residual filter and the degenerate-bucket cap now per
+    * (band, bkey) (a solid-color frame anywhere in the corpus is one
+    * bucket; the cap drops it before it can contribute s²/2 pairs).
+    * Per-(pair, Δ) verification joins candidate pairs' frames at
+    * `fidx_b = fidx_a + Δ` — equi-join on (id, fidx) — and every
+    * aggregate is combinable; nothing is all-pairs and payload bytes
+    * never enter. Returns `(id_a, id_b, shift, n_close, n_total)` with
+    * `id_a < id_b`. */
+  def frameSequencePairsShifted(frames: DataFrame, idCol: String,
+                                frameCol: String, codeCol: String,
+                                nBands: Int, bandBits: Int, maxHamming: Int,
+                                minCloseNum: Int, minCloseDen: Int,
+                                maxShift: Int,
+                                maxBucket: Option[Int] = None): DataFrame = {
+    val norm = frames.select(col(idCol).as("id"),
+      col(frameCol).as("fidx"), col(codeCol).as("code"))
+    val banded = bandKeys(norm, "id", "code", nBands, bandBits,
+      carryCols = Seq("fidx"))
+    val capped = capBuckets(banded, Seq("band", "bkey"), maxBucket)
+    val cand = capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id") &&
+          abs(col("b.fidx") - col("a.fidx")) <= maxShift)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (col("b.fidx") - col("a.fidx")).cast("long").as("shift"))
+      .distinct()
+    val fa = norm.select(col("id").as("id_a"), col("fidx").as("__fa"),
+      col("code").as("__ca"))
+    val fb = norm.select(col("id").as("id_b"), col("fidx").as("__fb"),
+      col("code").as("__cb"))
+    val aligned = cand.join(fa, "id_a")
+      .withColumn("__fbkey", col("__fa") + col("shift"))
+      .join(fb.withColumnRenamed("__fb", "__fbkey"), Seq("id_b", "__fbkey"))
+      .withColumn("__ham",
+        bit_count(col("__ca").bitwiseXOR(col("__cb"))).cast("long"))
+    val nf = norm.groupBy(col("id")).agg(count(lit(1)).as("__nf"))
+    val scored = aligned.groupBy(col("id_a"), col("id_b"), col("shift"))
+      .agg(sum(when(col("__ham") <= maxHamming, 1L).otherwise(0L))
+        .as("n_close"))
+      .join(nf.select(col("id").as("id_a"), col("__nf").as("__na")), "id_a")
+      .join(nf.select(col("id").as("id_b"), col("__nf").as("__nb")), "id_b")
+      .withColumn("n_total",
+        greatest(col("__na"), col("__nb")) - abs(col("shift")))
+      .filter(col("n_close") * minCloseDen >= col("n_total") * minCloseNum)
+    scored.groupBy(col("id_a"), col("id_b"))
+      .agg(max(struct(col("n_close"), (lit(0L) - col("shift")).as("__negs"),
+        col("shift"), col("n_total"))).as("__best"))
+      .select(col("id_a"), col("id_b"), col("__best.shift").as("shift"),
+        col("__best.n_close").as("n_close"),
+        col("__best.n_total").as("n_total"))
+  }
 }

@@ -46,26 +46,46 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
+  /** Band constants + bucketed-layout metadata, persisted as
+    * `<path>/index.json`. `version` names the live table directories
+    * ([[IndexCatalog.tableDir]]) so a rebucket switches layouts through
+    * ONE atomic manifest replace; `idCol` + the two schema DDLs make
+    * fresh-session re-registration O(1) metadata instead of a full
+    * file-listing footer read of a possibly-huge index (r10 advice).
+    * Legacy manifests (pre-r11) lack the new fields — `idCol`/DDLs fall
+    * back to a footer read, `version` to 0 (the unsuffixed dirs). */
   final case class Manifest(shingleN: Int, bands: Int, rowsPerBand: Int,
-                            numBuckets: Int = 0) {
+                            numBuckets: Int = 0, version: Int = 0,
+                            idCol: String = "", fpsDdl: String = "",
+                            bandsDdl: String = "", epoch: Int = 0) {
     def bucketed: Boolean = numBuckets > 0
   }
 
-  private def fpsName(path: String) = IndexCatalog.tableName("graft_dedup_fps", path)
-  private def bandsName(path: String) = IndexCatalog.tableName("graft_dedup_bands", path)
+  private def fpsDir(path: String, m: Manifest): String =
+    IndexCatalog.tableDir(path, "fingerprints", m.version)
+  private def bandsDir(path: String, m: Manifest): String =
+    IndexCatalog.tableDir(path, "bands", m.version)
+  // table names hash the LIVE table dir: a rebucketed layout (new dir)
+  // gets a fresh name, so no session can confuse the two registrations
+  private def fpsName(dir: String) = IndexCatalog.tableName("graft_dedup_fps", dir)
+  private def bandsName(dir: String) = IndexCatalog.tableName("graft_dedup_bands", dir)
+  private def opt(s: String): Option[String] = Some(s).filter(_.nonEmpty)
 
   private def manifestPath(path: String) = new org.apache.hadoop.fs.Path(path, "index.json")
 
-  private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
-    val p = manifestPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    val buckets = if (m.bucketed) s""", "numBuckets": ${m.numBuckets}""" else ""
-    try out.write(
-      s"""{"shingleN": ${m.shingleN}, "bands": ${m.bands}, "rowsPerBand": ${m.rowsPerBand}$buckets}"""
-        .getBytes("UTF-8"))
-    finally out.close()
+  private def manifestJson(m: Manifest): String = {
+    val buckets = if (m.bucketed)
+      s""", "numBuckets": ${m.numBuckets}, "version": ${m.version}""" +
+        s""", "epoch": ${m.epoch}""" +
+        s""", "idCol": "${IndexCatalog.jsonEscape(m.idCol)}"""" +
+        s""", "fpsDdl": "${IndexCatalog.jsonEscape(m.fpsDdl)}"""" +
+        s""", "bandsDdl": "${IndexCatalog.jsonEscape(m.bandsDdl)}""""
+    else ""
+    s"""{"shingleN": ${m.shingleN}, "bands": ${m.bands}, "rowsPerBand": ${m.rowsPerBand}$buckets}"""
   }
+
+  private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit =
+    IndexCatalog.replaceManifest(spark, manifestPath(path), manifestJson(m))
 
   /** True iff an index (manifest) is already present at `path`. */
   def exists(spark: SparkSession, path: String): Boolean = {
@@ -84,15 +104,21 @@ object DedupIndex {
     def required(name: String): Int = field(name).getOrElse(
       throw new IllegalStateException(
         s"dedup index manifest at $p missing field $name"))
+    def sfield(name: String): String =
+      IndexCatalog.stringField(text, name).getOrElse("")
     Manifest(required("shingleN"), required("bands"), required("rowsPerBand"),
-      field("numBuckets").getOrElse(0))
+      field("numBuckets").getOrElse(0), field("version").getOrElse(0),
+      sfield("idCol"), sfield("fpsDdl"), sfield("bandsDdl"),
+      field("epoch").getOrElse(0))
   }
 
   /** The stored fingerprints table's id column (the bucket column) —
-    * derived from the stored schema so re-registration in a fresh
-    * session needs no extra manifest field. */
-  private def storedIdCol(spark: SparkSession, path: String): String =
-    spark.read.parquet(s"$path/fingerprints").schema.head.name
+    * from the manifest when present (r11+), else from the stored schema
+    * (legacy bucketed manifests without `idCol`). */
+  private def storedIdCol(spark: SparkSession, path: String,
+                          m: Manifest): String =
+    if (m.idCol.nonEmpty) m.idCol
+    else spark.read.parquet(fpsDir(path, m)).schema.head.name
 
   /** Fingerprint `docs` and write a fresh bucketed index (overwrites any
     * existing index at `path`). */
@@ -100,19 +126,35 @@ object DedupIndex {
             shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
             numBuckets: Int = 8): Unit = {
     val spark = docs.sparkSession
+    // a rebuild over a rebucketed index must not orphan its _v<N> dirs
+    if (exists(spark, path)) {
+      val old = manifest(spark, path)
+      if (old.bucketed && old.version > 0) {
+        spark.sql(s"DROP TABLE IF EXISTS `${fpsName(fpsDir(path, old))}`")
+        spark.sql(s"DROP TABLE IF EXISTS `${bandsName(bandsDir(path, old))}`")
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(fpsDir(path, old)), true)
+        fs.delete(new org.apache.hadoop.fs.Path(bandsDir(path, old)), true)
+      }
+    }
+    val m0 = Manifest(shingleN, bands, rowsPerBand, numBuckets, version = 0,
+      idCol = idCol)
     val fps = MinHashLsh.fingerprints(docs, idCol, textCol, shingleN)
-    IndexCatalog.writeFresh(fps, fpsName(path), s"$path/fingerprints",
+    IndexCatalog.writeFresh(fps, fpsName(fpsDir(path, m0)), fpsDir(path, m0),
       Seq(idCol), numBuckets)
     // band keys from the STORED fingerprints (no re-shingle via lineage)
-    val stored = spark.table(fpsName(path))
+    val stored = spark.table(fpsName(fpsDir(path, m0)))
     IndexCatalog.writeFresh(
       MinHashLsh.bandIndex(stored, idCol, bands, rowsPerBand),
-      bandsName(path), s"$path/bands", Seq("band"), numBuckets)
+      bandsName(bandsDir(path, m0)), bandsDir(path, m0), Seq("band"), numBuckets)
     // size snapshot from the STORED bands (no recompute)
-    spark.table(bandsName(path)).groupBy(col("band"))
+    val bandsT = spark.table(bandsName(bandsDir(path, m0)))
+    bandsT.groupBy(col("band"))
       .agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/band_sizes")
-    writeManifest(spark, path, Manifest(shingleN, bands, rowsPerBand, numBuckets))
+    writeManifest(spark, path, m0.copy(
+      fpsDdl = stored.schema.toDDL, bandsDdl = bandsT.schema.toDDL))
   }
 
   /** The legacy layout's readable paths for one table: root-level files
@@ -139,10 +181,12 @@ object DedupIndex {
   def load(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val m = manifest(spark, path)
     if (m.bucketed)
-      (IndexCatalog.table(spark, fpsName(path), s"$path/fingerprints",
-        Seq(storedIdCol(spark, path)), m.numBuckets),
-        IndexCatalog.table(spark, bandsName(path), s"$path/bands",
-          Seq("band"), m.numBuckets))
+      (IndexCatalog.table(spark, fpsName(fpsDir(path, m)), fpsDir(path, m),
+        Seq(storedIdCol(spark, path, m)), m.numBuckets, opt(m.fpsDdl),
+        m.epoch),
+        IndexCatalog.table(spark, bandsName(bandsDir(path, m)),
+          bandsDir(path, m), Seq("band"), m.numBuckets, opt(m.bandsDdl),
+          m.epoch))
     else
       (spark.read.parquet(legacyPaths(spark, path, "fingerprints"): _*),
         spark.read.parquet(legacyPaths(spark, path, "bands"): _*))
@@ -154,9 +198,9 @@ object DedupIndex {
   def indexedIds(spark: SparkSession, path: String): DataFrame = {
     val m = manifest(spark, path)
     if (m.bucketed) {
-      val idCol = storedIdCol(spark, path)
-      IndexCatalog.table(spark, fpsName(path), s"$path/fingerprints",
-        Seq(idCol), m.numBuckets).select(col(idCol))
+      val idCol = storedIdCol(spark, path, m)
+      IndexCatalog.table(spark, fpsName(fpsDir(path, m)), fpsDir(path, m),
+        Seq(idCol), m.numBuckets, opt(m.fpsDdl), m.epoch).select(col(idCol))
     } else {
       val df = spark.read.option("recursiveFileLookup", "true")
         .parquet(s"$path/fingerprints")
@@ -181,13 +225,86 @@ object DedupIndex {
     // append zero band rows
     val fps = MinHashLsh.fingerprints(batch, idCol, textCol, m.shingleN)
       .localCheckpoint(true)
-    IndexCatalog.appendTo(fps, fpsName(path), s"$path/fingerprints",
-      Seq(idCol), m.numBuckets)
+    IndexCatalog.appendTo(fps, fpsName(fpsDir(path, m)), fpsDir(path, m),
+      Seq(idCol), m.numBuckets, opt(m.fpsDdl), m.epoch)
     val bandRows = MinHashLsh.bandIndex(fps, idCol, m.bands, m.rowsPerBand)
-    IndexCatalog.appendTo(bandRows, bandsName(path), s"$path/bands",
-      Seq("band"), m.numBuckets)
+    IndexCatalog.appendTo(bandRows, bandsName(bandsDir(path, m)),
+      bandsDir(path, m), Seq("band"), m.numBuckets, opt(m.bandsDdl), m.epoch)
     bandRows.groupBy(col("band")).agg(count(lit(1)).as("n"))
       .write.mode("append").parquet(s"$path/band_sizes")
+  }
+
+  /** Bucket-preserving maintenance compaction of a bucketed index: both
+    * big tables rewrite to ~1 file per bucket per `targetFileBytes`
+    * ([[IndexCatalog.compactBucketed]] — the bucket layout, and with it
+    * the no-corpus-Exchange join property, survives the rewrite), and the
+    * append-only `band_sizes` delta table folds to one snapshot
+    * ([[IndexCatalog.foldSizeDeltas]] — the cap fold sums deltas, so the
+    * fold is semantics-free). Each table swaps independently under the
+    * crash-safe two-rename; a crash mid-run leaves at most one table
+    * uncompacted, never a mixed layout (compaction changes neither the
+    * bucket count nor the schema). Run on a maintenance cadence (or via
+    * the sink's `compactEveryNBatches` knob) — per-bucket file counts
+    * otherwise grow without bound under streaming appends. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024)
+      : Map[String, IndexCatalog.TableCompaction] = {
+    val m = manifest(spark, path)
+    require(m.bucketed,
+      s"index at $path uses the legacy rename-published layout; compact " +
+        "it with lakehouse.Compaction.compact per batch directory")
+    val idCol = storedIdCol(spark, path, m)
+    // the epoch bump is what tells OTHER long-lived sessions (via the
+    // shared catalog metadata) that the files under this layout were
+    // rewritten and their cached listings must refresh
+    val pub = m.epoch + 1
+    val stats = Map(
+      "fingerprints" -> IndexCatalog.compactBucketed(spark,
+        fpsName(fpsDir(path, m)), fpsDir(path, m), Seq(idCol), m.numBuckets,
+        targetFileBytes, opt(m.fpsDdl), m.epoch, pub),
+      "bands" -> IndexCatalog.compactBucketed(spark,
+        bandsName(bandsDir(path, m)), bandsDir(path, m), Seq("band"),
+        m.numBuckets, targetFileBytes, opt(m.bandsDdl), m.epoch, pub),
+      "band_sizes" -> IndexCatalog.foldSizeDeltas(spark, s"$path/band_sizes",
+        Seq("band"), targetFileBytes))
+    writeManifest(spark, path, m.copy(epoch = pub, idCol = idCol))
+    stats
+  }
+
+  /** Re-bucket an index whose corpus outgrew its build-time `numBuckets`
+    * (each bucket's band rows must fit an executor; a 100 TB corpus wants
+    * O(thousands)). Rewrites both tables from the STORED rows — O(index),
+    * never a re-shingle of the corpus — into fresh `_v<N>` directories,
+    * then publishes the switch through ONE atomic manifest replace: a
+    * crash before the publish leaves the old layout fully live (orphan
+    * `_v<N>` dirs are overwritten by the retry); after it, the new layout
+    * is fully live and the old dirs are deleted best-effort. Appends and
+    * dedupBatch pick up the new bucket count from the manifest; stale
+    * same-session registrations of the OLD layout are dropped. */
+  def rebucket(spark: SparkSession, path: String, newBuckets: Int): Unit = {
+    val m = manifest(spark, path)
+    require(m.bucketed,
+      s"index at $path uses the legacy rename-published layout; re-build it")
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    val idCol = storedIdCol(spark, path, m)
+    val next = m.copy(numBuckets = newBuckets, version = m.version + 1,
+      idCol = idCol, epoch = 0)
+    val (fps, bands) = load(spark, path)
+    IndexCatalog.writeFresh(fps, fpsName(fpsDir(path, next)),
+      fpsDir(path, next), Seq(idCol), newBuckets)
+    IndexCatalog.writeFresh(bands, bandsName(bandsDir(path, next)),
+      bandsDir(path, next), Seq("band"), newBuckets)
+    writeManifest(spark, path, next.copy(
+      fpsDdl = spark.table(fpsName(fpsDir(path, next))).schema.toDDL,
+      bandsDdl = spark.table(bandsName(bandsDir(path, next))).schema.toDDL))
+    // the switch is published: retire the old layout (metadata first, so
+    // no stale registration outlives its files)
+    spark.sql(s"DROP TABLE IF EXISTS `${fpsName(fpsDir(path, m))}`")
+    spark.sql(s"DROP TABLE IF EXISTS `${bandsName(bandsDir(path, m))}`")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(fpsDir(path, m)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(bandsDir(path, m)), true)
   }
 
   /** True iff [[appendAtomic]] fully published batch `batchKey`: under

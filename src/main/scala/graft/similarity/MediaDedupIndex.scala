@@ -31,23 +31,33 @@ import org.apache.spark.sql.functions._
   */
 object MediaDedupIndex {
 
-  final case class Manifest(nBands: Int, bandBits: Int, numBuckets: Int = 8)
+  /** Band constants + bucketed-layout metadata — the media twin of
+    * [[DedupIndex.Manifest]]: `version` names the live table dirs (a
+    * rebucket flips layouts via one atomic manifest replace), the two
+    * schema DDLs make fresh-session re-registration O(1) metadata.
+    * Legacy manifests default the new fields (version 0, footer-read
+    * schema); the stored id column is always `id` (build normalizes). */
+  final case class Manifest(nBands: Int, bandBits: Int, numBuckets: Int = 8,
+                            version: Int = 0, codesDdl: String = "",
+                            bandsDdl: String = "", epoch: Int = 0)
 
-  private def codesName(path: String) = IndexCatalog.tableName("graft_media_codes", path)
-  private def bandsName(path: String) = IndexCatalog.tableName("graft_media_bands", path)
+  private def codesDir(path: String, m: Manifest): String =
+    IndexCatalog.tableDir(path, "codes", m.version)
+  private def bandsDir(path: String, m: Manifest): String =
+    IndexCatalog.tableDir(path, "bands", m.version)
+  private def codesName(dir: String) = IndexCatalog.tableName("graft_media_codes", dir)
+  private def bandsName(dir: String) = IndexCatalog.tableName("graft_media_bands", dir)
+  private def opt(s: String): Option[String] = Some(s).filter(_.nonEmpty)
 
   private def manifestPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "index.json")
 
-  private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
-    val p = manifestPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(
-      s"""{"nBands": ${m.nBands}, "bandBits": ${m.bandBits}, "numBuckets": ${m.numBuckets}}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
+  private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit =
+    IndexCatalog.replaceManifest(spark, manifestPath(path),
+      s"""{"nBands": ${m.nBands}, "bandBits": ${m.bandBits}, "numBuckets": ${m.numBuckets}""" +
+        s""", "version": ${m.version}, "epoch": ${m.epoch}""" +
+        s""", "codesDdl": "${IndexCatalog.jsonEscape(m.codesDdl)}"""" +
+        s""", "bandsDdl": "${IndexCatalog.jsonEscape(m.bandsDdl)}"}""")
 
   /** True iff an index (manifest) is already present at `path`. */
   def exists(spark: SparkSession, path: String): Boolean = {
@@ -67,29 +77,52 @@ object MediaDedupIndex {
     def required(name: String): Int = field(name).getOrElse(
       throw new IllegalStateException(
         s"media dedup index manifest at $p missing field $name"))
+    def sfield(name: String): String =
+      IndexCatalog.stringField(text, name).getOrElse("")
     // pre-bucketing manifests carry no numBuckets; those indexes were
     // plain parquet dirs — re-build to adopt the bucketed layout
     Manifest(required("nBands"), required("bandBits"),
-      field("numBuckets").getOrElse(0))
+      field("numBuckets").getOrElse(0), field("version").getOrElse(0),
+      sfield("codesDdl"), sfield("bandsDdl"), field("epoch").getOrElse(0))
   }
+
+  private def requireBucketed(path: String, m: Manifest): Unit =
+    require(m.numBuckets > 0,
+      s"media index at $path predates the bucketed layout; re-build it")
 
   /** Write a fresh index from (id, code) rows (overwrites any existing). */
   def build(codes: DataFrame, idCol: String, codeCol: String, path: String,
             nBands: Int = 4, bandBits: Int = 16, numBuckets: Int = 8): Unit = {
     val spark = codes.sparkSession
+    // a rebuild over a rebucketed index must not orphan its _v<N> dirs
+    if (exists(spark, path)) {
+      val old = manifest(spark, path)
+      if (old.numBuckets > 0 && old.version > 0) {
+        spark.sql(s"DROP TABLE IF EXISTS `${codesName(codesDir(path, old))}`")
+        spark.sql(s"DROP TABLE IF EXISTS `${bandsName(bandsDir(path, old))}`")
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(codesDir(path, old)), true)
+        fs.delete(new org.apache.hadoop.fs.Path(bandsDir(path, old)), true)
+      }
+    }
+    val m0 = Manifest(nBands, bandBits, numBuckets, version = 0)
     val normalized = codes.select(col(idCol).as("id"), col(codeCol).as("code"))
-    IndexCatalog.writeFresh(normalized, codesName(path), s"$path/codes",
-      Seq("id"), numBuckets)
+    IndexCatalog.writeFresh(normalized, codesName(codesDir(path, m0)),
+      codesDir(path, m0), Seq("id"), numBuckets)
     // re-read instead of recompute: the band explode must not re-run the
     // caller's (possibly decode-backed) lineage per reference
-    val stored = spark.table(codesName(path))
+    val stored = spark.table(codesName(codesDir(path, m0)))
     IndexCatalog.writeFresh(
       BandedHamming.bandKeys(stored, "id", "code", nBands, bandBits),
-      bandsName(path), s"$path/bands", Seq("band", "bkey"), numBuckets)
-    spark.table(bandsName(path)).groupBy(col("band"), col("bkey"))
+      bandsName(bandsDir(path, m0)), bandsDir(path, m0), Seq("band", "bkey"),
+      numBuckets)
+    val bandsT = spark.table(bandsName(bandsDir(path, m0)))
+    bandsT.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$path/band_sizes")
-    writeManifest(spark, path, Manifest(nBands, bandBits, numBuckets))
+    writeManifest(spark, path, m0.copy(
+      codesDdl = stored.schema.toDDL, bandsDdl = bandsT.schema.toDDL))
   }
 
   /** Append new (id, code) rows using the index's band constants; each
@@ -99,8 +132,7 @@ object MediaDedupIndex {
              path: String): Unit = {
     val spark = codes.sparkSession
     val m = manifest(spark, path)
-    require(m.numBuckets > 0,
-      s"media index at $path predates the bucketed layout; re-build it")
+    requireBucketed(path, m)
     // pin the batch BEFORE mutating any index table: the caller's frame
     // may reference the index itself (the idempotent-append anti-join in
     // StreamOps does), and the codes append refreshes the table's file
@@ -108,14 +140,15 @@ object MediaDedupIndex {
     // own ids as already indexed and silently append zero band rows
     val normalized = codes.select(col(idCol).as("id"), col(codeCol).as("code"))
       .localCheckpoint(true)
-    IndexCatalog.appendTo(normalized, codesName(path), s"$path/codes",
-      Seq("id"), m.numBuckets)
+    IndexCatalog.appendTo(normalized, codesName(codesDir(path, m)),
+      codesDir(path, m), Seq("id"), m.numBuckets, opt(m.codesDdl), m.epoch)
     // one band pass (over the pinned batch) feeds both the bands table
     // and the size deltas
     val bandRows = BandedHamming.bandKeys(normalized, "id", "code",
       m.nBands, m.bandBits)
-    IndexCatalog.appendTo(bandRows, bandsName(path), s"$path/bands",
-      Seq("band", "bkey"), m.numBuckets)
+    IndexCatalog.appendTo(bandRows, bandsName(bandsDir(path, m)),
+      bandsDir(path, m), Seq("band", "bkey"), m.numBuckets, opt(m.bandsDdl),
+      m.epoch)
     bandRows.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
       .write.mode("append").parquet(s"$path/band_sizes")
   }
@@ -124,8 +157,65 @@ object MediaDedupIndex {
     * idempotent appends exchanges only the incoming batch. */
   def indexedIds(spark: SparkSession, path: String): DataFrame = {
     val m = manifest(spark, path)
-    IndexCatalog.table(spark, codesName(path), s"$path/codes",
-      Seq("id"), m.numBuckets).select(col("id"))
+    requireBucketed(path, m)
+    IndexCatalog.table(spark, codesName(codesDir(path, m)),
+      codesDir(path, m), Seq("id"), m.numBuckets, opt(m.codesDdl), m.epoch)
+      .select(col("id"))
+  }
+
+  /** Bucket-preserving maintenance compaction — the media twin of
+    * [[DedupIndex.compact]] (same crash discipline, same reason: every
+    * per-batch append adds ≥1 file per bucket, and band_sizes one delta
+    * file, without bound under streaming cadence). */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024)
+      : Map[String, IndexCatalog.TableCompaction] = {
+    val m = manifest(spark, path)
+    requireBucketed(path, m)
+    // epoch bump: other sessions' cached listings refresh before they
+    // touch the rewritten files (see DedupIndex.compact)
+    val pub = m.epoch + 1
+    val stats = Map(
+      "codes" -> IndexCatalog.compactBucketed(spark,
+        codesName(codesDir(path, m)), codesDir(path, m), Seq("id"),
+        m.numBuckets, targetFileBytes, opt(m.codesDdl), m.epoch, pub),
+      "bands" -> IndexCatalog.compactBucketed(spark,
+        bandsName(bandsDir(path, m)), bandsDir(path, m), Seq("band", "bkey"),
+        m.numBuckets, targetFileBytes, opt(m.bandsDdl), m.epoch, pub),
+      "band_sizes" -> IndexCatalog.foldSizeDeltas(spark, s"$path/band_sizes",
+        Seq("band", "bkey"), targetFileBytes))
+    writeManifest(spark, path, m.copy(epoch = pub))
+    stats
+  }
+
+  /** Re-bucket an index that outgrew its build-time `numBuckets` — the
+    * media twin of [[DedupIndex.rebucket]]: O(index) rewrite from the
+    * stored codes (media bytes are never stored, so there is nothing to
+    * re-decode), published by one atomic manifest replace. */
+  def rebucket(spark: SparkSession, path: String, newBuckets: Int): Unit = {
+    val m = manifest(spark, path)
+    requireBucketed(path, m)
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    val next = m.copy(numBuckets = newBuckets, version = m.version + 1,
+      epoch = 0)
+    val codes = IndexCatalog.table(spark, codesName(codesDir(path, m)),
+      codesDir(path, m), Seq("id"), m.numBuckets, opt(m.codesDdl), m.epoch)
+    val bands = IndexCatalog.table(spark, bandsName(bandsDir(path, m)),
+      bandsDir(path, m), Seq("band", "bkey"), m.numBuckets, opt(m.bandsDdl),
+      m.epoch)
+    IndexCatalog.writeFresh(codes, codesName(codesDir(path, next)),
+      codesDir(path, next), Seq("id"), newBuckets)
+    IndexCatalog.writeFresh(bands, bandsName(bandsDir(path, next)),
+      bandsDir(path, next), Seq("band", "bkey"), newBuckets)
+    writeManifest(spark, path, next.copy(
+      codesDdl = spark.table(codesName(codesDir(path, next))).schema.toDDL,
+      bandsDdl = spark.table(bandsName(bandsDir(path, next))).schema.toDDL))
+    spark.sql(s"DROP TABLE IF EXISTS `${codesName(codesDir(path, m))}`")
+    spark.sql(s"DROP TABLE IF EXISTS `${bandsName(bandsDir(path, m))}`")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(codesDir(path, m)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(bandsDir(path, m)), true)
   }
 
   /** Near-duplicates of `batch` (id, code) rows against the stored index
@@ -138,8 +228,10 @@ object MediaDedupIndex {
                  idCol: String, codeCol: String, maxHamming: Int,
                  maxBucket: Option[Int] = None): DataFrame = {
     val m = manifest(spark, path)
-    val corpusBands = IndexCatalog.table(spark, bandsName(path),
-      s"$path/bands", Seq("band", "bkey"), m.numBuckets)
+    requireBucketed(path, m)
+    val corpusBands = IndexCatalog.table(spark, bandsName(bandsDir(path, m)),
+      bandsDir(path, m), Seq("band", "bkey"), m.numBuckets, opt(m.bandsDdl),
+      m.epoch)
     val sizes = spark.read.parquet(s"$path/band_sizes")
     BandedHamming.pairsAgainstIndex(corpusBands,
       batch.select(col(idCol).as("id"), col(codeCol).as("code")),

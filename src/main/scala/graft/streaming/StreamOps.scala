@@ -221,7 +221,9 @@ object StreamOps {
   def dedupIndexBatch(batch: DataFrame, batchId: Long, idCol: String,
                       textCol: String, indexPath: String, matchesPath: String,
                       threshold: Double = 0.5,
-                      maxBucket: Option[Int] = None): Unit = {
+                      maxBucket: Option[Int] = None,
+                      compactEveryNBatches: Int = 0,
+                      compactTargetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     import graft.similarity.DedupIndex
     val spark = batch.sparkSession
     // corpus_id =!= batch_id: on replay the batch's own docs are already
@@ -247,6 +249,13 @@ object StreamOps {
     val fresh = batch.join(DedupIndex.indexedIds(spark, indexPath),
       Seq(idCol), "left_anti")
     DedupIndex.append(fresh, idCol, textCol, indexPath)
+    // every append adds ≥1 file per bucket (and one band_sizes delta
+    // file); at streaming cadence that grows without bound, so the sink
+    // self-maintains on a batch-count cadence. Compaction is
+    // content-idempotent — a checkpoint replay at a compaction batch
+    // just compacts an already-compact index
+    if (compactEveryNBatches > 0 && (batchId + 1) % compactEveryNBatches == 0)
+      DedupIndex.compact(spark, indexPath, compactTargetFileBytes)
   }
 
   /** Continuous ingestion dedup: every micro-batch is near-dup-checked
@@ -257,13 +266,16 @@ object StreamOps {
     * [[dedupIndexBatch]]). */
   def dedupIndexSink(docs: DataFrame, idCol: String, textCol: String,
                      indexPath: String, matchesPath: String, checkpoint: String,
-                     threshold: Double = 0.5, maxBucket: Option[Int] = None)
+                     threshold: Double = 0.5, maxBucket: Option[Int] = None,
+                     compactEveryNBatches: Int = 0,
+                     compactTargetFileBytes: Long = 128L * 1024 * 1024)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dedupIndexBatch(batch, batchId, idCol, textCol, indexPath,
-          matchesPath, threshold, maxBucket)
+          matchesPath, threshold, maxBucket, compactEveryNBatches,
+          compactTargetFileBytes)
       }
       .start()
 
@@ -284,7 +296,9 @@ object StreamOps {
                            codeCol: String, indexPath: String,
                            matchesPath: String, maxHamming: Int,
                            nBands: Int = 4, bandBits: Int = 16,
-                           maxBucket: Option[Int] = None): Unit = {
+                           maxBucket: Option[Int] = None,
+                           compactEveryNBatches: Int = 0,
+                           compactTargetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     import graft.similarity.MediaDedupIndex
     val spark = batch.sparkSession
     if (!MediaDedupIndex.exists(spark, indexPath)) {
@@ -312,6 +326,10 @@ object StreamOps {
         .withColumnRenamed("id", idCol),
       Seq(idCol), "left_anti")
     MediaDedupIndex.append(fresh, idCol, codeCol, indexPath)
+    // bounded-file-count self-maintenance, same contract as
+    // dedupIndexBatch (content-idempotent under checkpoint replay)
+    if (compactEveryNBatches > 0 && (batchId + 1) % compactEveryNBatches == 0)
+      MediaDedupIndex.compact(spark, indexPath, compactTargetFileBytes)
   }
 
   /** Continuous multimodal ingestion dedup: every micro-batch of media
@@ -324,13 +342,16 @@ object StreamOps {
                           indexPath: String, matchesPath: String,
                           checkpoint: String, maxHamming: Int,
                           nBands: Int = 4, bandBits: Int = 16,
-                          maxBucket: Option[Int] = None)
+                          maxBucket: Option[Int] = None,
+                          compactEveryNBatches: Int = 0,
+                          compactTargetFileBytes: Long = 128L * 1024 * 1024)
       : org.apache.spark.sql.streaming.StreamingQuery =
     codes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mediaDedupIndexBatch(batch, batchId, idCol, codeCol, indexPath,
-          matchesPath, maxHamming, nBands, bandBits, maxBucket)
+          matchesPath, maxHamming, nBands, bandBits, maxBucket,
+          compactEveryNBatches, compactTargetFileBytes)
       }
       .start()
 

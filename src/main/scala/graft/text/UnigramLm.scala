@@ -180,6 +180,83 @@ object UnigramLm {
       .localCheckpoint(eager = false)
   }
 
+  /** The SERVING path: segment every document of `docs` under a FROZEN
+    * trained vocab — "train a tokenizer" ends at a vocab; tokenizing the
+    * corpus under it is the job a training-data pipeline actually runs at
+    * 100 TB, and the one the trainer queries (q388/q395) stop short of.
+    * `vocab` is a trained (piece, em_mass, cost) frame ([[mStep]] /
+    * [[prune]] output, or [[seedVocab]] with `seed_mass` renamed).
+    * Characters the vocab never saw enter as mass-1 unk pieces costed
+    * against the vocab's own mass total (the q389 unk discipline), so
+    * every word still segments and unk exposure is an exact count, not a
+    * dropped-row artifact.
+    *
+    * Scale shape: the Viterbi DP runs ONCE per distinct word (the
+    * dictionary-encode trick — [[viterbi]] is dictionary-grain); the
+    * per-occurrence work is an equi-join of the (doc, pos, word) token
+    * stream onto the per-word result plus one per-document aggregate.
+    * The `pieces` string reassembles in token order via a sorted
+    * `collect_list` bounded by the document's own token count — the same
+    * per-document grain the raw text already occupies, never a window
+    * over corpus rows. Words longer than [[MaxWordLen]] are excluded
+    * exactly as in training (both engines).
+    *
+    * Output, one row per document: (idCol, n_tokens, n_pieces,
+    * n_unk_pieces, nll, pieces) — `nll` the exact-DECIMAL sum of best-
+    * path costs rounded once to 6, `pieces` the per-token '|'-joined
+    * segmentations joined by spaces in original token order. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             vocab: DataFrame): DataFrame = {
+    // (doc, pos, w) token stream — pinned: it feeds both the dictionary
+    // aggregate and the per-occurrence join-back
+    val toks = docs.select(col(idCol).as("__did"),
+        posexplode(TextOps.tokens(TextOps.normalize(col(textCol))))
+          .as(Seq("pos", "w")))
+      .filter(length(col("w")).between(1, MaxWordLen))
+      .localCheckpoint(eager = false)
+    val words = toks.groupBy("w")
+      .agg(count(lit(1)).cast("long").as("freq"))
+    // unseen chars → mass-1 unk pieces against the vocab's own total
+    // (bounded: one row per novel character, anti-joined on the piece)
+    val tot = vocab.agg(sum(col("em_mass")).as("t")) // 1-row
+    val unk = words
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
+        .as("piece")).distinct()
+      .join(vocab.select(col("piece")), Seq("piece"), "left_anti")
+      .crossJoin(broadcast(tot))
+      .select(col("piece"), nllCost(col("t"), lit(1L)).as("cost"),
+        lit(true).as("is_unk"))
+    val fullVocab = vocab.select(col("piece"), col("cost"),
+        lit(false).as("is_unk"))
+      .unionByName(unk)
+      .localCheckpoint(eager = false) // consumed by the DP edges AND the
+                                      // per-piece unk flags below
+    val dp = viterbi(words, fullVocab.select(col("piece"), col("cost")))
+    val unkPerWord = dp
+      .select(col("w"), explode(split(col("seg"), "\\|")).as("piece"))
+      .join(fullVocab.select(col("piece"), col("is_unk")), Seq("piece"))
+      .groupBy("w")
+      .agg(sum(when(col("is_unk"), 1L).otherwise(0L)).as("__n_unk_w"))
+    val perWord = dp
+      .withColumn("__n_pieces_w",
+        size(split(col("seg"), "\\|")).cast("long"))
+      .join(unkPerWord, Seq("w"))
+      .select(col("w"), col("seg"), col("cost"),
+        col("__n_pieces_w"), col("__n_unk_w"))
+    toks.join(perWord, Seq("w"))
+      .groupBy(col("__did"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("__n_pieces_w")).cast("long").as("n_pieces"),
+        sum(col("__n_unk_w")).cast("long").as("n_unk_pieces"),
+        round(sum(col("cost")), 6).cast("double").as("nll"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")), " ").as("pieces"))
+      .select(col("__did").as(idCol), col("n_tokens"), col("n_pieces"),
+        col("n_unk_pieces"), col("nll"), col("pieces"))
+  }
+
   /** Vocab pruning between EM rounds: drop the bottom-`k` MULTI-char
     * pieces by EM mass (mass asc, piece asc — deterministic; in hard-EM
     * a piece's removal loss is proportional to its mass, the

@@ -151,6 +151,153 @@ class BucketedIndexPlanSpec extends SparkSpec {
     graft.similarity.DedupIndex.load(spark, path)._1.count() shouldBe 81L
   }
 
+  test("compact: many appends grow per-bucket file counts; compaction " +
+       "returns them to ~1/bucket, folds band_sizes to one snapshot, and " +
+       "the no-corpus-Exchange pins stay green on the compacted table") {
+    import spark.implicits._
+    val path = tmpDir("bidx-compact")
+    def docs(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, s"rho sigma tau upsilon phi doc $i tail ${i * 13}"))
+      .toDF("doc_id", "text")
+    graft.similarity.DedupIndex.build(docs(0L, 60L), "doc_id", "text", path)
+    (1 to 5).foreach(b =>
+      graft.similarity.DedupIndex.append(
+        docs(b * 100L, b * 100L + 20L), "doc_id", "text", path))
+    import graft.lakehouse.Compaction.parquetFileCount
+    // 6 writes x 8 buckets: the growth the compactor exists to reset
+    parquetFileCount(spark, path + "/bands") should be > 8
+    parquetFileCount(spark, path + "/band_sizes") should be >= 6
+    val preResult = graft.similarity.DedupIndex
+      .dedupBatch(spark, path, docs(0L, 10L).withColumn("doc_id",
+        col("doc_id") + 9000L), "doc_id", "text", threshold = 0.3)
+      .orderBy("corpus_id", "batch_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val stats = graft.similarity.DedupIndex.compact(spark, path)
+    stats("bands").filesAfter shouldBe 8 // exactly one file per bucket
+    stats("fingerprints").filesAfter shouldBe 8
+    parquetFileCount(spark, path + "/band_sizes") shouldBe 1
+    // results are byte-identical and the bucketed-plan property holds
+    withStaticPlan {
+      val df = graft.similarity.DedupIndex.dedupBatch(spark, path,
+        docs(0L, 10L).withColumn("doc_id", col("doc_id") + 9000L),
+        "doc_id", "text", threshold = 0.3)
+      assertCorpusSideUnshuffled(df, "/bands")
+      assertCorpusSideUnshuffled(df, "/fingerprints")
+      df.orderBy("corpus_id", "batch_id")
+        .as[(Long, Long, Double)].collect().toSeq shouldBe preResult
+    }
+    // the index still appends normally after the swap
+    graft.similarity.DedupIndex.append(docs(700L, 705L), "doc_id", "text", path)
+    graft.similarity.DedupIndex.load(spark, path)._1.count() shouldBe 165L
+  }
+
+  test("rebucket: dedupBatch results identical before/after, plan pins " +
+       "green at the new bucket count, appends use the new layout, and a " +
+       "crash-orphaned _v dir is never read") {
+    import spark.implicits._
+    val path = tmpDir("bidx-rebucket")
+    def docs(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, s"chi psi omega doc $i tail ${i * 29}"))
+      .toDF("doc_id", "text")
+    graft.similarity.DedupIndex.build(docs(0L, 80L), "doc_id", "text", path,
+      numBuckets = 4)
+    val probe = docs(0L, 10L).withColumn("doc_id", col("doc_id") + 9000L)
+    def result() = graft.similarity.DedupIndex
+      .dedupBatch(spark, path, probe, "doc_id", "text", threshold = 0.3)
+      .orderBy("corpus_id", "batch_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val before = result()
+    before should not be empty
+    // a crashed earlier rebucket attempt leaves an unpublished _v1 dir;
+    // the live manifest (version 0) must keep reading the old layout
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path + "/fingerprints_v1"))
+    result() shouldBe before
+    graft.similarity.DedupIndex.rebucket(spark, path, newBuckets = 16)
+    graft.similarity.DedupIndex.manifest(spark, path).numBuckets shouldBe 16
+    withStaticPlan {
+      val df = graft.similarity.DedupIndex.dedupBatch(spark, path, probe,
+        "doc_id", "text", threshold = 0.3)
+      assertCorpusSideUnshuffled(df, "/bands_v1")
+      assertCorpusSideUnshuffled(df, "/fingerprints_v1")
+      df.orderBy("corpus_id", "batch_id")
+        .as[(Long, Long, Double)].collect().toSeq shouldBe before
+    }
+    // the old dirs are retired; appends land in the new layout
+    fs.exists(new org.apache.hadoop.fs.Path(path + "/bands")) shouldBe false
+    graft.similarity.DedupIndex.append(docs(500L, 510L), "doc_id", "text", path)
+    graft.similarity.DedupIndex.load(spark, path)._1.count() shouldBe 90L
+    // legacy rename-append still refuses the bucketed layout
+    an[IllegalArgumentException] should be thrownBy
+      graft.similarity.DedupIndex.appendAtomic(docs(600L, 601L), "doc_id",
+        "text", path, "bk1")
+  }
+
+  test("media rebucket + compact: same contract on the media index") {
+    import spark.implicits._
+    val path = tmpDir("bidx-media-rebucket")
+    val corpus = (0L until 120L).map(i => (i, i * 2048L + (i % 11)))
+      .toDF("media_id", "dhash")
+    graft.similarity.MediaDedupIndex.build(corpus, "media_id", "dhash", path,
+      numBuckets = 4)
+    (1 to 3).foreach(b => graft.similarity.MediaDedupIndex.append(
+      (0L until 10L).map(i => (b * 1000L + i, i * 4096L + b))
+        .toDF("media_id", "dhash"), "media_id", "dhash", path))
+    val batch = (9000L until 9010L)
+      .map(i => (i, (i - 9000L) * 2048L + ((i - 9000L) % 11) ^ 1L))
+      .toDF("media_id", "dhash")
+    def result() = graft.similarity.MediaDedupIndex
+      .dedupBatch(spark, path, batch, "media_id", "dhash", maxHamming = 2,
+        maxBucket = Some(100))
+      .orderBy("corpus_id", "batch_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val before = result()
+    before should not be empty
+    val stats = graft.similarity.MediaDedupIndex.compact(spark, path)
+    stats("bands").filesAfter shouldBe 4
+    result() shouldBe before
+    graft.similarity.MediaDedupIndex.rebucket(spark, path, newBuckets = 8)
+    withStaticPlan {
+      val df = graft.similarity.MediaDedupIndex.dedupBatch(spark, path,
+        batch, "media_id", "dhash", maxHamming = 2, maxBucket = Some(100))
+      assertCorpusSideUnshuffled(df, "/bands_v1")
+      df.orderBy("corpus_id", "batch_id")
+        .as[(Long, Long, Long)].collect().toSeq shouldBe before
+    }
+  }
+
+  test("a stale same-name registration (different bucket count than the " +
+       "manifest) is dropped and re-created, not trusted") {
+    import spark.implicits._
+    val path = tmpDir("bidx-stale")
+    val corpus = (0L until 50L)
+      .map(i => (i, s"iota kappa doc $i tail ${i * 7}"))
+      .toDF("doc_id", "text")
+    graft.similarity.DedupIndex.build(corpus, "doc_id", "text", path,
+      numBuckets = 8)
+    // simulate another JVM's stale view: re-register the bands table at
+    // the WRONG bucket count over the same files
+    val bandsLoc = path + "/bands"
+    val name = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_dedup_bands_"))
+      .find { n =>
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(n))
+          .location.getPath.contains(bandsLoc)
+      }.getOrElse(fail("bands table not registered"))
+    val ddl = spark.table(name).schema.toDDL
+    spark.sql(s"DROP TABLE `$name`")
+    spark.sql(s"""CREATE TABLE `$name` ($ddl) USING PARQUET
+                 |CLUSTERED BY (`band`) SORTED BY (`band`) INTO 4 BUCKETS
+                 |LOCATION '$bandsLoc'""".stripMargin)
+    // any index touch must detect the mismatch and restore 8 buckets
+    graft.similarity.DedupIndex.load(spark, path)
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .bucketSpec.map(_.numBuckets) shouldBe Some(8)
+  }
+
   test("indexedIds anti-join side is the bucketed codes/fingerprints scan") {
     import spark.implicits._
     val path = tmpDir("bidx-anti")

@@ -611,6 +611,32 @@ class IngestionSpec extends SparkSpec {
       Set("_applied")
   }
 
+  test("maintenance: dedup-index-compact and dedup-index-rebucket run the " +
+       "index maintenance from pipeline config") {
+    import graft.core.IngestionRunner
+    val root = tmpDir("mnt-idx")
+    val idx = s"$root/index"
+    val docs = (0L until 40L)
+      .map(i => (i, s"nu xi omicron doc $i tail ${i * 17}"))
+      .toDF("doc_id", "text")
+    graft.similarity.DedupIndex.build(docs, "doc_id", "text", idx)
+    (1 to 3).foreach(b => graft.similarity.DedupIndex.append(
+      docs.withColumn("doc_id",
+        org.apache.spark.sql.functions.col("doc_id") + b * 1000L),
+      "doc_id", "text", idx))
+    IngestionRunner.runMaintenance(spark, graft.config.MaintenanceConfig(
+      `type` = "dedup-index-compact", path = idx))
+    graft.lakehouse.Compaction.parquetFileCount(spark, s"$idx/bands") shouldBe 8
+    IngestionRunner.runMaintenance(spark, graft.config.MaintenanceConfig(
+      `type` = "dedup-index-rebucket", path = idx, buckets = 16))
+    graft.similarity.DedupIndex.manifest(spark, idx).numBuckets shouldBe 16
+    graft.similarity.DedupIndex.load(spark, idx)._1.count() shouldBe 160L
+    // rebucket without a bucket count refuses loudly
+    an[IllegalArgumentException] should be thrownBy
+      IngestionRunner.runMaintenance(spark, graft.config.MaintenanceConfig(
+        `type` = "dedup-index-rebucket", path = idx))
+  }
+
   private def rmrfDir(p: java.io.File): Unit = {
     if (p.isDirectory) p.listFiles.foreach(rmrfDir)
     p.delete(); ()

@@ -137,7 +137,9 @@ class SimilaritySpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "one two three four five six seven")).toDF("doc_id", "text")
     DedupIndex.build(corpus, "doc_id", "text", path)
-    DedupIndex.manifest(spark, path) shouldBe DedupIndex.Manifest(3, 16, 4, 8)
+    DedupIndex.manifest(spark, path) shouldBe DedupIndex.Manifest(3, 16, 4, 8,
+      idCol = "doc_id", fpsDdl = "doc_id BIGINT,shingle_set ARRAY<STRING>",
+      bandsDdl = "doc_id BIGINT,band STRING")
     // batch 1 duplicates corpus doc 1
     val b1 = Seq((10L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     DedupIndex.dedupBatch(spark, path, b1, "doc_id", "text")

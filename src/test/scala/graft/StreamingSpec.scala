@@ -229,6 +229,33 @@ class StreamingSpec extends SparkSpec {
     pairs should contain allOf ((1L, 20L), (1L, 30L), (20L, 30L))
   }
 
+  test("dedupIndexSink compactEveryNBatches: long-running sink keeps file " +
+       "counts bounded (every Nth batch compacts in place)") {
+    val root = tmpDir("dixc")
+    val (index, matches, cp) = (root + "/index", root + "/matches", root + "/cp")
+    graft.similarity.DedupIndex.build(
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text"),
+      "id", "text", index)
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.dedupIndexSink(in.toDF().toDF("id", "text"),
+      "id", "text", index, matches, cp, compactEveryNBatches = 3)
+    try {
+      (0 until 6).foreach { b =>
+        in.addData((100L + b, s"alpha beta gamma delta epsilon zeta run$b"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    import graft.lakehouse.Compaction.parquetFileCount
+    // 1 build + 6 appends would be 7 files/bucket uncompacted; the knob
+    // compacted at batches 2 and 5, so at most build-after-compact + 1
+    // post-compaction append remains per bucket — and band_sizes folded
+    parquetFileCount(spark, index + "/bands") should be <= 2 * 8
+    parquetFileCount(spark, index + "/band_sizes") should be <= 2
+    // the index is intact: everything matched the base doc family
+    graft.similarity.DedupIndex.load(spark, index)._1.count() shouldBe 7L
+    spark.read.parquet(matches).count() should be >= 6L
+  }
+
   test("cmsSink: batch counters merge counter-wise; replay never double-counts") {
     val root = tmpDir("cms")
     val (path, cp) = (root + "/cms", root + "/cp")

@@ -650,4 +650,67 @@ class TransformsSpec extends SparkSpec {
     // the 3/5-scrambled clip shares 2 close frames only -> filtered out
     pairs.keySet.exists { case (a, b) => a == 3L || b == 3L } shouldBe false
   }
+
+  test("frameSequencePairsShifted: a head-trimmed twin is recovered at " +
+       "shift -1 (exact-index alignment misses it); cross-seed rejected; " +
+       "maxShift=0 reduces exactly to frameSequencePairs") {
+    import graft.multimodal.{MediaCodec, Multimodal}
+    import graft.similarity.BandedHamming
+    def gray(seed: Long)(x: Int, y: Int, o: Int): Int = {
+      val u = (seed * 2654435761L + x * 31L + y * 131L + o * 8191L) % 16777213L
+      (((u * u) % 16777213L) % 256L).toInt
+    }
+    val recs = Seq(
+      // full 6-frame clip
+      Multimodal.MediaRecord(0L,
+        Multimodal.encodeGif(16, 13, 6, gray(7L)), "image/gif", "synth"),
+      // head-trimmed twin: stored frame f replays original frame f+1
+      Multimodal.MediaRecord(1L,
+        Multimodal.encodeGif(16, 13, 5, (x, y, f) => gray(7L)(x, y, f + 1)),
+        "image/gif", "synth"),
+      // different seed
+      Multimodal.MediaRecord(2L,
+        Multimodal.encodeGif(16, 13, 6, gray(8L)), "image/gif", "synth")
+    ).toDS()
+    val frames = MediaCodec.frameHashes(recs).toDF()
+    def shifted(s: Int) = BandedHamming.frameSequencePairsShifted(frames,
+      "media_id", "frame_idx", "dhash", nBands = 4, bandBits = 16,
+      maxHamming = 6, minCloseNum = 4, minCloseDen = 5, maxShift = s,
+      maxBucket = Some(100))
+    val atS2 = shifted(2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // trimmed twin: aligned at b.f = a.f - 1, all 5 overlapping frames
+    // identical; n_total = greatest(6, 5) - |−1| = 5
+    atS2.keySet shouldBe Set((0L, 1L))
+    atS2((0L, 1L)) shouldBe ((-1L, 5L, 5L))
+    // exact-index alignment misses the trim entirely...
+    val exact = BandedHamming.frameSequencePairs(frames, "media_id",
+      "frame_idx", "dhash", nBands = 4, bandBits = 16, maxHamming = 6,
+      minCloseNum = 4, minCloseDen = 5, maxBucket = Some(100))
+    exact.count() shouldBe 0L
+    // ...and maxShift=0 agrees with it on a fixture where pairs DO exist
+    // at exact alignment (the previous test's family, reconstructed)
+    def clip(id: Long, seed: Long, perturb: Set[Int]) =
+      Multimodal.MediaRecord(id, Multimodal.encodeGif(16, 13, 5, (x, y, f) => {
+        val g = gray(seed)(x, y, f)
+        if (perturb(f) && (x + y) % 2 == 0) g ^ 1 else g
+      }), "image/gif", "synth")
+    val frames0 = MediaCodec.frameHashes(
+      Seq(clip(0L, 7L, Set.empty), clip(1L, 7L, Set(2)),
+        clip(2L, 8L, Set.empty)).toDS()).toDF()
+    val zero = BandedHamming.frameSequencePairsShifted(frames0, "media_id",
+      "frame_idx", "dhash", nBands = 4, bandBits = 16, maxHamming = 6,
+      minCloseNum = 4, minCloseDen = 5, maxShift = 0, maxBucket = Some(100))
+      .select("id_a", "id_b", "n_close", "n_total")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val base = BandedHamming.frameSequencePairs(frames0, "media_id",
+      "frame_idx", "dhash", nBands = 4, bandBits = 16, maxHamming = 6,
+      minCloseNum = 4, minCloseDen = 5, maxBucket = Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    zero shouldBe base
+    zero should not be empty
+  }
 }

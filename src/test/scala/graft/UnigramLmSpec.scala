@@ -196,4 +196,47 @@ class UnigramLmSpec extends SparkSpec {
     // singles survive regardless of mass
     kept shouldBe Seq("a", "ab", "b", "bb")
   }
+
+  test("encode: per-word segmentations equal the trainer's under the same " +
+       "frozen vocab, pieces reassemble in token order, nll is the exact " +
+       "sum of best-path costs") {
+    val docs = Seq((1L, "abab banana"), (2L, "banana"), (3L, "abab"))
+      .toDF("id", "text")
+    val words = UnigramLm.dictionary(docs)
+    val v = UnigramLm.seedVocab(words)
+      .select(col("piece"), col("seed_mass").as("em_mass"), col("cost"))
+    // ground truth: the trainer's E-step on the same vocab
+    val dp = UnigramLm.viterbi(words, v).collect()
+      .map(r => r.getString(0) ->
+        (r.getString(2), r.getDecimal(3))).toMap
+    val enc = UnigramLm.encode(docs, "id", "text", v).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    enc(2L).getString(5) shouldBe dp("banana")._1
+    enc(3L).getString(5) shouldBe dp("abab")._1
+    // multi-token doc: segs joined by spaces in ORIGINAL token order
+    enc(1L).getString(5) shouldBe s"${dp("abab")._1} ${dp("banana")._1}"
+    enc(1L).getLong(1) shouldBe 2L // n_tokens
+    enc(1L).getLong(3) shouldBe 0L // no unk
+    // nll = round(sum of the words' exact DECIMAL costs, 6)
+    val want = (dp("abab")._2.add(dp("banana")._2))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    enc(1L).getDouble(4) shouldBe want +- 1e-12
+  }
+
+  test("encode: never-seen characters enter as mass-1 unk pieces — the " +
+       "word still segments and the unk count is exact") {
+    val train = Seq((1L, "abab abba baab")).toDF("id", "text")
+    val v = UnigramLm.seedVocab(UnigramLm.dictionary(train))
+      .select(col("piece"), col("seed_mass").as("em_mass"), col("cost"))
+    // 'q' and 'z' never appeared in training
+    val enc = UnigramLm.encode(Seq((9L, "abqz ab")).toDF("id", "text"),
+      "id", "text", v).collect()
+    enc.length shouldBe 1
+    val r = enc.head
+    r.getLong(1) shouldBe 2L                 // n_tokens
+    r.getLong(3) shouldBe 2L                 // n_unk_pieces: q, z
+    r.getString(5) should include("q")
+    r.getString(5) should include("z")
+    r.getString(5).split(" ").length shouldBe 2
+  }
 }

@@ -63,14 +63,33 @@ def main(old_path, new_path):
                     f"({n / max(o, 1):.2f}x)")
         # wall-time moved >2x with NO byte movement = the co-tenancy
         # signature (r8: driver recorded 41.6s for a 1.68s query, bytes
-        # identical) — report it with the run's load so the record
-        # self-diagnoses; never fail on wall-time alone
+        # identical) — report it with the QUERY's own concurrent load and
+        # its quiet re-run when the record carries them (r11: Bench
+        # samples /proc/loadavg per run and re-times loaded queries after
+        # a quiet-wait), so the record self-diagnoses; never fail on
+        # wall-time alone
         ot, nt = old_rec.get("t"), rec.get("t")
         if (not bytes_moved and isinstance(ot, (int, float))
                 and isinstance(nt, (int, float)) and ot > 0
                 and nt > 1.0 and nt > 2 * ot):
+            detail = ""
+            if rec.get("load_1m") is not None:
+                detail += f", load_1m {rec['load_1m']:.1f}"
+            trq = rec.get("t_requiet")
+            if isinstance(trq, (int, float)):
+                verdict = ("clean" if trq <= 2 * ot else "still slow")
+                detail += (f", quiet re-run {trq:.2f}s ({verdict}, "
+                           f"load {rec.get('load_requiet')})")
             suspicious_walltime.append(f"{name}: {ot:.2f}s -> {nt:.2f}s "
-                                       f"({nt / ot:.1f}x, bytes unchanged)")
+                                       f"({nt / ot:.1f}x, bytes unchanged"
+                                       f"{detail})")
+
+    if new.get("n_requiet", 0):
+        print(f"NOTE: {new['n_requiet']} queries ran with concurrent load "
+              f"above the gate and were re-timed after a quiet-wait; "
+              f"headline value {new.get('value'):.1f}s vs re-quiet total "
+              f"{new.get('value_requiet'):.1f}s (trust the re-quiet total "
+              f"when they diverge).")
 
     if new.get("contaminated") is True:
         print("NOTE: new record stamps contaminated=true — the pre-flight "

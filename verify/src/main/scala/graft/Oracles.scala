@@ -346,6 +346,98 @@ object Oracles {
         |    ELSE NULL END AS monotone_ok
         |FROM rows ORDER BY round""".stripMargin,
 
+    // q396: the trimmed-clip replay — the q393 raster arithmetic with the
+    // odd twin's first frame removed (its stored frame f replays the
+    // original frame f+1) and one surviving frame retouched; candidates
+    // on (band, bkey) with |Δ| ≤ 2 (frame index deliberately off the
+    // key), per-shift aligned-frame Hamming verify against
+    // greatest(na, nb) − |Δ|, arg-max by (n_close DESC, shift) — equality
+    // proves the offset-tolerant machinery end-to-end
+    "q396_video_shifted_pairs" ->
+      s"""WITH ${Oracles.trimmedVideoPairCtes}
+        |SELECT id_a, id_b, shift, n_close, n_total FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY id_a, id_b
+        |  ORDER BY n_close DESC, shift) = 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q397: the serving path — the q395 3-round trainer replayed on the
+    // <800-bucket split (seed vocab, two chained Viterbi-EM rounds, the
+    // bottom-16 prune), then a FOURTH chained DP segmenting the held-out
+    // words under the frozen vocab (never-seen characters as mass-1 unk
+    // pieces, the q389 discipline), rolled up per held-out document with
+    // the piece string reassembled in token order
+    "q397_unigram_encode" ->
+      s"""WITH RECURSIVE ${Oracles.unigramTrainCtes(
+            "(CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT)" +
+            " % 2305843009213693951) % 1000 < 800")},
+        |v1 AS MATERIALIZED (SELECT piece, seed_mass AS em_mass, cost FROM vocab),
+        |${Oracles.unigramDpCtes("words", "v1", "1")},
+        |${Oracles.unigramMStepCtes("fin1", "v1", "1", "v2")},
+        |${Oracles.unigramDpCtes("words", "v2", "2")},
+        |${Oracles.unigramMStepCtes("fin2", "v2", "2", "v3raw")},
+        |drop3 AS (
+        |  SELECT piece FROM v3raw WHERE length(piece) >= 2
+        |  ORDER BY em_mass, piece LIMIT 16),
+        |kept3 AS MATERIALIZED (
+        |  SELECT * FROM v3raw
+        |  WHERE piece NOT IN (SELECT piece FROM drop3)),
+        |t3 AS (SELECT SUM(em_mass) AS t FROM kept3),
+        |v3 AS MATERIALIZED (
+        |  SELECT k.piece, k.em_mass,
+        |    CAST(round(ln(CAST(t.t AS DOUBLE)) - ln(CAST(k.em_mass AS DOUBLE)),
+        |      9) AS DECIMAL(20,9)) AS cost
+        |  FROM kept3 k, t3 t),
+        |hnorm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^\\p{L}\\p{Nd} ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents
+        |  WHERE (CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT)
+        |    % 2305843009213693951) % 1000 >= 800
+        |), hsplit AS (
+        |  SELECT doc_id, string_split(t, ' ') AS sp FROM hnorm
+        |), htok AS (
+        |  SELECT doc_id, CAST(p.i AS INTEGER) AS pos,
+        |    sp[CAST(p.i AS INTEGER)] AS w
+        |  FROM hsplit, unnest(generate_series(1, len(sp))) AS p(i)
+        |  WHERE length(sp[CAST(p.i AS INTEGER)]) BETWEEN 1 AND 16
+        |), hwords AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM htok GROUP BY w
+        |), t3s AS (SELECT CAST(SUM(em_mass) AS BIGINT) AS t FROM v3),
+        |unk AS (
+        |  SELECT u.piece,
+        |    CAST(round(ln(CAST(t.t AS DOUBLE)) - ln(CAST(1 AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9)) AS cost, TRUE AS is_unk
+        |  FROM (
+        |    SELECT DISTINCT substr(h.w, CAST(p.i AS INTEGER), 1) AS piece
+        |    FROM hwords h, unnest(generate_series(1, length(h.w))) AS p(i)
+        |  ) u, t3s t
+        |  WHERE u.piece NOT IN (SELECT piece FROM v3)
+        |), fullvocab AS (
+        |  SELECT piece, cost, FALSE AS is_unk FROM v3
+        |  UNION ALL SELECT piece, cost, is_unk FROM unk
+        |),
+        |${Oracles.unigramDpCtes("hwords", "fullvocab", "e")},
+        |pw AS (
+        |  SELECT f.w, s.piece
+        |  FROM fine f, unnest(string_split(f.seg, '|')) AS s(piece)
+        |), perword AS (
+        |  SELECT pw.w, CAST(COUNT(*) AS BIGINT) AS n_pieces_w,
+        |    CAST(SUM(CASE WHEN v.is_unk THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unk_w
+        |  FROM pw JOIN fullvocab v ON v.piece = pw.piece
+        |  GROUP BY pw.w
+        |)
+        |SELECT h.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(p.n_pieces_w) AS BIGINT) AS n_pieces,
+        |  CAST(SUM(p.n_unk_w) AS BIGINT) AS n_unk_pieces,
+        |  CAST(round(SUM(f.cost), 6) AS DOUBLE) AS nll,
+        |  string_agg(f.seg, ' ' ORDER BY h.pos) AS pieces
+        |FROM htok h
+        |JOIN fine f ON f.w = h.w
+        |JOIN perword p ON p.w = h.w
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+
     // q391: both CART levels replay as value-domain prefix sums + the
     // same IEEE-double Gini argmin (division/addition are correctly
     // rounded in both engines — no libm in the ordering key)
@@ -10849,6 +10941,83 @@ object Oracles {
       |  GROUP BY h.id_a, h.id_b, na.nf, nb.nf
       |  HAVING SUM(CASE WHEN h.hf <= 6 THEN 1 ELSE 0 END) * 5
       |    >= greatest(na.nf, nb.nf) * 4)""".stripMargin
+
+  /** The q396 trimmed-clip replay as CTEs (ends in `scored`, the
+    * per-(pair, shift) verified alignments): the [[videoPairCtes]]
+    * arithmetic with the odd twin's head frame trimmed (stored frame `f`
+    * replays original frame `o = f + p`) and the retouch at original
+    * frame `pf ∈ [1, nf−1]`; candidates on (band, bkey) — frame index
+    * off the key — bounded to |Δ| ≤ 2; per-shift aligned-frame Hamming;
+    * threshold against `greatest(na, nb) − |Δ|`. The q396 query picks
+    * the best alignment with a QUALIFY arg-max on top. */
+  private def trimmedVideoPairCtes: String =
+    """d AS (
+      |  SELECT doc_id, doc_id // 2 AS grp, doc_id % 2 AS p,
+      |    12 + (doc_id // 2) % 9 AS w, 12 + (doc_id // 2) % 7 AS h,
+      |    4 + (doc_id // 2) % 3 AS nf
+      |  FROM documents),
+      |dd AS (SELECT d.*, 1 + (grp % (nf - 1)) AS pf FROM d),
+      |fr AS (SELECT dd.*, t.f FROM dd, range(6) t(f)
+      |  WHERE t.f < dd.nf - dd.p),
+      |g AS (SELECT i, j FROM range(9) t1(i), range(8) t2(j)),
+      |px AS (
+      |  SELECT fr.doc_id, fr.grp, fr.p, fr.pf, fr.f, fr.f + fr.p AS o,
+      |    g.i, g.j, (g.i * fr.w) // 9 AS x, (g.j * fr.h) // 8 AS y
+      |  FROM fr, g),
+      |tt AS (
+      |  SELECT doc_id, p, pf, f, o, i, j, x, y,
+      |    ((grp * 2654435761 + x * 31 + y * 131 + o * 8191) % 16777213)
+      |      * ((grp * 2654435761 + x * 31 + y * 131 + o * 8191) % 16777213)
+      |      % 16777213 % 256 AS g0
+      |  FROM px),
+      |pix AS (
+      |  SELECT doc_id, f, i, j,
+      |    CASE WHEN p = 1 AND o = pf AND (x + y) % 2 = 0
+      |      THEN xor(g0, 1) ELSE g0 END AS gy
+      |  FROM tt),
+      |fbits AS (
+      |  SELECT a.doc_id, a.f, (a.j * 8 + a.i) AS bitpos,
+      |    CASE WHEN a.gy > b.gy THEN 1 ELSE 0 END AS bit
+      |  FROM pix a JOIN pix b
+      |    ON a.doc_id = b.doc_id AND a.f = b.f AND a.j = b.j
+      |      AND b.i = a.i + 1
+      |  WHERE a.i < 8),
+      |fbands AS (
+      |  SELECT doc_id, f, bitpos // 16 AS band,
+      |    SUM(bit << (bitpos % 16)) AS bkey
+      |  FROM fbits GROUP BY 1, 2, 3),
+      |fbsz AS (
+      |  SELECT band, bkey FROM fbands
+      |  GROUP BY band, bkey HAVING COUNT(*) <= 100),
+      |fcapped AS (
+      |  SELECT b.* FROM fbands b JOIN fbsz USING (band, bkey)),
+      |fcand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    b.f - a.f AS shift
+      |  FROM fcapped a JOIN fcapped b
+      |    ON a.band = b.band AND a.bkey = b.bkey
+      |      AND a.doc_id < b.doc_id AND abs(b.f - a.f) <= 2),
+      |hamf AS (
+      |  SELECT c.id_a, c.id_b, c.shift, x.f,
+      |    SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hf
+      |  FROM fcand c
+      |  JOIN fbits x ON x.doc_id = c.id_a
+      |  JOIN fbits y ON y.doc_id = c.id_b AND y.f = x.f + c.shift
+      |    AND y.bitpos = x.bitpos
+      |  GROUP BY 1, 2, 3, 4),
+      |nfr AS (SELECT doc_id, nf - p AS nst FROM dd),
+      |scored AS (
+      |  SELECT h.id_a, h.id_b, CAST(h.shift AS BIGINT) AS shift,
+      |    CAST(SUM(CASE WHEN h.hf <= 6 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_close,
+      |    CAST(greatest(na.nst, nb.nst) - abs(h.shift) AS BIGINT)
+      |      AS n_total
+      |  FROM hamf h
+      |  JOIN nfr na ON na.doc_id = h.id_a
+      |  JOIN nfr nb ON nb.doc_id = h.id_b
+      |  GROUP BY h.id_a, h.id_b, h.shift, na.nst, nb.nst
+      |  HAVING SUM(CASE WHEN h.hf <= 6 THEN 1 ELSE 0 END) * 5
+      |    >= (greatest(na.nst, nb.nst) - abs(h.shift)) * 4)""".stripMargin
 
   /** The q382 perceptual-hash replay as shareable CTEs (ends in `ham`):
     * planted pixel arithmetic → integer grayscale → dHash bits → 4×16-bit
