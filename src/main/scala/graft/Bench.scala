@@ -201,12 +201,16 @@ object Bench {
                      ok.head, ok.last, ok.size, byteDelta, load))
                  else Left(runs.collectFirst { case Left(e) => e }.getOrElse("unknown")))
       }
-    // Re-run pass: queries whose runs overlapped concurrent load above
-    // the gate get ONE more timing behind a fresh quiet-wait. Wall-only —
-    // bytes stay from the bracketed run (they are plan-deterministic).
+    // Re-run pass: queries whose runs overlapped concurrent load well
+    // above the gate get ONE more timing behind a fresh quiet-wait.
+    // Threshold is 1.5x the gate, not the gate itself: the bench's own
+    // local[32] execution legitimately pushes the 1-min load a little
+    // past the gate on well-parallelized queries, and re-timing
+    // self-loaded queries only adds single-run noise. Wall-only — bytes
+    // stay from the bracketed run (they are plan-deterministic).
     val flagged = measured.collect {
       case (k, Right(r)) if loadGate > 0 && !r.load1m.isNaN &&
-        r.load1m > loadGate => k
+        r.load1m > loadGate * 1.5 => k
     }.toSet
     val results: Seq[(String, Either[String, QRes])] =
       if (flagged.isEmpty) measured

@@ -208,6 +208,11 @@ private[similarity] object IndexCatalog {
     val tmpName = name + "_ctmp"
     Compaction.swapRewrite(spark, location) { tmp =>
       spark.sql(s"DROP TABLE IF EXISTS `$tmpName`")
+      // a CRASHED earlier attempt leaves a stale tmp dir; saveAsTable over
+      // an existing external location would adopt its files into the new
+      // table (silent row duplication) — clear it first
+      val tp = new org.apache.hadoop.fs.Path(tmp)
+      tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
       // pinned for this one write: AQE re-coalescing and the
       // DisableUnnecessaryBucketedScan rule each undo the task↔bucket
       // alignment (measured: 6 files/bucket survive the rewrite with the

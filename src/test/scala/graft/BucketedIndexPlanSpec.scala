@@ -267,6 +267,33 @@ class BucketedIndexPlanSpec extends SparkSpec {
     }
   }
 
+  test("compact crash-window: stale __rewrite_tmp/__rewrite_old dirs from " +
+       "a crashed attempt are cleared, never adopted into the new layout") {
+    import spark.implicits._
+    val path = tmpDir("bidx-crash")
+    val docs = (0L until 50L)
+      .map(i => (i, s"pi rho doc $i tail ${i * 11}"))
+      .toDF("doc_id", "text")
+    graft.similarity.DedupIndex.build(docs, "doc_id", "text", path)
+    val total = graft.similarity.DedupIndex.load(spark, path)._1.count()
+    // plant a crashed attempt: a stale tmp dir holding a COPY of today's
+    // bands files (the worst case — adopting them would double every row)
+    // and a leftover old dir
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(path + "/bands"),
+      fs, new org.apache.hadoop.fs.Path(path + "/bands__rewrite_tmp"),
+      false, spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path + "/bands__rewrite_old"))
+    graft.similarity.DedupIndex.compact(spark, path)
+    // no duplication, layout clean, leftovers gone
+    graft.similarity.DedupIndex.load(spark, path)._1.count() shouldBe total
+    graft.similarity.DedupIndex.load(spark, path)._2.count() shouldBe total * 16
+    fs.exists(new org.apache.hadoop.fs.Path(path + "/bands__rewrite_tmp")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(path + "/bands__rewrite_old")) shouldBe false
+  }
+
   test("a stale same-name registration (different bucket count than the " +
        "manifest) is dropped and re-created, not trusted") {
     import spark.implicits._

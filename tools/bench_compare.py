@@ -88,8 +88,11 @@ def main(old_path, new_path):
         print(f"NOTE: {new['n_requiet']} queries ran with concurrent load "
               f"above the gate and were re-timed after a quiet-wait; "
               f"headline value {new.get('value'):.1f}s vs re-quiet total "
-              f"{new.get('value_requiet'):.1f}s (trust the re-quiet total "
-              f"when they diverge).")
+              f"{new.get('value_requiet'):.1f}s. The re-run is EVIDENCE, "
+              f"not automatically the better number: re-quiet << original "
+              f"means the original was load-inflated; re-quiet ~= original "
+              f"means the original stands (a single re-run is noisier than "
+              f"a median-of-3).")
 
     if new.get("contaminated") is True:
         print("NOTE: new record stamps contaminated=true — the pre-flight "
