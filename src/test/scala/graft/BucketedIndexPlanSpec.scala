@@ -267,6 +267,39 @@ class BucketedIndexPlanSpec extends SparkSpec {
     }
   }
 
+  test("epoch coherence across sessions: a session with a warm relation " +
+       "cache reads correctly after ANOTHER session compacts the index " +
+       "(deleted pre-swap files are never scanned)") {
+    import spark.implicits._
+    val path = tmpDir("bidx-xsession")
+    val docs = (0L until 60L)
+      .map(i => (i, s"eta theta doc $i tail ${i * 23}"))
+      .toDF("doc_id", "text")
+    graft.similarity.DedupIndex.build(docs, "doc_id", "text", path)
+    (1 to 3).foreach(b => graft.similarity.DedupIndex.append(
+      docs.withColumn("doc_id",
+        org.apache.spark.sql.functions.col("doc_id") + b * 1000L),
+      "doc_id", "text", path))
+    val probe = Seq((9000L, "eta theta doc 3 tail 69")).toDF("doc_id", "text")
+    // session B warms its own relation cache on the pre-compaction files
+    val sessionB = spark.newSession()
+    val before = graft.similarity.DedupIndex
+      .dedupBatch(sessionB, path, probe, "doc_id", "text", threshold = 0.3)
+      .orderBy("corpus_id").as[(Long, Long, Double)](
+        org.apache.spark.sql.Encoders.product).collect().toSeq
+    before should not be empty
+    // session A (the main one) compacts — the pre-swap files are DELETED
+    graft.similarity.DedupIndex.compact(spark, path)
+    // session B's next read must detect the epoch move via the shared
+    // catalog metadata, refresh its cached listing, and return the same
+    // results — without the epoch it would FAILED_READ_FILE on the
+    // deleted pre-swap files
+    graft.similarity.DedupIndex
+      .dedupBatch(sessionB, path, probe, "doc_id", "text", threshold = 0.3)
+      .orderBy("corpus_id").as[(Long, Long, Double)](
+        org.apache.spark.sql.Encoders.product).collect().toSeq shouldBe before
+  }
+
   test("compact crash-window: stale __rewrite_tmp/__rewrite_old dirs from " +
        "a crashed attempt are cleared, never adopted into the new layout") {
     import spark.implicits._
