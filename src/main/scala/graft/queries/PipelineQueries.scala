@@ -2049,7 +2049,7 @@ object PipelineQueries {
     * per-shift verify, arg-max — so equality proves the shift machinery
     * end-to-end; a spec separately pins the maxShift=0 case equal to
     * q393's operator. */
-  def q396_video_shifted_pairs(spark: SparkSession, dir: String): DataFrame = {
+  private def videoShiftedPairs(spark: SparkSession, dir: String): DataFrame = {
     val frames = graft.multimodal.MediaCodec
       .frameHashes(trimmedVideoRecords(spark, dir)).toDF()
       .localCheckpoint(eager = false)
@@ -2057,7 +2057,21 @@ object PipelineQueries {
       "media_id", "frame_idx", "dhash", nBands = 4, bandBits = 16,
       maxHamming = 6, minCloseNum = 4, minCloseDen = 5, maxShift = 2,
       maxBucket = Some(videoMaxBucket))
-      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def q396_video_shifted_pairs(spark: SparkSession, dir: String): DataFrame =
+    videoShiftedPairs(spark, dir).orderBy(col("id_a"), col("id_b"))
+
+  /** Shifted-video duplicate CLUSTERS — q396's offset-tolerant pairs
+    * closed with the SAME distributed connected-components operator every
+    * other modality uses (the q394 discipline): trimmed/re-cut clip
+    * families collapse to one representative. Oracle: the q396 trimmed
+    * replay's passing (pair, Δ) set closed by a recursive CTE. */
+  def q398_video_shifted_clusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = videoShiftedPairs(spark, dir).select(col("id_a"), col("id_b"))
+    clusterView(Dedup.duplicateClusters(pairs, docs.select(col("doc_id")),
+      "doc_id"))
   }
 
   /** Unigram-LM ENCODE (serving) — the piece the trainer chain (q388 one

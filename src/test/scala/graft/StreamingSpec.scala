@@ -256,6 +256,25 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(matches).count() should be >= 6L
   }
 
+  test("mediaDedupIndexBatch compactEveryNBatches: file counts stay " +
+       "bounded on the media index too") {
+    val root = tmpDir("midxc")
+    val (index, matches) = (root + "/index", root + "/matches")
+    graft.similarity.MediaDedupIndex.build(
+      Seq((1L, 4096L)).toDF("media_id", "dhash"), "media_id", "dhash", index)
+    (0 until 6).foreach { b =>
+      StreamOps.mediaDedupIndexBatch(
+        Seq((100L + b, 4096L + b)).toDF("media_id", "dhash"), b.toLong,
+        "media_id", "dhash", index, matches, maxHamming = 2,
+        compactEveryNBatches = 3)
+    }
+    import graft.lakehouse.Compaction.parquetFileCount
+    parquetFileCount(spark, index + "/bands") should be <= 2 * 8
+    parquetFileCount(spark, index + "/band_sizes") should be <= 2
+    graft.similarity.MediaDedupIndex.indexedIds(spark, index)
+      .count() shouldBe 7L
+  }
+
   test("cmsSink: batch counters merge counter-wise; replay never double-counts") {
     val root = tmpDir("cms")
     val (path, cp) = (root + "/cms", root + "/cp")

@@ -360,6 +360,31 @@ object Oracles {
         |  ORDER BY n_close DESC, shift) = 1
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // q398: q396's shift-tolerant pairs closed into connected components
+    // (the q394/q54 recursive-CTE discipline) — one representative per
+    // trimmed/re-cut clip family. Edges come from the full passing
+    // (pair, shift) set (a pair is an edge iff SOME |Δ| ≤ 2 alignment
+    // passes — identical pair set to the engine's arg-max output)
+    "q398_video_shifted_clusters" ->
+      s"""WITH RECURSIVE ${Oracles.trimmedVideoPairCtes},
+        |edges AS (
+        |  SELECT DISTINCT id_a AS a, id_b AS b FROM scored
+        |  UNION SELECT DISTINCT id_b, id_a FROM scored
+        |), reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, re.r FROM edges e JOIN reach re ON re.node = e.b
+        |), comp AS (
+        |  SELECT node, min(r) AS comp FROM reach GROUP BY node
+        |), allc AS (
+        |  SELECT doc.doc_id, COALESCE(c.comp, doc.doc_id) AS cluster_id
+        |  FROM documents doc LEFT JOIN comp c ON c.node = doc.doc_id
+        |)
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |  doc_id = cluster_id AS keep
+        |FROM allc ORDER BY doc_id""".stripMargin,
+
     // q397: the serving path — the q395 3-round trainer replayed on the
     // <800-bucket split (seed vocab, two chained Viterbi-EM rounds, the
     // bottom-16 prune), then a FOURTH chained DP segmenting the held-out
